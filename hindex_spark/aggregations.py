@@ -1,0 +1,75 @@
+"""AggregationClient analog — server-side partial + client final merge.
+
+Reference: hbase-client/.../client/coprocessor/AggregationClient.java
+(max:101 min:196 rowCount:276 sum:350 avg:525 std:640 median:728-760) and
+the per-region endpoint AggregateImplementation.java (522 LoC). The
+partial-per-region/final-merge dataflow is exactly Spark's partial+final
+hash aggregate, so every verb is one ``agg`` call — Catalyst plans the
+map-side combine automatically (verify: HashAggregate(partial) ->
+Exchange -> HashAggregate(final) in .explain()).
+
+``median`` is exact, matching the reference's two-phase exact median
+(AggregateImplementation.getMedian:414), via percentile(0.5).
+"""
+
+from __future__ import annotations
+
+from typing import Any, Optional
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def _scoped(table, column: str, scan=None) -> DataFrame:
+    df = table.scan(scan) if scan is not None else table.df
+    return df
+
+
+def agg_max(table, column: str, scan=None) -> Any:
+    return _scoped(table, column, scan).agg(F.max(column).alias("v")).collect()[0]["v"]
+
+
+def agg_min(table, column: str, scan=None) -> Any:
+    return _scoped(table, column, scan).agg(F.min(column).alias("v")).collect()[0]["v"]
+
+
+def agg_sum(table, column: str, scan=None) -> Any:
+    return _scoped(table, column, scan).agg(F.sum(column).alias("v")).collect()[0]["v"]
+
+
+def row_count(table, scan=None) -> int:
+    # FirstKeyOnlyFilter fast-count analog: count rowkeys only (column-
+    # pruned scan reads a single column's pages).
+    df = table.scan(scan) if scan is not None else table.df
+    return df.select(table.rowkey_col).count()
+
+
+def agg_avg(table, column: str, scan=None) -> float:
+    return _scoped(table, column, scan).agg(F.avg(column).alias("v")).collect()[0]["v"]
+
+
+def agg_std(table, column: str, scan=None) -> float:
+    # Reference computes population std from (sum, sumsq, count) partials
+    # (AggregationClient.java:640).
+    return _scoped(table, column, scan).agg(F.stddev_pop(column).alias("v")).collect()[0]["v"]
+
+
+def agg_median(table, column: str, scan=None) -> Any:
+    return (
+        _scoped(table, column, scan)
+        .agg(F.expr(f"percentile({column}, 0.5)").alias("v"))
+        .collect()[0]["v"]
+    )
+
+
+def summary(table, column: str, scan=None) -> DataFrame:
+    """All aggregates in one pass (one partial+final aggregate)."""
+    return _scoped(table, column, scan).agg(
+        F.min(column).alias("min_v"),
+        F.max(column).alias("max_v"),
+        F.sum(column).alias("sum_v"),
+        F.count(column).alias("count_v"),
+        F.avg(column).alias("avg_v"),
+        F.stddev_pop(column).alias("std_v"),
+        F.expr(f"percentile({column}, 0.5)").alias("median_v"),
+    )

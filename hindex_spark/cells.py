@@ -1,0 +1,168 @@
+"""Cell layer: the HBase data model (sorted, multi-versioned cell space)
+as a DataFrame, with version/tombstone/TTL resolution.
+
+Reference semantics: KeyValue.java:64-81 (cell = row/cf/qualifier/ts/type/
+value, delete-tombstone key types), ScanQueryMatcher.match
+(hbase-server/.../regionserver/ScanQueryMatcher.java:262) — tombstone
+masking, version counting, TTL, TimeRange.
+
+Scale notes: resolution is one window per (rowkey, cf, qualifier) plus
+broadcast joins against tombstone aggregates (tombstones are tiny relative
+to puts). Partition the cell store by range(rowkey) so a region-style scan
+prunes; the window shuffle is on the same key so one shuffle serves both.
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Sequence, Tuple
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+# Mutation op codes (KeyValue.Type analogs)
+PUT = "put"
+DELETE_VERSION = "delete_version"  # Type.Delete — one exact version
+DELETE_COLUMN = "delete_column"    # Type.DeleteColumn — versions <= ts
+DELETE_FAMILY = "delete_family"    # Type.DeleteFamily — family versions <= ts
+DELETE_ROW = "delete_row"          # client Delete with no family: whole row
+
+CELL_SCHEMA = T.StructType(
+    [
+        T.StructField("rowkey", T.StringType(), False),
+        T.StructField("cf", T.StringType(), True),
+        T.StructField("qualifier", T.StringType(), True),
+        T.StructField("ts", T.LongType(), False),
+        T.StructField("op", T.StringType(), False),
+        T.StructField("value", T.StringType(), True),
+    ]
+)
+
+
+def empty_cells(spark: SparkSession) -> DataFrame:
+    return spark.createDataFrame([], CELL_SCHEMA)
+
+
+def cells_from_rows(spark: SparkSession, rows: Sequence[tuple]) -> DataFrame:
+    """rows of (rowkey, cf, qualifier, ts, op, value)."""
+    return spark.createDataFrame(list(rows), CELL_SCHEMA)
+
+
+def resolve(
+    cells: DataFrame,
+    max_versions: int = 1,
+    time_range: Optional[Tuple[int, int]] = None,
+    ttl: Optional[int] = None,
+    now: Optional[int] = None,
+    raw: bool = False,
+) -> DataFrame:
+    """Visible put-cells after tombstone masking, TTL, TimeRange, and
+    version counting — the ScanQueryMatcher contract.
+
+    * a delete_version at ts T masks the put with exactly ts == T;
+    * delete_column masks puts of that (row, cf, qualifier) with ts <= T;
+    * delete_family masks puts of that (row, cf) with ts <= T;
+    * delete_row masks puts of that row with ts <= T;
+    * TTL drops cells older than now - ttl;
+    * TimeRange keeps puts with min_ts <= ts < max_ts;
+    * version counting keeps the newest ``max_versions`` per column.
+
+    raw=True skips tombstone masking (Scan.setRaw analog).
+    """
+    puts = cells.filter(F.col("op") == PUT)
+
+    if ttl is not None:
+        if now is None:
+            raise ValueError("ttl requires now")
+        puts = puts.filter(F.col("ts") >= F.lit(now - ttl))
+
+    if not raw:
+        dels = cells.filter(F.col("op") != PUT)
+        # Exact-version tombstones: anti-join on the full coordinate.
+        dv = dels.filter(F.col("op") == DELETE_VERSION).select(
+            F.col("rowkey").alias("d_rk"),
+            F.col("cf").alias("d_cf"),
+            F.col("qualifier").alias("d_q"),
+            F.col("ts").alias("d_ts"),
+        )
+        puts = puts.join(
+            F.broadcast(dv),
+            (puts["rowkey"] == dv["d_rk"])
+            & (puts["cf"] == dv["d_cf"])
+            & (puts["qualifier"] == dv["d_q"])
+            & (puts["ts"] == dv["d_ts"]),
+            "left_anti",
+        )
+        # Range tombstones: take max ts per scope, left-join, filter newer.
+        dc = (
+            dels.filter(F.col("op") == DELETE_COLUMN)
+            .groupBy("rowkey", "cf", "qualifier")
+            .agg(F.max("ts").alias("__dc_ts"))
+        )
+        df_ = (
+            dels.filter(F.col("op") == DELETE_FAMILY)
+            .groupBy("rowkey", "cf")
+            .agg(F.max("ts").alias("__df_ts"))
+        )
+        dr = (
+            dels.filter(F.col("op") == DELETE_ROW)
+            .groupBy("rowkey")
+            .agg(F.max("ts").alias("__dr_ts"))
+        )
+        puts = (
+            puts.join(F.broadcast(dc), ["rowkey", "cf", "qualifier"], "left")
+            .join(F.broadcast(df_), ["rowkey", "cf"], "left")
+            .join(F.broadcast(dr), ["rowkey"], "left")
+            .filter(
+                (F.col("__dc_ts").isNull() | (F.col("ts") > F.col("__dc_ts")))
+                & (F.col("__df_ts").isNull() | (F.col("ts") > F.col("__df_ts")))
+                & (F.col("__dr_ts").isNull() | (F.col("ts") > F.col("__dr_ts")))
+            )
+            .drop("__dc_ts", "__df_ts", "__dr_ts")
+        )
+
+    if time_range is not None:
+        lo, hi = time_range
+        puts = puts.filter((F.col("ts") >= F.lit(lo)) & (F.col("ts") < F.lit(hi)))
+
+    if max_versions is not None:
+        w = Window.partitionBy("rowkey", "cf", "qualifier").orderBy(F.col("ts").desc())
+        puts = (
+            puts.withColumn("__vn", F.row_number().over(w))
+            .filter(F.col("__vn") <= max_versions)
+            .drop("__vn")
+        )
+    return puts
+
+
+def to_wide(
+    resolved: DataFrame,
+    columns: Sequence[Tuple[str, str]],
+    rowkey_col: str = "rowkey",
+) -> DataFrame:
+    """Latest-version wide view: one row per rowkey, one column per
+    (cf, qualifier) named ``{cf}_{qualifier}`` — the typed table layer.
+
+    One hash aggregate on rowkey; no pivot shuffle beyond it.
+    """
+    aggs = [
+        F.max(F.when((F.col("cf") == cf) & (F.col("qualifier") == q), F.col("value"))).alias(
+            f"{cf}_{q}"
+        )
+        for cf, q in columns
+    ]
+    return resolved.groupBy(F.col("rowkey").alias(rowkey_col)).agg(*aggs)
+
+
+def compact(
+    cells: DataFrame,
+    max_versions: int = 1,
+    ttl: Optional[int] = None,
+    now: Optional[int] = None,
+) -> DataFrame:
+    """Major-compaction job (DefaultCompactor/ExploringCompactionPolicy
+    analog): rewrite the cell store keeping only visible versions, dropping
+    tombstones and everything they mask, enforcing TTL. Output is the
+    canonical compacted store (sorted by rowkey at write time).
+    """
+    return resolve(cells, max_versions=max_versions, ttl=ttl, now=now)

@@ -1,0 +1,679 @@
+"""The reference's filter algebra, re-expressed as Spark Column builders.
+
+Reference: /root/reference/hbase-client/src/main/java/org/apache/hadoop/hbase/filter/
+(base contract Filter.java:58; boolean trees FilterList.java:56; string DSL
+ParseFilter.java:52). Each filter here compiles to a pyspark Column
+expression so Catalyst pushes it into the parquet scan — the Spark analog
+of HBase pushing Filters to region servers.
+
+Two evaluation surfaces:
+  * wide table layer (one row per rowkey, typed columns) — row filters,
+    SingleColumnValueFilter and friends: ``Filter.predicate(table)``;
+  * cell layer (rowkey/cf/qualifier/ts/value rows) — qualifier/column
+    filters: ``Filter.cell_predicate()`` or ``apply_cells``.
+
+Filters that are not pure predicates (PageFilter -> limit, SkipFilter /
+WhileMatchFilter -> windowed take-while) override ``apply``.
+"""
+
+from __future__ import annotations
+
+import random
+from dataclasses import dataclass, field
+from typing import Any, Optional, Sequence
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+# ---------------------------------------------------------------------------
+# Compare ops & comparators (CompareFilter.java:49 and filter/*Comparator.java)
+# ---------------------------------------------------------------------------
+
+LESS = "<"
+LESS_OR_EQUAL = "<="
+EQUAL = "="
+NOT_EQUAL = "!="
+GREATER_OR_EQUAL = ">="
+GREATER = ">"
+NO_OP = "no_op"
+
+_OPS = {LESS, LESS_OR_EQUAL, EQUAL, NOT_EQUAL, GREATER_OR_EQUAL, GREATER, NO_OP}
+
+
+def _apply_op(col: Column, op: str, rhs: Any) -> Column:
+    if op == LESS:
+        return col < rhs
+    if op == LESS_OR_EQUAL:
+        return col <= rhs
+    if op == EQUAL:
+        return col == rhs
+    if op == NOT_EQUAL:
+        return col != rhs
+    if op == GREATER_OR_EQUAL:
+        return col >= rhs
+    if op == GREATER:
+        return col > rhs
+    if op == NO_OP:
+        return F.lit(False)
+    raise ValueError(f"unknown compare op {op!r}")
+
+
+class Comparator:
+    """RHS of a CompareFilter. compare(col, op) -> Column predicate."""
+
+    def compare(self, col: Column, op: str) -> Column:  # pragma: no cover
+        raise NotImplementedError
+
+
+@dataclass
+class BinaryComparator(Comparator):
+    """Typed value comparison (BinaryComparator.java — memcmp on bytes;
+    here the column is typed so native ordering applies)."""
+
+    value: Any
+
+    def compare(self, col: Column, op: str) -> Column:
+        return _apply_op(col, op, F.lit(self.value))
+
+
+@dataclass
+class BinaryPrefixComparator(Comparator):
+    """Compare only the leading prefix (BinaryPrefixComparator.java)."""
+
+    prefix: str
+
+    def compare(self, col: Column, op: str) -> Column:
+        truncated = F.substring(col.cast("string"), 1, len(self.prefix))
+        return _apply_op(truncated, op, F.lit(self.prefix))
+
+
+@dataclass
+class NullComparator(Comparator):
+    """NullComparator.java — EQUAL means IS NULL."""
+
+    def compare(self, col: Column, op: str) -> Column:
+        if op == EQUAL:
+            return col.isNull()
+        if op == NOT_EQUAL:
+            return col.isNotNull()
+        raise ValueError("NullComparator only supports =/!=")
+
+
+@dataclass
+class RegexStringComparator(Comparator):
+    """RegexStringComparator.java — EQUAL = matches, NOT_EQUAL = not."""
+
+    pattern: str
+
+    def compare(self, col: Column, op: str) -> Column:
+        m = col.cast("string").rlike(self.pattern)
+        if op == EQUAL:
+            return m
+        if op == NOT_EQUAL:
+            return ~m
+        raise ValueError("RegexStringComparator only supports =/!=")
+
+
+@dataclass
+class SubstringComparator(Comparator):
+    """SubstringComparator.java — case-insensitive contains."""
+
+    substr: str
+
+    def compare(self, col: Column, op: str) -> Column:
+        m = F.lower(col.cast("string")).contains(self.substr.lower())
+        if op == EQUAL:
+            return m
+        if op == NOT_EQUAL:
+            return ~m
+        raise ValueError("SubstringComparator only supports =/!=")
+
+
+@dataclass
+class BitComparator(Comparator):
+    """BitComparator.java — bitwise AND/OR/XOR mask vs value; EQUAL means
+    masked result is non-zero (matches reference: compareTo==0 iff result
+    non-zero for at least one byte)."""
+
+    mask: int
+    bit_op: str = "and"  # and | or | xor
+
+    def compare(self, col: Column, op: str) -> Column:
+        c = col.cast("long")
+        if self.bit_op == "and":
+            res = c.bitwiseAND(F.lit(self.mask))
+        elif self.bit_op == "or":
+            res = c.bitwiseOR(F.lit(self.mask))
+        elif self.bit_op == "xor":
+            res = c.bitwiseXOR(F.lit(self.mask))
+        else:
+            raise ValueError(f"bad bit_op {self.bit_op}")
+        nz = res != 0
+        if op == EQUAL:
+            return nz
+        if op == NOT_EQUAL:
+            return ~nz
+        raise ValueError("BitComparator only supports =/!=")
+
+
+@dataclass
+class LongComparator(Comparator):
+    value: int
+
+    def compare(self, col: Column, op: str) -> Column:
+        return _apply_op(col.cast("long"), op, F.lit(self.value))
+
+
+def _as_comparator(v: Any) -> Comparator:
+    return v if isinstance(v, Comparator) else BinaryComparator(v)
+
+
+# ---------------------------------------------------------------------------
+# Index-planning IR: the planner consumes a normalized condition tree
+# (mirrors FilterNode trees in ScanFilterEvaluator.java:463-485)
+# ---------------------------------------------------------------------------
+
+
+@dataclass
+class Leaf:
+    """One (column, op, value) condition usable for index selection."""
+
+    column: str  # wide-table column name, e.g. "cf1_c1" or "o_custkey"
+    op: str
+    value: Any
+
+
+@dataclass
+class AndNode:
+    children: list
+
+
+@dataclass
+class OrNode:
+    children: list
+
+
+NON_INDEXABLE = object()  # sentinel: subtree cannot use an index
+
+
+# ---------------------------------------------------------------------------
+# Filter base
+# ---------------------------------------------------------------------------
+
+
+class Filter:
+    """Base filter. ``predicate`` -> Column over the wide table;
+    ``apply`` -> transformed DataFrame (default: df.filter(predicate))."""
+
+    def predicate(self, table) -> Column:
+        raise NotImplementedError(f"{type(self).__name__} has no row predicate")
+
+    def apply(self, df: DataFrame, table) -> DataFrame:
+        return df.filter(self.predicate(table))
+
+    def index_tree(self, table):
+        """Condition tree for the index planner; NON_INDEXABLE default."""
+        return NON_INDEXABLE
+
+
+def _resolve(table, column: str) -> Column:
+    """Map a column name through the table's resolver if present."""
+    if table is not None and hasattr(table, "resolve_column"):
+        return table.resolve_column(column)
+    return F.col(column)
+
+
+def _rowkey(table) -> Column:
+    if table is not None and hasattr(table, "rowkey_col"):
+        return F.col(table.rowkey_col)
+    return F.col("rowkey")
+
+
+# ---------------------------------------------------------------------------
+# Row-level filters (wide table layer)
+# ---------------------------------------------------------------------------
+
+
+@dataclass
+class RowFilter(Filter):
+    """RowFilter.java:49 — compare the rowkey."""
+
+    op: str
+    comparator: Any
+
+    def predicate(self, table) -> Column:
+        return _as_comparator(self.comparator).compare(_rowkey(table), self.op)
+
+
+@dataclass
+class SingleColumnValueFilter(Filter):
+    """SingleColumnValueFilter.java:74 — the workhorse row filter.
+
+    Keep the row iff ``column <op> comparator``. filter_if_missing=False
+    (reference default) keeps rows where the column is NULL.
+    """
+
+    column: str
+    op: str
+    comparator: Any
+    filter_if_missing: bool = False
+    latest_version_only: bool = True
+
+    def predicate(self, table) -> Column:
+        col = _resolve(table, self.column)
+        pred = _as_comparator(self.comparator).compare(col, self.op)
+        if not self.filter_if_missing:
+            pred = col.isNull() | pred
+        return pred
+
+    def index_tree(self, table):
+        if isinstance(self.comparator, Comparator) and not isinstance(
+            self.comparator, BinaryComparator
+        ):
+            return NON_INDEXABLE  # regex/substring/bit are not range-indexable
+        if not self.filter_if_missing:
+            # NULL rows must survive — an index range scan would drop them.
+            return NON_INDEXABLE
+        if self.op in (EQUAL, LESS, LESS_OR_EQUAL, GREATER, GREATER_OR_EQUAL):
+            v = (
+                self.comparator.value
+                if isinstance(self.comparator, BinaryComparator)
+                else self.comparator
+            )
+            return Leaf(self.column, self.op, v)
+        return NON_INDEXABLE
+
+
+@dataclass
+class SingleColumnValueExcludeFilter(SingleColumnValueFilter):
+    """SingleColumnValueExcludeFilter.java:46 — filter then drop the
+    tested column from the output."""
+
+    def apply(self, df: DataFrame, table) -> DataFrame:
+        out = df.filter(self.predicate(table))
+        name = (
+            table.physical_name(self.column)
+            if table is not None and hasattr(table, "physical_name")
+            else self.column
+        )
+        return out.drop(name)
+
+
+@dataclass
+class SingleColumnRangeFilter(Filter):
+    """index/filter/SingleColumnRangeFilter.java — the planner's internal
+    lower+upper bound form on one column."""
+
+    column: str
+    lower: Any = None
+    lower_inclusive: bool = True
+    upper: Any = None
+    upper_inclusive: bool = False
+
+    def predicate(self, table) -> Column:
+        col = _resolve(table, self.column)
+        pred = F.lit(True)
+        if self.lower is not None:
+            pred = pred & (col >= self.lower if self.lower_inclusive else col > self.lower)
+        if self.upper is not None:
+            pred = pred & (col <= self.upper if self.upper_inclusive else col < self.upper)
+        return pred
+
+    def index_tree(self, table):
+        kids = []
+        if self.lower is not None:
+            kids.append(
+                Leaf(self.column, GREATER_OR_EQUAL if self.lower_inclusive else GREATER, self.lower)
+            )
+        if self.upper is not None:
+            kids.append(
+                Leaf(self.column, LESS_OR_EQUAL if self.upper_inclusive else LESS, self.upper)
+            )
+        if not kids:
+            return NON_INDEXABLE
+        return kids[0] if len(kids) == 1 else AndNode(kids)
+
+
+@dataclass
+class PrefixFilter(Filter):
+    """PrefixFilter.java:40 — rowkey starts-with (range-prunable)."""
+
+    prefix: str
+
+    def predicate(self, table) -> Column:
+        return _rowkey(table).cast("string").startswith(self.prefix)
+
+
+@dataclass
+class InclusiveStopFilter(Filter):
+    """InclusiveStopFilter.java — scan stops at stop row inclusive."""
+
+    stop_row: Any
+
+    def predicate(self, table) -> Column:
+        return _rowkey(table) <= F.lit(self.stop_row)
+
+
+@dataclass
+class FuzzyRowFilter(Filter):
+    """FuzzyRowFilter.java:68 — rowkey pattern with fixed and wildcard
+    positions. ``pattern`` uses '?' for any-char; compiled to a regex
+    anchored both ends (prunable prefix handled by the planner)."""
+
+    pattern: str
+
+    def predicate(self, table) -> Column:
+        import re as _re
+
+        rx = "^" + "".join(
+            "." if ch == "?" else _re.escape(ch) for ch in self.pattern
+        ) + "$"
+        return _rowkey(table).cast("string").rlike(rx)
+
+
+@dataclass
+class TimestampsFilter(Filter):
+    """TimestampsFilter.java — version timestamp in an explicit set."""
+
+    timestamps: Sequence[Any]
+    ts_column: str = "ts"
+
+    def predicate(self, table) -> Column:
+        return _resolve(table, self.ts_column).isin(list(self.timestamps))
+
+
+@dataclass
+class RandomRowFilter(Filter):
+    """RandomRowFilter.java — Bernoulli row sample with chance p.
+    Deterministic via seed (reference uses Random per region)."""
+
+    chance: float
+    seed: int = 42
+
+    def predicate(self, table) -> Column:
+        return F.rand(self.seed) < self.chance
+
+    def apply(self, df: DataFrame, table) -> DataFrame:
+        return df.sample(fraction=self.chance, seed=self.seed)
+
+
+@dataclass
+class PageFilter(Filter):
+    """PageFilter.java:42 — stop after N rows. Reference semantics are
+    per-region (client can see more); here it is a global limit, which is
+    the client-visible contract users actually rely on."""
+
+    page_size: int
+
+    def apply(self, df: DataFrame, table) -> DataFrame:
+        return df.limit(self.page_size)
+
+    def predicate(self, table) -> Column:
+        return F.lit(True)
+
+
+@dataclass
+class KeyOnlyFilter(Filter):
+    """KeyOnlyFilter.java — strip values, keep keys."""
+
+    def apply(self, df: DataFrame, table) -> DataFrame:
+        key = table.rowkey_col if table is not None and hasattr(table, "rowkey_col") else "rowkey"
+        return df.select(key)
+
+    def predicate(self, table) -> Column:
+        return F.lit(True)
+
+
+@dataclass
+class FirstKeyOnlyFilter(Filter):
+    """FirstKeyOnlyFilter.java — first cell per row; used for fast row
+    counting. Wide-layer analog: distinct rowkeys."""
+
+    def apply(self, df: DataFrame, table) -> DataFrame:
+        key = table.rowkey_col if table is not None and hasattr(table, "rowkey_col") else "rowkey"
+        return df.select(key).distinct()
+
+    def predicate(self, table) -> Column:
+        return F.lit(True)
+
+
+@dataclass
+class SkipFilter(Filter):
+    """SkipFilter.java — drop the whole row if the wrapped filter would
+    drop any cell of it. Wide-layer: the wrapped predicate must hold on
+    every (non-null) tested column -> same as the predicate itself for
+    single-column tests; kept for DSL parity."""
+
+    inner: Filter
+
+    def predicate(self, table) -> Column:
+        return self.inner.predicate(table)
+
+
+@dataclass
+class WhileMatchFilter(Filter):
+    """WhileMatchFilter.java — scan until the wrapped filter first fails
+    (take-while over the rowkey-sorted stream). Implemented as a running
+    min over rowkey order."""
+
+    inner: Filter
+
+    def apply(self, df: DataFrame, table) -> DataFrame:
+        key = table.rowkey_col if table is not None and hasattr(table, "rowkey_col") else "rowkey"
+        inner_pred = self.inner.predicate(table)
+        w = Window.orderBy(key).rowsBetween(Window.unboundedPreceding, 0)
+        return (
+            df.withColumn("__ok", F.min(inner_pred.cast("int")).over(w))
+            .filter(F.col("__ok") == 1)
+            .drop("__ok")
+        )
+
+    def predicate(self, table) -> Column:
+        return self.inner.predicate(table)
+
+
+@dataclass
+class FilterList(Filter):
+    """FilterList.java:56 — boolean tree; MUST_PASS_ALL=AND,
+    MUST_PASS_ONE=OR, nestable."""
+
+    operator: str  # "AND" | "OR"
+    filters: list = field(default_factory=list)
+
+    MUST_PASS_ALL = "AND"
+    MUST_PASS_ONE = "OR"
+
+    def add(self, f: Filter) -> "FilterList":
+        self.filters.append(f)
+        return self
+
+    def predicate(self, table) -> Column:
+        preds = [f.predicate(table) for f in self.filters]
+        if not preds:
+            return F.lit(True)
+        out = preds[0]
+        for p in preds[1:]:
+            out = (out & p) if self.operator == "AND" else (out | p)
+        return out
+
+    def apply(self, df: DataFrame, table) -> DataFrame:
+        # Non-predicate members (PageFilter etc.) compose sequentially for
+        # AND; for OR they must be pure predicates.
+        if self.operator == "AND":
+            pure = [f for f in self.filters if type(f).apply is Filter.apply or isinstance(f, (SkipFilter, FilterList))]
+            special = [f for f in self.filters if f not in pure]
+            out = df
+            if pure:
+                preds = [f.predicate(table) for f in pure]
+                p = preds[0]
+                for q in preds[1:]:
+                    p = p & q
+                out = out.filter(p)
+            for f in special:
+                out = f.apply(out, table)
+            return out
+        return df.filter(self.predicate(table))
+
+    def index_tree(self, table):
+        kids = [f.index_tree(table) for f in self.filters]
+        if self.operator == "AND":
+            # AND can ignore non-indexable members (they stay as residual
+            # predicates) as long as at least one child is indexable.
+            usable = [k for k in kids if k is not NON_INDEXABLE]
+            if not usable:
+                return NON_INDEXABLE
+            return usable[0] if len(usable) == 1 else AndNode(usable)
+        # OR is all-or-nothing (ScanFilterEvaluator.handleORCondition:506-526)
+        if any(k is NON_INDEXABLE for k in kids) or not kids:
+            return NON_INDEXABLE
+        return kids[0] if len(kids) == 1 else OrNode(kids)
+
+
+# --- cell-layer filters -----------------------------------------------------
+
+
+@dataclass
+class FamilyFilter(Filter):
+    """FamilyFilter.java:49 — compare the column family (cell layer)."""
+
+    op: str
+    comparator: Any
+
+    def cell_predicate(self) -> Column:
+        return _as_comparator(self.comparator).compare(F.col("cf"), self.op)
+
+    def apply(self, df: DataFrame, table) -> DataFrame:
+        return df.filter(self.cell_predicate())
+
+    def predicate(self, table) -> Column:
+        return self.cell_predicate()
+
+
+@dataclass
+class QualifierFilter(Filter):
+    """QualifierFilter.java:50 — compare the qualifier (cell layer)."""
+
+    op: str
+    comparator: Any
+
+    def predicate(self, table) -> Column:
+        return _as_comparator(self.comparator).compare(F.col("qualifier"), self.op)
+
+
+@dataclass
+class ColumnPrefixFilter(Filter):
+    """ColumnPrefixFilter.java — qualifier starts-with."""
+
+    prefix: str
+
+    def predicate(self, table) -> Column:
+        return F.col("qualifier").startswith(self.prefix)
+
+
+@dataclass
+class MultipleColumnPrefixFilter(Filter):
+    """MultipleColumnPrefixFilter.java — qualifier matches any prefix."""
+
+    prefixes: Sequence[str]
+
+    def predicate(self, table) -> Column:
+        preds = [F.col("qualifier").startswith(p) for p in self.prefixes]
+        out = preds[0]
+        for p in preds[1:]:
+            out = out | p
+        return out
+
+
+@dataclass
+class ColumnRangeFilter(Filter):
+    """ColumnRangeFilter.java:52 — qualifier in [min, max)."""
+
+    min_column: Optional[str] = None
+    min_inclusive: bool = True
+    max_column: Optional[str] = None
+    max_inclusive: bool = False
+
+    def predicate(self, table) -> Column:
+        q = F.col("qualifier")
+        pred = F.lit(True)
+        if self.min_column is not None:
+            pred = pred & (q >= self.min_column if self.min_inclusive else q > self.min_column)
+        if self.max_column is not None:
+            pred = pred & (q <= self.max_column if self.max_inclusive else q < self.max_column)
+        return pred
+
+
+@dataclass
+class ColumnPaginationFilter(Filter):
+    """ColumnPaginationFilter.java — per-row limit+offset over columns
+    (cell layer; qualifier order)."""
+
+    limit: int
+    offset: int = 0
+
+    def apply(self, df: DataFrame, table) -> DataFrame:
+        w = Window.partitionBy("rowkey").orderBy("qualifier")
+        return (
+            df.withColumn("__cn", F.row_number().over(w))
+            .filter(
+                (F.col("__cn") > self.offset) & (F.col("__cn") <= self.offset + self.limit)
+            )
+            .drop("__cn")
+        )
+
+    def predicate(self, table) -> Column:
+        return F.lit(True)
+
+
+@dataclass
+class ColumnCountGetFilter(Filter):
+    """ColumnCountGetFilter.java — first N columns of each row."""
+
+    limit: int
+
+    def apply(self, df: DataFrame, table) -> DataFrame:
+        return ColumnPaginationFilter(limit=self.limit, offset=0).apply(df, table)
+
+    def predicate(self, table) -> Column:
+        return F.lit(True)
+
+
+@dataclass
+class DependentColumnFilter(Filter):
+    """DependentColumnFilter.java:51 — keep cells whose ts matches the ts
+    of a reference column in the same row (cell layer self-join)."""
+
+    ref_family: str
+    ref_qualifier: str
+    drop_dependent_column: bool = False
+
+    def apply(self, df: DataFrame, table) -> DataFrame:
+        ref = (
+            df.filter((F.col("cf") == self.ref_family) & (F.col("qualifier") == self.ref_qualifier))
+            .select(F.col("rowkey").alias("__rk"), F.col("ts").alias("__rts"))
+            .distinct()
+        )
+        out = df.join(
+            F.broadcast(ref),
+            (df["rowkey"] == ref["__rk"]) & (df["ts"] == ref["__rts"]),
+            "inner",
+        ).drop("__rk", "__rts")
+        if self.drop_dependent_column:
+            out = out.filter(
+                ~((F.col("cf") == self.ref_family) & (F.col("qualifier") == self.ref_qualifier))
+            )
+        return out
+
+    def predicate(self, table) -> Column:
+        return F.lit(True)
+
+
+@dataclass
+class ValueFilter(Filter):
+    """ValueFilter.java:48 — compare the cell value (cell layer)."""
+
+    op: str
+    comparator: Any
+
+    def predicate(self, table) -> Column:
+        return _as_comparator(self.comparator).compare(F.col("value"), self.op)

@@ -1,0 +1,352 @@
+"""Table API — the HTable/Scan/Get/mutation surface of the reference,
+compiled to DataFrame plans.
+
+Reference entry points re-expressed here:
+  * ``Table.scan`` — HTable.getScanner (hbase-client/.../client/HTable.java:721)
+    + the index interception at IndexRegionObserver.postScannerOpen:464-519;
+  * ``Table.get`` — Get.java:66 / HRegion.get:4804 (a 1-row scan);
+  * ``Table.get_row_or_before`` — HTable.java:705 floor lookup;
+  * ``Table.put/delete/increment/append/check_and_*`` — the batch-mutation
+    path HRegion.batchMutate:2194 / doMiniBatchMutation:2341, with index
+    maintenance in the same job (IndexRegionObserver.preBatchMutate:149-186);
+  * ``CellTable`` — versioned cell-layer table (MemStore/HFile model).
+
+Scale: a Table wraps an immutable DataFrame (parquet scan); every verb
+returns a new plan, so Catalyst sees the whole pipeline (pushdown through
+scan+filter+project is automatic). Mutations are batch jobs producing the
+next table version — snapshot-in/snapshot-out, the Spark-native analog of
+MVCC.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from typing import Any, Dict, List, Optional, Sequence, Tuple
+
+from pyspark.sql import Column, DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from hindex_spark import cells as cell_mod
+from hindex_spark.filters import Filter, NON_INDEXABLE
+from hindex_spark.index.build import build_index, maintain_index
+from hindex_spark.index.planner import IndexPlan, ScanFilterEvaluator
+from hindex_spark.index.spec import IndexSpecification, TableIndices
+
+
+@dataclass
+class Scan:
+    """Scan.java — range + projection + filter + time/version knobs."""
+
+    start_row: Any = None            # setStartRow (Scan.java:339) — inclusive
+    stop_row: Any = None             # setStopRow (Scan.java:350) — exclusive
+    stop_inclusive: bool = False     # InclusiveStopFilter convenience
+    columns: Optional[Sequence[str]] = None  # addFamily/addColumn (Scan.java:266,280)
+    filter: Optional[Filter] = None
+    time_range: Optional[Tuple[int, int]] = None  # setTimeRange (Scan.java:305)
+    max_versions: int = 1
+    reversed: bool = False           # setReversed (Scan.java:585)
+    limit: Optional[int] = None      # PageFilter / client-side stop
+    index_hint: Any = None           # SingleIndex/MultiIndex/NoIndexExpression
+
+
+class Table:
+    """A typed wide table (latest-version view) with optional secondary
+    indexes. The primary query surface."""
+
+    def __init__(
+        self,
+        df: DataFrame,
+        rowkey_col: str,
+        name: str = "table",
+        indices: Optional[TableIndices] = None,
+    ):
+        self.df = df
+        self.rowkey_col = rowkey_col
+        self.name = name
+        self.indices = indices or TableIndices()
+        self.index_tables: Dict[str, DataFrame] = {}
+        self.last_index_plan: Optional[IndexPlan] = None  # test spy
+
+    # -- construction ------------------------------------------------------
+
+    @staticmethod
+    def from_parquet(
+        spark: SparkSession, path: str, rowkey_col: str, name: str = "table"
+    ) -> "Table":
+        return Table(spark.read.parquet(path), rowkey_col, name)
+
+    def resolve_column(self, column: str) -> Column:
+        return F.col(column)
+
+    def physical_name(self, column: str) -> str:
+        return column
+
+    # -- index DDL (IndexMasterObserver.preCreateTable analog) --------------
+
+    def create_index(self, spec: IndexSpecification, num_partitions: Optional[int] = None):
+        """Attach + batch-build an index (TableIndexer.java:44-60)."""
+        self.indices.add_index(spec)
+        self.index_tables[spec.name] = build_index(
+            self.df, spec, self.rowkey_col, num_partitions
+        )
+        return self
+
+    def drop_index(self, name: str):
+        self.indices.indices = [i for i in self.indices.indices if i.name != name]
+        self.index_tables.pop(name, None)
+        return self
+
+    # -- reads --------------------------------------------------------------
+
+    def scan(self, scan: Optional[Scan] = None) -> DataFrame:
+        """The read path (SURVEY §3.1): range prune -> index planner ->
+        semi-join -> residual filter -> projection -> order/limit."""
+        scan = scan or Scan()
+        df = self.df
+        rk = F.col(self.rowkey_col)
+
+        if scan.start_row is not None:
+            df = df.filter(rk >= F.lit(scan.start_row))
+        if scan.stop_row is not None:
+            df = df.filter(
+                rk <= F.lit(scan.stop_row) if scan.stop_inclusive else rk < F.lit(scan.stop_row)
+            )
+
+        # Index interception (IndexRegionObserver.postScannerOpen:464-519):
+        # rewrite eligible predicates into index-range-scan -> semi-join.
+        plan = IndexPlan(None, self.rowkey_col)
+        if scan.filter is not None and (self.index_tables or scan.index_hint is not None):
+            evaluator = ScanFilterEvaluator(self.indices.indices, self.rowkey_col)
+            tree = scan.filter.index_tree(self)
+            plan = evaluator.evaluate(tree, hint=scan.index_hint)
+            if plan.uses_index or plan.is_empty:
+                df = plan.apply(df, self.index_tables)
+        self.last_index_plan = plan
+
+        # The full filter is always re-applied (index only narrows seek
+        # points; the main scan still runs the Filter — SURVEY §3.1 step 4).
+        if scan.filter is not None and not plan.is_empty:
+            df = scan.filter.apply(df, self)
+
+        if scan.columns is not None:
+            cols = list(scan.columns)
+            if self.rowkey_col not in cols:
+                cols = [self.rowkey_col] + cols
+            df = df.select(*cols)
+
+        if scan.reversed:
+            df = df.orderBy(rk.desc())
+        elif scan.limit is not None:
+            df = df.orderBy(rk.asc())
+        if scan.limit is not None:
+            df = df.limit(scan.limit)
+        return df
+
+    def get(self, rowkey: Any, columns: Optional[Sequence[str]] = None) -> DataFrame:
+        """Point read (Get.java:66) — a 1-row scan; the rowkey equality
+        predicate is pushed to the parquet scan (min/max + bloom pruning,
+        the HFile block-index/bloom analog)."""
+        df = self.df.filter(F.col(self.rowkey_col) == F.lit(rowkey))
+        if columns is not None:
+            cols = [self.rowkey_col] + [c for c in columns if c != self.rowkey_col]
+            df = df.select(*cols)
+        return df
+
+    def get_row_or_before(self, rowkey: Any) -> DataFrame:
+        """Floor lookup (HTable.java:705): greatest row <= key."""
+        return (
+            self.df.filter(F.col(self.rowkey_col) <= F.lit(rowkey))
+            .orderBy(F.col(self.rowkey_col).desc())
+            .limit(1)
+        )
+
+    # -- mutations (batch; HRegion.batchMutate:2194 analog) ------------------
+
+    def _with_new_df(self, df: DataFrame, affected: DataFrame) -> "Table":
+        out = Table(df, self.rowkey_col, self.name, self.indices)
+        # Same-job index maintenance (IndexRegionObserver.preBatchMutate).
+        out.index_tables = {
+            name: maintain_index(idx, df, affected, spec, self.rowkey_col)
+            for name, idx, spec in (
+                (s.name, self.index_tables[s.name], s) for s in self.indices.indices
+            )
+        }
+        return out
+
+    def put(self, puts: DataFrame) -> "Table":
+        """Batch upsert. ``puts`` has the rowkey column + any subset of
+        value columns; absent columns keep their old value (a Put writes
+        only the cells it carries — Put.java:48). Latest-wins within the
+        batch by row order is not defined in the reference either; callers
+        should pre-dedupe (we keep an arbitrary latest via last())."""
+        rk = self.rowkey_col
+        put_cols = [c for c in puts.columns if c != rk]
+        # collapse multi-puts on the same key (last non-null wins)
+        puts1 = puts.groupBy(rk).agg(
+            *[F.last(c, ignorenulls=True).alias(c) for c in put_cols]
+        )
+        old = self.df.alias("o")
+        new = puts1.alias("n")
+        joined = old.join(new, F.col(f"o.{rk}") == F.col(f"n.{rk}"), "full_outer")
+        out_cols = [
+            F.coalesce(F.col(f"o.{rk}"), F.col(f"n.{rk}")).alias(rk)
+        ]
+        for c in self.df.columns:
+            if c == rk:
+                continue
+            if c in put_cols:
+                out_cols.append(F.coalesce(F.col(f"n.{c}"), F.col(f"o.{c}")).alias(c))
+            else:
+                out_cols.append(F.col(f"o.{c}").alias(c))
+        return self._with_new_df(joined.select(*out_cols), puts1.select(rk))
+
+    def delete(self, rowkeys: DataFrame) -> "Table":
+        """Whole-row deletes (Delete.java:69 with no family) — anti-join."""
+        keys = rowkeys.select(self.rowkey_col).distinct()
+        return self._with_new_df(
+            self.df.join(F.broadcast(keys), self.rowkey_col, "left_anti"), keys
+        )
+
+    def delete_where(self, predicate: Column) -> "Table":
+        keys = self.df.filter(predicate).select(self.rowkey_col)
+        return self.delete(keys)
+
+    def increment(self, increments: DataFrame) -> "Table":
+        """Atomic counter add (Increment.java:50 / HRegion.increment:5289):
+        ``increments`` = rowkey + delta columns; new = coalesce(old,0)+delta.
+        Creates the row if absent (reference semantics)."""
+        rk = self.rowkey_col
+        delta_cols = [c for c in increments.columns if c != rk]
+        incs = increments.groupBy(rk).agg(*[F.sum(c).alias(c) for c in delta_cols])
+        old = self.df.alias("o")
+        new = incs.alias("n")
+        joined = old.join(new, F.col(f"o.{rk}") == F.col(f"n.{rk}"), "full_outer")
+        out_cols = [F.coalesce(F.col(f"o.{rk}"), F.col(f"n.{rk}")).alias(rk)]
+        for c in self.df.columns:
+            if c == rk:
+                continue
+            if c in delta_cols:
+                out_cols.append(
+                    (F.coalesce(F.col(f"o.{c}"), F.lit(0)) + F.coalesce(F.col(f"n.{c}"), F.lit(0))).alias(c)
+                )
+            else:
+                out_cols.append(F.col(f"o.{c}").alias(c))
+        return self._with_new_df(joined.select(*out_cols), incs.select(rk))
+
+    def append(self, appends: DataFrame) -> "Table":
+        """Atomic value append (Append.java:44 / HRegion.append:5096):
+        string concat of old value and appended suffix."""
+        rk = self.rowkey_col
+        app_cols = [c for c in appends.columns if c != rk]
+        apps = appends.groupBy(rk).agg(
+            *[F.concat_ws("", F.collect_list(c)).alias(c) for c in app_cols]
+        )
+        old = self.df.alias("o")
+        new = apps.alias("n")
+        joined = old.join(new, F.col(f"o.{rk}") == F.col(f"n.{rk}"), "full_outer")
+        out_cols = [F.coalesce(F.col(f"o.{rk}"), F.col(f"n.{rk}")).alias(rk)]
+        for c in self.df.columns:
+            if c == rk:
+                continue
+            if c in app_cols:
+                out_cols.append(
+                    F.concat(
+                        F.coalesce(F.col(f"o.{c}"), F.lit("")),
+                        F.coalesce(F.col(f"n.{c}"), F.lit("")),
+                    ).alias(c)
+                )
+            else:
+                out_cols.append(F.col(f"o.{c}").alias(c))
+        return self._with_new_df(joined.select(*out_cols), apps.select(rk))
+
+    def check_and_put(
+        self, check_column: str, op: str, check_value: Any, puts: DataFrame
+    ) -> "Table":
+        """Conditional mutation (HTable.checkAndPut:1153 /
+        HRegion.checkAndMutate:2716): apply each put iff the row's current
+        ``check_column`` <op> ``check_value`` (missing column = fail,
+        unless checking for NULL)."""
+        from hindex_spark.filters import _apply_op
+
+        rk = self.rowkey_col
+        if check_value is None:
+            cond = F.col(check_column).isNull()
+        else:
+            cond = _apply_op(F.col(check_column), op, F.lit(check_value)) & F.col(
+                check_column
+            ).isNotNull()
+        eligible = self.df.filter(cond).select(rk)
+        gated = puts.join(F.broadcast(eligible), rk, "left_semi")
+        return self.put(gated)
+
+    def check_and_delete(
+        self, check_column: str, op: str, check_value: Any, rowkeys: DataFrame
+    ) -> "Table":
+        from hindex_spark.filters import _apply_op
+
+        rk = self.rowkey_col
+        if check_value is None:
+            cond = F.col(check_column).isNull()
+        else:
+            cond = _apply_op(F.col(check_column), op, F.lit(check_value)) & F.col(
+                check_column
+            ).isNotNull()
+        eligible = self.df.filter(cond).select(rk)
+        gated = rowkeys.join(F.broadcast(eligible), rk, "left_semi")
+        return self.delete(gated)
+
+    def mutate_row(self, puts: Optional[DataFrame] = None, deletes: Optional[DataFrame] = None) -> "Table":
+        """RowMutations (RowMutations.java:42): atomic multi-mutation —
+        one batch job applies both, so readers of the output snapshot see
+        all or nothing (batch-snapshot atomicity)."""
+        out = self
+        if deletes is not None:
+            out = out.delete(deletes)
+        if puts is not None:
+            out = out.put(puts)
+        return out
+
+
+class CellTable:
+    """Versioned cell-layer table (the full HBase fidelity surface:
+    dynamic qualifiers, multi-versions, tombstone kinds, TTL).
+
+    Backed by the cell DataFrame of cells.py; ``snapshot_wide`` resolves
+    to the typed table layer. Used where version semantics matter; the
+    wide ``Table`` is the fast path."""
+
+    def __init__(self, spark: SparkSession, cells: Optional[DataFrame] = None, name: str = "celltab"):
+        self.spark = spark
+        self.cells = cells if cells is not None else cell_mod.empty_cells(spark)
+        self.name = name
+
+    def put_cells(self, rows: Sequence[tuple]) -> "CellTable":
+        """rows: (rowkey, cf, qualifier, ts, value)."""
+        df = cell_mod.cells_from_rows(
+            self.spark, [(r, c, q, t, cell_mod.PUT, v) for (r, c, q, t, v) in rows]
+        )
+        return CellTable(self.spark, self.cells.unionByName(df), self.name)
+
+    def delete_cells(self, rows: Sequence[tuple]) -> "CellTable":
+        """rows: (rowkey, cf, qualifier, ts, op) with op one of the
+        delete_* codes; qualifier/cf may be None for wider scopes."""
+        df = cell_mod.cells_from_rows(
+            self.spark, [(r, c, q, t, op, None) for (r, c, q, t, op) in rows]
+        )
+        return CellTable(self.spark, self.cells.unionByName(df), self.name)
+
+    def read(
+        self,
+        max_versions: int = 1,
+        time_range: Optional[Tuple[int, int]] = None,
+        ttl: Optional[int] = None,
+        now: Optional[int] = None,
+        raw: bool = False,
+    ) -> DataFrame:
+        return cell_mod.resolve(self.cells, max_versions, time_range, ttl, now, raw)
+
+    def snapshot_wide(self, columns: Sequence[Tuple[str, str]], rowkey_col: str = "rowkey") -> DataFrame:
+        return cell_mod.to_wide(self.read(max_versions=1), columns, rowkey_col)
+
+    def compact(self, max_versions: int = 1, ttl: Optional[int] = None, now: Optional[int] = None) -> "CellTable":
+        return CellTable(self.spark, cell_mod.compact(self.cells, max_versions, ttl, now), self.name)
