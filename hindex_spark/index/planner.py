@@ -182,8 +182,11 @@ class IndexScan:
     def rowkeys(self, index_tables: Dict[str, DataFrame], rowkey_col: str) -> DataFrame:
         df = index_tables[self.index.name]
         pred = None
-        # conditions align with the index's leading columns by construction
+        # conditions align with the index's leading columns by construction;
+        # predicates may reference either the source column or (for
+        # value-partition expression indexes) the indexed name directly
         name_by_source = {c.column: c.indexed_name for c in self.index.columns}
+        name_by_source.update({c.indexed_name: c.indexed_name for c in self.index.columns})
         for cr in self.conditions:
             p = cr.to_condition(name_by_source[cr.column])
             pred = p if pred is None else (pred & p)

@@ -42,6 +42,10 @@ def get_spark(app_name: str = "hindex_spark", cpus: int | None = None) -> SparkS
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.parquet.filterPushdown", "true")
+        # driver testdata's events.ts is parquet TIMESTAMP(NANOS) which the
+        # vectorized reader rejects; read as long (epoch nanos) and convert
+        # explicitly where needed
+        .config("spark.sql.legacy.parquet.nanosAsLong", "true")
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "48g"))
         .config("spark.ui.enabled", "false")
     )

@@ -1,0 +1,116 @@
+"""Cell-layer semantics: versions, every tombstone kind, TTL, TimeRange,
+compaction (TestDelete / TestScanWhenTTLExpired / ScanQueryMatcher model,
+F4 fixture)."""
+
+from hindex_spark.cells import (
+    DELETE_COLUMN,
+    DELETE_FAMILY,
+    DELETE_ROW,
+    DELETE_VERSION,
+)
+from hindex_spark.table import CellTable
+
+
+def _vals(df):
+    return sorted(
+        (r["rowkey"], r["cf"], r["qualifier"], r["ts"], r["value"]) for r in df.collect()
+    )
+
+
+def _base(spark):
+    return CellTable(spark).put_cells(
+        [
+            ("r1", "cf1", "a", 1, "v1"),
+            ("r1", "cf1", "a", 2, "v2"),
+            ("r1", "cf1", "a", 3, "v3"),
+            ("r1", "cf1", "b", 1, "w1"),
+            ("r1", "cf2", "x", 2, "x2"),
+            ("r2", "cf1", "a", 5, "z5"),
+        ]
+    )
+
+
+def test_latest_version_wins(spark):
+    out = _base(spark).read(max_versions=1)
+    assert ("r1", "cf1", "a", 3, "v3") in _vals(out)
+    assert all(not (v[0] == "r1" and v[2] == "a" and v[3] < 3) for v in _vals(out))
+
+
+def test_max_versions_n(spark):
+    out = _base(spark).read(max_versions=2)
+    a_versions = [v for v in _vals(out) if v[0] == "r1" and v[2] == "a"]
+    assert [v[3] for v in a_versions] == [2, 3]
+
+
+def test_time_range(spark):
+    out = _base(spark).read(max_versions=10, time_range=(1, 3))  # [1,3)
+    a_versions = [v for v in _vals(out) if v[0] == "r1" and v[2] == "a"]
+    assert [v[3] for v in a_versions] == [1, 2]
+
+
+def test_delete_version_masks_exact_ts(spark):
+    t = _base(spark).delete_cells([("r1", "cf1", "a", 3, DELETE_VERSION)])
+    out = t.read(max_versions=1)
+    a = [v for v in _vals(out) if v[0] == "r1" and v[2] == "a"]
+    assert a == [("r1", "cf1", "a", 2, "v2")]
+
+
+def test_delete_column_masks_older(spark):
+    t = _base(spark).delete_cells([("r1", "cf1", "a", 2, DELETE_COLUMN)])
+    out = t.read(max_versions=10)
+    a = [v for v in _vals(out) if v[0] == "r1" and v[2] == "a"]
+    assert a == [("r1", "cf1", "a", 3, "v3")]  # only ts>2 survives
+
+
+def test_delete_family_masks_family_only(spark):
+    t = _base(spark).delete_cells([("r1", "cf1", None, 10, DELETE_FAMILY)])
+    out = t.read(max_versions=10)
+    vals = _vals(out)
+    assert not any(v[0] == "r1" and v[1] == "cf1" for v in vals)
+    assert ("r1", "cf2", "x", 2, "x2") in vals
+
+
+def test_delete_row_masks_row(spark):
+    t = _base(spark).delete_cells([("r1", None, None, 10, DELETE_ROW)])
+    vals = _vals(t.read(max_versions=10))
+    assert not any(v[0] == "r1" for v in vals)
+    assert any(v[0] == "r2" for v in vals)
+
+
+def test_put_newer_than_tombstone_visible(spark):
+    t = _base(spark).delete_cells([("r1", None, None, 3, DELETE_ROW)])
+    t = t.put_cells([("r1", "cf1", "a", 4, "v4")])
+    vals = _vals(t.read(max_versions=10))
+    r1 = [v for v in vals if v[0] == "r1"]
+    assert r1 == [("r1", "cf1", "a", 4, "v4")]
+
+
+def test_ttl_expiry(spark):
+    out = _base(spark).read(max_versions=10, ttl=3, now=6)  # keep ts >= 3
+    assert all(v[3] >= 3 for v in _vals(out))
+
+
+def test_raw_scan_skips_masking(spark):
+    t = _base(spark).delete_cells([("r1", None, None, 10, DELETE_ROW)])
+    raw = t.read(max_versions=10, raw=True)
+    assert any(v[0] == "r1" for v in _vals(raw))
+
+
+def test_compact_drops_masked_and_old_versions(spark):
+    t = _base(spark).delete_cells([("r1", "cf1", "a", 2, DELETE_COLUMN)])
+    c = t.compact(max_versions=1)
+    vals = _vals(c.cells)
+    assert ("r1", "cf1", "a", 3, "v3") in vals
+    assert not any(v[0] == "r1" and v[2] == "a" and v[3] <= 2 for v in vals)
+    # compacted store has no tombstones
+    assert c.cells.filter("op != 'put'").count() == 0
+
+
+def test_snapshot_wide(spark):
+    wide = _base(spark).snapshot_wide([("cf1", "a"), ("cf1", "b"), ("cf2", "x")])
+    rows = {r["rowkey"]: r for r in wide.collect()}
+    assert rows["r1"]["cf1_a"] == "v3"
+    assert rows["r1"]["cf1_b"] == "w1"
+    assert rows["r1"]["cf2_x"] == "x2"
+    assert rows["r2"]["cf1_a"] == "z5"
+    assert rows["r2"]["cf1_b"] is None

@@ -1,0 +1,196 @@
+"""Filter algebra golden tests (SURVEY §2.3)."""
+
+from pyspark.sql import functions as F
+
+from hindex_spark import filters as fl
+from hindex_spark.table import CellTable, Scan, Table
+
+
+def _part(spark, sf_dir):
+    return Table.from_parquet(spark, f"{sf_dir}/part.parquet", "p_partkey", "part")
+
+
+def test_row_filter_and_prefix(spark, sf_dir):
+    t = _part(spark, sf_dir)
+    out = t.scan(Scan(filter=fl.RowFilter(fl.LESS, 10)))
+    assert out.count() == 10
+    t2 = Table(
+        t.df.withColumn("p_partkey_s", F.format_string("p%04d", "p_partkey")),
+        "p_partkey_s",
+    )
+    assert t2.scan(Scan(filter=fl.PrefixFilter("p000"))).count() == 10
+
+
+def test_scvf_missing_semantics(spark):
+    df = spark.createDataFrame(
+        [("r1", 5), ("r2", None), ("r3", 50)], ["rowkey", "v"]
+    )
+    t = Table(df, "rowkey")
+    keep_nulls = fl.SingleColumnValueFilter("v", fl.GREATER, 10, filter_if_missing=False)
+    drop_nulls = fl.SingleColumnValueFilter("v", fl.GREATER, 10, filter_if_missing=True)
+    assert {r["rowkey"] for r in t.scan(Scan(filter=keep_nulls)).collect()} == {"r2", "r3"}
+    assert {r["rowkey"] for r in t.scan(Scan(filter=drop_nulls)).collect()} == {"r3"}
+
+
+def test_scvf_exclude_drops_column(spark, sf_dir):
+    t = _part(spark, sf_dir)
+    f = fl.SingleColumnValueExcludeFilter("p_size", fl.GREATER, 25, filter_if_missing=True)
+    out = t.scan(Scan(filter=f))
+    assert "p_size" not in out.columns
+    assert out.count() == t.df.filter(F.col("p_size") > 25).count()
+
+
+def test_comparators(spark, sf_dir):
+    t = _part(spark, sf_dir)
+    rx = fl.SingleColumnValueFilter(
+        "p_type", fl.EQUAL, fl.RegexStringComparator("^ECO.*"), filter_if_missing=True
+    )
+    assert t.scan(Scan(filter=rx)).count() == t.df.filter(F.col("p_type").rlike("^ECO.*")).count()
+    sub = fl.SingleColumnValueFilter(
+        "p_name", fl.EQUAL, fl.SubstringComparator("WIDGET"), filter_if_missing=True
+    )
+    assert t.scan(Scan(filter=sub)).count() == t.df.filter(
+        F.lower(F.col("p_name")).contains("widget")
+    ).count()
+    pfx = fl.SingleColumnValueFilter(
+        "p_brand", fl.EQUAL, fl.BinaryPrefixComparator("Brand#1"), filter_if_missing=True
+    )
+    assert t.scan(Scan(filter=pfx)).count() == t.df.filter(
+        F.col("p_brand").startswith("Brand#1")
+    ).count()
+    nul = fl.SingleColumnValueFilter("p_name", fl.NOT_EQUAL, fl.NullComparator())
+    assert t.scan(Scan(filter=nul)).count() == t.df.filter(F.col("p_name").isNotNull()).count()
+    bit = fl.SingleColumnValueFilter(
+        "p_size", fl.EQUAL, fl.BitComparator(1, "and"), filter_if_missing=True
+    )
+    assert t.scan(Scan(filter=bit)).count() == t.df.filter(F.col("p_size") % 2 == 1).count()
+
+
+def test_fuzzy_row_filter(spark, sf_dir):
+    t = _part(spark, sf_dir)
+    t2 = Table(
+        t.df.withColumn("rk", F.format_string("p%04d", "p_partkey")), "rk"
+    )
+    out = t2.scan(Scan(filter=fl.FuzzyRowFilter("p0?5?")))
+    keys = sorted(r["rk"] for r in out.collect())
+    import re
+
+    assert all(re.match(r"^p0.5.$", k) for k in keys) and keys
+
+
+def test_page_filter_and_while_match(spark, sf_dir):
+    t = _part(spark, sf_dir)
+    assert t.scan(Scan(filter=fl.PageFilter(7))).count() == 7
+    # WhileMatch: stop at first p_partkey >= 5 in key order
+    wm = fl.WhileMatchFilter(fl.RowFilter(fl.LESS, 5))
+    out = t.scan(Scan(filter=wm))
+    assert sorted(r["p_partkey"] for r in out.collect()) == [0, 1, 2, 3, 4]
+
+
+def test_while_match_stops_at_first_failure_not_predicate(spark):
+    # rows matching pred after a gap must NOT appear (unlike plain filter)
+    df = spark.createDataFrame(
+        [("a", 1), ("b", 1), ("c", 0), ("d", 1)], ["rowkey", "ok"]
+    )
+    t = Table(df, "rowkey")
+    wm = fl.WhileMatchFilter(fl.SingleColumnValueFilter("ok", fl.EQUAL, 1, filter_if_missing=True))
+    assert sorted(r["rowkey"] for r in t.scan(Scan(filter=wm)).collect()) == ["a", "b"]
+
+
+def test_key_only_and_first_key_only(spark, sf_dir):
+    t = _part(spark, sf_dir)
+    ko = t.scan(Scan(filter=fl.KeyOnlyFilter()))
+    assert ko.columns == ["p_partkey"]
+    fko = t.scan(Scan(filter=fl.FirstKeyOnlyFilter()))
+    assert fko.count() == t.df.count()
+
+
+def test_timestamps_and_random(spark, sf_dir):
+    ev = Table.from_parquet(spark, f"{sf_dir}/events.parquet", "event_id", "events")
+    tsf = fl.TimestampsFilter([1, 2, 3], ts_column="user_id")
+    assert ev.scan(Scan(filter=tsf)).count() == ev.df.filter(
+        F.col("user_id").isin(1, 2, 3)
+    ).count()
+    n = ev.scan(Scan(filter=fl.RandomRowFilter(0.3, seed=7))).count()
+    assert 0 < n < ev.df.count()
+
+
+def test_filter_list_nested(spark, sf_dir):
+    t = _part(spark, sf_dir)
+    f = fl.FilterList(
+        "OR",
+        [
+            fl.FilterList(
+                "AND",
+                [
+                    fl.SingleColumnValueFilter("p_size", fl.GREATER, 40, filter_if_missing=True),
+                    fl.SingleColumnValueFilter(
+                        "p_type", fl.EQUAL, "ECONOMY", filter_if_missing=True
+                    ),
+                ],
+            ),
+            fl.SingleColumnValueFilter("p_retailprice", fl.LESS, 905.0, filter_if_missing=True),
+        ],
+    )
+    expect = t.df.filter(
+        ((F.col("p_size") > 40) & (F.col("p_type") == "ECONOMY"))
+        | (F.col("p_retailprice") < 905.0)
+    ).count()
+    assert t.scan(Scan(filter=f)).count() == expect
+
+
+def test_cell_layer_filters(spark):
+    ct = CellTable(spark).put_cells(
+        [
+            ("r1", "cf1", "qa", 1, "1"),
+            ("r1", "cf1", "qb", 1, "2"),
+            ("r1", "cf1", "qc", 2, "3"),
+            ("r1", "cf2", "zz", 2, "4"),
+            ("r2", "cf1", "qa", 1, "5"),
+        ]
+    )
+    cells = ct.read(max_versions=10)
+    qf = fl.QualifierFilter(fl.GREATER_OR_EQUAL, "qb")
+    assert qf.apply(cells, None).count() == 3  # qb qc zz
+    cp = fl.ColumnPrefixFilter("q")
+    assert cp.apply(cells, None).count() == 4
+    mp = fl.MultipleColumnPrefixFilter(["qa", "zz"])
+    assert mp.apply(cells, None).count() == 3
+    cr = fl.ColumnRangeFilter("qa", True, "qc", False)
+    assert cr.apply(cells, None).count() == 3  # qa qb for r1 + qa r2
+    fam = fl.FamilyFilter(fl.EQUAL, "cf2")
+    assert fam.apply(cells, None).count() == 1
+    pag = fl.ColumnPaginationFilter(limit=2, offset=1)
+    got = {(r["rowkey"], r["qualifier"]) for r in pag.apply(cells, None).collect()}
+    assert got == {("r1", "qb"), ("r1", "qc")}
+    cc = fl.ColumnCountGetFilter(1)
+    got = {(r["rowkey"], r["qualifier"]) for r in cc.apply(cells, None).collect()}
+    assert got == {("r1", "qa"), ("r2", "qa")}
+    vf = fl.ValueFilter(fl.GREATER_OR_EQUAL, "4")
+    assert vf.apply(cells, None).count() == 2
+
+
+def test_dependent_column_filter(spark):
+    ct = CellTable(spark).put_cells(
+        [
+            ("r1", "cf1", "ref", 5, "x"),
+            ("r1", "cf1", "a", 5, "same-ts"),
+            ("r1", "cf1", "b", 6, "other-ts"),
+            ("r2", "cf1", "a", 5, "no-ref-row"),
+        ]
+    )
+    cells = ct.read(max_versions=10)
+    dep = fl.DependentColumnFilter("cf1", "ref")
+    got = {(r["rowkey"], r["qualifier"]) for r in dep.apply(cells, None).collect()}
+    assert got == {("r1", "ref"), ("r1", "a")}
+    dep2 = fl.DependentColumnFilter("cf1", "ref", drop_dependent_column=True)
+    got2 = {(r["rowkey"], r["qualifier"]) for r in dep2.apply(cells, None).collect()}
+    assert got2 == {("r1", "a")}
+
+
+def test_inclusive_stop_and_reversed(spark, sf_dir):
+    t = _part(spark, sf_dir)
+    out = t.scan(Scan(filter=fl.InclusiveStopFilter(5)))
+    assert out.count() == 6
+    rev = t.scan(Scan(reversed=True, limit=3))
+    assert [r["p_partkey"] for r in rev.collect()] == [199, 198, 197]

@@ -1,0 +1,169 @@
+"""End-to-end index tests: index-accelerated scans return exactly the
+same rows as plain filtered scans (TestMultipleIndicesInScan model),
+and index maintenance tracks mutations (TestIndexRegionObserver model)."""
+
+from pyspark.sql import functions as F
+
+from hindex_spark import filters as fl
+from hindex_spark.index.spec import IndexSpecification, SeparatorPartition, SpatialPartition
+from hindex_spark.table import Scan, Table
+
+
+def _orders(spark, sf_dir):
+    t = Table.from_parquet(spark, f"{sf_dir}/orders.parquet", "o_orderkey", "orders")
+    t.create_index(IndexSpecification("idx_cust").add_column("o_custkey", "Long"))
+    t.create_index(
+        IndexSpecification("idx_status_date")
+        .add_column("o_orderstatus", "String")
+        .add_column("o_orderdate", "String")
+    )
+    return t
+
+
+def _sorted_keys(df, key="o_orderkey"):
+    return sorted(r[key] for r in df.select(key).collect())
+
+
+def test_index_semijoin_matches_plain_filter(spark, sf_dir):
+    t = _orders(spark, sf_dir)
+    f = fl.SingleColumnValueFilter("o_custkey", fl.EQUAL, 85, filter_if_missing=True)
+    via_index = t.scan(Scan(filter=f))
+    assert t.last_index_plan.used_indexes == ["idx_cust"]
+    plain = t.df.filter(F.col("o_custkey") == 85)
+    assert _sorted_keys(via_index) == _sorted_keys(plain)
+    assert via_index.count() > 0
+
+
+def test_multicol_index_equals_prefix_plus_range(spark, sf_dir):
+    t = _orders(spark, sf_dir)
+    f = fl.FilterList(
+        "AND",
+        [
+            fl.SingleColumnValueFilter("o_orderstatus", fl.EQUAL, "F", filter_if_missing=True),
+            fl.SingleColumnValueFilter(
+                "o_orderdate", fl.GREATER_OR_EQUAL, "1996-01-01", filter_if_missing=True
+            ),
+        ],
+    )
+    via_index = t.scan(Scan(filter=f))
+    assert t.last_index_plan.used_indexes == ["idx_status_date"]
+    plain = t.df.filter(
+        (F.col("o_orderstatus") == "F") & (F.col("o_orderdate") >= "1996-01-01")
+    )
+    assert _sorted_keys(via_index) == _sorted_keys(plain)
+
+
+def test_or_union_of_indexes(spark, sf_dir):
+    t = Table.from_parquet(spark, f"{sf_dir}/customer.parquet", "c_custkey", "customer")
+    t.create_index(IndexSpecification("idx_nation").add_column("c_nationkey", "Int"))
+    f = fl.FilterList(
+        "OR",
+        [
+            fl.SingleColumnValueFilter("c_nationkey", fl.EQUAL, 1, filter_if_missing=True),
+            fl.SingleColumnValueFilter("c_nationkey", fl.EQUAL, 2, filter_if_missing=True),
+        ],
+    )
+    via_index = t.scan(Scan(filter=f))
+    assert t.last_index_plan.used_indexes == ["idx_nation"]
+    plain = t.df.filter(F.col("c_nationkey").isin(1, 2))
+    assert _sorted_keys(via_index, "c_custkey") == _sorted_keys(plain, "c_custkey")
+
+
+def test_contradiction_returns_empty(spark, sf_dir):
+    t = _orders(spark, sf_dir)
+    f = fl.FilterList(
+        "AND",
+        [
+            fl.SingleColumnValueFilter("o_custkey", fl.GREATER, 100, filter_if_missing=True),
+            fl.SingleColumnValueFilter("o_custkey", fl.LESS, 50, filter_if_missing=True),
+        ],
+    )
+    assert t.scan(Scan(filter=f)).count() == 0
+    assert t.last_index_plan.is_empty
+
+
+def test_no_index_hint_skips_index(spark, sf_dir):
+    from hindex_spark.index.planner import NoIndexExpression
+
+    t = _orders(spark, sf_dir)
+    f = fl.SingleColumnValueFilter("o_custkey", fl.EQUAL, 85, filter_if_missing=True)
+    out = t.scan(Scan(filter=f, index_hint=NoIndexExpression()))
+    assert not t.last_index_plan.uses_index
+    assert out.count() == t.df.filter(F.col("o_custkey") == 85).count()
+
+
+def test_value_partition_separator_index(spark):
+    df = spark.createDataFrame(
+        [("r1", "A--B--C"), ("r2", "A--X--C"), ("r3", "Z--B--Q")], ["rowkey", "c_sep"]
+    )
+    t = Table(df, "rowkey", "parttab")
+    t.create_index(
+        IndexSpecification("idx_sep").add_column(
+            "c_sep", "String", value_partition=SeparatorPartition("--", 2)
+        )
+    )
+    # query on the partition expression via the index's indexed_name
+    f = fl.SingleColumnValueFilter("c_sep__sep2", fl.EQUAL, "B", filter_if_missing=True)
+    tree = f.index_tree(t)
+    from hindex_spark.index.planner import ScanFilterEvaluator
+
+    plan = ScanFilterEvaluator(t.indices.indices, "rowkey").evaluate(tree)
+    assert plan.used_indexes == ["idx_sep"]
+    keys = plan.rowkeys(t.index_tables)
+    assert sorted(r["rowkey"] for r in keys.collect()) == ["r1", "r3"]
+
+
+def test_value_partition_spatial_index(spark):
+    df = spark.createDataFrame(
+        [("r1", "xxABCyy"), ("r2", "xxZZZyy"), ("r3", "xxABCzz")], ["rowkey", "c_spatial"]
+    )
+    t = Table(df, "rowkey", "parttab")
+    t.create_index(
+        IndexSpecification("idx_sub").add_column(
+            "c_spatial", "String", value_partition=SpatialPartition(2, 3)
+        )
+    )
+    from hindex_spark.index.planner import ScanFilterEvaluator
+
+    f = fl.SingleColumnValueFilter("c_spatial__sub2_3", fl.EQUAL, "ABC", filter_if_missing=True)
+    plan = ScanFilterEvaluator(t.indices.indices, "rowkey").evaluate(f.index_tree(t))
+    keys = plan.rowkeys(t.index_tables)
+    assert sorted(r["rowkey"] for r in keys.collect()) == ["r1", "r3"]
+
+
+def test_index_maintenance_on_put_and_delete(spark, sf_dir):
+    t = _orders(spark, sf_dir)
+    # move order 0 to customer 999, delete order 1
+    puts = spark.createDataFrame([(0, 999)], ["o_orderkey", "o_custkey"])
+    t2 = t.put(puts)
+    dels = spark.createDataFrame([(1,)], ["o_orderkey"])
+    t3 = t2.delete(dels)
+
+    idx = t3.index_tables["idx_cust"]
+    assert idx.filter((F.col("o_custkey") == 999) & (F.col("o_orderkey") == 0)).count() == 1
+    assert idx.filter(F.col("o_orderkey") == 1).count() == 0
+    # index row count == table rows with non-null custkey
+    assert idx.count() == t3.df.filter(F.col("o_custkey").isNotNull()).count()
+
+    # and queries through the index see the new state
+    f = fl.SingleColumnValueFilter("o_custkey", fl.EQUAL, 999, filter_if_missing=True)
+    assert _sorted_keys(t3.scan(Scan(filter=f))) == [0]
+
+
+def test_typed_index_negative_range(spark):
+    # F2 fixture: sign-boundary ranges on typed columns
+    rows = [(f"r{i}", i) for i in range(-10, 11)]
+    df = spark.createDataFrame(rows, ["rowkey", "c_int"])
+    t = Table(df, "rowkey", "typedtab")
+    t.create_index(IndexSpecification("idx_int").add_column("c_int", "Int"))
+    f = fl.FilterList(
+        "AND",
+        [
+            fl.SingleColumnValueFilter("c_int", fl.GREATER_OR_EQUAL, -5, filter_if_missing=True),
+            fl.SingleColumnValueFilter("c_int", fl.LESS_OR_EQUAL, 5, filter_if_missing=True),
+        ],
+    )
+    out = t.scan(Scan(filter=f))
+    assert t.last_index_plan.used_indexes == ["idx_int"]
+    vals = sorted(r["c_int"] for r in out.collect())
+    assert vals == list(range(-5, 6))

@@ -1,0 +1,101 @@
+"""Mutation batch semantics (TestExtendedPutOps / checkAnd* / Increment /
+Append model) on the wide table layer."""
+
+from pyspark.sql import functions as F
+
+from hindex_spark import filters as fl
+from hindex_spark.table import Table
+
+
+def _tab(spark):
+    df = spark.createDataFrame(
+        [("r1", "a1", 10, "s1"), ("r2", "a2", 20, "s2"), ("r3", None, 30, "s3")],
+        ["rowkey", "c_str", "c_cnt", "c_app"],
+    )
+    return Table(df, "rowkey", "t")
+
+
+def _row(t, key):
+    rows = t.df.filter(F.col("rowkey") == key).collect()
+    return rows[0] if rows else None
+
+
+def test_put_partial_columns_preserves_others(spark):
+    t = _tab(spark)
+    puts = spark.createDataFrame([("r1", "A1")], ["rowkey", "c_str"])
+    t2 = t.put(puts)
+    r = _row(t2, "r1")
+    assert r["c_str"] == "A1" and r["c_cnt"] == 10 and r["c_app"] == "s1"
+
+
+def test_put_new_row(spark):
+    t = _tab(spark)
+    puts = spark.createDataFrame([("r9", "new")], ["rowkey", "c_str"])
+    t2 = t.put(puts)
+    r = _row(t2, "r9")
+    assert r["c_str"] == "new" and r["c_cnt"] is None
+    assert t2.df.count() == 4
+
+
+def test_delete(spark):
+    t = _tab(spark)
+    t2 = t.delete(spark.createDataFrame([("r2",)], ["rowkey"]))
+    assert t2.df.count() == 2 and _row(t2, "r2") is None
+
+
+def test_increment_existing_and_new(spark):
+    t = _tab(spark)
+    incs = spark.createDataFrame([("r1", 5), ("r9", 7)], ["rowkey", "c_cnt"])
+    t2 = t.increment(incs)
+    assert _row(t2, "r1")["c_cnt"] == 15
+    assert _row(t2, "r9")["c_cnt"] == 7  # created with coalesce(old,0)+delta
+
+
+def test_append(spark):
+    t = _tab(spark)
+    apps = spark.createDataFrame([("r1", "-x")], ["rowkey", "c_app"])
+    t2 = t.append(apps)
+    assert _row(t2, "r1")["c_app"] == "s1-x"
+
+
+def test_check_and_put_applies_only_when_check_passes(spark):
+    t = _tab(spark)
+    puts = spark.createDataFrame([("r1", "yes"), ("r2", "yes")], ["rowkey", "c_str"])
+    # condition: c_cnt > 15 — true for r2 only
+    t2 = t.check_and_put("c_cnt", fl.GREATER, 15, puts)
+    assert _row(t2, "r1")["c_str"] == "a1"
+    assert _row(t2, "r2")["c_str"] == "yes"
+
+
+def test_check_and_put_null_check(spark):
+    t = _tab(spark)
+    puts = spark.createDataFrame([("r3", "filled"), ("r1", "filled")], ["rowkey", "c_str"])
+    t2 = t.check_and_put("c_str", fl.EQUAL, None, puts)  # only where c_str IS NULL
+    assert _row(t2, "r3")["c_str"] == "filled"
+    assert _row(t2, "r1")["c_str"] == "a1"
+
+
+def test_check_and_delete(spark):
+    t = _tab(spark)
+    keys = spark.createDataFrame([("r1",), ("r2",)], ["rowkey"])
+    t2 = t.check_and_delete("c_cnt", fl.EQUAL, 20, keys)
+    assert _row(t2, "r1") is not None and _row(t2, "r2") is None
+
+
+def test_mutate_row_atomic_batch(spark):
+    t = _tab(spark)
+    t2 = t.mutate_row(
+        puts=spark.createDataFrame([("r1", "m1")], ["rowkey", "c_str"]),
+        deletes=spark.createDataFrame([("r3",)], ["rowkey"]),
+    )
+    assert _row(t2, "r1")["c_str"] == "m1" and _row(t2, "r3") is None
+
+
+def test_multi_put_same_key_collapses(spark):
+    t = _tab(spark)
+    puts = spark.createDataFrame(
+        [("r1", "p1", None), ("r1", None, 99)], ["rowkey", "c_str", "c_cnt"]
+    )
+    t2 = t.put(puts)
+    r = _row(t2, "r1")
+    assert r["c_str"] == "p1" and r["c_cnt"] == 99

@@ -1,0 +1,156 @@
+"""Planner unit tests — pure logic, no Spark actions needed for
+selection assertions (mirrors TestScanFilterEvaluator /
+TestMultipleIndicesInScan's F1 fixture: idx1(c3,c4,c5,c6), idx2(c1),
+idx3(c2), idx4(c2,c1))."""
+
+import pytest
+
+from hindex_spark import filters as fl
+from hindex_spark.index.planner import (
+    EmptyScan,
+    IndexScan,
+    MultiIndexExpression,
+    NoIndexExpression,
+    ScanFilterEvaluator,
+    SetOp,
+    SingleIndexExpression,
+)
+from hindex_spark.index.spec import IndexSpecification
+
+
+def _f1_indices():
+    idx1 = IndexSpecification("idx1")
+    for c in ["c3", "c4", "c5", "c6"]:
+        idx1.add_column(c)
+    idx2 = IndexSpecification("idx2").add_column("c1")
+    idx3 = IndexSpecification("idx3").add_column("c2")
+    idx4 = IndexSpecification("idx4").add_column("c2").add_column("c1")
+    return [idx1, idx2, idx3, idx4]
+
+
+EV = ScanFilterEvaluator(_f1_indices())
+
+
+def scvf(col, op, val):
+    return fl.SingleColumnValueFilter(col, op, val, filter_if_missing=True)
+
+
+def test_single_column_picks_fewest_columns_index():
+    # c1 is served by idx2 (1 col), not idx4 (2 cols)
+    plan = EV.evaluate(scvf("c1", fl.EQUAL, "a").index_tree(None))
+    assert plan.used_indexes == ["idx2"]
+
+
+def test_and_two_columns_uses_two_single_indexes():
+    f = fl.FilterList("AND", [scvf("c1", fl.EQUAL, "a"), scvf("c2", fl.EQUAL, "b")])
+    plan = EV.evaluate(f.index_tree(None))
+    # idx4(c2,c1) covers both with ONE index — set-cover prefers it
+    assert plan.used_indexes == ["idx4"]
+
+
+def test_and_preferring_single_multicol_index():
+    f = fl.FilterList(
+        "AND", [scvf("c3", fl.EQUAL, "x"), scvf("c4", fl.EQUAL, "y"), scvf("c5", fl.GREATER, "m")]
+    )
+    plan = EV.evaluate(f.index_tree(None))
+    assert plan.used_indexes == ["idx1"]
+    scan = plan.root
+    assert isinstance(scan, IndexScan)
+    # equality prefix c3,c4 then range on c5
+    assert scan.covered_columns == ["c3", "c4", "c5"]
+
+
+def test_range_must_be_last_column():
+    # range on c3 stops prefix matching: idx1 only covers c3
+    f = fl.FilterList("AND", [scvf("c3", fl.GREATER, "x"), scvf("c4", fl.EQUAL, "y")])
+    plan = EV.evaluate(f.index_tree(None))
+    assert plan.used_indexes == ["idx1"]
+    assert plan.root.covered_columns == ["c3"]
+
+
+def test_or_all_or_nothing():
+    # c6 alone has no index whose FIRST column is c6 -> whole OR unusable
+    f = fl.FilterList("OR", [scvf("c1", fl.EQUAL, "a"), scvf("c6", fl.EQUAL, "z")])
+    plan = EV.evaluate(f.index_tree(None))
+    assert not plan.uses_index
+
+
+def test_or_both_indexable():
+    f = fl.FilterList("OR", [scvf("c1", fl.EQUAL, "a"), scvf("c2", fl.EQUAL, "b")])
+    plan = EV.evaluate(f.index_tree(None))
+    assert set(plan.used_indexes) == {"idx2", "idx3"}
+    assert isinstance(plan.root, SetOp) and plan.root.op == "OR"
+
+
+def test_contradiction_yields_empty_plan():
+    f = fl.FilterList("AND", [scvf("c1", fl.GREATER, "m"), scvf("c1", fl.LESS, "b")])
+    plan = EV.evaluate(f.index_tree(None))
+    assert plan.is_empty and isinstance(plan.root, EmptyScan)
+
+
+def test_range_merge_single_scan():
+    f = fl.FilterList(
+        "AND", [scvf("c1", fl.GREATER_OR_EQUAL, "b"), scvf("c1", fl.LESS, "m")]
+    )
+    plan = EV.evaluate(f.index_tree(None))
+    assert plan.used_indexes == ["idx2"]
+    cr = plan.root.conditions[0]
+    assert cr.lower == "b" and cr.lower_inc and cr.upper == "m" and not cr.upper_inc
+
+
+def test_and_partial_coverage_still_uses_index():
+    # c6 not coverable standalone, c1 is -> index on c1 only
+    f = fl.FilterList("AND", [scvf("c1", fl.EQUAL, "a"), scvf("c6", fl.EQUAL, "z")])
+    plan = EV.evaluate(f.index_tree(None))
+    assert plan.used_indexes == ["idx2"]
+
+
+def test_non_indexable_comparator_kills_leaf():
+    f = fl.SingleColumnValueFilter(
+        "c1", fl.EQUAL, fl.RegexStringComparator("^a.*"), filter_if_missing=True
+    )
+    plan = EV.evaluate(f.index_tree(None))
+    assert not plan.uses_index
+
+
+def test_filter_if_missing_false_not_indexable():
+    # NULL rows must survive; index range scan would drop them
+    f = fl.SingleColumnValueFilter("c1", fl.EQUAL, "a", filter_if_missing=False)
+    plan = EV.evaluate(f.index_tree(None))
+    assert not plan.uses_index
+
+
+def test_no_index_hint():
+    plan = EV.evaluate(scvf("c1", fl.EQUAL, "a").index_tree(None), hint=NoIndexExpression())
+    assert not plan.uses_index
+
+
+def test_single_index_hint_forces_choice():
+    plan = EV.evaluate(None, hint=SingleIndexExpression("idx4", equals={"c2": "b", "c1": "a"}))
+    assert plan.used_indexes == ["idx4"]
+
+
+def test_multi_index_hint():
+    h = MultiIndexExpression(
+        "OR",
+        [
+            SingleIndexExpression("idx2", equals={"c1": "a"}),
+            SingleIndexExpression("idx3", equals={"c2": "b"}),
+        ],
+    )
+    plan = EV.evaluate(None, hint=h)
+    assert set(plan.used_indexes) == {"idx2", "idx3"}
+
+
+def test_nested_and_or_tree():
+    f = fl.FilterList(
+        "AND",
+        [
+            scvf("c3", fl.EQUAL, "x"),
+            fl.FilterList("OR", [scvf("c1", fl.EQUAL, "a"), scvf("c2", fl.EQUAL, "b")]),
+        ],
+    )
+    plan = EV.evaluate(f.index_tree(None))
+    assert "idx1" in plan.used_indexes
+    assert {"idx2", "idx3"} <= set(plan.used_indexes)
+    assert isinstance(plan.root, SetOp) and plan.root.op == "AND"
