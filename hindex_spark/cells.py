@@ -126,7 +126,11 @@ def resolve(
         puts = puts.filter((F.col("ts") >= F.lit(lo)) & (F.col("ts") < F.lit(hi)))
 
     if max_versions is not None:
-        w = Window.partitionBy("rowkey", "cf", "qualifier").orderBy(F.col("ts").desc())
+        # value desc as tie-break: two puts at the same ts have no defined
+        # order in the reference either; this makes the pick deterministic.
+        w = Window.partitionBy("rowkey", "cf", "qualifier").orderBy(
+            F.col("ts").desc(), F.col("value").desc_nulls_last()
+        )
         puts = (
             puts.withColumn("__vn", F.row_number().over(w))
             .filter(F.col("__vn") <= max_versions)

@@ -1,0 +1,717 @@
+"""Declared query surface: one entry per operator from SURVEY.md §2,
+each implemented through the engine (Table/Scan/filters/index planner/
+mutation batches) with a DuckDB oracle for the correctness gate.
+
+Naming contract: every computed column is aliased identically in the
+Spark plan and the oracle SQL (driver hashes columns sorted by name).
+Floating-point aggregates are rounded on both sides so partial-aggregation
+order (Spark) vs sequential order (DuckDB) cannot flip the hash.
+"""
+
+from __future__ import annotations
+
+from typing import Callable, Dict
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import Window as W
+
+from hindex_spark import filters as fl
+from hindex_spark.index.spec import IndexSpecification, SeparatorPartition
+from hindex_spark.table import Scan, Table
+
+QUERIES: Dict[str, Callable[[SparkSession, str], DataFrame]] = {}
+ORACLES: Dict[str, str] = {}
+
+
+def query(name: str, oracle: str | None = None):
+    def deco(fn):
+        QUERIES[name] = fn
+        if oracle is not None:
+            ORACLES[name] = " ".join(oracle.split())
+        return fn
+
+    return deco
+
+
+def _t(spark, sf_dir, name, rowkey):
+    return Table.from_parquet(spark, f"{sf_dir}/{name}.parquet", rowkey, name)
+
+
+# ---------------------------------------------------------------------------
+# §2.2 point operations
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "point_get",
+    "SELECT o_orderkey, o_custkey, o_totalprice FROM orders WHERE o_orderkey = 42",
+)
+def q_point_get(spark, sf_dir):
+    t = _t(spark, sf_dir, "orders", "o_orderkey")
+    return t.get(42, columns=["o_custkey", "o_totalprice"])
+
+
+@query(
+    "get_row_or_before",
+    """SELECT o_orderkey, o_custkey, o_totalprice FROM orders
+       WHERE o_orderkey <= 777 ORDER BY o_orderkey DESC LIMIT 1""",
+)
+def q_floor(spark, sf_dir):
+    t = _t(spark, sf_dir, "orders", "o_orderkey")
+    return t.get_row_or_before(777).select("o_orderkey", "o_custkey", "o_totalprice")
+
+
+# ---------------------------------------------------------------------------
+# §2.1/§2.7 scans, ranges, limits, reversal
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "scan_range",
+    """SELECT o_orderkey, o_custkey, o_totalprice FROM orders
+       WHERE o_orderkey >= 100 AND o_orderkey < 200""",
+)
+def q_scan_range(spark, sf_dir):
+    t = _t(spark, sf_dir, "orders", "o_orderkey")
+    return t.scan(Scan(start_row=100, stop_row=200, columns=["o_custkey", "o_totalprice"]))
+
+
+@query(
+    "scan_inclusive_stop",
+    "SELECT p_partkey, p_name FROM part WHERE p_partkey <= 50",
+)
+def q_inclusive_stop(spark, sf_dir):
+    t = _t(spark, sf_dir, "part", "p_partkey")
+    return t.scan(Scan(filter=fl.InclusiveStopFilter(50), columns=["p_name"]))
+
+
+@query(
+    "scan_page_limit",
+    "SELECT p_partkey, p_name, p_size FROM part ORDER BY p_partkey LIMIT 10",
+)
+def q_page(spark, sf_dir):
+    t = _t(spark, sf_dir, "part", "p_partkey")
+    return t.scan(Scan(limit=10, columns=["p_name", "p_size"]))
+
+
+@query(
+    "scan_reversed",
+    """SELECT o_orderkey, o_totalprice FROM orders
+       ORDER BY o_orderkey DESC LIMIT 100""",
+)
+def q_reversed(spark, sf_dir):
+    t = _t(spark, sf_dir, "orders", "o_orderkey")
+    return t.scan(Scan(reversed=True, limit=100, columns=["o_totalprice"]))
+
+
+# ---------------------------------------------------------------------------
+# §2.3 filter algebra
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "filter_scvf",
+    """SELECT l_orderkey, l_linenumber, l_quantity, l_extendedprice FROM lineitem
+       WHERE l_quantity >= 45""",
+)
+def q_scvf(spark, sf_dir):
+    t = _t(spark, sf_dir, "lineitem", "l_orderkey")
+    f = fl.SingleColumnValueFilter("l_quantity", fl.GREATER_OR_EQUAL, 45.0, filter_if_missing=True)
+    return t.scan(Scan(filter=f, columns=["l_linenumber", "l_quantity", "l_extendedprice"]))
+
+
+@query(
+    "filter_and",
+    """SELECT l_orderkey, l_linenumber, l_returnflag, l_discount FROM lineitem
+       WHERE l_returnflag = 'R' AND l_discount > 0.08""",
+)
+def q_filter_and(spark, sf_dir):
+    t = _t(spark, sf_dir, "lineitem", "l_orderkey")
+    f = fl.FilterList(
+        "AND",
+        [
+            fl.SingleColumnValueFilter("l_returnflag", fl.EQUAL, "R", filter_if_missing=True),
+            fl.SingleColumnValueFilter("l_discount", fl.GREATER, 0.08, filter_if_missing=True),
+        ],
+    )
+    return t.scan(Scan(filter=f, columns=["l_linenumber", "l_returnflag", "l_discount"]))
+
+
+@query(
+    "filter_or_index_union",
+    """SELECT c_custkey, c_name, c_nationkey FROM customer
+       WHERE c_nationkey = 1 OR c_nationkey = 2""",
+)
+def q_filter_or(spark, sf_dir):
+    t = _t(spark, sf_dir, "customer", "c_custkey")
+    t.create_index(IndexSpecification("idx_nation").add_column("c_nationkey", "Int"))
+    f = fl.FilterList(
+        "OR",
+        [
+            fl.SingleColumnValueFilter("c_nationkey", fl.EQUAL, 1, filter_if_missing=True),
+            fl.SingleColumnValueFilter("c_nationkey", fl.EQUAL, 2, filter_if_missing=True),
+        ],
+    )
+    return t.scan(Scan(filter=f, columns=["c_name", "c_nationkey"]))
+
+
+@query(
+    "filter_prefix",
+    "SELECT p_partkey, p_name FROM part WHERE p_name LIKE 'co%'",
+)
+def q_prefix(spark, sf_dir):
+    t = _t(spark, sf_dir, "part", "p_partkey")
+    f = fl.SingleColumnValueFilter(
+        "p_name", fl.EQUAL, fl.BinaryPrefixComparator("co"), filter_if_missing=True
+    )
+    return t.scan(Scan(filter=f, columns=["p_name"]))
+
+
+@query(
+    "filter_regex",
+    "SELECT p_partkey, p_type FROM part WHERE regexp_matches(p_type, '^(ECONOMY|PROMO)')",
+)
+def q_regex(spark, sf_dir):
+    t = _t(spark, sf_dir, "part", "p_partkey")
+    f = fl.SingleColumnValueFilter(
+        "p_type", fl.EQUAL, fl.RegexStringComparator("^(ECONOMY|PROMO)"), filter_if_missing=True
+    )
+    return t.scan(Scan(filter=f, columns=["p_type"]))
+
+
+@query(
+    "filter_substring",
+    "SELECT p_partkey, p_name FROM part WHERE contains(lower(p_name), 'widget')",
+)
+def q_substring(spark, sf_dir):
+    t = _t(spark, sf_dir, "part", "p_partkey")
+    f = fl.SingleColumnValueFilter(
+        "p_name", fl.EQUAL, fl.SubstringComparator("widget"), filter_if_missing=True
+    )
+    return t.scan(Scan(filter=f, columns=["p_name"]))
+
+
+@query(
+    "filter_range_merge",
+    """SELECT o_orderkey, o_totalprice FROM orders
+       WHERE o_totalprice >= 50000 AND o_totalprice < 60000""",
+)
+def q_range_merge(spark, sf_dir):
+    t = _t(spark, sf_dir, "orders", "o_orderkey")
+    f = fl.SingleColumnRangeFilter("o_totalprice", lower=50000.0, upper=60000.0)
+    return t.scan(Scan(filter=f, columns=["o_totalprice"]))
+
+
+@query(
+    "filter_isin",
+    """SELECT event_id, user_id, event_type FROM events
+       WHERE user_id IN (1, 2, 3)""",
+)
+def q_isin(spark, sf_dir):
+    t = _t(spark, sf_dir, "events", "event_id")
+    f = fl.TimestampsFilter([1, 2, 3], ts_column="user_id")
+    return t.scan(Scan(filter=f, columns=["user_id", "event_type"]))
+
+
+@query(
+    "filter_fuzzy_row",
+    """SELECT p_partkey, p_name FROM part
+       WHERE regexp_matches(printf('p%04d', p_partkey), '^p0.5.$')""",
+)
+def q_fuzzy(spark, sf_dir):
+    base = spark.read.parquet(f"{sf_dir}/part.parquet").withColumn(
+        "p_rk", F.format_string("p%04d", "p_partkey")
+    )
+    t = Table(base, "p_rk", "part")
+    out = t.scan(Scan(filter=fl.FuzzyRowFilter("p0?5?"), columns=["p_partkey", "p_name"]))
+    return out.select("p_partkey", "p_name")
+
+
+@query(
+    "filter_while_match",
+    """SELECT event_id, value FROM (
+         SELECT event_id, value,
+                MIN(CASE WHEN value < 199 THEN 1 ELSE 0 END)
+                  OVER (ORDER BY event_id ROWS UNBOUNDED PRECEDING) AS ok
+         FROM events) WHERE ok = 1""",
+)
+def q_while_match(spark, sf_dir):
+    t = _t(spark, sf_dir, "events", "event_id")
+    wm = fl.WhileMatchFilter(
+        fl.SingleColumnValueFilter("value", fl.LESS, 199.0, filter_if_missing=True)
+    )
+    return t.scan(Scan(filter=wm, columns=["value"]))
+
+
+@query(
+    "filter_skip",
+    "SELECT event_id, value FROM events WHERE value < 50",
+)
+def q_skip(spark, sf_dir):
+    t = _t(spark, sf_dir, "events", "event_id")
+    f = fl.SkipFilter(fl.SingleColumnValueFilter("value", fl.LESS, 50.0, filter_if_missing=True))
+    return t.scan(Scan(filter=f, columns=["value"]))
+
+
+@query(
+    "filter_first_key_only",
+    "SELECT COUNT(DISTINCT l_orderkey) AS n_rows FROM lineitem",
+)
+def q_first_key_only(spark, sf_dir):
+    t = _t(spark, sf_dir, "lineitem", "l_orderkey")
+    rows = t.scan(Scan(filter=fl.FirstKeyOnlyFilter()))
+    return rows.agg(F.count("*").alias("n_rows"))
+
+
+@query(
+    "filter_bit_comparator",
+    "SELECT p_partkey, p_size FROM part WHERE (p_size & 1) != 0",
+)
+def q_bitcomp(spark, sf_dir):
+    t = _t(spark, sf_dir, "part", "p_partkey")
+    f = fl.SingleColumnValueFilter(
+        "p_size", fl.EQUAL, fl.BitComparator(1, "and"), filter_if_missing=True
+    )
+    return t.scan(Scan(filter=f, columns=["p_size"]))
+
+
+# ---------------------------------------------------------------------------
+# §2.4 aggregations (AggregationClient verbs)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "agg_summary",
+    """SELECT ROUND(MIN(l_extendedprice), 2) AS min_v,
+              ROUND(MAX(l_extendedprice), 2) AS max_v,
+              ROUND(SUM(l_extendedprice), 2) AS sum_v,
+              COUNT(l_extendedprice) AS count_v,
+              ROUND(AVG(l_extendedprice), 4) AS avg_v,
+              ROUND(stddev_pop(l_extendedprice), 4) AS std_v,
+              ROUND(median(l_extendedprice), 4) AS median_v
+       FROM lineitem""",
+)
+def q_agg_summary(spark, sf_dir):
+    t = _t(spark, sf_dir, "lineitem", "l_orderkey")
+    c = "l_extendedprice"
+    return t.df.agg(
+        F.round(F.min(c), 2).alias("min_v"),
+        F.round(F.max(c), 2).alias("max_v"),
+        F.round(F.sum(c), 2).alias("sum_v"),
+        F.count(c).alias("count_v"),
+        F.round(F.avg(c), 4).alias("avg_v"),
+        F.round(F.stddev_pop(c), 4).alias("std_v"),
+        F.round(F.expr(f"percentile({c}, 0.5)"), 4).alias("median_v"),
+    )
+
+
+@query(
+    "agg_scoped_scan",
+    """SELECT ROUND(SUM(o_totalprice), 2) AS sum_v, COUNT(*) AS count_v
+       FROM orders WHERE o_orderkey >= 0 AND o_orderkey < 1000 AND o_orderstatus = 'O'""",
+)
+def q_agg_scoped(spark, sf_dir):
+    t = _t(spark, sf_dir, "orders", "o_orderkey")
+    f = fl.SingleColumnValueFilter("o_orderstatus", fl.EQUAL, "O", filter_if_missing=True)
+    scoped = t.scan(Scan(start_row=0, stop_row=1000, filter=f))
+    return scoped.agg(F.round(F.sum("o_totalprice"), 2).alias("sum_v"), F.count("*").alias("count_v"))
+
+
+@query(
+    "agg_group",
+    """SELECT l_returnflag, l_linestatus,
+              ROUND(SUM(l_quantity), 2) AS sum_qty,
+              ROUND(AVG(l_extendedprice), 4) AS avg_price,
+              COUNT(*) AS count_order
+       FROM lineitem GROUP BY l_returnflag, l_linestatus
+       ORDER BY l_returnflag, l_linestatus""",
+)
+def q_agg_group(spark, sf_dir):
+    t = _t(spark, sf_dir, "lineitem", "l_orderkey")
+    return (
+        t.df.groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+            F.round(F.avg("l_extendedprice"), 4).alias("avg_price"),
+            F.count("*").alias("count_order"),
+        )
+        .orderBy("l_returnflag", "l_linestatus")
+    )
+
+
+@query(
+    "tpch_q1",
+    """SELECT l_returnflag, l_linestatus,
+              ROUND(SUM(l_quantity), 2) AS sum_qty,
+              ROUND(SUM(l_extendedprice), 2) AS sum_base_price,
+              ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+              ROUND(SUM(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 2) AS sum_charge,
+              ROUND(AVG(l_quantity), 4) AS avg_qty,
+              ROUND(AVG(l_extendedprice), 4) AS avg_price,
+              ROUND(AVG(l_discount), 4) AS avg_disc,
+              COUNT(*) AS count_order
+       FROM lineitem
+       WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+       GROUP BY l_returnflag, l_linestatus
+       ORDER BY l_returnflag, l_linestatus""",
+)
+def q_tpch_q1(spark, sf_dir):
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    return (
+        li.filter(F.col("l_shipdate") <= "1998-09-02")
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+            F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
+            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias(
+                "sum_disc_price"
+            ),
+            F.round(
+                F.sum(
+                    F.col("l_extendedprice")
+                    * (1 - F.col("l_discount"))
+                    * (1 + F.col("l_tax"))
+                ),
+                2,
+            ).alias("sum_charge"),
+            F.round(F.avg("l_quantity"), 4).alias("avg_qty"),
+            F.round(F.avg("l_extendedprice"), 4).alias("avg_price"),
+            F.round(F.avg("l_discount"), 4).alias("avg_disc"),
+            F.count("*").alias("count_order"),
+        )
+        .orderBy("l_returnflag", "l_linestatus")
+    )
+
+
+@query(
+    "topk_per_group",
+    """SELECT o_orderpriority, o_orderkey, o_totalprice, rn FROM (
+         SELECT o_orderpriority, o_orderkey, o_totalprice,
+                row_number() OVER (PARTITION BY o_orderpriority
+                                   ORDER BY o_totalprice DESC, o_orderkey) AS rn
+         FROM orders) WHERE rn <= 3""",
+)
+def q_topk(spark, sf_dir):
+    o = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    w = W.partitionBy("o_orderpriority").orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey"))
+    return (
+        o.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 3)
+        .select("o_orderpriority", "o_orderkey", "o_totalprice", "rn")
+    )
+
+
+# ---------------------------------------------------------------------------
+# §2.5/§2.6 index semi-joins & set ops
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "index_semijoin_eq",
+    "SELECT o_orderkey, o_custkey, o_totalprice FROM orders WHERE o_custkey = 85",
+)
+def q_index_eq(spark, sf_dir):
+    t = _t(spark, sf_dir, "orders", "o_orderkey")
+    t.create_index(IndexSpecification("idx_cust").add_column("o_custkey", "Long"))
+    f = fl.SingleColumnValueFilter("o_custkey", fl.EQUAL, 85, filter_if_missing=True)
+    return t.scan(Scan(filter=f, columns=["o_custkey", "o_totalprice"]))
+
+
+@query(
+    "index_multicol_range",
+    """SELECT o_orderkey, o_orderstatus, strftime(o_orderdate, '%Y-%m-%d') AS o_odate
+       FROM orders
+       WHERE o_orderstatus = 'F' AND o_orderdate >= TIMESTAMP '1997-06-01'""",
+)
+def q_index_multicol(spark, sf_dir):
+    base = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    t = Table(base, "o_orderkey", "orders")
+    t.create_index(
+        IndexSpecification("idx_status_date")
+        .add_column("o_orderstatus", "String")
+        .add_column("o_orderdate", "String")
+    )
+    f = fl.FilterList(
+        "AND",
+        [
+            fl.SingleColumnValueFilter("o_orderstatus", fl.EQUAL, "F", filter_if_missing=True),
+            fl.SingleColumnValueFilter(
+                "o_orderdate", fl.GREATER_OR_EQUAL, "1997-06-01", filter_if_missing=True
+            ),
+        ],
+    )
+    out = t.scan(Scan(filter=f))
+    return out.select(
+        "o_orderkey",
+        "o_orderstatus",
+        F.date_format("o_orderdate", "yyyy-MM-dd").alias("o_odate"),
+    )
+
+
+@query(
+    "index_and_intersection",
+    """SELECT o_orderkey, o_custkey, o_orderpriority FROM orders
+       WHERE o_custkey = 85 AND o_orderpriority = '1-URGENT'""",
+)
+def q_index_and(spark, sf_dir):
+    t = _t(spark, sf_dir, "orders", "o_orderkey")
+    t.create_index(IndexSpecification("idx_cust").add_column("o_custkey", "Long"))
+    t.create_index(IndexSpecification("idx_prio").add_column("o_orderpriority", "String"))
+    f = fl.FilterList(
+        "AND",
+        [
+            fl.SingleColumnValueFilter("o_custkey", fl.EQUAL, 85, filter_if_missing=True),
+            fl.SingleColumnValueFilter(
+                "o_orderpriority", fl.EQUAL, "1-URGENT", filter_if_missing=True
+            ),
+        ],
+    )
+    return t.scan(Scan(filter=f, columns=["o_custkey", "o_orderpriority"]))
+
+
+@query(
+    "index_value_partition",
+    """SELECT p_partkey, p_name FROM part
+       WHERE split_part(p_name, ' ', 2) = 'widget'""",
+)
+def q_index_vp(spark, sf_dir):
+    t = _t(spark, sf_dir, "part", "p_partkey")
+    t.create_index(
+        IndexSpecification("idx_name_p2").add_column(
+            "p_name", "String", value_partition=SeparatorPartition(" ", 2)
+        )
+    )
+    f = fl.SingleColumnValueFilter("p_name__sep2", fl.EQUAL, "widget", filter_if_missing=True)
+    # the partition expression is not a physical column: apply via index
+    # rowkeys then project (residual filter recomputes the expression)
+    tree = f.index_tree(t)
+    from hindex_spark.index.planner import ScanFilterEvaluator
+
+    plan = ScanFilterEvaluator(t.indices.indices, "p_partkey").evaluate(tree)
+    out = plan.apply(t.df, t.index_tables)
+    out = out.filter(F.split(F.col("p_name"), " ").getItem(1) == "widget")
+    return out.select("p_partkey", "p_name")
+
+
+@query(
+    "index_empty_contradiction",
+    "SELECT o_orderkey, o_custkey FROM orders WHERE o_custkey > 100 AND o_custkey < 50",
+)
+def q_index_contradiction(spark, sf_dir):
+    t = _t(spark, sf_dir, "orders", "o_orderkey")
+    t.create_index(IndexSpecification("idx_cust").add_column("o_custkey", "Long"))
+    f = fl.FilterList(
+        "AND",
+        [
+            fl.SingleColumnValueFilter("o_custkey", fl.GREATER, 100, filter_if_missing=True),
+            fl.SingleColumnValueFilter("o_custkey", fl.LESS, 50, filter_if_missing=True),
+        ],
+    )
+    return t.scan(Scan(filter=f, columns=["o_custkey"]))
+
+
+# ---------------------------------------------------------------------------
+# §2.2 mutation batches (put/delete/increment/append/checkAnd*)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "mutation_put_upsert",
+    """WITH latest AS (
+         SELECT user_id, value FROM (
+           SELECT user_id, value,
+                  row_number() OVER (PARTITION BY user_id
+                                     ORDER BY ts DESC, event_id DESC) AS rn
+           FROM events) WHERE rn = 1)
+       SELECT COALESCE(c.c_custkey, l.user_id) AS c_custkey,
+              c.c_name,
+              ROUND(COALESCE(l.value, c.c_acctbal), 2) AS c_acctbal,
+              c.c_mktsegment
+       FROM customer c FULL OUTER JOIN latest l ON c.c_custkey = l.user_id""",
+)
+def q_put_upsert(spark, sf_dir):
+    t = _t(spark, sf_dir, "customer", "c_custkey")
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    w = W.partitionBy("user_id").orderBy(F.col("ts").desc(), F.col("event_id").desc())
+    puts = (
+        ev.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(F.col("user_id").alias("c_custkey"), F.col("value").alias("c_acctbal"))
+    )
+    t2 = t.put(puts)
+    return t2.df.select(
+        "c_custkey", "c_name", F.round("c_acctbal", 2).alias("c_acctbal"), "c_mktsegment"
+    )
+
+
+@query(
+    "mutation_delete_batch",
+    """SELECT c_custkey, c_name FROM customer
+       WHERE c_custkey NOT IN (SELECT DISTINCT user_id FROM events
+                               WHERE event_type = 'error')""",
+)
+def q_delete_batch(spark, sf_dir):
+    t = _t(spark, sf_dir, "customer", "c_custkey")
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    keys = ev.filter(F.col("event_type") == "error").select(
+        F.col("user_id").alias("c_custkey")
+    )
+    t2 = t.delete(keys)
+    return t2.df.select("c_custkey", "c_name")
+
+
+@query(
+    "mutation_increment",
+    """WITH delta AS (SELECT user_id, SUM(value) AS d FROM events GROUP BY user_id)
+       SELECT COALESCE(c.c_custkey, delta.user_id) AS c_custkey,
+              ROUND(COALESCE(c.c_acctbal, 0) + COALESCE(delta.d, 0), 2) AS c_acctbal
+       FROM customer c FULL OUTER JOIN delta ON c.c_custkey = delta.user_id""",
+)
+def q_increment(spark, sf_dir):
+    t = _t(spark, sf_dir, "customer", "c_custkey")
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    incs = ev.select(F.col("user_id").alias("c_custkey"), F.col("value").alias("c_acctbal"))
+    t2 = t.increment(incs)
+    return t2.df.select("c_custkey", F.round("c_acctbal", 2).alias("c_acctbal"))
+
+
+@query(
+    "mutation_append",
+    """SELECT c_custkey,
+              CASE WHEN c_custkey < 10 THEN c_name || '-VIP' ELSE c_name END AS c_name
+       FROM customer""",
+)
+def q_append(spark, sf_dir):
+    t = _t(spark, sf_dir, "customer", "c_custkey")
+    apps = t.df.filter(F.col("c_custkey") < 10).select(
+        "c_custkey", F.lit("-VIP").alias("c_name")
+    )
+    t2 = t.append(apps)
+    return t2.df.select("c_custkey", "c_name")
+
+
+@query(
+    "mutation_check_and_put",
+    """SELECT c_custkey,
+              CASE WHEN c_acctbal > 5000 THEN 'PREMIUM' ELSE c_mktsegment END AS c_mktsegment
+       FROM customer""",
+)
+def q_check_and_put(spark, sf_dir):
+    t = _t(spark, sf_dir, "customer", "c_custkey")
+    puts = t.df.select("c_custkey", F.lit("PREMIUM").alias("c_mktsegment"))
+    t2 = t.check_and_put("c_acctbal", fl.GREATER, 5000.0, puts)
+    return t2.df.select("c_custkey", "c_mktsegment")
+
+
+# ---------------------------------------------------------------------------
+# cell layer: versions, time-range, tombstones
+# ---------------------------------------------------------------------------
+
+
+def _event_cells(spark, sf_dir):
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    return ev.select(
+        F.col("user_id").cast("string").alias("rowkey"),
+        F.lit("e").alias("cf"),
+        F.col("event_type").alias("qualifier"),
+        F.expr("ts div 1000").alias("ts"),  # nanosAsLong -> micros (oracle resolution)
+        F.lit("put").alias("op"),
+        F.format_string("%.2f", "value").alias("value"),
+    )
+
+
+@query(
+    "cells_latest_version",
+    """SELECT CAST(user_id AS VARCHAR) AS rowkey, event_type AS qualifier,
+              epoch_us(ts) AS ts, printf('%.2f', value) AS value
+       FROM (SELECT *, row_number() OVER (
+                PARTITION BY user_id, event_type
+                ORDER BY ts DESC, printf('%.2f', value) DESC) AS rn
+             FROM events) WHERE rn = 1""",
+)
+def q_cells_latest(spark, sf_dir):
+    from hindex_spark.cells import resolve
+
+    cells = _event_cells(spark, sf_dir)
+    return resolve(cells, max_versions=1).select("rowkey", "qualifier", "ts", "value")
+
+
+@query(
+    "cells_max_versions",
+    """SELECT CAST(user_id AS VARCHAR) AS rowkey, event_type AS qualifier,
+              epoch_us(ts) AS ts, printf('%.2f', value) AS value
+       FROM (SELECT *, row_number() OVER (
+                PARTITION BY user_id, event_type
+                ORDER BY ts DESC, printf('%.2f', value) DESC) AS rn
+             FROM events) WHERE rn <= 2""",
+)
+def q_cells_versions(spark, sf_dir):
+    from hindex_spark.cells import resolve
+
+    cells = _event_cells(spark, sf_dir)
+    return resolve(cells, max_versions=2).select("rowkey", "qualifier", "ts", "value")
+
+
+@query(
+    "cells_time_range",
+    """SELECT CAST(user_id AS VARCHAR) AS rowkey, event_type AS qualifier,
+              epoch_us(ts) AS ts, printf('%.2f', value) AS value
+       FROM events
+       WHERE epoch_us(ts) >= 1704070800000000 AND epoch_us(ts) < 1704074400000000""",
+)
+def q_cells_timerange(spark, sf_dir):
+    from hindex_spark.cells import resolve
+
+    cells = _event_cells(spark, sf_dir)
+    out = resolve(
+        cells,
+        max_versions=None,
+        time_range=(1704070800000000, 1704074400000000),
+    )
+    return out.select("rowkey", "qualifier", "ts", "value")
+
+
+@query(
+    "cells_tombstone_mask",
+    """WITH terr AS (
+         SELECT user_id, MAX(epoch_us(ts)) AS mts FROM events
+         WHERE event_type = 'error' GROUP BY user_id),
+       live AS (
+         SELECT e.* FROM events e LEFT JOIN terr ON e.user_id = terr.user_id
+         WHERE terr.mts IS NULL OR epoch_us(e.ts) > terr.mts)
+       SELECT CAST(user_id AS VARCHAR) AS rowkey, event_type AS qualifier,
+              epoch_us(ts) AS ts, printf('%.2f', value) AS value
+       FROM (SELECT *, row_number() OVER (
+                PARTITION BY user_id, event_type
+                ORDER BY ts DESC, printf('%.2f', value) DESC) AS rn
+             FROM live) WHERE rn = 1""",
+)
+def q_cells_tombstone(spark, sf_dir):
+    from hindex_spark.cells import resolve
+
+    cells = _event_cells(spark, sf_dir)
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    dels = (
+        ev.filter(F.col("event_type") == "error")
+        .groupBy("user_id")
+        .agg(F.max(F.expr("ts div 1000")).alias("dts"))
+        .select(
+            F.col("user_id").cast("string").alias("rowkey"),
+            F.lit(None).cast("string").alias("cf"),
+            F.lit(None).cast("string").alias("qualifier"),
+            F.col("dts").alias("ts"),
+            F.lit("delete_row").alias("op"),
+            F.lit(None).cast("string").alias("value"),
+        )
+    )
+    out = resolve(cells.unionByName(dels), max_versions=1)
+    return out.select("rowkey", "qualifier", "ts", "value")
+
+
+def all_queries():
+    return dict(QUERIES)
+
+
+def all_oracles():
+    return dict(ORACLES)
