@@ -1,0 +1,270 @@
+"""Deduplication operators: exact, n-gram Jaccard, MinHash+LSH, SimHash,
+embedding-cosine near-dup.
+
+Scale design (the point of each variant):
+  * exact: one hash-groupBy on the content hash — a single shuffle keyed
+    by md5, no full-text comparison;
+  * n-gram Jaccard: inverted-index self-join on shared tokens — cost is
+    sum over tokens of df(token)^2, fine for moderate fan-out; the exact
+    baseline the approximate methods are checked against;
+  * MinHash+LSH: signatures are one explode + one groupBy; banding turns
+    the quadratic pair search into an equi-join on band buckets — the
+    100 TB path (cost ~ candidates, not pairs);
+  * SimHash: one 32-bit value per doc; near-dup = Hamming<=k on a
+    self-join (blocked by band in production; exact here);
+  * embedding cosine: blocked self-join (label/bucket) + vectorized dot.
+
+All hashes derive from md5 so the DuckDB oracle can reproduce them
+bit-for-bit: h(token) = first 15 hex digits of md5 as int, reduced mod
+MERSENNE31; minhash_i = min((A[i]*h + B[i]) mod MERSENNE31).
+"""
+
+from __future__ import annotations
+
+from typing import List, Optional
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from hindex_spark.operators.text import distinct_tokens, fingerprint
+
+MERSENNE31 = 2147483647  # 2^31 - 1
+
+# Fixed affine hash parameters (seed-42-style constants; mirrored
+# literally in the oracle SQL builders below).
+MINHASH_A = [1299721, 1299827, 1299853, 1299869, 1299721 * 3 % MERSENNE31,
+             1500450271 % MERSENNE31, 179424673, 15485863]
+MINHASH_B = [15485867, 32452843, 49979687, 67867967, 86028121,
+             104395301, 122949823, 141650939]
+N_HASHES = 8
+BAND_SIZE = 2  # 4 bands of 2 -> candidates at jaccard ~>= 0.5
+
+
+def token_hash(token: Column) -> Column:
+    """Deterministic 31-bit token hash reproducible in ANSI SQL:
+    int(md5[0:15] hex) mod (2^31-1)."""
+    return (F.conv(F.substring(F.md5(token), 1, 15), 16, 10).cast("long") % MERSENNE31)
+
+
+def doc_tokens(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """(id, token) pairs, distinct tokens per doc."""
+    return df.select(
+        F.col(id_col), F.explode(distinct_tokens(F.col(text_col))).alias("token")
+    )
+
+
+# ---------------------------------------------------------------------------
+# exact dedup
+# ---------------------------------------------------------------------------
+
+
+def exact_dedup_groups(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """One row per distinct content: keeper id (min), dup count, hash."""
+    return (
+        df.select(F.col(id_col), fingerprint(F.col(text_col)).alias("content_hash"))
+        .groupBy("content_hash")
+        .agg(F.min(id_col).alias(id_col), F.count("*").alias("dup_count"))
+        .select(id_col, "content_hash", "dup_count")
+    )
+
+
+def exact_dedup(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Keep one representative row per distinct content."""
+    keep = exact_dedup_groups(df, id_col, text_col).select(id_col)
+    return df.join(keep, id_col, "left_semi")
+
+
+# ---------------------------------------------------------------------------
+# n-gram (token) Jaccard
+# ---------------------------------------------------------------------------
+
+
+def jaccard_pairs(
+    df: DataFrame, id_col: str, text_col: str, threshold: float
+) -> DataFrame:
+    """Exact token-set Jaccard >= threshold via inverted-index join.
+    Output: (id_a, id_b, jaccard) with id_a < id_b."""
+    tok = doc_tokens(df, id_col, text_col)
+    sizes = tok.groupBy(id_col).agg(F.count("*").alias("n"))
+    a = tok.select(F.col(id_col).alias("id_a"), "token")
+    b = tok.select(F.col(id_col).alias("id_b"), "token")
+    common = (
+        a.join(b, "token")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.count("*").alias("c"))
+    )
+    sa = sizes.select(F.col(id_col).alias("id_a"), F.col("n").alias("na"))
+    sb = sizes.select(F.col(id_col).alias("id_b"), F.col("n").alias("nb"))
+    return (
+        common.join(sa, "id_a")
+        .join(sb, "id_b")
+        .withColumn("jaccard", F.col("c") / (F.col("na") + F.col("nb") - F.col("c")))
+        .filter(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# MinHash + LSH
+# ---------------------------------------------------------------------------
+
+
+def minhash_signatures(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """(id, mh0..mh7): one explode + one groupBy with 8 min-aggregates —
+    the scan-shaped signature job that scales linearly."""
+    tok = doc_tokens(df, id_col, text_col).withColumn("h", token_hash(F.col("token")))
+    aggs = [
+        F.min((F.lit(MINHASH_A[i]) * F.col("h") + F.lit(MINHASH_B[i])) % MERSENNE31).alias(
+            f"mh{i}"
+        )
+        for i in range(N_HASHES)
+    ]
+    return tok.groupBy(id_col).agg(*aggs)
+
+
+def lsh_candidate_pairs(signatures: DataFrame, id_col: str) -> DataFrame:
+    """Band the signature (4 bands x 2 rows) and equi-join on band
+    buckets — the pair search becomes a shuffle join keyed by
+    (band_id, bucket), never a cross join."""
+    n_bands = N_HASHES // BAND_SIZE
+    bands = signatures.select(
+        F.col(id_col),
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        F.concat_ws(
+                            "_",
+                            *[F.col(f"mh{b * BAND_SIZE + r}") for r in range(BAND_SIZE)],
+                        ).alias("bucket"),
+                    )
+                    for b in range(n_bands)
+                ]
+            )
+        ).alias("bb"),
+    ).select(id_col, F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket"))
+    a = bands.select(F.col(id_col).alias("id_a"), "band", "bucket")
+    b = bands.select(F.col(id_col).alias("id_b"), "band", "bucket")
+    return (
+        a.join(b, ["band", "bucket"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .distinct()
+    )
+
+
+def minhash_dedup_pairs(
+    df: DataFrame, id_col: str, text_col: str, threshold: float
+) -> DataFrame:
+    """LSH candidates verified with exact Jaccard (candidate set is tiny
+    relative to all pairs, so verification is cheap)."""
+    cands = lsh_candidate_pairs(minhash_signatures(df, id_col, text_col), id_col)
+    tok = doc_tokens(df, id_col, text_col)
+    sizes = tok.groupBy(id_col).agg(F.count("*").alias("n"))
+    ta = tok.select(F.col(id_col).alias("id_a"), "token")
+    tb = tok.select(F.col(id_col).alias("id_b"), "token")
+    common = (
+        cands.join(ta, "id_a")
+        .join(tb, ["id_b", "token"])
+        .groupBy("id_a", "id_b")
+        .agg(F.count("*").alias("c"))
+    )
+    sa = sizes.select(F.col(id_col).alias("id_a"), F.col("n").alias("na"))
+    sb = sizes.select(F.col(id_col).alias("id_b"), F.col("n").alias("nb"))
+    return (
+        common.join(sa, "id_a")
+        .join(sb, "id_b")
+        .withColumn("jaccard", F.col("c") / (F.col("na") + F.col("nb") - F.col("c")))
+        .filter(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# SimHash
+# ---------------------------------------------------------------------------
+
+SIMHASH_BITS = 32
+
+
+def simhash(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """32-bit SimHash per doc: one explode + one groupBy with 32 signed
+    bit-sums folded back into an int."""
+    tok = doc_tokens(df, id_col, text_col).withColumn("h", token_hash(F.col("token")))
+    bit_sums = [
+        F.sum(
+            F.when(F.shiftright(F.col("h"), b).bitwiseAND(1) == 1, 1).otherwise(-1)
+        ).alias(f"s{b}")
+        for b in range(SIMHASH_BITS)
+    ]
+    agg = tok.groupBy(id_col).agg(*bit_sums)
+    sim = None
+    for b in range(SIMHASH_BITS):
+        term = F.when(F.col(f"s{b}") > 0, F.lit(2 ** b).cast("long")).otherwise(F.lit(0))
+        sim = term if sim is None else (sim + term)
+    return agg.select(F.col(id_col), sim.alias("simhash"))
+
+
+def simhash_pairs(
+    df: DataFrame, id_col: str, text_col: str, max_hamming: int
+) -> DataFrame:
+    """Near-dup pairs with Hamming(simhash) <= k. Exact self-join here;
+    at scale, block on simhash bands first (same trick as LSH)."""
+    sh = simhash(df, id_col, text_col)
+    a = sh.select(F.col(id_col).alias("id_a"), F.col("simhash").alias("sh_a"))
+    b = sh.select(F.col(id_col).alias("id_b"), F.col("simhash").alias("sh_b"))
+    return (
+        a.crossJoin(b)
+        .filter(F.col("id_a") < F.col("id_b"))
+        .withColumn("hamming", F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b"))))
+        .filter(F.col("hamming") <= max_hamming)
+        .select("id_a", "id_b", "hamming")
+    )
+
+
+# ---------------------------------------------------------------------------
+# embedding cosine near-dup
+# ---------------------------------------------------------------------------
+
+
+def cosine_expr(a: Column, b: Column) -> Column:
+    """Cosine similarity of two array<float> columns, computed in double
+    (JVM-side zip_with/aggregate — no Python)."""
+    da = F.transform(a, lambda x: x.cast("double"))
+    db = F.transform(b, lambda x: x.cast("double"))
+    dot = F.aggregate(
+        F.zip_with(da, db, lambda x, y: x * y), F.lit(0.0), lambda acc, x: acc + x
+    )
+    na = F.sqrt(F.aggregate(F.transform(da, lambda x: x * x), F.lit(0.0), lambda a_, x: a_ + x))
+    nb = F.sqrt(F.aggregate(F.transform(db, lambda x: x * x), F.lit(0.0), lambda a_, x: a_ + x))
+    return dot / (na * nb)
+
+
+def embedding_near_dup_pairs(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    threshold: float,
+    block_col: Optional[str] = None,
+) -> DataFrame:
+    """Cosine >= threshold pairs. ``block_col`` keys the self-join (label,
+    LSH bucket, ...) so the search is per-block, not global quadratic."""
+    a = df.select(
+        F.col(id_col).alias("id_a"),
+        F.col(vec_col).alias("v_a"),
+        *( [F.col(block_col).alias("blk")] if block_col else [] ),
+    )
+    b = df.select(
+        F.col(id_col).alias("id_b"),
+        F.col(vec_col).alias("v_b"),
+        *( [F.col(block_col).alias("blk")] if block_col else [] ),
+    )
+    joined = a.join(b, "blk") if block_col else a.crossJoin(b)
+    return (
+        joined.filter(F.col("id_a") < F.col("id_b"))
+        .withColumn("cosine", F.round(cosine_expr(F.col("v_a"), F.col("v_b")), 6))
+        .filter(F.col("cosine") >= threshold)
+        .select("id_a", "id_b", "cosine")
+    )

@@ -1,0 +1,117 @@
+"""Multimodal columns: image/audio/video as opaque binary columns with
+typed metadata, processed by Arrow-batched Pandas operators.
+
+The Spark-side plumbing (schema, partition-sized batch iteration, UDF
+signatures) is real and tested; the actual media decode is stubbed
+behind ``NotImplementedError`` (decode libs are not in this container)
+with a deterministic fake used by tests — swap ``_decode_stub`` for a
+PIL/ffmpeg call and nothing else changes.
+
+Scale notes: blobs ride the normal columnar path (parquet binary
+columns); mapInPandas streams Arrow batches so a 100 MB image batch
+never materializes per-row Python objects. Keep blob columns OUT of
+shuffle keys; repartition by the metadata key, never by payload.
+"""
+
+from __future__ import annotations
+
+from typing import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+BLOB_META = T.StructType(
+    [
+        T.StructField("media_type", T.StringType(), True),   # image|audio|video
+        T.StructField("format", T.StringType(), True),       # png|wav|mp4|...
+        T.StructField("width", T.IntegerType(), True),
+        T.StructField("height", T.IntegerType(), True),
+        T.StructField("duration_ms", T.LongType(), True),
+    ]
+)
+
+REAL_DECODE = False  # flip when decode libs are available
+
+
+def attach_blob(df: DataFrame, text_col: str = "text", media_type: str = "image") -> DataFrame:
+    """Synthesize a deterministic binary payload column (utf-8 bytes of
+    the text) + typed metadata — the ingestion shape for media tables."""
+    return df.withColumn("blob", F.encode(F.col(text_col), "utf-8")).withColumn(
+        "blob_meta",
+        F.struct(
+            F.lit(media_type).alias("media_type"),
+            F.lit("raw").alias("format"),
+            F.lit(None).cast("int").alias("width"),
+            F.lit(None).cast("int").alias("height"),
+            F.lit(None).cast("long").alias("duration_ms"),
+        ),
+    )
+
+
+def blob_stats(df: DataFrame, blob_col: str = "blob") -> DataFrame:
+    """Cheap JVM-side blob facts (no decode): byte length + md5."""
+    return df.withColumn("blob_len", F.length(F.col(blob_col))).withColumn(
+        "blob_md5", F.md5(F.col(blob_col))
+    )
+
+
+def _decode_stub(payload: bytes) -> dict:
+    """Deterministic fake decode: byte-level stats standing in for pixel
+    decoding. A real build replaces this body with PIL/ffmpeg."""
+    if REAL_DECODE:
+        raise NotImplementedError("media decode libs not present in this container")
+    n = len(payload)
+    s = sum(payload) if n else 0
+    return {
+        "n_bytes": n,
+        "mean_byte": (s / n) if n else 0.0,
+        "max_byte": max(payload) if n else 0,
+    }
+
+
+FEATURE_SCHEMA = "doc_id long, n_bytes long, mean_byte double, max_byte int"
+
+
+def extract_features(df: DataFrame, id_col: str = "doc_id", blob_col: str = "blob") -> DataFrame:
+    """mapInPandas feature extraction over Arrow batches — the pattern
+    for decode / resize / frame-sample operators."""
+
+    def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            feats = pdf[blob_col].map(lambda b: _decode_stub(bytes(b)))
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf[id_col],
+                    "n_bytes": feats.map(lambda d: d["n_bytes"]),
+                    "mean_byte": feats.map(lambda d: d["mean_byte"]),
+                    "max_byte": feats.map(lambda d: d["max_byte"]),
+                }
+            )
+
+    return df.select(id_col, blob_col).mapInPandas(op, schema=FEATURE_SCHEMA)
+
+
+def frame_sample(df: DataFrame, id_col: str = "doc_id", blob_col: str = "blob", every: int = 16) -> DataFrame:
+    """Frame-sampling plumbing: explode each blob into every-Nth 'frame'
+    (byte chunk stand-in). Real video decode replaces the chunker only."""
+
+    def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for _, r in pdf.iterrows():
+                payload = bytes(r[blob_col])
+                for i, off in enumerate(range(0, len(payload), every)):
+                    rows.append(
+                        {
+                            "doc_id": r[id_col],
+                            "frame_no": i,
+                            "frame": payload[off : off + every],
+                        }
+                    )
+            yield pd.DataFrame(rows, columns=["doc_id", "frame_no", "frame"])
+
+    return df.select(id_col, blob_col).mapInPandas(
+        op, schema="doc_id long, frame_no int, frame binary"
+    )

@@ -1,0 +1,140 @@
+"""Text-analysis operators for large-scale training-data pipelines:
+tokenization, token counting, quality scoring, language ID, document
+fingerprinting. All JVM-side built-in functions (no Python UDFs) so the
+whole pipeline stays in whole-stage codegen — at 100 TB these run as a
+single pass over the documents table with full column pruning.
+"""
+
+from __future__ import annotations
+
+from typing import Dict, List
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# Whitespace tokenizer shared by every operator (and mirrored in oracle
+# SQL as string_split_regex(trim(text), '\s+')).
+TOKEN_RE = r"\s+"
+
+# BPE-ish word/number/punct splitter (mirrored in DuckDB regexp_extract_all).
+BPE_RE = "[a-z]+|[0-9]+|[^a-z0-9 ]"
+
+STOPWORDS = ["the", "a", "of", "and", "to", "in", "is", "it"]
+
+# n-gram language markers: deterministic scoring sets (the reference for a
+# real pipeline would be character-n-gram profiles; same plumbing).
+LANG_MARKERS: Dict[str, List[str]] = {
+    "de": ["und", "der", "die", "nicht", "batch", "slow"],
+    "en": ["the", "a", "and", "fast", "data", "row"],
+    "es": ["el", "la", "que", "query", "line", "scan"],
+    "fr": ["le", "la", "et", "spark", "part", "join"],
+    "zh": ["de", "shi", "bu", "merge", "value", "agg"],
+}
+
+
+def tokens(col: Column) -> Column:
+    return F.split(F.trim(col), TOKEN_RE)
+
+
+def distinct_tokens(col: Column) -> Column:
+    return F.array_distinct(tokens(col))
+
+
+def token_count(col: Column) -> Column:
+    """Whitespace token count."""
+    return F.size(tokens(col))
+
+
+def bpe_token_count(col: Column) -> Column:
+    """Sub-word-ish token count via the BPE-ish regex."""
+    return F.size(F.regexp_extract_all(col, F.lit(BPE_RE), F.lit(0)))
+
+
+def char_count(col: Column) -> Column:
+    return F.length(col)
+
+
+def punct_ratio(col: Column) -> Column:
+    """Fraction of characters that are punctuation."""
+    punct = F.length(F.regexp_replace(col, r"[^.!?,;:]", ""))
+    return punct / F.greatest(F.length(col), F.lit(1))
+
+
+def stopword_ratio(col: Column) -> Column:
+    toks = tokens(col)
+    hits = F.size(F.filter(toks, lambda x: x.isin(*STOPWORDS)))
+    return hits / F.greatest(F.size(toks), F.lit(1))
+
+
+def mean_token_len(col: Column) -> Column:
+    toks = tokens(col)
+    total = F.aggregate(toks, F.lit(0), lambda acc, x: acc + F.length(x))
+    return total / F.greatest(F.size(toks), F.lit(1))
+
+
+def quality_score(col: Column) -> Column:
+    """Composite [0,1]-ish quality heuristic: long enough, low punct,
+    moderate stopword density, sane word lengths — the usual cheap
+    pre-filter before expensive dedup/classification stages."""
+    len_score = F.least(F.length(col) / F.lit(200.0), F.lit(1.0))
+    punct_pen = punct_ratio(col) * 2.0
+    stop = stopword_ratio(col)
+    wordlen = mean_token_len(col)
+    wordlen_pen = F.when((wordlen < 2) | (wordlen > 12), F.lit(0.3)).otherwise(F.lit(0.0))
+    return F.greatest(
+        F.least(len_score - punct_pen - wordlen_pen + stop * 0.2, F.lit(1.0)), F.lit(0.0)
+    )
+
+
+def lang_scores(col: Column) -> Dict[str, Column]:
+    toks = distinct_tokens(col)
+    return {
+        lang: F.size(F.filter(toks, lambda x: x.isin(*markers)))
+        for lang, markers in sorted(LANG_MARKERS.items())
+    }
+
+
+def lang_id(col: Column) -> Column:
+    """Predicted language = argmax marker hits, alphabetical tie-break."""
+    scores = lang_scores(col)
+    # build: CASE with langs in alphabetical order, strict > keeps earlier
+    # (alphabetically smaller) lang on ties
+    langs = sorted(scores.keys())
+    best_lang = F.lit(langs[0])
+    best_score = scores[langs[0]]
+    for lang in langs[1:]:
+        cond = scores[lang] > best_score
+        best_lang = F.when(cond, F.lit(lang)).otherwise(best_lang)
+        best_score = F.when(cond, scores[lang]).otherwise(best_score)
+    return best_lang
+
+
+def normalize_text(col: Column) -> Column:
+    return F.regexp_replace(F.lower(F.trim(col)), r"\s+", " ")
+
+
+def fingerprint(col: Column) -> Column:
+    """Exact-content fingerprint: md5 of normalized text."""
+    return F.md5(normalize_text(col))
+
+
+def bag_fingerprint(col: Column) -> Column:
+    """Order-insensitive fingerprint: md5 of the sorted distinct token
+    bag (catches shuffled near-dups that exact fingerprints miss)."""
+    return F.md5(F.array_join(F.array_sort(distinct_tokens(col)), " "))
+
+
+def analyze(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """One-pass text analysis: all metrics as added columns."""
+    c = F.col(text_col)
+    return df.select(
+        "*",
+        token_count(c).alias("n_tokens"),
+        bpe_token_count(c).alias("n_bpe_tokens"),
+        F.round(punct_ratio(c), 4).alias("punct_ratio"),
+        F.round(stopword_ratio(c), 4).alias("stopword_ratio"),
+        F.round(quality_score(c), 4).alias("quality"),
+        lang_id(c).alias("lang_pred"),
+        fingerprint(c).alias("fingerprint"),
+        bag_fingerprint(c).alias("bag_fingerprint"),
+    )

@@ -710,8 +710,12 @@ def q_cells_tombstone(spark, sf_dir):
 
 
 def all_queries():
+    import hindex_spark.queries_pipeline  # noqa: F401  (registers entries)
+
     return dict(QUERIES)
 
 
 def all_oracles():
+    import hindex_spark.queries_pipeline  # noqa: F401
+
     return dict(ORACLES)

@@ -1,0 +1,349 @@
+"""Data-pipeline query surface: dedup, similarity search, text analysis,
+multimodal — registered into the same queries/oracles registry.
+
+The MinHash/SimHash oracle SQL is generated from the SAME constants the
+Spark operators use (hindex_spark.operators.dedup), so the two sides
+cannot drift.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from hindex_spark.operators import dedup as dd
+from hindex_spark.operators import multimodal as mm
+from hindex_spark.operators import similarity as sim
+from hindex_spark.operators import text as tx
+from hindex_spark.queries import query
+
+# ---------------------------------------------------------------------------
+# shared oracle SQL fragments
+# ---------------------------------------------------------------------------
+
+_TOKENS_CTE = (
+    "tok AS (SELECT doc_id, unnest(list_distinct("
+    "string_split_regex(trim(text), '\\s+'))) AS token FROM documents)"
+)
+_HASH_EXPR = (
+    "CAST(CONCAT('0x', SUBSTRING(md5(token), 1, 15)) AS BIGINT) % 2147483647"
+)
+
+
+def _minhash_sig_sql() -> str:
+    mins = ", ".join(
+        f"MIN(({dd.MINHASH_A[i]} * h + {dd.MINHASH_B[i]}) % {dd.MERSENNE31}) AS mh{i}"
+        for i in range(dd.N_HASHES)
+    )
+    return (
+        f"WITH {_TOKENS_CTE}, "
+        f"hashed AS (SELECT doc_id, {_HASH_EXPR} AS h FROM tok), "
+        f"sig AS (SELECT doc_id, {mins} FROM hashed GROUP BY doc_id)"
+    )
+
+
+def _bands_sql() -> str:
+    n_bands = dd.N_HASHES // dd.BAND_SIZE
+    selects = []
+    for b in range(n_bands):
+        cols = " || '_' || ".join(
+            f"CAST(mh{b * dd.BAND_SIZE + r} AS VARCHAR)" for r in range(dd.BAND_SIZE)
+        )
+        selects.append(f"SELECT doc_id, {b} AS band, {cols} AS bucket FROM sig")
+    return "bands AS (" + " UNION ALL ".join(selects) + ")"
+
+
+# ---------------------------------------------------------------------------
+# dedup
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "dedup_exact",
+    """SELECT MIN(doc_id) AS doc_id,
+              md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) AS content_hash,
+              COUNT(*) AS dup_count
+       FROM documents GROUP BY 2""",
+)
+def q_dedup_exact(spark, sf_dir):
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return dd.exact_dedup_groups(docs, "doc_id", "text")
+
+
+@query(
+    "dedup_jaccard",
+    f"""WITH {_TOKENS_CTE},
+        sz AS (SELECT doc_id, COUNT(*) AS n FROM tok GROUP BY doc_id),
+        common AS (
+          SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS c
+          FROM tok a JOIN tok b ON a.token = b.token AND a.doc_id < b.doc_id
+          GROUP BY 1, 2)
+        SELECT id_a, id_b,
+               ROUND(c * 1.0 / (sa.n + sb.n - c), 6) AS jaccard
+        FROM common
+        JOIN sz sa ON id_a = sa.doc_id
+        JOIN sz sb ON id_b = sb.doc_id
+        WHERE c * 1.0 / (sa.n + sb.n - c) >= 0.9""",
+)
+def q_dedup_jaccard(spark, sf_dir):
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return dd.jaccard_pairs(docs, "doc_id", "text", 0.9)
+
+
+@query(
+    "dedup_minhash_lsh",
+    f"""{_minhash_sig_sql()},
+        {_bands_sql()},
+        cand AS (
+          SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+          FROM bands a JOIN bands b
+            ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id),
+        sz AS (SELECT doc_id, COUNT(*) AS n FROM tok GROUP BY doc_id),
+        common AS (
+          SELECT c.id_a, c.id_b, COUNT(*) AS c
+          FROM cand c
+          JOIN tok ta ON ta.doc_id = c.id_a
+          JOIN tok tb ON tb.doc_id = c.id_b AND tb.token = ta.token
+          GROUP BY 1, 2)
+        SELECT id_a, id_b, ROUND(c * 1.0 / (sa.n + sb.n - c), 6) AS jaccard
+        FROM common
+        JOIN sz sa ON id_a = sa.doc_id
+        JOIN sz sb ON id_b = sb.doc_id
+        WHERE c * 1.0 / (sa.n + sb.n - c) >= 0.9""",
+)
+def q_dedup_minhash(spark, sf_dir):
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return dd.minhash_dedup_pairs(docs, "doc_id", "text", 0.9)
+
+
+def _simhash_sql() -> str:
+    sums = ", ".join(
+        f"SUM(CASE WHEN (h >> {b}) & 1 = 1 THEN 1 ELSE -1 END) AS s{b}"
+        for b in range(dd.SIMHASH_BITS)
+    )
+    val = " + ".join(
+        f"(CASE WHEN s{b} > 0 THEN CAST({2 ** b} AS BIGINT) ELSE 0 END)"
+        for b in range(dd.SIMHASH_BITS)
+    )
+    return (
+        f"WITH {_TOKENS_CTE}, "
+        f"hashed AS (SELECT doc_id, {_HASH_EXPR} AS h FROM tok), "
+        f"sums AS (SELECT doc_id, {sums} FROM hashed GROUP BY doc_id), "
+        f"sh AS (SELECT doc_id, {val} AS simhash FROM sums)"
+    )
+
+
+@query(
+    "dedup_simhash",
+    f"""{_simhash_sql()}
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+               bit_count(xor(a.simhash, b.simhash)) AS hamming
+        FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+        WHERE bit_count(xor(a.simhash, b.simhash)) <= 3""",
+)
+def q_dedup_simhash(spark, sf_dir):
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return dd.simhash_pairs(docs, "doc_id", "text", 3)
+
+
+_COS_SQL = (
+    "list_dot_product(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])) / "
+    "(sqrt(list_dot_product(CAST(a.embedding AS DOUBLE[]), CAST(a.embedding AS DOUBLE[]))) * "
+    "sqrt(list_dot_product(CAST(b.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[]))))"
+)
+
+
+@query(
+    "dedup_embedding_cosine",
+    f"""SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+               ROUND({_COS_SQL}, 6) AS cosine
+        FROM embeddings a JOIN embeddings b
+          ON a.label = b.label AND a.vec_id < b.vec_id
+        WHERE ROUND({_COS_SQL}, 6) >= 0.35""",
+)
+def q_dedup_embedding(spark, sf_dir):
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    return dd.embedding_near_dup_pairs(emb, "vec_id", "embedding", 0.35, block_col="label")
+
+
+# ---------------------------------------------------------------------------
+# similarity search
+# ---------------------------------------------------------------------------
+
+_Q_COS_SQL = (
+    "list_dot_product(CAST(e.embedding AS DOUBLE[]), CAST(q.embedding AS DOUBLE[])) / "
+    "(sqrt(list_dot_product(CAST(e.embedding AS DOUBLE[]), CAST(e.embedding AS DOUBLE[]))) * "
+    "sqrt(list_dot_product(CAST(q.embedding AS DOUBLE[]), CAST(q.embedding AS DOUBLE[]))))"
+)
+
+
+@query(
+    "sim_bruteforce_topk",
+    f"""SELECT q_id, vec_id, cosine, rank FROM (
+          SELECT q.vec_id AS q_id, e.vec_id AS vec_id,
+                 ROUND({_Q_COS_SQL}, 6) AS cosine,
+                 row_number() OVER (
+                   PARTITION BY q.vec_id
+                   ORDER BY ROUND({_Q_COS_SQL}, 6) DESC, e.vec_id) AS rank
+          FROM embeddings e, embeddings q
+          WHERE q.vec_id < 5 AND e.vec_id != q.vec_id)
+        WHERE rank <= 10""",
+)
+def q_sim_bruteforce(spark, sf_dir):
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    queries_df = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_vec")
+    )
+    return sim.brute_force_topk(emb, queries_df, 10)
+
+
+# LSH ANN: same algorithm in SQL — hyperplane literals generated from the
+# shared seeded generator.
+def _lsh_oracle() -> str:
+    planes = sim.hyperplanes()
+    terms = []
+    for j, p in enumerate(planes):
+        lit = "[" + ", ".join(f"{v!r}" for v in p) + "]"
+        terms.append(
+            f"(CASE WHEN list_dot_product(CAST({{side}}.embedding AS DOUBLE[]), "
+            f"CAST({lit} AS DOUBLE[])) >= 0 THEN CAST({2 ** j} AS BIGINT) ELSE 0 END)"
+        )
+    bucket = " + ".join(terms)
+    return f"""
+        WITH eb AS (SELECT vec_id, embedding, {bucket.format(side='e')} AS bucket
+                    FROM embeddings e),
+             qb AS (SELECT vec_id, embedding, {bucket.format(side='e')} AS bucket
+                    FROM embeddings e WHERE vec_id < 5)
+        SELECT q_id, vec_id, cosine, rank FROM (
+          SELECT q.vec_id AS q_id, e.vec_id AS vec_id,
+                 ROUND({_Q_COS_SQL}, 6) AS cosine,
+                 row_number() OVER (
+                   PARTITION BY q.vec_id
+                   ORDER BY ROUND({_Q_COS_SQL}, 6) DESC, e.vec_id) AS rank
+          FROM eb e JOIN qb q ON e.bucket = q.bucket AND e.vec_id != q.vec_id)
+        WHERE rank <= 10"""
+
+
+@query("sim_lsh_ann_topk", _lsh_oracle())
+def q_sim_lsh(spark, sf_dir):
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    queries_df = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_vec")
+    )
+    return sim.lsh_topk(emb, queries_df, 10)
+
+
+# ---------------------------------------------------------------------------
+# text analysis
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "text_token_count",
+    """SELECT doc_id,
+              len(string_split_regex(trim(text), '\\s+')) AS n_tokens,
+              len(regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9 ]')) AS n_bpe_tokens
+       FROM documents""",
+)
+def q_text_tokens(spark, sf_dir):
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    c = F.col("text")
+    return docs.select(
+        "doc_id",
+        tx.token_count(c).alias("n_tokens"),
+        tx.bpe_token_count(c).alias("n_bpe_tokens"),
+    )
+
+
+_STOP_LIT = "[" + ", ".join(f"'{w}'" for w in tx.STOPWORDS) + "]"
+
+
+@query(
+    "text_quality",
+    f"""WITH t AS (SELECT doc_id, text,
+                   string_split_regex(trim(text), '\\s+') AS toks FROM documents),
+        q AS (SELECT doc_id,
+               least(length(text) / 200.0, 1.0) AS len_score,
+               length(regexp_replace(text, '[^.!?,;:]', '', 'g')) * 2.0
+                 / greatest(length(text), 1) AS punct_pen,
+               len(list_filter(toks, x -> list_contains({_STOP_LIT}, x))) * 1.0
+                 / greatest(len(toks), 1) AS stop,
+               list_sum(list_transform(toks, x -> length(x))) * 1.0
+                 / greatest(len(toks), 1) AS wordlen
+              FROM t)
+        SELECT doc_id,
+               ROUND(greatest(least(len_score - punct_pen
+                 - (CASE WHEN wordlen < 2 OR wordlen > 12 THEN 0.3 ELSE 0.0 END)
+                 + stop * 0.2, 1.0), 0.0), 4) AS quality
+        FROM q""",
+)
+def q_text_quality(spark, sf_dir):
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return docs.select("doc_id", F.round(tx.quality_score(F.col("text")), 4).alias("quality"))
+
+
+def _langid_oracle() -> str:
+    langs = sorted(tx.LANG_MARKERS.keys())
+    score_cols = []
+    for lang in langs:
+        lit = "[" + ", ".join(f"'{w}'" for w in tx.LANG_MARKERS[lang]) + "]"
+        score_cols.append(
+            f"len(list_filter(toks, x -> list_contains({lit}, x))) AS s_{lang}"
+        )
+    # same argmax-with-alphabetical-tie-break as the Spark side
+    best = f"'{langs[0]}'"
+    best_score = f"s_{langs[0]}"
+    for lang in langs[1:]:
+        best = f"CASE WHEN s_{lang} > {best_score} THEN '{lang}' ELSE {best} END"
+        best_score = f"greatest(s_{lang}, {best_score})"
+    return f"""
+        WITH t AS (SELECT doc_id, list_distinct(
+                     string_split_regex(trim(text), '\\s+')) AS toks FROM documents),
+        s AS (SELECT doc_id, {', '.join(score_cols)} FROM t)
+        SELECT doc_id, {best} AS lang_pred FROM s"""
+
+
+@query("text_lang_id", _langid_oracle())
+def q_text_langid(spark, sf_dir):
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return docs.select("doc_id", tx.lang_id(F.col("text")).alias("lang_pred"))
+
+
+@query(
+    "text_fingerprint",
+    """SELECT doc_id,
+              md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) AS fingerprint,
+              md5(array_to_string(list_sort(list_distinct(
+                string_split_regex(trim(text), '\\s+'))), ' ')) AS bag_fingerprint
+       FROM documents""",
+)
+def q_text_fingerprint(spark, sf_dir):
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    c = F.col("text")
+    return docs.select(
+        "doc_id",
+        tx.fingerprint(c).alias("fingerprint"),
+        tx.bag_fingerprint(c).alias("bag_fingerprint"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# multimodal (binary columns)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "multimodal_blob_stats",
+    """SELECT doc_id, octet_length(encode(text)) AS blob_len,
+              md5(text) AS blob_md5
+       FROM documents""",
+)
+def q_blob_stats(spark, sf_dir):
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    with_blob = mm.attach_blob(docs)
+    return mm.blob_stats(with_blob).select("doc_id", "blob_len", "blob_md5")
+
+
+@query("multimodal_features")  # mapInPandas path: rows-only driver check
+def q_mm_features(spark, sf_dir):
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return mm.extract_features(mm.attach_blob(docs))
