@@ -1,0 +1,148 @@
+"""Benchmark harness: the reference's PerformanceEvaluation workload set
+(PerformanceEvaluation.java:147-167) mapped onto this engine, plus the
+index-accelerated filterScan variants the fork exists for, plus the
+data-pipeline headliners.
+
+Runs at $SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1) on
+local[$SPARK_GRAFT_CPUS]. Prints ONE JSON line:
+{"metric": ..., "value": N, "unit": "sec", "queries": {...}, "sf": ...}
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from pyspark.sql import functions as F
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+
+def main():
+    from hindex_spark import filters as fl
+    from hindex_spark.index.spec import IndexSpecification
+    from hindex_spark.operators import dedup as dd
+    from hindex_spark.operators import similarity as sim
+    from hindex_spark.operators import text as tx
+    from hindex_spark.session import get_spark
+    from hindex_spark.table import Scan, Table
+
+    spark = get_spark("hindex_bench")
+    sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
+
+    orders = Table.from_parquet(spark, f"{SF_DIR}/orders.parquet", "o_orderkey", "orders")
+    lineitem = Table.from_parquet(spark, f"{SF_DIR}/lineitem.parquet", "l_orderkey", "lineitem")
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+
+    # Index tables are part of the database, not of the query: build +
+    # cache once (the reference maintains T_idx persistently too).
+    orders.create_index(IndexSpecification("idx_cust").add_column("o_custkey", "Long"))
+    orders.index_tables["idx_cust"] = orders.index_tables["idx_cust"].cache()
+    orders.index_tables["idx_cust"].count()
+
+    n_orders = orders.df.count()  # warm JVM + page cache
+
+    timings = {}
+
+    def bench(name, fn):
+        t0 = time.perf_counter()
+        fn()
+        timings[name] = round(time.perf_counter() - t0, 4)
+
+    # --- PE workloads -----------------------------------------------------
+    bench("random_read", lambda: orders.get(n_orders // 2).collect())
+
+    def scan_range(n):
+        start = n_orders // 3
+        return lambda: orders.scan(
+            Scan(start_row=start, stop_row=start + n)
+        ).collect()
+
+    bench("scan_range_10", scan_range(10))
+    bench("scan_range_100", scan_range(100))
+    bench("scan_range_1000", scan_range(1000))
+    bench("scan_range_10000", scan_range(10000))
+
+    bench("sequential_read", lambda: lineitem.scan(Scan()).count())
+
+    f_sel = fl.FilterList(
+        "AND",
+        [
+            fl.SingleColumnValueFilter("l_quantity", fl.GREATER_OR_EQUAL, 49.0, filter_if_missing=True),
+            fl.SingleColumnValueFilter("l_discount", fl.GREATER_OR_EQUAL, 0.09, filter_if_missing=True),
+        ],
+    )
+    bench("filter_scan", lambda: lineitem.scan(Scan(filter=f_sel)).count())
+
+    f_idx = fl.SingleColumnValueFilter("o_custkey", fl.EQUAL, 85, filter_if_missing=True)
+    bench("index_filter_scan", lambda: orders.scan(Scan(filter=f_idx)).collect())
+
+    def seq_write():
+        puts = orders.df.limit(10000).select(
+            "o_orderkey", (F.col("o_totalprice") * 1.1).alias("o_totalprice")
+        )
+        orders.put(puts).df.count()
+
+    bench("sequential_write", seq_write)
+
+    # --- aggregation ------------------------------------------------------
+    def q1():
+        (
+            lineitem.df.filter(F.col("l_shipdate") <= "1998-09-02")
+            .groupBy("l_returnflag", "l_linestatus")
+            .agg(
+                F.sum("l_quantity").alias("sum_qty"),
+                F.sum("l_extendedprice").alias("sum_base_price"),
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("sum_disc_price"),
+                F.avg("l_quantity").alias("avg_qty"),
+                F.avg("l_discount").alias("avg_disc"),
+                F.count("*").alias("count_order"),
+            )
+            .collect()
+        )
+
+    bench("agg_q1", q1)
+    bench(
+        "agg_median",
+        lambda: lineitem.df.agg(F.expr("percentile(l_extendedprice, 0.5)")).collect(),
+    )
+
+    # --- data-pipeline ops --------------------------------------------------
+    bench(
+        "dedup_minhash_lsh",
+        lambda: dd.minhash_dedup_pairs(docs, "doc_id", "text", 0.9).count(),
+    )
+    bench(
+        "text_analyze",
+        lambda: tx.analyze(docs).select(F.max("quality"), F.max("n_tokens")).collect(),
+    )
+
+    def ann():
+        queries_df = emb.filter(F.col("vec_id") < 5).select(
+            F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_vec")
+        )
+        sim.brute_force_topk(emb, queries_df, 10).collect()
+
+    bench("ann_bruteforce_topk", ann)
+
+    total = round(sum(timings.values()), 4)
+    print(
+        json.dumps(
+            {
+                "metric": "bench_total",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": float(sf),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -26,7 +26,7 @@ from typing import List, Optional
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-from hindex_spark.operators.text import distinct_tokens, fingerprint
+from hindex_spark.operators.text import distinct_tokens, fingerprint, tokens
 
 MERSENNE31 = 2147483647  # 2^31 - 1
 
@@ -50,6 +50,38 @@ def doc_tokens(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     """(id, token) pairs, distinct tokens per doc."""
     return df.select(
         F.col(id_col), F.explode(distinct_tokens(F.col(text_col))).alias("token")
+    )
+
+
+def shingle_expr(toks: Column, n: int) -> Column:
+    """Distinct w-shingles (n-word sliding windows) from a token ARRAY
+    column. Shingling, not the unigram bag, is what makes MinHash
+    discriminative: near-dup docs share long word runs; unrelated docs
+    over a small vocabulary do not. Docs shorter than n collapse to a
+    single whole-text shingle (same rule in the oracle SQL).
+
+    IMPORTANT: pass a materialized array column, not tokens(text) inline —
+    element_at inside the lambda would re-run split() per element,
+    turning a linear scan into O(tokens^2) work per document."""
+    windows = F.transform(
+        F.sequence(F.lit(0), F.size(toks) - n),
+        lambda i: F.concat_ws(
+            " ", *[F.element_at(toks, i + off + 1) for off in range(n)]
+        ),
+    )
+    return F.when(F.size(toks) >= n, F.array_distinct(windows)).otherwise(
+        F.array(F.concat_ws(" ", toks))
+    )
+
+
+def doc_units(df: DataFrame, id_col: str, text_col: str, ngram: int = 1) -> DataFrame:
+    """(id, token) comparison units: unigram tokens (ngram=1) or
+    w-shingles (ngram>1)."""
+    if ngram <= 1:
+        return doc_tokens(df, id_col, text_col)
+    toked = df.select(F.col(id_col), tokens(F.col(text_col)).alias("__toks"))
+    return toked.select(
+        F.col(id_col), F.explode(shingle_expr(F.col("__toks"), ngram)).alias("token")
     )
 
 
@@ -80,11 +112,11 @@ def exact_dedup(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
 
 
 def jaccard_pairs(
-    df: DataFrame, id_col: str, text_col: str, threshold: float
+    df: DataFrame, id_col: str, text_col: str, threshold: float, ngram: int = 1
 ) -> DataFrame:
-    """Exact token-set Jaccard >= threshold via inverted-index join.
-    Output: (id_a, id_b, jaccard) with id_a < id_b."""
-    tok = doc_tokens(df, id_col, text_col)
+    """Exact token/shingle-set Jaccard >= threshold via inverted-index
+    join. Output: (id_a, id_b, jaccard) with id_a < id_b."""
+    tok = doc_units(df, id_col, text_col, ngram)
     sizes = tok.groupBy(id_col).agg(F.count("*").alias("n"))
     a = tok.select(F.col(id_col).alias("id_a"), "token")
     b = tok.select(F.col(id_col).alias("id_b"), "token")
@@ -110,10 +142,12 @@ def jaccard_pairs(
 # ---------------------------------------------------------------------------
 
 
-def minhash_signatures(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+def minhash_signatures(
+    df: DataFrame, id_col: str, text_col: str, ngram: int = 3
+) -> DataFrame:
     """(id, mh0..mh7): one explode + one groupBy with 8 min-aggregates —
     the scan-shaped signature job that scales linearly."""
-    tok = doc_tokens(df, id_col, text_col).withColumn("h", token_hash(F.col("token")))
+    tok = doc_units(df, id_col, text_col, ngram).withColumn("h", token_hash(F.col("token")))
     aggs = [
         F.min((F.lit(MINHASH_A[i]) * F.col("h") + F.lit(MINHASH_B[i])) % MERSENNE31).alias(
             f"mh{i}"
@@ -156,12 +190,12 @@ def lsh_candidate_pairs(signatures: DataFrame, id_col: str) -> DataFrame:
 
 
 def minhash_dedup_pairs(
-    df: DataFrame, id_col: str, text_col: str, threshold: float
+    df: DataFrame, id_col: str, text_col: str, threshold: float, ngram: int = 3
 ) -> DataFrame:
     """LSH candidates verified with exact Jaccard (candidate set is tiny
     relative to all pairs, so verification is cheap)."""
-    cands = lsh_candidate_pairs(minhash_signatures(df, id_col, text_col), id_col)
-    tok = doc_tokens(df, id_col, text_col)
+    cands = lsh_candidate_pairs(minhash_signatures(df, id_col, text_col, ngram), id_col)
+    tok = doc_units(df, id_col, text_col, ngram)
     sizes = tok.groupBy(id_col).agg(F.count("*").alias("n"))
     ta = tok.select(F.col(id_col).alias("id_a"), "token")
     tb = tok.select(F.col(id_col).alias("id_b"), "token")
@@ -189,10 +223,10 @@ def minhash_dedup_pairs(
 SIMHASH_BITS = 32
 
 
-def simhash(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+def simhash(df: DataFrame, id_col: str, text_col: str, ngram: int = 3) -> DataFrame:
     """32-bit SimHash per doc: one explode + one groupBy with 32 signed
     bit-sums folded back into an int."""
-    tok = doc_tokens(df, id_col, text_col).withColumn("h", token_hash(F.col("token")))
+    tok = doc_units(df, id_col, text_col, ngram).withColumn("h", token_hash(F.col("token")))
     bit_sums = [
         F.sum(
             F.when(F.shiftright(F.col("h"), b).bitwiseAND(1) == 1, 1).otherwise(-1)
@@ -208,11 +242,11 @@ def simhash(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
 
 
 def simhash_pairs(
-    df: DataFrame, id_col: str, text_col: str, max_hamming: int
+    df: DataFrame, id_col: str, text_col: str, max_hamming: int, ngram: int = 3
 ) -> DataFrame:
     """Near-dup pairs with Hamming(simhash) <= k. Exact self-join here;
     at scale, block on simhash bands first (same trick as LSH)."""
-    sh = simhash(df, id_col, text_col)
+    sh = simhash(df, id_col, text_col, ngram)
     a = sh.select(F.col(id_col).alias("id_a"), F.col("simhash").alias("sh_a"))
     b = sh.select(F.col(id_col).alias("id_b"), F.col("simhash").alias("sh_b"))
     return (

@@ -24,6 +24,11 @@ _TOKENS_CTE = (
     "tok AS (SELECT doc_id, unnest(list_distinct("
     "string_split_regex(trim(text), '\\s+'))) AS token FROM documents)"
 )
+# 3-word shingles (same guard as operators.dedup.shingle_expr); aliased
+# ``token`` so downstream SQL is unit-agnostic
+_SHINGLES_CTE = (
+    "tok AS (SELECT doc_id, unnest(list_distinct(CASE WHEN len(toks) >= 3 THEN list_transform(range(len(toks)-2), i -> toks[i+1] || ' ' || toks[i+2] || ' ' || toks[i+3]) ELSE [array_to_string(toks, ' ')] END)) AS token FROM (SELECT doc_id, string_split_regex(trim(text), '\\s+') AS toks FROM documents))"
+)
 _HASH_EXPR = (
     "CAST(CONCAT('0x', SUBSTRING(md5(token), 1, 15)) AS BIGINT) % 2147483647"
 )
@@ -35,7 +40,7 @@ def _minhash_sig_sql() -> str:
         for i in range(dd.N_HASHES)
     )
     return (
-        f"WITH {_TOKENS_CTE}, "
+        f"WITH {_SHINGLES_CTE}, "
         f"hashed AS (SELECT doc_id, {_HASH_EXPR} AS h FROM tok), "
         f"sig AS (SELECT doc_id, {mins} FROM hashed GROUP BY doc_id)"
     )
@@ -71,7 +76,7 @@ def q_dedup_exact(spark, sf_dir):
 
 @query(
     "dedup_jaccard",
-    f"""WITH {_TOKENS_CTE},
+    f"""WITH {_SHINGLES_CTE},
         sz AS (SELECT doc_id, COUNT(*) AS n FROM tok GROUP BY doc_id),
         common AS (
           SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS c
@@ -86,7 +91,7 @@ def q_dedup_exact(spark, sf_dir):
 )
 def q_dedup_jaccard(spark, sf_dir):
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
-    return dd.jaccard_pairs(docs, "doc_id", "text", 0.9)
+    return dd.jaccard_pairs(docs, "doc_id", "text", 0.9, ngram=3)
 
 
 @query(
@@ -125,7 +130,7 @@ def _simhash_sql() -> str:
         for b in range(dd.SIMHASH_BITS)
     )
     return (
-        f"WITH {_TOKENS_CTE}, "
+        f"WITH {_SHINGLES_CTE}, "
         f"hashed AS (SELECT doc_id, {_HASH_EXPR} AS h FROM tok), "
         f"sums AS (SELECT doc_id, {sums} FROM hashed GROUP BY doc_id), "
         f"sh AS (SELECT doc_id, {val} AS simhash FROM sums)"

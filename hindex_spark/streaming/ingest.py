@@ -1,0 +1,85 @@
+"""Structured Streaming ingest — the reference's continuous write path
+(Put stream -> MemStore -> flush) and WAL replication, re-expressed.
+
+Reference semantics preserved: the fork applies index mutations in the
+same RPC as data mutations (IndexRegionObserver.preBatchMutate ->
+postBatchMutate, HRegion.batchMutateForIndex:2267). Here ``foreachBatch``
+applies each micro-batch through Table.put/delete, which maintains every
+index table inside the same batch job — identical atomicity guarantee
+(a reader never sees the table ahead of its indexes).
+
+WALPlayer analog: ``replay_changelog`` streams a directory of change
+files (op, rowkey, columns...) and folds them into a table.
+
+Also provides windowed/watermarked aggregation over an event stream —
+the streaming analog of the AggregationClient verbs.
+"""
+
+from __future__ import annotations
+
+from typing import Callable, Optional
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from hindex_spark.table import Table
+
+
+class StreamingIngest:
+    """Fold a stream of mutation batches into a Table (+ its indexes)."""
+
+    def __init__(self, table: Table):
+        self.table = table
+        self.batches_applied = 0
+
+    def apply_batch(self, batch_df: DataFrame, epoch_id: int) -> None:
+        """foreachBatch callback: rows with op='put'|'delete' + rowkey +
+        value columns. One batch = one atomic table+index version bump."""
+        puts = batch_df.filter(F.col("op") == "put").drop("op")
+        dels = batch_df.filter(F.col("op") == "delete").select(self.table.rowkey_col)
+        t = self.table
+        if puts.isEmpty() is False:
+            t = t.put(puts)
+        if dels.isEmpty() is False:
+            t = t.delete(dels)
+        self.table = t
+        self.batches_applied += 1
+
+    def start(self, stream_df: DataFrame, trigger_once: bool = True):
+        """Attach to a readStream DataFrame and start folding."""
+        writer = stream_df.writeStream.foreachBatch(self.apply_batch).outputMode("update")
+        if trigger_once:
+            writer = writer.trigger(availableNow=True)
+        return writer.start()
+
+
+def replay_changelog(spark, table: Table, changelog_path: str, schema: str) -> "StreamingIngest":
+    """WALPlayer analog: replay a change log directory into a table."""
+    ingest = StreamingIngest(table)
+    stream = spark.readStream.schema(schema).parquet(changelog_path)
+    q = ingest.start(stream, trigger_once=True)
+    q.awaitTermination()
+    return ingest
+
+
+def windowed_event_counts(
+    events: DataFrame,
+    ts_col: str = "ts",
+    window: str = "5 minutes",
+    slide: Optional[str] = None,
+    watermark: str = "10 minutes",
+) -> DataFrame:
+    """Watermarked tumbling/sliding window aggregation over a stream."""
+    win = F.window(ts_col, window, slide) if slide else F.window(ts_col, window)
+    return (
+        events.withWatermark(ts_col, watermark)
+        .groupBy(win, "event_type")
+        .agg(F.count("*").alias("n"), F.round(F.sum("value"), 2).alias("total_value"))
+        .select(
+            F.col("window.start").alias("win_start"),
+            F.col("window.end").alias("win_end"),
+            "event_type",
+            "n",
+            "total_value",
+        )
+    )

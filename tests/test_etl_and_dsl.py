@@ -1,0 +1,140 @@
+"""ETL jobs + ParseFilter DSL tests."""
+
+import os
+
+from pyspark.sql import functions as F
+
+from hindex_spark import filters as fl
+from hindex_spark.etl import jobs
+from hindex_spark.index.spec import IndexSpecification
+from hindex_spark.parse_filter import parse_filter
+from hindex_spark.table import Scan, Table
+
+
+def test_import_tsv_roundtrip(spark, sf_dir, tmp_path):
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet").select(
+        "o_orderkey", "o_custkey", "o_orderstatus"
+    )
+    tsv = str(tmp_path / "orders_tsv")
+    orders.write.option("sep", "\t").mode("overwrite").csv(tsv)
+    got = jobs.import_tsv(
+        spark,
+        tsv,
+        ["o_orderkey", "o_custkey", "o_orderstatus"],
+        "o_orderkey",
+        schema="o_orderkey long, o_custkey long, o_orderstatus string",
+    )
+    assert got.count() == orders.count()
+    assert got.schema["o_orderkey"].dataType.simpleString() == "bigint"
+
+
+def test_import_tsv_with_index(spark, sf_dir, tmp_path):
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet").select(
+        "o_orderkey", "o_custkey"
+    )
+    tsv = str(tmp_path / "oi_tsv")
+    orders.write.option("sep", "\t").mode("overwrite").csv(tsv)
+    table, idx = jobs.import_tsv_with_index(
+        spark,
+        tsv,
+        ["o_orderkey", "o_custkey"],
+        "o_orderkey",
+        [IndexSpecification("idx_cust").add_column("o_custkey", "Long")],
+        schema="o_orderkey long, o_custkey long",
+    )
+    assert idx["idx_cust"].count() == table.count()
+
+
+def test_export_import_copy(spark, sf_dir, tmp_path):
+    df = spark.read.parquet(f"{sf_dir}/part.parquet")
+    dump = str(tmp_path / "dump")
+    jobs.export_table(df, dump)
+    back = jobs.import_table(spark, dump)
+    assert back.count() == df.count()
+    copied = jobs.copy_table(
+        df, "p_partkey", start_row=10, stop_row=50, predicate=F.col("p_size") > 20
+    )
+    assert copied.count() == df.filter(
+        (F.col("p_partkey") >= 10) & (F.col("p_partkey") < 50) & (F.col("p_size") > 20)
+    ).count()
+
+
+def test_counters(spark, sf_dir):
+    df = spark.read.parquet(f"{sf_dir}/part.parquet")
+    assert jobs.row_counter(df, "p_partkey").collect()[0]["row_count"] == df.count()
+    cc = jobs.cell_counter(df, "p_partkey").collect()[0]
+    assert cc["cells_p_name"] == df.filter(F.col("p_name").isNotNull()).count()
+
+
+def test_bulk_load_appends(spark, sf_dir, tmp_path):
+    df = spark.read.parquet(f"{sf_dir}/region.parquet")
+    table_dir = str(tmp_path / "table")
+    prep_dir = str(tmp_path / "prep")
+    df.write.parquet(table_dir)
+    df.write.parquet(prep_dir)
+    jobs.bulk_load(spark, prep_dir, table_dir)
+    assert spark.read.parquet(table_dir).count() == 2 * df.count()
+
+
+# --- ParseFilter DSL ---------------------------------------------------------
+
+
+def test_dsl_scvf_and_page(spark, sf_dir):
+    t = Table.from_parquet(spark, f"{sf_dir}/orders.parquet", "o_orderkey")
+    f = parse_filter("SingleColumnValueFilter('o_custkey', =, 'binary:85', 1) AND PageFilter(3)")
+    out = t.scan(Scan(filter=f))
+    rows = out.collect()
+    assert len(rows) <= 3 and all(r["o_custkey"] == 85 for r in rows)
+
+
+def test_dsl_or_precedence(spark, sf_dir):
+    t = Table.from_parquet(spark, f"{sf_dir}/part.parquet", "p_partkey")
+    f = parse_filter(
+        "SingleColumnValueFilter('p_size', >, 'binary:45', 1) OR "
+        "SingleColumnValueFilter('p_size', <, 'binary:3', 1) AND "
+        "SingleColumnValueFilter('p_type', =, 'binary:ECONOMY', 1)"
+    )
+    expect = t.df.filter(
+        (F.col("p_size") > 45) | ((F.col("p_size") < 3) & (F.col("p_type") == "ECONOMY"))
+    ).count()
+    assert t.scan(Scan(filter=f)).count() == expect
+
+
+def test_dsl_while_and_parens(spark, sf_dir):
+    t = Table.from_parquet(spark, f"{sf_dir}/part.parquet", "p_partkey")
+    f = parse_filter("WHILE RowFilter(<, 'binary:7')")
+    assert t.scan(Scan(filter=f)).count() == 7
+    f2 = parse_filter(
+        "(SingleColumnValueFilter('p_size', >, 'binary:45', 1) OR "
+        "SingleColumnValueFilter('p_size', <, 'binary:3', 1)) AND "
+        "SingleColumnValueFilter('p_type', =, 'binary:ECONOMY', 1)"
+    )
+    expect = t.df.filter(
+        ((F.col("p_size") > 45) | (F.col("p_size") < 3)) & (F.col("p_type") == "ECONOMY")
+    ).count()
+    assert t.scan(Scan(filter=f2)).count() == expect
+
+
+def test_dsl_comparators_and_skip(spark, sf_dir):
+    t = Table.from_parquet(spark, f"{sf_dir}/part.parquet", "p_partkey")
+    f = parse_filter("SingleColumnValueFilter('p_type', =, 'regexstring:^ECO', 1)")
+    assert t.scan(Scan(filter=f)).count() == t.df.filter(F.col("p_type").rlike("^ECO")).count()
+    f2 = parse_filter("SKIP SingleColumnValueFilter('p_name', =, 'substring:widget', 1)")
+    assert (
+        t.scan(Scan(filter=f2)).count()
+        == t.df.filter(F.lower(F.col("p_name")).contains("widget")).count()
+    )
+    f3 = parse_filter("SingleColumnValueFilter('p_brand', =, 'binaryprefix:Brand#1', 1)")
+    assert (
+        t.scan(Scan(filter=f3)).count()
+        == t.df.filter(F.col("p_brand").startswith("Brand#1")).count()
+    )
+
+
+def test_dsl_index_integration(spark, sf_dir):
+    t = Table.from_parquet(spark, f"{sf_dir}/orders.parquet", "o_orderkey")
+    t.create_index(IndexSpecification("idx_cust").add_column("o_custkey", "Long"))
+    f = parse_filter("SingleColumnValueFilter('o_custkey', =, 'binary:85', 1)")
+    out = t.scan(Scan(filter=f))
+    assert t.last_index_plan.used_indexes == ["idx_cust"]
+    assert out.count() == t.df.filter(F.col("o_custkey") == 85).count()
