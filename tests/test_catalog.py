@@ -1,0 +1,53 @@
+"""Catalog persistence: descriptor round-trip, sorted layout, index
+reload, snapshot, multi-table scan."""
+
+from pyspark.sql import functions as F
+
+from hindex_spark import filters as fl
+from hindex_spark.catalog import Catalog, TableDescriptor, multi_table_scan
+from hindex_spark.index.spec import IndexSpecification, SeparatorPartition
+from hindex_spark.table import Scan, Table
+
+
+def test_descriptor_roundtrip():
+    idx = IndexSpecification("idx_a").add_column("c1", "Int").add_column(
+        "c2", "String", value_partition=SeparatorPartition("--", 2)
+    )
+    from hindex_spark.index.spec import TableIndices
+
+    d = TableDescriptor("t", "rowkey", indices=TableIndices([idx]))
+    d2 = TableDescriptor.from_json(d.to_json())
+    assert d2.rowkey_col == "rowkey"
+    assert d2.indices.indices[0].name == "idx_a"
+    vp = d2.indices.indices[0].columns[1].value_partition
+    assert isinstance(vp, SeparatorPartition) and vp.position == 2
+
+
+def test_save_load_query_with_index(spark, sf_dir, tmp_path):
+    cat = Catalog(spark, str(tmp_path / "warehouse"))
+    t = Table.from_parquet(spark, f"{sf_dir}/orders.parquet", "o_orderkey", "orders")
+    t.create_index(IndexSpecification("idx_cust").add_column("o_custkey", "Long"))
+    cat.save(t, num_partitions=4)
+
+    assert cat.list_tables() == ["orders"]
+    t2 = cat.load("orders")
+    assert t2.df.count() == t.df.count()
+    f = fl.SingleColumnValueFilter("o_custkey", fl.EQUAL, 85, filter_if_missing=True)
+    out = t2.scan(Scan(filter=f))
+    assert t2.last_index_plan.used_indexes == ["idx_cust"]
+    assert out.count() == t.df.filter(F.col("o_custkey") == 85).count()
+
+
+def test_sorted_layout_prunes(spark, sf_dir, tmp_path):
+    cat = Catalog(spark, str(tmp_path / "wh2"))
+    t = Table.from_parquet(spark, f"{sf_dir}/orders.parquet", "o_orderkey", "orders")
+    cat.save(t, num_partitions=8)
+    t2 = cat.load("orders")
+    plan = t2.get(5)._jdf.queryExecution().executedPlan().toString()
+    assert "PushedFilters" in plan  # min/max stats + pushdown do the pruning
+
+
+def test_multi_table_scan(spark, sf_dir):
+    a = Table.from_parquet(spark, f"{sf_dir}/region.parquet", "r_regionkey", "region")
+    b = Table.from_parquet(spark, f"{sf_dir}/region.parquet", "r_regionkey", "region2")
+    assert multi_table_scan([a, b]).count() == 2 * a.df.count()

@@ -1,0 +1,138 @@
+"""Unit tests for the data-pipeline operators (dedup, similarity, text,
+multimodal) on small controlled inputs."""
+
+from pyspark.sql import functions as F
+
+from hindex_spark.operators import dedup as dd
+from hindex_spark.operators import multimodal as mm
+from hindex_spark.operators import similarity as sim
+from hindex_spark.operators import text as tx
+
+
+def _docs(spark):
+    rows = [
+        (1, "the quick brown fox jumps over the lazy dog"),
+        (2, "the quick brown fox jumps over the lazy dog"),        # exact dup of 1
+        (3, "the quick brown fox jumps over the lazy cat"),        # near dup of 1
+        (4, "completely different words entirely unrelated text here now"),
+        (5, "short"),
+    ]
+    return spark.createDataFrame(rows, ["doc_id", "text"])
+
+
+def test_exact_dedup(spark):
+    docs = _docs(spark)
+    groups = dd.exact_dedup_groups(docs, "doc_id", "text")
+    g = {r["doc_id"]: r["dup_count"] for r in groups.collect()}
+    assert g[1] == 2 and 2 not in g and g[3] == 1
+    kept = dd.exact_dedup(docs, "doc_id", "text")
+    assert sorted(r["doc_id"] for r in kept.collect()) == [1, 3, 4, 5]
+
+
+def test_shingles_and_jaccard(spark):
+    docs = _docs(spark)
+    units = dd.doc_units(docs, "doc_id", "text", ngram=3)
+    per_doc = units.groupBy("doc_id").count().collect()
+    n = {r["doc_id"]: r["count"] for r in per_doc}
+    assert n[1] == 7  # 9 tokens -> 7 trigrams
+    assert n[5] == 1  # short doc -> whole-text shingle
+    pairs = dd.jaccard_pairs(docs, "doc_id", "text", 0.5, ngram=3).collect()
+    got = {(r["id_a"], r["id_b"]): r["jaccard"] for r in pairs}
+    assert got[(1, 2)] == 1.0
+    assert (1, 3) in got and 0.5 <= got[(1, 3)] < 1.0
+    assert not any(4 in p or 5 in p for p in got)
+
+
+def test_minhash_finds_exact_and_near_dups(spark):
+    docs = _docs(spark)
+    pairs = dd.minhash_dedup_pairs(docs, "doc_id", "text", 0.5).collect()
+    got = {(r["id_a"], r["id_b"]) for r in pairs}
+    assert (1, 2) in got  # identical -> all bands collide
+    # candidates are approximate, but verified jaccard filters false pos
+    for a, b in got:
+        assert {a, b} <= {1, 2, 3}
+
+
+def test_simhash_hamming(spark):
+    docs = _docs(spark)
+    sh = {r["doc_id"]: r["simhash"] for r in dd.simhash(docs, "doc_id", "text").collect()}
+    assert sh[1] == sh[2]  # identical text -> identical simhash
+    assert 0 <= sh[1] < 2 ** 32
+    pairs = dd.simhash_pairs(docs, "doc_id", "text", max_hamming=0).collect()
+    assert {(r["id_a"], r["id_b"]) for r in pairs} >= {(1, 2)}
+
+
+def test_embedding_near_dup_and_topk(spark):
+    rows = [
+        (1, [1.0, 0.0, 0.0], 0),
+        (2, [0.99, 0.1, 0.0], 0),   # near 1
+        (3, [0.0, 1.0, 0.0], 0),
+        (4, [0.0, 0.0, 1.0], 1),
+    ]
+    emb = spark.createDataFrame(rows, "vec_id int, embedding array<float>, label int")
+    pairs = dd.embedding_near_dup_pairs(emb, "vec_id", "embedding", 0.95, block_col="label")
+    got = [(r["id_a"], r["id_b"]) for r in pairs.collect()]
+    assert got == [(1, 2)]
+
+    queries = emb.filter(F.col("vec_id") == 1).select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_vec")
+    )
+    topk = sim.brute_force_topk(emb, queries, 2).collect()
+    assert [r["vec_id"] for r in topk] == [2, 3]
+    assert [r["rank"] for r in topk] == [1, 2]
+
+
+def test_lsh_topk_self_consistent(spark, sf_dir):
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    queries = emb.filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_vec")
+    )
+    exact = sim.brute_force_topk(emb, queries, 5)
+    approx = sim.lsh_topk(emb, queries, 5)
+    # every ANN hit must be a true neighbor with the same cosine as exact
+    ex = {(r["q_id"], r["vec_id"]): r["cosine"] for r in exact.collect()}
+    ap = approx.collect()
+    assert len(ap) > 0
+    for r in ap:
+        if (r["q_id"], r["vec_id"]) in ex:
+            assert abs(ex[(r["q_id"], r["vec_id"])] - r["cosine"]) < 1e-9
+
+
+def test_text_metrics(spark):
+    docs = spark.createDataFrame(
+        [(1, "the quick fox."), (2, "a b"), (3, "xyzzy!!!")], ["doc_id", "text"]
+    )
+    out = tx.analyze(docs).collect()
+    m = {r["doc_id"]: r for r in out}
+    assert m[1]["n_tokens"] == 3
+    assert m[1]["stopword_ratio"] > 0
+    assert m[3]["punct_ratio"] > 0
+    assert m[1]["fingerprint"] != m[2]["fingerprint"]
+    # bag fingerprint is order-insensitive
+    docs2 = spark.createDataFrame([(1, "fox the quick")], ["doc_id", "text"])
+    bf1 = tx.analyze(docs2).collect()[0]["bag_fingerprint"]
+    docs3 = spark.createDataFrame([(1, "quick fox the")], ["doc_id", "text"])
+    bf2 = tx.analyze(docs3).collect()[0]["bag_fingerprint"]
+    assert bf1 == bf2
+
+
+def test_lang_id_deterministic(spark, sf_dir):
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").limit(50)
+    out1 = docs.select("doc_id", tx.lang_id(F.col("text")).alias("l")).collect()
+    out2 = docs.select("doc_id", tx.lang_id(F.col("text")).alias("l")).collect()
+    assert out1 == out2
+    assert all(r["l"] in tx.LANG_MARKERS for r in out1)
+
+
+def test_multimodal_blob_and_features(spark):
+    docs = spark.createDataFrame([(1, "hello"), (2, "worlds!")], ["doc_id", "text"])
+    blobbed = mm.attach_blob(docs)
+    assert dict(blobbed.dtypes)["blob"] == "binary"
+    stats = {r["doc_id"]: r for r in mm.blob_stats(blobbed).collect()}
+    assert stats[1]["blob_len"] == 5 and stats[2]["blob_len"] == 7
+    feats = {r["doc_id"]: r for r in mm.extract_features(blobbed).collect()}
+    assert feats[1]["n_bytes"] == 5
+    assert feats[1]["mean_byte"] == sum(b"hello") / 5
+    frames = mm.frame_sample(blobbed, every=3).collect()
+    f1 = sorted((r["frame_no"], bytes(r["frame"])) for r in frames if r["doc_id"] == 1)
+    assert f1 == [(0, b"hel"), (1, b"lo")]
