@@ -1,0 +1,72 @@
+"""Plan-quality regression tests: these assert the physical plans the
+100 TB design depends on — filter pushdown into parquet, column pruning,
+broadcast semi-joins for index application, partial+final aggregation.
+If one of these breaks, correctness tests stay green but scale dies, so
+they are tested explicitly."""
+
+import re
+
+from pyspark.sql import functions as F
+
+from hindex_spark import filters as fl
+from hindex_spark.index.spec import IndexSpecification
+from hindex_spark.table import Scan, Table
+
+
+def _plan(df):
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def test_range_scan_pushes_down_and_prunes(spark, sf_dir):
+    t = Table.from_parquet(spark, f"{sf_dir}/orders.parquet", "o_orderkey", "orders")
+    df = t.scan(Scan(start_row=100, stop_row=200, columns=["o_custkey"]))
+    p = _plan(df)
+    assert "GreaterThanOrEqual(o_orderkey,100)" in p
+    assert "LessThan(o_orderkey,200)" in p
+    # column pruning: only the two needed columns reach the scan
+    m = re.search(r"ReadSchema: struct<([^>]*)>", p)
+    assert m and set(c.split(":")[0] for c in m.group(1).split(",")) == {
+        "o_orderkey",
+        "o_custkey",
+    }
+
+
+def test_filter_predicate_reaches_scan(spark, sf_dir):
+    t = Table.from_parquet(spark, f"{sf_dir}/lineitem.parquet", "l_orderkey", "li")
+    f = fl.SingleColumnValueFilter("l_quantity", fl.GREATER_OR_EQUAL, 45.0, filter_if_missing=True)
+    p = _plan(t.scan(Scan(filter=f)))
+    assert "GreaterThanOrEqual(l_quantity,45.0)" in p
+
+
+def test_index_semijoin_is_broadcast(spark, sf_dir):
+    t = Table.from_parquet(spark, f"{sf_dir}/orders.parquet", "o_orderkey", "orders")
+    t.create_index(IndexSpecification("idx_cust").add_column("o_custkey", "Long"))
+    f = fl.SingleColumnValueFilter("o_custkey", fl.EQUAL, 85, filter_if_missing=True)
+    df = t.scan(Scan(filter=f))
+    df.collect()  # let AQE finalize
+    p = _plan(df)
+    assert re.search(r"BroadcastHashJoin.*LeftSemi", p)
+    # the index-side scan must push the predicate down
+    assert "EqualTo(o_custkey,85)" in p
+
+
+def test_aggregation_is_partial_final(spark, sf_dir):
+    t = Table.from_parquet(spark, f"{sf_dir}/lineitem.parquet", "l_orderkey", "li")
+    df = t.df.groupBy("l_returnflag").agg(F.sum("l_quantity"))
+    p = _plan(df)
+    assert p.count("HashAggregate") >= 2  # partial (map-side) + final
+
+
+def test_point_get_reads_one_predicate(spark, sf_dir):
+    t = Table.from_parquet(spark, f"{sf_dir}/orders.parquet", "o_orderkey", "orders")
+    p = _plan(t.get(42, columns=["o_custkey"]))
+    assert "EqualTo(o_orderkey,42)" in p
+    m = re.search(r"ReadSchema: struct<([^>]*)>", p)
+    assert m and "o_totalprice" not in m.group(1)
+
+
+def test_small_dim_join_broadcasts(spark, sf_dir):
+    cust = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    nation = spark.read.parquet(f"{sf_dir}/nation.parquet")
+    df = cust.join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
+    assert "BroadcastHashJoin" in _plan(df)
