@@ -10,6 +10,8 @@ Scale notes: resolution is one window per (rowkey, cf, qualifier) plus
 broadcast joins against tombstone aggregates (tombstones are tiny relative
 to puts). Partition the cell store by range(rowkey) so a region-style scan
 prunes; the window shuffle is on the same key so one shuffle serves both.
+Tombstone-aggregate joins are left to AQE: broadcast when small (the
+normal case), shuffle join when a batch carries massive deletes.
 """
 
 from __future__ import annotations
@@ -86,7 +88,7 @@ def resolve(
             F.col("ts").alias("d_ts"),
         )
         puts = puts.join(
-            F.broadcast(dv),
+            dv,
             (puts["rowkey"] == dv["d_rk"])
             & (puts["cf"] == dv["d_cf"])
             & (puts["qualifier"] == dv["d_q"])
@@ -110,9 +112,9 @@ def resolve(
             .agg(F.max("ts").alias("__dr_ts"))
         )
         puts = (
-            puts.join(F.broadcast(dc), ["rowkey", "cf", "qualifier"], "left")
-            .join(F.broadcast(df_), ["rowkey", "cf"], "left")
-            .join(F.broadcast(dr), ["rowkey"], "left")
+            puts.join(dc, ["rowkey", "cf", "qualifier"], "left")
+            .join(df_, ["rowkey", "cf"], "left")
+            .join(dr, ["rowkey"], "left")
             .filter(
                 (F.col("__dc_ts").isNull() | (F.col("ts") > F.col("__dc_ts")))
                 & (F.col("__df_ts").isNull() | (F.col("ts") > F.col("__df_ts")))

@@ -459,13 +459,17 @@ class WhileMatchFilter(Filter):
     inner: Filter
 
     def apply(self, df: DataFrame, table) -> DataFrame:
+        # take-while over rowkey order = rows strictly before the FIRST
+        # failing row. Computed as a min-aggregate of failing keys plus a
+        # range filter — both fully parallel (a running-min window would
+        # serialize the whole table through one partition at scale).
         key = table.rowkey_col if table is not None and hasattr(table, "rowkey_col") else "rowkey"
         inner_pred = self.inner.predicate(table)
-        w = Window.orderBy(key).rowsBetween(Window.unboundedPreceding, 0)
+        first_fail = df.filter(~inner_pred).agg(F.min(key).alias("__ff"))
         return (
-            df.withColumn("__ok", F.min(inner_pred.cast("int")).over(w))
-            .filter(F.col("__ok") == 1)
-            .drop("__ok")
+            df.join(first_fail)
+            .filter(F.col("__ff").isNull() | (F.col(key) < F.col("__ff")))
+            .drop("__ff")
         )
 
     def predicate(self, table) -> Column:
@@ -654,7 +658,7 @@ class DependentColumnFilter(Filter):
             .distinct()
         )
         out = df.join(
-            F.broadcast(ref),
+            ref,
             (df["rowkey"] == ref["__rk"]) & (df["ts"] == ref["__rts"]),
             "inner",
         ).drop("__rk", "__rts")

@@ -61,8 +61,8 @@ def maintain_index(
     read), then add entries from the new state of those rows.
     """
     keys = affected_rowkeys.select(rowkey_col).distinct()
-    kept = index_df.join(F.broadcast(keys), rowkey_col, "left_anti")
+    kept = index_df.join(keys, rowkey_col, "left_anti")
     fresh = build_index(
-        new_table_state.join(F.broadcast(keys), rowkey_col, "left_semi"), spec, rowkey_col
+        new_table_state.join(keys, rowkey_col, "left_semi"), spec, rowkey_col
     )
     return kept.unionByName(fresh)

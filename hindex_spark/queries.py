@@ -24,9 +24,34 @@ QUERIES: Dict[str, Callable[[SparkSession, str], DataFrame]] = {}
 ORACLES: Dict[str, str] = {}
 
 
+def _ensure_session_confs(spark: SparkSession) -> None:
+    """The driver runs queries() with its own SparkSession; set the
+    session confs the engine depends on (runtime-settable):
+      - nanosAsLong: events.parquet carries TIMESTAMP(NANOS) which the
+        reader otherwise rejects;
+      - UTC session TZ: timestamp rendering/casts must match the DuckDB
+        oracle regardless of host timezone;
+      - AQE: the index semi-join relies on runtime broadcast conversion.
+    """
+    for k, v in [
+        ("spark.sql.legacy.parquet.nanosAsLong", "true"),
+        ("spark.sql.session.timeZone", "UTC"),
+        ("spark.sql.adaptive.enabled", "true"),
+    ]:
+        try:
+            spark.conf.set(k, v)
+        except Exception:
+            pass
+
+
 def query(name: str, oracle: str | None = None):
     def deco(fn):
-        QUERIES[name] = fn
+        def wrapped(spark, sf_dir, _fn=fn):
+            _ensure_session_confs(spark)
+            return _fn(spark, sf_dir)
+
+        wrapped.__name__ = fn.__name__
+        QUERIES[name] = wrapped
         if oracle is not None:
             ORACLES[name] = " ".join(oracle.split())
         return fn
@@ -399,6 +424,66 @@ def q_topk(spark, sf_dir):
         o.withColumn("rn", F.row_number().over(w))
         .filter(F.col("rn") <= 3)
         .select("o_orderpriority", "o_orderkey", "o_totalprice", "rn")
+    )
+
+
+@query(
+    "join_revenue_topk",
+    """SELECT o_orderkey, strftime(o_orderdate, '%Y-%m-%d') AS o_odate,
+              ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS revenue
+       FROM customer JOIN orders ON c_custkey = o_custkey
+       JOIN lineitem ON l_orderkey = o_orderkey
+       WHERE c_mktsegment = 'BUILDING' AND o_orderdate < TIMESTAMP '1997-06-01'
+       GROUP BY o_orderkey, o_odate
+       ORDER BY revenue DESC, o_orderkey LIMIT 10""",
+)
+def q_join_revenue(spark, sf_dir):
+    """TPC-H Q3 shape (the reference has no joins — clients join manually;
+    this is the engine doing it for them). Catalyst broadcasts the
+    filtered customer dim."""
+    cust = spark.read.parquet(f"{sf_dir}/customer.parquet").filter(
+        F.col("c_mktsegment") == "BUILDING"
+    )
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet").filter(
+        F.col("o_orderdate") < "1997-06-01"
+    )
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .groupBy("o_orderkey", F.date_format("o_orderdate", "yyyy-MM-dd").alias("o_odate"))
+        .agg(
+            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias(
+                "revenue"
+            )
+        )
+        .orderBy(F.col("revenue").desc(), F.col("o_orderkey"))
+        .limit(10)
+    )
+
+
+@query(
+    "join_region_revenue",
+    """SELECT r_name, n_name,
+              ROUND(SUM(o_totalprice), 2) AS total, COUNT(*) AS n_orders
+       FROM orders
+       JOIN customer ON o_custkey = c_custkey
+       JOIN nation ON c_nationkey = n_nationkey
+       JOIN region ON n_regionkey = r_regionkey
+       GROUP BY r_name, n_name""",
+)
+def q_join_region(spark, sf_dir):
+    """TPC-H Q5 shape: snowflake dims broadcast up the join tree."""
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    cust = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    nation = spark.read.parquet(f"{sf_dir}/nation.parquet")
+    region = spark.read.parquet(f"{sf_dir}/region.parquet")
+    return (
+        orders.join(cust, orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
+        .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+        .groupBy("r_name", "n_name")
+        .agg(F.round(F.sum("o_totalprice"), 2).alias("total"), F.count("*").alias("n_orders"))
     )
 
 

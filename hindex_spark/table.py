@@ -204,7 +204,7 @@ class Table:
         """Whole-row deletes (Delete.java:69 with no family) — anti-join."""
         keys = rowkeys.select(self.rowkey_col).distinct()
         return self._with_new_df(
-            self.df.join(F.broadcast(keys), self.rowkey_col, "left_anti"), keys
+            self.df.join(keys, self.rowkey_col, "left_anti"), keys
         )
 
     def delete_where(self, predicate: Column) -> "Table":
@@ -276,7 +276,7 @@ class Table:
                 check_column
             ).isNotNull()
         eligible = self.df.filter(cond).select(rk)
-        gated = puts.join(F.broadcast(eligible), rk, "left_semi")
+        gated = puts.join(eligible, rk, "left_semi")
         return self.put(gated)
 
     def check_and_delete(
@@ -292,7 +292,7 @@ class Table:
                 check_column
             ).isNotNull()
         eligible = self.df.filter(cond).select(rk)
-        gated = rowkeys.join(F.broadcast(eligible), rk, "left_semi")
+        gated = rowkeys.join(eligible, rk, "left_semi")
         return self.delete(gated)
 
     def mutate_row(self, puts: Optional[DataFrame] = None, deletes: Optional[DataFrame] = None) -> "Table":
