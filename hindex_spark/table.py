@@ -181,6 +181,12 @@ class Table:
         should pre-dedupe (we keep an arbitrary latest via last())."""
         rk = self.rowkey_col
         put_cols = [c for c in puts.columns if c != rk]
+        unknown = [c for c in put_cols if c not in self.df.columns]
+        if unknown:
+            raise ValueError(
+                f"put columns not in table {self.name!r}: {unknown} "
+                f"(table columns: {self.df.columns})"
+            )
         # collapse multi-puts on the same key (last non-null wins)
         puts1 = puts.groupBy(rk).agg(
             *[F.last(c, ignorenulls=True).alias(c) for c in put_cols]
