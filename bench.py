@@ -107,10 +107,8 @@ def main():
         )
 
     bench("agg_q1", q1)
-    bench(
-        "agg_median",
-        lambda: lineitem.df.agg(F.expr("percentile(l_extendedprice, 0.5)")).collect(),
-    )
+    from hindex_spark import aggregations as agg
+    bench("agg_median", lambda: agg.agg_median(lineitem, "l_extendedprice"))
 
     # --- data-pipeline ops --------------------------------------------------
     bench(

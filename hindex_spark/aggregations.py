@@ -55,11 +55,44 @@ def agg_std(table, column: str, scan=None) -> float:
 
 
 def agg_median(table, column: str, scan=None) -> Any:
-    return (
-        _scoped(table, column, scan)
-        .agg(F.expr(f"percentile({column}, 0.5)").alias("v"))
-        .collect()[0]["v"]
-    )
+    """Exact median via the reference's two-phase shape
+    (AggregationClient.java:728-760 / getMedian:414): phase 1 locates the
+    median's neighborhood (here: approx_percentile sketch instead of
+    per-region weight sums), phase 2 re-scans only that value window and
+    finishes exactly. Avoids buffering every value in one object
+    aggregate — each phase is a plain parallel scan."""
+    return exact_median_twophase(_scoped(table, column, scan), column)
+
+
+def exact_median_twophase(df: DataFrame, column: str) -> Any:
+    c = F.col(column)
+    row = df.agg(
+        F.count(c).alias("n"),
+        F.expr(f"approx_percentile({column}, array(0.48, 0.52), 10000)").alias("b"),
+    ).collect()[0]
+    n, bounds = row["n"], row["b"]
+    if n == 0:
+        return None
+    if bounds is None or bounds[0] is None:
+        return df.agg(F.expr(f"percentile({column}, 0.5)")).collect()[0][0]
+    lo, hi = bounds[0], bounds[1]
+    stats = df.agg(
+        F.sum((c < lo).cast("long")).alias("below"),
+        F.sum(((c >= lo) & (c <= hi)).cast("long")).alias("inside"),
+    ).collect()[0]
+    below, inside = stats["below"] or 0, stats["inside"] or 0
+    rank = 0.5 * (n - 1)
+    i0, i1 = int(rank), min(int(rank) + 1, n - 1)
+    # both neighbors must be inside the sketch window, else fall back
+    if not (below <= i0 and i1 < below + inside):
+        return df.agg(F.expr(f"percentile({column}, 0.5)")).collect()[0][0]
+    window = [
+        r[0]
+        for r in df.filter((c >= lo) & (c <= hi)).select(c).orderBy(c).collect()
+    ]
+    v0, v1 = window[i0 - below], window[i1 - below]
+    frac = rank - i0
+    return v0 + (v1 - v0) * frac
 
 
 def summary(table, column: str, scan=None) -> DataFrame:
