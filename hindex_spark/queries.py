@@ -37,6 +37,8 @@ def _ensure_session_confs(spark: SparkSession) -> None:
         ("spark.sql.legacy.parquet.nanosAsLong", "true"),
         ("spark.sql.session.timeZone", "UTC"),
         ("spark.sql.adaptive.enabled", "true"),
+        ("spark.sql.adaptive.coalescePartitions.enabled", "true"),
+        ("spark.sql.shuffle.partitions", "32"),
     ]:
         try:
             spark.conf.set(k, v)
@@ -794,13 +796,16 @@ def q_cells_tombstone(spark, sf_dir):
     return out.select("rowkey", "qualifier", "ts", "value")
 
 
-def all_queries():
-    import hindex_spark.queries_pipeline  # noqa: F401  (registers entries)
+def _register_all():
+    import hindex_spark.queries_etl  # noqa: F401  (registers entries)
+    import hindex_spark.queries_pipeline  # noqa: F401
 
+
+def all_queries():
+    _register_all()
     return dict(QUERIES)
 
 
 def all_oracles():
-    import hindex_spark.queries_pipeline  # noqa: F401
-
+    _register_all()
     return dict(ORACLES)

@@ -1,0 +1,75 @@
+"""ETL-tool queries (SURVEY §2.1): the tool surface exercised through
+the correctness gate — CopyTable, RowCounter, CellCounter, ImportTsv
+round-trip."""
+
+from __future__ import annotations
+
+import tempfile
+
+from pyspark.sql import functions as F
+
+from hindex_spark.etl import jobs
+from hindex_spark.queries import query
+
+
+@query(
+    "etl_copy_table",
+    """SELECT o_orderkey, o_custkey, o_totalprice FROM orders
+       WHERE o_orderkey >= 200 AND o_orderkey < 800 AND o_orderstatus = 'O'""",
+)
+def q_etl_copy(spark, sf_dir):
+    df = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    return jobs.copy_table(
+        df,
+        "o_orderkey",
+        start_row=200,
+        stop_row=800,
+        predicate=F.col("o_orderstatus") == "O",
+        columns=["o_custkey", "o_totalprice"],
+    )
+
+
+@query(
+    "etl_row_counter",
+    "SELECT COUNT(*) AS row_count FROM lineitem",
+)
+def q_etl_rowcount(spark, sf_dir):
+    df = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    return jobs.row_counter(df, "l_orderkey")
+
+
+@query(
+    "etl_cell_counter",
+    """SELECT COUNT(*) AS row_count,
+              COUNT(p_name) AS cells_p_name,
+              COUNT(p_brand) AS cells_p_brand,
+              COUNT(p_type) AS cells_p_type,
+              COUNT(p_size) AS cells_p_size,
+              COUNT(p_retailprice) AS cells_p_retailprice
+       FROM part""",
+)
+def q_etl_cellcount(spark, sf_dir):
+    df = spark.read.parquet(f"{sf_dir}/part.parquet")
+    return jobs.cell_counter(df, "p_partkey")
+
+
+@query(
+    "etl_import_tsv",
+    "SELECT o_orderkey, o_custkey, o_orderstatus FROM orders",
+)
+def q_etl_import_tsv(spark, sf_dir):
+    """Round-trip: table -> TSV dump -> import_tsv -> rows (must equal
+    the source)."""
+    src = spark.read.parquet(f"{sf_dir}/orders.parquet").select(
+        "o_orderkey", "o_custkey", "o_orderstatus"
+    )
+    tmp = tempfile.mkdtemp(prefix="hindex_tsv_")
+    path = f"{tmp}/orders_tsv"
+    src.write.option("sep", "\t").mode("overwrite").csv(path)
+    return jobs.import_tsv(
+        spark,
+        path,
+        ["o_orderkey", "o_custkey", "o_orderstatus"],
+        "o_orderkey",
+        schema="o_orderkey long, o_custkey long, o_orderstatus string",
+    )

@@ -142,6 +142,45 @@ class Table:
             df = df.limit(scan.limit)
         return df
 
+    def explain_scan(self, scan: Optional[Scan] = None, mode: str = "simple") -> str:
+        """Explain hook (SURVEY M5c; mirrors the seek-point spy hooks of
+        IndexRegionObserver.java:93-104): returns a report with the index
+        decision — which indexes, what set-op tree, or why none — plus
+        Spark's physical plan for the resulting DataFrame."""
+        df = self.scan(scan)
+        plan = self.last_index_plan
+        lines = [f"table: {self.name} (rowkey={self.rowkey_col})"]
+        if plan is None or not plan.uses_index:
+            lines.append("index: none (full/pushed-down scan)")
+        elif plan.is_empty:
+            lines.append("index: CONTRADICTION -> provably empty result")
+        else:
+            lines.append(f"index: {', '.join(plan.used_indexes)}")
+
+            def render(node, depth=1):
+                from hindex_spark.index.planner import IndexScan, SetOp
+
+                pad = "  " * depth
+                if isinstance(node, IndexScan):
+                    conds = []
+                    for cr in node.conditions:
+                        if cr.has_eq:
+                            conds.append(f"{cr.column}={cr.eq!r}")
+                        else:
+                            lo = f"{'>=' if cr.lower_inc else '>'}{cr.lower!r}" if cr.lower is not None else ""
+                            hi = f"{'<=' if cr.upper_inc else '<'}{cr.upper!r}" if cr.upper is not None else ""
+                            conds.append(f"{cr.column} {lo} {hi}".strip())
+                    lines.append(f"{pad}IndexScan[{node.index.name}]({', '.join(conds)})")
+                elif isinstance(node, SetOp):
+                    lines.append(f"{pad}{node.op}")
+                    for ch in node.children:
+                        render(ch, depth + 1)
+
+            render(plan.root)
+        lines.append("--- spark physical plan ---")
+        lines.append(df._jdf.queryExecution().executedPlan().toString())
+        return "\n".join(lines)
+
     def get(self, rowkey: Any, columns: Optional[Sequence[str]] = None) -> DataFrame:
         """Point read (Get.java:66) — a 1-row scan; the rowkey equality
         predicate is pushed to the parquet scan (min/max + bloom pruning,
@@ -353,6 +392,11 @@ class CellTable:
 
     def snapshot_wide(self, columns: Sequence[Tuple[str, str]], rowkey_col: str = "rowkey") -> DataFrame:
         return cell_mod.to_wide(self.read(max_versions=1), columns, rowkey_col)
+
+    def as_table(self, columns: Sequence[Tuple[str, str]], rowkey_col: str = "rowkey") -> Table:
+        """Materialize the latest-version wide view as a queryable Table
+        (scan/filter/index/aggregate over versioned data)."""
+        return Table(self.snapshot_wide(columns, rowkey_col), rowkey_col, self.name)
 
     def compact(self, max_versions: int = 1, ttl: Optional[int] = None, now: Optional[int] = None) -> "CellTable":
         return CellTable(self.spark, cell_mod.compact(self.cells, max_versions, ttl, now), self.name)
