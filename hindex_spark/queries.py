@@ -799,6 +799,7 @@ def q_cells_tombstone(spark, sf_dir):
 def _register_all():
     import hindex_spark.queries_etl  # noqa: F401  (registers entries)
     import hindex_spark.queries_pipeline  # noqa: F401
+    import hindex_spark.queries_temporal  # noqa: F401
 
 
 def all_queries():
