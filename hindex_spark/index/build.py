@@ -42,10 +42,16 @@ def build_index(
     out = table_df.select(*cols)
     first = spec.columns[0].indexed_name
     out = out.filter(F.col(first).isNotNull())
-    sort_cols = spec.indexed_names + [rowkey_col]
     if num_partitions:
+        # persisting: range-partition + sort so parquet row-group min/max
+        # stats give range pruning (the HFile sort invariant). The
+        # in-memory default stays an UNSORTED lazy projection — sorting a
+        # lazy view would re-run the sort on every query for no pruning
+        # benefit, and index predicates push into the base scan anyway.
+        sort_cols = spec.indexed_names + [rowkey_col]
         out = out.repartitionByRange(num_partitions, *[F.col(c) for c in sort_cols])
-    return out.sortWithinPartitions(*sort_cols)
+        out = out.sortWithinPartitions(*sort_cols)
+    return out
 
 
 def maintain_index(
