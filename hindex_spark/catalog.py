@@ -139,6 +139,35 @@ class Catalog:
             )
         return t
 
+    def save_bucketed(self, table: Table, num_buckets: int = 32) -> None:
+        """Persist as a bucketed+sorted managed table (bucketBy rowkey):
+        joins and aggregations on the rowkey then run WITHOUT a shuffle
+        on this side — the analog of the reference's region colocation
+        (SecIndexLoadBalancer keeps T and T_idx regions together so the
+        index semi-join is region-local). Index tables are bucketed on
+        rowkey too, so index-rowkeys ∩ data is also shuffle-free."""
+        name = f"{table.name}_bucketed"
+        (
+            table.df.write.mode("overwrite")
+            .bucketBy(num_buckets, table.rowkey_col)
+            .sortBy(table.rowkey_col)
+            .option("path", os.path.join(self.root, name, "data"))
+            .saveAsTable(name)
+        )
+        for spec in table.indices.indices:
+            idx_name = f"{table.name}_bucketed_idx_{spec.name}"
+            (
+                table.index_tables[spec.name]
+                .write.mode("overwrite")
+                .bucketBy(num_buckets, table.rowkey_col)
+                .sortBy(table.rowkey_col)
+                .option("path", os.path.join(self.root, name, "index", spec.name))
+                .saveAsTable(idx_name)
+            )
+
+    def load_bucketed(self, spark_name: str, rowkey_col: str) -> Table:
+        return Table(self.spark.table(spark_name), rowkey_col, spark_name)
+
     def list_tables(self) -> List[str]:
         if not os.path.isdir(self.root):
             return []

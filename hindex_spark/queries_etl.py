@@ -54,6 +54,40 @@ def q_etl_cellcount(spark, sf_dir):
 
 
 @query(
+    "dsl_parse_filter",
+    """SELECT p_partkey, p_name, p_size FROM part
+       WHERE (p_size > 45 OR p_size < 3) AND p_type = 'ECONOMY'""",
+)
+def q_dsl(spark, sf_dir):
+    """ParseFilter string DSL through the scan path (ParseFilter.java
+    syntax with typed columns)."""
+    from hindex_spark.parse_filter import parse_filter
+    from hindex_spark.table import Scan, Table
+
+    t = Table.from_parquet(spark, f"{sf_dir}/part.parquet", "p_partkey", "part")
+    f = parse_filter(
+        "(SingleColumnValueFilter('p_size', >, 'binary:45', 1) OR "
+        "SingleColumnValueFilter('p_size', <, 'binary:3', 1)) AND "
+        "SingleColumnValueFilter('p_type', =, 'binary:ECONOMY', 1)"
+    )
+    return t.scan(Scan(filter=f, columns=["p_name", "p_size"]))
+
+
+@query(
+    "scan_sql_where",
+    """SELECT o_orderkey, o_totalprice FROM orders
+       WHERE o_totalprice > 100000 AND o_orderpriority = '1-URGENT'""",
+)
+def q_sql_where(spark, sf_dir):
+    from hindex_spark.table import Table
+
+    t = Table.from_parquet(spark, f"{sf_dir}/orders.parquet", "o_orderkey", "orders")
+    return t.scan_where(
+        "o_totalprice > 100000 AND o_orderpriority = '1-URGENT'", ["o_totalprice"]
+    )
+
+
+@query(
     "etl_import_tsv",
     "SELECT o_orderkey, o_custkey, o_orderstatus FROM orders",
 )

@@ -142,6 +142,18 @@ class Table:
             df = df.limit(scan.limit)
         return df
 
+    def scan_where(self, where: str, columns: Optional[Sequence[str]] = None) -> DataFrame:
+        """The idiomatic alternative to the ParseFilter DSL (SURVEY §2.3):
+        a SQL WHERE string, handed directly to Catalyst (full pushdown;
+        no engine-level index planning — use Scan+Filter for that)."""
+        df = self.df.filter(F.expr(where))
+        if columns is not None:
+            cols = list(columns)
+            if self.rowkey_col not in cols:
+                cols = [self.rowkey_col] + cols
+            df = df.select(*cols)
+        return df
+
     def explain_scan(self, scan: Optional[Scan] = None, mode: str = "simple") -> str:
         """Explain hook (SURVEY M5c; mirrors the seek-point spy hooks of
         IndexRegionObserver.java:93-104): returns a report with the index

@@ -1,0 +1,40 @@
+"""Bucketed storage: rowkey joins must run without an Exchange on the
+bucketed sides (the region-colocation analog)."""
+
+from pyspark.sql import functions as F
+
+from hindex_spark.catalog import Catalog
+from hindex_spark.index.spec import IndexSpecification
+from hindex_spark.table import Table
+
+
+def test_bucketed_join_has_no_shuffle(spark, sf_dir, tmp_path):
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")  # force non-broadcast
+    try:
+        cat = Catalog(spark, str(tmp_path / "wh"))
+        t = Table.from_parquet(spark, f"{sf_dir}/orders.parquet", "o_orderkey", "orders")
+        t.create_index(IndexSpecification("idx_cust").add_column("o_custkey", "Long"))
+        cat.save_bucketed(t, num_buckets=8)
+
+        data = spark.table("orders_bucketed")
+        idx = spark.table("orders_bucketed_idx_idx_cust")
+        keys = idx.filter(F.col("o_custkey") == 85).select("o_orderkey")
+        joined = data.join(keys, "o_orderkey", "left_semi")
+        plan = joined._jdf.queryExecution().executedPlan().toString()
+        # co-bucketed on o_orderkey: no Exchange feeding the join
+        assert "Exchange hashpartitioning(o_orderkey" not in plan
+        assert joined.count() == data.join(
+            idx.filter(F.col("o_custkey") == 85).select("o_orderkey"), "o_orderkey", "left_semi"
+        ).count()
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+        spark.sql("DROP TABLE IF EXISTS orders_bucketed")
+        spark.sql("DROP TABLE IF EXISTS orders_bucketed_idx_idx_cust")
+
+
+def test_scan_where(spark, sf_dir):
+    t = Table.from_parquet(spark, f"{sf_dir}/orders.parquet", "o_orderkey", "orders")
+    out = t.scan_where("o_totalprice > 100000", ["o_totalprice"])
+    assert out.count() == t.df.filter(F.col("o_totalprice") > 100000).count()
+    p = out._jdf.queryExecution().executedPlan().toString()
+    assert "GreaterThan(o_totalprice,100000" in p  # pushdown through SQL string
