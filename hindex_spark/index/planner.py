@@ -341,7 +341,35 @@ class ScanFilterEvaluator:
 
     # -- planning --------------------------------------------------------
 
+    @staticmethod
+    def _flatten(node):
+        """Merge same-operator nested lists (ScanFilterEvaluator.
+        doFiltersRestruct:432-449 / FilterGroupingWorker.java:84-104):
+        AND-in-AND and OR-in-OR collapse so bounds on one column meet in
+        one group — without this, ``c1>5 AND (c1<3 AND ...)`` would miss
+        the contradiction."""
+        if isinstance(node, AndNode):
+            kids = []
+            for ch in node.children:
+                ch = ScanFilterEvaluator._flatten(ch)
+                if isinstance(ch, AndNode):
+                    kids.extend(ch.children)
+                else:
+                    kids.append(ch)
+            return AndNode(kids)
+        if isinstance(node, OrNode):
+            kids = []
+            for ch in node.children:
+                ch = ScanFilterEvaluator._flatten(ch)
+                if isinstance(ch, OrNode):
+                    kids.extend(ch.children)
+                else:
+                    kids.append(ch)
+            return OrNode(kids)
+        return node
+
     def _plan(self, node):
+        node = self._flatten(node)
         if isinstance(node, Leaf):
             return self._plan_and([node], [])
         if isinstance(node, AndNode):
@@ -407,6 +435,10 @@ class ScanFilterEvaluator:
                 candidates.append(IndexScan(spec, used))
         if not candidates:
             return []
+        # fewest-columns-wins tie-break (selectBestFitIndexForColumn:
+        # 1064-1151): order candidates so equal-coverage choices resolve
+        # to the narrowest index deterministically
+        candidates.sort(key=lambda s: (len(s.index.columns), s.index.name))
         target = set(ranges.keys())
 
         def coverage(sel: Sequence[IndexScan]) -> set:

@@ -142,6 +142,67 @@ def test_multi_index_hint():
     assert set(plan.used_indexes) == {"idx2", "idx3"}
 
 
+def test_nested_and_flattening_detects_contradiction():
+    # c1>m AND (c1<b AND c2=x): bounds split across nested ANDs
+    f = fl.FilterList(
+        "AND",
+        [
+            scvf("c1", fl.GREATER, "m"),
+            fl.FilterList("AND", [scvf("c1", fl.LESS, "b"), scvf("c2", fl.EQUAL, "x")]),
+        ],
+    )
+    plan = EV.evaluate(f.index_tree(None))
+    assert plan.is_empty
+
+
+def test_nested_and_flattening_merges_ranges():
+    f = fl.FilterList(
+        "AND",
+        [
+            scvf("c1", fl.GREATER_OR_EQUAL, "b"),
+            fl.FilterList("AND", [scvf("c1", fl.LESS, "m")]),
+        ],
+    )
+    plan = EV.evaluate(f.index_tree(None))
+    assert plan.used_indexes == ["idx2"]
+    cr = plan.root.conditions[0]
+    assert cr.lower == "b" and cr.upper == "m"
+
+
+def test_or_in_or_flattening():
+    f = fl.FilterList(
+        "OR",
+        [
+            scvf("c1", fl.EQUAL, "a"),
+            fl.FilterList("OR", [scvf("c2", fl.EQUAL, "b"), scvf("c1", fl.EQUAL, "c")]),
+        ],
+    )
+    plan = EV.evaluate(f.index_tree(None))
+    assert set(plan.used_indexes) == {"idx2", "idx3"}
+    # flattened: one OR with three scans, not nested OR-of-OR
+    assert len(plan.root.children) == 3
+
+
+def test_c2_prefers_single_column_idx3_over_idx4():
+    plan = EV.evaluate(scvf("c2", fl.EQUAL, "b").index_tree(None))
+    assert plan.used_indexes == ["idx3"]  # fewest columns wins
+
+
+def test_all_four_columns_one_index():
+    f = fl.FilterList(
+        "AND",
+        [
+            scvf("c3", fl.EQUAL, "1"),
+            scvf("c4", fl.EQUAL, "2"),
+            scvf("c5", fl.EQUAL, "3"),
+            scvf("c6", fl.EQUAL, "4"),
+        ],
+    )
+    plan = EV.evaluate(f.index_tree(None))
+    assert plan.used_indexes == ["idx1"]
+    assert plan.root.covered_columns == ["c3", "c4", "c5", "c6"]
+
+
 def test_nested_and_or_tree():
     f = fl.FilterList(
         "AND",
