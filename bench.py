@@ -128,6 +128,43 @@ def main():
 
     bench("ann_bruteforce_topk", ann)
 
+    # --- joins & temporal -------------------------------------------------
+    def join_q3():
+        cust = spark.read.parquet(f"{SF_DIR}/customer.parquet").filter(
+            F.col("c_mktsegment") == "BUILDING"
+        )
+        (
+            lineitem.df.join(
+                orders.df.filter(F.col("o_orderdate") < "1997-06-01"),
+                lineitem.df.l_orderkey == orders.df.o_orderkey,
+            )
+            .join(F.broadcast(cust), F.col("o_custkey") == cust.c_custkey)
+            .groupBy("o_orderkey")
+            .agg(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("revenue"))
+            .orderBy(F.col("revenue").desc())
+            .limit(10)
+            .collect()
+        )
+
+    bench("join_q3_topk", join_q3)
+
+    from hindex_spark.operators.temporal import as_of_join, session_stats
+
+    events = spark.read.parquet(f"{SF_DIR}/events.parquet")
+    ev = events.select("event_id", "user_id", F.expr("ts div 1000").alias("t"))
+    bench(
+        "sessionize",
+        lambda: session_stats(ev, "user_id", "t", 3_600_000_000).count(),
+    )
+
+    def asof():
+        right = events.filter(F.col("event_type") == "error").select(
+            "user_id", F.expr("ts div 1000").alias("rt")
+        )
+        as_of_join(ev, right, "user_id", "t", "rt", ["rt"]).count()
+
+    bench("asof_join", asof)
+
     total = round(sum(timings.values()), 4)
     print(
         json.dumps(

@@ -127,6 +127,19 @@ def resolve(
         lo, hi = time_range
         puts = puts.filter((F.col("ts") >= F.lit(lo)) & (F.col("ts") < F.lit(hi)))
 
+    # Two puts at the same exact coordinate (row, cf, qualifier, ts) are
+    # ONE cell in the reference (the later write overwrites in place);
+    # collapse them (deterministically: max value) before version counting
+    # so they can't occupy two version slots.
+    wdup = Window.partitionBy("rowkey", "cf", "qualifier", "ts").orderBy(
+        F.col("value").desc_nulls_last()
+    )
+    puts = (
+        puts.withColumn("__dn", F.row_number().over(wdup))
+        .filter(F.col("__dn") == 1)
+        .drop("__dn")
+    )
+
     if max_versions is not None:
         # value desc as tie-break: two puts at the same ts have no defined
         # order in the reference either; this makes the pick deterministic.

@@ -26,11 +26,17 @@ from hindex_spark.table import Table
 
 
 class StreamingIngest:
-    """Fold a stream of mutation batches into a Table (+ its indexes)."""
+    """Fold a stream of mutation batches into a Table (+ its indexes).
 
-    def __init__(self, table: Table):
+    ``checkpoint_every``: every N batches the table and index plans are
+    localCheckpoint-ed to truncate lineage — without this, a long-running
+    stream accumulates one full-outer-join per batch in the plan and
+    planning time grows without bound (the flush/compaction analog)."""
+
+    def __init__(self, table: Table, checkpoint_every: int = 10):
         self.table = table
         self.batches_applied = 0
+        self.checkpoint_every = checkpoint_every
 
     def apply_batch(self, batch_df: DataFrame, epoch_id: int) -> None:
         """foreachBatch callback: rows with op='put'|'delete' + rowkey +
@@ -42,8 +48,17 @@ class StreamingIngest:
             t = t.put(puts)
         if dels.isEmpty() is False:
             t = t.delete(dels)
-        self.table = t
         self.batches_applied += 1
+        if self.checkpoint_every and self.batches_applied % self.checkpoint_every == 0:
+            t = self._checkpointed(t)
+        self.table = t
+
+    def _checkpointed(self, t: Table) -> Table:
+        out = Table(t.df.localCheckpoint(eager=True), t.rowkey_col, t.name, t.indices)
+        out.index_tables = {
+            k: v.localCheckpoint(eager=True) for k, v in t.index_tables.items()
+        }
+        return out
 
     def start(self, stream_df: DataFrame, trigger_once: bool = True):
         """Attach to a readStream DataFrame and start folding."""

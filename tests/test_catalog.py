@@ -47,6 +47,21 @@ def test_sorted_layout_prunes(spark, sf_dir, tmp_path):
     assert "PushedFilters" in plan  # min/max stats + pushdown do the pruning
 
 
+def test_snapshot_is_immutable_copy(spark, sf_dir, tmp_path):
+    cat = Catalog(spark, str(tmp_path / "wh3"))
+    t = Table.from_parquet(spark, f"{sf_dir}/region.parquet", "r_regionkey", "region")
+    cat.save(t, num_partitions=1)
+    cat.snapshot("region", "v1")
+    n0 = cat.load("region@v1").df.count()
+    # mutate and re-save the live table; snapshot must not change
+    t2 = cat.load("region").delete(
+        spark.createDataFrame([(0,)], ["r_regionkey"])
+    )
+    cat.save(t2, num_partitions=1)
+    assert cat.load("region").df.count() == n0 - 1
+    assert cat.load("region@v1").df.count() == n0
+
+
 def test_multi_table_scan(spark, sf_dir):
     a = Table.from_parquet(spark, f"{sf_dir}/region.parquet", "r_regionkey", "region")
     b = Table.from_parquet(spark, f"{sf_dir}/region.parquet", "r_regionkey", "region2")

@@ -106,6 +106,20 @@ def test_compact_drops_masked_and_old_versions(spark):
     assert c.cells.filter("op != 'put'").count() == 0
 
 
+def test_duplicate_coordinate_put_is_one_cell(spark):
+    # two puts at the same (row, cf, qual, ts) = one cell (overwrite in
+    # place), even with max_versions=2
+    t = CellTable(spark).put_cells(
+        [
+            ("r1", "cf1", "a", 1, "old"),
+            ("r1", "cf1", "a", 2, "x"),
+            ("r1", "cf1", "a", 2, "y"),  # same coordinate as above
+        ]
+    )
+    out = _vals(t.read(max_versions=2))
+    assert out == [("r1", "cf1", "a", 1, "old"), ("r1", "cf1", "a", 2, "y")]
+
+
 def test_snapshot_wide(spark):
     wide = _base(spark).snapshot_wide([("cf1", "a"), ("cf1", "b"), ("cf2", "x")])
     rows = {r["rowkey"]: r for r in wide.collect()}

@@ -150,6 +150,36 @@ def test_index_maintenance_on_put_and_delete(spark, sf_dir):
     assert _sorted_keys(t3.scan(Scan(filter=f))) == [0]
 
 
+def test_mixed_or_of_and_branches(spark, sf_dir):
+    # (status='F' AND date>=X) OR custkey=85 — OR of a multi-col-index AND
+    # branch and a single-col leaf; both indexable -> union plan
+    t = _orders(spark, sf_dir)  # has idx_cust(o_custkey) + idx_status_date
+    f = fl.FilterList(
+        "OR",
+        [
+            fl.FilterList(
+                "AND",
+                [
+                    fl.SingleColumnValueFilter(
+                        "o_orderstatus", fl.EQUAL, "F", filter_if_missing=True
+                    ),
+                    fl.SingleColumnValueFilter(
+                        "o_orderdate", fl.GREATER_OR_EQUAL, "1997-06-01", filter_if_missing=True
+                    ),
+                ],
+            ),
+            fl.SingleColumnValueFilter("o_custkey", fl.EQUAL, 85, filter_if_missing=True),
+        ],
+    )
+    out = t.scan(Scan(filter=f))
+    assert set(t.last_index_plan.used_indexes) == {"idx_status_date", "idx_cust"}
+    plain = t.df.filter(
+        ((F.col("o_orderstatus") == "F") & (F.col("o_orderdate") >= "1997-06-01"))
+        | (F.col("o_custkey") == 85)
+    )
+    assert _sorted_keys(out) == _sorted_keys(plain)
+
+
 def test_typed_index_negative_range(spark):
     # F2 fixture: sign-boundary ranges on typed columns
     rows = [(f"r{i}", i) for i in range(-10, 11)]
