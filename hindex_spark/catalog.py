@@ -110,7 +110,14 @@ class Catalog:
             table.df.repartitionByRange(num_partitions, table.rowkey_col)
             .sortWithinPartitions(table.rowkey_col)
         )
-        data.write.mode("overwrite").parquet(os.path.join(d, "data"))
+        # parquet bloom filter on the rowkey: the HFile row-bloom analog
+        # (BloomFilterFactory.java:40) — point gets skip row groups whose
+        # bloom excludes the key even when min/max ranges overlap
+        (
+            data.write.mode("overwrite")
+            .option(f"parquet.bloom.filter.enabled#{table.rowkey_col}", "true")
+            .parquet(os.path.join(d, "data"))
+        )
         for spec in table.indices.indices:
             idx = table.index_tables[spec.name]
             sort_cols = spec.indexed_names + [table.rowkey_col]

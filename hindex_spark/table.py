@@ -410,5 +410,28 @@ class CellTable:
         (scan/filter/index/aggregate over versioned data)."""
         return Table(self.snapshot_wide(columns, rowkey_col), rowkey_col, self.name)
 
+    def rows_matching_any_version(
+        self,
+        cf: str,
+        qualifier: str,
+        op: str,
+        value: Any,
+        max_versions: int = 10,
+    ) -> DataFrame:
+        """SingleColumnValueFilter with latestVersionOnly=FALSE
+        (SingleColumnValueFilter.java:74): a row qualifies if ANY visible
+        version of (cf, qualifier) satisfies the condition — not just the
+        newest. Returns the distinct qualifying rowkeys (semi-join them
+        with any view of the table)."""
+        from hindex_spark.filters import _apply_op
+
+        visible = self.read(max_versions=max_versions)
+        hit = visible.filter(
+            (F.col("cf") == cf)
+            & (F.col("qualifier") == qualifier)
+            & _apply_op(F.col("value"), op, F.lit(value))
+        )
+        return hit.select("rowkey").distinct()
+
     def compact(self, max_versions: int = 1, ttl: Optional[int] = None, now: Optional[int] = None) -> "CellTable":
         return CellTable(self.spark, cell_mod.compact(self.cells, max_versions, ttl, now), self.name)

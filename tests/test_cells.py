@@ -120,6 +120,27 @@ def test_duplicate_coordinate_put_is_one_cell(spark):
     assert out == [("r1", "cf1", "a", 1, "old"), ("r1", "cf1", "a", 2, "y")]
 
 
+def test_rows_matching_any_version(spark):
+    # latestVersionOnly=False: row qualifies if ANY visible version hits
+    t = _base(spark)
+    # r1 cf1:a has versions v1,v2,v3 — latest is v3; match on old "v1"
+    keys = t.rows_matching_any_version("cf1", "a", "=", "v1")
+    assert sorted(r["rowkey"] for r in keys.collect()) == ["r1"]
+    # latest-only equivalent finds nothing for v1
+    latest = t.read(max_versions=1)
+    assert (
+        latest.filter(
+            (latest.cf == "cf1") & (latest.qualifier == "a") & (latest.value == "v1")
+        ).count()
+        == 0
+    )
+    # masked versions don't qualify
+    from hindex_spark.cells import DELETE_COLUMN
+
+    t2 = t.delete_cells([("r1", "cf1", "a", 3, DELETE_COLUMN)])
+    assert t2.rows_matching_any_version("cf1", "a", "=", "v1").count() == 0
+
+
 def test_snapshot_wide(spark):
     wide = _base(spark).snapshot_wide([("cf1", "a"), ("cf1", "b"), ("cf2", "x")])
     rows = {r["rowkey"]: r for r in wide.collect()}
