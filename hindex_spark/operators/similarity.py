@@ -75,6 +75,112 @@ def brute_force_topk(
     )
 
 
+def ivf_build(
+    embeddings: DataFrame,
+    n_clusters: int = 16,
+    iters: int = 3,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+):
+    """IVF index build: k-means-lite clustering, all DataFrame-side.
+
+    Deterministic: centroids initialize from the n_clusters lowest-id
+    vectors, then ``iters`` rounds of assign (broadcast centroids +
+    window argmax on cosine) / recompute (posexplode + per-dimension
+    mean). Centroid count is tiny, so only the assignment scan touches
+    the big table — one broadcast join per iteration, the IVF analog of
+    partitioned-file clustering at 100 TB.
+
+    Returns (assignments: id_col/cluster, centroids: cluster/centroid).
+    """
+    cents = (
+        embeddings.orderBy(id_col)
+        .limit(n_clusters)
+        .select(
+            F.row_number()
+            .over(Window.orderBy(id_col))
+            .alias("cluster"),
+            F.transform(F.col(vec_col), lambda x: x.cast("double")).alias("centroid"),
+        )
+    )
+    for _ in range(iters):
+        scored = embeddings.crossJoin(F.broadcast(cents)).withColumn(
+            "__sim", cosine_expr(F.col(vec_col), F.col("centroid"))
+        )
+        w = Window.partitionBy(id_col).orderBy(F.col("__sim").desc(), F.col("cluster"))
+        assign = (
+            scored.withColumn("__rn", F.row_number().over(w))
+            .filter(F.col("__rn") == 1)
+            .select(id_col, "cluster", vec_col)
+        )
+        cents = (
+            assign.select(
+                "cluster", F.posexplode(F.col(vec_col)).alias("pos", "val")
+            )
+            .groupBy("cluster", "pos")
+            .agg(F.avg("val").alias("m"))
+            .groupBy("cluster")
+            .agg(
+                F.array_sort(
+                    F.collect_list(F.struct("pos", "m"))
+                ).alias("pm")
+            )
+            .select(
+                "cluster",
+                F.transform(F.col("pm"), lambda s: s.getField("m")).alias("centroid"),
+            )
+        )
+    scored = embeddings.crossJoin(F.broadcast(cents)).withColumn(
+        "__sim", cosine_expr(F.col(vec_col), F.col("centroid"))
+    )
+    w = Window.partitionBy(id_col).orderBy(F.col("__sim").desc(), F.col("cluster"))
+    assignments = (
+        scored.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .select(id_col, "cluster")
+    )
+    return assignments, cents
+
+
+def ivf_topk(
+    embeddings: DataFrame,
+    assignments: DataFrame,
+    centroids: DataFrame,
+    queries: DataFrame,
+    k: int,
+    nprobe: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    q_id_col: str = "q_id",
+    q_vec_col: str = "q_vec",
+) -> DataFrame:
+    """IVF probe: each query scores the (tiny) centroid set, searches
+    only its ``nprobe`` nearest clusters — cost O(N * nprobe/n_clusters)
+    per query. Same output shape as brute_force_topk."""
+    q_scored = queries.crossJoin(F.broadcast(centroids)).withColumn(
+        "__sim", cosine_expr(F.col(q_vec_col), F.col("centroid"))
+    )
+    wq = Window.partitionBy(q_id_col).orderBy(F.col("__sim").desc(), F.col("cluster"))
+    probes = (
+        q_scored.withColumn("__rn", F.row_number().over(wq))
+        .filter(F.col("__rn") <= nprobe)
+        .select(q_id_col, q_vec_col, "cluster")
+    )
+    clustered = embeddings.join(assignments, id_col)
+    joined = clustered.join(F.broadcast(probes), "cluster")
+    scored = joined.select(
+        F.col(q_id_col),
+        F.col(id_col),
+        F.round(cosine_expr(F.col(vec_col), F.col(q_vec_col)), 6).alias("cosine"),
+    ).filter(F.col(q_id_col) != F.col(id_col))
+    w = Window.partitionBy(q_id_col).orderBy(F.col("cosine").desc(), F.col(id_col))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(q_id_col, id_col, "cosine", "rank")
+    )
+
+
 def lsh_topk(
     embeddings: DataFrame,
     queries: DataFrame,

@@ -796,6 +796,52 @@ def q_cells_tombstone(spark, sf_dir):
     return out.select("rowkey", "qualifier", "ts", "value")
 
 
+_NOW_US = 1706745600000000  # 2024-02-01 UTC
+_TTL_US = 14 * 24 * 3600 * 1000000  # 14 days
+
+
+@query(
+    "cells_compaction",
+    f"""WITH terr AS (
+         SELECT user_id, MAX(epoch_us(ts)) AS mts FROM events
+         WHERE event_type = 'error' GROUP BY user_id),
+       live AS (
+         SELECT e.* FROM events e LEFT JOIN terr ON e.user_id = terr.user_id
+         WHERE (terr.mts IS NULL OR epoch_us(e.ts) > terr.mts)
+           AND epoch_us(e.ts) >= {_NOW_US - _TTL_US})
+       SELECT CAST(user_id AS VARCHAR) AS rowkey, event_type AS qualifier,
+              epoch_us(ts) AS ts, printf('%.2f', value) AS value
+       FROM (SELECT *, row_number() OVER (
+                PARTITION BY user_id, event_type
+                ORDER BY ts DESC, printf('%.2f', value) DESC) AS rn
+             FROM live) WHERE rn = 1""",
+)
+def q_cells_compaction(spark, sf_dir):
+    """Major-compaction job (M7): TTL + tombstone + version GC in one
+    rewrite; the output is the new canonical store."""
+    from hindex_spark.cells import compact
+
+    cells = _event_cells(spark, sf_dir)
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    dels = (
+        ev.filter(F.col("event_type") == "error")
+        .groupBy("user_id")
+        .agg(F.max(F.expr("ts div 1000")).alias("dts"))
+        .select(
+            F.col("user_id").cast("string").alias("rowkey"),
+            F.lit(None).cast("string").alias("cf"),
+            F.lit(None).cast("string").alias("qualifier"),
+            F.col("dts").alias("ts"),
+            F.lit("delete_row").alias("op"),
+            F.lit(None).cast("string").alias("value"),
+        )
+    )
+    out = compact(
+        cells.unionByName(dels), max_versions=1, ttl=_TTL_US, now=_NOW_US
+    )
+    return out.select("rowkey", "qualifier", "ts", "value")
+
+
 def _register_all():
     import hindex_spark.queries_etl  # noqa: F401  (registers entries)
     import hindex_spark.queries_pipeline  # noqa: F401

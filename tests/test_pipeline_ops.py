@@ -98,6 +98,28 @@ def test_lsh_topk_self_consistent(spark, sf_dir):
             assert abs(ex[(r["q_id"], r["vec_id"])] - r["cosine"]) < 1e-9
 
 
+def test_ivf_ann_recall(spark, sf_dir):
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    assignments, centroids = sim.ivf_build(emb, n_clusters=8, iters=2)
+    assert centroids.count() == 8
+    # every vector assigned exactly once
+    assert assignments.count() == emb.count()
+    queries = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_vec")
+    )
+    exact = sim.brute_force_topk(emb, queries, 10)
+    approx = sim.ivf_topk(emb, assignments, centroids, queries, 10, nprobe=3)
+    ex = {(r["q_id"], r["vec_id"]) for r in exact.collect()}
+    ap = {(r["q_id"], r["vec_id"]) for r in approx.collect()}
+    recall = len(ex & ap) / len(ex)
+    assert recall >= 0.3, f"recall {recall}"
+    # scores for overlapping hits are the true cosines
+    exd = {(r["q_id"], r["vec_id"]): r["cosine"] for r in exact.collect()}
+    for r in approx.collect():
+        if (r["q_id"], r["vec_id"]) in exd:
+            assert abs(exd[(r["q_id"], r["vec_id"])] - r["cosine"]) < 1e-9
+
+
 def test_text_metrics(spark):
     docs = spark.createDataFrame(
         [(1, "the quick fox."), (2, "a b"), (3, "xyzzy!!!")], ["doc_id", "text"]
