@@ -70,6 +70,22 @@ def import_tsv_with_index(
     return table, idx
 
 
+def import_json(
+    spark: SparkSession, path: str, schema: str, rowkey_col: str
+) -> DataFrame:
+    """JSON lines -> typed table (schema mandatory: no inference in a
+    production ingest path)."""
+    return spark.read.schema(schema).json(path).sortWithinPartitions(rowkey_col)
+
+
+def import_orc(spark: SparkSession, path: str, rowkey_col: str) -> DataFrame:
+    return spark.read.orc(path).sortWithinPartitions(rowkey_col)
+
+
+def export_orc(df: DataFrame, path: str, mode: str = "overwrite") -> None:
+    df.write.mode(mode).orc(path)
+
+
 def export_table(df: DataFrame, path: str, mode: str = "overwrite") -> None:
     """Export: table -> dump files (parquet instead of SequenceFile)."""
     df.write.mode(mode).parquet(path)

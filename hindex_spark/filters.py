@@ -18,7 +18,6 @@ WhileMatchFilter -> windowed take-while) override ``apply``.
 
 from __future__ import annotations
 
-import random
 from dataclasses import dataclass, field
 from typing import Any, Optional, Sequence
 

@@ -14,7 +14,7 @@ identical.
 from __future__ import annotations
 
 import random
-from typing import List, Sequence
+from typing import List, Sequence  # noqa: F401 (random used for hyperplanes)
 
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F

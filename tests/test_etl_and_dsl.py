@@ -59,6 +59,18 @@ def test_export_import_copy(spark, sf_dir, tmp_path):
     ).count()
 
 
+def test_import_json_and_orc(spark, sf_dir, tmp_path):
+    df = spark.read.parquet(f"{sf_dir}/region.parquet")
+    jpath, opath = str(tmp_path / "j"), str(tmp_path / "o")
+    df.write.json(jpath)
+    back_j = jobs.import_json(spark, jpath, "r_regionkey long, r_name string", "r_regionkey")
+    assert sorted(r["r_name"] for r in back_j.collect()) == sorted(
+        r["r_name"] for r in df.collect()
+    )
+    jobs.export_orc(df, opath)
+    assert jobs.import_orc(spark, opath, "r_regionkey").count() == df.count()
+
+
 def test_counters(spark, sf_dir):
     df = spark.read.parquet(f"{sf_dir}/part.parquet")
     assert jobs.row_counter(df, "p_partkey").collect()[0]["row_count"] == df.count()

@@ -91,6 +91,56 @@ def test_mutate_row_atomic_batch(spark):
     assert _row(t2, "r1")["c_str"] == "m1" and _row(t2, "r3") is None
 
 
+def test_index_never_lags_table_through_mutation_sequence(spark):
+    # TestAcidGuaranteesForIndex analog for the batch-snapshot model:
+    # after EVERY mutation, index content == projection of table content
+    from hindex_spark.index.spec import IndexSpecification
+
+    t = _tab(spark)
+    t.create_index(IndexSpecification("idx_cnt").add_column("c_cnt", "Int"))
+
+    def check(tab):
+        idx = {(r["c_cnt"], r["rowkey"]) for r in tab.index_tables["idx_cnt"].collect()}
+        tbl = {
+            (r["c_cnt"], r["rowkey"])
+            for r in tab.df.filter(F.col("c_cnt").isNotNull()).collect()
+        }
+        assert idx == tbl
+
+    t = t.put(spark.createDataFrame([("r1", 11)], ["rowkey", "c_cnt"]))
+    check(t)
+    t = t.increment(spark.createDataFrame([("r2", 100)], ["rowkey", "c_cnt"]))
+    check(t)
+    t = t.delete(spark.createDataFrame([("r3",)], ["rowkey"]))
+    check(t)
+    t = t.check_and_put(
+        "c_cnt", fl.GREATER, 50, spark.createDataFrame([("r2", 0)], ["rowkey", "c_cnt"])
+    )
+    check(t)
+
+
+def test_delete_nonexistent_key_is_noop(spark):
+    t = _tab(spark)
+    t2 = t.delete(spark.createDataFrame([("zzz",)], ["rowkey"]))
+    assert t2.df.count() == t.df.count()
+
+
+def test_append_creates_missing_row(spark):
+    t = _tab(spark)
+    t2 = t.append(spark.createDataFrame([("r9", "new")], ["rowkey", "c_app"]))
+    assert _row(t2, "r9")["c_app"] == "new"  # coalesce(old,'')+new
+
+
+def test_increment_null_column_treated_as_zero(spark):
+    df = spark.createDataFrame([("r1", None)], "rowkey string, c_cnt int")
+    from hindex_spark.table import Table
+
+    t2 = Table(df, "rowkey").increment(
+        spark.createDataFrame([("r1", 5)], ["rowkey", "c_cnt"])
+    )
+    assert t2.df.collect()[0]["c_cnt"] == 5
+
+
 def test_multi_put_same_key_collapses(spark):
     t = _tab(spark)
     puts = spark.createDataFrame(
