@@ -844,6 +844,7 @@ def q_cells_compaction(spark, sf_dir):
 
 def _register_all():
     import hindex_spark.queries_etl  # noqa: F401  (registers entries)
+    import hindex_spark.queries_idxtab  # noqa: F401
     import hindex_spark.queries_pipeline  # noqa: F401
     import hindex_spark.queries_temporal  # noqa: F401
 
