@@ -75,6 +75,7 @@ def _model_resolve(ops, max_versions):
 @settings(
     max_examples=25,
     deadline=None,
+    derandomize=True,
     suppress_health_check=[HealthCheck.function_scoped_fixture, HealthCheck.too_slow],
 )
 @given(history_st, st.sampled_from([1, 2]))

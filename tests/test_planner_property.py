@@ -144,7 +144,7 @@ tree_st = st.recursive(
 )
 
 
-@settings(max_examples=300, deadline=None)
+@settings(max_examples=300, deadline=None, derandomize=True)
 @given(tree_st)
 def test_index_plan_never_changes_results(f):
     truth = {r["rowkey"] for r in ROWS if _filter_holds(r, f)}
