@@ -109,6 +109,28 @@ def lang_id(col: Column) -> Column:
     return best_lang
 
 
+def repetition_ratio(toks: Column, n: int = 3) -> Column:
+    """Fraction of repeated word n-grams (Gopher-style repetition
+    signal): 1 - distinct_ngrams/total_ngrams; 0 = no repetition.
+
+    ``toks`` must be a MATERIALIZED token-array column (select
+    ``tokens(text)`` into a column first) — an inline tokens(text) here
+    would re-run split() per element inside the lambda (O(n^2))."""
+    windows = F.transform(
+        F.sequence(F.lit(0), F.greatest(F.size(toks) - n, F.lit(0))),
+        lambda i: F.concat_ws(" ", *[F.element_at(toks, i + off + 1) for off in range(n)]),
+    )
+    total = F.size(windows)
+    distinct = F.size(F.array_distinct(windows))
+    return (1 - distinct / F.greatest(total, F.lit(1))).cast("double")
+
+
+def max_word_length(toks: Column) -> Column:
+    """Longest token (Gopher rule: drop docs with absurdly long words).
+    ``toks`` = materialized token-array column."""
+    return F.array_max(F.transform(toks, lambda x: F.length(x)))
+
+
 def normalize_text(col: Column) -> Column:
     return F.regexp_replace(F.lower(F.trim(col)), r"\s+", " ")
 

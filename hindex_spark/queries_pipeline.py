@@ -348,6 +348,50 @@ def q_blob_stats(spark, sf_dir):
     return mm.blob_stats(with_blob).select("doc_id", "blob_len", "blob_md5")
 
 
+@query(
+    "text_gopher_rules",
+    """WITH t AS (SELECT doc_id, string_split_regex(trim(text), '\\s+') AS toks
+                 FROM documents),
+        g AS (SELECT doc_id, toks,
+                CASE WHEN len(toks) >= 3
+                     THEN list_transform(range(len(toks)-2),
+                          i -> toks[i+1] || ' ' || toks[i+2] || ' ' || toks[i+3])
+                     ELSE [array_to_string(toks, ' ')] END AS ng
+              FROM t)
+        SELECT doc_id,
+               ROUND(1 - len(list_distinct(ng)) * 1.0 / greatest(len(ng), 1), 4)
+                 AS rep_ratio,
+               list_max(list_transform(toks, x -> length(x))) AS max_word_len
+        FROM g""",
+)
+def q_text_gopher(spark, sf_dir):
+    """Gopher-style repetition + word-length quality rules."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    toked = docs.select("doc_id", tx.tokens(F.col("text")).alias("toks"))
+    return toked.select(
+        "doc_id",
+        F.round(tx.repetition_ratio(F.col("toks")), 4).alias("rep_ratio"),
+        tx.max_word_length(F.col("toks")).alias("max_word_len"),
+    )
+
+
+@query(
+    "events_json_extract",
+    """SELECT event_type,
+              SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS sum_k,
+              COUNT(*) AS n
+       FROM events GROUP BY event_type""",
+)
+def q_events_json(spark, sf_dir):
+    """Semi-structured column handling: JSON props extraction
+    (get_json_object, JVM-side) aggregated per event type."""
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    return ev.groupBy("event_type").agg(
+        F.sum(F.get_json_object("props", "$.k").cast("long")).alias("sum_k"),
+        F.count("*").alias("n"),
+    )
+
+
 @query("multimodal_features")  # mapInPandas path: rows-only driver check
 def q_mm_features(spark, sf_dir):
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
