@@ -259,6 +259,39 @@ def simhash_pairs(
 
 
 # ---------------------------------------------------------------------------
+# end-to-end corpus cleaning
+# ---------------------------------------------------------------------------
+
+
+def clean_corpus(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    min_quality: float = 0.3,
+    jaccard_threshold: float = 0.9,
+    ngram: int = 3,
+) -> DataFrame:
+    """The flagship training-data pipeline: quality filter -> exact
+    dedup -> near-dup dedup (keep the lowest-id member of every near-dup
+    pair). Returns the surviving rows of ``df``.
+
+    Each stage is a narrowing semi/anti-join keyed on id, so the chain
+    is shuffle-minimal and every stage's cost shrinks with the previous
+    stage's selectivity — the shape you want at 100 TB.
+    """
+    from hindex_spark.operators.text import quality_score
+
+    qualified = df.filter(quality_score(F.col(text_col)) >= min_quality)
+    deduped = exact_dedup(qualified, id_col, text_col)
+    pairs = jaccard_pairs(deduped, id_col, text_col, jaccard_threshold, ngram)
+    # greedy: drop any doc that near-dups a SMALLER id (ids only ever
+    # drop "later" copies, so survivors are exactly docs with no smaller
+    # near-dup partner)
+    losers = pairs.select(F.col("id_b").alias(id_col)).distinct()
+    return deduped.join(losers, id_col, "left_anti")
+
+
+# ---------------------------------------------------------------------------
 # embedding cosine near-dup
 # ---------------------------------------------------------------------------
 

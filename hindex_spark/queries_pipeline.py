@@ -392,6 +392,55 @@ def q_events_json(spark, sf_dir):
     )
 
 
+def _clean_corpus_oracle() -> str:
+    return f"""
+        WITH t0 AS (SELECT doc_id, text, lang,
+                     string_split_regex(trim(text), '\\s+') AS toks FROM documents),
+        qual AS (SELECT doc_id, text, lang, toks,
+                  greatest(least(
+                    least(length(text) / 200.0, 1.0)
+                    - length(regexp_replace(text, '[^.!?,;:]', '', 'g')) * 2.0
+                      / greatest(length(text), 1)
+                    - (CASE WHEN list_sum(list_transform(toks, x -> length(x))) * 1.0
+                              / greatest(len(toks), 1) < 2
+                            OR list_sum(list_transform(toks, x -> length(x))) * 1.0
+                              / greatest(len(toks), 1) > 12
+                       THEN 0.3 ELSE 0.0 END)
+                    + len(list_filter(toks, x -> list_contains({_STOP_LIT}, x))) * 1.0
+                      / greatest(len(toks), 1) * 0.2, 1.0), 0.0) AS quality
+                 FROM t0),
+        q AS (SELECT * FROM qual WHERE quality >= 0.3),
+        ex AS (SELECT MIN(doc_id) AS keep FROM q
+               GROUP BY md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'))),
+        kept AS (SELECT q.* FROM q JOIN ex ON q.doc_id = ex.keep),
+        tok AS (SELECT doc_id, unnest(list_distinct(
+                  CASE WHEN len(toks) >= 3
+                       THEN list_transform(range(len(toks)-2),
+                            i -> toks[i+1] || ' ' || toks[i+2] || ' ' || toks[i+3])
+                       ELSE [array_to_string(toks, ' ')] END)) AS token FROM kept),
+        sz AS (SELECT doc_id, COUNT(*) AS n FROM tok GROUP BY doc_id),
+        common AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS c
+                   FROM tok a JOIN tok b
+                     ON a.token = b.token AND a.doc_id < b.doc_id
+                   GROUP BY 1, 2),
+        losers AS (SELECT DISTINCT id_b FROM common
+                   JOIN sz sa ON id_a = sa.doc_id
+                   JOIN sz sb ON id_b = sb.doc_id
+                   WHERE c * 1.0 / (sa.n + sb.n - c) >= 0.9)
+        SELECT doc_id, lang FROM kept
+        WHERE doc_id NOT IN (SELECT id_b FROM losers)"""
+
+
+@query("corpus_clean", _clean_corpus_oracle())
+def q_corpus_clean(spark, sf_dir):
+    """End-to-end corpus cleaning: quality -> exact dedup -> near-dup
+    dedup; the flagship LLM-data pipeline."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    kept = dd.clean_corpus(docs, "doc_id", "text", min_quality=0.3,
+                           jaccard_threshold=0.9)
+    return kept.select("doc_id", "lang")
+
+
 @query("multimodal_features")  # mapInPandas path: rows-only driver check
 def q_mm_features(spark, sf_dir):
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")

@@ -46,3 +46,43 @@ def running_totals(events: DataFrame) -> DataFrame:
         outputMode="update",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+DEDUP_OUTPUT_SCHEMA = "fingerprint string, doc_id long, text string"
+DEDUP_STATE_SCHEMA = "seen long"
+
+
+def _dedup_group(
+    key: Tuple, pdfs: Iterable[pd.DataFrame], state: GroupState
+) -> Iterable[pd.DataFrame]:
+    (fp,) = key
+    first = None
+    for pdf in pdfs:
+        if len(pdf) and first is None:
+            row = pdf.sort_values("doc_id").iloc[0]
+            first = (int(row["doc_id"]), str(row["text"]))
+    if state.exists or first is None:
+        # fingerprint already emitted in an earlier batch -> drop
+        if first is not None:
+            state.update((1,))
+        yield pd.DataFrame(columns=["fingerprint", "doc_id", "text"])
+        return
+    state.update((1,))
+    yield pd.DataFrame(
+        {"fingerprint": [fp], "doc_id": [first[0]], "text": [first[1]]}
+    )
+
+
+def streaming_exact_dedup(docs: DataFrame) -> DataFrame:
+    """Streaming exact dedup: emit each content fingerprint's FIRST
+    document only, across all micro-batches (state = seen fingerprints).
+    ``docs`` needs columns fingerprint, doc_id, text — compute the
+    fingerprint upstream with operators.text.fingerprint. The standard
+    dedup-on-ingest primitive for a continuously arriving corpus."""
+    return docs.groupBy("fingerprint").applyInPandasWithState(
+        _dedup_group,
+        outputStructType=DEDUP_OUTPUT_SCHEMA,
+        stateStructType=DEDUP_STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
