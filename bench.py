@@ -42,7 +42,7 @@ def main():
     # Index tables are part of the database, not of the query: build +
     # cache once (the reference maintains T_idx persistently too).
     orders.create_index(IndexSpecification("idx_cust").add_column("o_custkey", "Long"))
-    orders.index_tables["idx_cust"] = orders.index_tables["idx_cust"].cache()
+    orders.cache()
     orders.index_tables["idx_cust"].count()
 
     n_orders = orders.df.count()  # warm JVM + page cache
@@ -164,6 +164,11 @@ def main():
         as_of_join(ev, right, "user_id", "t", "rt", ["rt"]).count()
 
     bench("asof_join", asof)
+
+    bench(
+        "corpus_clean",
+        lambda: dd.clean_corpus(docs, "doc_id", "text", 0.3, 0.9, method="lsh").count(),
+    )
 
     total = round(sum(timings.values()), 4)
     print(

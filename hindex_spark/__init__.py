@@ -17,7 +17,21 @@ Everything compiles to DataFrame plans so Catalyst handles pushdown,
 pruning, join strategy, and whole-stage codegen.
 """
 
-from hindex_spark.session import get_spark  # noqa: F401
-from hindex_spark.table import Table  # noqa: F401
+from hindex_spark.session import get_spark, load_tables  # noqa: F401
+from hindex_spark.table import CellTable, Scan, Table  # noqa: F401
+from hindex_spark.catalog import Catalog, TableDescriptor  # noqa: F401
+from hindex_spark.parse_filter import parse_filter  # noqa: F401
+from hindex_spark.index.spec import (  # noqa: F401
+    ColumnQualifier,
+    IndexSpecification,
+    SeparatorPartition,
+    SpatialPartition,
+    TableIndices,
+)
+from hindex_spark.index.planner import (  # noqa: F401
+    MultiIndexExpression,
+    NoIndexExpression,
+    SingleIndexExpression,
+)
 
 __version__ = "0.1.0"

@@ -270,6 +270,7 @@ def clean_corpus(
     min_quality: float = 0.3,
     jaccard_threshold: float = 0.9,
     ngram: int = 3,
+    method: str = "exact",
 ) -> DataFrame:
     """The flagship training-data pipeline: quality filter -> exact
     dedup -> near-dup dedup (keep the lowest-id member of every near-dup
@@ -278,12 +279,21 @@ def clean_corpus(
     Each stage is a narrowing semi/anti-join keyed on id, so the chain
     is shuffle-minimal and every stage's cost shrinks with the previous
     stage's selectivity — the shape you want at 100 TB.
+
+    ``method``: "exact" = inverted-index jaccard pair search (the
+    oracle-checkable baseline); "lsh" = MinHash-banded candidates with
+    exact verification — the 100 TB path (cost ~ candidates, not pairs;
+    recall < 1 with probability (1-s^b)^r per pair, negligible at
+    s >= 0.9 with the default 4x2 banding).
     """
     from hindex_spark.operators.text import quality_score
 
     qualified = df.filter(quality_score(F.col(text_col)) >= min_quality)
     deduped = exact_dedup(qualified, id_col, text_col)
-    pairs = jaccard_pairs(deduped, id_col, text_col, jaccard_threshold, ngram)
+    if method == "lsh":
+        pairs = minhash_dedup_pairs(deduped, id_col, text_col, jaccard_threshold, ngram)
+    else:
+        pairs = jaccard_pairs(deduped, id_col, text_col, jaccard_threshold, ngram)
     # greedy: drop any doc that near-dups a SMALLER id (ids only ever
     # drop "later" copies, so survivors are exactly docs with no smaller
     # near-dup partner)

@@ -96,6 +96,14 @@ class Table:
         self.index_tables.pop(name, None)
         return self
 
+    def cache(self) -> "Table":
+        """Pin the table and its index tables in executor memory (the
+        LruBlockCache analog) — worth it for repeatedly-probed tables;
+        indexes especially, since every indexed scan touches them."""
+        self.df = self.df.cache()
+        self.index_tables = {k: v.cache() for k, v in self.index_tables.items()}
+        return self
+
     # -- reads --------------------------------------------------------------
 
     def scan(self, scan: Optional[Scan] = None) -> DataFrame:
