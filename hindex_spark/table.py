@@ -324,6 +324,19 @@ class Table:
                 out_cols.append(F.col(f"o.{c}").alias(c))
         return self._with_new_df(joined.select(*out_cols), apps.select(rk))
 
+    def increment_and_get(self, increments: DataFrame) -> Tuple["Table", DataFrame]:
+        """Increment.java:50 returns the NEW values in a Result — same
+        contract: (new table, the affected rows' new state)."""
+        out = self.increment(increments)
+        keys = increments.select(self.rowkey_col).distinct()
+        return out, out.df.join(keys, self.rowkey_col, "left_semi")
+
+    def append_and_get(self, appends: DataFrame) -> Tuple["Table", DataFrame]:
+        """Append.java:44 returns the appended Result (returnResults)."""
+        out = self.append(appends)
+        keys = appends.select(self.rowkey_col).distinct()
+        return out, out.df.join(keys, self.rowkey_col, "left_semi")
+
     def check_and_put(
         self, check_column: str, op: str, check_value: Any, puts: DataFrame
     ) -> "Table":
