@@ -499,12 +499,25 @@ class FilterList(Filter):
             out = (out & p) if self.operator == "AND" else (out | p)
         return out
 
+    @staticmethod
+    def _is_pure(f: "Filter") -> bool:
+        """True iff applying ``f`` is equivalent to filtering by its
+        predicate — i.e. no limit/truncation/projection behavior hides
+        anywhere in the subtree (a nested FilterList is only pure if all
+        its members are)."""
+        if isinstance(f, FilterList):
+            return all(FilterList._is_pure(g) for g in f.filters)
+        if isinstance(f, SkipFilter):
+            return FilterList._is_pure(f.inner)
+        return type(f).apply is Filter.apply
+
     def apply(self, df: DataFrame, table) -> DataFrame:
-        # Non-predicate members (PageFilter etc.) compose sequentially for
-        # AND; for OR they must be pure predicates.
+        # Non-predicate members (PageFilter, WhileMatch, nested lists
+        # containing them) compose sequentially for AND; for OR they
+        # must be pure predicates.
         if self.operator == "AND":
-            pure = [f for f in self.filters if type(f).apply is Filter.apply or isinstance(f, (SkipFilter, FilterList))]
-            special = [f for f in self.filters if f not in pure]
+            pure = [f for f in self.filters if FilterList._is_pure(f)]
+            special = [f for f in self.filters if not FilterList._is_pure(f)]
             out = df
             if pure:
                 preds = [f.predicate(table) for f in pure]

@@ -414,7 +414,13 @@ class ScanFilterEvaluator:
         Returns the list of ColumnRanges used, or []."""
         used: List[ColumnRange] = []
         for cq in spec.columns:
-            cr = ranges.get(cq.indexed_name) or ranges.get(cq.column)
+            cr = ranges.get(cq.indexed_name)
+            if cr is None and cq.value_partition is None:
+                # raw-column predicates may only match non-partition index
+                # columns: a predicate on c_sep must NOT be served by an
+                # index on split(c_sep)[n] — the index holds the part, not
+                # the value, and the scan would be silently wrong
+                cr = ranges.get(cq.column)
             if cr is None:
                 break
             used.append(cr)

@@ -28,7 +28,15 @@ def salted_join(
     The big side gets a uniform random salt in [0, salt); the small side
     is exploded across all salt values, so every (key, salt) pair finds
     its match. Result columns = big's + small's (minus the dup key).
+
+    Only inner/left joins are safe: in a right/full join an unmatched
+    small-side row would survive once PER SALT VALUE.
     """
+    if how not in ("inner", "left", "left_outer", "leftouter"):
+        raise ValueError(
+            f"salted_join supports inner/left only (got {how!r}): right/full "
+            "would duplicate unmatched small-side rows once per salt value"
+        )
     big_s = big.withColumn("__salt", (F.rand(42) * salt).cast("int"))
     small_s = small.withColumn(
         "__salt", F.explode(F.array(*[F.lit(i) for i in range(salt)]))

@@ -40,16 +40,20 @@ def as_of_join(
         F.lit(1).alias("__side"),  # left sorts after right at equal ts
         "*",
     )
+    # carry the right row as ONE struct so a NULL field in the matched
+    # row is not back-filled from an older row (per-column last() would
+    # stitch together columns from different right rows)
     rhs = right.select(
         F.col(key).alias("__k"),
         F.col(right_ts).alias("__ts"),
         F.lit(0).alias("__side"),
-        *[F.col(c).alias(f"__r_{c}") for c in right_cols],
+        F.struct(*[F.col(c).alias(c) for c in right_cols]).alias("__r"),
     )
     for c in left.columns:
         rhs = rhs.withColumn(c, F.lit(None).cast(dict(left.dtypes)[c]))
-    for c in right_cols:
-        lhs = lhs.withColumn(f"__r_{c}", F.lit(None).cast(dict(right.dtypes)[c]))
+    rtypes = dict(right.dtypes)
+    struct_type = ", ".join(f"`{c}`: {rtypes[c]}" for c in right_cols)
+    lhs = lhs.withColumn("__r", F.lit(None).cast(f"struct<{struct_type}>"))
     unioned = lhs.unionByName(rhs.select(*lhs.columns))
     w = (
         Window.partitionBy("__k")
@@ -59,9 +63,12 @@ def as_of_join(
     carried = unioned.select(
         *left.columns,
         F.col("__side"),
-        *[F.last(f"__r_{c}", ignorenulls=True).over(w).alias(c) for c in right_cols],
+        F.last("__r", ignorenulls=True).over(w).alias("__rv"),
     )
-    return carried.filter(F.col("__side") == 1).drop("__side")
+    out = carried.filter(F.col("__side") == 1)
+    for c in right_cols:
+        out = out.withColumn(c, F.col("__rv").getField(c))
+    return out.drop("__side", "__rv")
 
 
 def sessionize(

@@ -174,16 +174,33 @@ def _val(a):
     return a[1]
 
 
+def _to_bool(v) -> bool:
+    """DSL booleans: accept true/false words (bool('false') is True in
+    Python — the naive cast silently inverted HBase's defaults)."""
+    if isinstance(v, bool):
+        return v
+    if isinstance(v, (int, float)):
+        return bool(v)
+    if isinstance(v, str):
+        low = v.strip().lower()
+        if low in ("true", "1", "yes"):
+            return True
+        if low in ("false", "0", "no", ""):
+            return False
+        raise ValueError(f"bad boolean in filter DSL: {v!r}")
+    raise ValueError(f"bad boolean in filter DSL: {v!r}")
+
+
 def _build(name: str, args: List[tuple]) -> fl.Filter:
     vals = [_val(a) for a in args]
     if name == "SingleColumnValueFilter":
         col, op, cmp_ = vals[0], vals[1], _comparator(vals[2])
-        fim = bool(vals[3]) if len(vals) > 3 else False
-        lvo = bool(vals[4]) if len(vals) > 4 else True
+        fim = _to_bool(vals[3]) if len(vals) > 3 else False
+        lvo = _to_bool(vals[4]) if len(vals) > 4 else True
         return fl.SingleColumnValueFilter(col, op, cmp_, fim, lvo)
     if name == "SingleColumnValueExcludeFilter":
         col, op, cmp_ = vals[0], vals[1], _comparator(vals[2])
-        fim = bool(vals[3]) if len(vals) > 3 else False
+        fim = _to_bool(vals[3]) if len(vals) > 3 else False
         return fl.SingleColumnValueExcludeFilter(col, op, cmp_, fim)
     if name == "RowFilter":
         return fl.RowFilter(vals[0], _comparator(vals[1]))
@@ -200,7 +217,7 @@ def _build(name: str, args: List[tuple]) -> fl.Filter:
     if name == "MultipleColumnPrefixFilter":
         return fl.MultipleColumnPrefixFilter(list(vals))
     if name == "ColumnRangeFilter":
-        return fl.ColumnRangeFilter(vals[0], bool(vals[1]), vals[2], bool(vals[3]))
+        return fl.ColumnRangeFilter(vals[0], _to_bool(vals[1]), vals[2], _to_bool(vals[3]))
     if name == "ColumnPaginationFilter":
         return fl.ColumnPaginationFilter(int(vals[0]), int(vals[1]) if len(vals) > 1 else 0)
     if name == "ColumnCountGetFilter":
@@ -220,7 +237,7 @@ def _build(name: str, args: List[tuple]) -> fl.Filter:
     if name == "FuzzyRowFilter":
         return fl.FuzzyRowFilter(vals[0])
     if name == "DependentColumnFilter":
-        drop = bool(vals[2]) if len(vals) > 2 else False
+        drop = _to_bool(vals[2]) if len(vals) > 2 else False
         return fl.DependentColumnFilter(vals[0], vals[1], drop)
     raise ValueError(f"unknown filter {name}")
 

@@ -33,21 +33,56 @@ class StreamingIngest:
     stream accumulates one full-outer-join per batch in the plan and
     planning time grows without bound (the flush/compaction analog)."""
 
-    def __init__(self, table: Table, checkpoint_every: int = 10):
+    def __init__(self, table: Table, checkpoint_every: int = 10, seq_col: str | None = None):
         self.table = table
         self.batches_applied = 0
         self.checkpoint_every = checkpoint_every
+        # ``seq_col``: intra-batch ordering column (WAL sequence id). With
+        # it, delete-then-reinsert sequences inside one batch fold
+        # correctly; without it, deletes apply before puts (so a
+        # reinserted key survives) and put-then-delete within one batch
+        # is unordered — provide seq_col for exact changelog replay.
+        self.seq_col = seq_col
 
     def apply_batch(self, batch_df: DataFrame, epoch_id: int) -> None:
         """foreachBatch callback: rows with op='put'|'delete' + rowkey +
-        value columns. One batch = one atomic table+index version bump."""
-        puts = batch_df.filter(F.col("op") == "put").drop("op")
-        dels = batch_df.filter(F.col("op") == "delete").select(self.table.rowkey_col)
+        value columns (+ seq_col for ordered replay). One batch = one
+        atomic table+index version bump."""
+        rk = self.table.rowkey_col
+        seq = self.seq_col if self.seq_col and self.seq_col in batch_df.columns else None
+        if seq:
+            # keys with a delete: erase, then apply only puts AFTER the
+            # key's last delete; per-column merge by max seq (max_by)
+            dmax = (
+                batch_df.filter(F.col("op") == "delete")
+                .groupBy(rk)
+                .agg(F.max(seq).alias("__dmax"))
+            )
+            puts_all = (
+                batch_df.filter(F.col("op") == "put")
+                .join(dmax, rk, "left")
+                .filter(F.col("__dmax").isNull() | (F.col(seq) > F.col("__dmax")))
+                .drop("__dmax")
+            )
+            value_cols = [c for c in puts_all.columns if c not in (rk, "op", seq)]
+            merged = puts_all.groupBy(rk).agg(
+                *[
+                    F.expr(
+                        f"max_by(`{c}`, CASE WHEN `{c}` IS NOT NULL THEN `{seq}` END)"
+                    ).alias(c)
+                    for c in value_cols
+                ]
+            )
+            dels = dmax.select(rk)
+            puts = merged
+        else:
+            puts = batch_df.filter(F.col("op") == "put").drop("op")
+            dels = batch_df.filter(F.col("op") == "delete").select(rk)
         t = self.table
-        if puts.isEmpty() is False:
-            t = t.put(puts)
         if dels.isEmpty() is False:
             t = t.delete(dels)
+        if puts.isEmpty() is False:
+            t = t.put(puts)
         self.batches_applied += 1
         if self.checkpoint_every and self.batches_applied % self.checkpoint_every == 0:
             t = self._checkpointed(t)

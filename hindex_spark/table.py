@@ -110,6 +110,14 @@ class Table:
         """The read path (SURVEY §3.1): range prune -> index planner ->
         semi-join -> residual filter -> projection -> order/limit."""
         scan = scan or Scan()
+        if scan.time_range is not None or scan.max_versions != 1:
+            # the wide layer is latest-version by construction; versioned
+            # reads live on CellTable. Fail loudly instead of silently
+            # returning unfiltered rows to a caller porting HBase code.
+            raise NotImplementedError(
+                "time_range/max_versions are cell-layer knobs: use "
+                "CellTable.read(...) or CellTable.as_table(...)"
+            )
         df = self.df
         rk = F.col(self.rowkey_col)
 
@@ -286,13 +294,22 @@ class Table:
         old = self.df.alias("o")
         new = incs.alias("n")
         joined = old.join(new, F.col(f"o.{rk}") == F.col(f"n.{rk}"), "full_outer")
+        touched = F.col(f"n.{rk}").isNotNull()
         out_cols = [F.coalesce(F.col(f"o.{rk}"), F.col(f"n.{rk}")).alias(rk)]
         for c in self.df.columns:
             if c == rk:
                 continue
             if c in delta_cols:
+                # only rows in the batch get the coalesce-to-0 arithmetic;
+                # untouched rows keep their value (incl. NULL) verbatim
                 out_cols.append(
-                    (F.coalesce(F.col(f"o.{c}"), F.lit(0)) + F.coalesce(F.col(f"n.{c}"), F.lit(0))).alias(c)
+                    F.when(
+                        touched,
+                        F.coalesce(F.col(f"o.{c}"), F.lit(0))
+                        + F.coalesce(F.col(f"n.{c}"), F.lit(0)),
+                    )
+                    .otherwise(F.col(f"o.{c}"))
+                    .alias(c)
                 )
             else:
                 out_cols.append(F.col(f"o.{c}").alias(c))
@@ -309,16 +326,22 @@ class Table:
         old = self.df.alias("o")
         new = apps.alias("n")
         joined = old.join(new, F.col(f"o.{rk}") == F.col(f"n.{rk}"), "full_outer")
+        touched = F.col(f"n.{rk}").isNotNull()
         out_cols = [F.coalesce(F.col(f"o.{rk}"), F.col(f"n.{rk}")).alias(rk)]
         for c in self.df.columns:
             if c == rk:
                 continue
             if c in app_cols:
                 out_cols.append(
-                    F.concat(
-                        F.coalesce(F.col(f"o.{c}"), F.lit("")),
-                        F.coalesce(F.col(f"n.{c}"), F.lit("")),
-                    ).alias(c)
+                    F.when(
+                        touched,
+                        F.concat(
+                            F.coalesce(F.col(f"o.{c}"), F.lit("")),
+                            F.coalesce(F.col(f"n.{c}"), F.lit("")),
+                        ),
+                    )
+                    .otherwise(F.col(f"o.{c}"))
+                    .alias(c)
                 )
             else:
                 out_cols.append(F.col(f"o.{c}").alias(c))
@@ -348,13 +371,18 @@ class Table:
 
         rk = self.rowkey_col
         if check_value is None:
-            cond = F.col(check_column).isNull()
+            # HBase checkAndPut(row, cf, q, null, put) succeeds when the
+            # cell does NOT exist — including when the whole row is absent
+            # (the conditional-insert idiom). Anti-join on rows that DO
+            # have a value.
+            blocked = self.df.filter(F.col(check_column).isNotNull()).select(rk)
+            gated = puts.join(blocked, rk, "left_anti")
         else:
             cond = _apply_op(F.col(check_column), op, F.lit(check_value)) & F.col(
                 check_column
             ).isNotNull()
-        eligible = self.df.filter(cond).select(rk)
-        gated = puts.join(eligible, rk, "left_semi")
+            eligible = self.df.filter(cond).select(rk)
+            gated = puts.join(eligible, rk, "left_semi")
         return self.put(gated)
 
     def check_and_delete(
@@ -364,13 +392,14 @@ class Table:
 
         rk = self.rowkey_col
         if check_value is None:
-            cond = F.col(check_column).isNull()
+            blocked = self.df.filter(F.col(check_column).isNotNull()).select(rk)
+            gated = rowkeys.join(blocked, rk, "left_anti")
         else:
             cond = _apply_op(F.col(check_column), op, F.lit(check_value)) & F.col(
                 check_column
             ).isNotNull()
-        eligible = self.df.filter(cond).select(rk)
-        gated = rowkeys.join(eligible, rk, "left_semi")
+            eligible = self.df.filter(cond).select(rk)
+            gated = rowkeys.join(eligible, rk, "left_semi")
         return self.delete(gated)
 
     def mutate_row(self, puts: Optional[DataFrame] = None, deletes: Optional[DataFrame] = None) -> "Table":
