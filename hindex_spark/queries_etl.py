@@ -54,6 +54,28 @@ def q_etl_cellcount(spark, sf_dir):
 
 
 @query(
+    "setop_intersect_except",
+    """SELECT o_orderkey, 'both' AS src FROM (
+         SELECT o_orderkey FROM orders WHERE o_custkey < 50
+         INTERSECT
+         SELECT o_orderkey FROM orders WHERE o_orderstatus = 'O')
+       UNION ALL
+       SELECT o_orderkey, 'only_a' AS src FROM (
+         SELECT o_orderkey FROM orders WHERE o_custkey < 50
+         EXCEPT
+         SELECT o_orderkey FROM orders WHERE o_orderstatus = 'O')""",
+)
+def q_setops(spark, sf_dir):
+    """Relational set ops (SURVEY §2.6: trivial Spark mapping)."""
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    a = orders.filter(F.col("o_custkey") < 50).select("o_orderkey")
+    b = orders.filter(F.col("o_orderstatus") == "O").select("o_orderkey")
+    both = a.intersect(b).select("o_orderkey", F.lit("both").alias("src"))
+    only_a = a.exceptAll(b).distinct().select("o_orderkey", F.lit("only_a").alias("src"))
+    return both.unionByName(only_a)
+
+
+@query(
     "dsl_parse_filter",
     """SELECT p_partkey, p_name, p_size FROM part
        WHERE (p_size > 45 OR p_size < 3) AND p_type = 'ECONOMY'""",

@@ -19,6 +19,8 @@ from hindex_spark.index.spec import IndexSpecification
 
 
 def _f1_indices():
+    from hindex_spark.index.spec import SeparatorPartition
+
     idx1 = IndexSpecification("idx1")
     for c in ["c3", "c4", "c5", "c6"]:
         idx1.add_column(c)
@@ -27,6 +29,11 @@ def _f1_indices():
         IndexSpecification("idx2").add_column("c1"),
         IndexSpecification("idx3").add_column("c2"),
         IndexSpecification("idx4").add_column("c2").add_column("c1"),
+        # a partition expression index on c6 — raw-column predicates on
+        # c6 must never be served by it (review-fix guard)
+        IndexSpecification("idx5").add_column(
+            "c6", "String", value_partition=SeparatorPartition("-", 1)
+        ),
     ]
 
 
