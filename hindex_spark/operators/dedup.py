@@ -85,6 +85,17 @@ def doc_units(df: DataFrame, id_col: str, text_col: str, ngram: int = 1) -> Data
     )
 
 
+def doc_unit_arrays(df: DataFrame, id_col: str, text_col: str, ngram: int = 1) -> DataFrame:
+    """(id, units: array<string>) — the same distinct comparison units as
+    ``doc_units`` but kept as one array row per doc: a narrow projection
+    (no explode, no shuffle). Signature/verification passes that consume
+    this stay scan-shaped, which is what makes them viable at 100 TB."""
+    if ngram <= 1:
+        return df.select(F.col(id_col), distinct_tokens(F.col(text_col)).alias("units"))
+    toked = df.select(F.col(id_col), tokens(F.col(text_col)).alias("__toks"))
+    return toked.select(F.col(id_col), shingle_expr(F.col("__toks"), ngram).alias("units"))
+
+
 # ---------------------------------------------------------------------------
 # exact dedup
 # ---------------------------------------------------------------------------
@@ -142,25 +153,52 @@ def jaccard_pairs(
 # ---------------------------------------------------------------------------
 
 
+def _signature_struct(units: Column) -> Column:
+    """struct(mh0..mh7) computed in ONE fold over the unit array: each
+    element is md5-hashed exactly once and fed to all 8 affine minima via
+    ``least``. (Eight separate array_min(transform(...)) expressions look
+    equivalent but collapse into one projection where lambdas defeat
+    subexpression elimination — md5 x8 per unit.) Empty array keeps the
+    MERSENNE31 init sentinels; such docs can only band-match other empty
+    docs and verification then drops the pair (jaccard = 0/0 -> NULL)."""
+    init = F.struct(
+        *[F.lit(MERSENNE31).cast("long").alias(f"mh{i}") for i in range(N_HASHES)]
+    )
+
+    def step(acc: Column, h: Column) -> Column:
+        return F.struct(
+            *[
+                F.least(
+                    acc[f"mh{i}"],
+                    (F.lit(MINHASH_A[i]) * h + F.lit(MINHASH_B[i])) % MERSENNE31,
+                ).alias(f"mh{i}")
+                for i in range(N_HASHES)
+            ]
+        )
+
+    return F.aggregate(F.transform(units, token_hash), init, step)
+
+
 def minhash_signatures(
     df: DataFrame, id_col: str, text_col: str, ngram: int = 3
 ) -> DataFrame:
-    """(id, mh0..mh7): one explode + one groupBy with 8 min-aggregates —
-    the scan-shaped signature job that scales linearly."""
-    tok = doc_units(df, id_col, text_col, ngram).withColumn("h", token_hash(F.col("token")))
-    aggs = [
-        F.min((F.lit(MINHASH_A[i]) * F.col("h") + F.lit(MINHASH_B[i])) % MERSENNE31).alias(
-            f"mh{i}"
-        )
-        for i in range(N_HASHES)
-    ]
-    return tok.groupBy(id_col).agg(*aggs)
+    """(id, mh0..mh7): a narrow projection pass (shingle -> hash -> one
+    8-way min fold) with NO shuffle at all — at 100 TB the signature job
+    is a pure map over the corpus. (The previous shape, explode +
+    groupBy(8 mins), paid a corpus-sized shuffle for the same result.)"""
+    ua = doc_unit_arrays(df, id_col, text_col, ngram)
+    sig = ua.select(F.col(id_col), _signature_struct(F.col("units")).alias("s"))
+    return sig.select(F.col(id_col), *[F.col(f"s.mh{i}").alias(f"mh{i}") for i in range(N_HASHES)])
 
 
 def lsh_candidate_pairs(signatures: DataFrame, id_col: str) -> DataFrame:
-    """Band the signature (4 bands x 2 rows) and equi-join on band
-    buckets — the pair search becomes a shuffle join keyed by
-    (band_id, bucket), never a cross join."""
+    """Band the signature (4 bands x 2 rows), group by band bucket, and
+    emit id pairs from within each bucket — ONE pass over the signature
+    input and one shuffle keyed by (band, bucket), vs. a self-join that
+    executes the signature job twice. Never a cross join: cost is
+    sum over buckets of |bucket|^2, the LSH contract. (At 100 TB, cap
+    pathological buckets — e.g. drop buckets past ~10k members as
+    "too common to be near-dups"; unbounded here for oracle parity.)"""
     n_bands = N_HASHES // BAND_SIZE
     bands = signatures.select(
         F.col(id_col),
@@ -179,12 +217,24 @@ def lsh_candidate_pairs(signatures: DataFrame, id_col: str) -> DataFrame:
             )
         ).alias("bb"),
     ).select(id_col, F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket"))
-    a = bands.select(F.col(id_col).alias("id_a"), "band", "bucket")
-    b = bands.select(F.col(id_col).alias("id_b"), "band", "bucket")
+    buckets = (
+        bands.groupBy("band", "bucket")
+        .agg(F.array_sort(F.collect_set(F.col(id_col))).alias("ids"))
+        .filter(F.size("ids") >= 2)
+    )
+    ids = F.col("ids")
+    pairs = F.flatten(
+        F.transform(
+            ids,
+            lambda x, i: F.transform(
+                F.slice(ids, i + 2, F.greatest(F.size(ids) - i - 1, F.lit(0))),
+                lambda y: F.struct(x.alias("id_a"), y.alias("id_b")),
+            ),
+        )
+    )
     return (
-        a.join(b, ["band", "bucket"])
-        .filter(F.col("id_a") < F.col("id_b"))
-        .select("id_a", "id_b")
+        buckets.select(F.explode(pairs).alias("p"))
+        .select(F.col("p.id_a").alias("id_a"), F.col("p.id_b").alias("id_b"))
         .distinct()
     )
 
@@ -192,25 +242,22 @@ def lsh_candidate_pairs(signatures: DataFrame, id_col: str) -> DataFrame:
 def minhash_dedup_pairs(
     df: DataFrame, id_col: str, text_col: str, threshold: float, ngram: int = 3
 ) -> DataFrame:
-    """LSH candidates verified with exact Jaccard (candidate set is tiny
-    relative to all pairs, so verification is cheap)."""
+    """LSH candidates verified with exact Jaccard. Verification joins the
+    (small) candidate-pair set back to the per-doc unit ARRAYS and takes
+    ``array_intersect`` sizes — identical math to the inverted-index join
+    (both sides are distinct unit sets) but per-pair linear work with no
+    token-level shuffle; cost ~ |candidates|, not |corpus|."""
+    ua = doc_unit_arrays(df, id_col, text_col, ngram)
     cands = lsh_candidate_pairs(minhash_signatures(df, id_col, text_col, ngram), id_col)
-    tok = doc_units(df, id_col, text_col, ngram)
-    sizes = tok.groupBy(id_col).agg(F.count("*").alias("n"))
-    ta = tok.select(F.col(id_col).alias("id_a"), "token")
-    tb = tok.select(F.col(id_col).alias("id_b"), "token")
-    common = (
-        cands.join(ta, "id_a")
-        .join(tb, ["id_b", "token"])
-        .groupBy("id_a", "id_b")
-        .agg(F.count("*").alias("c"))
-    )
-    sa = sizes.select(F.col(id_col).alias("id_a"), F.col("n").alias("na"))
-    sb = sizes.select(F.col(id_col).alias("id_b"), F.col("n").alias("nb"))
+    va = ua.select(F.col(id_col).alias("id_a"), F.col("units").alias("u_a"))
+    vb = ua.select(F.col(id_col).alias("id_b"), F.col("units").alias("u_b"))
     return (
-        common.join(sa, "id_a")
-        .join(sb, "id_b")
-        .withColumn("jaccard", F.col("c") / (F.col("na") + F.col("nb") - F.col("c")))
+        cands.join(va, "id_a")
+        .join(vb, "id_b")
+        .withColumn("c", F.size(F.array_intersect(F.col("u_a"), F.col("u_b"))))
+        .withColumn(
+            "jaccard", F.col("c") / (F.size("u_a") + F.size("u_b") - F.col("c"))
+        )
         .filter(F.col("jaccard") >= threshold)
         .select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard"))
     )
