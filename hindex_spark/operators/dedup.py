@@ -112,9 +112,17 @@ def exact_dedup_groups(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
 
 
 def exact_dedup(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
-    """Keep one representative row per distinct content."""
-    keep = exact_dedup_groups(df, id_col, text_col).select(id_col)
-    return df.join(keep, id_col, "left_semi")
+    """Keep one representative row (min id) per distinct content: a
+    single row_number window over the content hash — one scan and one
+    shuffle, vs. groupBy + semi-join's two scans, shuffle, and join."""
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(fingerprint(F.col(text_col))).orderBy(F.col(id_col))
+    return (
+        df.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .drop("__rn")
+    )
 
 
 # ---------------------------------------------------------------------------
@@ -333,10 +341,19 @@ def clean_corpus(
     recall < 1 with probability (1-s^b)^r per pair, negligible at
     s >= 0.9 with the default 4x2 banding).
     """
+    from pyspark import StorageLevel
+
     from hindex_spark.operators.text import quality_score
 
     qualified = df.filter(quality_score(F.col(text_col)) >= min_quality)
-    deduped = exact_dedup(qualified, id_col, text_col)
+    # The exact-deduped corpus feeds the signature scan, both sides of
+    # candidate verification, and the final anti-join — persist it so the
+    # quality + window-dedup chain runs once, not once per consumer. (At
+    # 100 TB this intermediate would be a staged table; MEMORY_AND_DISK
+    # is the single-job equivalent and spills instead of OOMing.)
+    deduped = exact_dedup(qualified, id_col, text_col).persist(
+        StorageLevel.MEMORY_AND_DISK
+    )
     if method == "lsh":
         pairs = minhash_dedup_pairs(deduped, id_col, text_col, jaccard_threshold, ngram)
     else:
