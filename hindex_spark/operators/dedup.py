@@ -279,21 +279,48 @@ SIMHASH_BITS = 32
 
 
 def simhash(df: DataFrame, id_col: str, text_col: str, ngram: int = 3) -> DataFrame:
-    """32-bit SimHash per doc: one explode + one groupBy with 32 signed
-    bit-sums folded back into an int."""
-    tok = doc_units(df, id_col, text_col, ngram).withColumn("h", token_hash(F.col("token")))
-    bit_sums = [
-        F.sum(
-            F.when(F.shiftright(F.col("h"), b).bitwiseAND(1) == 1, 1).otherwise(-1)
-        ).alias(f"s{b}")
-        for b in range(SIMHASH_BITS)
-    ]
-    agg = tok.groupBy(id_col).agg(*bit_sums)
-    sim = None
-    for b in range(SIMHASH_BITS):
-        term = F.when(F.col(f"s{b}") > 0, F.lit(2 ** b).cast("long")).otherwise(F.lit(0))
-        sim = term if sim is None else (sim + term)
-    return agg.select(F.col(id_col), sim.alias("simhash"))
+    """32-bit SimHash per doc, computed as a per-row fold over the unit
+    array: for each bit, count set occurrences and compare to n/2 (the
+    same sign test as summing +/-1 per unit). A narrow projection with
+    NO shuffle — the previous explode + groupBy(32 sums) paid a
+    corpus-sized shuffle for the same result. One fold pass hashes each
+    unit once and accumulates struct(n, c0..c31)."""
+    init = F.struct(
+        F.lit(0).cast("long").alias("n"),
+        *[F.lit(0).cast("long").alias(f"c{b}") for b in range(SIMHASH_BITS)],
+    )
+
+    def step(acc: Column, h: Column) -> Column:
+        return F.struct(
+            (acc["n"] + 1).alias("n"),
+            *[
+                (acc[f"c{b}"] + F.shiftright(h, b).bitwiseAND(1)).alias(f"c{b}")
+                for b in range(SIMHASH_BITS)
+            ],
+        )
+
+    def fin(acc: Column) -> Column:
+        # bit b set iff sum over units of (+1 if bit set else -1) > 0,
+        # i.e. 2*count_set > n
+        sim = None
+        for b in range(SIMHASH_BITS):
+            term = F.when(
+                acc[f"c{b}"] * 2 > acc["n"], F.lit(2 ** b).cast("long")
+            ).otherwise(F.lit(0))
+            sim = term if sim is None else (sim + term)
+        return sim
+
+    ua = doc_unit_arrays(df, id_col, text_col, ngram)
+    folded = ua.select(
+        F.col(id_col),
+        F.aggregate(F.transform(F.col("units"), token_hash), init, step).alias("acc"),
+        F.size("units").alias("__nu"),
+    )
+    # docs with zero units had no rows after explode in the groupBy
+    # shape -> keep parity by dropping them here too
+    return folded.filter(F.col("__nu") > 0).select(
+        F.col(id_col), fin(F.col("acc")).alias("simhash")
+    )
 
 
 def simhash_pairs(
