@@ -842,6 +842,58 @@ def q_cells_compaction(spark, sf_dir):
     return out.select("rowkey", "qualifier", "ts", "value")
 
 
+@query(
+    "cells_column_pagination",
+    """WITH latest AS (
+         SELECT CAST(user_id AS VARCHAR) AS rowkey, event_type AS qualifier,
+                epoch_us(ts) AS ts, printf('%.2f', value) AS value
+         FROM (SELECT *, row_number() OVER (
+                  PARTITION BY user_id, event_type
+                  ORDER BY ts DESC, printf('%.2f', value) DESC) AS rn
+               FROM events) WHERE rn = 1)
+       SELECT rowkey, qualifier, ts, value
+       FROM (SELECT *, row_number() OVER (
+                PARTITION BY rowkey ORDER BY qualifier) AS cn FROM latest)
+       WHERE cn > 1 AND cn <= 3""",
+)
+def q_cells_column_pagination(spark, sf_dir):
+    """ColumnPaginationFilter analog (ColumnPaginationFilter.java):
+    per-row limit+offset over the column (qualifier) order, on the
+    latest-version view of the cell layer."""
+    from hindex_spark.cells import resolve
+    from hindex_spark.filters import ColumnPaginationFilter
+
+    latest = resolve(_event_cells(spark, sf_dir), max_versions=1)
+    out = ColumnPaginationFilter(limit=2, offset=1).apply(latest, None)
+    return out.select("rowkey", "qualifier", "ts", "value")
+
+
+@query(
+    "cells_dependent_column",
+    """WITH latest AS (
+         SELECT CAST(user_id AS VARCHAR) AS rowkey, event_type AS qualifier,
+                epoch_us(ts) AS ts, printf('%.2f', value) AS value
+         FROM (SELECT *, row_number() OVER (
+                  PARTITION BY user_id, event_type
+                  ORDER BY ts DESC, printf('%.2f', value) DESC) AS rn
+               FROM events) WHERE rn = 1)
+       SELECT c.rowkey, c.qualifier, c.ts, c.value
+       FROM latest c
+       JOIN (SELECT rowkey, ts FROM latest WHERE qualifier = 'click') r
+         ON c.rowkey = r.rowkey AND c.ts = r.ts""",
+)
+def q_cells_dependent_column(spark, sf_dir):
+    """DependentColumnFilter analog (DependentColumnFilter.java:51): keep
+    cells whose ts matches the reference column's ts in the same row —
+    a cell-layer self-join on (rowkey, ts)."""
+    from hindex_spark.cells import resolve
+    from hindex_spark.filters import DependentColumnFilter
+
+    latest = resolve(_event_cells(spark, sf_dir), max_versions=1)
+    out = DependentColumnFilter(ref_family="e", ref_qualifier="click").apply(latest, None)
+    return out.select("rowkey", "qualifier", "ts", "value")
+
+
 def _register_all():
     import hindex_spark.queries_etl  # noqa: F401  (registers entries)
     import hindex_spark.queries_idxtab  # noqa: F401
