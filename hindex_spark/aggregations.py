@@ -66,9 +66,14 @@ def agg_median(table, column: str, scan=None) -> Any:
 
 def exact_median_twophase(df: DataFrame, column: str) -> Any:
     c = F.col(column)
+    # Phase 1: count + a sketch bracket around the median. accuracy=10000
+    # bounds the sketch's rank error at ~1e-4 of n, so the 0.495-0.505
+    # bracket (50x margin) always captures the true median neighbors
+    # outside of pathological duplicate mass — which the guard below
+    # catches and resolves with an exact fallback.
     row = df.agg(
         F.count(c).alias("n"),
-        F.expr(f"approx_percentile({column}, array(0.48, 0.52), 10000)").alias("b"),
+        F.expr(f"approx_percentile({column}, array(0.495, 0.505), 10000)").alias("b"),
     ).collect()[0]
     n, bounds = row["n"], row["b"]
     if n == 0:
@@ -76,20 +81,19 @@ def exact_median_twophase(df: DataFrame, column: str) -> Any:
     if bounds is None or bounds[0] is None:
         return df.agg(F.expr(f"percentile({column}, 0.5)")).collect()[0][0]
     lo, hi = bounds[0], bounds[1]
+    # Phase 2 (one job, fused): rank of the window start AND the sorted
+    # window values — ~1% of rows around the median, single aggregate.
     stats = df.agg(
         F.sum((c < lo).cast("long")).alias("below"),
-        F.sum(((c >= lo) & (c <= hi)).cast("long")).alias("inside"),
+        F.sort_array(F.collect_list(F.when((c >= lo) & (c <= hi), c))).alias("win"),
     ).collect()[0]
-    below, inside = stats["below"] or 0, stats["inside"] or 0
+    below, window = stats["below"] or 0, stats["win"]
+    inside = len(window)
     rank = 0.5 * (n - 1)
     i0, i1 = int(rank), min(int(rank) + 1, n - 1)
     # both neighbors must be inside the sketch window, else fall back
     if not (below <= i0 and i1 < below + inside):
         return df.agg(F.expr(f"percentile({column}, 0.5)")).collect()[0][0]
-    window = [
-        r[0]
-        for r in df.filter((c >= lo) & (c <= hi)).select(c).orderBy(c).collect()
-    ]
     v0, v1 = window[i0 - below], window[i1 - below]
     frac = rank - i0
     return v0 + (v1 - v0) * frac
