@@ -70,3 +70,21 @@ def test_small_dim_join_broadcasts(spark, sf_dir):
     nation = spark.read.parquet(f"{sf_dir}/nation.parquet")
     df = cust.join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
     assert "BroadcastHashJoin" in _plan(df)
+
+
+def test_minhash_signatures_no_shuffle(spark, sf_dir):
+    # the signature job must stay a pure map over the corpus: any
+    # Exchange here means a corpus-sized shuffle at 100 TB
+    from hindex_spark.operators.dedup import minhash_signatures
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    p = _plan(minhash_signatures(docs, "doc_id", "text", 3))
+    assert "Exchange" not in p
+
+
+def test_simhash_no_shuffle(spark, sf_dir):
+    from hindex_spark.operators.dedup import simhash
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    p = _plan(simhash(docs, "doc_id", "text", 3))
+    assert "Exchange" not in p
