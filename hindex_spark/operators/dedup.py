@@ -136,7 +136,12 @@ def jaccard_pairs(
     """Exact token/shingle-set Jaccard >= threshold via inverted-index
     join. Output: (id_a, id_b, jaccard) with id_a < id_b."""
     tok = doc_units(df, id_col, text_col, ngram)
-    sizes = tok.groupBy(id_col).agg(F.count("*").alias("n"))
+    # |unit set| per doc as a narrow array-size scan — doc_units emits
+    # distinct units, so size(units) == count(*) per id without the
+    # explode + groupBy shuffle
+    sizes = doc_unit_arrays(df, id_col, text_col, ngram).select(
+        F.col(id_col), F.size("units").alias("n")
+    )
     a = tok.select(F.col(id_col).alias("id_a"), "token")
     b = tok.select(F.col(id_col).alias("id_b"), "token")
     common = (
