@@ -149,6 +149,21 @@ def q_scvf(spark, sf_dir):
 
 
 @query(
+    "filter_scvf_exclude",
+    """SELECT l_orderkey, l_linenumber, l_extendedprice FROM lineitem
+       WHERE l_quantity >= 45""",
+)
+def q_scvf_exclude(spark, sf_dir):
+    """SingleColumnValueExcludeFilter.java:46 — filter on the column,
+    drop it from the output."""
+    t = _t(spark, sf_dir, "lineitem", "l_orderkey")
+    f = fl.SingleColumnValueExcludeFilter(
+        "l_quantity", fl.GREATER_OR_EQUAL, 45.0, filter_if_missing=True
+    )
+    return t.scan(Scan(filter=f, columns=["l_linenumber", "l_quantity", "l_extendedprice"]))
+
+
+@query(
     "filter_and",
     """SELECT l_orderkey, l_linenumber, l_returnflag, l_discount FROM lineitem
        WHERE l_returnflag = 'R' AND l_discount > 0.08""",

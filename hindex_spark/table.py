@@ -148,6 +148,11 @@ class Table:
             cols = list(scan.columns)
             if self.rowkey_col not in cols:
                 cols = [self.rowkey_col] + cols
+            # A filter may drop columns from the stream
+            # (SingleColumnValueExcludeFilter.java:46): requesting the
+            # excluded column returns rows without it, as the reference
+            # does. Unknown names (never table columns) still fail loudly.
+            cols = [c for c in cols if c in df.columns or c not in self.df.columns]
             df = df.select(*cols)
 
         if scan.reversed:
