@@ -204,14 +204,21 @@ def minhash_signatures(
     return sig.select(F.col(id_col), *[F.col(f"s.mh{i}").alias(f"mh{i}") for i in range(N_HASHES)])
 
 
-def lsh_candidate_pairs(signatures: DataFrame, id_col: str) -> DataFrame:
+def lsh_candidate_pairs(
+    signatures: DataFrame, id_col: str, max_bucket: Optional[int] = None
+) -> DataFrame:
     """Band the signature (4 bands x 2 rows), group by band bucket, and
     emit id pairs from within each bucket — ONE pass over the signature
     input and one shuffle keyed by (band, bucket), vs. a self-join that
     executes the signature job twice. Never a cross join: cost is
-    sum over buckets of |bucket|^2, the LSH contract. (At 100 TB, cap
-    pathological buckets — e.g. drop buckets past ~10k members as
-    "too common to be near-dups"; unbounded here for oracle parity.)"""
+    sum over buckets of |bucket|^2, the LSH contract.
+
+    ``max_bucket`` is the 100 TB safety valve: buckets larger than it are
+    dropped before pair expansion (their members still pair up through
+    their other, more selective bands — a bucket that common is driven by
+    boilerplate shingles, not near-duplication, and its |bucket|^2
+    expansion is exactly the blow-up LSH exists to avoid). Default None
+    = unbounded, bit-for-bit the oracle semantics."""
     n_bands = N_HASHES // BAND_SIZE
     bands = signatures.select(
         F.col(id_col),
@@ -235,6 +242,8 @@ def lsh_candidate_pairs(signatures: DataFrame, id_col: str) -> DataFrame:
         .agg(F.array_sort(F.collect_set(F.col(id_col))).alias("ids"))
         .filter(F.size("ids") >= 2)
     )
+    if max_bucket is not None:
+        buckets = buckets.filter(F.size("ids") <= max_bucket)
     ids = F.col("ids")
     pairs = F.flatten(
         F.transform(
@@ -253,7 +262,12 @@ def lsh_candidate_pairs(signatures: DataFrame, id_col: str) -> DataFrame:
 
 
 def minhash_dedup_pairs(
-    df: DataFrame, id_col: str, text_col: str, threshold: float, ngram: int = 3
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    threshold: float,
+    ngram: int = 3,
+    max_bucket: Optional[int] = None,
 ) -> DataFrame:
     """LSH candidates verified with exact Jaccard. Verification joins the
     (small) candidate-pair set back to the per-doc unit ARRAYS and takes
@@ -261,7 +275,9 @@ def minhash_dedup_pairs(
     (both sides are distinct unit sets) but per-pair linear work with no
     token-level shuffle; cost ~ |candidates|, not |corpus|."""
     ua = doc_unit_arrays(df, id_col, text_col, ngram)
-    cands = lsh_candidate_pairs(minhash_signatures(df, id_col, text_col, ngram), id_col)
+    cands = lsh_candidate_pairs(
+        minhash_signatures(df, id_col, text_col, ngram), id_col, max_bucket=max_bucket
+    )
     va = ua.select(F.col(id_col).alias("id_a"), F.col("units").alias("u_a"))
     vb = ua.select(F.col(id_col).alias("id_b"), F.col("units").alias("u_b"))
     return (

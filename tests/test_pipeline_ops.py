@@ -158,3 +158,21 @@ def test_multimodal_blob_and_features(spark):
     frames = mm.frame_sample(blobbed, every=3).collect()
     f1 = sorted((r["frame_no"], bytes(r["frame"])) for r in frames if r["doc_id"] == 1)
     assert f1 == [(0, b"hel"), (1, b"lo")]
+
+
+def test_lsh_max_bucket_caps_pair_expansion(spark):
+    docs = _docs(spark)
+    # docs 1 and 2 are identical -> every band bucket holds both; with
+    # max_bucket=1 every >=2 bucket is dropped, so no candidates survive
+    sigs = dd.minhash_signatures(docs, "doc_id", "text", 3)
+    assert dd.lsh_candidate_pairs(sigs, "doc_id", max_bucket=1).count() == 0
+    # an unreachable cap changes nothing
+    uncapped = {
+        (r["id_a"], r["id_b"])
+        for r in dd.lsh_candidate_pairs(sigs, "doc_id").collect()
+    }
+    capped = {
+        (r["id_a"], r["id_b"])
+        for r in dd.lsh_candidate_pairs(sigs, "doc_id", max_bucket=100).collect()
+    }
+    assert uncapped == capped and (1, 2) in uncapped
