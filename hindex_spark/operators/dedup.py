@@ -197,8 +197,10 @@ def minhash_signatures(
 ) -> DataFrame:
     """(id, mh0..mh7): a narrow projection pass (shingle -> hash -> one
     8-way min fold) with NO shuffle at all — at 100 TB the signature job
-    is a pure map over the corpus. (The previous shape, explode +
-    groupBy(8 mins), paid a corpus-sized shuffle for the same result.)"""
+    is a pure map over the corpus. (The explode + groupBy(8 mins)
+    alternative is also viable at scale — map-side combine collapses it
+    to ~1 row/doc before the exchange — but it still materializes every
+    shingle as a row and pays an exchange; the fold does neither.)"""
     ua = doc_unit_arrays(df, id_col, text_col, ngram)
     sig = ua.select(F.col(id_col), _signature_struct(F.col("units")).alias("s"))
     return sig.select(F.col(id_col), *[F.col(f"s.mh{i}").alias(f"mh{i}") for i in range(N_HASHES)])
