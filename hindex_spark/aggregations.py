@@ -9,7 +9,9 @@ map-side combine automatically (verify: HashAggregate(partial) ->
 Exchange -> HashAggregate(final) in .explain()).
 
 ``median`` is exact, matching the reference's two-phase exact median
-(AggregateImplementation.getMedian:414), via percentile(0.5).
+(AggregateImplementation.getMedian:414): a sketch pass locates a narrow
+value bracket, a second fused pass ranks it and collects only the
+bracket — never the whole column.
 """
 
 from __future__ import annotations
@@ -100,13 +102,17 @@ def exact_median_twophase(df: DataFrame, column: str) -> Any:
 
 
 def summary(table, column: str, scan=None) -> DataFrame:
-    """All aggregates in one pass (one partial+final aggregate)."""
-    return _scoped(table, column, scan).agg(
+    """All streaming aggregates in one partial+final pass; the median is
+    attached from the two-phase exact job rather than percentile(0.5),
+    which buffers every value of the group in a single object aggregate
+    — the one shape that cannot survive 100 TB."""
+    df = _scoped(table, column, scan)
+    med = exact_median_twophase(df, column)
+    return df.agg(
         F.min(column).alias("min_v"),
         F.max(column).alias("max_v"),
         F.sum(column).alias("sum_v"),
         F.count(column).alias("count_v"),
         F.avg(column).alias("avg_v"),
         F.stddev_pop(column).alias("std_v"),
-        F.expr(f"percentile({column}, 0.5)").alias("median_v"),
-    )
+    ).withColumn("median_v", F.lit(med).cast("double"))

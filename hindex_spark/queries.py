@@ -335,16 +335,18 @@ def q_bitcomp(spark, sf_dir):
        FROM lineitem""",
 )
 def q_agg_summary(spark, sf_dir):
+    from hindex_spark import aggregations as agg
+
     t = _t(spark, sf_dir, "lineitem", "l_orderkey")
-    c = "l_extendedprice"
-    return t.df.agg(
-        F.round(F.min(c), 2).alias("min_v"),
-        F.round(F.max(c), 2).alias("max_v"),
-        F.round(F.sum(c), 2).alias("sum_v"),
-        F.count(c).alias("count_v"),
-        F.round(F.avg(c), 4).alias("avg_v"),
-        F.round(F.stddev_pop(c), 4).alias("std_v"),
-        F.round(F.expr(f"percentile({c}, 0.5)"), 4).alias("median_v"),
+    s = agg.summary(t, "l_extendedprice")
+    return s.select(
+        F.round("min_v", 2).alias("min_v"),
+        F.round("max_v", 2).alias("max_v"),
+        F.round("sum_v", 2).alias("sum_v"),
+        F.col("count_v"),
+        F.round("avg_v", 4).alias("avg_v"),
+        F.round("std_v", 4).alias("std_v"),
+        F.round("median_v", 4).alias("median_v"),
     )
 
 
