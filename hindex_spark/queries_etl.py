@@ -110,6 +110,30 @@ def q_sql_where(spark, sf_dir):
 
 
 @query(
+    "multi_table_scan",
+    """SELECT o_orderkey, o_custkey, o_totalprice FROM orders
+       WHERE (o_orderkey >= 100 AND o_orderkey < 600)
+          OR (o_orderkey >= 5000 AND o_orderkey < 5500)""",
+)
+def q_multi_table_scan(spark, sf_dir):
+    """MultiTableInputFormat analog (SURVEY §2.1,
+    hbase-server/.../mapreduce/MultiTableInputFormat.java): one job
+    scanning several tables. Two rowkey-range restrictions of orders
+    stand in for two tables; the scan is their unionByName."""
+    from hindex_spark.catalog import multi_table_scan
+    from hindex_spark.table import Table
+
+    base = spark.read.parquet(f"{sf_dir}/orders.parquet").select(
+        "o_orderkey", "o_custkey", "o_totalprice"
+    )
+    a = Table(base.filter((F.col("o_orderkey") >= 100) & (F.col("o_orderkey") < 600)),
+              "o_orderkey", "orders_a")
+    b = Table(base.filter((F.col("o_orderkey") >= 5000) & (F.col("o_orderkey") < 5500)),
+              "o_orderkey", "orders_b")
+    return multi_table_scan([a, b])
+
+
+@query(
     "etl_import_tsv",
     "SELECT o_orderkey, o_custkey, o_orderstatus FROM orders",
 )
