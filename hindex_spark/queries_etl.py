@@ -110,6 +110,22 @@ def q_sql_where(spark, sf_dir):
 
 
 @query(
+    "etl_export_import",
+    """SELECT n_nationkey, n_name, n_regionkey FROM nation""",
+)
+def q_etl_export_import(spark, sf_dir):
+    """Export/Import round-trip (SURVEY §2.1,
+    hbase-server/.../mapreduce/Export.java / Import.java): dump the table
+    to files, restore from the dump, result must equal the source."""
+    src = spark.read.parquet(f"{sf_dir}/nation.parquet").select(
+        "n_nationkey", "n_name", "n_regionkey"
+    )
+    tmp = tempfile.mkdtemp(prefix="hindex_export_")
+    jobs.export_table(src, f"{tmp}/nation_dump")
+    return jobs.import_table(spark, f"{tmp}/nation_dump")
+
+
+@query(
     "multi_table_scan",
     """SELECT o_orderkey, o_custkey, o_totalprice FROM orders
        WHERE (o_orderkey >= 100 AND o_orderkey < 600)
