@@ -523,6 +523,29 @@ def q_index_eq(spark, sf_dir):
 
 
 @query(
+    "index_hint_forced",
+    "SELECT o_orderkey, o_custkey, o_totalprice FROM orders WHERE o_custkey = 371",
+)
+def q_index_hint_forced(spark, sf_dir):
+    """Explicit index hint (SingleIndexExpression, Constants.java:60 /
+    ScanFilterEvaluator.convertIdxExpToFilterNode:149-218): the client
+    forces the planner's index choice; the residual filter still applies.
+    The query itself asserts the spy saw the forced index, so the gate
+    checks plan fidelity, not just rows."""
+    from hindex_spark.index.planner import SingleIndexExpression
+
+    t = _t(spark, sf_dir, "orders", "o_orderkey")
+    t.create_index(IndexSpecification("idx_cust").add_column("o_custkey", "Long"))
+    f = fl.SingleColumnValueFilter("o_custkey", fl.EQUAL, 371, filter_if_missing=True)
+    hint = SingleIndexExpression("idx_cust", equals={"o_custkey": 371})
+    out = t.scan(Scan(filter=f, columns=["o_custkey", "o_totalprice"], index_hint=hint))
+    assert t.last_index_plan is not None and t.last_index_plan.used_indexes == [
+        "idx_cust"
+    ], f"hint not honored: {t.last_index_plan}"
+    return out
+
+
+@query(
     "index_multicol_range",
     """SELECT o_orderkey, o_orderstatus, strftime(o_orderdate, '%Y-%m-%d') AS o_odate
        FROM orders
