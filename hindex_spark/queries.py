@@ -546,6 +546,35 @@ def q_index_hint_forced(spark, sf_dir):
 
 
 @query(
+    "index_maintained_scan",
+    """SELECT o_orderkey, o_custkey, o_totalprice
+       FROM (VALUES (99999991, 7777777, 111.11), (99999992, 7777777, 222.22))
+            AS v(o_orderkey, o_custkey, o_totalprice)""",
+)
+def q_index_maintained_scan(spark, sf_dir):
+    """Index maintenance on mutations (IndexRegionObserver.preBatchMutate,
+    IndexRegionObserver.java:149-186; delete path getIndexDeletes:241-287):
+    put three rows for a fresh customer, delete one, then query through
+    the maintained index. The result must reflect both mutations and the
+    plan must still use the index."""
+    t = _t(spark, sf_dir, "orders", "o_orderkey")
+    t.create_index(IndexSpecification("idx_cust").add_column("o_custkey", "Long"))
+    puts = spark.createDataFrame(
+        [(99999991, 7777777, 111.11), (99999992, 7777777, 222.22), (99999993, 7777777, 333.33)],
+        "o_orderkey long, o_custkey long, o_totalprice double",
+    )
+    t2 = t.put(puts).delete(
+        spark.createDataFrame([(99999993,)], "o_orderkey long")
+    )
+    f = fl.SingleColumnValueFilter("o_custkey", fl.EQUAL, 7777777, filter_if_missing=True)
+    out = t2.scan(Scan(filter=f, columns=["o_custkey", "o_totalprice"]))
+    assert t2.last_index_plan is not None and t2.last_index_plan.used_indexes == [
+        "idx_cust"
+    ], f"index not used after mutations: {t2.last_index_plan}"
+    return out
+
+
+@query(
     "index_multicol_range",
     """SELECT o_orderkey, o_orderstatus, strftime(o_orderdate, '%Y-%m-%d') AS o_odate
        FROM orders
