@@ -760,6 +760,74 @@ def q_check_and_put(spark, sf_dir):
     return t2.df.select("c_custkey", "c_mktsegment")
 
 
+@query(
+    "mutation_mutate_row",
+    """SELECT n_nationkey, n_name, n_regionkey FROM (
+         SELECT n_nationkey, 'RENAMED' AS n_name, n_regionkey
+           FROM nation WHERE n_nationkey = 0
+         UNION ALL
+         SELECT 990 AS n_nationkey, 'NEWLAND' AS n_name, 99 AS n_regionkey
+       ) ORDER BY n_nationkey""",
+)
+def q_mutate_row(spark, sf_dir):
+    """RowMutations / mutateRow (RowMutations.java:42, HTable.java:1002):
+    one atomic batch carrying puts (update key 0, insert key 990) and a
+    delete (key 5); the output snapshot reflects all of them."""
+    t = _t(spark, sf_dir, "nation", "n_nationkey")
+    puts = spark.createDataFrame(
+        [(0, "RENAMED", None), (990, "NEWLAND", 99)],
+        "n_nationkey long, n_name string, n_regionkey long",
+    )
+    # partial-column put: key 0 keeps its old n_regionkey
+    puts = puts.withColumn(
+        "n_regionkey",
+        F.when(F.col("n_nationkey") == 0, F.lit(None).cast("long")).otherwise(
+            F.col("n_regionkey")
+        ),
+    )
+    # NULL in a put means "write NULL"; emulate Put's carried-cells-only
+    # semantics by splitting: key 0 put carries only n_name
+    t2 = t.mutate_row(
+        puts=puts.filter(F.col("n_nationkey") == 990),
+        deletes=spark.createDataFrame([(5,)], "n_nationkey long"),
+    ).put(puts.filter(F.col("n_nationkey") == 0).select("n_nationkey", "n_name"))
+    return (
+        t2.df.filter(F.col("n_nationkey").isin(0, 5, 990))
+        .select("n_nationkey", "n_name", "n_regionkey")
+        .orderBy("n_nationkey")
+    )
+
+
+@query(
+    "etl_import_tsv_with_index",
+    """SELECT o_custkey, o_orderkey FROM orders
+       WHERE o_orderkey < 1000 AND o_custkey IS NOT NULL""",
+)
+def q_etl_import_tsv_with_index(spark, sf_dir):
+    """IndexImportTsv (hbase-secondaryindex/.../index/mapreduce/
+    IndexImportTsv.java): one ingest derives table AND index files. The
+    returned frame is the INDEX table built during ingest — its rows must
+    equal the (o_custkey, o_orderkey) projection of the source."""
+    import tempfile
+
+    from hindex_spark.etl import jobs
+
+    src = spark.read.parquet(f"{sf_dir}/orders.parquet").filter(
+        F.col("o_orderkey") < 1000
+    ).select("o_orderkey", "o_custkey")
+    tmp = tempfile.mkdtemp(prefix="hindex_idxtsv_")
+    src.write.option("sep", "\t").mode("overwrite").csv(f"{tmp}/orders_tsv")
+    table, idx = jobs.import_tsv_with_index(
+        spark,
+        f"{tmp}/orders_tsv",
+        ["o_orderkey", "o_custkey"],
+        "o_orderkey",
+        [IndexSpecification("idx_cust").add_column("o_custkey", "Long")],
+        schema="o_orderkey long, o_custkey long",
+    )
+    return idx["idx_cust"].select("o_custkey", "o_orderkey")
+
+
 # ---------------------------------------------------------------------------
 # cell layer: versions, time-range, tombstones
 # ---------------------------------------------------------------------------
