@@ -1006,6 +1006,32 @@ def q_cells_column_pagination(spark, sf_dir):
 
 
 @query(
+    "cells_column_prefix",
+    """WITH latest AS (
+         SELECT CAST(user_id AS VARCHAR) AS rowkey, event_type AS qualifier,
+                epoch_us(ts) AS ts, printf('%.2f', value) AS value
+         FROM (SELECT *, row_number() OVER (
+                  PARTITION BY user_id, event_type
+                  ORDER BY ts DESC, printf('%.2f', value) DESC) AS rn
+               FROM events) WHERE rn = 1)
+       SELECT rowkey, qualifier, ts, value FROM latest
+       WHERE (qualifier LIKE 'cl%' OR qualifier LIKE 'si%')
+         AND qualifier >= 'c' AND qualifier < 't'""",
+)
+def q_cells_column_prefix(spark, sf_dir):
+    """MultipleColumnPrefixFilter (MultipleColumnPrefixFilter.java) AND
+    ColumnRangeFilter (ColumnRangeFilter.java:52) on the latest-version
+    cell view: qualifier matches a prefix set, within [min, max)."""
+    from hindex_spark.cells import resolve
+    from hindex_spark.filters import ColumnRangeFilter, MultipleColumnPrefixFilter
+
+    latest = resolve(_event_cells(spark, sf_dir), max_versions=1)
+    out = MultipleColumnPrefixFilter(["cl", "si"]).apply(latest, None)
+    out = ColumnRangeFilter(min_column="c", max_column="t").apply(out, None)
+    return out.select("rowkey", "qualifier", "ts", "value")
+
+
+@query(
     "cells_dependent_column",
     """WITH latest AS (
          SELECT CAST(user_id AS VARCHAR) AS rowkey, event_type AS qualifier,

@@ -126,6 +126,28 @@ def q_etl_export_import(spark, sf_dir):
 
 
 @query(
+    "etl_bulk_load",
+    """SELECT o_orderkey, o_custkey FROM orders
+       WHERE o_orderkey < 500 OR (o_orderkey >= 5000 AND o_orderkey < 5500)""",
+)
+def q_etl_bulk_load(spark, sf_dir):
+    """LoadIncrementalHFiles (hbase-server/.../mapreduce/
+    LoadIncrementalHFiles.java): move prepared files into the table dir.
+    Stage a base table, bulk-load a prepared batch, read the table back —
+    rows must be the union."""
+    src = spark.read.parquet(f"{sf_dir}/orders.parquet").select(
+        "o_orderkey", "o_custkey"
+    )
+    tmp = tempfile.mkdtemp(prefix="hindex_bulk_")
+    src.filter(F.col("o_orderkey") < 500).write.parquet(f"{tmp}/table")
+    src.filter(
+        (F.col("o_orderkey") >= 5000) & (F.col("o_orderkey") < 5500)
+    ).write.parquet(f"{tmp}/prepared")
+    jobs.bulk_load(spark, f"{tmp}/prepared", f"{tmp}/table")
+    return spark.read.parquet(f"{tmp}/table")
+
+
+@query(
     "multi_table_scan",
     """SELECT o_orderkey, o_custkey, o_totalprice FROM orders
        WHERE (o_orderkey >= 100 AND o_orderkey < 600)
