@@ -126,6 +126,63 @@ def q_etl_export_import(spark, sf_dir):
 
 
 @query(
+    "etl_snapshot_scan",
+    """SELECT o_orderkey, o_custkey, o_totalprice FROM orders
+       WHERE o_orderkey < 1000""",
+)
+def q_etl_snapshot_scan(spark, sf_dir):
+    """TableSnapshotInputFormat (hbase-server/.../mapreduce/
+    TableSnapshotInputFormat.java): scan an immutable snapshot without
+    touching the live table. Save a table, snapshot it, mutate the live
+    table, then read the snapshot — it must show the pre-mutation rows."""
+    from hindex_spark.catalog import Catalog
+    from hindex_spark.table import Table
+
+    src = spark.read.parquet(f"{sf_dir}/orders.parquet").filter(
+        F.col("o_orderkey") < 1000
+    ).select("o_orderkey", "o_custkey", "o_totalprice")
+    cat = Catalog(spark, tempfile.mkdtemp(prefix="hindex_snap_"))
+    cat.save(Table(src, "o_orderkey", "orders_s"), num_partitions=4)
+    cat.snapshot("orders_s", "s1")
+    # mutate the live table AFTER the snapshot
+    live = cat.load("orders_s").delete_where(F.col("o_orderkey") < 500)
+    cat.save(live, num_partitions=4)
+    return cat.load("orders_s@s1").df
+
+
+@query(
+    "streaming_walplayer",
+    """SELECT n_nationkey, n_name, n_regionkey FROM (
+         SELECT n_nationkey, n_name, n_regionkey FROM nation WHERE n_nationkey <> 3
+         UNION ALL
+         SELECT 990 AS n_nationkey, 'STREAMED' AS n_name, 1 AS n_regionkey
+       )""",
+)
+def q_streaming_walplayer(spark, sf_dir):
+    """WALPlayer (hbase-server/.../mapreduce/WALPlayer.java): replay a
+    change log into a table through the Structured Streaming ingest path
+    (one micro-batch = one atomic table version, the same foreachBatch
+    fold as live ingest)."""
+    from hindex_spark.streaming.ingest import replay_changelog
+    from hindex_spark.table import Table
+
+    base = spark.read.parquet(f"{sf_dir}/nation.parquet").select(
+        "n_nationkey", "n_name", "n_regionkey"
+    )
+    t = Table(base, "n_nationkey", "nation")
+    tmp = tempfile.mkdtemp(prefix="hindex_wal_")
+    spark.createDataFrame(
+        [("put", 990, "STREAMED", 1), ("delete", 3, None, None)],
+        "op string, n_nationkey long, n_name string, n_regionkey long",
+    ).write.parquet(f"{tmp}/changelog")
+    ingest = replay_changelog(
+        spark, t, f"{tmp}/changelog",
+        "op string, n_nationkey long, n_name string, n_regionkey long",
+    )
+    return ingest.table.df
+
+
+@query(
     "etl_bulk_load",
     """SELECT o_orderkey, o_custkey FROM orders
        WHERE o_orderkey < 500 OR (o_orderkey >= 5000 AND o_orderkey < 5500)""",
