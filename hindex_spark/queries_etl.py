@@ -183,6 +183,46 @@ def q_streaming_walplayer(spark, sf_dir):
 
 
 @query(
+    "streaming_windowed_agg",
+    """SELECT epoch_us(ts) - (epoch_us(ts) % 3600000000) AS win_start_us,
+              event_type,
+              COUNT(*) AS n,
+              ROUND(SUM(value), 2) AS total_value
+       FROM events GROUP BY 1, 2""",
+)
+def q_streaming_windowed_agg(spark, sf_dir):
+    """Watermarked windowed aggregation over the streaming ingest path
+    (SURVEY §2.10 — additive beyond the reference, which ships CDC but
+    no stream queries). Complete-mode memory sink with availableNow
+    trigger: deterministic, equal to the batch aggregation."""
+    import uuid
+
+    from hindex_spark.streaming.ingest import windowed_event_counts
+
+    src = tempfile.mkdtemp(prefix="hindex_winagg_") + "/events"
+    spark.read.parquet(f"{sf_dir}/events.parquet").write.parquet(src)
+    schema = spark.read.parquet(src).schema
+    stream = spark.readStream.schema(schema).parquet(src)
+    stream = stream.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    agg = windowed_event_counts(stream, window="1 hour", watermark="2 hours")
+    qname = f"win_out_{uuid.uuid4().hex[:8]}"
+    q = (
+        agg.writeStream.outputMode("complete")
+        .format("memory")
+        .queryName(qname)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.sql(f"SELECT * FROM {qname}").select(
+        F.unix_micros("win_start").alias("win_start_us"),
+        "event_type",
+        "n",
+        "total_value",
+    )
+
+
+@query(
     "etl_bulk_load",
     """SELECT o_orderkey, o_custkey FROM orders
        WHERE o_orderkey < 500 OR (o_orderkey >= 5000 AND o_orderkey < 5500)""",
