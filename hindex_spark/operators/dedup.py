@@ -416,6 +416,67 @@ def clean_corpus(
 
 
 # ---------------------------------------------------------------------------
+# near-dup cluster assignment (connected components)
+# ---------------------------------------------------------------------------
+
+
+def connected_components(
+    pairs: DataFrame,
+    id_a: str = "id_a",
+    id_b: str = "id_b",
+    max_iter: int = 25,
+) -> DataFrame:
+    """Cluster assignment over the near-dup pair graph: every document
+    that appears in >= 1 pair gets ``cluster_id`` = the smallest doc id
+    in its connected component. (Pair lists say "a duplicates b";
+    clusters are what a pipeline acts on — keep one doc per cluster.)
+    Singletons are excluded by construction: at corpus scale you never
+    materialize identity rows for the ~99% of docs with no near-dup.
+
+    Algorithm: iterative min-label propagation — each round every node
+    takes the min of its own label and its neighbors' labels. Rounds
+    needed = graph diameter; near-dup components are overwhelmingly
+    small cliques (diameter 1-2), so this converges in 2-3 rounds.
+    Each round is one join + one groupBy (two shuffles) on the LABEL
+    table, whose size is |docs in any pair| — tiny relative to the
+    corpus. ``localCheckpoint`` truncates lineage each round so the plan
+    does not grow with iterations (same trick as streaming ingest).
+    For adversarial long-chain graphs, switch to large-star/small-star
+    (O(log n) rounds); not worth the constant factor here.
+
+    Returns (node, cluster_id) under the original ``id_a`` column name.
+    """
+    edges = (
+        pairs.select(F.col(id_a).alias("a"), F.col(id_b).alias("b"))
+        .union(pairs.select(F.col(id_b).alias("a"), F.col(id_a).alias("b")))
+        .distinct()
+        .persist()
+    )
+    labels = edges.select(F.col("a").alias("node")).distinct().select(
+        "node", F.col("node").alias("label")
+    )
+    for _ in range(max_iter):
+        prop = edges.join(
+            labels.withColumnRenamed("node", "b"), "b"
+        ).select(F.col("a").alias("node"), "label")
+        new_labels = (
+            labels.union(prop).groupBy("node").agg(F.min("label").alias("label"))
+        ).localCheckpoint()
+        changed = (
+            new_labels.withColumnRenamed("label", "new_label")
+            .join(labels, "node")
+            .filter(F.col("new_label") != F.col("label"))
+            .limit(1)
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    edges.unpersist()
+    return labels.select(F.col("node").alias(id_a), F.col("label").alias("cluster_id"))
+
+
+# ---------------------------------------------------------------------------
 # embedding cosine near-dup
 # ---------------------------------------------------------------------------
 

@@ -120,6 +120,37 @@ def q_dedup_minhash(spark, sf_dir):
     return dd.minhash_dedup_pairs(docs, "doc_id", "text", 0.9)
 
 
+@query(
+    "dedup_clusters",
+    f"""WITH RECURSIVE {_SHINGLES_CTE},
+        sz AS (SELECT doc_id, COUNT(*) AS n FROM tok GROUP BY doc_id),
+        common AS (
+          SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS c
+          FROM tok a JOIN tok b ON a.token = b.token AND a.doc_id < b.doc_id
+          GROUP BY 1, 2),
+        pairs AS (
+          SELECT id_a, id_b FROM common
+          JOIN sz sa ON id_a = sa.doc_id
+          JOIN sz sb ON id_b = sb.doc_id
+          WHERE c * 1.0 / (sa.n + sb.n - c) >= 0.9),
+        edges AS (SELECT id_a AS a, id_b AS b FROM pairs
+                  UNION SELECT id_b, id_a FROM pairs),
+        reach(a, b) AS (
+          SELECT a, b FROM edges
+          UNION
+          SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a)
+        SELECT a AS doc_id, LEAST(a, MIN(b)) AS cluster_id
+        FROM reach GROUP BY a""",
+)
+def q_dedup_clusters(spark, sf_dir):
+    """Near-dup CLUSTER assignment: connected components over the exact
+    jaccard pair graph — every doc in >= 1 pair labeled with the min doc
+    id of its component (oracle: recursive-CTE transitive closure)."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    pairs = dd.jaccard_pairs(docs, "doc_id", "text", 0.9, ngram=3)
+    return dd.connected_components(pairs).withColumnRenamed("id_a", "doc_id")
+
+
 def _simhash_sql() -> str:
     sums = ", ".join(
         f"SUM(CASE WHEN (h >> {b}) & 1 = 1 THEN 1 ELSE -1 END) AS s{b}"

@@ -176,3 +176,22 @@ def test_lsh_max_bucket_caps_pair_expansion(spark):
         for r in dd.lsh_candidate_pairs(sigs, "doc_id", max_bucket=100).collect()
     }
     assert uncapped == capped and (1, 2) in uncapped
+
+
+def test_connected_components_chain_and_cliques(spark):
+    # components: {1,2,3} (triangle), {5,6} (pair), {8,9,10,11} (chain,
+    # diameter 3 -> exercises multi-round propagation); 99 is a singleton
+    # only if it appears in no pair (and must then be absent)
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (1, 3), (5, 6), (8, 9), (9, 10), (10, 11)],
+        "id_a long, id_b long",
+    )
+    got = {
+        (r["id_a"], r["cluster_id"])
+        for r in dd.connected_components(pairs).collect()
+    }
+    assert got == {
+        (1, 1), (2, 1), (3, 1),
+        (5, 5), (6, 5),
+        (8, 8), (9, 8), (10, 8), (11, 8),
+    }
