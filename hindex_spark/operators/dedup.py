@@ -376,10 +376,19 @@ def clean_corpus(
     jaccard_threshold: float = 0.9,
     ngram: int = 3,
     method: str = "exact",
+    keep: str = "greedy",
 ) -> DataFrame:
     """The flagship training-data pipeline: quality filter -> exact
     dedup -> near-dup dedup (keep the lowest-id member of every near-dup
     pair). Returns the surviving rows of ``df``.
+
+    ``keep``: "greedy" drops any doc with a smaller-id near-dup PARTNER
+    (cheap: one anti-join on the pair list; may keep >1 doc of a
+    component connected only transitively). "component" drops every doc
+    that is not the minimum of its connected component (transitive
+    near-dup semantics — the standard for corpus dedup; adds the
+    ``connected_components`` label propagation over the pair graph,
+    whose cost is proportional to the pair set, not the corpus).
 
     Each stage is a narrowing semi/anti-join keyed on id, so the chain
     is shuffle-minimal and every stage's cost shrinks with the previous
@@ -408,10 +417,16 @@ def clean_corpus(
         pairs = minhash_dedup_pairs(deduped, id_col, text_col, jaccard_threshold, ngram)
     else:
         pairs = jaccard_pairs(deduped, id_col, text_col, jaccard_threshold, ngram)
-    # greedy: drop any doc that near-dups a SMALLER id (ids only ever
-    # drop "later" copies, so survivors are exactly docs with no smaller
-    # near-dup partner)
-    losers = pairs.select(F.col("id_b").alias(id_col)).distinct()
+    if keep == "component":
+        comp = connected_components(pairs)
+        losers = comp.filter(F.col("cluster_id") != F.col("id_a")).select(
+            F.col("id_a").alias(id_col)
+        )
+    else:
+        # greedy: drop any doc that near-dups a SMALLER id (ids only ever
+        # drop "later" copies, so survivors are exactly docs with no
+        # smaller near-dup partner)
+        losers = pairs.select(F.col("id_b").alias(id_col)).distinct()
     return deduped.join(losers, id_col, "left_anti")
 
 

@@ -423,9 +423,33 @@ def q_events_json(spark, sf_dir):
     )
 
 
-def _clean_corpus_oracle() -> str:
+def _clean_corpus_oracle(keep: str = "greedy") -> str:
+    if keep == "component":
+        finale = """
+        pairs AS (SELECT id_a, id_b FROM common
+                  JOIN sz sa ON id_a = sa.doc_id
+                  JOIN sz sb ON id_b = sb.doc_id
+                  WHERE c * 1.0 / (sa.n + sb.n - c) >= 0.9),
+        edges AS (SELECT id_a AS a, id_b AS b FROM pairs
+                  UNION SELECT id_b, id_a FROM pairs),
+        reach(a, b) AS (
+          SELECT a, b FROM edges
+          UNION
+          SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a),
+        comp AS (SELECT a AS doc_id, LEAST(a, MIN(b)) AS cluster_id
+                 FROM reach GROUP BY a)
+        SELECT doc_id, lang FROM kept
+        WHERE doc_id NOT IN (SELECT doc_id FROM comp WHERE doc_id != cluster_id)"""
+    else:
+        finale = """
+        losers AS (SELECT DISTINCT id_b FROM common
+                   JOIN sz sa ON id_a = sa.doc_id
+                   JOIN sz sb ON id_b = sb.doc_id
+                   WHERE c * 1.0 / (sa.n + sb.n - c) >= 0.9)
+        SELECT doc_id, lang FROM kept
+        WHERE doc_id NOT IN (SELECT id_b FROM losers)"""
     return f"""
-        WITH t0 AS (SELECT doc_id, text, lang,
+        WITH RECURSIVE t0 AS (SELECT doc_id, text, lang,
                      string_split_regex(trim(text), '\\s+') AS toks FROM documents),
         qual AS (SELECT doc_id, text, lang, toks,
                   greatest(least(
@@ -453,13 +477,7 @@ def _clean_corpus_oracle() -> str:
         common AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS c
                    FROM tok a JOIN tok b
                      ON a.token = b.token AND a.doc_id < b.doc_id
-                   GROUP BY 1, 2),
-        losers AS (SELECT DISTINCT id_b FROM common
-                   JOIN sz sa ON id_a = sa.doc_id
-                   JOIN sz sb ON id_b = sb.doc_id
-                   WHERE c * 1.0 / (sa.n + sb.n - c) >= 0.9)
-        SELECT doc_id, lang FROM kept
-        WHERE doc_id NOT IN (SELECT id_b FROM losers)"""
+                   GROUP BY 1, 2),{finale}"""
 
 
 @query("corpus_clean", _clean_corpus_oracle())
@@ -469,6 +487,16 @@ def q_corpus_clean(spark, sf_dir):
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
     kept = dd.clean_corpus(docs, "doc_id", "text", min_quality=0.3,
                            jaccard_threshold=0.9)
+    return kept.select("doc_id", "lang")
+
+
+@query("corpus_clean_cc", _clean_corpus_oracle(keep="component"))
+def q_corpus_clean_cc(spark, sf_dir):
+    """Corpus cleaning with transitive (connected-component) near-dup
+    semantics: survivors are exactly the component minima."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    kept = dd.clean_corpus(docs, "doc_id", "text", min_quality=0.3,
+                           jaccard_threshold=0.9, keep="component")
     return kept.select("doc_id", "lang")
 
 

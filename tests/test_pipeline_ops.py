@@ -195,3 +195,22 @@ def test_connected_components_chain_and_cliques(spark):
         (5, 5), (6, 5),
         (8, 8), (9, 8), (10, 8), (11, 8),
     }
+
+
+def test_clean_corpus_component_vs_greedy_policy(spark):
+    # doc 3 bridges docs 1 and 2 (shares half its tokens with each) but
+    # 1 and 2 share nothing: greedy keeps {1, 2} (3 is the only doc with
+    # a smaller partner); component semantics collapse the whole chain
+    # to its minimum {1}
+    docs = spark.createDataFrame(
+        [(1, "alpha beta gamma delta"),
+         (2, "eps zeta eta theta"),
+         (3, "alpha beta gamma delta eps zeta eta theta")],
+        "doc_id long, text string",
+    )
+    kw = dict(min_quality=0.0, jaccard_threshold=0.5, ngram=1)
+    greedy = {r["doc_id"] for r in dd.clean_corpus(docs, "doc_id", "text", **kw).collect()}
+    comp = {r["doc_id"] for r in dd.clean_corpus(
+        docs, "doc_id", "text", keep="component", **kw).collect()}
+    assert greedy == {1, 2}
+    assert comp == {1}
