@@ -201,6 +201,38 @@ def q_dedup_embedding(spark, sf_dir):
     return dd.embedding_near_dup_pairs(emb, "vec_id", "embedding", 0.35, block_col="label")
 
 
+def _embedding_lsh_oracle() -> str:
+    planes = sim.hyperplanes()
+    terms = []
+    for j, p in enumerate(planes):
+        lit = "[" + ", ".join(f"{v!r}" for v in p) + "]"
+        terms.append(
+            f"(CASE WHEN list_dot_product(CAST(embedding AS DOUBLE[]), "
+            f"CAST({lit} AS DOUBLE[])) >= 0 THEN CAST({2 ** j} AS BIGINT) ELSE 0 END)"
+        )
+    bucket = " + ".join(terms)
+    return f"""
+        WITH eb AS (SELECT vec_id, embedding, {bucket} AS bucket FROM embeddings)
+        SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+               ROUND({_COS_SQL}, 6) AS cosine
+        FROM eb a JOIN eb b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+        WHERE ROUND({_COS_SQL}, 6) >= 0.35"""
+
+
+@query("dedup_embedding_lsh", _embedding_lsh_oracle())
+def q_dedup_embedding_lsh(spark, sf_dir):
+    """Embedding near-dup with NO label column: hyperplane-LSH buckets
+    block the self-join (the 100 TB path when no natural blocking key
+    exists — cost sum over buckets of |bucket|^2, recall < 1 for pairs
+    split by a near-zero hyperplane margin, the standard dial)."""
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    planes = sim.hyperplanes()
+    emb_b = emb.withColumn("bucket", sim.lsh_bucket(F.col("embedding"), planes))
+    return dd.embedding_near_dup_pairs(
+        emb_b, "vec_id", "embedding", 0.35, block_col="bucket"
+    )
+
+
 # ---------------------------------------------------------------------------
 # similarity search
 # ---------------------------------------------------------------------------
