@@ -171,13 +171,21 @@ def q_streaming_walplayer(spark, sf_dir):
     )
     t = Table(base, "n_nationkey", "nation")
     tmp = tempfile.mkdtemp(prefix="hindex_wal_")
+    # WAL order matters: key 991 is put then deleted LATER in the log —
+    # with availableNow the whole log is one micro-batch, so only
+    # seq-ordered replay gets this right (WALPlayer.java preserves order).
     spark.createDataFrame(
-        [("put", 990, "STREAMED", 1), ("delete", 3, None, None)],
-        "op string, n_nationkey long, n_name string, n_regionkey long",
+        [
+            (1, "put", 991, "EPHEMERAL", 2),
+            (2, "put", 990, "STREAMED", 1),
+            (3, "delete", 991, None, None),
+            (4, "delete", 3, None, None),
+        ],
+        "seq long, op string, n_nationkey long, n_name string, n_regionkey long",
     ).write.parquet(f"{tmp}/changelog")
     ingest = replay_changelog(
         spark, t, f"{tmp}/changelog",
-        "op string, n_nationkey long, n_name string, n_regionkey long",
+        "seq long, op string, n_nationkey long, n_name string, n_regionkey long",
     )
     return ingest.table.df
 

@@ -64,7 +64,11 @@ class StreamingIngest:
                 .filter(F.col("__dmax").isNull() | (F.col(seq) > F.col("__dmax")))
                 .drop("__dmax")
             )
-            value_cols = [c for c in puts_all.columns if c not in (rk, "op", seq)]
+            value_cols = [
+                c
+                for c in puts_all.columns
+                if c not in (rk, "op", seq) and c in self.table.df.columns
+            ]
             merged = puts_all.groupBy(rk).agg(
                 *[
                     F.expr(
@@ -76,7 +80,15 @@ class StreamingIngest:
             dels = dmax.select(rk)
             puts = merged
         else:
-            puts = batch_df.filter(F.col("op") == "put").drop("op")
+            # Unordered path: keep only columns the table knows (a WAL
+            # carries bookkeeping columns — op, sequence ids — that a
+            # Put must not see; Table.put fails loudly on unknowns).
+            keep = [rk] + [
+                c
+                for c in batch_df.columns
+                if c != rk and c not in ("op",) and c in self.table.df.columns
+            ]
+            puts = batch_df.filter(F.col("op") == "put").select(*keep)
             dels = batch_df.filter(F.col("op") == "delete").select(rk)
         t = self.table
         if dels.isEmpty() is False:
@@ -103,10 +115,33 @@ class StreamingIngest:
         return writer.start()
 
 
-def replay_changelog(spark, table: Table, changelog_path: str, schema: str) -> "StreamingIngest":
-    """WALPlayer analog: replay a change log directory into a table."""
-    ingest = StreamingIngest(table)
+#: column names replay_changelog recognizes as WAL sequence ids
+_SEQ_CANDIDATES = ("seq", "seq_id", "sequence", "sequence_id", "wal_seq", "log_seq")
+
+
+def replay_changelog(
+    spark,
+    table: Table,
+    changelog_path: str,
+    schema: str,
+    seq_col: str | None = "auto",
+) -> "StreamingIngest":
+    """WALPlayer analog: replay a change log directory into a table.
+
+    The reference WALPlayer (hbase-server/.../mapreduce/WALPlayer.java:66)
+    preserves WAL write order; here intra-batch order comes from
+    ``seq_col`` (with ``trigger availableNow`` the whole log can be ONE
+    micro-batch, so without it put-then-delete of the same key would
+    incorrectly keep the key). Default "auto" picks the first column of
+    the log schema named like a sequence id; pass an explicit name or
+    ``None`` (unordered — only safe for logs whose keys are touched once).
+    """
     stream = spark.readStream.schema(schema).parquet(changelog_path)
+    if seq_col == "auto":
+        seq_col = next((c for c in stream.schema.names if c in _SEQ_CANDIDATES), None)
+    elif seq_col is not None and seq_col not in stream.schema.names:
+        raise ValueError(f"seq_col {seq_col!r} not in changelog schema {stream.schema.names}")
+    ingest = StreamingIngest(table, seq_col=seq_col)
     q = ingest.start(stream, trigger_once=True)
     q.awaitTermination()
     return ingest

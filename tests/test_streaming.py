@@ -64,3 +64,63 @@ def test_windowed_event_counts_streaming(spark, sf_dir, tmp_path):
     # windows must have been finalized
     assert out.count() > 0
     assert out.count() <= batch
+
+
+def test_replay_changelog_put_then_delete_ordered(spark, tmp_path):
+    """ADVICE r1 (high): with availableNow the whole log is one batch —
+    a key put then later deleted must end deleted, and the seq column
+    must be auto-detected and never leak into Table.put."""
+    from hindex_spark.streaming.ingest import replay_changelog
+
+    base = spark.createDataFrame([("r1", 10), ("r2", 20)], ["rowkey", "v"])
+    t = Table(base, "rowkey", "t")
+    log = str(tmp_path / "wal")
+    spark.createDataFrame(
+        [
+            (1, "put", "r9", 99),      # new key...
+            (2, "delete", "r9", None),  # ...deleted later -> must not survive
+            (3, "delete", "r1", None),  # deleted...
+            (4, "put", "r1", 11),       # ...then reinserted -> must survive
+        ],
+        "seq long, op string, rowkey string, v int",
+    ).write.parquet(log)
+    ingest = replay_changelog(spark, t, log, "seq long, op string, rowkey string, v int")
+    got = {r["rowkey"]: r["v"] for r in ingest.table.df.collect()}
+    assert got == {"r1": 11, "r2": 20}
+    assert ingest.seq_col == "seq"
+
+
+def test_replay_changelog_unordered_drops_bookkeeping_cols(spark, tmp_path):
+    """Non-seq path must drop non-table columns (op + extras) before
+    Table.put instead of crashing on unknown columns."""
+    from hindex_spark.streaming.ingest import replay_changelog
+
+    base = spark.createDataFrame([("r1", 10)], ["rowkey", "v"])
+    t = Table(base, "rowkey", "t")
+    log = str(tmp_path / "wal2")
+    spark.createDataFrame(
+        [("put", "r2", 22, "node-a")],
+        "op string, rowkey string, v int, origin string",
+    ).write.parquet(log)
+    ingest = replay_changelog(
+        spark, t, log, "op string, rowkey string, v int, origin string", seq_col=None
+    )
+    got = {r["rowkey"]: r["v"] for r in ingest.table.df.collect()}
+    assert got == {"r1": 10, "r2": 22}
+
+
+def test_replay_changelog_bad_seq_col_raises(spark, tmp_path):
+    from hindex_spark.streaming.ingest import replay_changelog
+
+    base = spark.createDataFrame([("r1", 10)], ["rowkey", "v"])
+    t = Table(base, "rowkey", "t")
+    log = str(tmp_path / "wal3")
+    spark.createDataFrame(
+        [("put", "r2", 22)], "op string, rowkey string, v int"
+    ).write.parquet(log)
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="seq_col"):
+        replay_changelog(
+            spark, t, log, "op string, rowkey string, v int", seq_col="nope"
+        )
