@@ -48,6 +48,50 @@ def test_median_scoped_by_scan(spark, sf_dir):
     assert agg.agg_median(t, "o_totalprice", scan) == pytest.approx(exact, abs=1e-9)
 
 
+def _exact(df, col="v"):
+    return df.agg(F.expr(f"percentile({col}, 0.5)")).collect()[0][0]
+
+
+def test_median_duplicate_mass_pathological(spark):
+    # 99.9% of the column is one value: the sketch bracket degenerates to
+    # [7,7] and the iterate loop must resolve via endpoint mass, never via
+    # a whole-column buffer. row_budget=64 forces every bounded path.
+    rows = [(i, 7.0) for i in range(20000)] + [(20000 + i, float(i)) for i in range(20)]
+    df = spark.createDataFrame(rows, ["rowkey", "v"])
+    got = agg.exact_median_twophase(df, "v", row_budget=64)
+    assert got == pytest.approx(_exact(df), abs=1e-12)
+
+
+def test_median_two_value_split(spark):
+    # exactly half 1.0 / half 2.0 -> median interpolates between the two
+    # masses; with a tiny budget the no-progress endpoint path must fire.
+    rows = [(i, 1.0) for i in range(5000)] + [(5000 + i, 2.0) for i in range(5000)]
+    df = spark.createDataFrame(rows, ["rowkey", "v"])
+    got = agg.exact_median_twophase(df, "v", row_budget=16)
+    assert got == pytest.approx(1.5, abs=1e-12)
+
+
+def test_median_all_distinct_tiny_budget(spark):
+    # all-distinct uniform column with a budget far below n: loop must
+    # narrow via in-window re-sketch until the window fits the budget.
+    df = spark.createDataFrame([(i, float(i) * 0.5) for i in range(30001)], ["rowkey", "v"])
+    got = agg.exact_median_twophase(df, "v", row_budget=128)
+    assert got == pytest.approx(_exact(df), abs=1e-12)
+
+
+def test_median_duplicate_heavy_sides(spark):
+    # big duplicate masses on BOTH sides of the median with distinct
+    # middle: exercises finisher B (per-value counts) under tiny budget.
+    rows = (
+        [(i, 1.0) for i in range(4000)]
+        + [(4000 + i, 2.0 + i * 1e-6) for i in range(200)]
+        + [(4200 + i, 9.0) for i in range(4000)]
+    )
+    df = spark.createDataFrame(rows, ["rowkey", "v"])
+    got = agg.exact_median_twophase(df, "v", row_budget=32)
+    assert got == pytest.approx(_exact(df), abs=1e-12)
+
+
 def test_summary_one_pass(spark, sf_dir):
     t = Table.from_parquet(spark, f"{sf_dir}/lineitem.parquet", "l_orderkey", "li")
     row = agg.summary(t, "l_quantity").collect()[0]
