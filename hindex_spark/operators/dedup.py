@@ -346,20 +346,107 @@ def simhash(df: DataFrame, id_col: str, text_col: str, ngram: int = 3) -> DataFr
     )
 
 
+def _simhash_band_slices(max_hamming: int, bits: int = SIMHASH_BITS):
+    """k+1 (offset, width) bit-slices covering the hash evenly."""
+    n = max_hamming + 1
+    bounds = [i * bits // n for i in range(n + 1)]
+    return [(bounds[i], bounds[i + 1] - bounds[i]) for i in range(n)]
+
+
 def simhash_pairs(
-    df: DataFrame, id_col: str, text_col: str, max_hamming: int, ngram: int = 3
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    max_hamming: int,
+    ngram: int = 3,
+    max_bucket: Optional[int] = None,
+    banded: bool = True,
 ) -> DataFrame:
-    """Near-dup pairs with Hamming(simhash) <= k. Exact self-join here;
-    at scale, block on simhash bands first (same trick as LSH)."""
+    """Near-dup pairs with Hamming(simhash) <= k, banded by pigeonhole:
+    the 32-bit hash splits into k+1 bit-slices, and any pair within
+    Hamming distance k differs in at most k slices — so it agrees
+    EXACTLY on at least one, and every qualifying pair surfaces from an
+    equi-bucket of (band, slice value). One shuffle keyed by the band
+    bucket, in-bucket pair expansion carrying both hashes (so the exact
+    ``bit_count(xor)`` verify is free — no join back), identical result
+    set to the all-pairs join at candidates-only cost. Banding trick per
+    Manku et al. (WWW'07); the bucket-collect shape (vs. a self-join that
+    would execute the simhash fold twice) matches lsh_candidate_pairs.
+
+    ``max_bucket``: same 100 TB safety valve as LSH — slices shared by
+    more than this many docs are dropped before |bucket|^2 expansion
+    (members still pair through their other, more selective slices).
+    ``banded=False`` keeps the quadratic reference shape for small-n
+    verification only."""
     sh = simhash(df, id_col, text_col, ngram)
-    a = sh.select(F.col(id_col).alias("id_a"), F.col("simhash").alias("sh_a"))
-    b = sh.select(F.col(id_col).alias("id_b"), F.col("simhash").alias("sh_b"))
+    if not banded:
+        a = sh.select(F.col(id_col).alias("id_a"), F.col("simhash").alias("sh_a"))
+        b = sh.select(F.col(id_col).alias("id_b"), F.col("simhash").alias("sh_b"))
+        return (
+            a.crossJoin(b)
+            .filter(F.col("id_a") < F.col("id_b"))
+            .withColumn("hamming", F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b"))))
+            .filter(F.col("hamming") <= max_hamming)
+            .select("id_a", "id_b", "hamming")
+        )
+    bands = sh.select(
+        F.col(id_col),
+        F.col("simhash"),
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(i).alias("band"),
+                        F.shiftright(F.col("simhash"), off)
+                        .bitwiseAND((1 << w) - 1)
+                        .alias("bucket"),
+                    )
+                    for i, (off, w) in enumerate(_simhash_band_slices(max_hamming))
+                ]
+            )
+        ).alias("bb"),
+    ).select(
+        id_col,
+        "simhash",
+        F.col("bb.band").alias("band"),
+        F.col("bb.bucket").alias("bucket"),
+    )
+    buckets = (
+        bands.groupBy("band", "bucket")
+        .agg(
+            F.array_sort(
+                F.collect_set(
+                    F.struct(F.col(id_col).alias("id"), F.col("simhash").alias("sh"))
+                )
+            ).alias("ms")
+        )
+        .filter(F.size("ms") >= 2)
+    )
+    if max_bucket is not None:
+        buckets = buckets.filter(F.size("ms") <= max_bucket)
+    ms = F.col("ms")
+    pairs = F.flatten(
+        F.transform(
+            ms,
+            lambda x, i: F.transform(
+                F.slice(ms, i + 2, F.greatest(F.size(ms) - i - 1, F.lit(0))),
+                lambda y: F.struct(
+                    x["id"].alias("id_a"),
+                    y["id"].alias("id_b"),
+                    F.bit_count(x["sh"].bitwiseXOR(y["sh"])).alias("hamming"),
+                ),
+            ),
+        )
+    )
     return (
-        a.crossJoin(b)
-        .filter(F.col("id_a") < F.col("id_b"))
-        .withColumn("hamming", F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b"))))
+        buckets.select(F.explode(pairs).alias("p"))
+        .select(
+            F.col("p.id_a").alias("id_a"),
+            F.col("p.id_b").alias("id_b"),
+            F.col("p.hamming").alias("hamming"),
+        )
         .filter(F.col("hamming") <= max_hamming)
-        .select("id_a", "id_b", "hamming")
+        .distinct()
     )
 
 

@@ -62,6 +62,22 @@ def test_simhash_hamming(spark):
     assert {(r["id_a"], r["id_b"]) for r in pairs} >= {(1, 2)}
 
 
+def test_simhash_banded_equals_allpairs(spark, sf_dir):
+    # pigeonhole guarantee: banded candidates lose NO qualifying pair —
+    # result sets are identical to the quadratic join, for several k.
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").limit(400)
+    for k in (0, 3, 7):
+        banded = {
+            (r["id_a"], r["id_b"], r["hamming"])
+            for r in dd.simhash_pairs(docs, "doc_id", "text", k).collect()
+        }
+        quad = {
+            (r["id_a"], r["id_b"], r["hamming"])
+            for r in dd.simhash_pairs(docs, "doc_id", "text", k, banded=False).collect()
+        }
+        assert banded == quad
+
+
 def test_embedding_near_dup_and_topk(spark):
     rows = [
         (1, [1.0, 0.0, 0.0], 0),

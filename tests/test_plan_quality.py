@@ -88,3 +88,14 @@ def test_simhash_no_shuffle(spark, sf_dir):
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
     p = _plan(simhash(docs, "doc_id", "text", 3))
     assert "Exchange" not in p
+
+
+def test_simhash_pairs_banded_no_cartesian(spark, sf_dir):
+    # the banded pair search must never fall back to a quadratic join:
+    # one hash-partitioned exchange on the band bucket, nothing nested-loop.
+    from hindex_spark.operators.dedup import simhash_pairs
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    p = _plan(simhash_pairs(docs, "doc_id", "text", 3))
+    assert "CartesianProduct" not in p
+    assert "BroadcastNestedLoop" not in p
