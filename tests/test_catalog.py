@@ -47,6 +47,40 @@ def test_sorted_layout_prunes(spark, sf_dir, tmp_path):
     assert "PushedFilters" in plan  # min/max stats + pushdown do the pruning
 
 
+def test_range_layout_still_available(spark, sf_dir, tmp_path):
+    cat = Catalog(spark, str(tmp_path / "whr"))
+    t = Table.from_parquet(spark, f"{sf_dir}/orders.parquet", "o_orderkey", "orders")
+    cat.save(t, num_partitions=8, layout="range")
+    t2 = cat.load("orders")
+    assert t2.df.count() == t.df.count()
+    plan = t2.get(5)._jdf.queryExecution().executedPlan().toString()
+    assert "PushedFilters" in plan
+
+
+def test_bucketed_put_no_exchange_on_table_side(spark, sf_dir, tmp_path):
+    """The mutation-scale invariant: a put batch against a cataloged
+    (bucketed) table must not reshuffle the stored table — only the
+    (small) put batch gets an Exchange into the bucket layout."""
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        cat = Catalog(spark, str(tmp_path / "whb"))
+        t = Table.from_parquet(spark, f"{sf_dir}/orders.parquet", "o_orderkey", "orders")
+        cat.save(t, num_partitions=8)
+        t2 = cat.load("orders")
+        puts = spark.createDataFrame([(5, 999.0)], "o_orderkey long, o_totalprice double")
+        out = t2.put(puts)
+        plan = out.df._jdf.queryExecution().executedPlan().toString()
+        # exactly ONE hash exchange (the put batch); the bucketed scan
+        # side feeds the join directly
+        assert plan.count("Exchange hashpartitioning(o_orderkey") == 1
+        assert "Bucketed: true" in plan
+        # and the merge is correct
+        assert out.df.filter(F.col("o_orderkey") == 5).collect()[0]["o_totalprice"] == 999.0
+        assert out.df.count() == t.df.count()
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+
+
 def test_snapshot_is_immutable_copy(spark, sf_dir, tmp_path):
     cat = Catalog(spark, str(tmp_path / "wh3"))
     t = Table.from_parquet(spark, f"{sf_dir}/region.parquet", "r_regionkey", "region")
