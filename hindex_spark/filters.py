@@ -299,6 +299,40 @@ class SingleColumnValueExcludeFilter(SingleColumnValueFilter):
 
 
 @dataclass
+class SingleColumnValuePartitionFilter(SingleColumnValueFilter):
+    """index/filter/SingleColumnValuePartitionFilter.java:57 — the
+    client-visible predicate on a PART of a value (a separator piece or
+    byte substring). ``column`` is the physical column; the partition
+    expression is recomputed for the residual filter, while the planner
+    sees the derived indexed name and can probe a matching expression
+    index. Equivalent to SingleColumnValueFilter on the derived name —
+    this named form exists so callers need not know the naming scheme."""
+
+    value_partition: Any = None
+
+    def _derived_name(self) -> str:
+        from hindex_spark.index.spec import ColumnQualifier
+
+        return ColumnQualifier(self.column, value_partition=self.value_partition).indexed_name
+
+    def predicate(self, table) -> Column:
+        col = self.value_partition.expr(_resolve(table, self.column).cast("string"))
+        pred = _as_comparator(self.comparator).compare(col, self.op)
+        if not self.filter_if_missing:
+            pred = col.isNull() | pred
+        return pred
+
+    def index_tree(self, table):
+        return SingleColumnValueFilter(
+            self._derived_name(),
+            self.op,
+            self.comparator,
+            self.filter_if_missing,
+            self.latest_version_only,
+        ).index_tree(table)
+
+
+@dataclass
 class SingleColumnRangeFilter(Filter):
     """index/filter/SingleColumnRangeFilter.java — the planner's internal
     lower+upper bound form on one column."""

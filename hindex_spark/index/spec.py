@@ -121,11 +121,17 @@ class ColumnQualifier:
             return f"{self.column}__sub{vp.offset}_{vp.length}"
         return self.column
 
-    def expr(self) -> Column:
+    def value_expr(self) -> Column:
+        """The (unaliased) expression computing this indexed value from
+        the data table — what Table.resolve_column hands to filters that
+        reference the derived ``indexed_name`` directly."""
         base = F.col(self.column)
         if self.value_partition is not None:
             base = self.value_partition.expr(base.cast("string"))
-        return base.cast(_SPARK_TYPE[self.value_type]).alias(self.indexed_name)
+        return base.cast(_SPARK_TYPE[self.value_type])
+
+    def expr(self) -> Column:
+        return self.value_expr().alias(self.indexed_name)
 
     def to_json(self) -> dict:
         return {

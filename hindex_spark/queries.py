@@ -638,16 +638,14 @@ def q_index_vp(spark, sf_dir):
             "p_name", "String", value_partition=SeparatorPartition(" ", 2)
         )
     )
-    f = fl.SingleColumnValueFilter("p_name__sep2", fl.EQUAL, "widget", filter_if_missing=True)
-    # the partition expression is not a physical column: apply via index
-    # rowkeys then project (residual filter recomputes the expression)
-    tree = f.index_tree(t)
-    from hindex_spark.index.planner import ScanFilterEvaluator
-
-    plan = ScanFilterEvaluator(t.indices.indices, "p_partkey").evaluate(tree)
-    out = plan.apply(t.df, t.index_tables)
-    out = out.filter(F.split(F.col("p_name"), " ").getItem(1) == "widget")
-    return out.select("p_partkey", "p_name")
+    # user-facing path (SingleColumnValuePartitionFilter.java:57): a plain
+    # scan whose filter references the value part; the planner probes the
+    # expression index, the residual recomputes the partition expression.
+    f = fl.SingleColumnValuePartitionFilter(
+        "p_name", fl.EQUAL, "widget", filter_if_missing=True,
+        value_partition=SeparatorPartition(" ", 2),
+    )
+    return t.scan(Scan(filter=f, columns=["p_name"]))
 
 
 @query(

@@ -76,6 +76,22 @@ class Table:
         return Table(spark.read.parquet(path), rowkey_col, name)
 
     def resolve_column(self, column: str) -> Column:
+        """Resolve a filter's column reference against this table.
+
+        Physical columns resolve directly. A derived ValuePartition name
+        (e.g. ``p_name__sep2``) resolves to its partition EXPRESSION over
+        the data table — so ``Scan(filter=SingleColumnValueFilter(
+        "p_name__sep2", ...))`` works through the ordinary scan path,
+        matching the reference where SingleColumnValuePartitionFilter is
+        a client-visible filter (index/filter/
+        SingleColumnValuePartitionFilter.java:57) evaluated on the main
+        scanner while the planner probes the expression index."""
+        if column in self.df.columns:
+            return F.col(column)
+        for spec in self.indices.indices:
+            for cq in spec.columns:
+                if cq.indexed_name == column and cq.value_partition is not None:
+                    return cq.value_expr()
         return F.col(column)
 
     def physical_name(self, column: str) -> str:

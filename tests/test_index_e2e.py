@@ -131,6 +131,120 @@ def test_value_partition_spatial_index(spark):
     assert sorted(r["rowkey"] for r in keys.collect()) == ["r1", "r3"]
 
 
+# --- TestValuePartitionInScan analogs: the user-facing Table.scan path --
+
+
+def _sep_table(spark):
+    # testSeparatorPartition (TestValuePartitionInScan.java:102): "_"-split,
+    # piece 3 indexed; 2 of 3 rows match "huawei"
+    df = spark.createDataFrame(
+        [
+            ("row", "2ndFloor_solitaire_huawei_bangalore_karnataka"),
+            ("row2", "7thFloor_solitaire_huawei_bangalore_karnataka"),
+            ("row3", "rrr_sss_hhh_bangalore_karnataka"),
+        ],
+        ["rowkey", "cq"],
+    )
+    t = Table(df, "rowkey", "septab")
+    t.create_index(
+        IndexSpecification("idx1").add_column(
+            "cq", "String", value_partition=SeparatorPartition("_", 3)
+        )
+    )
+    return t
+
+
+def test_scan_with_partition_filter_named(spark):
+    t = _sep_table(spark)
+    f = fl.SingleColumnValuePartitionFilter(
+        "cq", fl.EQUAL, "huawei", filter_if_missing=True,
+        value_partition=SeparatorPartition("_", 3),
+    )
+    out = t.scan(Scan(filter=f))
+    assert sorted(r["rowkey"] for r in out.collect()) == ["row", "row2"]
+    assert t.last_index_plan.used_indexes == ["idx1"]
+
+
+def test_scan_with_derived_name_scvf(spark):
+    # same query expressed as SCVF on the derived name — resolve_column
+    # materializes the partition expression for the residual filter
+    t = _sep_table(spark)
+    f = fl.SingleColumnValueFilter("cq__sep3", fl.EQUAL, "huawei", filter_if_missing=True)
+    out = t.scan(Scan(filter=f))
+    assert sorted(r["rowkey"] for r in out.collect()) == ["row", "row2"]
+    assert t.last_index_plan.used_indexes == ["idx1"]
+
+
+def test_scan_two_spatial_indices_same_column(spark):
+    # testSpatialPartitionIfMulitplePartsOfValueAreIndexedByDifferentIndicesOnSameColumn
+    # (TestValuePartitionInScan.java:198): AND of two partition filters on
+    # the same physical column, each served by its own expression index
+    df = spark.createDataFrame(
+        [("row", "helloworldmultiple"), ("row2", "spatialmultiple"), ("row3", "partitionmultiple")],
+        ["rowkey", "cq"],
+    )
+    t = Table(df, "rowkey", "spatab")
+    t.create_index(
+        IndexSpecification("idx1").add_column(
+            "cq", "String", value_partition=SpatialPartition(2, 3)
+        )
+    )
+    t.create_index(
+        IndexSpecification("idx2").add_column(
+            "cq", "String", value_partition=SpatialPartition(5, 2)
+        )
+    )
+    f = fl.FilterList(
+        "AND",
+        [
+            fl.SingleColumnValuePartitionFilter(
+                "cq", fl.EQUAL, "rti", filter_if_missing=True,
+                value_partition=SpatialPartition(2, 3),
+            ),
+            fl.SingleColumnValuePartitionFilter(
+                "cq", fl.GREATER_OR_EQUAL, "ti", filter_if_missing=True,
+                value_partition=SpatialPartition(5, 2),
+            ),
+        ],
+    )
+    out = t.scan(Scan(filter=f))
+    assert sorted(r["rowkey"] for r in out.collect()) == ["row3"]
+    assert sorted(t.last_index_plan.used_indexes) == ["idx1", "idx2"]
+
+
+def test_scan_partition_filter_and_scvf_combination(spark):
+    # testCombinationOfPartitionFiltersWithSCVF (:359): partition filter
+    # AND a plain SCVF on another column
+    df = spark.createDataFrame(
+        [
+            ("row", "a_huawei_x", 5),
+            ("row2", "b_huawei_y", 9),
+            ("row3", "c_other_z", 5),
+        ],
+        ["rowkey", "cq", "n"],
+    )
+    t = Table(df, "rowkey", "combtab")
+    t.create_index(
+        IndexSpecification("idx_p").add_column(
+            "cq", "String", value_partition=SeparatorPartition("_", 2)
+        )
+    )
+    t.create_index(IndexSpecification("idx_n").add_column("n", "Int"))
+    f = fl.FilterList(
+        "AND",
+        [
+            fl.SingleColumnValuePartitionFilter(
+                "cq", fl.EQUAL, "huawei", filter_if_missing=True,
+                value_partition=SeparatorPartition("_", 2),
+            ),
+            fl.SingleColumnValueFilter("n", fl.EQUAL, 5, filter_if_missing=True),
+        ],
+    )
+    out = t.scan(Scan(filter=f))
+    assert sorted(r["rowkey"] for r in out.collect()) == ["row"]
+    assert len(t.last_index_plan.used_indexes) >= 1
+
+
 def test_index_maintenance_on_put_and_delete(spark, sf_dir):
     t = _orders(spark, sf_dir)
     # move order 0 to customer 999, delete order 1
