@@ -759,6 +759,53 @@ def q_check_and_put(spark, sf_dir):
 
 
 @query(
+    "mutation_check_and_mutate",
+    """SELECT c_custkey,
+              CASE WHEN c_custkey % 3 = 0 AND c_acctbal > 5000
+                   THEN 'PREMIUM' ELSE c_mktsegment END AS c_mktsegment
+       FROM customer
+       WHERE NOT (c_custkey % 3 = 1 AND c_acctbal > 5000)""",
+)
+def q_check_and_mutate(spark, sf_dir):
+    """Generic checkAndMutate (HRegion.checkAndMutate:2716): ONE gate
+    (c_acctbal > 5000, evaluated on the pre-batch snapshot) controls a
+    RowMutations batch carrying puts (keys = 0 mod 3 -> segment PREMIUM)
+    and deletes (keys = 1 mod 3) together."""
+    t = _t(spark, sf_dir, "customer", "c_custkey")
+    puts = (
+        t.df.filter(F.col("c_custkey") % 3 == 0)
+        .select("c_custkey", F.lit("PREMIUM").alias("c_mktsegment"))
+    )
+    dels = t.df.filter(F.col("c_custkey") % 3 == 1).select("c_custkey")
+    t2 = t.check_and_mutate("c_acctbal", fl.GREATER, 5000.0, puts=puts, deletes=dels)
+    return t2.df.select("c_custkey", "c_mktsegment")
+
+
+@query(
+    "mutation_batch_status",
+    """SELECT a.op, a.k AS n_nationkey,
+              CASE WHEN a.op <> 'get' THEN TRUE
+                   ELSE (n.n_nationkey IS NOT NULL) END AS ok,
+              CASE WHEN a.op = 'get' THEN n.n_name END AS n_name,
+              CASE WHEN a.op = 'get' THEN n.n_regionkey END AS n_regionkey
+       FROM (VALUES ('get', CAST(0 AS BIGINT)), ('get', 99), ('put', 1),
+                    ('delete', 2)) AS a(op, k)
+       LEFT JOIN nation n ON n.n_nationkey = a.k""",
+)
+def q_batch_status(spark, sf_dir):
+    """Mixed batch with per-action results (HTable.java:812-832): the
+    Object[] analog — gets carry the row they read (ok=false on absent
+    rows), mutations report applied."""
+    t = _t(spark, sf_dir, "nation", "n_nationkey")
+    ops = spark.createDataFrame(
+        [("get", 0, None), ("get", 99, None), ("put", 1, "XLAND"), ("delete", 2, None)],
+        "op string, n_nationkey long, n_name string",
+    )
+    _t2, results = t.batch(ops)
+    return results
+
+
+@query(
     "mutation_mutate_row",
     """SELECT n_nationkey, n_name, n_regionkey FROM (
          SELECT n_nationkey, 'RENAMED' AS n_name, n_regionkey

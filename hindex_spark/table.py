@@ -384,44 +384,17 @@ class Table:
     def check_and_put(
         self, check_column: str, op: str, check_value: Any, puts: DataFrame
     ) -> "Table":
-        """Conditional mutation (HTable.checkAndPut:1153 /
-        HRegion.checkAndMutate:2716): apply each put iff the row's current
-        ``check_column`` <op> ``check_value`` (missing column = fail,
-        unless checking for NULL)."""
-        from hindex_spark.filters import _apply_op
-
-        rk = self.rowkey_col
-        if check_value is None:
-            # HBase checkAndPut(row, cf, q, null, put) succeeds when the
-            # cell does NOT exist — including when the whole row is absent
-            # (the conditional-insert idiom). Anti-join on rows that DO
-            # have a value.
-            blocked = self.df.filter(F.col(check_column).isNotNull()).select(rk)
-            gated = puts.join(blocked, rk, "left_anti")
-        else:
-            cond = _apply_op(F.col(check_column), op, F.lit(check_value)) & F.col(
-                check_column
-            ).isNotNull()
-            eligible = self.df.filter(cond).select(rk)
-            gated = puts.join(eligible, rk, "left_semi")
-        return self.put(gated)
+        """Conditional put (HTable.checkAndPut:1153): apply each put iff
+        the row's current ``check_column`` <op> ``check_value`` (missing
+        column = fail, unless checking for NULL — the conditional-insert
+        idiom). A specialization of check_and_mutate."""
+        return self.check_and_mutate(check_column, op, check_value, puts=puts)
 
     def check_and_delete(
         self, check_column: str, op: str, check_value: Any, rowkeys: DataFrame
     ) -> "Table":
-        from hindex_spark.filters import _apply_op
-
-        rk = self.rowkey_col
-        if check_value is None:
-            blocked = self.df.filter(F.col(check_column).isNotNull()).select(rk)
-            gated = rowkeys.join(blocked, rk, "left_anti")
-        else:
-            cond = _apply_op(F.col(check_column), op, F.lit(check_value)) & F.col(
-                check_column
-            ).isNotNull()
-            eligible = self.df.filter(cond).select(rk)
-            gated = rowkeys.join(eligible, rk, "left_semi")
-        return self.delete(gated)
+        """Conditional delete (HTable.checkAndDelete:1181)."""
+        return self.check_and_mutate(check_column, op, check_value, deletes=rowkeys)
 
     def mutate_row(self, puts: Optional[DataFrame] = None, deletes: Optional[DataFrame] = None) -> "Table":
         """RowMutations (RowMutations.java:42): atomic multi-mutation —
@@ -433,6 +406,87 @@ class Table:
         if puts is not None:
             out = out.put(puts)
         return out
+
+    def check_and_mutate(
+        self,
+        check_column: str,
+        op: str,
+        check_value: Any,
+        puts: Optional[DataFrame] = None,
+        deletes: Optional[DataFrame] = None,
+    ) -> "Table":
+        """Generic conditional RowMutations (HRegion.checkAndMutate:2716):
+        rows whose CURRENT ``check_column`` <op> ``check_value`` get both
+        their puts and deletes applied (deletes first, the RowMutations
+        order); rows failing the check are untouched. The gate is
+        evaluated against the pre-batch snapshot for every mutation —
+        the atomicity the reference gets from the row lock.
+        ``check_value=None`` gates on ABSENCE of the checked cell (the
+        conditional-insert idiom, including wholly absent rows)."""
+        from hindex_spark.filters import _apply_op
+
+        rk = self.rowkey_col
+        if check_value is None:
+            blocked = self.df.filter(F.col(check_column).isNotNull()).select(rk)
+            g_puts = puts.join(blocked, rk, "left_anti") if puts is not None else None
+            g_dels = deletes.join(blocked, rk, "left_anti") if deletes is not None else None
+        else:
+            cond = _apply_op(F.col(check_column), op, F.lit(check_value)) & F.col(
+                check_column
+            ).isNotNull()
+            eligible = self.df.filter(cond).select(rk)
+            g_puts = puts.join(eligible, rk, "left_semi") if puts is not None else None
+            g_dels = deletes.join(eligible, rk, "left_semi") if deletes is not None else None
+        return self.mutate_row(puts=g_puts, deletes=g_dels)
+
+    def batch(self, ops: DataFrame) -> Tuple["Table", DataFrame]:
+        """Mixed batch with per-action status (HTable.java:812-832: batch
+        returns an Object[] of per-action results). ``ops`` carries an
+        ``op`` column ('get'|'put'|'delete') + the rowkey + any value
+        columns (used by puts). Returns ``(new_table, results)`` where
+        ``results`` has one row per action: (op, rowkey, ok, <table
+        columns>) — gets carry the row they read (ok=false when the row
+        is absent, the null-Result analog) evaluated against the
+        pre-batch snapshot; mutations report ok=true (the batch engine's
+        failure modes — unknown columns — raise before anything runs,
+        matching the all-or-nothing of one Spark job)."""
+        rk = self.rowkey_col
+        value_cols = [c for c in ops.columns if c not in (rk, "op")]
+        unknown = [c for c in value_cols if c not in self.df.columns]
+        if unknown:
+            raise ValueError(
+                f"batch columns not in table {self.name!r}: {unknown} "
+                f"(table columns: {self.df.columns})"
+            )
+        bad_ops = ops.filter(~F.col("op").isin("get", "put", "delete"))
+        if not bad_ops.isEmpty():
+            kinds = [r["op"] for r in bad_ops.select("op").distinct().collect()]
+            raise ValueError(f"unsupported batch ops: {kinds}")
+        out = self
+        dels = ops.filter(F.col("op") == "delete").select(rk)
+        puts = ops.filter(F.col("op") == "put").select(rk, *value_cols)
+        if not dels.isEmpty():
+            out = out.delete(dels)
+        if not puts.isEmpty():
+            out = out.put(puts)
+        pre = self.df.alias("t")
+        actions = ops.select("op", rk).alias("a")
+        results = (
+            actions.join(pre, F.col(f"a.{rk}") == F.col(f"t.{rk}"), "left")
+            .select(
+                F.col("a.op").alias("op"),
+                F.col(f"a.{rk}").alias(rk),
+                F.when(F.col("op") != "get", F.lit(True))
+                .otherwise(F.col(f"t.{rk}").isNotNull())
+                .alias("ok"),
+                *[
+                    F.when(F.col("a.op") == "get", F.col(f"t.{c}")).alias(c)
+                    for c in self.df.columns
+                    if c != rk
+                ],
+            )
+        )
+        return out, results
 
 
 class CellTable:

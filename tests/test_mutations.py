@@ -149,3 +149,57 @@ def test_multi_put_same_key_collapses(spark):
     t2 = t.put(puts)
     r = _row(t2, "r1")
     assert r["c_str"] == "p1" and r["c_cnt"] == 99
+
+
+def test_check_and_mutate_gates_puts_and_deletes_together(spark):
+    # HRegion.checkAndMutate:2716 — one condition gates a mixed
+    # RowMutations: r1 (c_cnt=10, fails >15) untouched by BOTH its put
+    # and its delete; r2 (20, passes) gets deleted; r3 (30, passes)
+    # gets its put.
+    t = _tab(spark)
+    puts = spark.createDataFrame([("r1", "NEW"), ("r3", "NEW3")], ["rowkey", "c_str"])
+    dels = spark.createDataFrame([("r1",), ("r2",)], ["rowkey"])
+    t2 = t.check_and_mutate("c_cnt", fl.GREATER, 15, puts=puts, deletes=dels)
+    assert _row(t2, "r1")["c_str"] == "a1"      # check failed: no put, no delete
+    assert _row(t2, "r2") is None               # check passed: deleted
+    assert _row(t2, "r3")["c_str"] == "NEW3"    # check passed: put applied
+    assert t2.df.count() == 2
+
+
+def test_check_and_mutate_pre_state_gate(spark):
+    # the gate is the PRE-batch snapshot: a delete of the checked row in
+    # the same batch must not stop the row's own put from being gated in.
+    t = _tab(spark)
+    puts = spark.createDataFrame([("r2", "RESET")], ["rowkey", "c_str"])
+    dels = spark.createDataFrame([("r2",)], ["rowkey"])
+    t2 = t.check_and_mutate("c_cnt", fl.GREATER, 15, puts=puts, deletes=dels)
+    # delete-then-put (RowMutations order): row re-inserted with only
+    # the put's columns
+    r = _row(t2, "r2")
+    assert r is not None and r["c_str"] == "RESET" and r["c_cnt"] is None
+
+
+def test_batch_mixed_ops_status(spark):
+    t = _tab(spark)
+    ops = spark.createDataFrame(
+        [("get", "r1", None), ("get", "rX", None), ("put", "r2", "P2"), ("delete", "r3", None)],
+        ["op", "rowkey", "c_str"],
+    )
+    t2, results = t.batch(ops)
+    st = {(r["op"], r["rowkey"]): r for r in results.collect()}
+    assert st[("get", "r1")]["ok"] is True and st[("get", "r1")]["c_str"] == "a1"
+    assert st[("get", "rX")]["ok"] is False
+    assert st[("put", "r2")]["ok"] is True and st[("put", "r2")]["c_str"] is None
+    assert st[("delete", "r3")]["ok"] is True
+    assert _row(t2, "r2")["c_str"] == "P2"
+    assert _row(t2, "r3") is None
+
+
+def test_batch_rejects_unknown_op_and_column(spark):
+    import pytest
+
+    t = _tab(spark)
+    with pytest.raises(ValueError, match="unsupported batch ops"):
+        t.batch(spark.createDataFrame([("merge", "r1")], ["op", "rowkey"]))
+    with pytest.raises(ValueError, match="not in table"):
+        t.batch(spark.createDataFrame([("put", "r1", 1)], ["op", "rowkey", "nope"]))
