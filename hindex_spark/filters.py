@@ -427,7 +427,11 @@ class RandomRowFilter(Filter):
         return F.rand(self.seed) < self.chance
 
     def apply(self, df: DataFrame, table) -> DataFrame:
-        return df.sample(fraction=self.chance, seed=self.seed)
+        # ONE sampling mechanism for both plan shapes: applied standalone
+        # and evaluated via predicate() inside a FilterList must select
+        # the same rows (df.sample uses a different Bernoulli draw than
+        # rand(seed), which broke cross-shape reproducibility).
+        return df.filter(self.predicate(table))
 
 
 @dataclass

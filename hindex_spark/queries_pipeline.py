@@ -264,6 +264,32 @@ def q_sim_bruteforce(spark, sf_dir):
     return sim.brute_force_topk(emb, queries_df, 10)
 
 
+@query(
+    "sim_ivf_ann_topk",
+    f"""SELECT q_id, vec_id, cosine, rank FROM (
+          SELECT q.vec_id AS q_id, e.vec_id AS vec_id,
+                 ROUND({_Q_COS_SQL}, 6) AS cosine,
+                 row_number() OVER (
+                   PARTITION BY q.vec_id
+                   ORDER BY ROUND({_Q_COS_SQL}, 6) DESC, e.vec_id) AS rank
+          FROM embeddings e, embeddings q
+          WHERE q.vec_id < 5 AND e.vec_id != q.vec_id)
+        WHERE rank <= 10""",
+)
+def q_sim_ivf(spark, sf_dir):
+    """IVF ANN, hard-signal: with nprobe = n_clusters the probe covers
+    every inverted list, so the result must EXACTLY equal brute force —
+    which makes the whole build/assign/probe pipeline oracle-checkable
+    (a dropped or double-assigned vector breaks the hash). Recall at
+    nprobe < n_clusters is covered by test_ivf_ann_recall."""
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    assignments, cents = sim.ivf_build(emb, n_clusters=8, iters=2)
+    queries_df = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_vec")
+    )
+    return sim.ivf_topk(emb, assignments, cents, queries_df, 10, nprobe=8)
+
+
 # LSH ANN: same algorithm in SQL — hyperplane literals generated from the
 # shared seeded generator.
 def _lsh_oracle() -> str:

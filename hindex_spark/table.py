@@ -311,6 +311,12 @@ class Table:
         Creates the row if absent (reference semantics)."""
         rk = self.rowkey_col
         delta_cols = [c for c in increments.columns if c != rk]
+        unknown = [c for c in delta_cols if c not in self.df.columns]
+        if unknown:
+            raise ValueError(
+                f"increment columns not in table {self.name!r}: {unknown} "
+                f"(table columns: {self.df.columns})"
+            )
         incs = increments.groupBy(rk).agg(*[F.sum(c).alias(c) for c in delta_cols])
         old = self.df.alias("o")
         new = incs.alias("n")
@@ -341,6 +347,12 @@ class Table:
         string concat of old value and appended suffix."""
         rk = self.rowkey_col
         app_cols = [c for c in appends.columns if c != rk]
+        unknown = [c for c in app_cols if c not in self.df.columns]
+        if unknown:
+            raise ValueError(
+                f"append columns not in table {self.name!r}: {unknown} "
+                f"(table columns: {self.df.columns})"
+            )
         apps = appends.groupBy(rk).agg(
             *[F.concat_ws("", F.collect_list(c)).alias(c) for c in app_cols]
         )

@@ -158,3 +158,34 @@ def test_streaming_ingest_put_then_delete_with_seq(spark, tmp_path):
     q = ingest.start(stream)
     q.awaitTermination()
     assert ingest.table.df.filter(F.col("rowkey") == "r1").count() == 0
+
+
+def test_increment_append_reject_unknown_columns(spark):
+    import pytest
+    from hindex_spark.table import Table
+
+    df = spark.createDataFrame([("r1", 1, "a")], ["rowkey", "c_cnt", "c_app"])
+    t = Table(df, "rowkey")
+    with pytest.raises(ValueError, match="increment columns not in table"):
+        t.increment(spark.createDataFrame([("r1", 5)], ["rowkey", "c_cnt_typo"]))
+    with pytest.raises(ValueError, match="append columns not in table"):
+        t.append(spark.createDataFrame([("r1", "x")], ["rowkey", "c_app_typo"]))
+
+
+def test_random_row_filter_same_rows_both_shapes(spark, sf_dir):
+    # standalone apply() vs predicate() inside an OR FilterList must
+    # select identical row sets (one Bernoulli mechanism)
+    from hindex_spark import filters as fl
+    from hindex_spark.table import Scan, Table
+
+    t = Table.from_parquet(spark, f"{sf_dir}/orders.parquet", "o_orderkey", "orders")
+    rrf = fl.RandomRowFilter(0.1, seed=7)
+    alone = {r["o_orderkey"] for r in t.scan(Scan(filter=rrf)).select("o_orderkey").collect()}
+    never = fl.SingleColumnValueFilter("o_custkey", fl.LESS, -1, filter_if_missing=True)
+    ored = {
+        r["o_orderkey"]
+        for r in t.scan(Scan(filter=fl.FilterList("OR", [rrf, never])))
+        .select("o_orderkey")
+        .collect()
+    }
+    assert alone == ored and len(alone) > 0
