@@ -1109,11 +1109,51 @@ def _register_all():
     import hindex_spark.queries_temporal  # noqa: F401
 
 
+#: Deliberate ordering for consumers that sample a prefix of the query
+#: set: the first entries cover every operator family with its
+#: hardest-signal representative (planner fixtures that assert WHICH
+#: index was chosen, LSH/banded dedup, corpus cleaning, ANN, the
+#: mutation verbs, streaming replay) before the long tail of filter
+#: variants. Names not listed keep registration order after these.
+_PRIORITY = [
+    # aggregations (exact two-phase median inside agg_summary) + TPC-H
+    "tpch_q1", "agg_summary", "agg_group", "agg_scoped_scan", "topk_per_group",
+    "join_revenue_topk",
+    # index planner: semi-joins, set ops, hints, value partitions, and the
+    # idxtab fixtures that assert the CHOSEN index (TestMultipleIndicesInScan)
+    "index_semijoin_eq", "index_hint_forced", "index_maintained_scan",
+    "index_multicol_range", "index_and_intersection", "index_value_partition",
+    "index_empty_contradiction",
+    "idxtab_and_setcover", "idxtab_or_union", "idxtab_prefix_range",
+    "idxtab_null_semantics",
+    # mutations (incl. the generic gated batch + per-action status)
+    "mutation_put_upsert", "mutation_delete_batch", "mutation_increment",
+    "mutation_append", "mutation_check_and_put", "mutation_check_and_mutate",
+    "mutation_batch_status", "mutation_mutate_row",
+    # core read path
+    "point_get", "scan_range", "filter_scvf", "filter_and",
+    "filter_or_index_union", "filter_while_match", "filter_skip",
+    # LLM-pipeline operators: dedup family, corpus cleaning, ANN, text
+    "dedup_exact", "dedup_minhash_lsh", "dedup_simhash", "dedup_clusters",
+    "dedup_embedding_lsh", "corpus_clean", "corpus_clean_cc",
+    "sim_bruteforce_topk", "sim_ivf_ann_topk", "sim_lsh_ann_topk",
+    "text_token_count", "text_quality", "text_lang_id", "text_gopher_rules",
+    # streaming / ETL / DSL / temporal
+    "streaming_walplayer", "dsl_parse_filter", "etl_import_tsv_with_index",
+    "etl_snapshot_scan", "events_asof_join",
+]
+
+
+def _ordered(d: dict) -> dict:
+    head = {k: d[k] for k in _PRIORITY if k in d}
+    return head | {k: v for k, v in d.items() if k not in head}
+
+
 def all_queries():
     _register_all()
-    return dict(QUERIES)
+    return _ordered(dict(QUERIES))
 
 
 def all_oracles():
     _register_all()
-    return dict(ORACLES)
+    return _ordered(dict(ORACLES))
