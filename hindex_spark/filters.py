@@ -475,6 +475,38 @@ class FirstKeyOnlyFilter(Filter):
 
 
 @dataclass
+class FirstKeyValueMatchingQualifiersFilter(FirstKeyOnlyFilter):
+    """FirstKeyValueMatchingQualifiersFilter.java:50 — the RowCounter
+    row-counting optimization: emit one key per row that HAS at least one
+    of the given qualifiers. On the cell layer this is the distinct
+    rowkeys owning a matching qualifier; on the wide layer, rows where
+    any of the named columns is non-null. (The reference's caveat — it
+    may emit earlier non-matching KVs — is a streaming artifact with no
+    analog here; the useful contract is the row count.)"""
+
+    qualifiers: Sequence[str] = ()
+
+    def apply(self, df: DataFrame, table) -> DataFrame:
+        if "qualifier" in df.columns:  # cell layer
+            key = "rowkey"
+            return df.filter(F.col("qualifier").isin(list(self.qualifiers))).select(key).distinct()
+        key = table.rowkey_col if table is not None and hasattr(table, "rowkey_col") else "rowkey"
+        present = [c for c in self.qualifiers if c in df.columns]
+        if not present:
+            return df.select(key).filter(F.lit(False))
+        cond = F.col(present[0]).isNotNull()
+        for c in present[1:]:
+            cond = cond | F.col(c).isNotNull()
+        return df.filter(cond).select(key).distinct()
+
+    def predicate(self, table) -> Column:
+        cond = F.lit(False)
+        for c in self.qualifiers:
+            cond = cond | _resolve(table, c).isNotNull()
+        return cond
+
+
+@dataclass
 class SkipFilter(Filter):
     """SkipFilter.java — drop the whole row if the wrapped filter would
     drop any cell of it. Wide-layer: the wrapped predicate must hold on

@@ -307,6 +307,23 @@ def q_first_key_only(spark, sf_dir):
 
 
 @query(
+    "filter_first_key_matching_qualifiers",
+    """SELECT COUNT(*) AS n_rows FROM (
+         SELECT DISTINCT CAST(user_id AS VARCHAR) AS rowkey
+         FROM events WHERE event_type IN ('click', 'signup'))""",
+)
+def q_first_key_matching_qualifiers(spark, sf_dir):
+    """FirstKeyValueMatchingQualifiersFilter.java:50 — the RowCounter
+    optimization restricted to a qualifier set: count rows owning at
+    least one of the named qualifiers (cell layer)."""
+    from hindex_spark.cells import resolve
+
+    latest = resolve(_event_cells(spark, sf_dir), max_versions=1)
+    rows = fl.FirstKeyValueMatchingQualifiersFilter(["click", "signup"]).apply(latest, None)
+    return rows.agg(F.count("*").alias("n_rows"))
+
+
+@query(
     "filter_bit_comparator",
     "SELECT p_partkey, p_size FROM part WHERE (p_size & 1) != 0",
 )

@@ -194,3 +194,27 @@ def test_inclusive_stop_and_reversed(spark, sf_dir):
     assert out.count() == 6
     rev = t.scan(Scan(reversed=True, limit=3))
     assert [r["p_partkey"] for r in rev.collect()] == [199, 198, 197]
+
+
+def test_first_key_value_matching_qualifiers(spark):
+    from hindex_spark.filters import FirstKeyValueMatchingQualifiersFilter
+    from hindex_spark.table import Table
+
+    # wide layer: rows where ANY named column is non-null
+    df = spark.createDataFrame(
+        [("r1", "a", None), ("r2", None, None), ("r3", None, "c")],
+        ["rowkey", "q1", "q2"],
+    )
+    t = Table(df, "rowkey")
+    f = FirstKeyValueMatchingQualifiersFilter(["q1", "q2"])
+    got = sorted(r["rowkey"] for r in f.apply(df, t).collect())
+    assert got == ["r1", "r3"]
+    # unknown qualifiers -> no rows (never a crash)
+    assert FirstKeyValueMatchingQualifiersFilter(["zz"]).apply(df, t).count() == 0
+    # cell layer: distinct rowkeys owning a matching qualifier
+    cells = spark.createDataFrame(
+        [("r1", "f", "click", 1, "put", "v"), ("r2", "f", "view", 1, "put", "v")],
+        ["rowkey", "cf", "qualifier", "ts", "type", "value"],
+    )
+    got = [r["rowkey"] for r in FirstKeyValueMatchingQualifiersFilter(["click"]).apply(cells, None).collect()]
+    assert got == ["r1"]
