@@ -81,30 +81,40 @@ def ivf_build(
     iters: int = 3,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    sample_size: int = 65536,
 ):
-    """IVF index build: k-means-lite clustering, all DataFrame-side.
+    """IVF index build: k-means-lite on a deterministic hash-sample.
 
-    Deterministic: centroids initialize from the n_clusters lowest-id
-    vectors, then ``iters`` rounds of assign (broadcast centroids +
-    window argmax on cosine) / recompute (posexplode + per-dimension
-    mean). Centroid count is tiny, so only the assignment scan touches
-    the big table — one broadcast join per iteration, the IVF analog of
-    partitioned-file clustering at 100 TB.
+    Scale design: centroids only need a REPRESENTATIVE sample, not the
+    corpus — training iterates on ≤ ``sample_size`` vectors (hash-picked,
+    so reproducible without a seed column), and the single full-corpus
+    pass is the final assignment. Centroids are collected to the driver
+    between rounds (n_clusters × dim doubles — tiny), so every round is
+    one bounded job over the sample and lineage does not deepen with
+    ``iters`` (the previous all-DataFrame loop re-shuffled posexploded
+    vectors of the WHOLE table every iteration).
 
+    Deterministic: hash-based sample, lowest-id init, stable tie-breaks.
     Returns (assignments: id_col/cluster, centroids: cluster/centroid).
     """
-    cents = (
-        embeddings.orderBy(id_col)
-        .limit(n_clusters)
-        .select(
-            F.row_number()
-            .over(Window.orderBy(id_col))
-            .alias("cluster"),
-            F.transform(F.col(vec_col), lambda x: x.cast("double")).alias("centroid"),
-        )
-    )
+    spark = embeddings.sparkSession
+    n = embeddings.count()
+    if n > sample_size:
+        mod = max(1, n // sample_size)
+        train = embeddings.filter(F.pmod(F.hash(F.col(id_col)), F.lit(mod)) == 0)
+    else:
+        train = embeddings
+
+    def _cent_df(rows):
+        return spark.createDataFrame(rows, f"cluster int, centroid array<double>")
+
+    cent_rows = [
+        (i + 1, [float(x) for x in r[vec_col]])
+        for i, r in enumerate(embeddings.orderBy(id_col).limit(n_clusters).collect())
+    ]
     for _ in range(iters):
-        scored = embeddings.crossJoin(F.broadcast(cents)).withColumn(
+        cents = _cent_df(cent_rows)
+        scored = train.crossJoin(F.broadcast(cents)).withColumn(
             "__sim", cosine_expr(F.col(vec_col), F.col("centroid"))
         )
         w = Window.partitionBy(id_col).orderBy(F.col("__sim").desc(), F.col("cluster"))
@@ -113,23 +123,22 @@ def ivf_build(
             .filter(F.col("__rn") == 1)
             .select(id_col, "cluster", vec_col)
         )
-        cents = (
-            assign.select(
-                "cluster", F.posexplode(F.col(vec_col)).alias("pos", "val")
-            )
+        means = (
+            assign.select("cluster", F.posexplode(F.col(vec_col)).alias("pos", "val"))
             .groupBy("cluster", "pos")
             .agg(F.avg("val").alias("m"))
             .groupBy("cluster")
-            .agg(
-                F.array_sort(
-                    F.collect_list(F.struct("pos", "m"))
-                ).alias("pm")
-            )
+            .agg(F.array_sort(F.collect_list(F.struct("pos", "m"))).alias("pm"))
             .select(
                 "cluster",
                 F.transform(F.col("pm"), lambda s: s.getField("m")).alias("centroid"),
             )
+            .collect()
         )
+        # clusters that lost every training member keep their centroid
+        new = {r["cluster"]: [float(x) for x in r["centroid"]] for r in means}
+        cent_rows = [(c, new.get(c, v)) for c, v in cent_rows]
+    cents = _cent_df(cent_rows)
     scored = embeddings.crossJoin(F.broadcast(cents)).withColumn(
         "__sim", cosine_expr(F.col(vec_col), F.col("centroid"))
     )
