@@ -1,0 +1,85 @@
+"""Deterministic stratified sampling — corpus balancing for training-data
+pipelines (down-weight over-represented languages/sources, cap any
+stratum at a budget).
+
+Scale design: the sampling decision is a pure per-row arithmetic hash of
+the row's key — one projection, no shuffle, no RNG state, reproducible
+across engines (the multiplicative bucket uses only integer * and %, so
+the DuckDB oracle computes bit-identical buckets, unlike Spark's
+``hash()``/``rand()``). The cap variant needs one shuffle keyed by the
+stratum (the window) — the minimum for an exact per-stratum budget.
+
+No reference analog (the closest is RandomRowFilter's Bernoulli sample,
+RandomRowFilter.java); this is part of the LLM-pipeline operator set.
+"""
+
+from __future__ import annotations
+
+from typing import Dict, Optional
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+#: bucket space: keep-fraction f keeps rows with bucket < f * 10000
+BUCKETS = 10_000
+_KNUTH = 2654435761  # Knuth multiplicative hash constant
+_PRIME = 1_000_003  # pre-modulus keeping the product inside int64
+
+
+def sample_bucket(key: Column) -> Column:
+    """Deterministic bucket in [0, BUCKETS) from a NUMERIC key column.
+
+    ``((key % p) * K) % BUCKETS`` with p, K coprime to the bucket count —
+    scrambles sequential ids well enough for sampling and is expressible
+    in any SQL dialect (the oracle must reproduce it exactly)."""
+    return F.pmod(F.pmod(key.cast("long"), F.lit(_PRIME)) * F.lit(_KNUTH), F.lit(BUCKETS))
+
+
+def sample_bucket_sql(key_sql: str) -> str:
+    """The identical bucket expression as ANSI SQL (for oracles)."""
+    return f"((({key_sql}) % {_PRIME}) * {_KNUTH}) % {BUCKETS}"
+
+
+def stratified_sample(
+    df: DataFrame,
+    strata_col: str,
+    fractions: Dict[str, float],
+    key_col: str,
+    default: float = 0.0,
+) -> DataFrame:
+    """Keep each stratum at its own rate: rows whose bucket falls below
+    fraction * BUCKETS survive. One shuffle-free projection + filter."""
+    threshold = None
+    for stratum, frac in fractions.items():
+        t = int(round(frac * BUCKETS))
+        threshold = (
+            F.when(F.col(strata_col) == stratum, F.lit(t))
+            if threshold is None
+            else threshold.when(F.col(strata_col) == stratum, F.lit(t))
+        )
+    threshold = (
+        threshold.otherwise(F.lit(int(round(default * BUCKETS))))
+        if threshold is not None
+        else F.lit(int(round(default * BUCKETS)))
+    )
+    return df.filter(sample_bucket(F.col(key_col)) < threshold)
+
+
+def stratified_cap(
+    df: DataFrame,
+    strata_col: str,
+    cap: int,
+    key_col: str,
+) -> DataFrame:
+    """Exact per-stratum budget: keep the ``cap`` rows of each stratum
+    with the smallest (bucket, key) — a deterministic 'random' subset.
+    One shuffle keyed by the stratum; at scale prefer stratified_sample
+    (shuffle-free) unless the budget must be exact."""
+    w = Window.partitionBy(strata_col).orderBy(
+        sample_bucket(F.col(key_col)), F.col(key_col)
+    )
+    return (
+        df.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") <= cap)
+        .drop("__rn")
+    )

@@ -146,6 +146,26 @@ def bag_fingerprint(col: Column) -> Column:
     return F.md5(F.array_join(F.array_sort(distinct_tokens(col)), " "))
 
 
+#: PII patterns chosen to parse identically under Java regex (Spark) and
+#: RE2 (DuckDB oracle): no backreferences, no lookaround, bounded
+#: quantifiers — so redaction is oracle-checkable byte-for-byte.
+PII_PATTERNS = [
+    (r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "<EMAIL>"),
+    (r"\b\d{3}-\d{3,4}-\d{4}\b", "<PHONE>"),
+    (r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b", "<IP>"),
+]
+
+
+def redact_pii(col: Column) -> Column:
+    """Training-data scrubbing: replace emails, dashed phone numbers and
+    IPv4 literals with typed placeholder tokens. Pure JVM regexp_replace
+    chain — one projection, no UDF, safe at any scale."""
+    out = col
+    for pat, token in PII_PATTERNS:
+        out = F.regexp_replace(out, pat, token)
+    return out
+
+
 def analyze(df: DataFrame, text_col: str = "text") -> DataFrame:
     """One-pass text analysis: all metrics as added columns."""
     c = F.col(text_col)

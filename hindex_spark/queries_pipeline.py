@@ -327,6 +327,83 @@ def q_sim_lsh(spark, sf_dir):
 
 
 # ---------------------------------------------------------------------------
+# corpus balancing & scrubbing
+
+
+def _bucket_sql() -> str:
+    from hindex_spark.operators.sampling import sample_bucket_sql
+
+    return sample_bucket_sql("doc_id")
+
+
+@query(
+    "corpus_stratified_sample",
+    f"""SELECT doc_id, lang FROM documents
+        WHERE {_bucket_sql()} <
+              CASE lang WHEN 'en' THEN 5000 WHEN 'de' THEN 2000 ELSE 500 END""",
+)
+def q_stratified_sample(spark, sf_dir):
+    """Corpus balancing: per-language keep rates (en 50%, de 20%, rest
+    5%) via the deterministic multiplicative bucket — shuffle-free."""
+    from hindex_spark.operators.sampling import stratified_sample
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    out = stratified_sample(
+        docs, "lang", {"en": 0.5, "de": 0.2}, key_col="doc_id", default=0.05
+    )
+    return out.select("doc_id", "lang")
+
+
+@query(
+    "corpus_stratified_cap",
+    f"""SELECT doc_id, source FROM (
+          SELECT doc_id, source,
+                 row_number() OVER (
+                   PARTITION BY source
+                   ORDER BY {_bucket_sql()}, doc_id) AS rn
+          FROM documents) WHERE rn <= 10""",
+)
+def q_stratified_cap(spark, sf_dir):
+    """Exact per-source budget: the 10 'randomly' smallest-bucket docs
+    of each source — deterministic, engine-independent."""
+    from hindex_spark.operators.sampling import stratified_cap
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return stratified_cap(docs, "source", 10, key_col="doc_id").select("doc_id", "source")
+
+
+@query(
+    "text_pii_redact",
+    r"""SELECT doc_id,
+               regexp_replace(
+                 regexp_replace(
+                   regexp_replace(
+                     substr(text, 1, 40) || ' contact u' || doc_id ||
+                     '@mail.example.com or 555-010-4242 at 10.0.' ||
+                     (doc_id % 255) || '.7',
+                     '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}',
+                     '<EMAIL>', 'g'),
+                   '\b\d{3}-\d{3,4}-\d{4}\b', '<PHONE>', 'g'),
+                 '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b', '<IP>', 'g')
+               AS redacted
+        FROM documents""",
+)
+def q_pii_redact(spark, sf_dir):
+    """PII scrubbing: emails / dashed phones / IPv4 → typed tokens.
+    The query embeds synthetic PII into each doc (the test corpus has
+    none) so every pattern fires on real text variation; patterns are
+    Java-regex/RE2 agnostic so the oracle matches byte-for-byte."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    synthetic = F.concat(
+        F.substring(F.col("text"), 1, 40),
+        F.lit(" contact u"), F.col("doc_id").cast("string"),
+        F.lit("@mail.example.com or 555-010-4242 at 10.0."),
+        (F.col("doc_id") % 255).cast("string"), F.lit(".7"),
+    )
+    return docs.select("doc_id", tx.redact_pii(synthetic).alias("redacted"))
+
+
+# ---------------------------------------------------------------------------
 # text analysis
 # ---------------------------------------------------------------------------
 

@@ -230,3 +230,37 @@ def test_clean_corpus_component_vs_greedy_policy(spark):
         docs, "doc_id", "text", keep="component", **kw).collect()}
     assert greedy == {1, 2}
     assert comp == {1}
+
+
+def test_stratified_sample_rates_and_determinism(spark, sf_dir):
+    from hindex_spark.operators.sampling import stratified_sample
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    out = stratified_sample(docs, "lang", {"en": 0.5}, key_col="doc_id", default=0.1)
+    a = {r["doc_id"] for r in out.collect()}
+    b = {r["doc_id"] for r in out.collect()}
+    assert a == b and len(a) > 0  # deterministic, no RNG state
+    n_en = docs.filter("lang = 'en'").count()
+    k_en = out.filter("lang = 'en'").count()
+    assert abs(k_en / n_en - 0.5) < 0.15  # rate roughly honored
+    # default=0 drops unlisted strata entirely
+    from hindex_spark.operators.sampling import stratified_cap
+
+    only_en = stratified_sample(docs, "lang", {"en": 1.0}, key_col="doc_id")
+    assert only_en.filter("lang != 'en'").count() == 0
+    capped = stratified_cap(docs, "lang", 5, key_col="doc_id")
+    sizes = {r["lang"]: r["n"] for r in capped.groupBy("lang").agg(F.count("*").alias("n")).collect()}
+    assert all(v == 5 for v in sizes.values())
+
+
+def test_redact_pii_patterns(spark):
+    from hindex_spark.operators.text import redact_pii
+
+    df = spark.createDataFrame(
+        [(1, "mail a.b+c@x-y.co.uk, ip 192.168.0.1, tel 555-0100-9999, keep 1.2.3 and v2.0")],
+        ["id", "t"],
+    )
+    got = df.select(redact_pii(F.col("t")).alias("r")).collect()[0]["r"]
+    assert "<EMAIL>" in got and "<IP>" in got and "<PHONE>" in got
+    assert "a.b+c@" not in got and "192.168.0.1" not in got
+    assert "1.2.3" in got  # three-part version strings survive
