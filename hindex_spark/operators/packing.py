@@ -1,0 +1,118 @@
+"""Benchmark decontamination and sequence packing — the last-mile
+operators of a training-data pipeline (after cleaning/dedup, before the
+corpus ships to a trainer).
+
+Decontamination: flag (or drop) training documents that share any
+n-gram with an evaluation/benchmark set — the overlap rule used to keep
+test sets out of training corpora. Scale shape: explode BOTH sides to
+(ngram, id), equi-join on the n-gram and aggregate — an inverted-index
+join whose cost is bounded by the (small) benchmark's n-gram set, never
+a cross join; a broadcast hint keeps the big side shuffle-free when the
+benchmark fits in memory (the common case).
+
+Sequence packing: assign documents to fixed-token-budget bins (contexts)
+with a greedy next-fit pass per shard — one window cumsum, no driver
+loop. Bins are ``(shard, bin)`` pairs; within a shard the packing is the
+deterministic next-fit over rowkey order, so the output is reproducible
+and SQL-expressible (the oracle runs the same cumsum).
+
+No reference analog (HBase has no text pipeline); part of the
+LLM-pipeline operator set alongside operators/dedup.py.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import Window
+
+from hindex_spark.operators.dedup import doc_units
+from hindex_spark.operators.sampling import sample_bucket
+from hindex_spark.operators.text import token_count
+
+
+def contaminated_ids(
+    docs: DataFrame,
+    benchmark: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    ngram: int = 8,
+    min_hits: int = 1,
+) -> DataFrame:
+    """(id, n_hits): training docs sharing >= ``min_hits`` distinct
+    n-grams with the benchmark set. ``ngram`` defaults to 8 — long
+    enough that natural-language collisions are rare (the GPT-3/Pile
+    style overlap rule)."""
+    train_units = doc_units(docs, id_col, text_col, ngram).distinct()
+    bench_units = (
+        doc_units(benchmark, id_col, text_col, ngram).select("token").distinct()
+    )
+    return (
+        train_units.join(F.broadcast(bench_units), "token")
+        .groupBy(id_col)
+        .agg(F.count("*").alias("n_hits"))
+        .filter(F.col("n_hits") >= min_hits)
+    )
+
+
+def decontaminate(
+    docs: DataFrame,
+    benchmark: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    ngram: int = 8,
+    min_hits: int = 1,
+) -> DataFrame:
+    """Drop contaminated docs (anti-join on the flagged id set)."""
+    flagged = contaminated_ids(docs, benchmark, id_col, text_col, ngram, min_hits)
+    return docs.join(flagged.select(id_col), id_col, "left_anti")
+
+
+def pack_sequences(
+    docs: DataFrame,
+    budget: int,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n_shards: int = 32,
+    length_col: str | None = None,
+) -> DataFrame:
+    """Assign each doc a ``(shard, bin, pos)``: boundary-crossing packing
+    of token counts into ``budget``-token bins, independently per shard.
+
+    Semantics: within a shard, docs are laid end-to-end in id order and
+    ``bin = floor((cumsum - 1) / budget)`` — a doc belongs to the budget
+    window its inclusive running total ends in. A bin's payload can
+    exceed the budget by less than the length of its first doc (lengths
+    are capped at ``budget``), which is the standard streaming
+    approximation: EXACT greedy next-fit needs the current bin's slack,
+    which is recursive and cannot be one window — this form is within
+    one doc of it, deterministic, and SQL-reproducible (the oracle runs
+    the same cumsum). One shuffle (the per-shard window), no driver
+    loop.
+
+    Sharding is by id hash, so packing parallelism is ``n_shards``-wide
+    and adding shards never changes intra-shard results."""
+    L = (
+        F.least(token_count(F.col(text_col)), F.lit(budget))
+        if length_col is None
+        else F.least(F.col(length_col), F.lit(budget))
+    )
+    sized = docs.select(
+        F.col(id_col),
+        L.alias("__len"),
+        # arithmetic bucket, not hash(): deterministic across engines
+        F.pmod(sample_bucket(F.col(id_col)), F.lit(n_shards)).alias("shard"),
+    )
+    w = Window.partitionBy("shard").orderBy(id_col)
+    sized = sized.withColumn("__cum", F.sum("__len").over(w))
+    out = sized.withColumn(
+        "bin", F.floor((F.col("__cum") - 1) / F.lit(budget)).cast("int")
+    )
+    wpos = Window.partitionBy("shard", "bin").orderBy(id_col)
+    return out.select(
+        id_col,
+        "shard",
+        "bin",
+        (F.row_number().over(wpos) - 1).alias("pos"),
+        F.col("__len").alias("n_tokens"),
+    )

@@ -403,6 +403,69 @@ def q_pii_redact(spark, sf_dir):
     return docs.select("doc_id", tx.redact_pii(synthetic).alias("redacted"))
 
 
+@query(
+    "corpus_decontaminate",
+    """WITH bench AS (
+         SELECT DISTINCT u.tok AS token FROM (
+           SELECT unnest(string_split_regex(trim(text), '\\s+')) AS tok
+           FROM documents WHERE doc_id < 20) u),
+       train AS (
+         SELECT DISTINCT d.doc_id,
+                unnest(string_split_regex(trim(d.text), '\\s+')) AS token
+         FROM documents d WHERE d.doc_id >= 20)
+       SELECT doc_id, COUNT(*) AS n_hits
+       FROM train JOIN bench USING (token)
+       GROUP BY doc_id HAVING COUNT(*) >= 25""",
+)
+def q_decontaminate(spark, sf_dir):
+    """Benchmark decontamination (the GPT-3/Pile overlap rule): flag
+    training docs sharing >= min_hits distinct units with a held-out
+    benchmark set. Unigram units + min_hits=25 here so the synthetic
+    corpus splits (median unigram overlap is ~25); production uses ngram=8, min_hits=1 — same
+    plan shape (inverted-index equi-join, broadcast benchmark)."""
+    from hindex_spark.operators.packing import contaminated_ids
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    bench = docs.filter(F.col("doc_id") < 20)
+    train = docs.filter(F.col("doc_id") >= 20)
+    return contaminated_ids(train, bench, ngram=1, min_hits=25)
+
+
+@query(
+    "corpus_pack_sequences",
+    f"""WITH sized AS (
+          SELECT doc_id,
+                 ((({_bucket_sql()})) % 32) AS shard,
+                 LEAST(len(string_split_regex(trim(text), '\\s+')), 512) AS __len
+          FROM documents),
+        c AS (
+          SELECT doc_id, shard, __len,
+                 SUM(__len) OVER (PARTITION BY shard ORDER BY doc_id) AS __cum
+          FROM sized)
+        SELECT doc_id, shard,
+               CAST(FLOOR((__cum - 1) / 512) AS INT) AS bin,
+               row_number() OVER (
+                 PARTITION BY shard, CAST(FLOOR((__cum - 1) / 512) AS INT)
+                 ORDER BY doc_id) - 1 AS pos,
+               __len AS n_tokens
+        FROM c""",
+)
+def q_pack_sequences(spark, sf_dir):
+    """Sequence packing: deterministic (shard, bin, pos) assignment into
+    512-token context bins — one window cumsum per shard."""
+    from hindex_spark.operators.packing import pack_sequences
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    out = pack_sequences(docs, budget=512)
+    return out.select(
+        "doc_id",
+        "shard",
+        "bin",
+        F.col("pos").cast("long").alias("pos"),
+        F.col("n_tokens").cast("long").alias("n_tokens"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # text analysis
 # ---------------------------------------------------------------------------

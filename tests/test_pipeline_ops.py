@@ -264,3 +264,48 @@ def test_redact_pii_patterns(spark):
     assert "<EMAIL>" in got and "<IP>" in got and "<PHONE>" in got
     assert "a.b+c@" not in got and "192.168.0.1" not in got
     assert "1.2.3" in got  # three-part version strings survive
+
+
+def test_decontaminate_drops_overlapping_docs(spark):
+    docs = spark.createDataFrame(
+        [
+            (1, "alpha beta gamma delta epsilon zeta eta theta iota kappa"),
+            (2, "totally unrelated content with zero benchmark words at all"),
+        ],
+        ["doc_id", "text"],
+    )
+    bench = spark.createDataFrame(
+        [(100, "alpha beta gamma delta epsilon zeta eta theta")], ["doc_id", "text"]
+    )
+    from hindex_spark.operators.packing import contaminated_ids, decontaminate
+
+    # 8-gram rule: doc 1 contains the benchmark's full 8-gram
+    flagged = contaminated_ids(docs, bench, ngram=8).collect()
+    assert [r["doc_id"] for r in flagged] == [1]
+    kept = decontaminate(docs, bench, ngram=8)
+    assert [r["doc_id"] for r in kept.collect()] == [2]
+
+
+def test_pack_sequences_invariants(spark, sf_dir):
+    from hindex_spark.operators.packing import pack_sequences
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    out = pack_sequences(docs, budget=512).cache()
+    try:
+        assert out.count() == docs.count()  # every doc packed exactly once
+        # pos is dense 0..k within each (shard, bin)
+        bad = (
+            out.groupBy("shard", "bin")
+            .agg(F.count("*").alias("n"), F.max("pos").alias("mx"), F.min("pos").alias("mn"))
+            .filter((F.col("mx") != F.col("n") - 1) | (F.col("mn") != 0))
+        )
+        assert bad.count() == 0
+        # bin totals never exceed budget + first-doc overhang (< 2*budget)
+        totals = out.groupBy("shard", "bin").agg(F.sum("n_tokens").alias("t"))
+        assert totals.filter(F.col("t") >= 2 * 512).count() == 0
+        # determinism
+        a = sorted(map(tuple, out.collect()))
+        b = sorted(map(tuple, pack_sequences(docs, budget=512).collect()))
+        assert a == b
+    finally:
+        out.unpersist()
