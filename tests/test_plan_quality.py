@@ -99,3 +99,21 @@ def test_simhash_pairs_banded_no_cartesian(spark, sf_dir):
     p = _plan(simhash_pairs(docs, "doc_id", "text", 3))
     assert "CartesianProduct" not in p
     assert "BroadcastNestedLoop" not in p
+
+
+def test_decontaminate_broadcasts_benchmark(spark, sf_dir):
+    from hindex_spark.operators.packing import contaminated_ids
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    bench = docs.filter(F.col("doc_id") < 20)
+    train = docs.filter(F.col("doc_id") >= 20)
+    p = _plan(contaminated_ids(train, bench, ngram=8))
+    assert "BroadcastHashJoin" in p and "SortMergeJoin" not in p
+
+
+def test_pack_sequences_single_exchange(spark, sf_dir):
+    from hindex_spark.operators.packing import pack_sequences
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    p = _plan(pack_sequences(docs, budget=512))
+    assert p.count("Exchange") == 1  # only the per-shard window shuffle
