@@ -823,6 +823,55 @@ def q_batch_status(spark, sf_dir):
 
 
 @query(
+    "coproc_row_count",
+    "SELECT COUNT(*) AS n_rows FROM orders WHERE o_orderkey >= 1000 AND o_orderkey < 5000",
+)
+def q_coproc_row_count(spark, sf_dir):
+    """RowCountEndpoint analog (hbase-examples/.../RowCountEndpoint.java)
+    through the generic coprocessor surface: per-partition pandas counts
+    merged by a client-side aggregation."""
+    import pandas as pd
+
+    from hindex_spark.coprocessor import coprocessor_service
+
+    t = _t(spark, sf_dir, "orders", "o_orderkey")
+
+    def service(batches):
+        n = 0
+        for pdf in batches:
+            n += len(pdf)
+        yield pd.DataFrame({"partial_count": [n]})
+
+    partials = coprocessor_service(
+        t, service, "partial_count long", Scan(start_row=1000, stop_row=5000)
+    )
+    return partials.agg(F.sum("partial_count").alias("n_rows"))
+
+
+@query(
+    "coproc_bulk_delete",
+    """SELECT o_orderkey, o_orderstatus FROM orders
+       WHERE NOT (o_orderkey >= 1000 AND o_orderkey < 3000 AND o_orderstatus = 'F')""",
+)
+def q_coproc_bulk_delete(spark, sf_dir):
+    """BulkDeleteEndpoint analog (hbase-examples/.../BulkDeleteEndpoint.
+    java): scan-scoped distributed delete; matched keys flow through the
+    ordinary mutation batch (index maintenance included)."""
+    from hindex_spark.coprocessor import bulk_delete_endpoint
+
+    t = _t(spark, sf_dir, "orders", "o_orderkey")
+    scan = Scan(
+        start_row=1000,
+        stop_row=3000,
+        filter=fl.SingleColumnValueFilter(
+            "o_orderstatus", fl.EQUAL, "F", filter_if_missing=True
+        ),
+    )
+    t2, _n = bulk_delete_endpoint(t, scan)
+    return t2.df.select("o_orderkey", "o_orderstatus")
+
+
+@query(
     "mutation_mutate_row",
     """SELECT n_nationkey, n_name, n_regionkey FROM (
          SELECT n_nationkey, 'RENAMED' AS n_name, n_regionkey

@@ -88,3 +88,41 @@ def test_full_user_journey(spark, sf_dir, tmp_path):
     dump = str(tmp_path / "dump")
     jobs.export_table(t2.df, dump)
     assert jobs.import_table(spark, dump).count() == t2.df.count()
+
+
+def test_coprocessor_service_and_endpoints(spark, sf_dir):
+    import pandas as pd
+    from pyspark.sql import functions as F
+
+    from hindex_spark.coprocessor import (
+        bulk_delete_endpoint,
+        coprocessor_service,
+        row_count_endpoint,
+    )
+    from hindex_spark.index.spec import IndexSpecification
+    from hindex_spark.table import Scan, Table
+
+    t = Table.from_parquet(spark, f"{sf_dir}/orders.parquet", "o_orderkey", "orders")
+    # generic service: per-partition min/max (an arbitrary computation)
+    def service(batches):
+        for pdf in batches:
+            if len(pdf):
+                yield pd.DataFrame(
+                    {"lo": [int(pdf["o_orderkey"].min())], "hi": [int(pdf["o_orderkey"].max())]}
+                )
+
+    parts = coprocessor_service(t, service, "lo long, hi long")
+    row = parts.agg(F.min("lo").alias("lo"), F.max("hi").alias("hi")).collect()[0]
+    exact = t.df.agg(F.min("o_orderkey"), F.max("o_orderkey")).collect()[0]
+    assert (row["lo"], row["hi"]) == (exact[0], exact[1])
+
+    # row count endpoint == count, scan-scoped
+    scan = Scan(start_row=0, stop_row=500)
+    assert row_count_endpoint(t, scan) == t.scan(scan).count()
+
+    # bulk delete maintains indexes in the same batch
+    t.create_index(IndexSpecification("idx_cust").add_column("o_custkey", "Long"))
+    t2, n = bulk_delete_endpoint(t, predicate=F.col("o_custkey") == 85)
+    assert n > 0
+    assert t2.df.filter(F.col("o_custkey") == 85).count() == 0
+    assert t2.index_tables["idx_cust"].filter(F.col("o_custkey") == 85).count() == 0
