@@ -326,6 +326,26 @@ def q_sim_lsh(spark, sf_dir):
     return sim.lsh_topk(emb, queries_df, 10)
 
 
+@query(
+    "events_salted_join",
+    """SELECT e.event_id, e.event_type, s.type_rows
+       FROM events e
+       JOIN (SELECT event_type, COUNT(*) AS type_rows
+             FROM events GROUP BY event_type) s
+       USING (event_type)""",
+)
+def q_salted_join(spark, sf_dir):
+    """Skew tooling as a first-class query: the hot-key salted join must
+    return EXACTLY the rows of the plain join (salting changes the plan,
+    never the result) — which makes the skew path oracle-checkable."""
+    from hindex_spark.operators.skew import salted_join
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    small = ev.groupBy("event_type").agg(F.count("*").alias("type_rows"))
+    out = salted_join(ev, small, "event_type", salt=8)
+    return out.select("event_id", "event_type", "type_rows")
+
+
 # ---------------------------------------------------------------------------
 # corpus balancing & scrubbing
 

@@ -97,3 +97,34 @@ def test_summary_one_pass(spark, sf_dir):
     row = agg.summary(t, "l_quantity").collect()[0]
     assert row["count_v"] == t.df.count()
     assert row["min_v"] <= row["median_v"] <= row["max_v"]
+
+
+def test_median_property_random_distributions(spark):
+    # hypothesis: for ANY value multiset and tiny budget, the bounded
+    # two-phase median equals the interpolated exact median.
+    from hypothesis import given, settings, strategies as st
+
+    @settings(max_examples=20, deadline=None)
+    @given(
+        vals=st.lists(
+            st.one_of(
+                st.integers(min_value=-50, max_value=50).map(float),
+                st.sampled_from([7.0, 7.0, 7.0, -3.5]),  # duplicate mass
+            ),
+            min_size=1,
+            max_size=300,
+        ),
+        budget=st.sampled_from([4, 16, 64]),
+    )
+    def check(vals, budget):
+        s = sorted(vals)
+        n = len(s)
+        rank = 0.5 * (n - 1)
+        i0 = int(rank)
+        i1 = min(i0 + 1, n - 1)
+        expect = s[i0] + (s[i1] - s[i0]) * (rank - i0)
+        df = spark.createDataFrame([(i, v) for i, v in enumerate(vals)], ["rowkey", "v"])
+        got = agg.exact_median_twophase(df, "v", row_budget=budget)
+        assert got == pytest.approx(expect, abs=1e-9)
+
+    check()
