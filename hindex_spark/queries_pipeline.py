@@ -722,3 +722,88 @@ def q_corpus_clean_cc(spark, sf_dir):
 def q_mm_features(spark, sf_dir):
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
     return mm.extract_features(mm.attach_blob(docs))
+
+
+# ---------------------------------------------------------------------------
+# end-to-end training-data pipeline (composition showcase)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "corpus_pipeline_e2e",
+    f"""WITH corpus AS (SELECT doc_id, text, lang FROM documents WHERE doc_id >= 20),
+        t AS (SELECT doc_id, text, lang,
+                     string_split_regex(trim(text), '\\s+') AS toks FROM corpus),
+        q AS (SELECT doc_id, text, lang,
+               ROUND(greatest(least(
+                 least(length(text) / 200.0, 1.0)
+                 - length(regexp_replace(text, '[^.!?,;:]', '', 'g')) * 2.0
+                   / greatest(length(text), 1)
+                 - (CASE WHEN list_sum(list_transform(toks, x -> length(x))) * 1.0
+                           / greatest(len(toks), 1) < 2
+                         OR list_sum(list_transform(toks, x -> length(x))) * 1.0
+                           / greatest(len(toks), 1) > 12
+                    THEN 0.3 ELSE 0.0 END)
+                 + len(list_filter(toks, x -> list_contains({_STOP_LIT}, x))) * 1.0
+                   / greatest(len(toks), 1) * 0.2,
+                 1.0), 0.0), 4) AS quality
+              FROM t),
+        good AS (SELECT doc_id, text, lang FROM q WHERE quality >= 0.8),
+        hashed AS (SELECT *, md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) AS h
+                   FROM good),
+        kept AS (SELECT doc_id, text, lang FROM (
+                   SELECT *, MIN(doc_id) OVER (PARTITION BY h) AS keeper FROM hashed)
+                 WHERE doc_id = keeper),
+        bench_tok AS (SELECT DISTINCT u.tok AS token FROM (
+                        SELECT unnest(string_split_regex(trim(text), '\\s+')) AS tok
+                        FROM documents WHERE doc_id < 20) u),
+        train_tok AS (SELECT DISTINCT k.doc_id,
+                             unnest(string_split_regex(trim(k.text), '\\s+')) AS token
+                      FROM kept k),
+        contaminated AS (SELECT doc_id FROM train_tok JOIN bench_tok USING (token)
+                         GROUP BY doc_id HAVING COUNT(*) >= 25),
+        clean AS (SELECT * FROM kept
+                  WHERE doc_id NOT IN (SELECT doc_id FROM contaminated)),
+        bal AS (SELECT * FROM clean
+                WHERE ((doc_id % 1000003) * 2654435761) % 10000 <
+                      CASE lang WHEN 'en' THEN 7000 ELSE 4000 END),
+        sized AS (SELECT doc_id,
+                         (((doc_id % 1000003) * 2654435761) % 10000) % 32 AS shard,
+                         LEAST(len(string_split_regex(trim(text), '\\s+')), 512) AS __len
+                  FROM bal),
+        c AS (SELECT doc_id, shard, __len,
+                     SUM(__len) OVER (PARTITION BY shard ORDER BY doc_id) AS __cum
+              FROM sized)
+        SELECT doc_id, shard,
+               CAST(FLOOR((__cum - 1) / 512) AS INT) AS bin,
+               row_number() OVER (
+                 PARTITION BY shard, CAST(FLOOR((__cum - 1) / 512) AS INT)
+                 ORDER BY doc_id) - 1 AS pos,
+               __len AS n_tokens
+        FROM c""",
+)
+def q_pipeline_e2e(spark, sf_dir):
+    """The whole training-data pipeline as ONE composed lazy plan —
+    quality gate -> exact dedup -> benchmark decontamination ->
+    stratified balancing -> sequence packing. Every stage is the same
+    operator the individual gate queries check; composing them is pure
+    DataFrame-on-DataFrame, and the oracle replays the full chain, so
+    any drift in any stage breaks this hash."""
+    from hindex_spark.operators.packing import decontaminate, pack_sequences
+    from hindex_spark.operators.sampling import stratified_sample
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    bench = docs.filter(F.col("doc_id") < 20)
+    corpus = docs.filter(F.col("doc_id") >= 20).select("doc_id", "text", "lang")
+    good = corpus.filter(F.round(tx.quality_score(F.col("text")), 4) >= 0.8)
+    kept = dd.exact_dedup(good, "doc_id", "text")
+    clean = decontaminate(kept, bench, ngram=1, min_hits=25)
+    bal = stratified_sample(clean, "lang", {"en": 0.7}, key_col="doc_id", default=0.4)
+    out = pack_sequences(bal, budget=512)
+    return out.select(
+        "doc_id",
+        "shard",
+        "bin",
+        F.col("pos").cast("long").alias("pos"),
+        F.col("n_tokens").cast("long").alias("n_tokens"),
+    )
