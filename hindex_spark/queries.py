@@ -1183,13 +1183,14 @@ def _register_all():
 #: variants. Names not listed keep registration order after these.
 _PRIORITY = [
     # aggregations (exact two-phase median inside agg_summary) + TPC-H
-    "tpch_q1", "agg_summary", "agg_group", "agg_scoped_scan", "topk_per_group",
+    "tpch_q1", "agg_summary", "agg_group", "topk_per_group",
     "join_revenue_topk",
     # index planner: semi-joins, set ops, hints, value partitions, and the
     # idxtab fixtures that assert the CHOSEN index (TestMultipleIndicesInScan)
     "index_semijoin_eq", "index_hint_forced", "index_maintained_scan",
     "index_multicol_range", "index_and_intersection", "index_value_partition",
     "index_empty_contradiction",
+    "coproc_bulk_delete",
     "idxtab_and_setcover", "idxtab_or_union", "idxtab_prefix_range",
     "idxtab_null_semantics",
     # mutations (incl. the generic gated batch + per-action status)
@@ -1198,10 +1199,10 @@ _PRIORITY = [
     "mutation_batch_status", "mutation_mutate_row",
     # core read path
     "point_get", "scan_range", "filter_scvf", "filter_and",
-    "filter_or_index_union", "filter_while_match", "filter_skip",
+    "filter_or_index_union", "filter_while_match",
     # LLM-pipeline operators: dedup family, corpus cleaning, ANN, text
     "dedup_exact", "dedup_minhash_lsh", "dedup_simhash", "dedup_clusters",
-    "dedup_embedding_lsh", "corpus_clean", "corpus_clean_cc",
+    "dedup_embedding_lsh", "corpus_clean", "corpus_pipeline_e2e",
     "sim_bruteforce_topk", "sim_ivf_ann_topk", "sim_lsh_ann_topk",
     "text_token_count", "text_quality", "text_lang_id", "text_gopher_rules",
     # streaming / ETL / DSL / temporal
