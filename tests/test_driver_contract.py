@@ -28,7 +28,9 @@ missing = [k for k in oracles if k not in qs]
 assert not missing, f"oracle without query: {missing}"
 
 # the events-reading queries are the ones that need session-conf repair
-for name in ["filter_isin", "cells_latest_version", "mutation_put_upsert", "tpch_q1"]:
+for name in ["filter_isin", "cells_latest_version", "mutation_put_upsert", "tpch_q1",
+             "corpus_pipeline_e2e", "coproc_bulk_delete", "mutation_batch_status",
+             "sim_ivf_ann_topk", "events_salted_join"]:
     out = qs[name](spark, "/root/testdata/sf0.001")
     n = len(out.collect())
     assert n >= 0
