@@ -185,6 +185,20 @@ class IndexSpecification:
     def indexed_names(self) -> List[str]:
         return [c.indexed_name for c in self.columns]
 
+    def derive_physical(self, member_families) -> "IndexSpecification":
+        """Derive the index's physical knobs from its member columns'
+        families (IndexSpecification.java:57-59,111-112): TTL = MIN over
+        families — an index entry must not outlive ANY member value —
+        and max_versions = MAX — it must stay visible as long as the
+        most-versioned member is. Applies to CellTable-backed tables,
+        where the compaction job (cells.compact) enforces both knobs."""
+        ttls = [f.ttl for f in member_families if getattr(f, "ttl", None) is not None]
+        self.ttl = min(ttls) if ttls else None
+        mvs = [getattr(f, "max_versions", None) for f in member_families]
+        mvs = [m for m in mvs if m is not None]
+        self.max_versions = max(mvs) if mvs else None
+        return self
+
     def to_json(self) -> dict:
         return {
             "name": self.name,

@@ -215,3 +215,19 @@ def test_nested_and_or_tree():
     assert "idx1" in plan.used_indexes
     assert {"idx2", "idx3"} <= set(plan.used_indexes)
     assert isinstance(plan.root, SetOp) and plan.root.op == "AND"
+
+
+def test_index_spec_derives_physical_from_families():
+    # IndexSpecification.java:57-59,111-112: ttl = MIN over member
+    # families, max_versions = MAX.
+    from hindex_spark.catalog import FamilyDescriptor
+    from hindex_spark.index.spec import IndexSpecification
+
+    spec = IndexSpecification("idx_phys").add_column("cf1_a").add_column("cf2_b")
+    spec.derive_physical(
+        [FamilyDescriptor("cf1", max_versions=3, ttl=3600),
+         FamilyDescriptor("cf2", max_versions=1, ttl=600)]
+    )
+    assert spec.ttl == 600 and spec.max_versions == 3
+    spec.derive_physical([FamilyDescriptor("cf1", max_versions=2, ttl=None)])
+    assert spec.ttl is None and spec.max_versions == 2
