@@ -301,16 +301,41 @@ def minhash_dedup_pairs(
 SIMHASH_BITS = 32
 
 
-def simhash(df: DataFrame, id_col: str, text_col: str, ngram: int = 3) -> DataFrame:
-    """32-bit SimHash per doc, computed as a per-row fold over the unit
-    array: for each bit, count set occurrences and compare to n/2 (the
-    same sign test as summing +/-1 per unit). A narrow projection with
-    NO shuffle — the previous explode + groupBy(32 sums) paid a
+#: widest supported simhash: md5's first 15 hex chars = 60 unit-hash bits
+SIMHASH_MAX_BITS = 60
+
+
+def token_hash_wide(token: Column) -> Column:
+    """60-bit token hash (md5[0:15] hex, NO modulus) — the unit hash for
+    wide simhashes, where the 31-bit ``token_hash`` would leave the high
+    bits constant."""
+    return F.conv(F.substring(F.md5(token), 1, 15), 16, 10).cast("long")
+
+
+def simhash(
+    df: DataFrame, id_col: str, text_col: str, ngram: int = 3, bits: int = SIMHASH_BITS
+) -> DataFrame:
+    """``bits``-wide SimHash per doc, computed as a per-row fold over the
+    unit array: for each bit, count set occurrences and compare to n/2
+    (the same sign test as summing +/-1 per unit). A narrow projection
+    with NO shuffle — the explode + groupBy alternative pays a
     corpus-sized shuffle for the same result. One fold pass hashes each
-    unit once and accumulates struct(n, c0..c31)."""
+    unit once and accumulates struct(n, c0..c{bits-1}).
+
+    ``bits`` defaults to 32 (oracle-parity with the 31-bit SQL token
+    hash); at corpus scale use more — a k-banded pair search has only
+    2^(bits/(k+1)) distinct values per band, and 32-bit slices are too
+    coarse for 10^9+ docs (birthday collisions also make 32-bit
+    hamming-0 'dups' spurious there). Max 60 (md5-prefix width)."""
+    if not (1 <= bits <= SIMHASH_MAX_BITS):
+        raise ValueError(f"simhash bits must be 1..{SIMHASH_MAX_BITS}: {bits}")
+    # bits <= 32 keeps the 31-bit SQL-reproducible unit hash (bit 31 is
+    # then constant-zero — historical oracle parity); wider simhashes
+    # need the 60-bit hash so the high bits actually vary
+    unit_hash = token_hash if bits <= SIMHASH_BITS else token_hash_wide
     init = F.struct(
         F.lit(0).cast("long").alias("n"),
-        *[F.lit(0).cast("long").alias(f"c{b}") for b in range(SIMHASH_BITS)],
+        *[F.lit(0).cast("long").alias(f"c{b}") for b in range(bits)],
     )
 
     def step(acc: Column, h: Column) -> Column:
@@ -318,7 +343,7 @@ def simhash(df: DataFrame, id_col: str, text_col: str, ngram: int = 3) -> DataFr
             (acc["n"] + 1).alias("n"),
             *[
                 (acc[f"c{b}"] + F.shiftright(h, b).bitwiseAND(1)).alias(f"c{b}")
-                for b in range(SIMHASH_BITS)
+                for b in range(bits)
             ],
         )
 
@@ -326,7 +351,7 @@ def simhash(df: DataFrame, id_col: str, text_col: str, ngram: int = 3) -> DataFr
         # bit b set iff sum over units of (+1 if bit set else -1) > 0,
         # i.e. 2*count_set > n
         sim = None
-        for b in range(SIMHASH_BITS):
+        for b in range(bits):
             term = F.when(
                 acc[f"c{b}"] * 2 > acc["n"], F.lit(2 ** b).cast("long")
             ).otherwise(F.lit(0))
@@ -336,7 +361,7 @@ def simhash(df: DataFrame, id_col: str, text_col: str, ngram: int = 3) -> DataFr
     ua = doc_unit_arrays(df, id_col, text_col, ngram)
     folded = ua.select(
         F.col(id_col),
-        F.aggregate(F.transform(F.col("units"), token_hash), init, step).alias("acc"),
+        F.aggregate(F.transform(F.col("units"), unit_hash), init, step).alias("acc"),
         F.size("units").alias("__nu"),
     )
     # docs with zero units had no rows after explode in the groupBy
@@ -361,9 +386,10 @@ def simhash_pairs(
     ngram: int = 3,
     max_bucket: Optional[int] = None,
     banded: bool = True,
+    bits: int = SIMHASH_BITS,
 ) -> DataFrame:
     """Near-dup pairs with Hamming(simhash) <= k, banded by pigeonhole:
-    the 32-bit hash splits into k+1 bit-slices, and any pair within
+    the ``bits``-wide hash splits into k+1 bit-slices, and any pair within
     Hamming distance k differs in at most k slices — so it agrees
     EXACTLY on at least one, and every qualifying pair surfaces from an
     equi-bucket of (band, slice value). One shuffle keyed by the band
@@ -377,8 +403,11 @@ def simhash_pairs(
     more than this many docs are dropped before |bucket|^2 expansion
     (members still pair through their other, more selective slices).
     ``banded=False`` keeps the quadratic reference shape for small-n
-    verification only."""
-    sh = simhash(df, id_col, text_col, ngram)
+    verification only. ``bits``: at 10^9+ docs use wide hashes (up to
+    60) — k+1 bands over 32 bits give only 2^(32/(k+1)) distinct slice
+    values, so band buckets grow linearly with the corpus and the
+    in-bucket expansion degenerates; 60-bit slices keep buckets sparse."""
+    sh = simhash(df, id_col, text_col, ngram, bits=bits)
     if not banded:
         a = sh.select(F.col(id_col).alias("id_a"), F.col("simhash").alias("sh_a"))
         b = sh.select(F.col(id_col).alias("id_b"), F.col("simhash").alias("sh_b"))
@@ -401,7 +430,7 @@ def simhash_pairs(
                         .bitwiseAND((1 << w) - 1)
                         .alias("bucket"),
                     )
-                    for i, (off, w) in enumerate(_simhash_band_slices(max_hamming))
+                    for i, (off, w) in enumerate(_simhash_band_slices(max_hamming, bits))
                 ]
             )
         ).alias("bb"),

@@ -309,3 +309,24 @@ def test_pack_sequences_invariants(spark, sf_dir):
         assert a == b
     finally:
         out.unpersist()
+
+
+def test_simhash_wide_bits_banded_equals_allpairs(spark, sf_dir):
+    # 60-bit simhash (the corpus-scale width): banded candidates still
+    # lose no qualifying pair, and high bits actually vary.
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").limit(200)
+    sh = dd.simhash(docs, "doc_id", "text", bits=60)
+    hi = sh.select((F.col("simhash") >= (1 << 40)).alias("hi")).filter("hi").count()
+    assert hi > 0  # wide hash uses the high bit range
+    for k in (2, 5):
+        banded = {
+            (r["id_a"], r["id_b"], r["hamming"])
+            for r in dd.simhash_pairs(docs, "doc_id", "text", k, bits=60).collect()
+        }
+        quad = {
+            (r["id_a"], r["id_b"], r["hamming"])
+            for r in dd.simhash_pairs(
+                docs, "doc_id", "text", k, banded=False, bits=60
+            ).collect()
+        }
+        assert banded == quad
