@@ -514,7 +514,10 @@ def clean_corpus(
     oracle-checkable baseline); "lsh" = MinHash-banded candidates with
     exact verification — the 100 TB path (cost ~ candidates, not pairs;
     recall < 1 with probability (1-s^b)^r per pair, negligible at
-    s >= 0.9 with the default 4x2 banding).
+    s >= 0.9 with the default 4x2 banding); "simhash" = banded Hamming
+    pairs (``jaccard_threshold`` is then the max Hamming distance, an
+    int — the cheapest near-dup signal: one 60-bit signature per doc,
+    no shingle verification join).
     """
     from pyspark import StorageLevel
 
@@ -531,6 +534,10 @@ def clean_corpus(
     )
     if method == "lsh":
         pairs = minhash_dedup_pairs(deduped, id_col, text_col, jaccard_threshold, ngram)
+    elif method == "simhash":
+        pairs = simhash_pairs(
+            deduped, id_col, text_col, int(jaccard_threshold), ngram, bits=60
+        ).select("id_a", "id_b")
     else:
         pairs = jaccard_pairs(deduped, id_col, text_col, jaccard_threshold, ngram)
     if keep == "component":

@@ -330,3 +330,17 @@ def test_simhash_wide_bits_banded_equals_allpairs(spark, sf_dir):
             ).collect()
         }
         assert banded == quad
+
+
+def test_clean_corpus_simhash_method(spark, sf_dir):
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").limit(300)
+    out = dd.clean_corpus(
+        docs, "doc_id", "text", min_quality=0.0, jaccard_threshold=3, method="simhash"
+    )
+    # manual replay: exact dedup, then drop docs with a smaller-id
+    # partner within hamming 3 (60-bit banded)
+    deduped = dd.exact_dedup(docs, "doc_id", "text")
+    pairs = dd.simhash_pairs(deduped, "doc_id", "text", 3, bits=60)
+    losers = {r["id_b"] for r in pairs.collect()}
+    expect = {r["doc_id"] for r in deduped.collect()} - losers
+    assert {r["doc_id"] for r in out.collect()} == expect
