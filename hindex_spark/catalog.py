@@ -166,6 +166,12 @@ class Catalog:
         )
         self.spark.sql(f"DROP TABLE IF EXISTS `{tmp}`")  # metadata only; files stay
         self._swap_in(final, staging)
+        # re-register the final name NOW: a previous registration of this
+        # table may carry a different bucket count or schema, and a
+        # bucketed join against stale bucketing metadata silently
+        # misroutes rows — never trust an old registration to describe
+        # new files.
+        self._register_bucketed(qname, final, df.schema, bucket_col, sort_cols, n)
 
     def save(self, table: Table, num_partitions: int = 32, layout: str = "bucketed") -> None:
         """Persist table + all index tables.
@@ -200,12 +206,17 @@ class Catalog:
                 table.df, data_path, self._sql_name(table.name, "__data"), rk, [rk], num_partitions
             )
             for spec in table.indices.indices:
+                # bucket by rowkey (shuffle-free maintenance + semi-join
+                # application) but SORT by the indexed values: the
+                # planner's range probe then prunes row groups on the
+                # index key — losing only merge-join sortedness (a local
+                # Sort), never the Exchange.
                 self._write_bucketed(
                     table.index_tables[spec.name],
                     os.path.join(d, "index", spec.name),
                     self._sql_name(table.name, f"__idx_{spec.name}"),
                     rk,
-                    [rk],
+                    spec.indexed_names + [rk],
                     num_partitions,
                 )
         else:
@@ -242,11 +253,13 @@ class Catalog:
     def _attach_bucketed(
         self, qname: str, location: str, bucket_col: str, sort_cols, n: int
     ) -> DataFrame:
-        if not self.spark.catalog.tableExists(f"`{qname}`"):
-            schema = self.spark.read.parquet(location).schema
-            self._register_bucketed(qname, location, schema, bucket_col, sort_cols, n)
-        else:
-            self.spark.sql(f"REFRESH TABLE `{qname}`")
+        # Always re-register from the files + descriptor: an existing
+        # registration may describe a previous save (different bucket
+        # count or schema), and REFRESH only clears file listings — it
+        # cannot fix stale bucketing metadata, which would silently
+        # corrupt shuffle-free joins.
+        schema = self.spark.read.parquet(location).schema
+        self._register_bucketed(qname, location, schema, bucket_col, sort_cols, n)
         return self.spark.table(f"`{qname}`")
 
     def load(self, name: str) -> Table:
@@ -269,36 +282,38 @@ class Catalog:
             ipath = os.path.join(d, "index", spec.name)
             if desc.layout == "bucketed":
                 t.index_tables[spec.name] = self._attach_bucketed(
-                    self._sql_name(name, f"__idx_{spec.name}"), ipath, rk, [rk], desc.num_buckets
+                    self._sql_name(name, f"__idx_{spec.name}"),
+                    ipath,
+                    rk,
+                    spec.indexed_names + [rk],
+                    desc.num_buckets,
                 )
             else:
                 t.index_tables[spec.name] = self.spark.read.parquet(ipath)
         return t
 
     def save_bucketed(self, table: Table, num_buckets: int = 32) -> None:
-        """Persist as a bucketed+sorted managed table (bucketBy rowkey):
-        joins and aggregations on the rowkey then run WITHOUT a shuffle
-        on this side — the analog of the reference's region colocation
+        """Explicit-name bucketed persistence (bucketBy rowkey): joins
+        and aggregations on the rowkey then run WITHOUT a shuffle on
+        this side — the analog of the reference's region colocation
         (SecIndexLoadBalancer keeps T and T_idx regions together so the
-        index semi-join is region-local). Index tables are bucketed on
-        rowkey too, so index-rowkeys ∩ data is also shuffle-free."""
+        index semi-join is region-local). Prefer ``save()`` (bucketed by
+        default, descriptor-integrated); this variant registers plain
+        ``<name>_bucketed`` table names and shares the same atomic
+        staging + fresh-registration plumbing."""
+        rk = table.rowkey_col
         name = f"{table.name}_bucketed"
-        (
-            table.df.write.mode("overwrite")
-            .bucketBy(num_buckets, table.rowkey_col)
-            .sortBy(table.rowkey_col)
-            .option("path", os.path.join(self.root, name, "data"))
-            .saveAsTable(name)
+        self._write_bucketed(
+            table.df, os.path.join(self.root, name, "data"), name, rk, [rk], num_buckets
         )
         for spec in table.indices.indices:
-            idx_name = f"{table.name}_bucketed_idx_{spec.name}"
-            (
-                table.index_tables[spec.name]
-                .write.mode("overwrite")
-                .bucketBy(num_buckets, table.rowkey_col)
-                .sortBy(table.rowkey_col)
-                .option("path", os.path.join(self.root, name, "index", spec.name))
-                .saveAsTable(idx_name)
+            self._write_bucketed(
+                table.index_tables[spec.name],
+                os.path.join(self.root, name, "index", spec.name),
+                f"{table.name}_bucketed_idx_{spec.name}",
+                rk,
+                [rk],
+                num_buckets,
             )
 
     def load_bucketed(self, spark_name: str, rowkey_col: str) -> Table:

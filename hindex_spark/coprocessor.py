@@ -74,6 +74,9 @@ def bulk_delete_endpoint(table, scan=None, predicate=None):
     matched = table.scan(scan) if scan is not None else table.df
     if predicate is not None:
         matched = matched.filter(predicate)
-    keys = matched.select(table.rowkey_col).distinct()
+    # materialize the matched keys once (localCheckpoint): both the
+    # count and the delete's anti-join (plus every index-maintenance
+    # join) would otherwise re-run the scan+filter pipeline
+    keys = matched.select(table.rowkey_col).distinct().localCheckpoint(eager=True)
     n = keys.count()
     return table.delete(keys), n

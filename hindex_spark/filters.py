@@ -500,8 +500,14 @@ class FirstKeyValueMatchingQualifiersFilter(FirstKeyOnlyFilter):
         return df.filter(cond).select(key).distinct()
 
     def predicate(self, table) -> Column:
+        # tolerate unknown qualifiers exactly like apply(): an absent
+        # column can never match, it must not blow up FilterList
+        # evaluation with an unresolvable reference
+        names = list(self.qualifiers)
+        if table is not None and hasattr(table, "df"):
+            names = [c for c in names if c in table.df.columns]
         cond = F.lit(False)
-        for c in self.qualifiers:
+        for c in names:
             cond = cond | _resolve(table, c).isNotNull()
         return cond
 

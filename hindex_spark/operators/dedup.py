@@ -535,6 +535,12 @@ def clean_corpus(
     if method == "lsh":
         pairs = minhash_dedup_pairs(deduped, id_col, text_col, jaccard_threshold, ngram)
     elif method == "simhash":
+        if 0 < jaccard_threshold < 1:
+            raise ValueError(
+                "method='simhash' interprets the threshold as a MAX HAMMING "
+                f"DISTANCE (an int >= 1, e.g. 3), not a similarity fraction: "
+                f"got {jaccard_threshold!r}"
+            )
         pairs = simhash_pairs(
             deduped, id_col, text_col, int(jaccard_threshold), ngram, bits=60
         ).select("id_a", "id_b")

@@ -27,7 +27,7 @@ from pyspark.sql import functions as F
 from pyspark.sql import Window
 
 from hindex_spark.operators.dedup import doc_units
-from hindex_spark.operators.sampling import sample_bucket
+from hindex_spark.operators.sampling import _bucket_for
 from hindex_spark.operators.text import token_count
 
 
@@ -92,16 +92,17 @@ def pack_sequences(
 
     Sharding is by id hash, so packing parallelism is ``n_shards``-wide
     and adding shards never changes intra-shard results."""
-    L = (
-        F.least(token_count(F.col(text_col)), F.lit(budget))
-        if length_col is None
-        else F.least(F.col(length_col), F.lit(budget))
-    )
+    raw_len = token_count(F.col(text_col)) if length_col is None else F.col(length_col)
+    # clamp to [1, budget]: a 0/NULL user-supplied length would otherwise
+    # put the first doc of a shard in bin -1 (floor(-1/budget));
+    # tokenized text is always >= 1 token, so the gate oracle sees no
+    # change
+    L = F.least(F.greatest(raw_len, F.lit(1)), F.lit(budget))
     sized = docs.select(
         F.col(id_col),
         L.alias("__len"),
         # arithmetic bucket, not hash(): deterministic across engines
-        F.pmod(sample_bucket(F.col(id_col)), F.lit(n_shards)).alias("shard"),
+        F.pmod(_bucket_for(docs, id_col), F.lit(n_shards)).alias("shard"),
     )
     w = Window.partitionBy("shard").orderBy(id_col)
     sized = sized.withColumn("__cum", F.sum("__len").over(w))

@@ -35,6 +35,24 @@ def sample_bucket(key: Column) -> Column:
     return F.pmod(F.pmod(key.cast("long"), F.lit(_PRIME)) * F.lit(_KNUTH), F.lit(BUCKETS))
 
 
+def sample_bucket_str(key: Column) -> Column:
+    """Deterministic bucket for STRING keys: md5-prefix -> 60-bit int ->
+    bucket (DuckDB replica:
+    ``(CAST(CONCAT('0x', SUBSTRING(md5(k),1,15)) AS BIGINT) % 10000)``)."""
+    return F.pmod(F.conv(F.substring(F.md5(key), 1, 15), 16, 10).cast("long"), F.lit(BUCKETS))
+
+
+def _bucket_for(df: DataFrame, key_col: str) -> Column:
+    """Pick the bucket expression by the key column's type. A numeric
+    key cast through ``sample_bucket_str`` or a string key cast through
+    ``sample_bucket`` would both silently yield NULL buckets (dropping
+    every row), so the choice is driven by the schema, not the caller."""
+    dt = dict(df.dtypes).get(key_col, "")
+    if dt in ("string", "varchar", "binary") or dt.startswith(("char", "varchar")):
+        return sample_bucket_str(F.col(key_col))
+    return sample_bucket(F.col(key_col))
+
+
 def sample_bucket_sql(key_sql: str) -> str:
     """The identical bucket expression as ANSI SQL (for oracles)."""
     return f"((({key_sql}) % {_PRIME}) * {_KNUTH}) % {BUCKETS}"
@@ -62,7 +80,7 @@ def stratified_sample(
         if threshold is not None
         else F.lit(int(round(default * BUCKETS)))
     )
-    return df.filter(sample_bucket(F.col(key_col)) < threshold)
+    return df.filter(_bucket_for(df, key_col) < threshold)
 
 
 def stratified_cap(
@@ -76,7 +94,7 @@ def stratified_cap(
     One shuffle keyed by the stratum; at scale prefer stratified_sample
     (shuffle-free) unless the budget must be exact."""
     w = Window.partitionBy(strata_col).orderBy(
-        sample_bucket(F.col(key_col)), F.col(key_col)
+        _bucket_for(df, key_col), F.col(key_col)
     )
     return (
         df.withColumn("__rn", F.row_number().over(w))

@@ -470,17 +470,21 @@ class Table:
                 f"batch columns not in table {self.name!r}: {unknown} "
                 f"(table columns: {self.df.columns})"
             )
-        bad_ops = ops.filter(~F.col("op").isin("get", "put", "delete"))
-        if not bad_ops.isEmpty():
-            kinds = [r["op"] for r in bad_ops.select("op").distinct().collect()]
-            raise ValueError(f"unsupported batch ops: {kinds}")
+        # ONE job validates op kinds and answers both emptiness checks
+        # (three separate isEmpty() actions would recompute ops' upstream
+        # plan three times)
+        op_counts = {
+            r["op"]: r["n"]
+            for r in ops.groupBy("op").agg(F.count("*").alias("n")).collect()
+        }
+        bad = sorted(k for k in op_counts if k not in ("get", "put", "delete"))
+        if bad:
+            raise ValueError(f"unsupported batch ops: {bad}")
         out = self
-        dels = ops.filter(F.col("op") == "delete").select(rk)
-        puts = ops.filter(F.col("op") == "put").select(rk, *value_cols)
-        if not dels.isEmpty():
-            out = out.delete(dels)
-        if not puts.isEmpty():
-            out = out.put(puts)
+        if op_counts.get("delete"):
+            out = out.delete(ops.filter(F.col("op") == "delete").select(rk))
+        if op_counts.get("put"):
+            out = out.put(ops.filter(F.col("op") == "put").select(rk, *value_cols))
         pre = self.df.alias("t")
         actions = ops.select("op", rk).alias("a")
         results = (

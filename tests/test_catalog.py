@@ -100,3 +100,21 @@ def test_multi_table_scan(spark, sf_dir):
     a = Table.from_parquet(spark, f"{sf_dir}/region.parquet", "r_regionkey", "region")
     b = Table.from_parquet(spark, f"{sf_dir}/region.parquet", "r_regionkey", "region2")
     assert multi_table_scan([a, b]).count() == 2 * a.df.count()
+
+
+def test_resave_with_different_bucket_count_not_stale(spark, sf_dir, tmp_path):
+    """Re-saving with a different bucket count must re-register: stale
+    bucketing metadata silently misroutes rows in shuffle-free joins."""
+    cat = Catalog(spark, str(tmp_path / "whs"))
+    t = Table.from_parquet(spark, f"{sf_dir}/orders.parquet", "o_orderkey", "orders")
+    cat.save(t, num_partitions=8)
+    t1 = cat.load("orders")
+    assert t1.df.count() == t.df.count()
+    cat.save(t, num_partitions=4)
+    t2 = cat.load("orders")
+    # correct row count AND a correct merge through the bucketed join
+    assert t2.df.count() == t.df.count()
+    puts = spark.createDataFrame([(5, 111.0)], "o_orderkey long, o_totalprice double")
+    merged = t2.put(puts).df
+    assert merged.count() == t.df.count()
+    assert merged.filter(F.col("o_orderkey") == 5).collect()[0]["o_totalprice"] == 111.0

@@ -218,3 +218,22 @@ def test_first_key_value_matching_qualifiers(spark):
     )
     got = [r["rowkey"] for r in FirstKeyValueMatchingQualifiersFilter(["click"]).apply(cells, None).collect()]
     assert got == ["r1"]
+
+
+def test_first_key_matching_qualifiers_predicate_in_filterlist(spark):
+    # predicate() path (inside an OR list) must tolerate unknown
+    # qualifiers exactly like apply(): absent column = no match, no crash
+    from hindex_spark import filters as fl
+    from hindex_spark.table import Scan, Table
+
+    df = spark.createDataFrame([("r1", 5), ("r2", None)], "rowkey string, v int")
+    t = Table(df, "rowkey")
+    f = fl.FilterList(
+        "OR",
+        [
+            fl.FirstKeyValueMatchingQualifiersFilter(["zz", "v"]),
+            fl.SingleColumnValueFilter("v", fl.EQUAL, -1, filter_if_missing=True),
+        ],
+    )
+    got = sorted(r["rowkey"] for r in t.scan(Scan(filter=f)).collect())
+    assert got == ["r1"]

@@ -344,3 +344,39 @@ def test_clean_corpus_simhash_method(spark, sf_dir):
     losers = {r["id_b"] for r in pairs.collect()}
     expect = {r["doc_id"] for r in deduped.collect()} - losers
     assert {r["doc_id"] for r in out.collect()} == expect
+
+
+def test_stratified_sample_string_keys(spark):
+    from hindex_spark.operators.sampling import stratified_cap, stratified_sample
+
+    docs = spark.createDataFrame(
+        [(f"cc-2019/{i:04d}", "en" if i % 2 else "de") for i in range(400)],
+        ["doc_id", "lang"],
+    )
+    out = stratified_sample(docs, "lang", {"en": 0.5}, key_col="doc_id", default=0.25)
+    n = out.count()
+    assert 0 < n < 400  # string keys bucket, not NULL-drop
+    capped = stratified_cap(docs, "lang", 7, key_col="doc_id")
+    assert capped.groupBy("lang").count().filter("count != 7").count() == 0
+
+
+def test_pack_sequences_string_ids_and_zero_lengths(spark):
+    from hindex_spark.operators.packing import pack_sequences
+
+    docs = spark.createDataFrame(
+        [("a", 0), ("b", 600), ("c", 100), ("d", None)],
+        "doc_id string, n_tok int",
+    )
+    out = pack_sequences(docs, budget=512, length_col="n_tok", n_shards=2).collect()
+    assert len(out) == 4
+    assert all(r["bin"] >= 0 for r in out)          # no bin -1
+    assert all(r["shard"] is not None for r in out)  # string ids bucket
+    assert all(1 <= r["n_tokens"] <= 512 for r in out)
+
+
+def test_clean_corpus_simhash_rejects_fraction_threshold(spark):
+    import pytest
+
+    docs = _docs(spark)
+    with pytest.raises(ValueError, match="MAX HAMMING"):
+        dd.clean_corpus(docs, "doc_id", "text", jaccard_threshold=0.9, method="simhash")
