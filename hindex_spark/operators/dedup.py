@@ -206,23 +206,13 @@ def minhash_signatures(
     return sig.select(F.col(id_col), *[F.col(f"s.mh{i}").alias(f"mh{i}") for i in range(N_HASHES)])
 
 
-def lsh_candidate_pairs(
-    signatures: DataFrame, id_col: str, max_bucket: Optional[int] = None
-) -> DataFrame:
-    """Band the signature (4 bands x 2 rows), group by band bucket, and
-    emit id pairs from within each bucket — ONE pass over the signature
-    input and one shuffle keyed by (band, bucket), vs. a self-join that
-    executes the signature job twice. Never a cross join: cost is
-    sum over buckets of |bucket|^2, the LSH contract.
-
-    ``max_bucket`` is the 100 TB safety valve: buckets larger than it are
-    dropped before pair expansion (their members still pair up through
-    their other, more selective bands — a bucket that common is driven by
-    boilerplate shingles, not near-duplication, and its |bucket|^2
-    expansion is exactly the blow-up LSH exists to avoid). Default None
-    = unbounded, bit-for-bit the oracle semantics."""
+def _band_rows(signatures: DataFrame, id_col: str) -> DataFrame:
+    """(id, band, bucket): one row per (doc, band), bucket = the band's
+    minhash rows joined into a string key. A narrow explode (x n_bands),
+    no shuffle — the banding layer shared by self-dedup and the
+    cross-corpus join."""
     n_bands = N_HASHES // BAND_SIZE
-    bands = signatures.select(
+    return signatures.select(
         F.col(id_col),
         F.explode(
             F.array(
@@ -239,6 +229,24 @@ def lsh_candidate_pairs(
             )
         ).alias("bb"),
     ).select(id_col, F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket"))
+
+
+def lsh_candidate_pairs(
+    signatures: DataFrame, id_col: str, max_bucket: Optional[int] = None
+) -> DataFrame:
+    """Band the signature (4 bands x 2 rows), group by band bucket, and
+    emit id pairs from within each bucket — ONE pass over the signature
+    input and one shuffle keyed by (band, bucket), vs. a self-join that
+    executes the signature job twice. Never a cross join: cost is
+    sum over buckets of |bucket|^2, the LSH contract.
+
+    ``max_bucket`` is the 100 TB safety valve: buckets larger than it are
+    dropped before pair expansion (their members still pair up through
+    their other, more selective bands — a bucket that common is driven by
+    boilerplate shingles, not near-duplication, and its |bucket|^2
+    expansion is exactly the blow-up LSH exists to avoid). Default None
+    = unbounded, bit-for-bit the oracle semantics."""
+    bands = _band_rows(signatures, id_col)
     buckets = (
         bands.groupBy("band", "bucket")
         .agg(F.array_sort(F.collect_set(F.col(id_col))).alias("ids"))
@@ -291,6 +299,166 @@ def minhash_dedup_pairs(
         )
         .filter(F.col("jaccard") >= threshold)
         .select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard"))
+    )
+
+
+def minhash_join(
+    left: DataFrame,
+    right: DataFrame,
+    id_col: str,
+    text_col: str,
+    threshold: float,
+    ngram: int = 3,
+    max_bucket: Optional[int] = None,
+) -> DataFrame:
+    """Cross-corpus near-duplicate JOIN at LSH cost: which docs in
+    ``left`` are near-duplicates of docs in ``right``? The scale path for
+    fuzzy decontamination — the exact n-gram rule
+    (operators/packing.py:34) catches verbatim overlap; this catches
+    lightly-edited copies of benchmark items, at 8 minhash values per doc
+    per side instead of the benchmark's full n-gram set.
+
+    Shape: each side gets the shuffle-free signature fold, banding is a
+    narrow explode, candidates come from ONE equi-join on (band, bucket)
+    — never a cross join; cost ~ sum over buckets of |L_b| x |R_b|.
+    Verification joins candidates back to the unit arrays (array_intersect
+    per pair), identical math to ``minhash_dedup_pairs``.
+
+    ``max_bucket`` drops (band, bucket) keys whose pair expansion exceeds
+    ``max_bucket``^2 (boilerplate buckets, the skew valve at 100 TB).
+
+    Output: (id_a from left, id_b from right, jaccard >= threshold).
+    """
+    bl = _band_rows(minhash_signatures(left, id_col, text_col, ngram), id_col).select(
+        F.col(id_col).alias("id_a"), "band", "bucket"
+    )
+    br = _band_rows(minhash_signatures(right, id_col, text_col, ngram), id_col).select(
+        F.col(id_col).alias("id_b"), "band", "bucket"
+    )
+    if max_bucket is not None:
+        for side, key in ((bl, "id_a"), (br, "id_b")):
+            big = (
+                side.groupBy("band", "bucket")
+                .agg(F.count("*").alias("__n"))
+                .filter(F.col("__n") > max_bucket)
+                .select("band", "bucket")
+            )
+            if side is bl:
+                bl = bl.join(big, ["band", "bucket"], "left_anti")
+            else:
+                br = br.join(big, ["band", "bucket"], "left_anti")
+    cands = bl.join(br, ["band", "bucket"]).select("id_a", "id_b").distinct()
+    ua = doc_unit_arrays(left, id_col, text_col, ngram).select(
+        F.col(id_col).alias("id_a"), F.col("units").alias("u_a")
+    )
+    ub = doc_unit_arrays(right, id_col, text_col, ngram).select(
+        F.col(id_col).alias("id_b"), F.col("units").alias("u_b")
+    )
+    return (
+        cands.join(ua, "id_a")
+        .join(ub, "id_b")
+        .withColumn("c", F.size(F.array_intersect(F.col("u_a"), F.col("u_b"))))
+        .withColumn(
+            "jaccard", F.col("c") / (F.size("u_a") + F.size("u_b") - F.col("c"))
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# line-level exact dedup (C4-style duplicate-span removal)
+# ---------------------------------------------------------------------------
+
+
+def doc_lines(
+    df: DataFrame, id_col: str, text_col: str, words_per_line: int = 10
+) -> DataFrame:
+    """(id, line_no, line): fixed ``words_per_line``-word chunks of each
+    doc, in order. The corpus has no newline structure, so "lines" are
+    word windows — the unit C4/RefinedWeb dedup at (they use real lines /
+    3-sentence spans; the operator is granularity-agnostic). A narrow
+    transform + posexplode — no shuffle; ~tokens/words_per_line rows per
+    doc."""
+    w = words_per_line
+    toked = df.select(F.col(id_col), tokens(F.col(text_col)).alias("__toks"))
+    n_lines = F.floor((F.size("__toks") - F.lit(1)) / F.lit(w)).cast("int") + F.lit(1)
+    lines = F.transform(
+        F.sequence(F.lit(0), n_lines - F.lit(1)),
+        lambda i: F.concat_ws(" ", F.slice(F.col("__toks"), i * w + 1, w)),
+    )
+    return toked.select(
+        F.col(id_col), F.posexplode(lines).alias("line_no", "line")
+    )
+
+
+def dedup_lines(
+    df: DataFrame, id_col: str, text_col: str, words_per_line: int = 10
+) -> DataFrame:
+    """C4-style duplicate-SPAN removal: keep only the globally first
+    occurrence (min (doc_id, line_no)) of every distinct line and
+    reassemble each doc from its surviving lines, preserving order. Docs
+    whose every line occurred earlier elsewhere vanish from the output
+    (C4 drops now-empty docs).
+
+    Scale shape: one row_number window keyed by the line text (the dedup
+    shuffle) and one groupBy(doc) to reassemble — two exchanges total, no
+    joins, no driver loop. At 100 TB the window key is the line text
+    itself; skew = boilerplate lines, which is precisely the content
+    being removed, and each group resolves to its first row.
+
+    Output: (id, text [deduped], n_lines_kept).
+    """
+    from pyspark.sql import Window
+
+    lines = doc_lines(df, id_col, text_col, words_per_line)
+    w = Window.partitionBy("line").orderBy(id_col, "line_no")
+    kept = lines.withColumn("__rn", F.row_number().over(w)).filter(F.col("__rn") == 1)
+    return kept.groupBy(id_col).agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("line_no", "line"))),
+                lambda s: s["line"],
+            ),
+            " ",
+        ).alias("text"),
+        F.count("*").alias("n_lines_kept"),
+    )
+
+
+def trim_repeated_lines(
+    df: DataFrame, id_col: str, text_col: str, words_per_line: int = 10
+) -> DataFrame:
+    """WITHIN-doc repetition removal: drop every repeat of a line inside
+    the same document, keeping its first occurrence (the "remove
+    duplicated paragraphs in-page" cleanup that complements the global
+    ``dedup_lines`` and the Gopher repetition *filters* — those drop the
+    whole doc; this repairs it). Every doc survives.
+
+    Scale shape: the window key is (doc, line) so state per group is one
+    doc's copies of one line — narrower than ``dedup_lines``'s global
+    key; the same two exchanges, no joins.
+
+    Output: (id, text [repaired], n_lines_kept, n_lines_dropped)."""
+    from pyspark.sql import Window
+
+    lines = doc_lines(df, id_col, text_col, words_per_line)
+    w = Window.partitionBy(id_col, "line").orderBy("line_no")
+    kept = lines.withColumn("__rn", F.row_number().over(w))
+    return kept.groupBy(id_col).agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(
+                    F.collect_list(
+                        F.when(F.col("__rn") == 1, F.struct("line_no", "line"))
+                    )
+                ),
+                lambda s: s["line"],
+            ),
+            " ",
+        ).alias("text"),
+        F.sum(F.when(F.col("__rn") == 1, 1).otherwise(0)).alias("n_lines_kept"),
+        F.sum(F.when(F.col("__rn") > 1, 1).otherwise(0)).alias("n_lines_dropped"),
     )
 
 

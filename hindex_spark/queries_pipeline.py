@@ -718,6 +718,100 @@ def q_corpus_clean_cc(spark, sf_dir):
     return kept.select("doc_id", "lang")
 
 
+@query(
+    "corpus_dedup_lines",
+    r"""WITH toked AS (
+          SELECT doc_id, string_split_regex(trim(text), '\s+') AS toks
+          FROM documents),
+        nums AS (
+          SELECT doc_id, toks,
+                 unnest(range((len(toks)-1)//10 + 1)) AS line_no
+          FROM toked),
+        lines AS (
+          SELECT doc_id, line_no,
+                 array_to_string(toks[(line_no*10+1):(line_no*10+10)], ' ') AS line
+          FROM nums),
+        kept AS (
+          SELECT doc_id, line_no, line,
+                 row_number() OVER (PARTITION BY line ORDER BY doc_id, line_no) AS rn
+          FROM lines)
+        SELECT doc_id,
+               string_agg(line, ' ' ORDER BY line_no) AS text,
+               COUNT(*) AS n_lines_kept
+        FROM kept WHERE rn = 1 GROUP BY doc_id""",
+)
+def q_dedup_lines(spark, sf_dir):
+    """C4-style duplicate-span removal: global first-occurrence dedup of
+    10-word lines, docs reassembled from survivors."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return dd.dedup_lines(docs, "doc_id", "text", words_per_line=10)
+
+
+@query(
+    "corpus_minhash_join",
+    f"""{_minhash_sig_sql()},
+        {_bands_sql()},
+        cand AS (
+          SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+          FROM bands a JOIN bands b
+            ON a.band = b.band AND a.bucket = b.bucket
+           AND a.doc_id % 2 = 0 AND b.doc_id % 2 = 1),
+        sz AS (SELECT doc_id, COUNT(*) AS n FROM tok GROUP BY doc_id),
+        common AS (
+          SELECT c.id_a, c.id_b, COUNT(*) AS c
+          FROM cand c
+          JOIN tok ta ON ta.doc_id = c.id_a
+          JOIN tok tb ON tb.doc_id = c.id_b AND tb.token = ta.token
+          GROUP BY 1, 2)
+        SELECT id_a, id_b, ROUND(c * 1.0 / (sa.n + sb.n - c), 6) AS jaccard
+        FROM common
+        JOIN sz sa ON id_a = sa.doc_id
+        JOIN sz sb ON id_b = sb.doc_id
+        WHERE c * 1.0 / (sa.n + sb.n - c) >= 0.9""",
+)
+def q_minhash_join(spark, sf_dir):
+    """Cross-corpus near-dup join (fuzzy decontamination): even-id docs
+    probed against odd-id docs through banded MinHash."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return dd.minhash_join(
+        docs.filter(F.col("doc_id") % 2 == 0),
+        docs.filter(F.col("doc_id") % 2 == 1),
+        "doc_id",
+        "text",
+        0.9,
+    )
+
+
+@query(
+    "corpus_trim_repeated_lines",
+    r"""WITH toked AS (
+          SELECT doc_id, string_split_regex(trim(text), '\s+') AS toks
+          FROM documents),
+        nums AS (
+          SELECT doc_id, toks,
+                 unnest(range((len(toks)-1)//2 + 1)) AS line_no
+          FROM toked),
+        lines AS (
+          SELECT doc_id, line_no,
+                 array_to_string(toks[(line_no*2+1):(line_no*2+2)], ' ') AS line
+          FROM nums),
+        kept AS (
+          SELECT doc_id, line_no, line,
+                 row_number() OVER (PARTITION BY doc_id, line ORDER BY line_no) AS rn
+          FROM lines)
+        SELECT doc_id,
+               string_agg(CASE WHEN rn = 1 THEN line END, ' ' ORDER BY line_no) AS text,
+               CAST(SUM(CASE WHEN rn = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_lines_kept,
+               CAST(SUM(CASE WHEN rn > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_lines_dropped
+        FROM kept GROUP BY doc_id""",
+)
+def q_trim_repeated_lines(spark, sf_dir):
+    """Within-doc repetition repair: drop repeats of a 2-word line inside
+    the same document, keep first occurrences in order."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return dd.trim_repeated_lines(docs, "doc_id", "text", words_per_line=2)
+
+
 @query("multimodal_features")  # mapInPandas path: rows-only driver check
 def q_mm_features(spark, sf_dir):
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")

@@ -380,3 +380,92 @@ def test_clean_corpus_simhash_rejects_fraction_threshold(spark):
     docs = _docs(spark)
     with pytest.raises(ValueError, match="MAX HAMMING"):
         dd.clean_corpus(docs, "doc_id", "text", jaccard_threshold=0.9, method="simhash")
+
+
+def test_dedup_lines_first_occurrence_semantics(spark):
+    # lines = 3-word chunks; doc 2's only line duplicates doc 1's first
+    # chunk -> doc 2 vanishes; doc 3 keeps only its novel tail chunk
+    rows = [
+        (1, "a b c d e f"),      # lines: "a b c", "d e f"
+        (2, "a b c"),            # all lines seen in doc 1 -> dropped
+        (3, "d e f x y z"),      # "d e f" dup -> keeps "x y z"
+    ]
+    docs = spark.createDataFrame(rows, ["doc_id", "text"])
+    out = {r["doc_id"]: (r["text"], r["n_lines_kept"])
+           for r in dd.dedup_lines(docs, "doc_id", "text", words_per_line=3).collect()}
+    assert out == {1: ("a b c d e f", 2), 3: ("x y z", 1)}
+
+
+def test_dedup_lines_short_doc_single_line(spark):
+    docs = spark.createDataFrame([(1, "one two"), (2, "one two")], ["doc_id", "text"])
+    out = dd.dedup_lines(docs, "doc_id", "text", words_per_line=10).collect()
+    assert len(out) == 1 and out[0]["doc_id"] == 1 and out[0]["text"] == "one two"
+
+
+def test_minhash_join_cross_corpus(spark):
+    left = spark.createDataFrame(
+        [(1, "the quick brown fox jumps over the lazy dog"),
+         (2, "completely different words entirely unrelated text here now")],
+        ["doc_id", "text"],
+    )
+    right = spark.createDataFrame(
+        [(10, "the quick brown fox jumps over the lazy dog today"),
+         (11, "nothing in common with anything else at all whatsoever")],
+        ["doc_id", "text"],
+    )
+    got = [(r["id_a"], r["id_b"]) for r in
+           dd.minhash_join(left, right, "doc_id", "text", 0.5).collect()]
+    assert got == [(1, 10)]
+
+
+def test_minhash_join_max_bucket_valve(spark):
+    # identical docs on both sides -> every band bucket has 3 members;
+    # max_bucket=2 must drop them all (the skew valve)
+    same = "w x y z " * 5
+    left = spark.createDataFrame([(i, same) for i in range(3)], ["doc_id", "text"])
+    right = spark.createDataFrame([(i + 10, same) for i in range(3)], ["doc_id", "text"])
+    assert dd.minhash_join(left, right, "doc_id", "text", 0.9).count() == 9
+    assert dd.minhash_join(left, right, "doc_id", "text", 0.9, max_bucket=2).count() == 0
+
+
+def test_trim_repeated_lines_within_doc_only(spark):
+    rows = [
+        (1, "a b c a b d"),   # 2-word lines: "a b","c a","b d" -> no repeats
+        (2, "a b a b a b"),   # "a b" x3 -> keep first
+        (3, "a b c d"),       # repeats in doc 1/2 don't affect doc 3
+    ]
+    docs = spark.createDataFrame(rows, ["doc_id", "text"])
+    out = {r["doc_id"]: (r["text"], r["n_lines_kept"], r["n_lines_dropped"])
+           for r in dd.trim_repeated_lines(docs, "doc_id", "text", words_per_line=2).collect()}
+    assert out == {
+        1: ("a b c a b d", 3, 0),
+        2: ("a b", 1, 2),
+        3: ("a b c d", 2, 0),
+    }
+
+
+def test_dedup_lines_matches_python_reference(spark):
+    # property-style cross-check against a driver-side reference over a
+    # deterministic pseudo-random corpus
+    import random
+
+    rng = random.Random(7)
+    vocab = ["w%d" % i for i in range(12)]
+    rows = [(i, " ".join(rng.choice(vocab) for _ in range(rng.randint(1, 25))))
+            for i in range(60)]
+    W = 4
+    seen, expect = set(), {}
+    for i, text in rows:
+        toks = text.split()
+        kept = []
+        for s in range(0, len(toks), W):
+            line = " ".join(toks[s:s + W])
+            if line not in seen:
+                seen.add(line)
+                kept.append(line)
+        if kept:
+            expect[i] = (" ".join(kept), len(kept))
+    docs = spark.createDataFrame(rows, ["doc_id", "text"])
+    got = {r["doc_id"]: (r["text"], r["n_lines_kept"])
+           for r in dd.dedup_lines(docs, "doc_id", "text", words_per_line=W).collect()}
+    assert got == expect

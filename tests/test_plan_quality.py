@@ -117,3 +117,26 @@ def test_pack_sequences_single_exchange(spark, sf_dir):
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
     p = _plan(pack_sequences(docs, budget=512))
     assert p.count("Exchange") == 1  # only the per-shard window shuffle
+
+
+def test_dedup_lines_two_exchanges_no_join(spark, sf_dir):
+    # dedup shuffle (window on line) + reassembly (groupBy doc): any
+    # Join or third Exchange is a regression that scales with the corpus
+    from hindex_spark.operators.dedup import dedup_lines
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    p = _plan(dedup_lines(docs, "doc_id", "text"))
+    assert p.count("Exchange") <= 2
+    assert "Join" not in p and "CartesianProduct" not in p
+
+
+def test_minhash_join_no_cartesian(spark, sf_dir):
+    from hindex_spark.operators.dedup import minhash_join
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    p = _plan(minhash_join(
+        docs.filter(F.col("doc_id") % 2 == 0),
+        docs.filter(F.col("doc_id") % 2 == 1),
+        "doc_id", "text", 0.9))
+    assert "CartesianProduct" not in p
+    assert "BroadcastNestedLoop" not in p
