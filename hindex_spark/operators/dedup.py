@@ -366,6 +366,38 @@ def minhash_join(
     )
 
 
+def incremental_dedup(
+    new: DataFrame,
+    corpus: DataFrame,
+    id_col: str,
+    text_col: str,
+    threshold: float = 0.9,
+    ngram: int = 3,
+    max_bucket: Optional[int] = None,
+) -> DataFrame:
+    """Dedup an incoming batch AGAINST an existing corpus — the
+    production shape (daily crawl vs. the historical index): a batch doc
+    is dropped if its exact content hash already exists in the corpus OR
+    it is a near-duplicate (MinHash-verified Jaccard >= threshold) of a
+    corpus doc. Returns the surviving batch rows, original schema.
+
+    Scale shape: the exact pass is a hash-key anti-join (fingerprint
+    equality — both sides reduce to one 32-char key per doc, and the
+    corpus side is a narrow single-column projection); the near-dup pass
+    is ``minhash_join`` (banded equi-join, never all-pairs). The corpus
+    is never rewritten and only its fingerprints/signatures are read —
+    at 100 TB both reductions are pure map passes over the parquet scan,
+    and in steady state they would be precomputed once and reused per
+    batch."""
+    nf = new.withColumn("__fp", fingerprint(F.col(text_col)))
+    cf = corpus.select(fingerprint(F.col(text_col)).alias("__fp")).distinct()
+    fresh = nf.join(cf, "__fp", "left_anti").drop("__fp")
+    near = minhash_join(
+        fresh, corpus, id_col, text_col, threshold, ngram, max_bucket
+    ).select(F.col("id_a").alias(id_col)).distinct()
+    return fresh.join(near, id_col, "left_anti")
+
+
 # ---------------------------------------------------------------------------
 # line-level exact dedup (C4-style duplicate-span removal)
 # ---------------------------------------------------------------------------

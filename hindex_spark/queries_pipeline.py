@@ -812,6 +812,54 @@ def q_trim_repeated_lines(spark, sf_dir):
     return dd.trim_repeated_lines(docs, "doc_id", "text", words_per_line=2)
 
 
+@query(
+    "corpus_incremental_dedup",
+    f"""{_minhash_sig_sql()},
+        {_bands_sql()},
+        fp AS (
+          SELECT doc_id,
+                 md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) AS fp
+          FROM documents),
+        fresh AS (
+          SELECT f.doc_id FROM fp f
+          WHERE f.doc_id % 10 = 0
+            AND NOT EXISTS (SELECT 1 FROM fp c
+                            WHERE c.doc_id % 10 <> 0 AND c.fp = f.fp)),
+        cand AS (
+          SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+          FROM bands a
+          JOIN fresh fr ON a.doc_id = fr.doc_id
+          JOIN bands b ON a.band = b.band AND a.bucket = b.bucket
+          WHERE b.doc_id % 10 <> 0),
+        sz AS (SELECT doc_id, COUNT(*) AS n FROM tok GROUP BY doc_id),
+        common AS (
+          SELECT c.id_a, c.id_b, COUNT(*) AS c
+          FROM cand c
+          JOIN tok ta ON ta.doc_id = c.id_a
+          JOIN tok tb ON tb.doc_id = c.id_b AND tb.token = ta.token
+          GROUP BY 1, 2),
+        near AS (
+          SELECT DISTINCT id_a FROM common
+          JOIN sz sa ON id_a = sa.doc_id
+          JOIN sz sb ON id_b = sb.doc_id
+          WHERE c * 1.0 / (sa.n + sb.n - c) >= 0.9)
+        SELECT d.* FROM documents d
+        JOIN fresh ON d.doc_id = fresh.doc_id
+        WHERE NOT EXISTS (SELECT 1 FROM near WHERE near.id_a = d.doc_id)""",
+)
+def q_incremental_dedup(spark, sf_dir):
+    """Daily-batch shape: docs with id % 10 = 0 arrive as the new batch
+    and are deduped (exact + near) against the rest of the corpus."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return dd.incremental_dedup(
+        docs.filter(F.col("doc_id") % 10 == 0),
+        docs.filter(F.col("doc_id") % 10 != 0),
+        "doc_id",
+        "text",
+        0.9,
+    )
+
+
 @query("multimodal_features")  # mapInPandas path: rows-only driver check
 def q_mm_features(spark, sf_dir):
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")

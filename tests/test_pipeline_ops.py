@@ -469,3 +469,21 @@ def test_dedup_lines_matches_python_reference(spark):
     got = {r["doc_id"]: (r["text"], r["n_lines_kept"])
            for r in dd.dedup_lines(docs, "doc_id", "text", words_per_line=W).collect()}
     assert got == expect
+
+
+def test_incremental_dedup_exact_and_near(spark):
+    corpus = spark.createDataFrame(
+        [(1, "the quick brown fox jumps over the lazy dog"),
+         (2, "some existing corpus content lives right here")],
+        ["doc_id", "text"],
+    )
+    new = spark.createDataFrame(
+        [(10, "the quick brown fox jumps over the lazy dog"),        # exact dup of 1
+         (11, "the quick brown fox jumps over the lazy dog today"),  # near dup of 1
+         (12, "genuinely novel material unseen anywhere before now")],
+        ["doc_id", "text"],
+    )
+    out = dd.incremental_dedup(new, corpus, "doc_id", "text", threshold=0.5)
+    assert [r["doc_id"] for r in out.collect()] == [12]
+    # batch-internal duplicates are NOT the batch-vs-corpus contract
+    assert out.columns == new.columns
