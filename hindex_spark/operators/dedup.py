@@ -366,6 +366,49 @@ def minhash_join(
     )
 
 
+def shared_span_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    span_tokens: int = 20,
+    min_spans: int = 1,
+    max_span_df: Optional[int] = None,
+) -> DataFrame:
+    """Doc pairs sharing >= ``min_spans`` distinct VERBATIM runs of
+    ``span_tokens`` words — substring-level duplicate detection (the
+    windowed form of Lee et al.'s "Deduplicating Training Data" suffix
+    approach): catches partial overlap (quoted/boilerplate reuse between
+    otherwise-different docs) that whole-doc Jaccard scores near 0.
+
+    Scale shape: spans are hashed to 8-byte longs BEFORE the self-join,
+    so the shuffle carries (id, hash) rows, never the text; cost is
+    sum over spans of df(span)^2 — long spans are near-unique, so
+    fan-out concentrates exactly on boilerplate, which ``max_span_df``
+    caps (spans appearing in more docs than it are dropped — same
+    valve logic as LSH's max_bucket).
+
+    Output: (id_a, id_b, n_spans) with id_a < id_b."""
+    units = doc_units(df, id_col, text_col, ngram=span_tokens)
+    h = units.select(F.col(id_col), token_hash(F.col("token")).alias("h"))
+    if max_span_df is not None:
+        hot = (
+            h.groupBy("h")
+            .agg(F.count("*").alias("__df"))
+            .filter(F.col("__df") > max_span_df)
+            .select("h")
+        )
+        h = h.join(hot, "h", "left_anti")
+    a = h.select(F.col(id_col).alias("id_a"), "h")
+    b = h.select(F.col(id_col).alias("id_b"), "h")
+    return (
+        a.join(b, "h")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.count("*").alias("n_spans"))
+        .filter(F.col("n_spans") >= min_spans)
+    )
+
+
 def incremental_dedup(
     new: DataFrame,
     corpus: DataFrame,

@@ -24,11 +24,20 @@ _TOKENS_CTE = (
     "tok AS (SELECT doc_id, unnest(list_distinct("
     "string_split_regex(trim(text), '\\s+'))) AS token FROM documents)"
 )
-# 3-word shingles (same guard as operators.dedup.shingle_expr); aliased
-# ``token`` so downstream SQL is unit-agnostic
-_SHINGLES_CTE = (
-    "tok AS (SELECT doc_id, unnest(list_distinct(CASE WHEN len(toks) >= 3 THEN list_transform(range(len(toks)-2), i -> toks[i+1] || ' ' || toks[i+2] || ' ' || toks[i+3]) ELSE [array_to_string(toks, ' ')] END)) AS token FROM (SELECT doc_id, string_split_regex(trim(text), '\\s+') AS toks FROM documents))"
-)
+def _shingles_cte(n: int) -> str:
+    """n-word shingles (same short-doc guard as
+    operators.dedup.shingle_expr); aliased ``token`` so downstream SQL
+    is unit-agnostic."""
+    concat = " || ' ' || ".join(f"toks[i+{k}]" for k in range(1, n + 1))
+    return (
+        f"tok AS (SELECT doc_id, unnest(list_distinct(CASE WHEN len(toks) >= {n} "
+        f"THEN list_transform(range(len(toks)-{n - 1}), i -> {concat}) "
+        "ELSE [array_to_string(toks, ' ')] END)) AS token "
+        "FROM (SELECT doc_id, string_split_regex(trim(text), '\\s+') AS toks FROM documents))"
+    )
+
+
+_SHINGLES_CTE = _shingles_cte(3)
 _HASH_EXPR = (
     "CAST(CONCAT('0x', SUBSTRING(md5(token), 1, 15)) AS BIGINT) % 2147483647"
 )
@@ -857,6 +866,24 @@ def q_incremental_dedup(spark, sf_dir):
         "doc_id",
         "text",
         0.9,
+    )
+
+
+@query(
+    "corpus_shared_spans",
+    f"""WITH {_shingles_cte(8)},
+        h AS (SELECT doc_id, {_HASH_EXPR} AS h FROM tok)
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS n_spans
+        FROM h a JOIN h b ON a.h = b.h AND a.doc_id < b.doc_id
+        GROUP BY 1, 2
+        HAVING COUNT(*) >= 2""",
+)
+def q_shared_spans(spark, sf_dir):
+    """Verbatim 8-word span reuse between documents (substring-level
+    duplicate detection)."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return dd.shared_span_pairs(
+        docs, "doc_id", "text", span_tokens=8, min_spans=2
     )
 
 

@@ -487,3 +487,31 @@ def test_incremental_dedup_exact_and_near(spark):
     assert [r["doc_id"] for r in out.collect()] == [12]
     # batch-internal duplicates are NOT the batch-vs-corpus contract
     assert out.columns == new.columns
+
+
+def test_shared_span_pairs_partial_overlap(spark):
+    shared = "alpha beta gamma delta"
+    docs = spark.createDataFrame(
+        [(1, f"{shared} one two three"),
+         (2, f"totally different opening words {shared}"),   # shares the 4-run
+         (3, "no overlap with anything else at all")],
+        ["doc_id", "text"],
+    )
+    got = {(r["id_a"], r["id_b"]): r["n_spans"]
+           for r in dd.shared_span_pairs(docs, "doc_id", "text", span_tokens=4).collect()}
+    assert got == {(1, 2): 1}
+    # whole-doc jaccard at 3-shingles is far below near-dup thresholds:
+    # the span op catches what jaccard_pairs(0.9) cannot
+    assert dd.jaccard_pairs(docs, "doc_id", "text", 0.5, ngram=3).count() == 0
+
+
+def test_shared_span_pairs_max_span_df_valve(spark):
+    boiler = "standard footer text appended everywhere"
+    docs = spark.createDataFrame(
+        [(i, f"doc number {i} body {boiler}") for i in range(4)],
+        ["doc_id", "text"],
+    )
+    full = dd.shared_span_pairs(docs, "doc_id", "text", span_tokens=5)
+    assert full.count() == 6  # all pairs via the shared footer span
+    capped = dd.shared_span_pairs(docs, "doc_id", "text", span_tokens=5, max_span_df=3)
+    assert capped.count() == 0
