@@ -456,7 +456,11 @@ def doc_lines(
     transform + posexplode — no shuffle; ~tokens/words_per_line rows per
     doc."""
     w = words_per_line
-    toked = df.select(F.col(id_col), tokens(F.col(text_col)).alias("__toks"))
+    # NULL text has no lines. (Without the filter, size(NULL)=-1 makes
+    # n_lines 0 and sequence(0, -1) DESCENDS, emitting two junk lines.)
+    toked = df.filter(F.col(text_col).isNotNull()).select(
+        F.col(id_col), tokens(F.col(text_col)).alias("__toks")
+    )
     n_lines = F.floor((F.size("__toks") - F.lit(1)) / F.lit(w)).cast("int") + F.lit(1)
     lines = F.transform(
         F.sequence(F.lit(0), n_lines - F.lit(1)),

@@ -515,3 +515,13 @@ def test_shared_span_pairs_max_span_df_valve(spark):
     assert full.count() == 6  # all pairs via the shared footer span
     capped = dd.shared_span_pairs(docs, "doc_id", "text", span_tokens=5, max_span_df=3)
     assert capped.count() == 0
+
+
+def test_dedup_lines_null_text_dropped(spark):
+    docs = spark.createDataFrame(
+        [(1, "a b c"), (2, None)], "doc_id long, text string"
+    )
+    out = dd.dedup_lines(docs, "doc_id", "text", words_per_line=2)
+    assert [r["doc_id"] for r in out.collect()] == [1]
+    trimmed = dd.trim_repeated_lines(docs, "doc_id", "text", words_per_line=2)
+    assert [r["doc_id"] for r in trimmed.collect()] == [1]

@@ -140,3 +140,24 @@ def test_minhash_join_no_cartesian(spark, sf_dir):
         "doc_id", "text", 0.9))
     assert "CartesianProduct" not in p
     assert "BroadcastNestedLoop" not in p
+
+
+def test_shared_span_pairs_hash_join_only(spark, sf_dir):
+    # the span self-join must shuffle 8-byte hashes, never text, and
+    # never degrade to a nested-loop
+    from hindex_spark.operators.dedup import shared_span_pairs
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    p = _plan(shared_span_pairs(docs, "doc_id", "text", span_tokens=8))
+    assert "CartesianProduct" not in p and "BroadcastNestedLoop" not in p
+
+
+def test_incremental_dedup_no_cartesian(spark, sf_dir):
+    from hindex_spark.operators.dedup import incremental_dedup
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    p = _plan(incremental_dedup(
+        docs.filter(F.col("doc_id") % 10 == 0),
+        docs.filter(F.col("doc_id") % 10 != 0),
+        "doc_id", "text"))
+    assert "CartesianProduct" not in p and "BroadcastNestedLoop" not in p
