@@ -190,6 +190,60 @@ def ivf_topk(
     )
 
 
+def semantic_dedup(
+    embeddings: DataFrame,
+    eps: float = 0.35,
+    n_clusters: int = 16,
+    iters: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    assignments: DataFrame = None,
+):
+    """SemDeDup-style semantic deduplication (Abbas et al. 2023,
+    arXiv:2303.09540): k-means-cluster the embedding space, then inside
+    each cluster prune every document whose cosine similarity to a
+    lower-id clustermate reaches ``eps``. The lowest id in each near-dup
+    neighborhood survives — a deterministic stand-in for the paper's
+    "keep one random exemplar".
+
+    Scale design: the quadratic pair search is confined to clusters
+    (sum |c|^2 ≪ N^2 — the whole point of SemDeDup), clustering is
+    ``ivf_build`` (sampled k-means, driver state = K×dim doubles), and
+    the pair join is a hash equi-join on cluster id — no cartesian.
+
+    Returns ``(kept, dropped)``: kept = (id, cluster) survivors;
+    dropped = (id, cluster, dup_of, max_cosine) where dup_of is the
+    smallest qualifying partner and max_cosine the strongest match
+    (independent aggregates over the same partner set).
+    """
+    if assignments is None:
+        assignments, _ = ivf_build(embeddings, n_clusters, iters, id_col, vec_col)
+    clustered = embeddings.join(assignments, id_col).select(id_col, "cluster", vec_col)
+    a, b = clustered.alias("a"), clustered.alias("b")
+    cos = F.round(cosine_expr(F.col(f"a.{vec_col}"), F.col(f"b.{vec_col}")), 6)
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.cluster") == F.col("b.cluster"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .select(
+            F.col(f"b.{id_col}").alias(id_col),
+            F.col("b.cluster").alias("cluster"),
+            F.col(f"a.{id_col}").alias("dup_of"),
+            cos.alias("cosine"),
+        )
+        .filter(F.col("cosine") >= eps)
+    )
+    dropped = pairs.groupBy(id_col, "cluster").agg(
+        F.min("dup_of").alias("dup_of"), F.max("cosine").alias("max_cosine")
+    )
+    kept = clustered.select(id_col, "cluster").join(
+        dropped.select(id_col), id_col, "left_anti"
+    )
+    return kept, dropped
+
+
 def lsh_topk(
     embeddings: DataFrame,
     queries: DataFrame,

@@ -1202,9 +1202,9 @@ _PRIORITY = [
     "filter_or_index_union", "filter_while_match",
     # LLM-pipeline operators: dedup family, corpus cleaning, ANN, text
     "dedup_exact", "dedup_minhash_lsh", "dedup_simhash", "dedup_clusters",
-    "dedup_embedding_lsh", "corpus_clean", "corpus_pipeline_e2e",
-    "corpus_dedup_lines",
-    "sim_bruteforce_topk", "sim_ivf_ann_topk", "sim_lsh_ann_topk",
+    "dedup_embedding_lsh", "dedup_semantic", "corpus_clean",
+    "corpus_pipeline_e2e", "corpus_dedup_lines",
+    "sim_bruteforce_topk", "sim_ivf_ann_topk",
     "text_token_count", "text_quality", "text_gopher_rules",
     # streaming / ETL / DSL / temporal
     "streaming_walplayer", "dsl_parse_filter", "etl_import_tsv_with_index",

@@ -299,6 +299,53 @@ def q_sim_ivf(spark, sf_dir):
     return sim.ivf_topk(emb, assignments, cents, queries_df, 10, nprobe=8)
 
 
+@query(
+    "dedup_semantic",
+    f"""WITH cents AS (
+          SELECT CAST(row_number() OVER (ORDER BY vec_id) AS INT) AS cluster,
+                 CAST(embedding AS DOUBLE[]) AS centroid
+          FROM (SELECT vec_id, embedding FROM embeddings ORDER BY vec_id LIMIT 8)
+        ),
+        scored AS (
+          SELECT e.vec_id, CAST(e.embedding AS DOUBLE[]) AS emb, c.cluster,
+                 list_dot_product(CAST(e.embedding AS DOUBLE[]), c.centroid) /
+                 (sqrt(list_dot_product(CAST(e.embedding AS DOUBLE[]),
+                                        CAST(e.embedding AS DOUBLE[]))) *
+                  sqrt(list_dot_product(c.centroid, c.centroid))) AS sim
+          FROM embeddings e CROSS JOIN cents c
+        ),
+        assign AS (
+          SELECT vec_id, emb, cluster FROM (
+            SELECT vec_id, emb, cluster,
+                   row_number() OVER (PARTITION BY vec_id
+                                      ORDER BY sim DESC, cluster) AS rn
+            FROM scored) WHERE rn = 1
+        ),
+        pairs AS (
+          SELECT b.vec_id AS vec_id, b.cluster AS cluster, a.vec_id AS dup_of,
+                 ROUND(list_dot_product(a.emb, b.emb) /
+                       (sqrt(list_dot_product(a.emb, a.emb)) *
+                        sqrt(list_dot_product(b.emb, b.emb))), 6) AS cosine
+          FROM assign a JOIN assign b
+            ON a.cluster = b.cluster AND a.vec_id < b.vec_id
+        )
+        SELECT vec_id, cluster, MIN(dup_of) AS dup_of,
+               MAX(cosine) AS max_cosine
+        FROM pairs WHERE cosine >= 0.35
+        GROUP BY vec_id, cluster""",
+)
+def q_dedup_semantic(spark, sf_dir):
+    """SemDeDup pruning, oracle-checked end-to-end: with iters=0 the
+    centroids are exactly the 8 lowest-id embeddings (ivf_build's
+    deterministic init), so DuckDB can replay cluster assignment AND the
+    within-cluster prune. Iterated k-means quality is covered by
+    test_semantic_dedup unit tests; the prune semantics here are the
+    production path verbatim."""
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    _, dropped = sim.semantic_dedup(emb, eps=0.35, n_clusters=8, iters=0)
+    return dropped
+
+
 # LSH ANN: same algorithm in SQL — hyperplane literals generated from the
 # shared seeded generator.
 def _lsh_oracle() -> str:

@@ -525,3 +525,35 @@ def test_dedup_lines_null_text_dropped(spark):
     assert [r["doc_id"] for r in out.collect()] == [1]
     trimmed = dd.trim_repeated_lines(docs, "doc_id", "text", words_per_line=2)
     assert [r["doc_id"] for r in trimmed.collect()] == [1]
+
+
+def test_semantic_dedup_synthetic(spark):
+    # two tight clusters far apart; each contains an exact near-dup pair
+    base_a = [1.0] + [0.0] * 7
+    base_b = [0.0] * 7 + [1.0]
+    rows = [
+        (1, base_a),
+        (2, [0.99] + [0.01] * 7),          # near-dup of 1
+        (3, [0.7, 0.7] + [0.0] * 6),       # same cluster, not a dup at 0.99
+        (4, base_b),
+        (5, [0.01] * 7 + [0.99]),          # near-dup of 4
+    ]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    kept, dropped = sim.semantic_dedup(emb, eps=0.95, n_clusters=2, iters=2)
+    d = {r["vec_id"]: r["dup_of"] for r in dropped.collect()}
+    assert d == {2: 1, 5: 4}
+    assert sorted(r["vec_id"] for r in kept.collect()) == [1, 3, 4]
+    # kept + dropped partition the corpus
+    assert kept.count() + dropped.count() == emb.count()
+
+
+def test_semantic_dedup_prune_rate(spark, sf_dir):
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    kept, dropped = sim.semantic_dedup(emb, eps=0.35, n_clusters=8, iters=2)
+    n = emb.count()
+    assert kept.count() + dropped.count() == n
+    # every dropped doc's exemplar is a smaller id that survived OR was
+    # itself dropped for an even smaller exemplar — ids only point down
+    for r in dropped.collect():
+        assert r["dup_of"] < r["vec_id"]
+        assert r["max_cosine"] >= 0.35

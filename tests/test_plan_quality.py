@@ -161,3 +161,14 @@ def test_incremental_dedup_no_cartesian(spark, sf_dir):
         docs.filter(F.col("doc_id") % 10 != 0),
         "doc_id", "text"))
     assert "CartesianProduct" not in p and "BroadcastNestedLoop" not in p
+
+
+def test_semantic_dedup_pair_join_not_cartesian(spark, sf_dir):
+    # the within-cluster pair search must be a hash equi-join on the
+    # cluster id — the only nested-loop allowed is the tiny broadcast
+    # centroid scoring
+    from hindex_spark.operators import similarity as sim
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    _, dropped = sim.semantic_dedup(emb, eps=0.35, n_clusters=8, iters=0)
+    assert "CartesianProduct" not in _plan(dropped)
