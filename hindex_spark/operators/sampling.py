@@ -83,6 +83,52 @@ def stratified_sample(
     return df.filter(_bucket_for(df, key_col) < threshold)
 
 
+def mixture_resample(
+    df: DataFrame,
+    strata_col: str,
+    weights: Dict[str, float],
+    budget_rows: int,
+    key_col: str,
+) -> DataFrame:
+    """Resample a corpus to a target stratum mixture (DoReMi-style static
+    domain weights, arXiv:2305.10429; multilingual temperature sampling):
+    stratum ``s`` receives a row budget of ``weights[s] * budget_rows``,
+    realized per row as ``floor(rate)`` whole copies plus one extra copy
+    for rows whose deterministic bucket falls under the fractional
+    remainder. rate > 1 therefore UPSAMPLES (epoch repetition), rate < 1
+    downsamples; strata absent from ``weights`` are dropped.
+
+    Scale design: one tiny per-stratum count aggregate broadcast back
+    onto the corpus (no driver collect), then a pure projection —
+    ``explode(sequence)`` emits copies without shuffling the big side.
+    The output carries ``copy`` (0-based, long) so downstream packing can
+    tell repetitions apart.
+    """
+    counts = df.groupBy(strata_col).agg(F.count("*").alias("__n"))
+    wt: Optional[Column] = None
+    for stratum, w in weights.items():
+        wt = (
+            F.when(F.col(strata_col) == stratum, F.lit(float(w)))
+            if wt is None
+            else wt.when(F.col(strata_col) == stratum, F.lit(float(w)))
+        )
+    wt = wt.otherwise(F.lit(0.0)) if wt is not None else F.lit(0.0)
+    sized = df.join(F.broadcast(counts), strata_col)
+    rate = wt * F.lit(float(budget_rows)) / F.col("__n")
+    full = F.floor(rate).cast("long")
+    frac = rate - full
+    extra = (_bucket_for(df, key_col) < frac * F.lit(BUCKETS)).cast("long")
+    return (
+        sized.withColumn("__nc", full + extra)
+        .filter(F.col("__nc") > 0)
+        .withColumn(
+            "copy",
+            F.explode(F.sequence(F.lit(0).cast("long"), F.col("__nc") - F.lit(1))),
+        )
+        .drop("__n", "__nc")
+    )
+
+
 def stratified_cap(
     df: DataFrame,
     strata_col: str,

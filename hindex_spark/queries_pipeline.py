@@ -449,6 +449,42 @@ def q_stratified_cap(spark, sf_dir):
 
 
 @query(
+    "corpus_mixture_resample",
+    f"""WITH c AS (SELECT lang, COUNT(*) AS n FROM documents GROUP BY lang),
+        w AS (SELECT * FROM (VALUES ('en', 0.4), ('zh', 0.25), ('fr', 0.35))
+              AS t(lang, wt)),
+        r AS (
+          SELECT d.doc_id, d.lang,
+                 (w.wt * 400.0 / c.n) AS rate,
+                 {_bucket_sql()} AS bucket
+          FROM documents d JOIN c USING (lang) JOIN w USING (lang)
+        ),
+        nc AS (
+          SELECT doc_id, lang,
+                 CAST(FLOOR(rate) AS BIGINT) +
+                 (CASE WHEN bucket < (rate - FLOOR(rate)) * 10000
+                       THEN 1 ELSE 0 END) AS n_copies
+          FROM r
+        )
+        SELECT doc_id, lang, unnest(generate_series(0, n_copies - 1)) AS copy
+        FROM nc WHERE n_copies > 0""",
+)
+def q_mixture_resample(spark, sf_dir):
+    """Domain-mixture resampling (DoReMi-style static weights) over lang:
+    budget 400 rows at en .4 / zh .25 / fr .35 — en downsamples
+    (rate ≈ .73), zh upsamples fractionally (≈ 1.33), fr emits 2 whole
+    copies + a fractional third (≈ 2.19); de/es are dropped. Exercises
+    every branch of the copy-count arithmetic against the oracle."""
+    from hindex_spark.operators.sampling import mixture_resample
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    out = mixture_resample(
+        docs, "lang", {"en": 0.4, "zh": 0.25, "fr": 0.35}, 400, key_col="doc_id"
+    )
+    return out.select("doc_id", "lang", "copy")
+
+
+@query(
     "text_pii_redact",
     r"""SELECT doc_id,
                regexp_replace(

@@ -557,3 +557,28 @@ def test_semantic_dedup_prune_rate(spark, sf_dir):
     for r in dropped.collect():
         assert r["dup_of"] < r["vec_id"]
         assert r["max_cosine"] >= 0.35
+
+
+def test_mixture_resample_branches(spark):
+    from hindex_spark.operators.sampling import mixture_resample
+
+    rows = [(i, "a") for i in range(10)] + [(i, "b") for i in range(10, 14)] + [
+        (i, "c") for i in range(14, 18)
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, lang string")
+    # budget 20: a -> rate 1.0 (exactly one copy each), b -> rate 2.5
+    # (2 or 3 copies), c absent -> dropped
+    out = mixture_resample(df, "lang", {"a": 0.5, "b": 0.5}, 20, key_col="doc_id")
+    per = {r["lang"]: r["n"] for r in out.groupBy("lang").agg(
+        F.count("*").alias("n")).collect()}
+    assert per["a"] == 10            # rate exactly 1.0: no fractional extra
+    assert 8 <= per["b"] <= 12       # rate 2.5: 2 copies + ~half get a 3rd
+    assert "c" not in per
+    # copies are 0-based and dense per row
+    b_copies = out.filter(F.col("lang") == "b").groupBy("doc_id").agg(
+        F.sort_array(F.collect_list("copy")).alias("cs")).collect()
+    for r in b_copies:
+        assert r["cs"] == list(range(len(r["cs"])))
+    # deterministic: same call twice, same rows
+    again = mixture_resample(df, "lang", {"a": 0.5, "b": 0.5}, 20, key_col="doc_id")
+    assert sorted(map(tuple, out.collect())) == sorted(map(tuple, again.collect()))
