@@ -48,11 +48,19 @@ def main():
     n_orders = orders.df.count()  # warm JVM + page cache
 
     timings = {}
+    errors = {}
 
     def bench(name, fn):
-        t0 = time.perf_counter()
-        fn()
-        timings[name] = round(time.perf_counter() - t0, 4)
+        # One workload must never zero the whole artifact (r2 lost its
+        # bench to a single AnalysisException): record the failure and
+        # keep going. Setup belongs INSIDE fn so its errors land here.
+        try:
+            t0 = time.perf_counter()
+            fn()
+            timings[name] = round(time.perf_counter() - t0, 4)
+        except Exception as exc:  # noqa: BLE001 - reported, not swallowed
+            msg = str(exc).splitlines()[0] if str(exc) else ""
+            errors[name] = f"{type(exc).__name__}: {msg[:200]}"
 
     # --- PE workloads -----------------------------------------------------
     bench("random_read", lambda: orders.get(n_orders // 2).collect())
@@ -90,11 +98,15 @@ def main():
 
     from hindex_spark.catalog import Catalog
 
-    cat = Catalog(spark, tempfile.mkdtemp(prefix="hx_bench_wh_"))
-    cat.save(
-        Table(orders.df, "o_orderkey", "orders_w"), num_partitions=32
-    )
-    orders_w = cat.load("orders_w")
+    try:
+        cat = Catalog(spark, tempfile.mkdtemp(prefix="hx_bench_wh_"))
+        cat.save(
+            Table(orders.df, "o_orderkey", "orders_w"), num_partitions=32
+        )
+        orders_w = cat.load("orders_w")
+    except Exception as exc:  # noqa: BLE001
+        orders_w = None
+        errors["sequential_write"] = f"setup: {type(exc).__name__}: {exc}"[:220]
 
     def seq_write():
         puts = orders_w.df.limit(10000).select(
@@ -102,7 +114,8 @@ def main():
         )
         orders_w.put(puts).df.count()
 
-    bench("sequential_write", seq_write)
+    if orders_w is not None:
+        bench("sequential_write", seq_write)
 
     # --- aggregation ------------------------------------------------------
     def q1():
@@ -163,19 +176,23 @@ def main():
     bench("join_q3_topk", join_q3)
 
     from hindex_spark.operators.temporal import as_of_join, session_stats
+    from hindex_spark.timeutil import ts_micros
 
     events = spark.read.parquet(f"{SF_DIR}/events.parquet")
-    ev = events.select("event_id", "user_id", F.expr("ts div 1000").alias("t"))
+
+    def _ev():
+        return events.select("event_id", "user_id", ts_micros(events).alias("t"))
+
     bench(
         "sessionize",
-        lambda: session_stats(ev, "user_id", "t", 3_600_000_000).count(),
+        lambda: session_stats(_ev(), "user_id", "t", 3_600_000_000).count(),
     )
 
     def asof():
         right = events.filter(F.col("event_type") == "error").select(
-            "user_id", F.expr("ts div 1000").alias("rt")
+            "user_id", ts_micros(events).alias("rt")
         )
-        as_of_join(ev, right, "user_id", "t", "rt", ["rt"]).count()
+        as_of_join(_ev(), right, "user_id", "t", "rt", ["rt"]).count()
 
     bench("asof_join", asof)
 
@@ -185,17 +202,16 @@ def main():
     )
 
     total = round(sum(timings.values()), 4)
-    print(
-        json.dumps(
-            {
-                "metric": "bench_total",
-                "value": total,
-                "unit": "sec",
-                "queries": timings,
-                "sf": float(sf),
-            }
-        )
-    )
+    out = {
+        "metric": "bench_total",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": float(sf),
+    }
+    if errors:
+        out["errors"] = errors
+    print(json.dumps(out))
 
 
 if __name__ == "__main__":

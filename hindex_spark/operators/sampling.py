@@ -96,7 +96,9 @@ def mixture_resample(
     realized per row as ``floor(rate)`` whole copies plus one extra copy
     for rows whose deterministic bucket falls under the fractional
     remainder. rate > 1 therefore UPSAMPLES (epoch repetition), rate < 1
-    downsamples; strata absent from ``weights`` are dropped.
+    downsamples; strata absent from ``weights`` are dropped, and so are
+    rows whose ``strata_col`` is NULL (a NULL stratum can carry no
+    weight; the count join is an inner equi-join on the stratum).
 
     Scale design: one tiny per-stratum count aggregate broadcast back
     onto the corpus (no driver collect), then a pure projection —
@@ -104,6 +106,13 @@ def mixture_resample(
     The output carries ``copy`` (0-based, long) so downstream packing can
     tell repetitions apart.
     """
+    clash = {"copy", "__n", "__nc"}.intersection(df.columns)
+    if clash:
+        raise ValueError(
+            f"mixture_resample output columns {sorted(clash)} already exist "
+            "in the input; rename them first (the operator emits 'copy' and "
+            "uses '__n'/'__nc' internally)"
+        )
     counts = df.groupBy(strata_col).agg(F.count("*").alias("__n"))
     wt: Optional[Column] = None
     for stratum, w in weights.items():

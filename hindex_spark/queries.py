@@ -19,6 +19,7 @@ from pyspark.sql import Window as W
 from hindex_spark import filters as fl
 from hindex_spark.index.spec import IndexSpecification, SeparatorPartition
 from hindex_spark.table import Scan, Table
+from hindex_spark.timeutil import ts_micros
 
 QUERIES: Dict[str, Callable[[SparkSession, str], DataFrame]] = {}
 ORACLES: Dict[str, str] = {}
@@ -950,7 +951,7 @@ def _event_cells(spark, sf_dir):
         F.col("user_id").cast("string").alias("rowkey"),
         F.lit("e").alias("cf"),
         F.col("event_type").alias("qualifier"),
-        F.expr("ts div 1000").alias("ts"),  # nanosAsLong -> micros (oracle resolution)
+        ts_micros(ev).alias("ts"),  # any physical ts type -> epoch micros
         F.lit("put").alias("op"),
         F.format_string("%.2f", "value").alias("value"),
     )
@@ -1030,7 +1031,7 @@ def q_cells_tombstone(spark, sf_dir):
     dels = (
         ev.filter(F.col("event_type") == "error")
         .groupBy("user_id")
-        .agg(F.max(F.expr("ts div 1000")).alias("dts"))
+        .agg(F.max(ts_micros(ev)).alias("dts"))
         .select(
             F.col("user_id").cast("string").alias("rowkey"),
             F.lit(None).cast("string").alias("cf"),
@@ -1074,7 +1075,7 @@ def q_cells_compaction(spark, sf_dir):
     dels = (
         ev.filter(F.col("event_type") == "error")
         .groupBy("user_id")
-        .agg(F.max(F.expr("ts div 1000")).alias("dts"))
+        .agg(F.max(ts_micros(ev)).alias("dts"))
         .select(
             F.col("user_id").cast("string").alias("rowkey"),
             F.lit(None).cast("string").alias("cf"),

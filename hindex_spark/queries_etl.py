@@ -211,7 +211,9 @@ def q_streaming_windowed_agg(spark, sf_dir):
     spark.read.parquet(f"{sf_dir}/events.parquet").write.parquet(src)
     schema = spark.read.parquet(src).schema
     stream = spark.readStream.schema(schema).parquet(src)
-    stream = stream.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    from hindex_spark.timeutil import ts_timestamp
+
+    stream = stream.withColumn("ts", ts_timestamp(stream))
     agg = windowed_event_counts(stream, window="1 hour", watermark="2 hours")
     qname = f"win_out_{uuid.uuid4().hex[:8]}"
     q = (

@@ -451,7 +451,8 @@ def q_stratified_cap(spark, sf_dir):
 @query(
     "corpus_mixture_resample",
     f"""WITH c AS (SELECT lang, COUNT(*) AS n FROM documents GROUP BY lang),
-        w AS (SELECT * FROM (VALUES ('en', 0.4), ('zh', 0.25), ('fr', 0.35))
+        w AS (SELECT lang, CAST(wt AS DOUBLE) AS wt
+              FROM (VALUES ('en', 0.4), ('zh', 0.25), ('fr', 0.35))
               AS t(lang, wt)),
         r AS (
           SELECT d.doc_id, d.lang,

@@ -7,6 +7,7 @@ from pyspark.sql import functions as F
 
 from hindex_spark.operators.temporal import as_of_join, session_stats
 from hindex_spark.queries import query
+from hindex_spark.timeutil import ts_micros
 
 GAP_US = 3_600_000_000  # 1 hour
 
@@ -28,9 +29,8 @@ GAP_US = 3_600_000_000  # 1 hour
         FROM s GROUP BY user_id, session_id""",
 )
 def q_sessionize(spark, sf_dir):
-    ev = spark.read.parquet(f"{sf_dir}/events.parquet").select(
-        "user_id", F.expr("ts div 1000").alias("t")
-    )
+    ev0 = spark.read.parquet(f"{sf_dir}/events.parquet")
+    ev = ev0.select("user_id", ts_micros(ev0).alias("t"))
     return session_stats(ev, "user_id", "t", GAP_US)
 
 
@@ -45,10 +45,10 @@ def q_sessionize(spark, sf_dir):
 )
 def q_asof(spark, sf_dir):
     ev = spark.read.parquet(f"{sf_dir}/events.parquet")
-    left = ev.select("event_id", "user_id", F.expr("ts div 1000").alias("t"))
+    left = ev.select("event_id", "user_id", ts_micros(ev).alias("t"))
     right = ev.filter(F.col("event_type") == "error").select(
         "user_id",
-        F.expr("ts div 1000").alias("rt"),
+        ts_micros(ev).alias("rt"),
         F.format_string("%.2f", "value").alias("err_value"),
     )
     out = as_of_join(left, right, key="user_id", left_ts="t", right_ts="rt",

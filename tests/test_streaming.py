@@ -4,6 +4,7 @@ same-batch index maintenance, WALPlayer replay, windowed aggregation)."""
 from pyspark.sql import functions as F
 
 from hindex_spark.index.spec import IndexSpecification
+from hindex_spark.timeutil import ts_timestamp
 from hindex_spark.streaming.ingest import StreamingIngest, windowed_event_counts
 from hindex_spark.table import Table
 
@@ -39,8 +40,7 @@ def test_windowed_event_counts_streaming(spark, sf_dir, tmp_path):
     spark.read.parquet(f"{sf_dir}/events.parquet").write.parquet(src)
     schema = spark.read.parquet(src).schema
     stream = spark.readStream.schema(schema).parquet(src)
-    # events.ts is epoch-nanos long (nanosAsLong); convert to timestamp
-    stream = stream.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    stream = stream.withColumn("ts", ts_timestamp(stream))
     agg = windowed_event_counts(stream, window="1 hour", watermark="2 hours")
     q = (
         agg.writeStream.outputMode("append")
@@ -52,9 +52,8 @@ def test_windowed_event_counts_streaming(spark, sf_dir, tmp_path):
     q.awaitTermination()
     out = spark.sql("SELECT * FROM win_out")
     # batch equivalent for cross-check
-    ev = spark.read.parquet(f"{sf_dir}/events.parquet").withColumn(
-        "ts", F.timestamp_micros(F.expr("ts div 1000"))
-    )
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    ev = ev.withColumn("ts", ts_timestamp(ev))
     batch = (
         ev.groupBy(F.window("ts", "1 hour"), "event_type")
         .agg(F.count("*").alias("n"))
