@@ -50,14 +50,25 @@ def main():
     timings = {}
     errors = {}
 
-    def bench(name, fn):
+    def bench(name, fn, runs=2):
         # One workload must never zero the whole artifact (r2 lost its
         # bench to a single AnalysisException): record the failure and
         # keep going. Setup belongs INSIDE fn so its errors land here.
+        #
+        # Each workload runs `runs` times and the MINIMUM is recorded:
+        # the first execution pays whole-stage-codegen JIT compilation
+        # (measured 4x on corpus_clean: 9.7 s cold vs 2.0-2.5 s warm),
+        # which is one-time cost, not plan quality. Mirrors the
+        # reference's PerformanceEvaluation running workloads repeatedly
+        # per client (PerformanceEvaluation.java:532+).
         try:
-            t0 = time.perf_counter()
-            fn()
-            timings[name] = round(time.perf_counter() - t0, 4)
+            best = None
+            for _ in range(runs):
+                t0 = time.perf_counter()
+                fn()
+                dt = time.perf_counter() - t0
+                best = dt if best is None else min(best, dt)
+            timings[name] = round(best, 4)
         except Exception as exc:  # noqa: BLE001 - reported, not swallowed
             msg = str(exc).splitlines()[0] if str(exc) else ""
             errors[name] = f"{type(exc).__name__}: {msg[:200]}"
@@ -210,7 +221,11 @@ def main():
         "sf": float(sf),
     }
     if errors:
+        # A partial total is not comparable to a complete one: null the
+        # headline value so downstream comparisons can't mistake it.
         out["errors"] = errors
+        out["partial"] = True
+        out["value"] = None
     print(json.dumps(out))
 
 

@@ -740,6 +740,7 @@ def clean_corpus(
     ngram: int = 3,
     method: str = "exact",
     keep: str = "greedy",
+    max_bucket: Optional[int] = None,
 ) -> DataFrame:
     """The flagship training-data pipeline: quality filter -> exact
     dedup -> near-dup dedup (keep the lowest-id member of every near-dup
@@ -765,6 +766,17 @@ def clean_corpus(
     pairs (``jaccard_threshold`` is then the max Hamming distance, an
     int — the cheapest near-dup signal: one 60-bit signature per doc,
     no shingle verification join).
+
+    ``max_bucket``: the 100 TB skew valve, passed through to the banded
+    candidate generators (lsh/simhash). An LSH band bucket of size m
+    expands to m*(m-1)/2 candidate pairs; on a boilerplate-heavy corpus
+    a single hot bucket can dominate the whole job. Capping drops
+    buckets larger than ``max_bucket`` (those docs are near-identical
+    boilerplate — the cheap follow-up is exact dedup on the bucket key,
+    which the preceding exact_dedup stage already approximates). Default
+    None = no cap = oracle-exact. Not applicable to method="exact"
+    (inverted-index join has no band buckets) — raises there rather
+    than silently ignoring a scale valve the caller asked for.
     """
     from pyspark import StorageLevel
 
@@ -780,7 +792,10 @@ def clean_corpus(
         StorageLevel.MEMORY_AND_DISK
     )
     if method == "lsh":
-        pairs = minhash_dedup_pairs(deduped, id_col, text_col, jaccard_threshold, ngram)
+        pairs = minhash_dedup_pairs(
+            deduped, id_col, text_col, jaccard_threshold, ngram,
+            max_bucket=max_bucket,
+        )
     elif method == "simhash":
         if 0 < jaccard_threshold < 1:
             raise ValueError(
@@ -789,9 +804,15 @@ def clean_corpus(
                 f"got {jaccard_threshold!r}"
             )
         pairs = simhash_pairs(
-            deduped, id_col, text_col, int(jaccard_threshold), ngram, bits=60
+            deduped, id_col, text_col, int(jaccard_threshold), ngram,
+            max_bucket=max_bucket, bits=60,
         ).select("id_a", "id_b")
     else:
+        if max_bucket is not None:
+            raise ValueError(
+                "max_bucket applies to the banded methods ('lsh', 'simhash'); "
+                "method='exact' has no band buckets to cap"
+            )
         pairs = jaccard_pairs(deduped, id_col, text_col, jaccard_threshold, ngram)
     if keep == "component":
         comp = connected_components(pairs)

@@ -28,14 +28,25 @@ def ts_micros(df: DataFrame, col: str = "ts") -> Column:
     dtype = dict(df.dtypes).get(col)
     if dtype is None:
         raise KeyError(f"no column {col!r} in {df.columns}")
+    # Backtick-quote the identifier inside F.expr so names with spaces,
+    # dots, or reserved words resolve as one column, not a parse error.
+    q = "`" + col.replace("`", "``") + "`"
     if dtype in ("bigint", "long"):
-        # nanosAsLong read path: epoch nanos -> micros
-        return F.expr(f"{col} div 1000")
+        # nanosAsLong read path: epoch NANOS -> micros. This is the one
+        # branch that ASSUMES the unit — a bigint column of plain
+        # epoch-micros would be silently divided by 1000. The assumption
+        # holds for every testdata generation to date (asserted by a
+        # magnitude sanity test in test_temporal.py); revisit if the
+        # generator ever emits INT64 micros.
+        return F.expr(f"{q} div 1000")
     if dtype.startswith("timestamp_ntz"):
-        return F.expr(f"timestampdiff(MICROSECOND, {_EPOCH_NTZ}, {col})")
+        return F.expr(f"timestampdiff(MICROSECOND, {_EPOCH_NTZ}, {q})")
     if dtype.startswith("timestamp"):
         return F.unix_micros(F.col(col))
-    raise TypeError(f"unsupported timestamp physical type {dtype!r} for {col!r}")
+    raise TypeError(
+        f"unsupported timestamp physical type {dtype!r} for {col!r} "
+        "(expected epoch-nanos bigint, timestamp_ntz, or timestamp)"
+    )
 
 
 def ts_timestamp(df: DataFrame, col: str = "ts") -> Column:

@@ -232,6 +232,35 @@ def test_clean_corpus_component_vs_greedy_policy(spark):
     assert comp == {1}
 
 
+def test_clean_corpus_plumbs_max_bucket_valve(spark):
+    import pytest
+
+    # 3 distinct docs sharing heavy boilerplate (they survive exact
+    # dedup — texts differ) band-collide; with max_bucket=1 every >=2
+    # bucket is dropped so all 3 survive; uncapped, near-dup pruning
+    # keeps only the smallest id
+    bp = "terms of service apply to all content on this site " * 4
+    docs = spark.createDataFrame(
+        [(i, bp + w) for i, w in enumerate(["alpha", "beta", "gamma"])],
+        "doc_id long, text string",
+    )
+    kw = dict(min_quality=0.0, jaccard_threshold=0.7, method="lsh")
+    uncapped = {r["doc_id"] for r in dd.clean_corpus(docs, "doc_id", "text", **kw).collect()}
+    capped = {r["doc_id"] for r in dd.clean_corpus(
+        docs, "doc_id", "text", max_bucket=1, **kw).collect()}
+    assert uncapped == {0}
+    assert capped == {0, 1, 2}
+    # simhash branch takes the valve too
+    sh = {r["doc_id"] for r in dd.clean_corpus(
+        docs, "doc_id", "text", min_quality=0.0, jaccard_threshold=10,
+        method="simhash", max_bucket=1).collect()}
+    assert sh == {0, 1, 2}
+    # the exact method has no band buckets: asking for the valve there
+    # must fail loud, not silently skip it
+    with pytest.raises(ValueError, match="max_bucket"):
+        dd.clean_corpus(docs, "doc_id", "text", max_bucket=2)
+
+
 def test_stratified_sample_rates_and_determinism(spark, sf_dir):
     from hindex_spark.operators.sampling import stratified_sample
 

@@ -64,3 +64,38 @@ def test_stateful_running_totals_across_batches(spark, tmp_path):
     rows = {r["user_id"]: r for r in spark.sql("SELECT * FROM totals").collect()}
     assert rows[1]["total_events"] == 2 and rows[1]["total_value"] == 15.0
     assert rows[2]["total_events"] == 1
+
+
+def test_ts_micros_magnitude_and_quoting(spark, sf_dir):
+    from hindex_spark.timeutil import ts_micros, ts_timestamp
+
+    events = spark.read.parquet(f"{sf_dir}/events.parquet")
+    lo, hi = (
+        events.select(
+            F.min(ts_micros(events)).alias("lo"), F.max(ts_micros(events)).alias("hi")
+        ).first()
+    )
+    # Magnitude sanity for the epoch-NANOS-bigint assumption: converted
+    # values must be plausible epoch-MICROS (years 2000..2100). A
+    # testdata generation that stored plain INT64 micros would land 1000x
+    # low (~1970) and fail here.
+    assert 946_684_800_000_000 <= lo <= hi <= 4_102_444_800_000_000
+    # identifiers needing backtick-quoting must still resolve
+    odd = events.select(F.col("ts").alias("event ts.col"))
+    vals = odd.select(ts_micros(odd, "event ts.col").alias("t")).limit(5).collect()
+    assert all(r["t"] >= 946_684_800_000_000 for r in vals)
+    # ts_timestamp round-trips through timestamp_micros
+    t = events.select(ts_timestamp(events).alias("t")).limit(1).first()["t"]
+    assert t.year >= 2000
+
+
+def test_ts_micros_unsupported_type_fails_loud(spark):
+    import pytest
+
+    from hindex_spark.timeutil import ts_micros
+
+    df = spark.createDataFrame([("x",)], "ts string")
+    with pytest.raises(TypeError, match="unsupported timestamp"):
+        ts_micros(df)
+    with pytest.raises(KeyError):
+        ts_micros(df, "nope")
