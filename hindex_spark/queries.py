@@ -1194,6 +1194,13 @@ _PRIORITY = [
     "coproc_bulk_delete",
     "idxtab_and_setcover", "idxtab_or_union", "idxtab_prefix_range",
     "idxtab_null_semantics",
+    # round-4 TestMultipleIndicesInScan combination ports (rows + chosen
+    # index asserted): and/or combos, equal+range, all-range levels,
+    # poisoned-OR fallback vs AND-residual, range-not-last, padded values
+    "idxtab_and_or_combination", "idxtab_equal_range_combination",
+    "idxtab_or_all_range", "idxtab_or_poisoned_branch",
+    "idxtab_and_with_poisoned_or", "idxtab_range_not_last",
+    "idxtab_multilevel_or", "idxtab_similar_value_pattern",
     # mutations (incl. the generic gated batch + per-action status)
     "mutation_put_upsert", "mutation_delete_batch", "mutation_increment",
     "mutation_append", "mutation_check_and_put", "mutation_check_and_mutate",

@@ -118,3 +118,253 @@ def q_idxtab_nulls(spark, sf_dir):
     out = t.scan(Scan(filter=f, columns=["c1"]))
     assert not t.last_index_plan.uses_index  # NULL-keeping is not indexable
     return out
+
+
+# ---------------------------------------------------------------------------
+# round-4 ports of TestMultipleIndicesInScan's combination cases
+# (hbase-secondaryindex/src/test/.../TestMultipleIndicesInScan.java) —
+# each gate asserts BOTH the rows (vs the DuckDB oracle) and the planner's
+# index choice (vs the reference's IndexRegionObserver spy assertions).
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "idxtab_and_or_combination",
+    f"""WITH {_values_cte()}
+        SELECT rowkey, c1, c2, c3, c4 FROM idxtab
+        WHERE (c1 = 'a' OR c2 = 'b') AND c3 = 'c' AND c4 = 'b'
+          AND c5 >= 'a' AND c6 >= 'a'""",
+)
+def q_idxtab_and_or_combination(spark, sf_dir):
+    """testAndOrCombinationWithMultipleIndices
+    (TestMultipleIndicesInScan.java:112-210): a master AND over an OR
+    branch plus equality and range conjuncts. The OR unions idx2(c1) and
+    idx3(c2); the (c3,c4,c5) conjuncts ride idx1's equality-prefix+range;
+    the trailing c6 range is past idx1's usable prefix and stays a
+    residual predicate."""
+    t = _idxtab(spark)
+    f = fl.FilterList(
+        "AND",
+        [
+            fl.FilterList("OR", [_scvf("c1", fl.EQUAL, "a"), _scvf("c2", fl.EQUAL, "b")]),
+            fl.FilterList("AND", [_scvf("c3", fl.EQUAL, "c"), _scvf("c4", fl.EQUAL, "b")]),
+            fl.FilterList(
+                "AND",
+                [_scvf("c5", fl.GREATER_OR_EQUAL, "a"), _scvf("c6", fl.GREATER_OR_EQUAL, "a")],
+            ),
+        ],
+    )
+    out = t.scan(Scan(filter=f, columns=["c1", "c2", "c3", "c4"]))
+    assert set(t.last_index_plan.used_indexes) == {"idx1", "idx2", "idx3"}, (
+        t.last_index_plan.used_indexes
+    )
+    return out
+
+
+@query(
+    "idxtab_equal_range_combination",
+    f"""WITH {_values_cte()}
+        SELECT rowkey, c1, c2, c3 FROM idxtab
+        WHERE c1 = 'b' AND c2 = 'c' AND (c1 >= 'a' OR c3 >= 'd')""",
+)
+def q_idxtab_equal_range_combination(spark, sf_dir):
+    """testEqualAndRangeCombinationWithMultipleIndices
+    (TestMultipleIndicesInScan.java:1538-1620): equality conjuncts AND an
+    OR of ranges. The equalities set-cover to idx4(c2,c1) alone; the OR
+    branch unions idx2(c1 range) with idx1(c3 range on its first
+    column) — a range on a multi-column index's FIRST column is a usable
+    (single-column) prefix."""
+    t = _idxtab(spark)
+    f = fl.FilterList(
+        "AND",
+        [
+            _scvf("c1", fl.EQUAL, "b"),
+            _scvf("c2", fl.EQUAL, "c"),
+            fl.FilterList(
+                "OR",
+                [_scvf("c1", fl.GREATER_OR_EQUAL, "a"), _scvf("c3", fl.GREATER_OR_EQUAL, "d")],
+            ),
+        ],
+    )
+    out = t.scan(Scan(filter=f, columns=["c1", "c2", "c3"]))
+    plan = t.last_index_plan
+    assert "idx4" in plan.used_indexes and "idx1" in plan.used_indexes, plan.used_indexes
+    return out
+
+
+@query(
+    "idxtab_or_all_range",
+    f"""WITH {_values_cte()}
+        SELECT rowkey, c1, c2, c3 FROM idxtab
+        WHERE c1 > 'b' OR c2 <= 'c' OR (c1 >= 'a' AND c2 <= 'e' AND c3 >= 'a')""",
+)
+def q_idxtab_or_all_range(spark, sf_dir):
+    """testIfAllScannersAreRangeInAllLevels
+    (TestMultipleIndicesInScan.java:1793-1876): every leaf in every level
+    is a RANGE (no equality anywhere) — still fully indexable; OR
+    requires every branch to plan (all-or-nothing) and each range rides
+    its narrowest index."""
+    t = _idxtab(spark)
+    f = fl.FilterList(
+        "OR",
+        [
+            _scvf("c1", fl.GREATER, "b"),
+            _scvf("c2", fl.LESS_OR_EQUAL, "c"),
+            fl.FilterList(
+                "AND",
+                [
+                    _scvf("c1", fl.GREATER_OR_EQUAL, "a"),
+                    _scvf("c2", fl.LESS_OR_EQUAL, "e"),
+                    _scvf("c3", fl.GREATER_OR_EQUAL, "a"),
+                ],
+            ),
+        ],
+    )
+    out = t.scan(Scan(filter=f, columns=["c1", "c2", "c3"]))
+    assert t.last_index_plan.uses_index
+    return out
+
+
+@query(
+    "idxtab_or_poisoned_branch",
+    f"""WITH {_values_cte()}
+        SELECT rowkey, c1 FROM idxtab WHERE c1 = 'a' OR rowkey = 'row010'""",
+)
+def q_idxtab_or_poisoned_branch(spark, sf_dir):
+    """testORIfEachBranchHavingAtleastOneOtherFilterThanSCVF
+    (TestMultipleIndicesInScan.java:1982-2006, asserts NO index): OR is
+    all-or-nothing — one branch that cannot ride an index (a RowFilter)
+    poisons the whole OR, which falls back to a full scan. Rows must
+    still be correct through the fallback path."""
+    t = _idxtab(spark)
+    f = fl.FilterList(
+        "OR",
+        [
+            _scvf("c1", fl.EQUAL, "a"),
+            fl.RowFilter(fl.EQUAL, fl.BinaryComparator("row010")),
+        ],
+    )
+    out = t.scan(Scan(filter=f, columns=["c1"]))
+    assert not t.last_index_plan.uses_index
+    return out
+
+
+@query(
+    "idxtab_and_with_poisoned_or",
+    f"""WITH {_values_cte()}
+        SELECT rowkey, c1, c2 FROM idxtab
+        WHERE c2 = 'b' AND (c1 = 'a' OR rowkey = 'row010')""",
+)
+def q_idxtab_and_with_poisoned_or(spark, sf_dir):
+    """testANDhavingORbranchWithOtherFilterThanSCVF
+    (TestMultipleIndicesInScan.java:2170-2258, asserts index IS used):
+    under AND, a non-indexable OR branch degrades to a residual
+    predicate while the indexable conjunct (c2) still drives an index
+    seek — the asymmetric twin of idxtab_or_poisoned_branch."""
+    t = _idxtab(spark)
+    f = fl.FilterList(
+        "AND",
+        [
+            _scvf("c2", fl.EQUAL, "b"),
+            fl.FilterList(
+                "OR",
+                [
+                    _scvf("c1", fl.EQUAL, "a"),
+                    fl.RowFilter(fl.EQUAL, fl.BinaryComparator("row010")),
+                ],
+            ),
+        ],
+    )
+    out = t.scan(Scan(filter=f, columns=["c1", "c2"]))
+    plan = t.last_index_plan
+    assert plan.uses_index and plan.used_indexes == ["idx3"], plan.used_indexes
+    return out
+
+
+@query(
+    "idxtab_range_not_last",
+    f"""WITH {_values_cte()}
+        SELECT rowkey, c3, c4 FROM idxtab
+        WHERE c3 >= 'b' AND c3 < 'e' AND c4 = 'a'""",
+)
+def q_idxtab_range_not_last(spark, sf_dir):
+    """ScanFilterEvaluator.java:452-462 usable-prefix rule, exercised by
+    the combination suite: once a RANGE column is consumed the index
+    prefix ENDS — the equality on c4 behind c3's range cannot extend
+    idx1's scan and must be applied as a residual predicate (asserted:
+    only c3 is covered)."""
+    t = _idxtab(spark)
+    f = fl.FilterList(
+        "AND",
+        [
+            _scvf("c3", fl.GREATER_OR_EQUAL, "b"),
+            _scvf("c3", fl.LESS, "e"),
+            _scvf("c4", fl.EQUAL, "a"),
+        ],
+    )
+    out = t.scan(Scan(filter=f, columns=["c3", "c4"]))
+    plan = t.last_index_plan
+    assert plan.used_indexes == ["idx1"], plan.used_indexes
+    assert plan.root.covered_columns == ["c3"], plan.root.covered_columns
+    return out
+
+
+@query(
+    "idxtab_multilevel_or",
+    f"""WITH {_values_cte()}
+        SELECT rowkey, c1, c2 FROM idxtab
+        WHERE c1 >= 'e' OR c1 <= 'a' OR c2 = 'b' OR c2 = 'c'""",
+)
+def q_idxtab_multilevel_or(spark, sf_dir):
+    """testOREvaluatorWithMultipleOperatorsInEachLevel
+    (TestMultipleIndicesInScan.java:1708-1791): nested ORs with several
+    operators per level flatten into one union; multiple disjoint bounds
+    on the SAME column become separate index scans on the same index
+    (idx2 twice, idx3 twice), not a merged range."""
+    t = _idxtab(spark)
+    f = fl.FilterList(
+        "OR",
+        [
+            _scvf("c1", fl.GREATER_OR_EQUAL, "e"),
+            _scvf("c1", fl.LESS_OR_EQUAL, "a"),
+            fl.FilterList("OR", [_scvf("c2", fl.EQUAL, "b"), _scvf("c2", fl.EQUAL, "c")]),
+        ],
+    )
+    out = t.scan(Scan(filter=f, columns=["c1", "c2"]))
+    assert set(t.last_index_plan.used_indexes) == {"idx2", "idx3"}
+    return out
+
+
+# -- similar-value-pattern fixture (padded-value regression) ----------------
+
+SIM_ROWS = [
+    ("row0", "aaa"),
+    ("row9", "aaa1"),
+    ("row1", "aaa3"),
+    ("row3", "aaa4"),
+    ("row7", "aaa5"),
+]
+
+
+def _sim_cte() -> str:
+    rows_sql = ", ".join(f"('{r}', '{v}')" for r, v in SIM_ROWS)
+    return f"simtab(rowkey, c1) AS (SELECT * FROM (VALUES {rows_sql}))"
+
+
+@query(
+    "idxtab_similar_value_pattern",
+    f"""WITH {_sim_cte()}
+        SELECT rowkey, c1 FROM simtab WHERE c1 = 'aaa'""",
+)
+def q_idxtab_similar_value_pattern(spark, sf_dir):
+    """testAndOperationWithSimilarValuePattern
+    (TestMultipleIndicesInScan.java:551-599): values sharing a common
+    prefix ('aaa', 'aaa1', 'aaa3'...) — the reference's fixed-width
+    padded index encoding must not prefix-match 'aaa' to 'aaa1'; exactly
+    one row may come back through the index seek."""
+    df = spark.createDataFrame(SIM_ROWS, ["rowkey", "c1"])
+    t = Table(df, "rowkey", "simtab")
+    t.create_index(IndexSpecification("idx1").add_column("c1"))
+    out = t.scan(Scan(filter=_scvf("c1", fl.EQUAL, "aaa"), columns=["c1"]))
+    assert t.last_index_plan.used_indexes == ["idx1"]
+    return out

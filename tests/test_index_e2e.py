@@ -311,3 +311,19 @@ def test_typed_index_negative_range(spark):
     assert t.last_index_plan.used_indexes == ["idx_int"]
     vals = sorted(r["c_int"] for r in out.collect())
     assert vals == list(range(-5, 6))
+
+
+def test_round4_idxtab_combination_gates(spark):
+    """The 8 TestMultipleIndicesInScan combination ports each assert
+    their chosen index inside the query body — running them IS the
+    planner regression (rows are oracle-checked separately by the gate)."""
+    from hindex_spark.queries import QUERIES
+    import hindex_spark.queries_idxtab  # noqa: F401 - registers gates
+
+    for name in [
+        "idxtab_and_or_combination", "idxtab_equal_range_combination",
+        "idxtab_or_all_range", "idxtab_or_poisoned_branch",
+        "idxtab_and_with_poisoned_or", "idxtab_range_not_last",
+        "idxtab_multilevel_or", "idxtab_similar_value_pattern",
+    ]:
+        assert QUERIES[name](spark, "unused").count() >= 0
