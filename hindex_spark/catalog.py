@@ -39,12 +39,19 @@ from hindex_spark.table import Table
 
 @dataclass
 class FamilyDescriptor:
-    """HColumnDescriptor analog: per-family physical knobs."""
+    """HColumnDescriptor analog: per-family physical knobs.
+
+    ``bloom`` mirrors HColumnDescriptor's bloom type (BloomType.java /
+    BloomFilterFactory.java:40): "NONE", "ROW" (rowkey bloom — the
+    default, as in HBase), or "ROWCOL" (bloom on the rowkey AND every
+    member column of this family — member columns are the table columns
+    named ``<family>_<qualifier>``)."""
 
     name: str
     max_versions: int = 1
     ttl: Optional[int] = None  # seconds
     compression: str = "snappy"
+    bloom: str = "ROW"
 
 
 @dataclass
@@ -69,6 +76,7 @@ class TableDescriptor:
                         "max_versions": f.max_versions,
                         "ttl": f.ttl,
                         "compression": f.compression,
+                        "bloom": f.bloom,
                     }
                     for f in self.families
                 ],
@@ -87,7 +95,11 @@ class TableDescriptor:
             d["rowkey_col"],
             [
                 FamilyDescriptor(
-                    f["name"], f.get("max_versions", 1), f.get("ttl"), f.get("compression", "snappy")
+                    f["name"],
+                    f.get("max_versions", 1),
+                    f.get("ttl"),
+                    f.get("compression", "snappy"),
+                    f.get("bloom", "ROW"),
                 )
                 for f in d.get("families", [])
             ],
@@ -130,6 +142,36 @@ class Catalog:
     def _ddl(schema) -> str:
         return ", ".join(f"`{f.name}` {f.dataType.simpleString()}" for f in schema.fields)
 
+    @staticmethod
+    def _physical_options(families, rowkey_col: str, columns) -> tuple:
+        """Resolve FamilyDescriptor physical knobs to (codec, bloom_cols)
+        for a parquet write. A single wide parquet store has ONE codec
+        per file (Spark's writer does not expose parquet's per-column
+        codecs), so mixed per-family compression — which the reference
+        honors by storing families in physically separate HFiles — is
+        rejected loudly rather than silently taking one of them. Bloom:
+        any ROW/ROWCOL family enables the rowkey bloom (the HFile row
+        bloom, BloomFilterFactory.java:40); ROWCOL additionally blooms
+        that family's member columns (``<family>_<qualifier>``) — the
+        ROWCOL bloom analog for column-touching point reads."""
+        if not families:
+            return None, [rowkey_col]
+        for f in families:
+            if f.bloom not in ("NONE", "ROW", "ROWCOL"):
+                raise ValueError(f"unknown bloom type {f.bloom!r} for family {f.name!r}")
+        codecs = {f.compression for f in families}
+        if len(codecs) > 1:
+            raise ValueError(
+                f"mixed per-family compression {sorted(codecs)} cannot be honored "
+                "in a single parquet store; save families with differing codecs "
+                "as separate tables"
+            )
+        bloom_cols = [rowkey_col] if any(f.bloom != "NONE" for f in families) else []
+        for f in families:
+            if f.bloom == "ROWCOL":
+                bloom_cols += [c for c in columns if c.startswith(f.name + "_")]
+        return codecs.pop(), bloom_cols
+
     def _register_bucketed(
         self, qname: str, location: str, schema, bucket_col: str, sort_cols, n: int
     ) -> None:
@@ -146,13 +188,14 @@ class Catalog:
         )
 
     def _write_bucketed(
-        self, df: DataFrame, final: str, qname: str, bucket_col: str, sort_cols, n: int
+        self, df: DataFrame, final: str, qname: str, bucket_col: str, sort_cols, n: int,
+        bloom_cols=None, codec=None,
     ) -> None:
         staging = final + ".staging"
         shutil.rmtree(staging, ignore_errors=True)
         tmp = f"{qname}__staging"
         self.spark.sql(f"DROP TABLE IF EXISTS `{tmp}`")
-        (
+        w = (
             # repartition on the bucket hash first: one file per bucket,
             # which is what lets the scan report its sort order (multi-
             # file buckets fall back to an extra Sort before merge joins)
@@ -160,10 +203,12 @@ class Catalog:
             .write.mode("overwrite")
             .bucketBy(n, bucket_col)
             .sortBy(*sort_cols)
-            .option(f"parquet.bloom.filter.enabled#{bucket_col}", "true")
-            .option("path", staging)
-            .saveAsTable(tmp)
         )
+        for c in (bloom_cols if bloom_cols is not None else [bucket_col]):
+            w = w.option(f"parquet.bloom.filter.enabled#{c}", "true")
+        if codec is not None:
+            w = w.option("compression", codec)
+        w.option("path", staging).saveAsTable(tmp)
         self.spark.sql(f"DROP TABLE IF EXISTS `{tmp}`")  # metadata only; files stay
         self._swap_in(final, staging)
         # re-register the final name NOW: a previous registration of this
@@ -173,8 +218,21 @@ class Catalog:
         # new files.
         self._register_bucketed(qname, final, df.schema, bucket_col, sort_cols, n)
 
-    def save(self, table: Table, num_partitions: int = 32, layout: str = "bucketed") -> None:
+    def save(
+        self,
+        table: Table,
+        num_partitions: int = 32,
+        layout: str = "bucketed",
+        families: Optional[List[FamilyDescriptor]] = None,
+    ) -> None:
         """Persist table + all index tables.
+
+        ``families``: per-family physical options (HColumnDescriptor
+        analog) — compression codec and bloom type are applied to the
+        data write (see ``_physical_options``), ttl/max_versions are
+        recorded in the descriptor and derived onto each index spec
+        (IndexSpecification.java:57-59,111-112). Default None keeps the
+        rowkey bloom on with the session codec.
 
         ``layout="bucketed"`` (default): hash-bucketed on the rowkey and
         sorted within buckets — every rowkey join (mutation merges, index
@@ -195,15 +253,21 @@ class Catalog:
         desc = TableDescriptor(
             table.name,
             table.rowkey_col,
+            families=list(families or []),
             indices=table.indices,
             layout=layout,
             num_buckets=num_partitions,
         )
         rk = table.rowkey_col
+        codec, bloom_cols = self._physical_options(families, rk, table.df.columns)
+        if families:
+            for spec in table.indices.indices:
+                spec.derive_physical(families)
         data_path = os.path.join(d, "data")
         if layout == "bucketed":
             self._write_bucketed(
-                table.df, data_path, self._sql_name(table.name, "__data"), rk, [rk], num_partitions
+                table.df, data_path, self._sql_name(table.name, "__data"), rk, [rk],
+                num_partitions, bloom_cols=bloom_cols, codec=codec,
             )
             for spec in table.indices.indices:
                 # bucket by rowkey (shuffle-free maintenance + semi-join
@@ -218,21 +282,25 @@ class Catalog:
                     rk,
                     spec.indexed_names + [rk],
                     num_partitions,
+                    codec=codec,
                 )
         else:
             staging = data_path + ".staging"
             shutil.rmtree(staging, ignore_errors=True)
-            (
+            w = (
                 table.df.repartitionByRange(num_partitions, rk)
                 .sortWithinPartitions(rk)
-                # parquet bloom filter on the rowkey: the HFile row-bloom
-                # analog (BloomFilterFactory.java:40) — point gets skip row
+                # parquet bloom filters: the HFile bloom analog
+                # (BloomFilterFactory.java:40) — point gets skip row
                 # groups whose bloom excludes the key even when min/max
                 # ranges overlap
                 .write.mode("overwrite")
-                .option(f"parquet.bloom.filter.enabled#{rk}", "true")
-                .parquet(staging)
             )
+            for c in bloom_cols:
+                w = w.option(f"parquet.bloom.filter.enabled#{c}", "true")
+            if codec is not None:
+                w = w.option("compression", codec)
+            w.parquet(staging)
             self._swap_in(data_path, staging)
             for spec in table.indices.indices:
                 idx = table.index_tables[spec.name]
@@ -240,12 +308,14 @@ class Catalog:
                 ipath = os.path.join(d, "index", spec.name)
                 istaging = ipath + ".staging"
                 shutil.rmtree(istaging, ignore_errors=True)
-                (
+                iw = (
                     idx.repartitionByRange(num_partitions, *sort_cols)
                     .sortWithinPartitions(*sort_cols)
                     .write.mode("overwrite")
-                    .parquet(istaging)
                 )
+                if codec is not None:
+                    iw = iw.option("compression", codec)
+                iw.parquet(istaging)
                 self._swap_in(ipath, istaging)
         with open(os.path.join(d, "_descriptor.json"), "w") as f:
             f.write(desc.to_json())
@@ -278,6 +348,7 @@ class Catalog:
         else:
             df = self.spark.read.parquet(os.path.join(d, "data"))
         t = Table(df, rk, name, desc.indices)
+        t.families = list(desc.families)  # descriptor options ride along
         for spec in desc.indices.indices:
             ipath = os.path.join(d, "index", spec.name)
             if desc.layout == "bucketed":
