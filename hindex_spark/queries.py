@@ -1215,7 +1215,8 @@ _PRIORITY = [
     "sim_bruteforce_topk", "sim_ivf_ann_topk",
     "text_token_count", "text_quality", "text_gopher_rules",
     # streaming / ETL / DSL / temporal
-    "streaming_walplayer", "dsl_parse_filter", "etl_import_tsv_with_index",
+    "streaming_walplayer", "streaming_replication_roundtrip",
+    "dsl_parse_filter", "etl_import_tsv_with_index",
     "etl_snapshot_scan", "events_asof_join",
 ]
 

@@ -25,6 +25,56 @@ from pyspark.sql import functions as F
 from hindex_spark.table import Table
 
 
+class ChangelogEmitter:
+    """Replication EMIT side — the WAL-shipping analog (hbase-server/
+    .../replication/ ships WAL edits to peer clusters; the fork
+    replicates index updates by replaying shipped edits through the same
+    mutation path).
+
+    Attached to a Table via ``Table.enable_changelog(path)``; every
+    mutation then synchronously appends one batch of change records to
+    ``path`` as parquet rows ``(seq, op, rowkey, <value columns...>)``:
+
+    - op='put' rows carry the POST-image of every touched row (CDC
+      after-image), so increment/append/checkAnd* mutations replicate
+      through the same record shape — the peer needs no op-specific
+      logic, exactly like WAL edits carrying final cell values;
+    - op='delete' rows carry the rowkey with null values.
+
+    ``seq`` increments per emitted batch, so ``replay_changelog`` (the
+    WALPlayer analog) restores cross-batch order even when the whole log
+    lands in one availableNow micro-batch. At scale the append is one
+    parquet write of the touched rows per batch — cost proportional to
+    the mutation, not the table."""
+
+    def __init__(self, path: str):
+        self.path = path
+        self.seq = 0
+
+    def emit(self, op: str, rows: DataFrame, table_df: DataFrame, rowkey_col: str) -> None:
+        self.seq += 1
+        cols = [F.lit(self.seq).alias("seq"), F.lit(op).alias("op"), F.col(rowkey_col)]
+        rows_cols = set(rows.columns)
+        for f in table_df.schema.fields:
+            if f.name == rowkey_col:
+                continue
+            if f.name in rows_cols:
+                cols.append(F.col(f.name))
+            else:
+                cols.append(F.lit(None).cast(f.dataType).alias(f.name))
+        rows.select(*cols).write.mode("append").parquet(self.path)
+
+    def log_schema(self, table_df: DataFrame, rowkey_col: str) -> str:
+        rk_type = dict((f.name, f.dataType.simpleString()) for f in table_df.schema.fields)
+        parts = ["seq int", "op string", f"{rowkey_col} {rk_type[rowkey_col]}"]
+        parts += [
+            f"{f.name} {f.dataType.simpleString()}"
+            for f in table_df.schema.fields
+            if f.name != rowkey_col
+        ]
+        return ", ".join(parts)
+
+
 class StreamingIngest:
     """Fold a stream of mutation batches into a Table (+ its indexes).
 

@@ -66,6 +66,7 @@ class Table:
         self.indices = indices or TableIndices()
         self.index_tables: Dict[str, DataFrame] = {}
         self.last_index_plan: Optional[IndexPlan] = None  # test spy
+        self._changelog = None  # ChangelogEmitter when replication is on
 
     # -- construction ------------------------------------------------------
 
@@ -250,7 +251,27 @@ class Table:
 
     # -- mutations (batch; HRegion.batchMutate:2194 analog) ------------------
 
-    def _with_new_df(self, df: DataFrame, affected: DataFrame) -> "Table":
+    def enable_changelog(self, path: str) -> "Table":
+        """Turn on the replication emit side (WAL shipping,
+        hbase-server/.../replication/): every subsequent mutation on this
+        table — and on the tables its mutations return — synchronously
+        appends its change batch to ``path`` (see ChangelogEmitter).
+        Replay with ``replay_changelog`` on a peer copy to replicate."""
+        from hindex_spark.streaming.ingest import ChangelogEmitter
+
+        self._changelog = ChangelogEmitter(path)
+        return self
+
+    @property
+    def changelog_schema(self) -> str:
+        """DDL schema string of this table's change records (for
+        ``replay_changelog``'s readStream)."""
+        from hindex_spark.streaming.ingest import ChangelogEmitter
+
+        emitter = self._changelog or ChangelogEmitter("")
+        return emitter.log_schema(self.df, self.rowkey_col)
+
+    def _with_new_df(self, df: DataFrame, affected: DataFrame, op: str = "put") -> "Table":
         out = Table(df, self.rowkey_col, self.name, self.indices)
         # Same-job index maintenance (IndexRegionObserver.preBatchMutate).
         out.index_tables = {
@@ -259,6 +280,16 @@ class Table:
                 (s.name, self.index_tables[s.name], s) for s in self.indices.indices
             )
         }
+        out._changelog = self._changelog
+        if self._changelog is not None:
+            rk = self.rowkey_col
+            if op == "delete":
+                self._changelog.emit("delete", affected.select(rk), self.df, rk)
+            else:
+                # CDC after-image: the post-mutation rows of every touched
+                # key (uniform across put/increment/append/checkAnd*)
+                after = df.join(affected.select(rk), rk, "left_semi")
+                self._changelog.emit("put", after, self.df, rk)
         return out
 
     def put(self, puts: DataFrame) -> "Table":
@@ -298,7 +329,7 @@ class Table:
         """Whole-row deletes (Delete.java:69 with no family) — anti-join."""
         keys = rowkeys.select(self.rowkey_col).distinct()
         return self._with_new_df(
-            self.df.join(keys, self.rowkey_col, "left_anti"), keys
+            self.df.join(keys, self.rowkey_col, "left_anti"), keys, op="delete"
         )
 
     def delete_where(self, predicate: Column) -> "Table":

@@ -123,3 +123,38 @@ def test_replay_changelog_bad_seq_col_raises(spark, tmp_path):
         replay_changelog(
             spark, t, log, "op string, rowkey string, v int", seq_col="nope"
         )
+
+
+def test_changelog_emit_records_and_replay(spark, tmp_path):
+    """Emit side of replication: each mutation appends one seq-stamped
+    batch (put = CDC after-image, delete = keys), and a peer replaying
+    the log converges to the source state."""
+    from hindex_spark.streaming.ingest import replay_changelog
+    from hindex_spark.table import Table
+
+    base = spark.createDataFrame(
+        [(1, "a", 10), (2, "b", 20), (3, "c", 30)], "k long, v string, n long"
+    )
+    log = str(tmp_path / "log")
+    t = Table(base, "k", "t").enable_changelog(log)
+    t = t.put(spark.createDataFrame([(2, "B")], "k long, v string"))
+    t = t.delete(spark.createDataFrame([(1,)], "k long"))
+    t = t.increment(spark.createDataFrame([(3, 5)], "k long, n long"))
+
+    recs = spark.read.parquet(log).orderBy("seq").collect()
+    assert [(r["seq"], r["op"], r["k"]) for r in recs] == [
+        (1, "put", 2), (2, "delete", 1), (3, "put", 3),
+    ]
+    # put after-image carries untouched columns too; delete carries nulls
+    assert (recs[0]["v"], recs[0]["n"]) == ("B", 20)
+    assert recs[1]["v"] is None and recs[1]["n"] is None
+    assert (recs[2]["v"], recs[2]["n"]) == ("c", 35)
+
+    peer = Table(base, "k", "peer")
+    replayed = replay_changelog(spark, peer, log, t.changelog_schema).table.df
+    got = sorted((r["k"], r["v"], r["n"]) for r in replayed.collect())
+    assert got == [(2, "B", 20), (3, "c", 35)]
+    # mutations on a table WITHOUT a changelog never write one
+    assert Table(base, "k", "t2").put(
+        spark.createDataFrame([(1, "x")], "k long, v string")
+    )._changelog is None
