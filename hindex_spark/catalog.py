@@ -64,12 +64,14 @@ class TableDescriptor:
     indices: TableIndices = field(default_factory=TableIndices)
     layout: str = "bucketed"  # "bucketed" | "range"
     num_buckets: int = 32
+    version: int = 0
 
     def to_json(self) -> str:
         return json.dumps(
             {
                 "name": self.name,
                 "rowkey_col": self.rowkey_col,
+                "version": self.version,
                 "families": [
                     {
                         "name": f.name,
@@ -106,6 +108,7 @@ class TableDescriptor:
             TableIndices.from_json(json.dumps(d.get("indices", []))),
             d.get("layout", "range"),
             d.get("num_buckets", 32),
+            d.get("version", 0),
         )
 
 
@@ -124,6 +127,27 @@ class Catalog:
         base = re.sub(r"[^A-Za-z0-9_]", "_", name)
         tag = re.sub(r"[^A-Za-z0-9_]", "_", os.path.abspath(self.root))[-32:]
         return f"hx_{tag}_{base}{suffix}"
+
+    @staticmethod
+    def _data_dir(d: str, version: int) -> str:
+        return os.path.join(d, "data" if version == 0 else f"data_v{version}")
+
+    @staticmethod
+    def _index_root(d: str, version: int) -> str:
+        return os.path.join(d, "index" if version == 0 else f"index_v{version}")
+
+    @staticmethod
+    def _gc_versions(d: str, keep: set) -> None:
+        """Drop version directories other than ``keep`` (current + one
+        grace generation for readers attached before the last commit)."""
+        pat = re.compile(r"^(data|index)(_v(\d+))?$")
+        for entry in os.listdir(d):
+            m = pat.match(entry)
+            if not m:
+                continue
+            v = int(m.group(3)) if m.group(3) else 0
+            if v not in keep:
+                shutil.rmtree(os.path.join(d, entry), ignore_errors=True)
 
     @staticmethod
     def _swap_in(final: str, staging: str) -> None:
@@ -250,6 +274,22 @@ class Catalog:
         lazy plan reads from cannot lose data."""
         d = self._dir(table.name)
         os.makedirs(d, exist_ok=True)
+        # Version-pointer commit (TestAcidGuaranteesForIndex invariant —
+        # a reader must NEVER see the table ahead of its indexes, which
+        # the reference gets from same-RPC index mutation): data AND
+        # every index are written to fresh version-suffixed directories,
+        # invisible until the descriptor — the single pointer — is
+        # atomically os.replace()d to reference the new version. A crash
+        # at any earlier point leaves the previous version fully live.
+        # The immediately-previous version's directories are kept one
+        # generation as a grace window for in-flight lazy readers (at
+        # 100 TB this becomes a retention policy / GC horizon).
+        cur = -1
+        desc_file = os.path.join(d, "_descriptor.json")
+        if os.path.isfile(desc_file):
+            with open(desc_file) as fh:
+                cur = TableDescriptor.from_json(fh.read()).version
+        new_v = cur + 1
         desc = TableDescriptor(
             table.name,
             table.rowkey_col,
@@ -257,13 +297,15 @@ class Catalog:
             indices=table.indices,
             layout=layout,
             num_buckets=num_partitions,
+            version=new_v,
         )
         rk = table.rowkey_col
         codec, bloom_cols = self._physical_options(families, rk, table.df.columns)
         if families:
             for spec in table.indices.indices:
                 spec.derive_physical(families)
-        data_path = os.path.join(d, "data")
+        data_path = self._data_dir(d, new_v)
+        index_root = self._index_root(d, new_v)
         if layout == "bucketed":
             self._write_bucketed(
                 table.df, data_path, self._sql_name(table.name, "__data"), rk, [rk],
@@ -277,7 +319,7 @@ class Catalog:
                 # Sort), never the Exchange.
                 self._write_bucketed(
                     table.index_tables[spec.name],
-                    os.path.join(d, "index", spec.name),
+                    os.path.join(index_root, spec.name),
                     self._sql_name(table.name, f"__idx_{spec.name}"),
                     rk,
                     spec.indexed_names + [rk],
@@ -285,8 +327,6 @@ class Catalog:
                     codec=codec,
                 )
         else:
-            staging = data_path + ".staging"
-            shutil.rmtree(staging, ignore_errors=True)
             w = (
                 table.df.repartitionByRange(num_partitions, rk)
                 .sortWithinPartitions(rk)
@@ -300,14 +340,10 @@ class Catalog:
                 w = w.option(f"parquet.bloom.filter.enabled#{c}", "true")
             if codec is not None:
                 w = w.option("compression", codec)
-            w.parquet(staging)
-            self._swap_in(data_path, staging)
+            w.parquet(data_path)
             for spec in table.indices.indices:
                 idx = table.index_tables[spec.name]
                 sort_cols = spec.indexed_names + [rk]
-                ipath = os.path.join(d, "index", spec.name)
-                istaging = ipath + ".staging"
-                shutil.rmtree(istaging, ignore_errors=True)
                 iw = (
                     idx.repartitionByRange(num_partitions, *sort_cols)
                     .sortWithinPartitions(*sort_cols)
@@ -315,10 +351,15 @@ class Catalog:
                 )
                 if codec is not None:
                     iw = iw.option("compression", codec)
-                iw.parquet(istaging)
-                self._swap_in(ipath, istaging)
-        with open(os.path.join(d, "_descriptor.json"), "w") as f:
-            f.write(desc.to_json())
+                iw.parquet(os.path.join(index_root, spec.name))
+        hook = getattr(self, "_pre_commit_hook", None)
+        if hook is not None:
+            hook()  # test seam: observe the catalog BEFORE the pointer swap
+        tmp = desc_file + ".tmp"
+        with open(tmp, "w") as fh:
+            fh.write(desc.to_json())
+        os.replace(tmp, desc_file)  # the commit point — atomic on POSIX
+        self._gc_versions(d, keep={new_v, cur})
 
     def _attach_bucketed(
         self, qname: str, location: str, bucket_col: str, sort_cols, n: int
@@ -341,16 +382,20 @@ class Catalog:
         with open(os.path.join(d, "_descriptor.json")) as f:
             desc = TableDescriptor.from_json(f.read())
         rk = desc.rowkey_col
+        # The descriptor names ONE version for table + all indexes: a
+        # load can only ever attach a matching (data, index) pair, no
+        # matter where a concurrent save is in its write phase.
+        data_path = self._data_dir(d, desc.version)
         if desc.layout == "bucketed":
             df = self._attach_bucketed(
-                self._sql_name(name, "__data"), os.path.join(d, "data"), rk, [rk], desc.num_buckets
+                self._sql_name(name, "__data"), data_path, rk, [rk], desc.num_buckets
             )
         else:
-            df = self.spark.read.parquet(os.path.join(d, "data"))
+            df = self.spark.read.parquet(data_path)
         t = Table(df, rk, name, desc.indices)
         t.families = list(desc.families)  # descriptor options ride along
         for spec in desc.indices.indices:
-            ipath = os.path.join(d, "index", spec.name)
+            ipath = os.path.join(self._index_root(d, desc.version), spec.name)
             if desc.layout == "bucketed":
                 t.index_tables[spec.name] = self._attach_bucketed(
                     self._sql_name(name, f"__idx_{spec.name}"),

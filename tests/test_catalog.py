@@ -185,3 +185,81 @@ def test_family_mixed_codecs_fail_loud(spark, sf_dir, tmp_path):
         )
     with pytest.raises(ValueError, match="unknown bloom type"):
         cat.save(t, families=[FamilyDescriptor("a", bloom="COLUMN")])
+
+
+def _index_consistent(t):
+    """The ACID invariant: every probe of the index equals a real scan of
+    the table it was loaded WITH (index never behind/ahead of its data)."""
+    idx = t.index_tables["idx_c"]
+    via_index = {r["o_orderkey"] for r in idx.select("o_orderkey").collect()}
+    via_table = {
+        r["o_orderkey"]
+        for r in t.df.filter(F.col("o_custkey").isNotNull()).select("o_orderkey").collect()
+    }
+    return via_index == via_table
+
+
+def test_acid_reader_never_sees_table_ahead_of_index(spark, sf_dir, tmp_path):
+    """TestAcidGuaranteesForIndex analog (hbase-secondaryindex/src/test/
+    .../TestAcidGuaranteesForIndex.java): the reference guarantees a
+    reader never observes data mutations without their index mutations
+    (same-RPC preBatchMutate). Here the commit point is the descriptor
+    pointer swap — a reader loading DURING a save (after the new data
+    and index files exist, before the pointer moves) must still see the
+    OLD table + OLD index pair, and a save that crashes before the
+    pointer swap must leave the old version fully live."""
+    import pytest
+
+    from hindex_spark.catalog import Catalog as Cat
+
+    base = (
+        spark.read.parquet(f"{sf_dir}/orders.parquet")
+        .select("o_orderkey", "o_custkey", "o_totalprice")
+        .limit(300)
+    )
+    t = Table(base, "o_orderkey", "orders_acid")
+    t.create_index(IndexSpecification("idx_c").add_column("o_custkey", "Long"))
+    cat = Cat(spark, str(tmp_path))
+    cat.save(t, num_partitions=2)
+    v1_rows = cat.load("orders_acid").df.count()
+
+    # mutate: delete a slice (touches both table and index)
+    t2 = cat.load("orders_acid").delete_where(F.col("o_orderkey") < 100)
+
+    observed = {}
+
+    def reader_mid_swap():
+        # runs after v2 data+index files are fully written, BEFORE the
+        # descriptor pointer moves — the exact window the reference's
+        # concurrent readers hammer
+        mid = cat.load("orders_acid")
+        observed["rows"] = mid.df.count()
+        observed["consistent"] = _index_consistent(mid)
+
+    cat._pre_commit_hook = reader_mid_swap
+    cat.save(t2, num_partitions=2)
+    cat._pre_commit_hook = None
+    assert observed["rows"] == v1_rows  # old version, not the new data
+    assert observed["consistent"]
+
+    # after the commit the new pair is visible atomically
+    now = cat.load("orders_acid")
+    assert now.df.count() == v1_rows - 100
+    assert _index_consistent(now)
+
+    # crash BEFORE the pointer swap: old version stays fully live
+    t3 = now.delete_where(F.col("o_orderkey") < 150)
+
+    def boom():
+        raise RuntimeError("crash before commit")
+
+    cat._pre_commit_hook = boom
+    with pytest.raises(RuntimeError, match="crash before commit"):
+        cat.save(t3, num_partitions=2)
+    cat._pre_commit_hook = None
+    recovered = cat.load("orders_acid")
+    assert recovered.df.count() == v1_rows - 100  # v2, not the crashed v3
+    assert _index_consistent(recovered)
+    # and a retry commits cleanly
+    cat.save(t3, num_partitions=2)
+    assert cat.load("orders_acid").df.count() == v1_rows - 150
