@@ -50,6 +50,27 @@ def lsh_bucket(vec: Column, planes: List[List[float]]) -> Column:
     return out
 
 
+def _estimate_rows(df: DataFrame) -> int:
+    """Row count from parquet footer metadata (driver-side reads, no
+    Spark job) — the cheap estimate a sampling rate needs. Falls back to
+    count() when the plan isn't a plain parquet scan (inputFiles empty
+    or mixed formats). At 100 TB this is one footer open per file on the
+    driver vs a full-corpus job."""
+    try:
+        files = df.inputFiles()
+    except Exception:  # noqa: BLE001 - non-file-backed plans
+        files = []
+    if files and all(f.endswith(".parquet") for f in files):
+        import pyarrow.parquet as pq
+
+        total = 0
+        for f in files:
+            path = f[7:] if f.startswith("file://") else f
+            total += pq.ParquetFile(path).metadata.num_rows
+        return total
+    return df.count()
+
+
 def brute_force_topk(
     embeddings: DataFrame,
     queries: DataFrame,
@@ -96,9 +117,17 @@ def ivf_build(
 
     Deterministic: hash-based sample, lowest-id init, stable tie-breaks.
     Returns (assignments: id_col/cluster, centroids: cluster/centroid).
+
+    No full-corpus action in the build: the sampling rate derives from
+    parquet FOOTER row counts (driver-side metadata reads — no job),
+    falling back to count() only for non-parquet inputs, and the
+    centroid init takes the lowest-id members of the SAMPLE (one
+    hash-filtered pass, no global TakeOrdered over the corpus). The only
+    whole-corpus job left is the final assignment — irreducible, it IS
+    the output.
     """
     spark = embeddings.sparkSession
-    n = embeddings.count()
+    n = _estimate_rows(embeddings)
     if n > sample_size:
         mod = max(1, n // sample_size)
         train = embeddings.filter(F.pmod(F.hash(F.col(id_col)), F.lit(mod)) == 0)
@@ -108,9 +137,11 @@ def ivf_build(
     def _cent_df(rows):
         return spark.createDataFrame(rows, f"cluster int, centroid array<double>")
 
+    init = train.orderBy(id_col).limit(n_clusters).collect()
+    if len(init) < n_clusters:  # degenerate sample: top up from the corpus
+        init = embeddings.orderBy(id_col).limit(n_clusters).collect()
     cent_rows = [
-        (i + 1, [float(x) for x in r[vec_col]])
-        for i, r in enumerate(embeddings.orderBy(id_col).limit(n_clusters).collect())
+        (i + 1, [float(x) for x in r[vec_col]]) for i, r in enumerate(init)
     ]
     for _ in range(iters):
         cents = _cent_df(cent_rows)

@@ -971,8 +971,26 @@ def q_shared_spans(spark, sf_dir):
     )
 
 
-@query("multimodal_features")  # mapInPandas path: rows-only driver check
+@query(
+    "multimodal_features",
+    """SELECT doc_id,
+              strlen(text)::BIGINT AS n_bytes,
+              CASE WHEN strlen(text) = 0 THEN 0.0
+                   ELSE list_aggregate(codes, 'sum') / strlen(text) END AS mean_byte,
+              CASE WHEN strlen(text) = 0 THEN 0
+                   ELSE list_aggregate(codes, 'max') END::INT AS max_byte
+       FROM (SELECT doc_id, text,
+                    list_transform(range(1, strlen(text) + 1),
+                                   i -> ascii(substr(text, i, 1))) AS codes
+             FROM documents)""",
+)
 def q_mm_features(spark, sf_dir):
+    """Arrow-batched mapInPandas feature extraction over binary blobs.
+    The decode stub's byte stats are deterministic over the utf-8
+    payload, so the gate hash-checks the WHOLE mapInPandas path against
+    a DuckDB byte-level oracle (valid because the testdata text is
+    ASCII, asserted cheap below — for multi-byte text the oracle's
+    char-indexed ascii() would diverge from byte stats)."""
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
     return mm.extract_features(mm.attach_blob(docs))
 
