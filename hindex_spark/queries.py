@@ -1201,6 +1201,7 @@ _PRIORITY = [
     "idxtab_or_all_range", "idxtab_or_poisoned_branch",
     "idxtab_and_with_poisoned_or", "idxtab_range_not_last",
     "idxtab_multilevel_or", "idxtab_similar_value_pattern",
+    "idxtab_negative_int_eq", "idxtab_negative_double_le",
     # mutations (incl. the generic gated batch + per-action status)
     "mutation_put_upsert", "mutation_delete_batch", "mutation_increment",
     "mutation_append", "mutation_check_and_put", "mutation_check_and_mutate",

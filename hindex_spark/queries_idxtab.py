@@ -368,3 +368,90 @@ def q_idxtab_similar_value_pattern(spark, sf_dir):
     out = t.scan(Scan(filter=_scvf("c1", fl.EQUAL, "aaa"), columns=["c1"]))
     assert t.last_index_plan.used_indexes == ["idx1"]
     return out
+
+
+# -- negative typed-value fixture (ValueType encoding regression) -----------
+# testShouldRetrieveNegative{Int,Float,Double}Value* (TestMultipleIndicesInScan
+# .java:2720-3006): the reference's typed index encoding must sign-flip so
+# negative values ORDER correctly in the index rowkey; these gates prove the
+# same comparisons hold through this engine's typed index scans.
+
+NEG_ROWS = [
+    ("row0", 1, 1.5, 1.5),
+    ("row1", 2, 2.89, 2.89),
+    ("row2", 3, 3.9, 3.9),
+    ("row3", -4, -4.7, -4.7),
+    ("row4", -5, -5.3, -5.3),
+    ("row5", -6, -6.456, -6.456),
+]
+
+
+def _neg_cte() -> str:
+    rows_sql = ", ".join(f"('{r}', {i}, {f}, {d})" for r, i, f, d in NEG_ROWS)
+    return (
+        "negtab(rowkey, ci, cf, cd) AS "
+        f"(SELECT rowkey, CAST(ci AS INTEGER), CAST(cf AS FLOAT), CAST(cd AS DOUBLE) "
+        f"FROM (VALUES {rows_sql}) t(rowkey, ci, cf, cd))"
+    )
+
+
+def _negtab(spark) -> Table:
+    df = spark.createDataFrame(NEG_ROWS, "rowkey string, ci int, cf float, cd double")
+    t = Table(df, "rowkey", "negtab")
+    t.create_index(IndexSpecification("idx_int").add_column("ci", "Int"))
+    t.create_index(IndexSpecification("idx_float").add_column("cf", "Float"))
+    t.create_index(IndexSpecification("idx_double").add_column("cd", "Double"))
+    return t
+
+
+@query(
+    "idxtab_negative_int_eq",
+    f"WITH {_neg_cte()} SELECT rowkey, ci FROM negtab WHERE ci = -4",
+)
+def q_idxtab_negative_int_eq(spark, sf_dir):
+    """testShouldRetrieveNegtiveIntValueWithEqualCondition (:2720):
+    equality on a negative Int through the typed index — exactly row3."""
+    t = _negtab(spark)
+    out = t.scan(Scan(filter=_scvf("ci", fl.EQUAL, -4), columns=["ci"]))
+    assert t.last_index_plan.used_indexes == ["idx_int"]
+    return out
+
+
+@query(
+    "idxtab_negative_int_range",
+    f"WITH {_neg_cte()} SELECT rowkey, ci FROM negtab WHERE ci > -6",
+)
+def q_idxtab_negative_int_range(spark, sf_dir):
+    """testShouldRetriveNegativeIntValueWithGreaterCondition (:2786):
+    a range crossing the sign boundary — naive byte-comparison encodings
+    would order -6 ABOVE positives and return the wrong set."""
+    t = _negtab(spark)
+    out = t.scan(Scan(filter=_scvf("ci", fl.GREATER, -6), columns=["ci"]))
+    assert t.last_index_plan.used_indexes == ["idx_int"]
+    return out
+
+
+@query(
+    "idxtab_negative_float_range",
+    f"WITH {_neg_cte()} SELECT rowkey, cf FROM negtab WHERE cf > CAST(-5.0 AS FLOAT)",
+)
+def q_idxtab_negative_float_range(spark, sf_dir):
+    """testShouldRetrieveNegativeFloatValueWithGreaterCondition (:2845):
+    4 rows (1.5, 2.89, 3.9, -4.7) — IEEE float order through the index."""
+    t = _negtab(spark)
+    out = t.scan(Scan(filter=_scvf("cf", fl.GREATER, -5.0), columns=["cf"]))
+    assert t.last_index_plan.used_indexes == ["idx_float"]
+    return out
+
+
+@query(
+    "idxtab_negative_double_le",
+    f"WITH {_neg_cte()} SELECT rowkey, cd FROM negtab WHERE cd <= -4.7",
+)
+def q_idxtab_negative_double_le(spark, sf_dir):
+    """testShouldRetrieveNegativeDoubleValueWithLesserThanEqualsCondition
+    (:2942): inclusive boundary on a negative Double — 3 rows."""
+    t = _negtab(spark)
+    out = t.scan(Scan(filter=_scvf("cd", fl.LESS_OR_EQUAL, -4.7), columns=["cd"]))
+    assert t.last_index_plan.used_indexes == ["idx_double"]
+    return out

@@ -325,5 +325,7 @@ def test_round4_idxtab_combination_gates(spark):
         "idxtab_or_all_range", "idxtab_or_poisoned_branch",
         "idxtab_and_with_poisoned_or", "idxtab_range_not_last",
         "idxtab_multilevel_or", "idxtab_similar_value_pattern",
+        "idxtab_negative_int_eq", "idxtab_negative_int_range",
+        "idxtab_negative_float_range", "idxtab_negative_double_le",
     ]:
         assert QUERIES[name](spark, "unused").count() >= 0
