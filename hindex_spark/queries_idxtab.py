@@ -455,3 +455,44 @@ def q_idxtab_negative_double_le(spark, sf_dir):
     out = t.scan(Scan(filter=_scvf("cd", fl.LESS_OR_EQUAL, -4.7), columns=["cd"]))
     assert t.last_index_plan.used_indexes == ["idx_double"]
     return out
+
+
+@query(
+    "idxtab_complex_range_or",
+    """WITH ctab AS (
+         SELECT 'row' || i AS rowkey,
+                CAST(i AS VARCHAR) AS detail,
+                CAST(1000 - i AS VARCHAR) AS info,
+                CAST(i % 100 AS VARCHAR) AS val
+         FROM range(1, 1000) t(i))
+       SELECT rowkey, detail, info, val FROM ctab
+       WHERE detail <= '6' OR info >= '992' OR val = '9'""",
+)
+def q_idxtab_complex_range_or(spark, sf_dir):
+    """testComplexRangeScan (TestMultipleIndicesInScan.java:3213): a
+    3-branch OR of STRING-typed comparisons over numeric strings — the
+    comparisons are LEXICOGRAPHIC ('599' <= '6' but '60' > '6'), each
+    branch rides its own single-column index, and the union must hit
+    the reference's exact 563 rows."""
+    df = spark.range(1, 1000).select(
+        F.concat(F.lit("row"), F.col("id")).alias("rowkey"),
+        F.col("id").cast("string").alias("detail"),
+        (1000 - F.col("id")).cast("string").alias("info"),
+        (F.col("id") % 100).cast("string").alias("val"),
+    )
+    t = Table(df, "rowkey", "ctab")
+    t.create_index(IndexSpecification("idx1").add_column("detail"))
+    t.create_index(IndexSpecification("idx2").add_column("info"))
+    t.create_index(IndexSpecification("idx3").add_column("val"))
+    f = fl.FilterList(
+        "OR",
+        [
+            _scvf("detail", fl.LESS_OR_EQUAL, "6"),
+            _scvf("info", fl.GREATER_OR_EQUAL, "992"),
+            _scvf("val", fl.EQUAL, "9"),
+        ],
+    )
+    out = t.scan(Scan(filter=f, columns=["detail", "info", "val"]))
+    assert set(t.last_index_plan.used_indexes) == {"idx1", "idx2", "idx3"}
+    assert out.count() == 563  # the reference's literal assertion
+    return out
