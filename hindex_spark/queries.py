@@ -1182,43 +1182,45 @@ def _register_all():
 #: index was chosen, LSH/banded dedup, corpus cleaning, ANN, the
 #: mutation verbs, streaming replay) before the long tail of filter
 #: variants. Names not listed keep registration order after these.
+# Exactly 50 entries: the driver snapshots the 50-query prefix, so this
+# list is curated to keep EVERY operator family driver-visible — the
+# hard planner signal (idxtab combination ports), all mutation shapes,
+# the dedup/ANN/text pipeline, and one gate per streaming/ETL/temporal
+# family. Everything else stays oracle-checked in the local gate.
 _PRIORITY = [
     # aggregations (exact two-phase median inside agg_summary) + TPC-H
     "tpch_q1", "agg_summary", "agg_group", "topk_per_group",
     "join_revenue_topk",
-    # index planner: semi-joins, set ops, hints, value partitions, and the
-    # idxtab fixtures that assert the CHOSEN index (TestMultipleIndicesInScan)
+    # index planner: semi-joins, set ops, hints, value partitions
     "index_semijoin_eq", "index_hint_forced", "index_maintained_scan",
     "index_multicol_range", "index_and_intersection", "index_value_partition",
-    "index_empty_contradiction",
     "coproc_bulk_delete",
+    # idxtab fixtures asserting the CHOSEN index (TestMultipleIndicesInScan,
+    # incl. the round-4 combination ports: and/or combos, equal+range,
+    # poisoned-OR fallback vs AND-residual, range-not-last, padded values,
+    # 563-row lexicographic OR, negative typed values)
     "idxtab_and_setcover", "idxtab_or_union", "idxtab_prefix_range",
     "idxtab_null_semantics",
-    # round-4 TestMultipleIndicesInScan combination ports (rows + chosen
-    # index asserted): and/or combos, equal+range, all-range levels,
-    # poisoned-OR fallback vs AND-residual, range-not-last, padded values
     "idxtab_and_or_combination", "idxtab_equal_range_combination",
-    "idxtab_or_all_range", "idxtab_or_poisoned_branch",
-    "idxtab_and_with_poisoned_or", "idxtab_range_not_last",
-    "idxtab_multilevel_or", "idxtab_similar_value_pattern",
-    "idxtab_negative_int_eq", "idxtab_negative_double_le",
+    "idxtab_or_poisoned_branch", "idxtab_and_with_poisoned_or",
+    "idxtab_range_not_last", "idxtab_similar_value_pattern",
+    "idxtab_complex_range_or", "idxtab_negative_int_eq",
     # mutations (incl. the generic gated batch + per-action status)
-    "mutation_put_upsert", "mutation_delete_batch", "mutation_increment",
-    "mutation_append", "mutation_check_and_put", "mutation_check_and_mutate",
-    "mutation_batch_status", "mutation_mutate_row",
+    "mutation_put_upsert", "mutation_delete_batch",
+    "mutation_check_and_mutate", "mutation_batch_status",
+    "mutation_mutate_row",
     # core read path
-    "point_get", "scan_range", "filter_scvf", "filter_and",
+    "point_get", "scan_range", "filter_scvf",
     "filter_or_index_union", "filter_while_match",
     # LLM-pipeline operators: dedup family, corpus cleaning, ANN, text
     "dedup_exact", "dedup_minhash_lsh", "dedup_simhash", "dedup_clusters",
     "dedup_embedding_lsh", "dedup_semantic", "corpus_clean",
-    "corpus_pipeline_e2e", "corpus_dedup_lines",
+    "corpus_pipeline_e2e",
     "sim_bruteforce_topk", "sim_ivf_ann_topk",
-    "text_token_count", "text_quality", "text_gopher_rules",
-    # streaming / ETL / DSL / temporal
+    "text_token_count", "text_quality",
+    # streaming / ETL / temporal
     "streaming_walplayer", "streaming_replication_roundtrip",
-    "dsl_parse_filter", "etl_import_tsv_with_index",
-    "etl_snapshot_scan", "events_asof_join",
+    "etl_import_tsv_with_index", "events_asof_join",
 ]
 
 
