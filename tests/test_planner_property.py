@@ -89,6 +89,12 @@ def _filter_holds(row, f):
         if f.op == fl.LESS_OR_EQUAL:
             return v <= f.comparator
         raise AssertionError(f.op)
+    if isinstance(f, fl.RowFilter):
+        v, t = row["rowkey"], f.comparator.value
+        return {
+            fl.EQUAL: v == t, fl.GREATER: v > t, fl.GREATER_OR_EQUAL: v >= t,
+            fl.LESS: v < t, fl.LESS_OR_EQUAL: v <= t,
+        }[f.op]
     if isinstance(f, fl.FilterList):
         results = [_filter_holds(row, g) for g in f.filters]
         return all(results) if f.operator == "AND" else any(results)
@@ -132,13 +138,26 @@ def _plan_rowkeys(node):
 
 # --- random filter trees ------------------------------------------------------
 
-leaf_st = st.builds(
+_OPS = [fl.EQUAL, fl.GREATER, fl.GREATER_OR_EQUAL, fl.LESS, fl.LESS_OR_EQUAL]
+
+scvf_st = st.builds(
     lambda c, op, v, fim: fl.SingleColumnValueFilter(c, op, v, filter_if_missing=fim),
     st.sampled_from(COLS),
-    st.sampled_from([fl.EQUAL, fl.GREATER, fl.GREATER_OR_EQUAL, fl.LESS, fl.LESS_OR_EQUAL]),
+    st.sampled_from(_OPS),
     st.sampled_from(VALUES),
     st.booleans(),
 )
+
+# non-SCVF leaves (NON_INDEXABLE): under OR they must poison the whole
+# branch to a full scan; under AND they must degrade to residual
+# predicates — either way the plan stays sound
+rowfilter_st = st.builds(
+    lambda op, i: fl.RowFilter(op, fl.BinaryComparator(f"r{i:03d}")),
+    st.sampled_from(_OPS),
+    st.integers(min_value=0, max_value=199),
+)
+
+leaf_st = st.one_of(scvf_st, scvf_st, scvf_st, rowfilter_st)  # ~25% poison
 
 tree_st = st.recursive(
     leaf_st,
