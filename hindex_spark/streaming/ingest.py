@@ -35,10 +35,13 @@ class ChangelogEmitter:
     mutation then synchronously appends one batch of change records to
     ``path`` as parquet rows ``(seq, op, rowkey, <value columns...>)``:
 
-    - op='put' rows carry the POST-image of every touched row (CDC
-      after-image), so increment/append/checkAnd* mutations replicate
-      through the same record shape — the peer needs no op-specific
-      logic, exactly like WAL edits carrying final cell values;
+    - Put emits its DELTA — exactly the cells the mutation carried,
+      untouched columns null (a WAL edit); replay treats null as
+      keep-old, matching Put semantics, and the emit makes ZERO table
+      reads, so its cost is proportional to the batch at any scale;
+    - computed mutations (increment/append/checkAnd*) emit the CDC
+      after-image of the touched rows — their WAL analog carries the
+      computed new cell values; the peer needs no op-specific logic;
     - op='delete' rows carry the rowkey with null values.
 
     ``seq`` increments per emitted batch, so ``replay_changelog`` (the

@@ -271,7 +271,9 @@ class Table:
         emitter = self._changelog or ChangelogEmitter("")
         return emitter.log_schema(self.df, self.rowkey_col)
 
-    def _with_new_df(self, df: DataFrame, affected: DataFrame, op: str = "put") -> "Table":
+    def _with_new_df(
+        self, df: DataFrame, affected: DataFrame, op: str = "put", change: DataFrame = None
+    ) -> "Table":
         out = Table(df, self.rowkey_col, self.name, self.indices)
         # Same-job index maintenance (IndexRegionObserver.preBatchMutate).
         out.index_tables = {
@@ -285,9 +287,17 @@ class Table:
             rk = self.rowkey_col
             if op == "delete":
                 self._changelog.emit("delete", affected.select(rk), self.df, rk)
+            elif change is not None:
+                # WAL-faithful DELTA: exactly the cells the mutation
+                # carried (a Put's WAL edit) — zero table reads, so the
+                # emit cost is proportional to the batch at any scale.
+                # Replay treats NULL as keep-old, same as Put semantics.
+                self._changelog.emit("put", change, self.df, rk)
             else:
-                # CDC after-image: the post-mutation rows of every touched
-                # key (uniform across put/increment/append/checkAnd*)
+                # Computed mutations (increment/append): ship the CDC
+                # after-image of the touched rows — one semi-join probe
+                # of the already-computed merge, analogous to their WAL
+                # carrying the computed new cell values.
                 after = df.join(affected.select(rk), rk, "left_semi")
                 self._changelog.emit("put", after, self.df, rk)
         return out
@@ -323,7 +333,7 @@ class Table:
                 out_cols.append(F.coalesce(F.col(f"n.{c}"), F.col(f"o.{c}")).alias(c))
             else:
                 out_cols.append(F.col(f"o.{c}").alias(c))
-        return self._with_new_df(joined.select(*out_cols), puts1.select(rk))
+        return self._with_new_df(joined.select(*out_cols), puts1.select(rk), change=puts1)
 
     def delete(self, rowkeys: DataFrame) -> "Table":
         """Whole-row deletes (Delete.java:69 with no family) — anti-join."""

@@ -145,8 +145,10 @@ def test_changelog_emit_records_and_replay(spark, tmp_path):
     assert [(r["seq"], r["op"], r["k"]) for r in recs] == [
         (1, "put", 2), (2, "delete", 1), (3, "put", 3),
     ]
-    # put after-image carries untouched columns too; delete carries nulls
-    assert (recs[0]["v"], recs[0]["n"]) == ("B", 20)
+    # put emits its DELTA (untouched column stays null = keep-old on
+    # replay — zero table reads); delete carries nulls; increment emits
+    # the computed after-image of the touched row
+    assert (recs[0]["v"], recs[0]["n"]) == ("B", None)
     assert recs[1]["v"] is None and recs[1]["n"] is None
     assert (recs[2]["v"], recs[2]["n"]) == ("c", 35)
 
