@@ -368,6 +368,75 @@ class ScanFilterEvaluator:
             return OrNode(kids)
         return node
 
+    @staticmethod
+    def _merge_or_leaves(leaves: List[Leaf]) -> List[Any]:
+        """Merge same-column OR leaves whose intervals union into one
+        range (FilterGroupingWorker via doFiltersRestruct — the
+        reference's testORFiltersGrouping: ``c='10' OR c<'10'`` becomes
+        ONE SingleColumnRangeFilter with <= bound). Fewer index probes,
+        identical row set. Disjoint intervals (``c<'5' OR c>'9'``) stay
+        separate scans; a merge that would become unbounded on both
+        sides (always-true over non-nulls) is left unmerged — there is
+        no leaf form for it, and correctness is unaffected.
+
+        Returns planner nodes: Leaf (single bound / equality) or AndNode
+        of the two bound leaves."""
+        by_col: Dict[str, List[Leaf]] = {}
+        for lf in leaves:
+            by_col.setdefault(lf.column, []).append(lf)
+
+        def interval(lf):
+            # (lo, lo_inc, hi, hi_inc); None = unbounded
+            if lf.op == EQUAL:
+                return [lf.value, True, lf.value, True]
+            if lf.op == GREATER:
+                return [lf.value, False, None, False]
+            if lf.op == GREATER_OR_EQUAL:
+                return [lf.value, True, None, False]
+            if lf.op == LESS:
+                return [None, False, lf.value, False]
+            return [None, False, lf.value, True]  # LESS_OR_EQUAL
+
+        out: List[Any] = []
+        for col, lfs in by_col.items():
+            # unbounded-below first, then by lower bound (inclusive first)
+            ivs = sorted(
+                (interval(lf) for lf in lfs),
+                key=lambda iv: (0, 0, 0) if iv[0] is None else (1, iv[0], not iv[1]),
+            )
+            merged = [ivs[0]]
+            for lo, lo_inc, hi, hi_inc in ivs[1:]:
+                c = merged[-1]
+                chi, chi_inc = c[2], c[3]
+                # current reaches +inf, or next starts before/at its end
+                joins = chi is None or lo is None or lo < chi or (
+                    lo == chi and (lo_inc or chi_inc)
+                )
+                if joins:
+                    if chi is not None and (
+                        hi is None or hi > chi or (hi == chi and hi_inc and not chi_inc)
+                    ):
+                        c[2], c[3] = hi, hi_inc
+                    if lo is None:
+                        c[0], c[1] = None, False
+                else:
+                    merged.append([lo, lo_inc, hi, hi_inc])
+            for lo, lo_inc, hi, hi_inc in merged:
+                if lo is None and hi is None:
+                    # unbounded union: fall back to the original leaves
+                    out.extend(lfs)
+                    break
+                if lo is not None and lo == hi and lo_inc and hi_inc:
+                    out.append(Leaf(col, EQUAL, lo))
+                    continue
+                parts = []
+                if lo is not None:
+                    parts.append(Leaf(col, GREATER_OR_EQUAL if lo_inc else GREATER, lo))
+                if hi is not None:
+                    parts.append(Leaf(col, LESS_OR_EQUAL if hi_inc else LESS, hi))
+                out.append(parts[0] if len(parts) == 1 else AndNode(parts))
+        return out
+
     def _plan(self, node):
         node = self._flatten(node)
         if isinstance(node, Leaf):
@@ -377,8 +446,11 @@ class ScanFilterEvaluator:
             subs = [c for c in node.children if isinstance(c, (AndNode, OrNode))]
             return self._plan_and(leaves, subs)
         if isinstance(node, OrNode):
+            leaves = [c for c in node.children if isinstance(c, Leaf)]
+            others = [c for c in node.children if not isinstance(c, Leaf)]
+            children = self._merge_or_leaves(leaves) + others if leaves else others
             kids = []
-            for ch in node.children:
+            for ch in children:
                 p = self._plan(ch)
                 if p is None:
                     return None  # OR all-or-nothing

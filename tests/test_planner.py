@@ -231,3 +231,46 @@ def test_index_spec_derives_physical_from_families():
     assert spec.ttl == 600 and spec.max_versions == 3
     spec.derive_physical([FamilyDescriptor("cf1", max_versions=2, ttl=None)])
     assert spec.ttl is None and spec.max_versions == 2
+
+
+def test_or_same_column_range_grouping():
+    """testORFiltersGrouping (TestScanFilterEvaluator.java:538): OR
+    bounds on one column whose intervals union into a single range merge
+    into ONE index probe with the widened bound."""
+    # c1='10' OR c1<'10'  ->  one scan, upper bound <= '10'
+    f = fl.FilterList("OR", [
+        fl.SingleColumnValueFilter("c1", fl.EQUAL, "10", filter_if_missing=True),
+        fl.SingleColumnValueFilter("c1", fl.LESS, "10", filter_if_missing=True),
+    ])
+    plan = EV.evaluate(f.index_tree(None))
+    assert isinstance(plan.root, IndexScan), plan.root
+    cr = plan.root.conditions[0]
+    assert cr.upper == "10" and cr.upper_inc and cr.lower is None
+
+    # overlapping opens merge too: c1>'3' OR c1>'5' -> one scan > '3'
+    f = fl.FilterList("OR", [
+        fl.SingleColumnValueFilter("c1", fl.GREATER, "5", filter_if_missing=True),
+        fl.SingleColumnValueFilter("c1", fl.GREATER, "3", filter_if_missing=True),
+    ])
+    plan = EV.evaluate(f.index_tree(None))
+    assert isinstance(plan.root, IndexScan)
+    cr = plan.root.conditions[0]
+    assert cr.lower == "3" and not cr.lower_inc and cr.upper is None
+
+    # disjoint intervals stay separate scans
+    f = fl.FilterList("OR", [
+        fl.SingleColumnValueFilter("c1", fl.LESS, "3", filter_if_missing=True),
+        fl.SingleColumnValueFilter("c1", fl.GREATER, "5", filter_if_missing=True),
+    ])
+    plan = EV.evaluate(f.index_tree(None))
+    assert isinstance(plan.root, SetOp) and plan.root.op == "OR"
+    assert len(plan.root.children) == 2
+
+    # a union that covers the whole line has no leaf form: falls back to
+    # the original (still sound) separate scans
+    f = fl.FilterList("OR", [
+        fl.SingleColumnValueFilter("c1", fl.LESS, "5", filter_if_missing=True),
+        fl.SingleColumnValueFilter("c1", fl.GREATER_OR_EQUAL, "5", filter_if_missing=True),
+    ])
+    plan = EV.evaluate(f.index_tree(None))
+    assert plan.uses_index  # and the property suite proves soundness
