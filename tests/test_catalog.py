@@ -263,3 +263,24 @@ def test_acid_reader_never_sees_table_ahead_of_index(spark, sf_dir, tmp_path):
     # and a retry commits cleanly
     cat.save(t3, num_partitions=2)
     assert cat.load("orders_acid").df.count() == v1_rows - 150
+
+
+def test_version_gc_keeps_one_grace_generation(spark, sf_dir, tmp_path):
+    """Successive saves keep exactly {current, previous} version dirs:
+    the previous generation is the grace window for lazy readers
+    attached before the last commit; older generations are GC'd."""
+    base = spark.read.parquet(f"{sf_dir}/region.parquet")
+    t = Table(base, "r_regionkey", "region_gc")
+    cat = Catalog(spark, str(tmp_path))
+    d = str(tmp_path / "region_gc")
+    cat.save(t, num_partitions=1)                       # v0
+    cat.save(cat.load("region_gc"), num_partitions=1)   # v1
+    # v0 kept as grace, v1 live
+    assert os.path.isdir(f"{d}/data") and os.path.isdir(f"{d}/data_v1")
+    reader_v1 = cat.load("region_gc")                   # attaches v1
+    cat.save(reader_v1, num_partitions=1)               # v2: GCs v0
+    assert not os.path.isdir(f"{d}/data")
+    assert os.path.isdir(f"{d}/data_v1") and os.path.isdir(f"{d}/data_v2")
+    # the grace window is real: the pre-commit reader still scans
+    assert reader_v1.df.count() == base.count()
+    assert cat.load("region_gc").df.count() == base.count()
