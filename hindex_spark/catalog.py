@@ -213,7 +213,7 @@ class Catalog:
 
     def _write_bucketed(
         self, df: DataFrame, final: str, qname: str, bucket_col: str, sort_cols, n: int,
-        bloom_cols=None, codec=None,
+        bloom_cols=None, codec=None, register=True,
     ) -> None:
         staging = final + ".staging"
         shutil.rmtree(staging, ignore_errors=True)
@@ -235,12 +235,15 @@ class Catalog:
         w.option("path", staging).saveAsTable(tmp)
         self.spark.sql(f"DROP TABLE IF EXISTS `{tmp}`")  # metadata only; files stay
         self._swap_in(final, staging)
-        # re-register the final name NOW: a previous registration of this
+        # re-register the final name: a previous registration of this
         # table may carry a different bucket count or schema, and a
         # bucketed join against stale bucketing metadata silently
         # misroutes rows — never trust an old registration to describe
-        # new files.
-        self._register_bucketed(qname, final, df.schema, bucket_col, sort_cols, n)
+        # new files. (Catalog.save defers this until AFTER its
+        # descriptor commit so the session's SQL names never run ahead
+        # of the committed version.)
+        if register:
+            self._register_bucketed(qname, final, df.schema, bucket_col, sort_cols, n)
 
     def save(
         self,
@@ -303,29 +306,41 @@ class Catalog:
         codec, bloom_cols = self._physical_options(families, rk, table.df.columns)
         if families:
             for spec in table.indices.indices:
-                spec.derive_physical(families)
+                # MEMBER families only (IndexSpecification.java:57-59):
+                # deriving from unrelated families would e.g. give the
+                # index a shorter TTL than its own data, and compaction
+                # would then drop live index entries.
+                members = [
+                    f
+                    for f in families
+                    if any(c.column.startswith(f.name + "_") for c in spec.columns)
+                ]
+                if members:
+                    spec.derive_physical(members)
         data_path = self._data_dir(d, new_v)
         index_root = self._index_root(d, new_v)
+        registrations = []  # deferred until after the descriptor commit
         if layout == "bucketed":
+            qd = self._sql_name(table.name, "__data")
             self._write_bucketed(
-                table.df, data_path, self._sql_name(table.name, "__data"), rk, [rk],
-                num_partitions, bloom_cols=bloom_cols, codec=codec,
+                table.df, data_path, qd, rk, [rk],
+                num_partitions, bloom_cols=bloom_cols, codec=codec, register=False,
             )
+            registrations.append((qd, data_path, table.df.schema, [rk]))
             for spec in table.indices.indices:
                 # bucket by rowkey (shuffle-free maintenance + semi-join
                 # application) but SORT by the indexed values: the
                 # planner's range probe then prunes row groups on the
                 # index key — losing only merge-join sortedness (a local
                 # Sort), never the Exchange.
+                qi = self._sql_name(table.name, f"__idx_{spec.name}")
+                ipath = os.path.join(index_root, spec.name)
+                idx_df = table.index_tables[spec.name]
                 self._write_bucketed(
-                    table.index_tables[spec.name],
-                    os.path.join(index_root, spec.name),
-                    self._sql_name(table.name, f"__idx_{spec.name}"),
-                    rk,
-                    spec.indexed_names + [rk],
-                    num_partitions,
-                    codec=codec,
+                    idx_df, ipath, qi, rk, spec.indexed_names + [rk],
+                    num_partitions, codec=codec, register=False,
                 )
+                registrations.append((qi, ipath, idx_df.schema, spec.indexed_names + [rk]))
         else:
             w = (
                 table.df.repartitionByRange(num_partitions, rk)
@@ -359,6 +374,11 @@ class Catalog:
         with open(tmp, "w") as fh:
             fh.write(desc.to_json())
         os.replace(tmp, desc_file)  # the commit point — atomic on POSIX
+        # Only a COMMITTED version may own the session's SQL names: a
+        # crash anywhere above leaves the registrations (like the
+        # descriptor) pointing at the previous version.
+        for qname, loc, schema, sort_cols in registrations:
+            self._register_bucketed(qname, loc, schema, rk, sort_cols, num_partitions)
         self._gc_versions(d, keep={new_v, cur})
 
     def _attach_bucketed(

@@ -52,15 +52,30 @@ def lsh_bucket(vec: Column, planes: List[List[float]]) -> Column:
 
 def _estimate_rows(df: DataFrame) -> int:
     """Row count from parquet footer metadata (driver-side reads, no
-    Spark job) — the cheap estimate a sampling rate needs. Falls back to
-    count() when the plan isn't a plain parquet scan (inputFiles empty
-    or mixed formats). At 100 TB this is one footer open per file on the
-    driver vs a full-corpus job."""
+    Spark job) — the cheap estimate a sampling rate needs. The footer
+    path is used ONLY for a bare local parquet scan (optionally
+    column-pruned): a Filter/Join/Limit in the plan would make footer
+    totals meaningless (inputFiles ignores them), and non-local URIs
+    (s3a://, hdfs://) aren't openable from the driver with pyarrow —
+    all of those fall back to count(). At 100 TB the footer path is one
+    metadata open per file vs a full-corpus job."""
+    import re
+
     try:
+        plan = df._jdf.queryExecution().optimizedPlan().toString()
+        nodes = {
+            m.group(1)
+            for line in plan.splitlines()
+            if (m := re.match(r"[\s:+\-']*([A-Za-z]+)", line))
+        }
+        if not nodes <= {"Relation", "LogicalRelation", "Project"}:
+            return df.count()
         files = df.inputFiles()
-    except Exception:  # noqa: BLE001 - non-file-backed plans
-        files = []
-    if files and all(f.endswith(".parquet") for f in files):
+        if not files or not all(
+            f.endswith(".parquet") and (f.startswith("file:") or f.startswith("/"))
+            for f in files
+        ):
+            return df.count()
         import pyarrow.parquet as pq
 
         total = 0
@@ -68,7 +83,8 @@ def _estimate_rows(df: DataFrame) -> int:
             path = f[7:] if f.startswith("file://") else f
             total += pq.ParquetFile(path).metadata.num_rows
         return total
-    return df.count()
+    except Exception:  # noqa: BLE001 - any metadata hiccup: pay the job
+        return df.count()
 
 
 def brute_force_topk(

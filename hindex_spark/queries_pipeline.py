@@ -988,10 +988,18 @@ def q_mm_features(spark, sf_dir):
     """Arrow-batched mapInPandas feature extraction over binary blobs.
     The decode stub's byte stats are deterministic over the utf-8
     payload, so the gate hash-checks the WHOLE mapInPandas path against
-    a DuckDB byte-level oracle (valid because the testdata text is
-    ASCII, asserted cheap below — for multi-byte text the oracle's
-    char-indexed ascii() would diverge from byte stats)."""
+    a DuckDB byte-level oracle — valid only while the testdata text is
+    ASCII (for multi-byte text the oracle's char-indexed ascii() would
+    diverge from byte stats), so that precondition is asserted here:
+    a violation fails loudly naming the cause, not as a bare hash
+    mismatch."""
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    non_ascii = docs.filter(F.octet_length("text") != F.length("text")).limit(1)
+    assert non_ascii.isEmpty(), (
+        "multimodal_features oracle precondition violated: documents.text "
+        "contains multi-byte characters; the DuckDB byte-stats oracle is "
+        "only exact for ASCII"
+    )
     return mm.extract_features(mm.attach_blob(docs))
 
 

@@ -42,7 +42,7 @@ def ts_micros(df: DataFrame, col: str = "ts") -> Column:
     if dtype.startswith("timestamp_ntz"):
         return F.expr(f"timestampdiff(MICROSECOND, {_EPOCH_NTZ}, {q})")
     if dtype.startswith("timestamp"):
-        return F.unix_micros(F.col(col))
+        return F.expr(f"unix_micros({q})")
     raise TypeError(
         f"unsupported timestamp physical type {dtype!r} for {col!r} "
         "(expected epoch-nanos bigint, timestamp_ntz, or timestamp)"

@@ -284,3 +284,28 @@ def test_version_gc_keeps_one_grace_generation(spark, sf_dir, tmp_path):
     # the grace window is real: the pre-commit reader still scans
     assert reader_v1.df.count() == base.count()
     assert cat.load("region_gc").df.count() == base.count()
+
+
+def test_index_physical_derived_from_member_families_only(spark, tmp_path):
+    """Index ttl/max_versions derive from the families its columns
+    belong to (IndexSpecification.java:57-59) — an unrelated family's
+    short TTL must not leak onto an index whose own data never expires
+    (compaction would drop live index entries)."""
+    from hindex_spark.catalog import FamilyDescriptor
+
+    df = spark.createDataFrame(
+        [(1, "x", 2.0)], "k long, f1_a string, f2_b double"
+    )
+    t = Table(df, "k", "ttltab")
+    t.create_index(IndexSpecification("idx_f1").add_column("f1_a"))
+    cat = Catalog(spark, str(tmp_path))
+    cat.save(
+        t,
+        num_partitions=1,
+        families=[
+            FamilyDescriptor("f1", max_versions=3, ttl=None),
+            FamilyDescriptor("f2", max_versions=1, ttl=60),
+        ],
+    )
+    spec = t.indices.indices[0]
+    assert spec.ttl is None and spec.max_versions == 3

@@ -314,9 +314,9 @@ def test_typed_index_negative_range(spark):
 
 
 def test_round4_idxtab_combination_gates(spark):
-    """The 8 TestMultipleIndicesInScan combination ports each assert
-    their chosen index inside the query body — running them IS the
-    planner regression (rows are oracle-checked separately by the gate)."""
+    """The 13 TestMultipleIndicesInScan ports each assert their chosen
+    index inside the query body — running them IS the planner
+    regression (rows are oracle-checked separately by the gate)."""
     from hindex_spark.queries import QUERIES
     import hindex_spark.queries_idxtab  # noqa: F401 - registers gates
 
@@ -327,5 +327,6 @@ def test_round4_idxtab_combination_gates(spark):
         "idxtab_multilevel_or", "idxtab_similar_value_pattern",
         "idxtab_negative_int_eq", "idxtab_negative_int_range",
         "idxtab_negative_float_range", "idxtab_negative_double_le",
+        "idxtab_complex_range_or",
     ]:
         assert QUERIES[name](spark, "unused").count() >= 0

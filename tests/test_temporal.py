@@ -99,3 +99,11 @@ def test_ts_micros_unsupported_type_fails_loud(spark):
         ts_micros(df)
     with pytest.raises(KeyError):
         ts_micros(df, "nope")
+
+
+def test_ts_micros_quoting_on_timestamp_branch(spark):
+    from hindex_spark.timeutil import ts_micros
+
+    df = spark.sql("SELECT TIMESTAMP '2020-01-02 03:04:05' AS `odd ts.name`")
+    v = df.select(ts_micros(df, "odd ts.name").alias("t")).first()["t"]
+    assert v == 1577934245000000
