@@ -753,6 +753,10 @@ def clean_corpus(
     near-dup semantics — the standard for corpus dedup; adds the
     ``connected_components`` label propagation over the pair graph,
     whose cost is proportional to the pair set, not the corpus).
+    "best" keeps the highest-QUALITY member of each component instead of
+    the lowest id (ties -> lowest id) — quality-aware canonical
+    selection; same cost shape as "component" plus one quality
+    projection over the deduped corpus.
 
     Each stage is a narrowing semi/anti-join keyed on id, so the chain
     is shuffle-minimal and every stage's cost shrinks with the previous
@@ -818,6 +822,28 @@ def clean_corpus(
         comp = connected_components(pairs)
         losers = comp.filter(F.col("cluster_id") != F.col("id_a")).select(
             F.col("id_a").alias(id_col)
+        )
+    elif keep == "best":
+        # Quality-aware canonical selection: keep the HIGHEST-quality
+        # member of each near-dup component (ties -> lowest id) — what a
+        # production pipeline wants when near-dups differ in cleanliness
+        # (the min-id policies keep whichever copy crawled first).
+        # Quality is rounded to 6dp on both engine and oracle so the
+        # ranking never hinges on a ulp.
+        from pyspark.sql import Window
+
+        comp = connected_components(pairs)
+        q = deduped.select(
+            F.col(id_col), F.round(quality_score(F.col(text_col)), 6).alias("__q")
+        )
+        labeled = comp.withColumnRenamed("id_a", id_col).join(q, id_col)
+        w = Window.partitionBy("cluster_id").orderBy(
+            F.col("__q").desc(), F.col(id_col)
+        )
+        losers = (
+            labeled.withColumn("__rn", F.row_number().over(w))
+            .filter(F.col("__rn") > 1)
+            .select(id_col)
         )
     else:
         # greedy: drop any doc that near-dups a SMALLER id (ids only ever

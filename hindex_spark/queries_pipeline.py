@@ -735,7 +735,28 @@ def q_events_json(spark, sf_dir):
 
 
 def _clean_corpus_oracle(keep: str = "greedy") -> str:
-    if keep == "component":
+    if keep == "best":
+        finale = """
+        pairs AS (SELECT id_a, id_b FROM common
+                  JOIN sz sa ON id_a = sa.doc_id
+                  JOIN sz sb ON id_b = sb.doc_id
+                  WHERE c * 1.0 / (sa.n + sb.n - c) >= 0.9),
+        edges AS (SELECT id_a AS a, id_b AS b FROM pairs
+                  UNION SELECT id_b, id_a FROM pairs),
+        reach(a, b) AS (
+          SELECT a, b FROM edges
+          UNION
+          SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a),
+        comp AS (SELECT a AS doc_id, LEAST(a, MIN(b)) AS cluster_id
+                 FROM reach GROUP BY a),
+        ranked AS (SELECT c.doc_id,
+                          row_number() OVER (
+                            PARTITION BY c.cluster_id
+                            ORDER BY ROUND(k.quality, 6) DESC, c.doc_id) AS rn
+                   FROM comp c JOIN kept k ON c.doc_id = k.doc_id)
+        SELECT doc_id, lang FROM kept
+        WHERE doc_id NOT IN (SELECT doc_id FROM ranked WHERE rn > 1)"""
+    elif keep == "component":
         finale = """
         pairs AS (SELECT id_a, id_b FROM common
                   JOIN sz sa ON id_a = sa.doc_id
@@ -808,6 +829,18 @@ def q_corpus_clean_cc(spark, sf_dir):
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
     kept = dd.clean_corpus(docs, "doc_id", "text", min_quality=0.3,
                            jaccard_threshold=0.9, keep="component")
+    return kept.select("doc_id", "lang")
+
+
+@query("corpus_clean_best", _clean_corpus_oracle(keep="best"))
+def q_corpus_clean_best(spark, sf_dir):
+    """Corpus cleaning with quality-aware canonical selection: each
+    near-dup component keeps its highest-quality member (ties -> lowest
+    id), not whichever copy was crawled first — the keep policy a
+    production pipeline actually wants."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    kept = dd.clean_corpus(docs, "doc_id", "text", min_quality=0.3,
+                           jaccard_threshold=0.9, keep="best")
     return kept.select("doc_id", "lang")
 
 

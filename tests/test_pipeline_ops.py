@@ -611,3 +611,27 @@ def test_mixture_resample_branches(spark):
     # deterministic: same call twice, same rows
     again = mixture_resample(df, "lang", {"a": 0.5, "b": 0.5}, 20, key_col="doc_id")
     assert sorted(map(tuple, out.collect())) == sorted(map(tuple, again.collect()))
+
+
+def test_clean_corpus_keep_best_quality_member(spark):
+    from hindex_spark.operators.text import quality_score
+
+    # docs 1 and 2 near-dup; 2 has the longer, better-punctuated text ->
+    # higher quality score, so keep="best" keeps 2 where min-id keeps 1
+    base = "the quick brown fox jumps over the lazy dog again and again"
+    rows = [
+        (1, base),
+        (2, base + " and then it rests. It sleeps well, truly."),
+        (3, "totally unrelated text about completely different things here"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    q = {r["doc_id"]: r["q"] for r in docs.select(
+        "doc_id", quality_score(F.col("text")).alias("q")).collect()}
+    assert q[2] > q[1]  # fixture sanity: 2 really is the better doc
+    kw = dict(min_quality=0.0, jaccard_threshold=0.5, ngram=3)
+    min_id = {r["doc_id"] for r in dd.clean_corpus(
+        docs, "doc_id", "text", keep="component", **kw).collect()}
+    best = {r["doc_id"] for r in dd.clean_corpus(
+        docs, "doc_id", "text", keep="best", **kw).collect()}
+    assert min_id == {1, 3}
+    assert best == {2, 3}
