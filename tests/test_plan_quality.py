@@ -172,3 +172,13 @@ def test_semantic_dedup_pair_join_not_cartesian(spark, sf_dir):
     emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
     _, dropped = sim.semantic_dedup(emb, eps=0.35, n_clusters=8, iters=0)
     assert "CartesianProduct" not in _plan(dropped)
+
+
+def test_clean_corpus_keep_best_no_cartesian(spark, sf_dir):
+    # the quality-ranked component selection adds one equi-join + one
+    # window over the (tiny) component label table — never a nested loop
+    from hindex_spark.operators.dedup import clean_corpus
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    p = _plan(clean_corpus(docs, "doc_id", "text", 0.3, 0.9, keep="best"))
+    assert "CartesianProduct" not in p and "BroadcastNestedLoop" not in p
