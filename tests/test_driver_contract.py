@@ -30,7 +30,12 @@ assert not missing, f"oracle without query: {missing}"
 # the events-reading queries are the ones that need session-conf repair
 for name in ["filter_isin", "cells_latest_version", "mutation_put_upsert", "tpch_q1",
              "corpus_pipeline_e2e", "coproc_bulk_delete", "mutation_batch_status",
-             "sim_ivf_ann_topk", "events_salted_join"]:
+             "sim_ivf_ann_topk", "events_salted_join",
+             # round-4 additions: replication roundtrip (streams +
+             # timestamps), combination planner gates, quality-ranked dedup
+             "streaming_replication_roundtrip", "idxtab_complex_range_or",
+             "idxtab_negative_double_le", "corpus_clean_best",
+             "multimodal_features"]:
     out = qs[name](spark, "/root/testdata/sf0.001")
     n = len(out.collect())
     assert n >= 0
