@@ -352,3 +352,70 @@ def q_streaming_replication_roundtrip(spark, sf_dir):
     assert replica.exceptAll(src_final).isEmpty()
     assert src_final.exceptAll(replica).isEmpty()
     return replica
+
+
+@query(
+    "streaming_changelog_resume",
+    """SELECT n_nationkey,
+              CASE WHEN n_nationkey = 7 THEN 'UPDATED' ELSE n_name END AS n_name,
+              CASE WHEN n_nationkey = 7 THEN n_regionkey + 10
+                   ELSE n_regionkey END AS n_regionkey
+       FROM nation
+       UNION ALL
+       SELECT 990 AS n_nationkey, 'KEEP' AS n_name, 1 AS n_regionkey""",
+)
+def q_streaming_changelog_resume(spark, sf_dir):
+    """Changelog durability across emitter re-attach + log compaction
+    (reference: WAL sequence ids are PERSISTENT —
+    hbase-server/.../regionserver/wal/FSHLog.java — and survive
+    region-server restarts; TestIndexPutsWithRegionServerRestart proves
+    edits ordered across the restart).
+
+    A source table emits puts, the process "restarts" (a NEW Table
+    re-attaches a fresh emitter to the same log path), then emits a
+    delete of a pre-restart key. The re-attached emitter must RESUME seq
+    from the existing log: if it re-numbered from 1, replay — which
+    orders by seq — would apply the post-restart delete of key 991
+    BEFORE its pre-restart put, and 991 would wrongly survive on the
+    peer. The log is then compacted (tiny per-batch files -> one
+    seq-sorted file) and replayed; the replica must equal the source."""
+    import os
+
+    from hindex_spark.streaming.ingest import compact_changelog, replay_changelog
+    from hindex_spark.table import Table
+
+    base = spark.read.parquet(f"{sf_dir}/nation.parquet").select(
+        "n_nationkey", "n_name", "n_regionkey"
+    )
+    log_dir = tempfile.mkdtemp(prefix="hindex_resume_") + "/changelog"
+    src = Table(base, "n_nationkey", "nation").enable_changelog(log_dir)
+    # pre-restart: two new keys (seq 1, 2)
+    src = src.put(
+        spark.createDataFrame(
+            [(990, "KEEP", 1), (991, "DOOMED", 2)],
+            "n_nationkey long, n_name string, n_regionkey long",
+        )
+    )
+    src = src.put(
+        spark.createDataFrame([(7, "UPDATED")], "n_nationkey long, n_name string")
+    )
+    # "restart": a new Table object over the current state re-attaches a
+    # FRESH emitter to the same log path (seq counter starts unseeded)
+    src2 = Table(src.df, "n_nationkey", "nation").enable_changelog(log_dir)
+    src2 = src2.delete(spark.createDataFrame([(991,)], "n_nationkey long"))
+    src2 = src2.increment(
+        spark.createDataFrame([(7, 10)], "n_nationkey long, n_regionkey long")
+    )
+    # the re-attached emitter resumed: 2 pre-restart batches -> post-
+    # restart emits are seq 3 and 4, not 1 and 2
+    assert src2._changelog.seq == 4, f"seq not resumed: {src2._changelog.seq}"
+    files_before = len([f for f in os.listdir(log_dir) if f.endswith(".parquet")])
+    files_after = compact_changelog(spark, log_dir, num_files=1)
+    assert files_after < files_before, (files_before, files_after)
+    peer = Table(base, "n_nationkey", "nation_peer")
+    ingest = replay_changelog(spark, peer, log_dir, src2.changelog_schema)
+    replica = ingest.table.df.select("n_nationkey", "n_name", "n_regionkey")
+    src_final = src2.df.select("n_nationkey", "n_name", "n_regionkey")
+    assert replica.exceptAll(src_final).isEmpty()
+    assert src_final.exceptAll(replica).isEmpty()
+    return replica

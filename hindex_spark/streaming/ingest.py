@@ -17,6 +17,8 @@ the streaming analog of the AggregationClient verbs.
 
 from __future__ import annotations
 
+import os
+import shutil
 from typing import Callable, Optional
 
 from pyspark.sql import DataFrame
@@ -48,13 +50,36 @@ class ChangelogEmitter:
     WALPlayer analog) restores cross-batch order even when the whole log
     lands in one availableNow micro-batch. At scale the append is one
     parquet write of the touched rows per batch — cost proportional to
-    the mutation, not the table."""
+    the mutation, not the table.
+
+    ``seq`` is PERSISTENT across attachments, like the reference's WAL
+    sequence ids (hbase-server/.../regionserver/wal/FSHLog.java keeps a
+    monotonically increasing id that survives log rolls and region-server
+    restarts): on the first emit after attaching to a path that already
+    holds records, the counter resumes from ``max(seq)`` found there —
+    one parquet aggregate answered from footer statistics, no data scan.
+    Without this, a restarted process would re-number from 1 and replay
+    (which orders by seq) would apply post-restart edits BEFORE
+    pre-restart ones — silent replica divergence."""
 
     def __init__(self, path: str):
         self.path = path
-        self.seq = 0
+        self.seq: Optional[int] = None  # resumed lazily on first emit
+
+    def _resume_seq(self, spark) -> int:
+        """Highest seq already in the log (0 for a fresh path)."""
+        try:
+            existing = spark.read.parquet(self.path)
+        except Exception:
+            return 0  # path absent or empty — fresh log
+        if "seq" not in existing.columns:
+            return 0
+        m = existing.agg(F.max("seq")).first()[0]
+        return int(m) if m is not None else 0
 
     def emit(self, op: str, rows: DataFrame, table_df: DataFrame, rowkey_col: str) -> None:
+        if self.seq is None:
+            self.seq = self._resume_seq(rows.sparkSession)
         self.seq += 1
         cols = [F.lit(self.seq).alias("seq"), F.lit(op).alias("op"), F.col(rowkey_col)]
         rows_cols = set(rows.columns)
@@ -198,6 +223,43 @@ def replay_changelog(
     q = ingest.start(stream, trigger_once=True)
     q.awaitTermination()
     return ingest
+
+
+def compact_changelog(spark, path: str, num_files: int = 1) -> int:
+    """Changelog maintenance: fold the one-tiny-parquet-file-per-batch
+    appends (``ChangelogEmitter.emit`` writes one file per mutation) into
+    ``num_files`` seq-sorted files — the log-roll/compaction analog of the
+    reference's WAL management (FSHLog rolls + OldWALs cleanup). Replay
+    orders by the ``seq`` COLUMN, so file layout never affects replay
+    semantics; compaction only fixes the tiny-file swamp a high mutation
+    rate produces.
+
+    ``coalesce`` (not repartition) — no shuffle; at 100 TB run this as a
+    rolling job over bounded seq windows so each compaction reads a
+    bounded slice. Atomic: the compacted log is written to a staging dir
+    and swapped in, so a crash mid-compaction leaves the original log
+    intact. Attached emitters stay valid (their in-memory seq continues;
+    a re-attaching emitter resumes from the preserved seq column).
+    Returns the resulting parquet file count."""
+    df = spark.read.parquet(path)
+    staging = path.rstrip("/") + ".compacting"
+    shutil.rmtree(staging, ignore_errors=True)
+    # sortWithinPartitions(seq): row-group min/max stats then keep the
+    # replay-side seq ordering cheap to compute
+    (
+        df.coalesce(num_files)
+        .sortWithinPartitions("seq")
+        .write.mode("overwrite")
+        .parquet(staging)
+    )
+    old = path.rstrip("/") + ".old"
+    shutil.rmtree(old, ignore_errors=True)
+    os.rename(path, old)
+    os.rename(staging, path)
+    shutil.rmtree(old, ignore_errors=True)
+    return len(
+        [f for f in os.listdir(path) if f.endswith(".parquet") and not f.startswith(".")]
+    )
 
 
 def windowed_event_counts(

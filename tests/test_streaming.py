@@ -160,3 +160,68 @@ def test_changelog_emit_records_and_replay(spark, tmp_path):
     assert Table(base, "k", "t2").put(
         spark.createDataFrame([(1, "x")], "k long, v string")
     )._changelog is None
+
+
+def test_changelog_seq_resumes_across_reattach(spark, tmp_path):
+    """WAL seq ids are persistent (FSHLog): a fresh emitter attached to
+    an existing log resumes from max(seq), so cross-restart replay order
+    is preserved. The killer case: put(991) pre-restart, delete(991)
+    post-restart — a reset counter would order the delete FIRST and the
+    key would wrongly survive replay."""
+    from hindex_spark.streaming.ingest import replay_changelog
+    from hindex_spark.table import Table
+
+    base = spark.createDataFrame([(1, "a")], "k long, v string")
+    log = str(tmp_path / "log")
+    t = Table(base, "k", "t").enable_changelog(log)
+    t = t.put(spark.createDataFrame([(991, "DOOMED")], "k long, v string"))
+    t = t.put(spark.createDataFrame([(2, "b")], "k long, v string"))
+    assert t._changelog.seq == 2
+
+    # "restart": new Table over current state, fresh emitter, same path
+    t2 = Table(t.df, "k", "t").enable_changelog(log)
+    t2 = t2.delete(spark.createDataFrame([(991,)], "k long"))
+    assert t2._changelog.seq == 3  # resumed, not reset to 1
+
+    peer = Table(base, "k", "peer")
+    replayed = replay_changelog(spark, peer, log, t2.changelog_schema).table.df
+    got = sorted((r["k"], r["v"]) for r in replayed.collect())
+    assert got == [(1, "a"), (2, "b")]  # 991 stays dead
+
+
+def test_changelog_resume_on_fresh_path_starts_at_one(spark, tmp_path):
+    from hindex_spark.table import Table
+
+    t = Table(
+        spark.createDataFrame([(1, "a")], "k long, v string"), "k", "t"
+    ).enable_changelog(str(tmp_path / "nolog"))
+    t = t.put(spark.createDataFrame([(2, "b")], "k long, v string"))
+    assert t._changelog.seq == 1
+
+
+def test_compact_changelog_preserves_replay_and_shrinks_files(spark, tmp_path):
+    import os
+
+    from hindex_spark.streaming.ingest import compact_changelog, replay_changelog
+    from hindex_spark.table import Table
+
+    base = spark.createDataFrame([(1, "a"), (2, "b")], "k long, v string")
+    log = str(tmp_path / "log")
+    t = Table(base, "k", "t").enable_changelog(log)
+    for i in range(5):
+        t = t.put(
+            spark.createDataFrame([(10 + i, f"v{i}")], "k long, v string")
+        )
+    t = t.delete(spark.createDataFrame([(10,)], "k long"))
+    before = len([f for f in os.listdir(log) if f.endswith(".parquet")])
+    n = compact_changelog(spark, log, num_files=1)
+    assert n == 1 and before > 1
+    # replay over the compacted log reaches the same state
+    peer = Table(base, "k", "peer")
+    replayed = replay_changelog(spark, peer, log, t.changelog_schema).table.df
+    got = sorted((r["k"], r["v"]) for r in replayed.collect())
+    assert got == [(1, "a"), (2, "b"), (11, "v1"), (12, "v2"), (13, "v3"), (14, "v4")]
+    # a post-compaction re-attach still resumes seq correctly
+    t2 = Table(t.df, "k", "t").enable_changelog(log)
+    t2 = t2.put(spark.createDataFrame([(99, "z")], "k long, v string"))
+    assert t2._changelog.seq == 7
