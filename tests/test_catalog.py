@@ -265,6 +265,101 @@ def test_acid_reader_never_sees_table_ahead_of_index(spark, sf_dir, tmp_path):
     assert cat.load("orders_acid").df.count() == v1_rows - 150
 
 
+def test_crash_between_staging_write_and_swap_is_recoverable(spark, sf_dir, tmp_path):
+    """TestIndexPutsWithRegionServerRestart analog (hbase-secondaryindex/
+    src/test/.../TestIndexPutsWithRegionServerRestart.java): the reference
+    survives a region-server kill mid-load via WAL replay. The engine's
+    equivalent crash window is INSIDE a save, after the staging directory
+    is fully written but before ``_swap_in`` promotes it. A kill there
+    must (a) leave an orphan ``.staging`` dir that the NEXT save reclaims
+    (the retry computes the same version number, so the staging path is
+    reused and rmtree'd), (b) keep every reader on the old committed
+    version — table AND index consistent — and (c) leave zero ``.staging``
+    residue after the successful retry."""
+    import glob
+
+    import pytest
+
+    from hindex_spark.catalog import Catalog as Cat
+
+    base = (
+        spark.read.parquet(f"{sf_dir}/orders.parquet")
+        .select("o_orderkey", "o_custkey", "o_totalprice")
+        .limit(300)
+    )
+    t = Table(base, "o_orderkey", "orders_crash")
+    t.create_index(IndexSpecification("idx_c").add_column("o_custkey", "Long"))
+    cat = Cat(spark, str(tmp_path))
+    cat.save(t, num_partitions=2)  # v0 committed
+    v0_rows = cat.load("orders_crash").df.count()
+    d = str(tmp_path / "orders_crash")
+
+    t2 = cat.load("orders_crash").delete_where(F.col("o_orderkey") < 100)
+
+    real_swap = Cat._swap_in
+    calls = {"n": 0, "die_at": 1}
+
+    def dying_swap(final, staging):
+        calls["n"] += 1
+        if calls["n"] == calls["die_at"]:
+            raise RuntimeError("killed between staging write and swap")
+        real_swap(final, staging)
+
+    # crash at the DATA swap: staging fully written, nothing promoted
+    cat_dying = Cat(spark, str(tmp_path))
+    cat_dying._swap_in = dying_swap
+    with pytest.raises(RuntimeError, match="killed between staging"):
+        cat_dying.save(t2, num_partitions=2)
+    assert os.path.isdir(f"{d}/data_v1.staging")  # the orphan
+    # readers never see it: still the committed v0 pair
+    recovered = cat.load("orders_crash")
+    assert recovered.df.count() == v0_rows
+    assert _index_consistent(recovered)
+
+    # crash at the INDEX swap: data_v1 promoted but descriptor still v0 —
+    # the version pointer keeps readers on the consistent v0 (data,index)
+    calls["n"], calls["die_at"] = 0, 2
+    with pytest.raises(RuntimeError, match="killed between staging"):
+        cat_dying.save(t2, num_partitions=2)
+    assert os.path.isdir(f"{d}/data_v1")  # promoted by the first swap
+    recovered = cat.load("orders_crash")
+    assert recovered.df.count() == v0_rows  # descriptor never moved
+    assert _index_consistent(recovered)
+
+    # retry on a healthy catalog: reclaims the orphans, commits v1
+    cat.save(t2, num_partitions=2)
+    assert glob.glob(f"{d}/**/*.staging", recursive=True) == []
+    now = cat.load("orders_crash")
+    assert now.df.count() == v0_rows - 100
+    assert _index_consistent(now)
+
+
+def test_crash_mid_write_range_layout_is_recoverable(spark, sf_dir, tmp_path):
+    """Range layout writes version dirs directly (no staging): a crash
+    mid-write leaves a PARTIAL uncommitted version dir. The descriptor
+    never references it, and the next save's mode('overwrite') replaces
+    it wholesale."""
+    base = spark.read.parquet(f"{sf_dir}/region.parquet")
+    t = Table(base, "r_regionkey", "region_crash")
+    t.create_index(IndexSpecification("idx_n").add_column("r_name", "String"))
+    cat = Catalog(spark, str(tmp_path))
+    cat.save(t, num_partitions=1, layout="range")  # v0
+    d = str(tmp_path / "region_crash")
+    # simulate a save killed mid-write: partial junk at the v1 paths
+    os.makedirs(f"{d}/data_v1", exist_ok=True)
+    os.makedirs(f"{d}/index_v1/idx_n", exist_ok=True)
+    with open(f"{d}/data_v1/part-00000.parquet", "wb") as fh:
+        fh.write(b"not parquet")
+    # readers stay on v0 (descriptor pointer)
+    assert cat.load("region_crash").df.count() == base.count()
+    # next save overwrites the partial dirs and commits v1 cleanly
+    cat.save(cat.load("region_crash"), num_partitions=1, layout="range")
+    got = cat.load("region_crash")
+    assert got.df.count() == base.count()
+    via_idx = {r["r_regionkey"] for r in got.index_tables["idx_n"].collect()}
+    assert via_idx == {r["r_regionkey"] for r in base.collect()}
+
+
 def test_version_gc_keeps_one_grace_generation(spark, sf_dir, tmp_path):
     """Successive saves keep exactly {current, previous} version dirs:
     the previous generation is the grace window for lazy readers
