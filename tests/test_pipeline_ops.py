@@ -53,6 +53,73 @@ def test_minhash_finds_exact_and_near_dups(spark):
         assert {a, b} <= {1, 2, 3}
 
 
+def test_minhash_xxhash64_production_path(spark, sf_dir):
+    """hash_fn='xxhash64' (the cheap production hash) must recall the
+    clear near-dups the oracle-reproducible md5 path finds. Verification
+    is exact Jaccard either way, so reported pairs are correct under
+    both; only LSH candidate recall can differ, and only for pairs near
+    the threshold (P[all 4 bands miss] = (1-j^2)^4 — ~1e-4 at j=0.9).
+    So the pin: every HIGH-jaccard pair found by one hash family must be
+    found by the other; near-threshold pairs may legitimately differ."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").limit(400)
+    md5_pairs = {
+        (r["id_a"], r["id_b"]): r["jaccard"]
+        for r in dd.minhash_dedup_pairs(docs, "doc_id", "text", 0.5).collect()
+    }
+    xx_pairs = {
+        (r["id_a"], r["id_b"]): r["jaccard"]
+        for r in dd.minhash_dedup_pairs(
+            docs, "doc_id", "text", 0.5, hash_fn="xxhash64"
+        ).collect()
+    }
+    high_md5 = {p for p, j in md5_pairs.items() if j >= 0.9}
+    high_xx = {p for p, j in xx_pairs.items() if j >= 0.9}
+    assert high_md5  # fixture really contains clear near-dups
+    assert high_md5 <= set(xx_pairs) and high_xx <= set(md5_pairs)
+    # verified jaccard values agree wherever both surfaced the pair
+    for p in set(md5_pairs) & set(xx_pairs):
+        assert md5_pairs[p] == xx_pairs[p]
+    # it is genuinely a different hash family, not md5 renamed
+    s_md5 = dd.minhash_signatures(docs.limit(5), "doc_id", "text").collect()
+    s_xx = dd.minhash_signatures(
+        docs.limit(5), "doc_id", "text", hash_fn="xxhash64"
+    ).collect()
+    assert {r["mh0"] for r in s_md5} != {r["mh0"] for r in s_xx}
+    # signature job stays a pure map (no shuffle) on the fast path too
+    plan = dd.minhash_signatures(
+        docs, "doc_id", "text", hash_fn="xxhash64"
+    )._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan
+
+
+def test_simhash_xxhash64_banded_equals_allpairs(spark, sf_dir):
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").limit(300)
+    for bits in (32, 60):
+        banded = {
+            (r["id_a"], r["id_b"], r["hamming"])
+            for r in dd.simhash_pairs(
+                docs, "doc_id", "text", 3, bits=bits, hash_fn="xxhash64"
+            ).collect()
+        }
+        quad = {
+            (r["id_a"], r["id_b"], r["hamming"])
+            for r in dd.simhash_pairs(
+                docs, "doc_id", "text", 3, bits=bits, hash_fn="xxhash64", banded=False
+            ).collect()
+        }
+        assert banded == quad
+
+
+def test_hash_fn_unknown_raises(spark):
+    import pytest
+
+    docs = _docs(spark)
+    with pytest.raises(ValueError, match="hash_fn"):
+        dd.minhash_signatures(docs, "doc_id", "text", hash_fn="sha1")
+    with pytest.raises(ValueError, match="hash_fn"):
+        dd.simhash(docs, "doc_id", "text", hash_fn="sha1")
+
+
 def test_simhash_hamming(spark):
     docs = _docs(spark)
     sh = {r["doc_id"]: r["simhash"] for r in dd.simhash(docs, "doc_id", "text").collect()}
