@@ -496,3 +496,94 @@ def q_idxtab_complex_range_or(spark, sf_dir):
     assert set(t.last_index_plan.used_indexes) == {"idx1", "idx2", "idx3"}
     assert out.count() == 563  # the reference's literal assertion
     return out
+
+
+@query(
+    "idxtab_partial_put",
+    f"""WITH {_values_cte()},
+        after AS (
+          SELECT rowkey, c1,
+                 CASE WHEN rowkey < 'row040' THEN 'z' ELSE c2 END AS c2
+          FROM idxtab)
+        SELECT rowkey, c1, c2 FROM after
+        WHERE c2 = 'z' AND c1 = 'a'""",
+)
+def q_idxtab_partial_put(spark, sf_dir):
+    """Partial-column put under a multi-column index
+    (TestIndexRegionObserver.testIndexOnMultipleCols:233 — row2's put
+    carries only some indexed columns; TestExtendedPutOps partial-put
+    suites): a put touching ONLY c2 must leave idx4(c2, c1) entries that
+    pair the NEW c2 with the row's CURRENT c1 — i.e. the index row is
+    re-derived from the merged state, not from the put's cells alone. The
+    proof is the scan: (c2='z' AND c1='a') through idx4 can only find
+    rows whose entries carry both the fresh c2 and the pre-existing c1."""
+    t = _idxtab(spark)
+    keys = [r[0] for r in ROWS[:40]]
+    puts = spark.createDataFrame([(k, "z") for k in keys], "rowkey string, c2 string")
+    t2 = t.put(puts)
+    f = fl.FilterList("AND", [_scvf("c2", fl.EQUAL, "z"), _scvf("c1", fl.EQUAL, "a")])
+    out = t2.scan(Scan(filter=f, columns=["c1", "c2"]))
+    assert t2.last_index_plan.used_indexes == ["idx4"], t2.last_index_plan.used_indexes
+    return out
+
+
+@query(
+    "idxtab_family_delete_index",
+    f"""WITH {_values_cte()},
+        famtab AS (
+          SELECT rowkey, c1 AS f1_c1, c2 AS f1_c2, c3 AS f2_c3, c4 AS f2_c4
+          FROM idxtab),
+        after AS (
+          SELECT rowkey,
+                 CASE WHEN rowkey < 'row030' THEN NULL ELSE f1_c1 END AS f1_c1,
+                 f2_c3, f2_c4
+          FROM famtab
+          WHERE NOT (rowkey < 'row030' AND f2_c3 IS NULL AND f2_c4 IS NULL))
+        SELECT 'via_xf' AS src, rowkey, f2_c3, f1_c1 FROM after WHERE f2_c3 = 'd'
+        UNION ALL
+        SELECT 'via_f1' AS src, rowkey, f2_c3, f1_c1 FROM after WHERE f1_c1 = 'a'
+        UNION ALL
+        SELECT 'all' AS src, rowkey, CAST(NULL AS VARCHAR) AS f2_c3,
+               CAST(NULL AS VARCHAR) AS f1_c1 FROM after""",
+)
+def q_idxtab_family_delete(spark, sf_dir):
+    """Family-level delete under an index spanning two families
+    (IndexRegionObserver.getIndexDeletes:243-286 + doGetAndGroupByTS:288
+    — the reference reads the current row to find which index entries to
+    tombstone). Deleting family f1 must: drop idx_f1(f1_c1) entries for
+    the affected rows (leading column cleared); keep rows reachable via
+    idx_xf(f2_c3, f1_c1) whose f2 data survives (the index stays a
+    projection of current state); and remove rows wholesale when the
+    delete cleared their last cells (a row IS its cells). Three branches:
+    scan via each index + the full row inventory."""
+    df = spark.createDataFrame(ROWS, _COLS).select(
+        "rowkey",
+        F.col("c1").alias("f1_c1"),
+        F.col("c2").alias("f1_c2"),
+        F.col("c3").alias("f2_c3"),
+        F.col("c4").alias("f2_c4"),
+    )
+    t = Table(df, "rowkey", "famtab")
+    t.create_index(
+        IndexSpecification("idx_xf").add_column("f2_c3").add_column("f1_c1")
+    )
+    t.create_index(IndexSpecification("idx_f1").add_column("f1_c1"))
+    keys = df.filter(F.col("rowkey") < "row030").select("rowkey")
+    t2 = t.delete_family(keys, "f1")
+    s1 = t2.scan(Scan(filter=_scvf("f2_c3", fl.EQUAL, "d"), columns=["f2_c3", "f1_c1"]))
+    assert t2.last_index_plan.used_indexes == ["idx_xf"], t2.last_index_plan.used_indexes
+    s2 = t2.scan(Scan(filter=_scvf("f1_c1", fl.EQUAL, "a"), columns=["f2_c3", "f1_c1"]))
+    assert t2.last_index_plan.used_indexes == ["idx_f1"], t2.last_index_plan.used_indexes
+    null_s = F.lit(None).cast("string")
+    return (
+        s1.select(F.lit("via_xf").alias("src"), "rowkey", "f2_c3", "f1_c1")
+        .unionByName(s2.select(F.lit("via_f1").alias("src"), "rowkey", "f2_c3", "f1_c1"))
+        .unionByName(
+            t2.df.select(
+                F.lit("all").alias("src"),
+                "rowkey",
+                null_s.alias("f2_c3"),
+                null_s.alias("f1_c1"),
+            )
+        )
+    )

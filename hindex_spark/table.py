@@ -287,6 +287,17 @@ class Table:
             rk = self.rowkey_col
             if op == "delete":
                 self._changelog.emit("delete", affected.select(rk), self.df, rk)
+            elif op == "replace":
+                # Column/family deletes CLEAR cells, which a put record
+                # cannot express (replay treats NULL as keep-old). Ship
+                # them as delete(keys) + put(full after-image of the
+                # surviving rows): the peer drops the row then rebuilds
+                # it from nothing, so cleared columns come back NULL and
+                # vanished rows stay gone. Two seq-ordered records per
+                # batch, cost still proportional to the batch.
+                self._changelog.emit("delete", affected.select(rk), self.df, rk)
+                after = df.join(affected.select(rk), rk, "left_semi")
+                self._changelog.emit("put", after, self.df, rk)
             elif change is not None:
                 # WAL-faithful DELTA: exactly the cells the mutation
                 # carried (a Put's WAL edit) — zero table reads, so the
@@ -345,6 +356,69 @@ class Table:
     def delete_where(self, predicate: Column) -> "Table":
         keys = self.df.filter(predicate).select(self.rowkey_col)
         return self.delete(keys)
+
+    def delete_columns(self, rowkeys: DataFrame, columns: Sequence[str]) -> "Table":
+        """Column-level delete (Delete.addColumn, Delete.java:177): clear
+        the named cells of the affected rows; other cells keep their
+        values. A row left with NO cells ceases to exist (HBase rows are
+        their cells — countNumberOfRows in TestIndexRegionObserver counts
+        it gone).
+
+        Index maintenance re-derives affected entries from the MERGED
+        post-delete state (maintain_index), so an index spanning two
+        families stays a projection of current data: entries whose
+        leading indexed column was cleared drop out; entries whose
+        leading column survives keep the row reachable. (The reference
+        instead reconstructs and deletes the whole index row from the
+        pre-delete state — IndexRegionObserver.getIndexDeletes:243-286 —
+        which makes rows unreachable via an index whose OTHER family
+        still holds data; the projection model keeps index scans
+        consistent with main-table scans, which is what the oracle
+        checks.)"""
+        rk = self.rowkey_col
+        cols = list(columns)
+        bad = [c for c in cols if c == rk or c not in self.df.columns]
+        if bad:
+            raise ValueError(
+                f"delete_columns targets not deletable in table {self.name!r}: {bad} "
+                f"(table columns: {self.df.columns})"
+            )
+        keys = rowkeys.select(rk).distinct()
+        marked = self.df.join(keys.withColumn("__hit", F.lit(True)), rk, "left")
+        hit = F.coalesce(F.col("__hit"), F.lit(False))
+        out_cols = [F.col(rk)]
+        for c in self.df.columns:
+            if c == rk:
+                continue
+            if c in cols:
+                out_cols.append(
+                    F.when(hit, F.lit(None).cast(self.df.schema[c].dataType))
+                    .otherwise(F.col(c))
+                    .alias(c)
+                )
+            else:
+                out_cols.append(F.col(c))
+        # a row survives iff some cell survives the clear
+        value_cols = [c for c in self.df.columns if c != rk]
+        survives = F.lit(False)
+        for c in value_cols:
+            nn = F.col(c).isNotNull() if c not in cols else (~hit) & F.col(c).isNotNull()
+            survives = survives | nn
+        new_df = marked.filter((~hit) | survives).select(*out_cols)
+        return self._with_new_df(new_df, keys, op="replace")
+
+    def delete_family(self, rowkeys: DataFrame, family: str) -> "Table":
+        """Family-level delete (Delete.addFamily, Delete.java:142): clear
+        every member column ``<family>_<qualifier>`` of the affected
+        rows. See ``delete_columns`` for index + row-existence
+        semantics."""
+        members = [c for c in self.df.columns if c.startswith(family + "_")]
+        if not members:
+            raise ValueError(
+                f"table {self.name!r} has no columns of family {family!r} "
+                f"(member columns are named '{family}_<qualifier>')"
+            )
+        return self.delete_columns(rowkeys, members)
 
     def increment(self, increments: DataFrame) -> "Table":
         """Atomic counter add (Increment.java:50 / HRegion.increment:5289):

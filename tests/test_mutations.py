@@ -203,3 +203,80 @@ def test_batch_rejects_unknown_op_and_column(spark):
         t.batch(spark.createDataFrame([("merge", "r1")], ["op", "rowkey"]))
     with pytest.raises(ValueError, match="not in table"):
         t.batch(spark.createDataFrame([("put", "r1", 1)], ["op", "rowkey", "nope"]))
+
+
+def _famtab(spark):
+    df = spark.createDataFrame(
+        [
+            ("r1", "a", "b", "x", "y"),
+            ("r2", "c", "d", None, "z"),
+            ("r3", "e", "f", None, None),  # only f1 cells
+            ("r4", None, None, "w", "v"),  # only f2 cells
+        ],
+        ["rowkey", "f1_a", "f1_b", "f2_c", "f2_d"],
+    )
+    return Table(df, "rowkey", "fam")
+
+
+def test_delete_family_clears_cells_and_drops_empty_rows(spark):
+    t = _famtab(spark)
+    keys = spark.createDataFrame([("r1",), ("r3",)], ["rowkey"])
+    t2 = t.delete_family(keys, "f1")
+    got = {r["rowkey"]: (r["f1_a"], r["f1_b"], r["f2_c"], r["f2_d"])
+           for r in t2.df.collect()}
+    assert got["r1"] == (None, None, "x", "y")  # f1 cleared, f2 kept
+    assert "r3" not in got  # last cells cleared -> row gone
+    assert got["r2"] == ("c", "d", None, "z")  # untouched
+    assert got["r4"] == (None, None, "w", "v")
+
+
+def test_delete_columns_partial_and_validation(spark):
+    import pytest
+
+    t = _famtab(spark)
+    keys = spark.createDataFrame([("r2",)], ["rowkey"])
+    t2 = t.delete_columns(keys, ["f1_b"])
+    r = {x["rowkey"]: x for x in t2.df.collect()}["r2"]
+    assert r["f1_b"] is None and r["f1_a"] == "c" and r["f2_d"] == "z"
+    with pytest.raises(ValueError, match="not deletable"):
+        t.delete_columns(keys, ["rowkey"])
+    with pytest.raises(ValueError, match="not deletable"):
+        t.delete_columns(keys, ["nope"])
+    with pytest.raises(ValueError, match="no columns of family"):
+        t.delete_family(keys, "f9")
+
+
+def test_delete_family_maintains_spanning_index(spark):
+    from hindex_spark.index.spec import IndexSpecification
+
+    t = _famtab(spark)
+    t.create_index(IndexSpecification("idx_xf").add_column("f2_c").add_column("f1_a"))
+    t.create_index(IndexSpecification("idx_f1").add_column("f1_a"))
+    keys = spark.createDataFrame([("r1",), ("r3",)], ["rowkey"])
+    t2 = t.delete_family(keys, "f1")
+    # idx_f1: affected entries dropped (leading column cleared)
+    f1_keys = {r["rowkey"] for r in t2.index_tables["idx_f1"].collect()}
+    assert f1_keys == {"r2"}
+    # idx_xf: r1 stays reachable via its surviving f2 data, with NULL f1_a
+    xf = {r["rowkey"]: (r["f2_c"], r["f1_a"]) for r in t2.index_tables["idx_xf"].collect()}
+    assert xf["r1"] == ("x", None)
+    assert "r3" not in xf and xf["r4"] == ("w", None)
+
+
+def test_delete_family_replicates_through_changelog(spark, tmp_path):
+    from hindex_spark.streaming.ingest import replay_changelog
+
+    base = _famtab(spark).df
+    log = str(tmp_path / "log")
+    src = Table(base, "rowkey", "fam").enable_changelog(log)
+    src = src.delete_family(
+        spark.createDataFrame([("r1",), ("r3",)], ["rowkey"]), "f1"
+    )
+    src = src.put(spark.createDataFrame([("r1", "back")], ["rowkey", "f1_a"]))
+    peer = Table(base, "rowkey", "peer")
+    replayed = replay_changelog(spark, peer, log, src.changelog_schema).table.df
+    # peer must equal source: cleared cells NULL, r3 gone, later put applied
+    assert replayed.exceptAll(src.df).isEmpty()
+    assert src.df.exceptAll(replayed).isEmpty()
+    got = {r["rowkey"]: (r["f1_a"], r["f1_b"]) for r in replayed.collect()}
+    assert got["r1"] == ("back", None) and "r3" not in got
