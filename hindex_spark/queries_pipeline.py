@@ -1004,35 +1004,37 @@ def q_shared_spans(spark, sf_dir):
     )
 
 
-@query(
-    "multimodal_features",
-    """SELECT doc_id,
-              strlen(text)::BIGINT AS n_bytes,
-              CASE WHEN strlen(text) = 0 THEN 0.0
-                   ELSE list_aggregate(codes, 'sum') / strlen(text) END AS mean_byte,
-              CASE WHEN strlen(text) = 0 THEN 0
-                   ELSE list_aggregate(codes, 'max') END::INT AS max_byte
-       FROM (SELECT doc_id, text,
-                    list_transform(range(1, strlen(text) + 1),
-                                   i -> ascii(substr(text, i, 1))) AS codes
-             FROM documents)""",
-)
+#: DuckDB blob-byte-stats oracle over encode(text) — BYTE-level, so it
+#: holds for any UTF-8 corpus (DuckDB exposes no direct blob indexing;
+#: hex() + a strpos nibble lookup recovers each byte exactly).
+MM_FEATURES_ORACLE = """
+    SELECT doc_id,
+           octet_length(encode(text))::BIGINT AS n_bytes,
+           CASE WHEN octet_length(encode(text)) = 0 THEN 0.0
+                ELSE list_aggregate(bytes, 'sum') * 1.0
+                     / octet_length(encode(text)) END AS mean_byte,
+           CASE WHEN octet_length(encode(text)) = 0 THEN 0
+                ELSE list_aggregate(bytes, 'max') END::INT AS max_byte
+    FROM (SELECT doc_id, text,
+                 list_transform(
+                   range(0, octet_length(encode(text))),
+                   i -> (strpos('0123456789ABCDEF', substr(h, 2*i+1, 1))-1)*16
+                      + strpos('0123456789ABCDEF', substr(h, 2*i+2, 1))-1
+                 ) AS bytes
+          FROM (SELECT doc_id, text, hex(encode(text)) AS h FROM documents))
+"""
+
+
+@query("multimodal_features", MM_FEATURES_ORACLE)
 def q_mm_features(spark, sf_dir):
     """Arrow-batched mapInPandas feature extraction over binary blobs.
     The decode stub's byte stats are deterministic over the utf-8
     payload, so the gate hash-checks the WHOLE mapInPandas path against
-    a DuckDB byte-level oracle — valid only while the testdata text is
-    ASCII (for multi-byte text the oracle's char-indexed ascii() would
-    diverge from byte stats), so that precondition is asserted here:
-    a violation fails loudly naming the cause, not as a bare hash
-    mismatch."""
+    a DuckDB oracle computing the same stats over encode(text)'s BYTES
+    (not characters) — exact for any UTF-8 corpus, no ASCII
+    precondition (test_multimodal_features_oracle_utf8 proves the
+    multi-byte case)."""
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
-    non_ascii = docs.filter(F.octet_length("text") != F.length("text")).limit(1)
-    assert non_ascii.isEmpty(), (
-        "multimodal_features oracle precondition violated: documents.text "
-        "contains multi-byte characters; the DuckDB byte-stats oracle is "
-        "only exact for ASCII"
-    )
     return mm.extract_features(mm.attach_blob(docs))
 
 

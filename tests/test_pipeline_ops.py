@@ -243,6 +243,46 @@ def test_multimodal_blob_and_features(spark):
     assert f1 == [(0, b"hel"), (1, b"lo")]
 
 
+def test_multimodal_features_oracle_utf8(spark, tmp_path):
+    """The gate's DuckDB blob-byte-stats oracle (MM_FEATURES_ORACLE) must
+    agree with the Spark mapInPandas path on MULTI-BYTE text — the r4
+    gate asserted an ASCII precondition instead; this pins the UTF-8
+    generalization (accents, CJK, emoji incl. a 4-byte astral char, and
+    the empty string)."""
+    import duckdb
+
+    from hindex_spark.queries_pipeline import MM_FEATURES_ORACLE
+
+    rows = [
+        (1, "héllo wörld"),
+        (2, "中文文本去重测试"),
+        (3, "emoji \U0001F600 and café"),
+        (4, ""),
+        (5, "plain ascii"),
+    ]
+    docs = spark.createDataFrame(rows, ["doc_id", "text"])
+    path = str(tmp_path / "docs.parquet")
+    docs.write.parquet(path)
+
+    got = {
+        r["doc_id"]: (r["n_bytes"], r["mean_byte"], r["max_byte"])
+        for r in mm.extract_features(mm.attach_blob(docs)).collect()
+    }
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW documents AS SELECT * FROM read_parquet('{path}/*.parquet')")
+    want = {
+        d: (n, m, x) for d, n, m, x in con.execute(MM_FEATURES_ORACLE).fetchall()
+    }
+    assert set(got) == set(want)
+    for d in got:
+        assert got[d][0] == want[d][0], (d, got[d], want[d])
+        assert abs(got[d][1] - want[d][1]) < 1e-12, (d, got[d], want[d])
+        assert got[d][2] == want[d][2], (d, got[d], want[d])
+    # ground truth for one row: utf-8 bytes, not characters
+    raw = rows[1][1].encode("utf-8")
+    assert got[2] == (len(raw), sum(raw) / len(raw), max(raw))
+
+
 def test_lsh_max_bucket_caps_pair_expansion(spark):
     docs = _docs(spark)
     # docs 1 and 2 are identical -> every band bucket holds both; with
