@@ -50,6 +50,15 @@ def lsh_bucket(vec: Column, planes: List[List[float]]) -> Column:
     return out
 
 
+#: max parquet footers actually opened by _estimate_rows; beyond this an
+#: evenly-spaced sample is opened and the total extrapolated (the caller
+#: needs a sampling-rate estimate, not an exact count)
+_FOOTER_SAMPLE_CAP = 256
+#: concurrent footer opens (metadata reads are I/O-bound; a thread pool
+#: turns 256 serial opens into ~16 rounds of parallel ones)
+_FOOTER_THREADS = 16
+
+
 def _estimate_rows(df: DataFrame) -> int:
     """Row count from parquet footer metadata (driver-side reads, no
     Spark job) — the cheap estimate a sampling rate needs. The footer
@@ -57,8 +66,13 @@ def _estimate_rows(df: DataFrame) -> int:
     column-pruned): a Filter/Join/Limit in the plan would make footer
     totals meaningless (inputFiles ignores them), and non-local URIs
     (s3a://, hdfs://) aren't openable from the driver with pyarrow —
-    all of those fall back to count(). At 100 TB the footer path is one
-    metadata open per file vs a full-corpus job."""
+    all of those fall back to count().
+
+    Driver time is BOUNDED regardless of table size: at most
+    ``_FOOTER_SAMPLE_CAP`` footers are opened (evenly spaced across the
+    file list, scaled back up by the sampling fraction), through a
+    ``_FOOTER_THREADS``-wide pool. A 100 TB table with 10^5 files costs
+    ~256 parallel metadata opens, not minutes of serial driver I/O."""
     import re
 
     try:
@@ -76,12 +90,25 @@ def _estimate_rows(df: DataFrame) -> int:
             for f in files
         ):
             return df.count()
+        from concurrent.futures import ThreadPoolExecutor
+
         import pyarrow.parquet as pq
 
-        total = 0
-        for f in files:
-            path = f[7:] if f.startswith("file://") else f
-            total += pq.ParquetFile(path).metadata.num_rows
+        paths = [f[7:] if f.startswith("file://") else f for f in files]
+        if len(paths) > _FOOTER_SAMPLE_CAP:
+            # evenly spaced, deterministic; covers size-skewed layouts
+            # (e.g. one big file then many small) better than a prefix
+            step = len(paths) / _FOOTER_SAMPLE_CAP
+            sample = [paths[int(i * step)] for i in range(_FOOTER_SAMPLE_CAP)]
+        else:
+            sample = paths
+        with ThreadPoolExecutor(max_workers=min(_FOOTER_THREADS, len(sample))) as ex:
+            counts = list(
+                ex.map(lambda p: pq.ParquetFile(p).metadata.num_rows, sample)
+            )
+        total = sum(counts)
+        if len(sample) < len(paths):
+            total = round(total * len(paths) / len(sample))
         return total
     except Exception:  # noqa: BLE001 - any metadata hiccup: pay the job
         return df.count()

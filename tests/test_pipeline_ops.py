@@ -742,3 +742,48 @@ def test_clean_corpus_keep_best_quality_member(spark):
         docs, "doc_id", "text", keep="best", **kw).collect()}
     assert min_id == {1, 3}
     assert best == {2, 3}
+
+
+def test_estimate_rows_footer_path_bounded_and_parallel(spark, tmp_path, monkeypatch):
+    """_estimate_rows on a many-file bare scan must (a) never run a
+    Spark count() job, (b) open at most _FOOTER_SAMPLE_CAP footers and
+    extrapolate, (c) land within a few percent on a uniform layout."""
+    import pyarrow.parquet as pq
+    from pyspark.sql import DataFrame
+
+    path = str(tmp_path / "many")
+    spark.range(0, 4000).repartition(40).write.parquet(path)
+    df = spark.read.parquet(path)
+    n_files = len(df.inputFiles())
+    assert n_files >= 30
+
+    opened = []
+    real_pf = pq.ParquetFile
+
+    def counting_pf(p, *a, **k):
+        opened.append(p)
+        return real_pf(p, *a, **k)
+
+    monkeypatch.setattr(pq, "ParquetFile", counting_pf)
+
+    def no_count(self):
+        raise AssertionError("footer path must not fall back to count()")
+
+    monkeypatch.setattr(DataFrame, "count", no_count)
+    monkeypatch.setattr(sim, "_FOOTER_SAMPLE_CAP", 8)
+    est = sim._estimate_rows(df)
+    assert len(opened) == 8  # capped, not one-per-file
+    # uniform layout -> extrapolation is near-exact
+    assert abs(est - 4000) <= 4000 * 0.15
+    # exact when under the cap
+    monkeypatch.setattr(sim, "_FOOTER_SAMPLE_CAP", 256)
+    opened.clear()
+    assert sim._estimate_rows(df) == 4000
+    assert len(opened) == n_files
+
+
+def test_estimate_rows_falls_back_on_filtered_plan(spark, tmp_path):
+    path = str(tmp_path / "flt")
+    spark.range(0, 100).write.parquet(path)
+    df = spark.read.parquet(path).filter("id < 10")
+    assert sim._estimate_rows(df) == 10  # count() fallback, correct
