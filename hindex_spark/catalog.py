@@ -274,9 +274,35 @@ class Catalog:
 
         Either way the write goes to a staging directory first and is
         atomically swapped in, so saving a table over the path its own
-        lazy plan reads from cannot lose data."""
+        lazy plan reads from cannot lose data.
+
+        Writers are serialized per table: save() holds an exclusive
+        flock on ``<table>/_save.lock`` for the whole read-version ->
+        write -> commit -> GC sequence. Without it, two concurrent
+        saves would read the same descriptor version, write into the
+        SAME new-version directories, and race the pointer swap and GC
+        (the loser's files half-overwritten or collected under the
+        winner). Readers never take the lock — the version pointer
+        keeps them consistent. At 100 TB the analog is whatever mutual
+        exclusion the object store / job scheduler provides around the
+        commit step; the data writes themselves are already
+        crash-isolated by staging."""
         d = self._dir(table.name)
         os.makedirs(d, exist_ok=True)
+        import fcntl
+
+        with open(os.path.join(d, "_save.lock"), "w") as lock_fh:
+            fcntl.flock(lock_fh, fcntl.LOCK_EX)  # released on close
+            self._save_locked(table, d, num_partitions, layout, families)
+
+    def _save_locked(
+        self,
+        table: Table,
+        d: str,
+        num_partitions: int,
+        layout: str,
+        families: Optional[List[FamilyDescriptor]],
+    ) -> None:
         # Version-pointer commit (TestAcidGuaranteesForIndex invariant —
         # a reader must NEVER see the table ahead of its indexes, which
         # the reference gets from same-RPC index mutation): data AND
@@ -293,30 +319,40 @@ class Catalog:
             with open(desc_file) as fh:
                 cur = TableDescriptor.from_json(fh.read()).version
         new_v = cur + 1
-        desc = TableDescriptor(
-            table.name,
-            table.rowkey_col,
-            families=list(families or []),
-            indices=table.indices,
-            layout=layout,
-            num_buckets=num_partitions,
-            version=new_v,
-        )
         rk = table.rowkey_col
         codec, bloom_cols = self._physical_options(families, rk, table.df.columns)
+        desc_indices = table.indices
         if families:
+            from dataclasses import replace as dc_replace
+
+            derived = []
             for spec in table.indices.indices:
                 # MEMBER families only (IndexSpecification.java:57-59):
                 # deriving from unrelated families would e.g. give the
                 # index a shorter TTL than its own data, and compaction
-                # would then drop live index entries.
+                # would then drop live index entries. Derivation lands
+                # on COPIES for the descriptor being written — the
+                # caller's live IndexSpecification objects (and the
+                # Table still holding them) are never mutated, so a
+                # later save with different families starts clean.
                 members = [
                     f
                     for f in families
                     if any(c.column.startswith(f.name + "_") for c in spec.columns)
                 ]
-                if members:
-                    spec.derive_physical(members)
+                derived.append(
+                    dc_replace(spec).derive_physical(members) if members else spec
+                )
+            desc_indices = TableIndices(derived)
+        desc = TableDescriptor(
+            table.name,
+            table.rowkey_col,
+            families=list(families or []),
+            indices=desc_indices,
+            layout=layout,
+            num_buckets=num_partitions,
+            version=new_v,
+        )
         data_path = self._data_dir(d, new_v)
         index_root = self._index_root(d, new_v)
         registrations = []  # deferred until after the descriptor commit

@@ -379,11 +379,29 @@ class ScanFilterEvaluator:
         sides (always-true over non-nulls) is left unmerged — there is
         no leaf form for it, and correctness is unaffected.
 
+        Mixed-type comparands on one column (``c1='a' OR c1=5``) have no
+        ordering, hence no interval union: that column's branches fall
+        back to separate unmerged scans instead of raising — same shape
+        as the unbounded-union fallback.
+
         Returns planner nodes: Leaf (single bound / equality) or AndNode
         of the two bound leaves."""
         by_col: Dict[str, List[Leaf]] = {}
         for lf in leaves:
             by_col.setdefault(lf.column, []).append(lf)
+        out: List[Any] = []
+        for col, lfs in by_col.items():
+            try:
+                out.extend(ScanFilterEvaluator._merge_col_leaves(col, lfs))
+            except TypeError:
+                out.extend(lfs)
+        return out
+
+    @staticmethod
+    def _merge_col_leaves(col: str, lfs: List[Leaf]) -> List[Any]:
+        """Interval-union the leaves of ONE column. Raises TypeError when
+        the comparands don't mutually order (mixed types) — the caller
+        plans those branches unmerged."""
 
         def interval(lf):
             # (lo, lo_inc, hi, hi_inc); None = unbounded
@@ -398,43 +416,41 @@ class ScanFilterEvaluator:
             return [None, False, lf.value, True]  # LESS_OR_EQUAL
 
         out: List[Any] = []
-        for col, lfs in by_col.items():
-            # unbounded-below first, then by lower bound (inclusive first)
-            ivs = sorted(
-                (interval(lf) for lf in lfs),
-                key=lambda iv: (0, 0, 0) if iv[0] is None else (1, iv[0], not iv[1]),
+        # unbounded-below first, then by lower bound (inclusive first)
+        ivs = sorted(
+            (interval(lf) for lf in lfs),
+            key=lambda iv: (0, 0, 0) if iv[0] is None else (1, iv[0], not iv[1]),
+        )
+        merged = [ivs[0]]
+        for lo, lo_inc, hi, hi_inc in ivs[1:]:
+            c = merged[-1]
+            chi, chi_inc = c[2], c[3]
+            # current reaches +inf, or next starts before/at its end
+            joins = chi is None or lo is None or lo < chi or (
+                lo == chi and (lo_inc or chi_inc)
             )
-            merged = [ivs[0]]
-            for lo, lo_inc, hi, hi_inc in ivs[1:]:
-                c = merged[-1]
-                chi, chi_inc = c[2], c[3]
-                # current reaches +inf, or next starts before/at its end
-                joins = chi is None or lo is None or lo < chi or (
-                    lo == chi and (lo_inc or chi_inc)
-                )
-                if joins:
-                    if chi is not None and (
-                        hi is None or hi > chi or (hi == chi and hi_inc and not chi_inc)
-                    ):
-                        c[2], c[3] = hi, hi_inc
-                    if lo is None:
-                        c[0], c[1] = None, False
-                else:
-                    merged.append([lo, lo_inc, hi, hi_inc])
-            for lo, lo_inc, hi, hi_inc in merged:
-                if lo is None and hi is None:
-                    # unbounded union: fall back to the original leaves
-                    out.extend(lfs)
-                    break
-                if lo is not None and lo == hi and lo_inc and hi_inc:
-                    out.append(Leaf(col, EQUAL, lo))
-                    continue
-                parts = []
-                if lo is not None:
-                    parts.append(Leaf(col, GREATER_OR_EQUAL if lo_inc else GREATER, lo))
-                if hi is not None:
-                    parts.append(Leaf(col, LESS_OR_EQUAL if hi_inc else LESS, hi))
-                out.append(parts[0] if len(parts) == 1 else AndNode(parts))
+            if joins:
+                if chi is not None and (
+                    hi is None or hi > chi or (hi == chi and hi_inc and not chi_inc)
+                ):
+                    c[2], c[3] = hi, hi_inc
+                if lo is None:
+                    c[0], c[1] = None, False
+            else:
+                merged.append([lo, lo_inc, hi, hi_inc])
+        for lo, lo_inc, hi, hi_inc in merged:
+            if lo is None and hi is None:
+                # unbounded union: fall back to the original leaves
+                return list(lfs)
+            if lo is not None and lo == hi and lo_inc and hi_inc:
+                out.append(Leaf(col, EQUAL, lo))
+                continue
+            parts = []
+            if lo is not None:
+                parts.append(Leaf(col, GREATER_OR_EQUAL if lo_inc else GREATER, lo))
+            if hi is not None:
+                parts.append(Leaf(col, LESS_OR_EQUAL if hi_inc else LESS, hi))
+            out.append(parts[0] if len(parts) == 1 else AndNode(parts))
         return out
 
     def _plan(self, node):

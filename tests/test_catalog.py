@@ -381,12 +381,47 @@ def test_version_gc_keeps_one_grace_generation(spark, sf_dir, tmp_path):
     assert cat.load("region_gc").df.count() == base.count()
 
 
+def test_save_holds_exclusive_writer_lock_through_commit(spark, sf_dir, tmp_path):
+    """save() serializes writers per table: an exclusive flock on
+    _save.lock spans read-version -> write -> commit. A second writer
+    probing the lock DURING a save (pre-commit hook window) must find it
+    held; after the save it must be free."""
+    import fcntl
+
+    base = spark.read.parquet(f"{sf_dir}/region.parquet")
+    t = Table(base, "r_regionkey", "region_lock")
+    cat = Catalog(spark, str(tmp_path))
+    lock_path = str(tmp_path / "region_lock" / "_save.lock")
+    observed = {}
+
+    def probe():
+        with open(lock_path, "w") as fh:
+            try:
+                fcntl.flock(fh, fcntl.LOCK_EX | fcntl.LOCK_NB)
+                observed["held"] = False
+                fcntl.flock(fh, fcntl.LOCK_UN)
+            except BlockingIOError:
+                observed["held"] = True
+
+    cat._pre_commit_hook = probe
+    cat.save(t, num_partitions=1)
+    cat._pre_commit_hook = None
+    assert observed["held"] is True
+    probe()
+    assert observed["held"] is False
+
+
 def test_index_physical_derived_from_member_families_only(spark, tmp_path):
     """Index ttl/max_versions derive from the families its columns
     belong to (IndexSpecification.java:57-59) — an unrelated family's
     short TTL must not leak onto an index whose own data never expires
-    (compaction would drop live index entries)."""
-    from hindex_spark.catalog import FamilyDescriptor
+    (compaction would drop live index entries). The derivation lands on
+    the DESCRIPTOR only: the caller's live IndexSpecification objects
+    are never mutated, so a later save with different families starts
+    from the user's declaration."""
+    import json
+
+    from hindex_spark.catalog import FamilyDescriptor, TableDescriptor
 
     df = spark.createDataFrame(
         [(1, "x", 2.0)], "k long, f1_a string, f2_b double"
@@ -402,5 +437,16 @@ def test_index_physical_derived_from_member_families_only(spark, tmp_path):
             FamilyDescriptor("f2", max_versions=1, ttl=60),
         ],
     )
-    spec = t.indices.indices[0]
+    with open(str(tmp_path / "ttltab" / "_descriptor.json")) as fh:
+        desc = TableDescriptor.from_json(fh.read())
+    spec = desc.indices.indices[0]
     assert spec.ttl is None and spec.max_versions == 3
+    # the caller's spec is untouched (descriptor-only derivation)
+    live = t.indices.indices[0]
+    assert live.ttl is None and live.max_versions is None
+    # a re-save with different families derives fresh, not compounded
+    cat.save(t, num_partitions=1, families=[FamilyDescriptor("f1", ttl=30)])
+    with open(str(tmp_path / "ttltab" / "_descriptor.json")) as fh:
+        desc2 = TableDescriptor.from_json(fh.read())
+    assert desc2.indices.indices[0].ttl == 30
+    assert t.indices.indices[0].ttl is None

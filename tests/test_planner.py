@@ -274,3 +274,40 @@ def test_or_same_column_range_grouping():
     ])
     plan = EV.evaluate(f.index_tree(None))
     assert plan.uses_index  # and the property suite proves soundness
+
+
+def test_or_mixed_type_comparands_fall_back_to_separate_scans():
+    """c1='a' OR c1=5: the comparands don't order, so the same-column
+    OR-merge (interval union) is impossible — the planner must fall back
+    to separate per-branch scans on idx2 instead of raising TypeError
+    mid-planning (a pathological filter must never crash a query)."""
+    f = fl.FilterList("OR", [scvf("c1", fl.EQUAL, "a"), scvf("c1", fl.EQUAL, 5)])
+    plan = EV.evaluate(f.index_tree(None))
+    assert plan.used_indexes == ["idx2"]
+    # both branches planned (a union of two probes)
+    assert isinstance(plan.root, SetOp) and plan.root.op == "OR"
+    assert len(plan.root.children) == 2
+
+
+def test_or_mixed_type_with_range_branch_falls_back():
+    f = fl.FilterList(
+        "OR",
+        [
+            scvf("c1", fl.GREATER, "m"),
+            scvf("c1", fl.LESS_OR_EQUAL, 10),
+            scvf("c1", fl.EQUAL, "a"),
+        ],
+    )
+    plan = EV.evaluate(f.index_tree(None))
+    assert plan.used_indexes == ["idx2"]
+
+
+def test_or_same_type_still_merges():
+    # sanity: the fallback did not disable the merge for orderable values
+    f = fl.FilterList(
+        "OR", [scvf("c1", fl.EQUAL, "m"), scvf("c1", fl.LESS, "m")]
+    )
+    plan = EV.evaluate(f.index_tree(None))
+    assert plan.used_indexes == ["idx2"]
+    cr = plan.root.conditions[0]
+    assert cr.upper == "m" and cr.upper_inc and cr.lower is None
