@@ -134,6 +134,124 @@ def cell_counter(df: DataFrame, rowkey_col: str) -> DataFrame:
     return df.agg(*aggs)
 
 
+def cell_counter_report(cells: DataFrame, separator: str = ":") -> DataFrame:
+    """CellCounter over the CELL layer — the reference's full six-stat
+    report (CellCounter.java:55-170; mapper emits long-form (key, 1)
+    pairs folded by IntSumReducer):
+
+      1. ``Total ROWS``                       — distinct rowkeys
+      2. ``Total Families Across all Rows``   — distinct (row, cf) pairs
+      3. ``<cf>``                             — rows containing each cf
+      4. ``Total Qualifiers across all Rows`` — distinct (row, cf, qual)
+      5. ``<cf><sep><qual>``                  — rows containing each column
+      6. ``<row><sep><cf><sep><qual>_Versions`` — version count per cell
+
+    Input is a cell DataFrame (rowkey, cf, qualifier, ...), one row per
+    cell VERSION (the wide-table analog is ``cell_counter``). All six
+    stats derive from ONE aggregation on (rowkey, cf, qualifier); the
+    re-aggregations run over that already-reduced frame, so the job is
+    a single shuffle no matter how many versions the table holds —
+    matching the reference's single map-reduce pass. The report itself
+    is O(distinct row-columns) because of stat 6, same as the reference.
+    """
+    v = cells.groupBy("rowkey", "cf", "qualifier").agg(F.count("*").alias("cnt"))
+    rowfam = v.select("rowkey", "cf").distinct()
+    key = lambda *parts: F.concat_ws(separator, *parts)  # noqa: E731
+    total_rows = v.agg(
+        F.lit("Total ROWS").alias("key"),
+        F.countDistinct("rowkey").alias("cnt"),
+    )
+    total_fams = rowfam.agg(
+        F.lit("Total Families Across all Rows").alias("key"),
+        F.count("*").alias("cnt"),
+    )
+    per_fam = rowfam.groupBy(F.col("cf").alias("key")).agg(F.count("*").alias("cnt"))
+    total_quals = v.agg(
+        F.lit("Total Qualifiers across all Rows").alias("key"),
+        F.count("*").alias("cnt"),
+    )
+    per_qual = v.groupBy(key("cf", "qualifier").alias("key")).agg(
+        F.count("*").alias("cnt")
+    )
+    versions = v.select(
+        F.concat(key("rowkey", "cf", "qualifier"), F.lit("_Versions")).alias("key"),
+        F.col("cnt"),
+    )
+    out = total_rows
+    for part in (total_fams, per_fam, total_quals, per_qual, versions):
+        out = out.unionByName(part)
+    return out
+
+
+def _row_digest(
+    df: DataFrame, rowkey_col: str, columns: Optional[Sequence[str]], hash_fn: str
+) -> DataFrame:
+    """(rowkey, digest) projection of a table — the narrow form each
+    side of verify_replication reduces to before the compare join."""
+    cols = list(columns) if columns else sorted(c for c in df.columns if c != rowkey_col)
+    parts = [F.coalesce(F.col(c).cast("string"), F.lit("\x00NULL")) for c in cols]
+    blob = F.concat_ws("\x01", *parts)
+    digest = F.md5(blob) if hash_fn == "md5" else F.xxhash64(blob).cast("string")
+    return df.select(F.col(rowkey_col).alias("__rk"), digest.alias("__digest"))
+
+
+def verify_replication(
+    source: DataFrame,
+    peer: DataFrame,
+    rowkey_col: str,
+    columns: Optional[Sequence[str]] = None,
+    hash_fn: str = "md5",
+    detail: bool = False,
+) -> DataFrame:
+    """VerifyReplication ("verifyrep") — compare a table with its
+    replicated peer and report GOODROWS/BADROWS, the last tool of the
+    reference's MapReduce Driver not yet ported (Driver.java registers
+    it; mapper: hbase-server/.../mapreduce/replication/VerifyReplication.java:80-133
+    — per-row Result.compareResults -> Counters.{GOODROWS,BADROWS}).
+
+    ``badrows`` is broken down further than the reference's single
+    counter: rows only in the source (peer lost an edit), only in the
+    peer (peer has a ghost), and present-both-but-different content.
+    ``columns`` restricts the compare (the --families analog). With
+    ``detail=True`` returns the per-row verdicts instead of counters.
+
+    Scale (100 TB): each side is reduced MAP-SIDE to (rowkey, digest) —
+    the full-outer compare join ships two narrow columns no matter how
+    wide the table is, and both sides of an engine-written table are
+    rowkey-sorted/bucketed so the join co-partitions without a shuffle.
+    ``hash_fn='xxhash64'`` is the cheap JVM production digest;
+    ``'md5'`` (default) keeps the result reproducible in external
+    SQL engines for auditing.
+    """
+    s = _row_digest(source, rowkey_col, columns, hash_fn)
+    p = _row_digest(peer, rowkey_col, columns, hash_fn)
+    j = s.alias("s").join(p.alias("p"), F.col("s.__rk") == F.col("p.__rk"), "full_outer")
+    in_s, in_p = F.col("s.__rk").isNotNull(), F.col("p.__rk").isNotNull()
+    same = F.col("s.__digest") == F.col("p.__digest")
+    status = (
+        F.when(~in_p, F.lit("ONLY_IN_SOURCE"))
+        .when(~in_s, F.lit("ONLY_IN_PEER"))
+        .when(same, F.lit("GOOD"))
+        .otherwise(F.lit("CONTENT_DIFFERENT"))
+    )
+    verdicts = j.select(
+        F.coalesce(F.col("s.__rk"), F.col("p.__rk")).alias(rowkey_col),
+        status.alias("status"),
+    )
+    if detail:
+        return verdicts.filter(F.col("status") != "GOOD")
+    good = F.col("status") == "GOOD"
+    return verdicts.agg(
+        F.count(F.when(good, 1)).alias("goodrows"),
+        F.count(F.when(~good, 1)).alias("badrows"),
+        F.count(F.when(F.col("status") == "ONLY_IN_SOURCE", 1)).alias("only_in_source"),
+        F.count(F.when(F.col("status") == "ONLY_IN_PEER", 1)).alias("only_in_peer"),
+        F.count(F.when(F.col("status") == "CONTENT_DIFFERENT", 1)).alias(
+            "content_different"
+        ),
+    )
+
+
 def bulk_load(
     spark: SparkSession, prepared_path: str, table_path: str
 ) -> None:
@@ -141,3 +259,55 @@ def bulk_load(
     with parquet tables this is an append write of already-sorted data
     (no per-file region assignment needed; Spark re-splits on read)."""
     spark.read.parquet(prepared_path).write.mode("append").parquet(table_path)
+
+
+def compact_table_files(
+    spark: SparkSession,
+    table_path: str,
+    rowkey_col: str,
+    target_file_bytes: int = 128 << 20,
+) -> int:
+    """File-level compaction of a parquet table directory — the HBase
+    minor/major compaction analog at the storage layer
+    (hbase-server/.../regionserver/Store.compact,
+    ExploringCompactionPolicy.java: many small store files are rewritten
+    into few large sorted ones so scans stop paying per-file open/seek
+    cost). ``bulk_load`` appends and high-rate batch ingests grow a
+    tiny-file swamp; this job rewrites the directory into
+    ceil(total_bytes / target_file_bytes) rowkey-range-sorted files and
+    atomically swaps the result in (staging dir + rename — readers keep
+    the old listing or see the new one, never a mix). Returns the new
+    file count.
+
+    Scale: sizing uses the directory's file lengths (metadata only, no
+    data scan); the rewrite itself is one repartitionByRange shuffle —
+    the price of restoring the sorted-run invariant, identical to what
+    a major compaction pays. Run it from the same maintenance window as
+    ``compact_changelog``; at 100 TB compact per rowkey range slice so
+    each job reads a bounded region, like region-scoped compactions.
+    """
+    import math
+    import os
+    import shutil
+    from urllib.parse import urlparse
+
+    df = spark.read.parquet(table_path)
+    sizes = []
+    for uri in df.inputFiles():
+        p = urlparse(uri).path or uri
+        if os.path.isfile(p):
+            sizes.append(os.path.getsize(p))
+    total = sum(sizes) or 1
+    n = max(1, math.ceil(total / target_file_bytes))
+    staging = table_path.rstrip("/") + ".compact_staging"
+    shutil.rmtree(staging, ignore_errors=True)
+    (
+        df.repartitionByRange(n, rowkey_col)
+        .sortWithinPartitions(rowkey_col)
+        .write.mode("overwrite")
+        .parquet(staging)
+    )
+    from hindex_spark.catalog import Catalog
+
+    Catalog._swap_in(table_path.rstrip("/"), staging)
+    return n

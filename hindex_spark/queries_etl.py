@@ -241,7 +241,12 @@ def q_etl_bulk_load(spark, sf_dir):
     """LoadIncrementalHFiles (hbase-server/.../mapreduce/
     LoadIncrementalHFiles.java): move prepared files into the table dir.
     Stage a base table, bulk-load a prepared batch, read the table back —
-    rows must be the union."""
+    rows must be the union. The loaded dir is then COMPACTED
+    (compact_table_files — the Store.compact analog): the oracle reading
+    the post-compaction table proves the rewrite is content-preserving,
+    and the file count must shrink."""
+    import os
+
     src = spark.read.parquet(f"{sf_dir}/orders.parquet").select(
         "o_orderkey", "o_custkey"
     )
@@ -251,6 +256,14 @@ def q_etl_bulk_load(spark, sf_dir):
         (F.col("o_orderkey") >= 5000) & (F.col("o_orderkey") < 5500)
     ).write.parquet(f"{tmp}/prepared")
     jobs.bulk_load(spark, f"{tmp}/prepared", f"{tmp}/table")
+    files_before = len(
+        [f for f in os.listdir(f"{tmp}/table") if f.endswith(".parquet")]
+    )
+    jobs.compact_table_files(spark, f"{tmp}/table", "o_orderkey")
+    files_after = len(
+        [f for f in os.listdir(f"{tmp}/table") if f.endswith(".parquet")]
+    )
+    assert files_after < files_before, (files_before, files_after)
     return spark.read.parquet(f"{tmp}/table")
 
 
@@ -419,3 +432,87 @@ def q_streaming_changelog_resume(spark, sf_dir):
     assert replica.exceptAll(src_final).isEmpty()
     assert src_final.exceptAll(replica).isEmpty()
     return replica
+
+
+@query(
+    "etl_verify_replication",
+    """WITH peer AS (
+         SELECT n_nationkey,
+                CASE WHEN n_nationkey = 7 THEN 'TAMPERED' ELSE n_name END AS n_name,
+                n_regionkey
+         FROM nation WHERE n_nationkey <> 3
+         UNION ALL SELECT 990 AS n_nationkey, 'GHOST' AS n_name, 0 AS n_regionkey
+       ),
+       j AS (
+         SELECT s.n_nationkey AS sk, p.n_nationkey AS pk,
+                (s.n_name = p.n_name AND s.n_regionkey = p.n_regionkey) AS same
+         FROM nation s FULL OUTER JOIN peer p ON s.n_nationkey = p.n_nationkey
+       )
+       SELECT
+         COUNT(CASE WHEN sk IS NOT NULL AND pk IS NOT NULL AND same THEN 1 END) AS goodrows,
+         COUNT(CASE WHEN NOT (sk IS NOT NULL AND pk IS NOT NULL AND same) THEN 1 END) AS badrows,
+         COUNT(CASE WHEN pk IS NULL THEN 1 END) AS only_in_source,
+         COUNT(CASE WHEN sk IS NULL THEN 1 END) AS only_in_peer,
+         COUNT(CASE WHEN sk IS NOT NULL AND pk IS NOT NULL AND NOT same THEN 1 END) AS content_different
+       FROM j""",
+)
+def q_etl_verify_replication(spark, sf_dir):
+    """VerifyReplication ("verifyrep") — the reference Driver's 8th and
+    last tool (mapreduce/replication/VerifyReplication.java:80-133):
+    compare source vs peer, count GOODROWS/BADROWS. The peer fixture
+    diverges three ways from the source: one content tamper (key 7),
+    one lost edit (key 3 missing on the peer), one ghost row (990 only
+    on the peer) — exercising all three badrow causes."""
+    src = spark.read.parquet(f"{sf_dir}/nation.parquet").select(
+        "n_nationkey", "n_name", "n_regionkey"
+    )
+    peer = src.filter(F.col("n_nationkey") != 3).withColumn(
+        "n_name",
+        F.when(F.col("n_nationkey") == 7, F.lit("TAMPERED")).otherwise(F.col("n_name")),
+    )
+    ghost = spark.createDataFrame(
+        [(990, "GHOST", 0)], "n_nationkey long, n_name string, n_regionkey long"
+    )
+    peer = peer.unionByName(ghost)
+    return jobs.verify_replication(src, peer, "n_nationkey")
+
+
+@query(
+    "cells_cell_counter",
+    """WITH cells AS (
+         SELECT CAST(user_id AS VARCHAR) AS rowkey,
+                CASE WHEN event_type IN ('click','view') THEN 'web'
+                     ELSE 'act' END AS cf,
+                event_type AS qualifier
+         FROM events
+       ),
+       v AS (SELECT rowkey, cf, qualifier, COUNT(*) AS cnt
+             FROM cells GROUP BY rowkey, cf, qualifier),
+       rf AS (SELECT DISTINCT rowkey, cf FROM v)
+       SELECT 'Total ROWS' AS key, COUNT(DISTINCT rowkey) AS cnt FROM v
+       UNION ALL
+       SELECT 'Total Families Across all Rows', COUNT(*) FROM rf
+       UNION ALL
+       SELECT cf, COUNT(*) FROM rf GROUP BY cf
+       UNION ALL
+       SELECT 'Total Qualifiers across all Rows', COUNT(*) FROM v
+       UNION ALL
+       SELECT cf || ':' || qualifier, COUNT(*) FROM v GROUP BY cf, qualifier
+       UNION ALL
+       SELECT rowkey || ':' || cf || ':' || qualifier || '_Versions', cnt FROM v""",
+)
+def q_cells_cell_counter(spark, sf_dir):
+    """CellCounter's full six-stat report over the versioned cell layer
+    (CellCounter.java:55-170) — the wide-layer etl_cell_counter gate
+    covers the tool CLI shape; this one covers the reference's actual
+    per-family / per-qualifier / versions-per-cell report on a
+    two-family cell fixture derived from events."""
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    cells = ev.select(
+        F.col("user_id").cast("string").alias("rowkey"),
+        F.when(F.col("event_type").isin("click", "view"), F.lit("web"))
+        .otherwise(F.lit("act"))
+        .alias("cf"),
+        F.col("event_type").alias("qualifier"),
+    )
+    return jobs.cell_counter_report(cells)

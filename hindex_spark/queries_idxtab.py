@@ -587,3 +587,110 @@ def q_idxtab_family_delete(spark, sf_dir):
             )
         )
     )
+
+
+@query(
+    "idxtab_checkand_index",
+    f"""WITH {_values_cte()},
+        after1 AS (
+          SELECT rowkey,
+                 CASE WHEN rowkey < 'row060' AND c1 = 'a' THEN 'z' ELSE c1 END AS c1,
+                 c2
+          FROM idxtab),
+        after2 AS (
+          SELECT rowkey, c1, c2 FROM after1
+          WHERE c2 IS NULL OR c2 <> 'b')
+        SELECT 'via_z' AS src, rowkey, c1, c2 FROM after2 WHERE c1 = 'z'
+        UNION ALL
+        SELECT 'via_a' AS src, rowkey, c1, c2 FROM after2 WHERE c1 = 'a'
+        UNION ALL
+        SELECT 'all' AS src, rowkey, CAST(NULL AS VARCHAR) AS c1,
+               CAST(NULL AS VARCHAR) AS c2 FROM after2""",
+)
+def q_idxtab_checkand_index(spark, sf_dir):
+    """checkAndPut / checkAndDelete must maintain the index like plain
+    mutations (TestIndexRegionObserver.testCheckAndPutFor1PutShouldHav2PutsInIndexTableAndShouldReplaceWithNewValue:1263,
+    testCheckAndDeleteShudDeleteTheRowSuccessfullyInBothIndexAndMainTable:1355):
+    a successful checkAndPut REPLACES the old index entry (the old value
+    is no longer reachable through the index, the new one is); a
+    successful checkAndDelete removes the row from main AND index. The
+    scan through idx2 proves both: c1='z' finds exactly the check-passed
+    rows, c1='a' finds only rows outside the checked key range, and the
+    full inventory pins the deletes."""
+    t = _idxtab(spark)
+    keys = [r[0] for r in ROWS[:60]]
+    puts = spark.createDataFrame([(k, "z") for k in keys], "rowkey string, c1 string")
+    t2 = t.check_and_put("c1", fl.EQUAL, "a", puts)
+    all_keys = spark.createDataFrame([(r[0],) for r in ROWS], "rowkey string")
+    t3 = t2.check_and_delete("c2", fl.EQUAL, "b", all_keys)
+    s1 = t3.scan(Scan(filter=_scvf("c1", fl.EQUAL, "z"), columns=["c1", "c2"]))
+    assert t3.last_index_plan.used_indexes == ["idx2"], t3.last_index_plan.used_indexes
+    s2 = t3.scan(Scan(filter=_scvf("c1", fl.EQUAL, "a"), columns=["c1", "c2"]))
+    assert t3.last_index_plan.used_indexes == ["idx2"], t3.last_index_plan.used_indexes
+    null_s = F.lit(None).cast("string")
+    return (
+        s1.select(F.lit("via_z").alias("src"), "rowkey", "c1", "c2")
+        .unionByName(s2.select(F.lit("via_a").alias("src"), "rowkey", "c1", "c2"))
+        .unionByName(
+            t3.df.select(
+                F.lit("all").alias("src"), "rowkey", null_s.alias("c1"), null_s.alias("c2")
+            )
+        )
+    )
+
+
+@query(
+    "idxtab_multi_index_put",
+    f"""WITH {_values_cte()},
+        after AS (
+          SELECT rowkey,
+                 CASE WHEN rowkey < 'row020' THEN 'y' ELSE c1 END AS c1,
+                 CASE WHEN rowkey < 'row020' THEN 'x' ELSE c2 END AS c2
+          FROM idxtab
+          UNION ALL SELECT 'row900', 'e', NULL
+          UNION ALL SELECT 'row901', NULL, NULL)
+        SELECT 'via_y' AS src, rowkey, c1, c2 FROM after WHERE c1 = 'y'
+        UNION ALL
+        SELECT 'via_x' AS src, rowkey, c1, c2 FROM after WHERE c2 = 'x'
+        UNION ALL
+        SELECT 'via_e' AS src, rowkey, c1, c2 FROM after WHERE c1 = 'e'
+        UNION ALL
+        SELECT 'via_pair' AS src, rowkey, c1, c2 FROM after
+        WHERE c2 = 'x' AND c1 = 'y'
+        UNION ALL
+        SELECT 'all' AS src, rowkey, CAST(NULL AS VARCHAR) AS c1,
+               CAST(NULL AS VARCHAR) AS c2 FROM after""",
+)
+def q_idxtab_multi_index_put(spark, sf_dir):
+    """One put maintaining SEVERAL indices at once + puts with and
+    without indexed columns (TestIndexRegionObserver.testMultipleIndicesOnUniqueColumns:195,
+    testPutWithAndWithoutTheIndexedColumn:114): a single put batch
+    updating c1 and c2 must refresh idx2(c1), idx3(c2) AND idx4(c2,c1)
+    together; a new row carrying only c1 is reachable through idx2 but
+    invisible to idx3; a row put with NO indexed columns exists in the
+    main table yet creates no index entry (only the inventory sees it)."""
+    t = _idxtab(spark)
+    keys = [r[0] for r in ROWS[:20]]
+    puts = spark.createDataFrame(
+        [(k, "y", "x") for k in keys] + [("row900", "e", None), ("row901", None, None)],
+        "rowkey string, c1 string, c2 string",
+    )
+    t2 = t.put(puts)
+    s_y = t2.scan(Scan(filter=_scvf("c1", fl.EQUAL, "y"), columns=["c1", "c2"]))
+    assert t2.last_index_plan.used_indexes == ["idx2"], t2.last_index_plan.used_indexes
+    s_x = t2.scan(Scan(filter=_scvf("c2", fl.EQUAL, "x"), columns=["c1", "c2"]))
+    assert t2.last_index_plan.used_indexes == ["idx3"], t2.last_index_plan.used_indexes
+    s_e = t2.scan(Scan(filter=_scvf("c1", fl.EQUAL, "e"), columns=["c1", "c2"]))
+    assert t2.last_index_plan.used_indexes == ["idx2"], t2.last_index_plan.used_indexes
+    pair = fl.FilterList("AND", [_scvf("c2", fl.EQUAL, "x"), _scvf("c1", fl.EQUAL, "y")])
+    s_p = t2.scan(Scan(filter=pair, columns=["c1", "c2"]))
+    assert t2.last_index_plan.used_indexes == ["idx4"], t2.last_index_plan.used_indexes
+    null_s = F.lit(None).cast("string")
+    out = s_y.select(F.lit("via_y").alias("src"), "rowkey", "c1", "c2")
+    for tag, s in (("via_x", s_x), ("via_e", s_e), ("via_pair", s_p)):
+        out = out.unionByName(s.select(F.lit(tag).alias("src"), "rowkey", "c1", "c2"))
+    return out.unionByName(
+        t2.df.select(
+            F.lit("all").alias("src"), "rowkey", null_s.alias("c1"), null_s.alias("c2")
+        )
+    )

@@ -150,3 +150,63 @@ def test_dsl_index_integration(spark, sf_dir):
     out = t.scan(Scan(filter=f))
     assert t.last_index_plan.used_indexes == ["idx_cust"]
     assert out.count() == t.df.filter(F.col("o_custkey") == 85).count()
+
+
+def test_verify_replication_counters_and_detail(spark, sf_dir):
+    """VerifyReplication.java:80-133 analog: GOODROWS/BADROWS counters
+    plus the per-cause breakdown and detail rows; null-vs-empty values
+    must digest differently; xxhash64 production digest agrees."""
+    src = spark.read.parquet(f"{sf_dir}/nation.parquet").select(
+        "n_nationkey", "n_name", "n_regionkey"
+    )
+    n = src.count()
+    peer = src.filter(F.col("n_nationkey") != 3).withColumn(
+        "n_name",
+        F.when(F.col("n_nationkey") == 7, F.lit(None).cast("string")).otherwise(
+            F.col("n_name")
+        ),
+    )
+    for fn in ("md5", "xxhash64"):
+        c = jobs.verify_replication(src, peer, "n_nationkey", hash_fn=fn).collect()[0]
+        assert c["goodrows"] == n - 2 and c["badrows"] == 2, c
+        assert c["only_in_source"] == 1 and c["only_in_peer"] == 0
+        assert c["content_different"] == 1
+    det = {
+        r["n_nationkey"]: r["status"]
+        for r in jobs.verify_replication(src, peer, "n_nationkey", detail=True).collect()
+    }
+    assert det == {3: "ONLY_IN_SOURCE", 7: "CONTENT_DIFFERENT"}
+    # column-scoped compare (the --families analog) ignores the tamper
+    scoped = jobs.verify_replication(
+        src, peer, "n_nationkey", columns=["n_regionkey"]
+    ).collect()[0]
+    assert scoped["content_different"] == 0 and scoped["only_in_source"] == 1
+    # null value != empty string under the digest
+    a = spark.createDataFrame([(1, "")], "k long, v string")
+    b = spark.createDataFrame([(1, None)], "k long, v string")
+    assert jobs.verify_replication(a, b, "k").collect()[0]["content_different"] == 1
+
+
+def test_compact_table_files(spark, sf_dir, tmp_path):
+    """Store.compact analog: many tiny appended files -> few sorted
+    files, content-preserving, atomic swap leaves no staging dir."""
+    import os
+
+    src = spark.read.parquet(f"{sf_dir}/region.parquet")
+    table_dir = str(tmp_path / "t")
+    src.write.parquet(table_dir)
+    for _ in range(6):
+        src.write.mode("append").parquet(table_dir)
+    # materialize the pre-compaction content: lazy plans over the old
+    # file listing are invalid after the swap (readers re-list, as the
+    # docstring says — old listing or new, never a mix)
+    before_rows = sorted(map(tuple, spark.read.parquet(table_dir).collect()))
+    n_before = len([f for f in os.listdir(table_dir) if f.endswith(".parquet")])
+    jobs.compact_table_files(spark, table_dir, "r_regionkey")
+    after = spark.read.parquet(table_dir)
+    n_after = len([f for f in os.listdir(table_dir) if f.endswith(".parquet")])
+    assert n_after < n_before
+    assert after.count() == 7 * src.count()
+    assert sorted(map(tuple, after.collect())) == before_rows
+    assert not os.path.exists(table_dir + ".compact_staging")
+    assert not os.path.exists(table_dir + ".old")
