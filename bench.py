@@ -50,6 +50,11 @@ def main():
     timings = {}
     errors = {}
 
+    def _persistent_ids():
+        return set(spark.sparkContext._jsc.getPersistentRDDs().keySet())
+
+    db_ids = None  # snapshot of database-level caches, set after setup
+
     def bench(name, fn, runs=2):
         # One workload must never zero the whole artifact (r2 lost its
         # bench to a single AnalysisException): record the failure and
@@ -61,17 +66,34 @@ def main():
         # which is one-time cost, not plan quality. Mirrors the
         # reference's PerformanceEvaluation running workloads repeatedly
         # per client (PerformanceEvaluation.java:532+).
+        # Cache hygiene between workloads: pipeline ops stage
+        # intermediates (clean_corpus persists its deduped corpus, CC
+        # localCheckpoints labels). In production each job's executors
+        # release those at exit; in this one-JVM harness they pile up
+        # and the resulting GC pressure made corpus_clean swing 1.6-5.0s
+        # run to run. Unpersist whatever a workload newly persisted
+        # (keeping the database-level caches from setup) so every
+        # workload starts from the same storage state.
         try:
             best = None
             for _ in range(runs):
+                before = _persistent_ids()
                 t0 = time.perf_counter()
                 fn()
                 dt = time.perf_counter() - t0
                 best = dt if best is None else min(best, dt)
+                jmap = spark.sparkContext._jsc.getPersistentRDDs()
+                for rid in set(jmap.keySet()) - (db_ids if db_ids is not None else before):
+                    try:
+                        jmap.get(rid).unpersist()
+                    except Exception:  # noqa: BLE001 - already released
+                        pass
             timings[name] = round(best, 4)
         except Exception as exc:  # noqa: BLE001 - reported, not swallowed
             msg = str(exc).splitlines()[0] if str(exc) else ""
             errors[name] = f"{type(exc).__name__}: {msg[:200]}"
+
+    db_ids = _persistent_ids()  # the table/index caches = the database
 
     # --- PE workloads -----------------------------------------------------
     bench("random_read", lambda: orders.get(n_orders // 2).collect())
@@ -152,6 +174,15 @@ def main():
     bench(
         "dedup_minhash_lsh",
         lambda: dd.minhash_dedup_pairs(docs, "doc_id", "text", 0.9).count(),
+    )
+    # Same LSH workload on the xxhash64 production digest (verification
+    # is exact Jaccard either way, so results agree): quantifies what
+    # the md5-for-oracle-reproducibility choice costs on the hot path.
+    bench(
+        "dedup_minhash_lsh_xxh",
+        lambda: dd.minhash_dedup_pairs(
+            docs, "doc_id", "text", 0.9, hash_fn="xxhash64"
+        ).count(),
     )
     bench(
         "text_analyze",
