@@ -65,6 +65,10 @@ class TableDescriptor:
     layout: str = "bucketed"  # "bucketed" | "range"
     num_buckets: int = 32
     version: int = 0
+    #: column DDL per store ("__data" + one entry per index name) —
+    #: recorded at save so load never needs file-footer schema inference
+    #: (and a truncated/empty store, which has no files, stays loadable)
+    schemas: Dict[str, str] = field(default_factory=dict)
 
     def to_json(self) -> str:
         return json.dumps(
@@ -72,6 +76,7 @@ class TableDescriptor:
                 "name": self.name,
                 "rowkey_col": self.rowkey_col,
                 "version": self.version,
+                "schemas": self.schemas,
                 "families": [
                     {
                         "name": f.name,
@@ -109,6 +114,7 @@ class TableDescriptor:
             d.get("layout", "range"),
             d.get("num_buckets", 32),
             d.get("version", 0),
+            d.get("schemas", {}),
         )
 
 
@@ -344,6 +350,9 @@ class Catalog:
                     dc_replace(spec).derive_physical(members) if members else spec
                 )
             desc_indices = TableIndices(derived)
+        schemas = {"__data": self._ddl(table.df.schema)}
+        for spec in table.indices.indices:
+            schemas[spec.name] = self._ddl(table.index_tables[spec.name].schema)
         desc = TableDescriptor(
             table.name,
             table.rowkey_col,
@@ -352,6 +361,7 @@ class Catalog:
             layout=layout,
             num_buckets=num_partitions,
             version=new_v,
+            schemas=schemas,
         )
         data_path = self._data_dir(d, new_v)
         index_root = self._index_root(d, new_v)
@@ -418,14 +428,19 @@ class Catalog:
         self._gc_versions(d, keep={new_v, cur})
 
     def _attach_bucketed(
-        self, qname: str, location: str, bucket_col: str, sort_cols, n: int
+        self, qname: str, location: str, bucket_col: str, sort_cols, n: int,
+        schema=None,
     ) -> DataFrame:
         # Always re-register from the files + descriptor: an existing
         # registration may describe a previous save (different bucket
         # count or schema), and REFRESH only clears file listings — it
         # cannot fix stale bucketing metadata, which would silently
-        # corrupt shuffle-free joins.
-        schema = self.spark.read.parquet(location).schema
+        # corrupt shuffle-free joins. The descriptor-recorded schema is
+        # preferred over footer inference: no file read at attach time,
+        # and an empty store (truncate_table) has no footers to infer
+        # from. Inference remains the pre-schemas-descriptor fallback.
+        if schema is None:
+            schema = self.spark.read.parquet(location).schema
         self._register_bucketed(qname, location, schema, bucket_col, sort_cols, n)
         return self.spark.table(f"`{qname}`")
 
@@ -442,12 +457,22 @@ class Catalog:
         # load can only ever attach a matching (data, index) pair, no
         # matter where a concurrent save is in its write phase.
         data_path = self._data_dir(d, desc.version)
+
+        def _schema(key):
+            from pyspark.sql import types as T
+
+            ddl = desc.schemas.get(key)
+            return T.StructType.fromDDL(ddl) if ddl else None
+
         if desc.layout == "bucketed":
             df = self._attach_bucketed(
-                self._sql_name(name, "__data"), data_path, rk, [rk], desc.num_buckets
+                self._sql_name(name, "__data"), data_path, rk, [rk],
+                desc.num_buckets, schema=_schema("__data"),
             )
         else:
-            df = self.spark.read.parquet(data_path)
+            r = self.spark.read
+            sch = _schema("__data")
+            df = (r.schema(sch) if sch else r).parquet(data_path)
         t = Table(df, rk, name, desc.indices)
         t.families = list(desc.families)  # descriptor options ride along
         for spec in desc.indices.indices:
@@ -459,9 +484,14 @@ class Catalog:
                     rk,
                     spec.indexed_names + [rk],
                     desc.num_buckets,
+                    schema=_schema(spec.name),
                 )
             else:
-                t.index_tables[spec.name] = self.spark.read.parquet(ipath)
+                ri = self.spark.read
+                schi = _schema(spec.name)
+                t.index_tables[spec.name] = (
+                    ri.schema(schi) if schi else ri
+                ).parquet(ipath)
         return t
 
     def save_bucketed(self, table: Table, num_buckets: int = 32) -> None:
@@ -509,6 +539,65 @@ class Catalog:
         d = self._dir(f"{name}@{snapshot_name}")
         os.makedirs(d, exist_ok=True)
         self.save(snap)
+
+    # -- admin DDL (HBaseAdmin surface + IndexMasterObserver cascades) ------
+
+    def drop_table(self, name: str) -> None:
+        """disableTable + deleteTable with the fork's index cascade
+        (IndexMasterObserver.postDeleteTableHandler:622-640 deletes the
+        companion index table whenever the user table is deleted —
+        orphaned index data must never survive its table). Unregisters
+        every session SQL name (data + one per index), then removes the
+        table directory: descriptor, all data/index versions, lock."""
+        d = self._dir(name)
+        desc_file = os.path.join(d, "_descriptor.json")
+        if not os.path.isfile(desc_file):
+            raise FileNotFoundError(f"no catalog table {name!r} at {d}")
+        with open(desc_file) as fh:
+            desc = TableDescriptor.from_json(fh.read())
+        self.spark.sql(f"DROP TABLE IF EXISTS `{self._sql_name(name, '__data')}`")
+        for spec in desc.indices.indices:
+            self.spark.sql(
+                f"DROP TABLE IF EXISTS `{self._sql_name(name, f'__idx_{spec.name}')}`"
+            )
+        shutil.rmtree(d)
+
+    def truncate_table(self, name: str) -> None:
+        """truncateTable (HBaseAdmin.truncateTable; the fork truncates
+        the index table alongside — an index over zero rows is zero
+        entries): keep schema, descriptor options and index SPECS,
+        drop all rows from the table and every index. Implemented as a
+        normal versioned save of the emptied table, so it is atomic and
+        the previous version remains as the GC grace generation."""
+        t = self.load(name)
+        desc = self._load_desc(name)
+        empty = Table(t.df.filter(F.lit(False)), t.rowkey_col, name)
+        for spec in t.indices.indices:
+            empty.create_index(spec)
+        empty.families = t.families
+        self.save(empty, num_partitions=desc.num_buckets, layout=desc.layout,
+                  families=t.families or None)
+
+    def clone_snapshot(self, snapshot: str, new_name: str) -> None:
+        """HBaseAdmin.cloneSnapshot: a new, independent table from a
+        snapshot's content (indexes included)."""
+        s = self.load(snapshot)
+        clone = Table(s.df, s.rowkey_col, new_name, s.indices)
+        clone.index_tables = dict(s.index_tables)
+        desc = self._load_desc(snapshot)
+        self.save(clone, num_partitions=desc.num_buckets, layout=desc.layout,
+                  families=list(desc.families) or None)
+
+    def restore_snapshot(self, name: str, snapshot_name: str) -> None:
+        """HBaseAdmin.restoreSnapshot: roll the live table back to a
+        snapshot's content. A normal save = a new committed version, so
+        readers switch atomically and the botched version stays one GC
+        generation for in-flight scans."""
+        self.clone_snapshot(f"{name}@{snapshot_name}", name)
+
+    def _load_desc(self, name: str) -> "TableDescriptor":
+        with open(os.path.join(self._dir(name), "_descriptor.json")) as fh:
+            return TableDescriptor.from_json(fh.read())
 
 
 def multi_table_scan(tables: List[Table]) -> DataFrame:

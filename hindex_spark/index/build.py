@@ -38,7 +38,9 @@ def build_index(
     entries are dropped (the reference never writes an index Put for an
     absent column, IndexUtils.prepareIndexPut:269-330).
     """
-    cols = [c.expr() for c in spec.columns] + [F.col(rowkey_col)]
+    # validate=True: over-length String values fail the build job, the
+    # prepareIndexPut IOException analog (see ColumnQualifier.value_expr)
+    cols = [c.expr(validate=True) for c in spec.columns] + [F.col(rowkey_col)]
     out = table_df.select(*cols)
     first = spec.columns[0].indexed_name
     out = out.filter(F.col(first).isNotNull())

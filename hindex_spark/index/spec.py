@@ -121,17 +121,39 @@ class ColumnQualifier:
             return f"{self.column}__sub{vp.offset}_{vp.length}"
         return self.column
 
-    def value_expr(self) -> Column:
+    def value_expr(self, validate: bool = False) -> Column:
         """The (unaliased) expression computing this indexed value from
         the data table — what Table.resolve_column hands to filters that
-        reference the derived ``indexed_name`` directly."""
+        reference the derived ``indexed_name`` directly.
+
+        ``validate=True`` (the index build/maintenance path) enforces
+        ``max_value_length`` on String values the way
+        IndexUtils.prepareIndexPut throws IOException for an over-length
+        value (TestIndexRegionObserver.testIndexPutWithValueGreaterThanLength:590,
+        testPutWithValueLengthMoreThanMaxValueLength:1091): a
+        ``raise_error`` guard inside the projection, so the write job
+        itself fails — no extra validation pass over the data."""
         base = F.col(self.column)
         if self.value_partition is not None:
             base = self.value_partition.expr(base.cast("string"))
-        return base.cast(_SPARK_TYPE[self.value_type])
+        out = base.cast(_SPARK_TYPE[self.value_type])
+        if validate and self.max_value_length > 0 and self.value_type in ("String", "Char"):
+            out = F.when(
+                F.length(out) > self.max_value_length,
+                F.raise_error(
+                    F.concat(
+                        F.lit(
+                            f"value for indexed column {self.column!r} exceeds "
+                            f"max_value_length {self.max_value_length}: "
+                        ),
+                        out,
+                    )
+                ),
+            ).otherwise(out)
+        return out
 
-    def expr(self) -> Column:
-        return self.value_expr().alias(self.indexed_name)
+    def expr(self, validate: bool = False) -> Column:
+        return self.value_expr(validate).alias(self.indexed_name)
 
     def to_json(self) -> dict:
         return {

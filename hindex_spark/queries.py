@@ -1202,13 +1202,19 @@ _PRIORITY = [
     "idxtab_and_setcover", "idxtab_or_union", "idxtab_prefix_range",
     "idxtab_null_semantics",
     "idxtab_and_or_combination", "idxtab_equal_range_combination",
-    "idxtab_or_poisoned_branch", "idxtab_and_with_poisoned_or",
+    "idxtab_and_with_poisoned_or",
     "idxtab_range_not_last", "idxtab_similar_value_pattern",
-    "idxtab_complex_range_or", "idxtab_negative_int_eq",
-    # round-5 index-maintenance ports (TestIndexRegionObserver /
+    "idxtab_complex_range_or",
+    # index-maintenance ports (TestIndexRegionObserver /
     # TestExtendedPutOps): partial-column put re-derives the multi-col
-    # index row; family delete under a two-family index
+    # index row; family delete under a two-family index; checkAndPut /
+    # checkAndDelete maintain the index like plain mutations.
+    # idxtab_or_poisoned_branch and idxtab_negative_int_eq ceded their
+    # slots (poisoned-OR semantics stay visible via
+    # idxtab_and_with_poisoned_or; typed/padded values via
+    # idxtab_similar_value_pattern; both stay in the local gate).
     "idxtab_partial_put", "idxtab_family_delete_index",
+    "idxtab_checkand_index",
     # mutations (incl. the generic gated batch + per-action status)
     "mutation_put_upsert", "mutation_delete_batch",
     "mutation_check_and_mutate", "mutation_batch_status",
@@ -1229,7 +1235,8 @@ _PRIORITY = [
     # to the round-5 index-maintenance ports and stay oracle-checked in
     # the local gate (their families remain driver-visible).
     "streaming_walplayer", "streaming_changelog_resume",
-    "etl_import_tsv_with_index", "events_asof_join",
+    "etl_import_tsv_with_index", "etl_verify_replication",
+    "events_asof_join",
 ]
 
 

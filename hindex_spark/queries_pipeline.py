@@ -300,6 +300,39 @@ def q_sim_ivf(spark, sf_dir):
 
 
 @query(
+    "sim_pq_ann_topk",
+    f"""SELECT q_id, vec_id, cosine, rank FROM (
+          SELECT q.vec_id AS q_id, e.vec_id AS vec_id,
+                 ROUND({_Q_COS_SQL}, 6) AS cosine,
+                 row_number() OVER (
+                   PARTITION BY q.vec_id
+                   ORDER BY ROUND({_Q_COS_SQL}, 6) DESC, e.vec_id) AS rank
+          FROM embeddings e, embeddings q
+          WHERE q.vec_id < 5 AND e.vec_id != q.vec_id)
+        WHERE rank <= 10""",
+)
+def q_sim_pq(spark, sf_dir):
+    """Product-quantization ANN, hard-signal: with ``shortlist`` >= the
+    corpus size the exact re-rank sees every vector, so the result must
+    EXACTLY equal brute force — which makes the whole
+    train/encode/ADC-shortlist/re-rank pipeline oracle-checkable (a
+    dropped vector, an off-by-one in the 1-based codes, or a broken LUT
+    sum breaks the hash). Recall at realistic shortlists is pinned by
+    test_pq_ann_recall. Scale story: the searchable corpus state is m
+    codes + a norm per vector instead of dim floats (pq_encode), and
+    per-vector scan cost is m array lookups independent of dim."""
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    codebooks = sim.pq_train(emb, m=4, k=16)
+    codes = sim.pq_encode(emb, codebooks)
+    queries_df = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_vec")
+    )
+    return sim.pq_topk(
+        emb, codes, codebooks, queries_df, 10, shortlist=1_000_000
+    )
+
+
+@query(
     "dedup_semantic",
     f"""WITH cents AS (
           SELECT CAST(row_number() OVER (ORDER BY vec_id) AS INT) AS cluster,

@@ -450,3 +450,88 @@ def test_index_physical_derived_from_member_families_only(spark, tmp_path):
         desc2 = TableDescriptor.from_json(fh.read())
     assert desc2.indices.indices[0].ttl == 30
     assert t.indices.indices[0].ttl is None
+
+
+def test_admin_drop_table_cascades_to_indexes(spark, sf_dir, tmp_path):
+    """IndexMasterObserver.postDeleteTableHandler:622-640 — deleting a
+    table deletes its index data and unregisters every SQL name."""
+    cat = Catalog(spark, str(tmp_path / "whd"))
+    t = Table.from_parquet(spark, f"{sf_dir}/orders.parquet", "o_orderkey", "orders")
+    t.create_index(IndexSpecification("idx_cust").add_column("o_custkey", "Long"))
+    cat.save(t, num_partitions=4)
+    data_name = cat._sql_name("orders", "__data")
+    idx_name = cat._sql_name("orders", "__idx_idx_cust")
+    assert spark.catalog.tableExists(f"`{data_name}`")
+    assert spark.catalog.tableExists(f"`{idx_name}`")
+    cat.drop_table("orders")
+    assert cat.list_tables() == []
+    assert not os.path.isdir(os.path.join(str(tmp_path / "whd"), "orders"))
+    assert not spark.catalog.tableExists(f"`{data_name}`")
+    assert not spark.catalog.tableExists(f"`{idx_name}`")
+    try:
+        cat.drop_table("orders")
+        raise AssertionError("second drop must fail loudly")
+    except FileNotFoundError:
+        pass
+
+
+def test_admin_truncate_keeps_schema_and_index_specs(spark, sf_dir, tmp_path):
+    cat = Catalog(spark, str(tmp_path / "wht"))
+    t = Table.from_parquet(spark, f"{sf_dir}/orders.parquet", "o_orderkey", "orders")
+    t.create_index(IndexSpecification("idx_cust").add_column("o_custkey", "Long"))
+    cat.save(t, num_partitions=4)
+    cat.truncate_table("orders")
+    t2 = cat.load("orders")
+    assert t2.df.count() == 0
+    assert t2.df.columns == t.df.columns
+    assert [s.name for s in t2.indices.indices] == ["idx_cust"]
+    assert t2.index_tables["idx_cust"].count() == 0
+    # a truncated table takes puts and maintains its (empty) index
+    puts = spark.createDataFrame([(1, 85)], "o_orderkey long, o_custkey long")
+    t3 = t2.put(puts)
+    f = fl.SingleColumnValueFilter("o_custkey", fl.EQUAL, 85, filter_if_missing=True)
+    assert t3.scan(Scan(filter=f)).count() == 1
+    assert t3.last_index_plan.used_indexes == ["idx_cust"]
+
+
+def test_admin_snapshot_clone_and_restore(spark, sf_dir, tmp_path):
+    """HBaseAdmin.cloneSnapshot / restoreSnapshot: clone is an
+    independent table; restore rolls the live table back atomically."""
+    cat = Catalog(spark, str(tmp_path / "whs"))
+    t = Table.from_parquet(spark, f"{sf_dir}/region.parquet", "r_regionkey", "region")
+    t.create_index(IndexSpecification("idx_name").add_column("r_name"))
+    cat.save(t, num_partitions=2)
+    cat.snapshot("region", "s1")
+    n0 = t.df.count()
+    # mutate the live table past the snapshot
+    live = cat.load("region")
+    live = live.delete(spark.createDataFrame([(0,), (1,)], "r_regionkey long"))
+    cat.save(live, num_partitions=2)
+    assert cat.load("region").df.count() == n0 - 2
+    # clone: independent copy at snapshot content
+    cat.clone_snapshot("region@s1", "region_clone")
+    clone = cat.load("region_clone")
+    assert clone.df.count() == n0
+    assert [s.name for s in clone.indices.indices] == ["idx_name"]
+    # restore: live table back to snapshot content, index included
+    cat.restore_snapshot("region", "s1")
+    restored = cat.load("region")
+    assert restored.df.count() == n0
+    f = fl.SingleColumnValueFilter("r_name", fl.EQUAL, "AFRICA", filter_if_missing=True)
+    assert restored.scan(Scan(filter=f)).count() == 1
+    assert restored.last_index_plan.used_indexes == ["idx_name"]
+
+
+def test_drop_index_then_save_load_full_scans(spark, sf_dir, tmp_path):
+    cat = Catalog(spark, str(tmp_path / "whx"))
+    t = Table.from_parquet(spark, f"{sf_dir}/orders.parquet", "o_orderkey", "orders")
+    t.create_index(IndexSpecification("idx_cust").add_column("o_custkey", "Long"))
+    cat.save(t, num_partitions=4)
+    t2 = cat.load("orders").drop_index("idx_cust")
+    cat.save(t2, num_partitions=4)
+    t3 = cat.load("orders")
+    assert t3.indices.indices == [] and t3.index_tables == {}
+    f = fl.SingleColumnValueFilter("o_custkey", fl.EQUAL, 85, filter_if_missing=True)
+    expect = t.df.filter(F.col("o_custkey") == 85).count()
+    assert t3.scan(Scan(filter=f)).count() == expect
+    assert t3.last_index_plan.used_indexes == []

@@ -330,3 +330,38 @@ def test_round4_idxtab_combination_gates(spark):
         "idxtab_complex_range_or",
     ]:
         assert QUERIES[name](spark, "unused").count() >= 0
+
+
+def test_index_put_value_longer_than_max_length_fails(spark):
+    """TestIndexRegionObserver.testIndexPutWithValueGreaterThanLength:590
+    / testPutWithValueLengthMoreThanMaxValueLength:1091 — a String value
+    longer than the column's max_value_length must FAIL the index write
+    (IOException in IndexUtils.prepareIndexPut), both at batch build and
+    on put-time maintenance; values at the limit pass."""
+    import pytest
+
+    from hindex_spark.index.spec import ColumnQualifier, IndexSpecification
+    from hindex_spark.table import Table
+
+    df = spark.createDataFrame(
+        [("r1", "short"), ("r2", "exactly_10")], "rowkey string, v string"
+    )
+    spec = IndexSpecification(
+        "idx_v", [ColumnQualifier("v", "String", max_value_length=10)]
+    )
+    t = Table(df, "rowkey", "lim").create_index(spec)
+    assert t.index_tables["idx_v"].count() == 2  # at-limit value passes
+    # batch build over an over-length value fails the job
+    bad = spark.createDataFrame(
+        [("r3", "testvalue11")], "rowkey string, v string"
+    )
+    t_bad = Table(df.unionByName(bad), "rowkey", "lim2")
+    with pytest.raises(Exception, match="max_value_length"):
+        t_bad.create_index(
+            IndexSpecification(
+                "idx_v2", [ColumnQualifier("v", "String", max_value_length=10)]
+            )
+        ).index_tables["idx_v2"].count()
+    # put-time maintenance fails too
+    with pytest.raises(Exception, match="max_value_length"):
+        t.put(bad).index_tables["idx_v"].count()

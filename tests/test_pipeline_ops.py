@@ -787,3 +787,32 @@ def test_estimate_rows_falls_back_on_filtered_plan(spark, tmp_path):
     spark.range(0, 100).write.parquet(path)
     df = spark.read.parquet(path).filter("id < 10")
     assert sim._estimate_rows(df) == 10  # count() fallback, correct
+
+
+def test_pq_ann_recall(spark, sf_dir):
+    """PQ codes + ADC shortlist + exact re-rank: encode covers every
+    vector with valid 1-based codes; recall at a realistic shortlist is
+    deterministic (hash-sample + first-k init + fixed iters) and high;
+    re-ranked scores are true cosines."""
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    cbs = sim.pq_train(emb, m=8, k=16)
+    assert len(cbs) == 8 and len(cbs[0]) == 16 and len(cbs[0][0]) == 8
+    codes = sim.pq_encode(emb, cbs)
+    assert codes.count() == emb.count()
+    rng = codes.select(
+        F.min(F.array_min("codes")).alias("lo"), F.max(F.array_max("codes")).alias("hi")
+    ).collect()[0]
+    assert 1 <= rng["lo"] and rng["hi"] <= 16
+    queries = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_vec")
+    )
+    exact = sim.brute_force_topk(emb, queries, 10)
+    approx = sim.pq_topk(emb, codes, cbs, queries, 10, shortlist=100)
+    ex = {(r["q_id"], r["vec_id"]) for r in exact.collect()}
+    ap = {(r["q_id"], r["vec_id"]) for r in approx.collect()}
+    recall = len(ex & ap) / len(ex)
+    assert recall >= 0.8, f"recall {recall}"
+    exd = {(r["q_id"], r["vec_id"]): r["cosine"] for r in exact.collect()}
+    for r in approx.collect():
+        if (r["q_id"], r["vec_id"]) in exd:
+            assert abs(exd[(r["q_id"], r["vec_id"])] - r["cosine"]) < 1e-9
