@@ -718,6 +718,52 @@ def q_put_upsert(spark, sf_dir):
 
 
 @query(
+    "mutation_put_repeated_rows",
+    """WITH batch AS (
+         SELECT user_id, value AS b_bal,
+                CASE WHEN event_type = 'click'
+                     THEN 'SEG-' || CAST(event_id % 7 AS VARCHAR) END AS b_seg,
+                event_id
+         FROM events),
+       latest AS (
+         SELECT DISTINCT user_id,
+                last_value(b_bal IGNORE NULLS) OVER w AS l_bal,
+                last_value(b_seg IGNORE NULLS) OVER w AS l_seg
+         FROM batch
+         WINDOW w AS (PARTITION BY user_id ORDER BY event_id
+                      ROWS BETWEEN UNBOUNDED PRECEDING
+                      AND UNBOUNDED FOLLOWING))
+       SELECT COALESCE(c.c_custkey, l.user_id) AS c_custkey,
+              c.c_name,
+              ROUND(COALESCE(l.l_bal, c.c_acctbal), 2) AS c_acctbal,
+              COALESCE(l.l_seg, c.c_mktsegment) AS c_mktsegment
+       FROM customer c FULL OUTER JOIN latest l ON c.c_custkey = l.user_id""",
+)
+def q_put_repeated_rows(spark, sf_dir):
+    """Repeated rowkeys inside ONE put batch, fed raw (no caller pre-dedupe):
+    the put itself collapses latest-non-null-wins per column in batch order
+    (TestIndexRegionObserver.testBulkPutWithRepeatedRows:448; a batch applies
+    in list order and the later cell timestamp wins). order_col is the
+    Put-timestamp analog, so the collapse is deterministic under any shuffle
+    of the 67-puts-per-key batch."""
+    t = _t(spark, sf_dir, "customer", "c_custkey")
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    puts = ev.select(
+        F.col("user_id").alias("c_custkey"),
+        F.col("value").alias("c_acctbal"),
+        F.when(
+            F.col("event_type") == "click",
+            F.concat(F.lit("SEG-"), (F.col("event_id") % 7).cast("string")),
+        ).alias("c_mktsegment"),
+        "event_id",
+    )
+    t2 = t.put(puts, order_col="event_id")
+    return t2.df.select(
+        "c_custkey", "c_name", F.round("c_acctbal", 2).alias("c_acctbal"), "c_mktsegment"
+    )
+
+
+@query(
     "mutation_delete_batch",
     """SELECT c_custkey, c_name FROM customer
        WHERE c_custkey NOT IN (SELECT DISTINCT user_id FROM events
@@ -1215,8 +1261,11 @@ _PRIORITY = [
     # idxtab_similar_value_pattern; both stay in the local gate).
     "idxtab_partial_put", "idxtab_family_delete_index",
     "idxtab_checkand_index",
-    # mutations (incl. the generic gated batch + per-action status)
-    "mutation_put_upsert", "mutation_delete_batch",
+    # mutations (incl. the generic gated batch + per-action status).
+    # mutation_put_repeated_rows supersedes mutation_put_upsert in the
+    # prefix (same put path PLUS raw repeated-rowkey batch collapse,
+    # testBulkPutWithRepeatedRows); put_upsert stays in the local gate.
+    "mutation_put_repeated_rows", "mutation_delete_batch",
     "mutation_check_and_mutate", "mutation_batch_status",
     "mutation_mutate_row",
     # core read path

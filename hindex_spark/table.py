@@ -313,23 +313,43 @@ class Table:
                 self._changelog.emit("put", after, self.df, rk)
         return out
 
-    def put(self, puts: DataFrame) -> "Table":
+    def put(self, puts: DataFrame, order_col: Optional[str] = None) -> "Table":
         """Batch upsert. ``puts`` has the rowkey column + any subset of
         value columns; absent columns keep their old value (a Put writes
-        only the cells it carries — Put.java:48). Latest-wins within the
-        batch by row order is not defined in the reference either; callers
-        should pre-dedupe (we keep an arbitrary latest via last())."""
+        only the cells it carries — Put.java:48).
+
+        Repeated rowkeys in one batch collapse latest-non-null-wins per
+        column, mirroring the reference where a batch applies in list
+        order and the later cell timestamp wins (HRegion.batchMutate:2194,
+        TestIndexRegionObserver.testBulkPutWithRepeatedRows:448). Order is
+        ``order_col`` when given (the Put-timestamp analog — determinate
+        under shuffles at any scale); otherwise DataFrame arrival order
+        via monotonically_increasing_id, which follows the caller's row
+        order for a freshly built batch but is partition-dependent for an
+        arbitrary shuffled plan — pass ``order_col`` when it matters."""
         rk = self.rowkey_col
-        put_cols = [c for c in puts.columns if c != rk]
+        put_cols = [c for c in puts.columns if c != rk and c != order_col]
         unknown = [c for c in put_cols if c not in self.df.columns]
         if unknown:
             raise ValueError(
                 f"put columns not in table {self.name!r}: {unknown} "
                 f"(table columns: {self.df.columns})"
             )
-        # collapse multi-puts on the same key (last non-null wins)
-        puts1 = puts.groupBy(rk).agg(
-            *[F.last(c, ignorenulls=True).alias(c) for c in put_cols]
+        # Collapse multi-puts on the same key: per column, the value from
+        # the latest batch row where it was non-null. max_by skips rows
+        # whose ordering key is NULL, so masking the seq with "value is
+        # null" yields latest-NON-NULL in one map-side-combinable agg —
+        # no window, no orderability constraint on the value type.
+        seq = F.col(order_col) if order_col else F.monotonically_increasing_id()
+        puts0 = puts.withColumn("__put_seq", seq)
+        puts1 = puts0.groupBy(rk).agg(
+            *[
+                F.max_by(
+                    F.col(c),
+                    F.when(F.col(c).isNotNull(), F.col("__put_seq")),
+                ).alias(c)
+                for c in put_cols
+            ]
         )
         old = self.df.alias("o")
         new = puts1.alias("n")

@@ -280,3 +280,58 @@ def test_delete_family_replicates_through_changelog(spark, tmp_path):
     assert src.df.exceptAll(replayed).isEmpty()
     got = {r["rowkey"]: (r["f1_a"], r["f1_b"]) for r in replayed.collect()}
     assert got["r1"] == ("back", None) and "r3" not in got
+
+
+def test_repeated_rows_in_batch_latest_wins_with_order_col(spark):
+    # TestIndexRegionObserver.testBulkPutWithRepeatedRows:448 — batches with
+    # repeated rowkeys must leave ONE row per key, and the later put (by
+    # batch order / cell timestamp) must win. order_col is the timestamp
+    # analog: deterministic under any shuffle of the batch plan.
+    t = _tab(spark)
+    puts = spark.createDataFrame(
+        [
+            ("r1", "first", None, 1),
+            ("r1", "second", 77, 2),
+            ("r1", None, 88, 3),      # later but NULL c_str: keeps "second"
+            ("r9", "new", None, 1),
+            ("r9", "newer", None, 2),
+        ],
+        ["rowkey", "c_str", "c_cnt", "ver"],
+    )
+    # shuffle the batch hard — order must still come from ver, not layout
+    t2 = t.put(puts.repartition(7).sortWithinPartitions("c_cnt"), order_col="ver")
+    assert t2.df.filter(F.col("rowkey") == "r1").count() == 1
+    r = _row(t2, "r1")
+    assert r["c_str"] == "second" and r["c_cnt"] == 88
+    assert _row(t2, "r9")["c_str"] == "newer"
+    # order column never leaks into the table
+    assert "ver" not in t2.df.columns and "__put_seq" not in t2.df.columns
+
+
+def test_repeated_rows_default_order_is_arrival_order(spark):
+    t = _tab(spark)
+    puts = spark.createDataFrame(
+        [("r1", "v1"), ("r1", "v2"), ("r1", "v3")], ["rowkey", "c_str"]
+    )
+    t2 = t.put(puts)
+    assert _row(t2, "r1")["c_str"] == "v3"
+
+
+def test_repeated_rows_batch_maintains_index_consistent(spark):
+    # the index half of testBulkPutWithRepeatedRows: after a repeated-rows
+    # batch the index has exactly one entry per surviving row value.
+    from hindex_spark.index.spec import IndexSpecification, TableIndices
+
+    t = Table(_tab(spark).df, "rowkey", "t")
+    t = t.create_index(IndexSpecification("idx_str").add_column("c_str", "String"))
+    puts = spark.createDataFrame(
+        [("r1", "x", 1), ("r1", "y", 2), ("r4", "z", 1)],
+        ["rowkey", "c_str", "ver"],
+    )
+    t2 = t.put(puts, order_col="ver")
+    idx = t2.index_tables["idx_str"]
+    assert idx.filter(F.col("rowkey") == "r1").count() == 1
+    assert idx.filter((F.col("rowkey") == "r1") & (F.col("c_str") == "y")).count() == 1
+    # one index entry per row with a non-NULL indexed value (a put without
+    # the indexed column creates no index entry — IndexUtils.prepareIndexPut)
+    assert idx.count() == t2.df.filter(F.col("c_str").isNotNull()).count()
