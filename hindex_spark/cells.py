@@ -16,7 +16,7 @@ normal case), shuffle join when a batch carries massive deletes.
 
 from __future__ import annotations
 
-from typing import Optional, Sequence, Tuple
+from typing import Optional, Sequence, Tuple, Union, Dict
 
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
@@ -52,9 +52,9 @@ def cells_from_rows(spark: SparkSession, rows: Sequence[tuple]) -> DataFrame:
 
 def resolve(
     cells: DataFrame,
-    max_versions: int = 1,
+    max_versions: Union[int, Dict[str, int], None] = 1,
     time_range: Optional[Tuple[int, int]] = None,
-    ttl: Optional[int] = None,
+    ttl: Union[int, Dict[str, int], None] = None,
     now: Optional[int] = None,
     raw: bool = False,
 ) -> DataFrame:
@@ -69,6 +69,15 @@ def resolve(
     * TimeRange keeps puts with min_ts <= ts < max_ts;
     * version counting keeps the newest ``max_versions`` per column.
 
+    ``ttl`` and ``max_versions`` also accept a per-family dict
+    ({cf: value}) — HColumnDescriptor sets both per column family
+    (setTimeToLive/setMaxVersions; TestScanWhenTTLExpired
+    .testScannerSelectionWhenThereAreMutlipleCFs expires one family
+    while its sibling stays visible). Families absent from a ttl dict
+    never expire; absent from a max_versions dict they default to 1
+    (FamilyDescriptor default). The lookup is a map literal on the cf
+    column — pure codegen, no join, scale-free.
+
     raw=True skips tombstone masking (Scan.setRaw analog).
     """
     puts = cells.filter(F.col("op") == PUT)
@@ -76,7 +85,14 @@ def resolve(
     if ttl is not None:
         if now is None:
             raise ValueError("ttl requires now")
-        puts = puts.filter(F.col("ts") >= F.lit(now - ttl))
+        if isinstance(ttl, dict):
+            fam_ttl = F.create_map(
+                *[F.lit(x) for kv in ttl.items() for x in kv]
+            )[F.col("cf")]
+            cutoff = F.lit(now) - fam_ttl
+            puts = puts.filter(cutoff.isNull() | (F.col("ts") >= cutoff))
+        else:
+            puts = puts.filter(F.col("ts") >= F.lit(now - ttl))
 
     if not raw:
         dels = cells.filter(F.col("op") != PUT)
@@ -146,9 +162,18 @@ def resolve(
         w = Window.partitionBy("rowkey", "cf", "qualifier").orderBy(
             F.col("ts").desc(), F.col("value").desc_nulls_last()
         )
+        if isinstance(max_versions, dict):
+            limit = F.coalesce(
+                F.create_map(
+                    *[F.lit(x) for kv in max_versions.items() for x in kv]
+                )[F.col("cf")].cast("int"),
+                F.lit(1),
+            )
+        else:
+            limit = F.lit(max_versions)
         puts = (
             puts.withColumn("__vn", F.row_number().over(w))
-            .filter(F.col("__vn") <= max_versions)
+            .filter(F.col("__vn") <= limit)
             .drop("__vn")
         )
     return puts
@@ -175,8 +200,8 @@ def to_wide(
 
 def compact(
     cells: DataFrame,
-    max_versions: int = 1,
-    ttl: Optional[int] = None,
+    max_versions: Union[int, Dict[str, int], None] = 1,
+    ttl: Union[int, Dict[str, int], None] = None,
     now: Optional[int] = None,
 ) -> DataFrame:
     """Major-compaction job (DefaultCompactor/ExploringCompactionPolicy

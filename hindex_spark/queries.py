@@ -1138,6 +1138,47 @@ def q_cells_compaction(spark, sf_dir):
 
 
 @query(
+    "cells_family_ttl",
+    f"""SELECT CAST(user_id AS VARCHAR) AS rowkey, event_type AS cf,
+              epoch_us(ts) AS ts, printf('%.2f', value) AS value
+       FROM (SELECT *, row_number() OVER (
+                PARTITION BY user_id, event_type
+                ORDER BY ts DESC, printf('%.2f', value) DESC) AS rn
+             FROM events
+             WHERE NOT (event_type = 'click'
+                        AND epoch_us(ts) < {_NOW_US - _TTL_US}))
+       WHERE rn <= CASE event_type WHEN 'click' THEN 2
+                                   WHEN 'error' THEN 3 ELSE 1 END""",
+)
+def q_cells_family_ttl(spark, sf_dir):
+    """Per-family TTL + max_versions (HColumnDescriptor.setTimeToLive /
+    setMaxVersions are per column family; TestScanWhenTTLExpired
+    .testScannerSelectionWhenThereAreMutlipleCFs:160 expires one family
+    while its sibling stays visible). Here event_type plays the family:
+    'click' cells expire after 14 days and keep 2 versions, 'error' keeps
+    3, everything else the default 1 — one map-literal lookup per knob,
+    no extra pass."""
+    from hindex_spark.cells import resolve
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    cells = ev.select(
+        F.col("user_id").cast("string").alias("rowkey"),
+        F.col("event_type").alias("cf"),
+        F.lit("v").alias("qualifier"),
+        ts_micros(ev).alias("ts"),
+        F.lit("put").alias("op"),
+        F.format_string("%.2f", "value").alias("value"),
+    )
+    out = resolve(
+        cells,
+        max_versions={"click": 2, "error": 3},
+        ttl={"click": _TTL_US},
+        now=_NOW_US,
+    )
+    return out.select("rowkey", "cf", "ts", "value")
+
+
+@query(
     "cells_column_pagination",
     """WITH latest AS (
          SELECT CAST(user_id AS VARCHAR) AS rowkey, event_type AS qualifier,

@@ -670,9 +670,9 @@ class CellTable:
 
     def read(
         self,
-        max_versions: int = 1,
+        max_versions=1,          # int | {cf: int} (HColumnDescriptor.setMaxVersions)
         time_range: Optional[Tuple[int, int]] = None,
-        ttl: Optional[int] = None,
+        ttl=None,                # int | {cf: int} (HColumnDescriptor.setTimeToLive)
         now: Optional[int] = None,
         raw: bool = False,
     ) -> DataFrame:

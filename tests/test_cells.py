@@ -149,3 +149,68 @@ def test_snapshot_wide(spark):
     assert rows["r1"]["cf2_x"] == "x2"
     assert rows["r2"]["cf1_a"] == "z5"
     assert rows["r2"]["cf1_b"] is None
+
+
+def test_per_family_ttl_expires_one_family_keeps_sibling(spark):
+    # TestScanWhenTTLExpired.testScannerSelectionWhenThereAreMutlipleCFs:160
+    # — TTL on one column family; its cells expire while the sibling
+    # family's cells stay visible at the same scan time.
+    out = _base(spark).read(max_versions=10, ttl={"cf1": 3}, now=6)
+    vals = _vals(out)
+    # cf1: only ts >= 3 survives (now - ttl = 3)
+    assert ("r1", "cf1", "a", 3, "v3") in vals
+    assert all(not (v[1] == "cf1" and v[3] < 3) for v in vals)
+    # cf2 has no TTL: its ts=2 cell survives
+    assert ("r1", "cf2", "x", 2, "x2") in vals
+
+
+def test_per_family_max_versions(spark):
+    # HColumnDescriptor.setMaxVersions is per family; absent families
+    # default to 1 (FamilyDescriptor default).
+    out = _base(spark).read(max_versions={"cf1": 2})
+    vals = _vals(out)
+    a_versions = [v for v in vals if v[1] == "cf1" and v[2] == "a" and v[0] == "r1"]
+    assert [v[3] for v in a_versions] == [2, 3]  # newest two of ts 1,2,3
+    x_versions = [v for v in vals if v[1] == "cf2"]
+    assert len(x_versions) == 1  # default 1 for un-listed cf2
+
+
+def test_ttl_expired_index_scan_returns_nothing(spark):
+    # TestScanWhenTTLExpired.testScannerSelectionWhenPutHasOneColumn:109 +
+    # testCompactionOnIndexTableShouldNotRetrieveTTLExpiredData:224 — after
+    # TTL expiry an index-backed value scan retrieves ZERO rows: the index
+    # is a projection of the TTL-resolved store, so expired rows have no
+    # index entries and no stale seek points survive compaction.
+    from pyspark.sql import functions as F
+
+    from hindex_spark import cells as cell_mod
+    from hindex_spark import filters as fl
+    from hindex_spark.index.spec import IndexSpecification
+    from hindex_spark.table import Scan
+
+    ct = CellTable(spark).put_cells(
+        [
+            ("row1", "col", "q1", 1, "Val"),
+            ("row01", "col", "q1", 1, "Val"),
+            ("row010", "col", "q1", 2, "Val"),
+            ("row001", "col", "q1", 2, "Val"),
+        ]
+    )
+    # compaction at now=10 with ttl=5: every cell (ts <= 2 < now-ttl) drops
+    compacted = cell_mod.compact(ct.cells, max_versions=1, ttl={"col": 5}, now=10)
+    t = CellTable(spark, compacted).as_table([("col", "q1")])
+    t.create_index(IndexSpecification("ScanIndexf").add_column("col_q1", "String"))
+    got = t.scan(
+        Scan(filter=fl.SingleColumnValueFilter("col_q1", fl.EQUAL, "Val", filter_if_missing=True))
+    )
+    assert got.count() == 0
+    assert t.index_tables["ScanIndexf"].count() == 0  # no stale seek points
+    # same store before expiry: all four rows come back through the index
+    fresh = cell_mod.compact(ct.cells, max_versions=1, ttl={"col": 5}, now=4)
+    t2 = CellTable(spark, fresh).as_table([("col", "q1")])
+    t2.create_index(IndexSpecification("ScanIndexf").add_column("col_q1", "String"))
+    got2 = t2.scan(
+        Scan(filter=fl.SingleColumnValueFilter("col_q1", fl.EQUAL, "Val", filter_if_missing=True))
+    )
+    assert got2.count() == 4
+    assert t2.last_index_plan.used_indexes == ["ScanIndexf"]
