@@ -335,3 +335,41 @@ def test_repeated_rows_batch_maintains_index_consistent(spark):
     # one index entry per row with a non-NULL indexed value (a put without
     # the indexed column creates no index entry — IndexUtils.prepareIndexPut)
     assert idx.count() == t2.df.filter(F.col("c_str").isNotNull()).count()
+
+
+def test_acid_row_atomicity_and_snapshot_isolation(spark):
+    # TestAcidGuaranteesForIndex model: a writer sets ALL columns of a row
+    # to one value in a single batch; a reader must never observe a torn
+    # row (mixed values across columns), and the index must agree with the
+    # data snapshot it shipped with. The engine gives this by construction
+    # — every mutation is snapshot-in/snapshot-out (MVCC analog) — this
+    # test pins the contract.
+    from hindex_spark.index.spec import IndexSpecification
+
+    cols = ["A_data", "B_data", "C_data"]
+    t = Table(
+        spark.createDataFrame([("r%d" % i, "v0", "v0", "v0") for i in range(20)],
+                              ["rowkey"] + cols),
+        "rowkey", "acid",
+    ).create_index(IndexSpecification("ScanIndex").add_column("A_data", "String"))
+
+    snapshots = [t]
+    for v in ("v1", "v2"):
+        puts = spark.createDataFrame([("r%d" % i, v, v, v) for i in range(20)],
+                                     ["rowkey"] + cols)
+        t = t.put(puts)
+        snapshots.append(t)
+
+    for snap, expect in zip(snapshots, ("v0", "v1", "v2")):
+        # no torn rows: every column of every row carries the same value
+        torn = snap.df.filter(
+            (F.col("A_data") != F.col("B_data")) | (F.col("B_data") != F.col("C_data"))
+        ).count()
+        assert torn == 0
+        assert snap.df.filter(F.col("A_data") == expect).count() == 20
+        # index agrees with ITS OWN snapshot, not the latest write
+        idx = snap.index_tables["ScanIndex"]
+        assert idx.filter(F.col("A_data") == expect).count() == 20
+        assert idx.count() == 20
+    # earlier snapshots were not disturbed by later writes (reader isolation)
+    assert snapshots[0].df.filter(F.col("A_data") == "v0").count() == 20
