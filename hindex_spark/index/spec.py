@@ -59,10 +59,15 @@ class SeparatorPartition(ValuePartition):
     position: int
 
     def expr(self, col: Column) -> Column:
-        # Literal separator: split() takes a regex, so escape it.
+        # Literal separator: split() takes a regex, so escape it. F.get
+        # (not getItem) because under ANSI mode (Spark 4 default) getItem
+        # THROWS on out-of-bounds: a value with fewer than position-1
+        # separators must derive NULL (the reference zero-pads it —
+        # SeparatorPartition.getPartOfValue:97-99 returns byte[0]), not
+        # crash the whole index build.
         import re
 
-        return F.split(col, re.escape(self.separator)).getItem(self.position - 1)
+        return F.get(F.split(col, re.escape(self.separator)), self.position - 1)
 
     def to_json(self) -> dict:
         return {"kind": "separator", "separator": self.separator, "position": self.position}

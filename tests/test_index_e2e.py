@@ -365,3 +365,73 @@ def test_index_put_value_longer_than_max_length_fails(spark):
     # put-time maintenance fails too
     with pytest.raises(Exception, match="max_value_length"):
         t.put(bad).index_tables["idx_v"].count()
+
+
+def test_spatial_partition_value_smaller_than_offset(spark):
+    # TestExtendedPutOps.testIndexPutWithOffsetAndLengthWhenPutIsSmallerThanOffset:292
+    # — SpatialPartition(20, 2): a 17-char value yields an empty part, a
+    # 21-char value yields the single char 'I'. (The reference pads the
+    # byte[] index key with zeros; typed columns need no padding — the
+    # derived value is '' / 'I' and the index path must agree with the
+    # plain residual-filter path on both.)
+    df = spark.createDataFrame(
+        [
+            ("row1", "AB---CD---EF---GH---IJ---KL---MN---OP---"),  # full: "IJ"
+            ("row2", "AB---CD---EF---GH"),                          # short: ""
+            ("row3", "AB---CD---EF---GH---I"),                      # 21 chars: "I"
+        ],
+        ["rowkey", "col_ql1"],
+    )
+    t = Table(df, "rowkey", "spatialtab")
+    t.create_index(
+        IndexSpecification("index").add_column(
+            "col_ql1", "String", value_partition=SpatialPartition(20, 2)
+        )
+    )
+    derived = "col_ql1__sub20_2"
+    for probe, expect in (("IJ", ["row1"]), ("I", ["row3"]), ("", ["row2"])):
+        f = fl.SingleColumnValueFilter(derived, fl.EQUAL, probe, filter_if_missing=True)
+        got = t.scan(Scan(filter=f))
+        assert sorted(r["rowkey"] for r in got.collect()) == expect, probe
+
+
+def test_separator_partition_empty_and_missing_piece(spark):
+    # TestExtendedPutOps.testPutWithOneUnitLengthSeparatorWithoutValue:155 —
+    # SeparatorPartition('_', 4) on "2ndFloor_solitaire_huawei__karnataka":
+    # the 4th piece is EMPTY (double separator) and must index/scan as ''.
+    # A value with fewer than 3 separators has NO 4th piece: the reference
+    # zero-pads it identically to '' at the byte layer; the typed engine
+    # derives NULL (no index entry) — deviation documented here; what is
+    # pinned is that the index path and the plain filter path AGREE.
+    df = spark.createDataFrame(
+        [
+            ("row1", "2ndFloor_solitaire_huawei__karnataka"),  # 4th piece ''
+            ("row2", "a_b_c_dd_e"),                            # 4th piece 'dd'
+            ("row3", "too_few_seps"),                          # no 4th piece
+        ],
+        ["rowkey", "col_ql1"],
+    )
+    t = Table(df, "rowkey", "septab")
+    t.create_index(
+        IndexSpecification("index").add_column(
+            "col_ql1", "String", value_partition=SeparatorPartition("_", 4)
+        )
+    )
+    derived = "col_ql1__sep4"
+    f_empty = fl.SingleColumnValueFilter(derived, fl.EQUAL, "", filter_if_missing=True)
+    got = t.scan(Scan(filter=f_empty))
+    assert sorted(r["rowkey"] for r in got.collect()) == ["row1"]
+    assert t.last_index_plan.used_indexes == ["index"]
+    f_dd = fl.SingleColumnValueFilter(derived, fl.EQUAL, "dd", filter_if_missing=True)
+    assert [r["rowkey"] for r in t.scan(Scan(filter=f_dd)).collect()] == ["row2"]
+    # index path agrees with the forced-residual (NoIndexExpression) path
+    from hindex_spark.index.planner import NoIndexExpression
+
+    for probe in ("", "dd", "karnataka"):
+        f = fl.SingleColumnValueFilter(derived, fl.EQUAL, probe, filter_if_missing=True)
+        a = sorted(r["rowkey"] for r in t.scan(Scan(filter=f)).collect())
+        b = sorted(
+            r["rowkey"]
+            for r in t.scan(Scan(filter=f, index_hint=NoIndexExpression())).collect()
+        )
+        assert a == b, probe
