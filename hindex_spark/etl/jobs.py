@@ -38,10 +38,24 @@ def import_tsv(
     schema: Optional[str] = None,
     sep: str = "\t",
     num_partitions: Optional[int] = None,
+    bad_lines: str = "permissive",
 ) -> DataFrame:
     """ImportTsv: TSV -> typed table sorted by rowkey. ``columns`` names
-    the TSV fields in order (the -Dimporttsv.columns analog)."""
-    reader = spark.read.option("sep", sep)
+    the TSV fields in order (the -Dimporttsv.columns analog).
+
+    ``bad_lines`` is the importtsv.skip.bad.lines analog
+    (ImportTsv.java:87 / TsvImporterMapper's BadLine counter), mapped to
+    the CSV reader's parse mode so the choice costs nothing extra:
+    'permissive' (default) NULLs unparseable fields, 'skip' drops
+    malformed lines (needs ``schema``), 'fail' aborts on the first one.
+    """
+    modes = {"permissive": "PERMISSIVE", "skip": "DROPMALFORMED", "fail": "FAILFAST"}
+    if bad_lines not in modes:
+        raise ValueError(f"bad_lines must be one of {sorted(modes)}: {bad_lines!r}")
+    if bad_lines == "skip" and not schema:
+        raise ValueError("bad_lines='skip' requires an explicit schema "
+                         "(DROPMALFORMED needs typed fields to detect damage)")
+    reader = spark.read.option("sep", sep).option("mode", modes[bad_lines])
     if schema:
         df = reader.schema(schema).csv(path)
     else:

@@ -138,7 +138,11 @@ class BitComparator(Comparator):
     bit_op: str = "and"  # and | or | xor
 
     def compare(self, col: Column, op: str) -> Column:
-        c = col.cast("long")
+        # try_cast, not cast: one unparseable value in a string column
+        # would otherwise abort the whole scan under ANSI mode (Spark 4
+        # default). NULL compares to nothing, so the row is excluded —
+        # the typed analog of the reference comparing raw bytes.
+        c = col.try_cast("long")
         if self.bit_op == "and":
             res = c.bitwiseAND(F.lit(self.mask))
         elif self.bit_op == "or":
@@ -160,7 +164,8 @@ class LongComparator(Comparator):
     value: int
 
     def compare(self, col: Column, op: str) -> Column:
-        return _apply_op(col.cast("long"), op, F.lit(self.value))
+        # try_cast: see BitComparator — a bad value must not abort the scan
+        return _apply_op(col.try_cast("long"), op, F.lit(self.value))
 
 
 def _as_comparator(v: Any) -> Comparator:

@@ -116,12 +116,19 @@ def repetition_ratio(toks: Column, n: int = 3) -> Column:
     ``toks`` must be a MATERIALIZED token-array column (select
     ``tokens(text)`` into a column first) — an inline tokens(text) here
     would re-run split() per element inside the lambda (O(n^2))."""
+    # Docs shorter than n tokens have no n-grams: collapse to a single
+    # whole-text window (ratio 0 — same rule as shingle_expr and the
+    # text_gopher_rules oracle). The when-guard also keeps ANSI mode
+    # (Spark 4 default) from throwing INVALID_ARRAY_INDEX_IN_ELEMENT_AT:
+    # the old greatest(size-n, 0) bound still indexed past the array for
+    # 1..n-1-token docs, crashing the whole job on one short doc.
     windows = F.transform(
-        F.sequence(F.lit(0), F.greatest(F.size(toks) - n, F.lit(0))),
+        F.sequence(F.lit(0), F.size(toks) - n),
         lambda i: F.concat_ws(" ", *[F.element_at(toks, i + off + 1) for off in range(n)]),
     )
-    total = F.size(windows)
-    distinct = F.size(F.array_distinct(windows))
+    ng = F.when(F.size(toks) >= n, windows).otherwise(F.array(F.concat_ws(" ", toks)))
+    total = F.size(ng)
+    distinct = F.size(F.array_distinct(ng))
     return (1 - distinct / F.greatest(total, F.lit(1))).cast("double")
 
 

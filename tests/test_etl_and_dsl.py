@@ -210,3 +210,29 @@ def test_compact_table_files(spark, sf_dir, tmp_path):
     assert sorted(map(tuple, after.collect())) == before_rows
     assert not os.path.exists(table_dir + ".compact_staging")
     assert not os.path.exists(table_dir + ".old")
+
+
+def test_import_tsv_bad_lines_modes(spark, tmp_path):
+    # importtsv.skip.bad.lines analog (ImportTsv.java:87): 'skip' drops
+    # the malformed line, 'permissive' keeps it with NULLed bad fields,
+    # 'fail' aborts the job.
+    import pytest
+
+    p = str(tmp_path / "in.tsv")
+    with open(p, "w") as fh:
+        fh.write("r1\t10\nr2\tnot_a_number\nr3\t30\n")
+    schema = "k string, v int"
+
+    ok = jobs.import_tsv(spark, p, ["k", "v"], "k", schema=schema, bad_lines="skip")
+    assert sorted((r["k"], r["v"]) for r in ok.collect()) == [("r1", 10), ("r3", 30)]
+
+    perm = jobs.import_tsv(spark, p, ["k", "v"], "k", schema=schema)
+    rows = {r["k"]: r["v"] for r in perm.collect()}
+    assert rows == {"r1": 10, "r2": None, "r3": 30}
+
+    with pytest.raises(Exception):
+        jobs.import_tsv(
+            spark, p, ["k", "v"], "k", schema=schema, bad_lines="fail"
+        ).collect()
+    with pytest.raises(ValueError, match="requires an explicit schema"):
+        jobs.import_tsv(spark, p, ["k", "v"], "k", bad_lines="skip")

@@ -237,3 +237,24 @@ def test_first_key_matching_qualifiers_predicate_in_filterlist(spark):
     )
     got = sorted(r["rowkey"] for r in t.scan(Scan(filter=f)).collect())
     assert got == ["r1"]
+
+
+def test_long_and_bit_comparators_tolerate_unparseable_values(spark):
+    # ANSI mode (Spark 4 default) aborts the job on a bad string->long
+    # cast; a scan with Long/BitComparator over a dirty column must
+    # exclude the bad row, not crash (the reference compares raw bytes
+    # and never errors).
+    from hindex_spark.table import Table, Scan
+
+    df = spark.createDataFrame(
+        [("r1", "5"), ("r2", "abc"), ("r3", "15")], ["rowkey", "v"]
+    )
+    t = Table(df, "rowkey")
+    f = fl.SingleColumnValueFilter(
+        "v", fl.GREATER, fl.LongComparator(4), filter_if_missing=True
+    )
+    assert [r["rowkey"] for r in t.scan(Scan(filter=f)).collect()] == ["r1", "r3"]
+    fb = fl.SingleColumnValueFilter(
+        "v", fl.EQUAL, fl.BitComparator(0xFF, "and"), filter_if_missing=True
+    )
+    assert [r["rowkey"] for r in t.scan(Scan(filter=fb)).collect()] == ["r1", "r3"]

@@ -816,3 +816,22 @@ def test_pq_ann_recall(spark, sf_dir):
     for r in approx.collect():
         if (r["q_id"], r["vec_id"]) in exd:
             assert abs(exd[(r["q_id"], r["vec_id"])] - r["cosine"]) < 1e-9
+
+
+def test_repetition_ratio_short_docs_no_ansi_crash(spark):
+    # Docs with fewer than n tokens crashed with
+    # INVALID_ARRAY_INDEX_IN_ELEMENT_AT under ANSI mode (Spark 4 default);
+    # they must score 0 via the whole-text-window rule instead (same rule
+    # as the text_gopher_rules oracle).
+    from pyspark.sql import functions as F
+
+    from hindex_spark.operators import text as tx
+
+    df = spark.createDataFrame(
+        [("d1", "one two"), ("d2", "x"), ("d3", "a b a b a b")], ["doc_id", "text"]
+    )
+    out = df.select(
+        "doc_id", F.round(tx.repetition_ratio(tx.tokens(F.col("text"))), 4).alias("r")
+    ).collect()
+    got = {r["doc_id"]: r["r"] for r in out}
+    assert got["d1"] == 0.0 and got["d2"] == 0.0 and got["d3"] > 0.4
