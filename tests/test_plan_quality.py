@@ -182,3 +182,40 @@ def test_clean_corpus_keep_best_no_cartesian(spark, sf_dir):
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
     p = _plan(clean_corpus(docs, "doc_id", "text", 0.3, 0.9, keep="best"))
     assert "CartesianProduct" not in p and "BroadcastNestedLoop" not in p
+
+
+def test_pq_encode_no_shuffle_topk_broadcasts_queries(spark, sf_dir):
+    # PQ's 100 TB contract: encoding is one narrow projection (codebooks
+    # are plan literals — NO Exchange, no Python), and the ADC scan
+    # broadcasts the tiny query LUT side so the corpus never shuffles.
+    from hindex_spark.operators import similarity as sim
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    cbs = sim.pq_train(emb, m=4, k=8, sample_size=200)
+    codes = sim.pq_encode(emb, cbs)
+    enc_plan = _plan(codes)
+    assert "Exchange" not in enc_plan
+    assert "Python" not in enc_plan and "ArrowEval" not in enc_plan
+
+    queries = emb.filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_vec")
+    )
+    top = sim.pq_topk(emb, codes, cbs, queries, k=5)
+    plan = _plan(top)
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
+    # the corpus side must not be broadcast or cartesian-joined
+    assert "CartesianProduct" not in plan
+
+
+def test_verify_replication_digest_join_not_cartesian(spark, sf_dir):
+    # verifyrep ships only (rowkey, digest) per side into one full-outer
+    # equi-join — never a cartesian, never the wide row payload.
+    from hindex_spark.etl import jobs
+
+    src = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    peer = src.filter(F.col("c_custkey") % 97 != 0)
+    rep = jobs.verify_replication(src, peer, "c_custkey", detail=True)
+    plan = _plan(rep)
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan
+    assert "SortMergeJoin FullOuter" in plan or "ShuffledHashJoin FullOuter" in plan \
+        or "SortMergeJoin" in plan
