@@ -311,3 +311,36 @@ def test_or_same_type_still_merges():
     assert plan.used_indexes == ["idx2"]
     cr = plan.root.conditions[0]
     assert cr.upper == "m" and cr.upper_inc and cr.lower is None
+
+
+def test_equal_beats_range_on_same_column():
+    # TestScanFilterEvaluator.testShouldTakeOnlyTheEqualConditionWhenGreaterAlsoComes
+    # (+ ...WhenLesserAlsoComes): an AND carrying both an equals and a
+    # range on one column plans a POINT probe at the equal value.
+    for rng_op, rng_val in ((fl.GREATER, "a"), (fl.LESS, "z")):
+        f = fl.FilterList("AND", [scvf("c1", fl.EQUAL, "k"), scvf("c1", rng_op, rng_val)])
+        plan = EV.evaluate(f.index_tree(None))
+        assert plan.used_indexes == ["idx2"]
+        cr = plan.root.conditions[0]
+        assert cr.has_eq and cr.eq == "k"
+
+
+def test_two_greaters_take_highest_two_lessers_take_lowest():
+    # testShouldTakeOnlyTheHighestFilterWhenTwoGreaterConditonsAreFound /
+    # ...LowestFilterWhenTwoLesserConditonsAreFound
+    f = fl.FilterList("AND", [scvf("c1", fl.GREATER, "b"), scvf("c1", fl.GREATER, "f")])
+    cr = EV.evaluate(f.index_tree(None)).root.conditions[0]
+    assert cr.lower == "f" and not cr.lower_inc
+    f2 = fl.FilterList(
+        "AND", [scvf("c1", fl.LESS_OR_EQUAL, "p"), scvf("c1", fl.LESS, "g")]
+    )
+    cr2 = EV.evaluate(f2.index_tree(None)).root.conditions[0]
+    assert cr2.upper == "g" and not cr2.upper_inc
+
+
+def test_wrong_range_direction_yields_empty():
+    # testShouldNotIncludeFilterIfTheRangeConditionIsWrong: lower > upper
+    # is a contradiction -> empty scan, no table touch needed.
+    f = fl.FilterList("AND", [scvf("c1", fl.GREATER, "x"), scvf("c1", fl.LESS, "b")])
+    plan = EV.evaluate(f.index_tree(None))
+    assert plan.is_empty
