@@ -38,3 +38,40 @@ def test_scan_where(spark, sf_dir):
     assert out.count() == t.df.filter(F.col("o_totalprice") > 100000).count()
     p = out._jdf.queryExecution().executedPlan().toString()
     assert "GreaterThan(o_totalprice,100000" in p  # pushdown through SQL string
+
+
+def test_cobucketed_fact_join_and_agg_zero_exchanges(spark, sf_dir, tmp_path):
+    # The 100 TB Q3 shape: orders and lineitem co-bucketed on the join
+    # key run join AND the downstream orderkey-grouped aggregation with
+    # ZERO hash exchanges — the shuffle that dominates a fact-fact join
+    # at scale is eliminated by database layout, not query tricks
+    # (region-colocation analog; HashPartitioning(orderkey) satisfies
+    # the groupBy's clustering requirement because the bucket key is a
+    # subset of the group keys).
+    import re
+
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        cat = Catalog(spark, str(tmp_path / "wh"))
+        cat.save_bucketed(
+            Table.from_parquet(spark, f"{sf_dir}/orders.parquet", "o_orderkey", "oq3t"),
+            num_buckets=4,
+        )
+        cat.save_bucketed(
+            Table.from_parquet(spark, f"{sf_dir}/lineitem.parquet", "l_orderkey", "lq3t"),
+            num_buckets=4,
+        )
+        o = spark.table("oq3t_bucketed")
+        l = spark.table("lq3t_bucketed")
+        q = (
+            l.join(o, l.l_orderkey == o.o_orderkey)
+            .groupBy("o_orderkey")
+            .agg(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("rev"))
+        )
+        plan = q._jdf.queryExecution().executedPlan().toString()
+        assert len(re.findall(r"Exchange hashpartitioning", plan)) == 0, plan
+        assert q.count() > 0
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+        spark.sql("DROP TABLE IF EXISTS oq3t_bucketed")
+        spark.sql("DROP TABLE IF EXISTS lq3t_bucketed")
