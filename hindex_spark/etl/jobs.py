@@ -162,13 +162,23 @@ def cell_counter_report(cells: DataFrame, separator: str = ":") -> DataFrame:
 
     Input is a cell DataFrame (rowkey, cf, qualifier, ...), one row per
     cell VERSION (the wide-table analog is ``cell_counter``). All six
-    stats derive from ONE aggregation on (rowkey, cf, qualifier); the
-    re-aggregations run over that already-reduced frame, so the job is
-    a single shuffle no matter how many versions the table holds —
-    matching the reference's single map-reduce pass. The report itself
-    is O(distinct row-columns) because of stat 6, same as the reference.
+    stats derive from ONE aggregation on (rowkey, cf, qualifier), which
+    is PERSISTED so the base shuffle over the raw cell store runs once —
+    without it each of the six union branches re-planned the groupBy
+    from source (six full scans of the store at 100 TB; the plan audit
+    showed 11 exchanges). The re-aggregations then run over the reduced
+    in-memory frame, matching the reference's single map-reduce pass.
+    The report (and the persisted frame) is O(distinct row-columns)
+    because of stat 6 — same cardinality as the reference's counter
+    output; spill-safe via MEMORY_AND_DISK. Callers running repeated
+    reports should unpersist via ``spark.catalog.clearCache()`` or the
+    returned plan's lineage going out of scope.
     """
-    v = cells.groupBy("rowkey", "cf", "qualifier").agg(F.count("*").alias("cnt"))
+    v = (
+        cells.groupBy("rowkey", "cf", "qualifier")
+        .agg(F.count("*").alias("cnt"))
+        .persist()
+    )
     rowfam = v.select("rowkey", "cf").distinct()
     key = lambda *parts: F.concat_ws(separator, *parts)  # noqa: E731
     total_rows = v.agg(
