@@ -435,3 +435,23 @@ def test_separator_partition_empty_and_missing_piece(spark):
             for r in t.scan(Scan(filter=f, index_hint=NoIndexExpression())).collect()
         )
         assert a == b, probe
+
+
+def test_scan_pipeline_range_index_reversed_limit_compose(spark):
+    # TestIndexRegionObserverForScan shape: one Scan carrying a rowkey
+    # range AND an indexable filter AND reversal AND a limit — every
+    # stage of the read pipeline (range prune -> index semi-join ->
+    # residual filter -> order -> limit) composes on one plan.
+    df = spark.createDataFrame([("r%02d" % i, i % 5) for i in range(30)], ["rowkey", "v"])
+    t = Table(df, "rowkey").create_index(IndexSpecification("idx_v").add_column("v", "Int"))
+    got = t.scan(
+        Scan(
+            start_row="r05",
+            stop_row="r20",
+            filter=fl.SingleColumnValueFilter("v", fl.EQUAL, 2, filter_if_missing=True),
+            reversed=True,
+            limit=2,
+        )
+    )
+    assert [r["rowkey"] for r in got.collect()] == ["r17", "r12"]
+    assert t.last_index_plan.used_indexes == ["idx_v"]
