@@ -84,6 +84,78 @@ def import_tsv_with_index(
     return table, idx
 
 
+def import_tsv_cells(
+    spark: SparkSession,
+    path: str,
+    columns: Sequence[str],
+    sep: str = "\t",
+    bad_lines: str = "skip",
+) -> DataFrame:
+    """ImportTsv into the CELL layer using the reference's
+    ``-Dimporttsv.columns`` spec syntax (ImportTsv.java TsvParser):
+    ``columns`` is an ordered list of TSV field roles —
+    ``HBASE_ROW_KEY`` (required, exactly once), optional
+    ``HBASE_TS_KEY`` (the cell timestamp; TsvParser.getTimestampKeyColumnIndex),
+    and ``cf:qualifier`` names for value fields. Output is a cell
+    DataFrame (rowkey, cf, qualifier, ts, op='put', value) ready for
+    ``cells.resolve`` / ``CellTable`` — rows carry the SAME ts for all
+    their cells, the reference's per-line timestamp semantics.
+
+    Bad lines (TestIndexImportTsv testTsvParserBadTsvLine*): a line with
+    no rowkey or an unparseable HBASE_TS_KEY is dropped under
+    ``bad_lines='skip'`` (the importtsv.skip.bad.lines default here,
+    since cell output without a valid coordinate is meaningless) or
+    kept with ts=NULL under 'permissive' for the caller to triage.
+    Missing value fields produce no cell — a Put carries only the cells
+    it has (excess TSV fields beyond the spec are already dropped by
+    the positional schema).
+
+    Scale: one CSV scan -> one stack() projection; no shuffle, no
+    Python. The melt multiplies rows by the number of value columns,
+    same as the reference mapper emitting one KeyValue per column.
+    """
+    if list(columns).count("HBASE_ROW_KEY") != 1:
+        raise ValueError("columns must contain HBASE_ROW_KEY exactly once")
+    if bad_lines not in ("skip", "permissive"):
+        raise ValueError(f"bad_lines must be 'skip' or 'permissive': {bad_lines!r}")
+    names = [f"_c{i}" for i in range(len(columns))]
+    df = (
+        spark.read.option("sep", sep)
+        .schema(", ".join(f"{n} string" for n in names))
+        .csv(path)
+    )
+    rk = F.col(names[list(columns).index("HBASE_ROW_KEY")])
+    if "HBASE_TS_KEY" in columns:
+        ts = F.col(names[list(columns).index("HBASE_TS_KEY")]).try_cast("long")
+    else:
+        ts = F.lit(0).cast("long")
+    value_fields = [
+        (i, c) for i, c in enumerate(columns)
+        if c not in ("HBASE_ROW_KEY", "HBASE_TS_KEY")
+    ]
+    for _, c in value_fields:
+        if ":" not in c:
+            raise ValueError(f"value column spec must be cf:qualifier, got {c!r}")
+    stack_args = ", ".join(
+        f"'{c.split(':', 1)[0]}', '{c.split(':', 1)[1]}', {names[i]}"
+        for i, c in value_fields
+    )
+    cells = (
+        df.select(
+            rk.alias("rowkey"),
+            ts.alias("ts"),
+            F.expr(f"stack({len(value_fields)}, {stack_args}) AS (cf, qualifier, value)"),
+        )
+        .filter(F.col("value").isNotNull())
+        .select(
+            "rowkey", "cf", "qualifier", "ts", F.lit("put").alias("op"), "value"
+        )
+    )
+    if bad_lines == "skip":
+        cells = cells.filter(F.col("rowkey").isNotNull() & F.col("ts").isNotNull())
+    return cells
+
+
 def import_json(
     spark: SparkSession, path: str, schema: str, rowkey_col: str
 ) -> DataFrame:

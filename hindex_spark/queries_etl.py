@@ -314,6 +314,39 @@ def q_etl_import_tsv(spark, sf_dir):
 
 
 @query(
+    "etl_import_tsv_cells",
+    """WITH src AS (SELECT CAST(user_id AS VARCHAR) AS rk, epoch_us(ts) AS t,
+                          event_type, printf('%.2f', value) AS v
+                   FROM events)
+       SELECT rk AS rowkey, 'e' AS cf, 'type' AS qualifier, t AS ts,
+              event_type AS value FROM src
+       UNION ALL
+       SELECT rk, 'e', 'val', t, v FROM src""",
+)
+def q_etl_import_tsv_cells(spark, sf_dir):
+    """ImportTsv with the reference's HBASE_ROW_KEY/HBASE_TS_KEY column
+    spec into the versioned CELL layer (TsvParser semantics,
+    TestIndexImportTsv testTsvParserWithTimestamp): round-trips events
+    through a TSV dump, each line's ts field becoming the timestamp of
+    both its cells."""
+    from hindex_spark.timeutil import ts_micros
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    src = ev.select(
+        F.col("user_id").cast("string"),
+        ts_micros(ev).alias("t"),
+        "event_type",
+        F.format_string("%.2f", "value").alias("v"),
+    )
+    tmp = tempfile.mkdtemp(prefix="hindex_tsv_cells_")
+    path = f"{tmp}/events_tsv"
+    src.write.option("sep", "\t").mode("overwrite").csv(path)
+    return jobs.import_tsv_cells(
+        spark, path, ["HBASE_ROW_KEY", "HBASE_TS_KEY", "e:type", "e:val"]
+    ).select("rowkey", "cf", "qualifier", "ts", "value")
+
+
+@query(
     "streaming_replication_roundtrip",
     """SELECT n_nationkey,
               CASE WHEN n_nationkey = 7 THEN 'UPDATED' ELSE n_name END AS n_name,

@@ -236,3 +236,59 @@ def test_import_tsv_bad_lines_modes(spark, tmp_path):
         ).collect()
     with pytest.raises(ValueError, match="requires an explicit schema"):
         jobs.import_tsv(spark, p, ["k", "v"], "k", bad_lines="skip")
+
+
+def test_import_tsv_cells_with_ts_key(spark, tmp_path):
+    # TsvParser spec syntax (TestIndexImportTsv testTsvParser*): a
+    # HBASE_TS_KEY field becomes the cell timestamp of every cell on
+    # its line; bad lines (no rowkey / unparseable ts) drop under
+    # 'skip'; a missing value field emits no cell.
+    p = str(tmp_path / "cells.tsv")
+    with open(p, "w") as fh:
+        fh.write("r1\t100\talice\t7\n")       # full line
+        fh.write("r2\t200\tbob\t\n")          # missing d:n cell
+        fh.write("\t300\teve\t1\n")           # no rowkey -> bad
+        fh.write("r4\tnot_ts\tmallory\t2\n")  # bad timestamp -> bad
+    cells = jobs.import_tsv_cells(
+        spark, p, ["HBASE_ROW_KEY", "HBASE_TS_KEY", "d:name", "d:n"]
+    )
+    got = sorted(
+        (r["rowkey"], r["cf"], r["qualifier"], r["ts"], r["value"])
+        for r in cells.collect()
+    )
+    assert got == [
+        ("r1", "d", "n", 100, "7"),
+        ("r1", "d", "name", 100, "alice"),
+        ("r2", "d", "name", 200, "bob"),
+    ]
+    # permissive keeps the bad-ts line with ts NULL for triage
+    perm = jobs.import_tsv_cells(
+        spark, p, ["HBASE_ROW_KEY", "HBASE_TS_KEY", "d:name", "d:n"],
+        bad_lines="permissive",
+    )
+    assert perm.filter(F.col("ts").isNull()).count() == 2  # mallory line, 2 cells
+    # versioned semantics end to end: two imports of the same rowkey at
+    # different ts resolve latest-wins through the cell layer
+    from hindex_spark.cells import resolve
+
+    p2 = str(tmp_path / "v2.tsv")
+    with open(p2, "w") as fh:
+        fh.write("r1\t150\talice2\t9\n")
+    both = cells.unionByName(
+        jobs.import_tsv_cells(spark, p2, ["HBASE_ROW_KEY", "HBASE_TS_KEY", "d:name", "d:n"])
+    )
+    latest = resolve(both, max_versions=1)
+    name = [r["value"] for r in latest.filter(
+        (F.col("rowkey") == "r1") & (F.col("qualifier") == "name")).collect()]
+    assert name == ["alice2"]
+
+
+def test_import_tsv_cells_spec_validation(spark, tmp_path):
+    import pytest
+
+    p = str(tmp_path / "x.tsv")
+    open(p, "w").write("a\tb\n")
+    with pytest.raises(ValueError, match="HBASE_ROW_KEY exactly once"):
+        jobs.import_tsv_cells(spark, p, ["d:a", "d:b"])
+    with pytest.raises(ValueError, match="cf:qualifier"):
+        jobs.import_tsv_cells(spark, p, ["HBASE_ROW_KEY", "noseparator"])
