@@ -182,6 +182,40 @@ def import_table(spark: SparkSession, path: str) -> DataFrame:
     return spark.read.parquet(path)
 
 
+def export_cells(
+    cells: DataFrame,
+    path: str,
+    versions: int = 1,
+    start_time: Optional[int] = None,
+    end_time: Optional[int] = None,
+    raw: bool = False,
+    mode: str = "overwrite",
+) -> None:
+    """Versioned Export (Export.java:75-100 builds its Scan from the
+    CLI args exactly like this): dump the CELL layer keeping ``versions``
+    per column, restricted to [start_time, end_time), optionally ``raw``
+    (tombstones included, nothing masked — Scan.setRaw). The dump is a
+    cell DataFrame readable by ``import_table`` and replayable into a
+    ``CellTable``; at scale this is one resolve + one write, the same
+    single scan-job shape as the reference's mapper-only MR job."""
+    from hindex_spark import cells as cell_mod
+
+    time_range = None
+    if start_time is not None or end_time is not None:
+        time_range = (start_time or 0, end_time if end_time is not None else 2**62)
+    out = cell_mod.resolve(
+        cells, max_versions=versions, time_range=time_range, raw=raw
+    )
+    if raw:
+        # raw keeps delete markers too: union them back in (resolve
+        # returns only puts; raw export ships the full edit stream)
+        out = out.unionByName(cells.filter(F.col("op") != "put"))
+        if time_range is not None:
+            lo, hi = time_range
+            out = out.filter((F.col("ts") >= lo) & (F.col("ts") < hi))
+    out.write.mode(mode).parquet(path)
+
+
 def copy_table(
     df: DataFrame,
     rowkey_col: str,
