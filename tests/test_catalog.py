@@ -535,3 +535,38 @@ def test_drop_index_then_save_load_full_scans(spark, sf_dir, tmp_path):
     expect = t.df.filter(F.col("o_custkey") == 85).count()
     assert t3.scan(Scan(filter=f)).count() == expect
     assert t3.last_index_plan.used_indexes == []
+
+
+def test_load_mutate_resave_reload_index_stays_consistent(spark, sf_dir, tmp_path):
+    # Full persistence lifecycle (the user's actual workflow): load a
+    # cataloged table, mutate it (index maintained in the same job),
+    # save the new version, reload — the reloaded index must serve a
+    # scan that reflects the mutation, and index content must equal the
+    # projection of the reloaded data.
+    cat = Catalog(spark, str(tmp_path / "wh_cycle"))
+    t = Table.from_parquet(spark, f"{sf_dir}/orders.parquet", "o_orderkey", "orders")
+    t.create_index(IndexSpecification("idx_cust").add_column("o_custkey", "Long"))
+    cat.save(t, num_partitions=4)
+
+    t1 = cat.load("orders")
+    moved = [r["o_orderkey"] for r in
+             t1.df.filter(F.col("o_custkey") == 85).limit(2).collect()]
+    puts = spark.createDataFrame([(k, 777) for k in moved], "o_orderkey long, o_custkey long")
+    t2 = t1.put(puts)
+    cat.save(t2, num_partitions=4)
+
+    t3 = cat.load("orders")
+    f = fl.SingleColumnValueFilter("o_custkey", fl.EQUAL, 777, filter_if_missing=True)
+    out = t3.scan(Scan(filter=f))
+    assert t3.last_index_plan.used_indexes == ["idx_cust"]
+    assert sorted(r["o_orderkey"] for r in out.collect()) == sorted(moved)
+    # no stale entries: the moved keys are gone from the old index value
+    f85 = fl.SingleColumnValueFilter("o_custkey", fl.EQUAL, 85, filter_if_missing=True)
+    still = {r["o_orderkey"] for r in t3.scan(Scan(filter=f85)).collect()}
+    assert not (still & set(moved))
+    # index is exactly the projection of the reloaded data
+    idx = t3.index_tables["idx_cust"]
+    a = sorted((r["o_custkey"], r["o_orderkey"]) for r in idx.collect())
+    b = sorted((r["o_custkey"], r["o_orderkey"])
+               for r in t3.df.select("o_custkey", "o_orderkey").collect())
+    assert a == b
