@@ -319,13 +319,27 @@ def minhash_dedup_pairs(
     ``hash_fn`` only affects which candidates LSH surfaces (the minhash
     family); verification is exact Jaccard either way, so reported pairs
     are correct under both — 'xxhash64' is the cheaper production path,
-    'md5' the oracle-reproducible default."""
-    ua = doc_unit_arrays(df, id_col, text_col, ngram)
+    'md5' the oracle-reproducible default.
+
+    Verification reads shingles ONLY for docs that appear in some
+    candidate pair: the (tiny) pair set is cached, its id set semi-joins
+    the corpus, and the narrowed unit arrays are cached for the two pair
+    joins. At 100 TB candidates are ≪ corpus, so the expensive shingle
+    recomputation never touches the non-candidate bulk — without the
+    narrowing, each side of the pair join re-shingled the whole corpus."""
     cands = lsh_candidate_pairs(
         minhash_signatures(df, id_col, text_col, ngram, hash_fn=hash_fn),
         id_col,
         max_bucket=max_bucket,
+    ).persist()
+    cand_ids = (
+        cands.select(F.col("id_a").alias(id_col))
+        .unionByName(cands.select(F.col("id_b").alias(id_col)))
+        .distinct()
     )
+    ua = doc_unit_arrays(
+        df.join(cand_ids, id_col, "left_semi"), id_col, text_col, ngram
+    ).persist()
     va = ua.select(F.col(id_col).alias("id_a"), F.col("units").alias("u_a"))
     vb = ua.select(F.col(id_col).alias("id_b"), F.col("units").alias("u_b"))
     return (
@@ -386,13 +400,21 @@ def minhash_join(
                 bl = bl.join(big, ["band", "bucket"], "left_anti")
             else:
                 br = br.join(big, ["band", "bucket"], "left_anti")
-    cands = bl.join(br, ["band", "bucket"]).select("id_a", "id_b").distinct()
-    ua = doc_unit_arrays(left, id_col, text_col, ngram).select(
-        F.col(id_col).alias("id_a"), F.col("units").alias("u_a")
-    )
-    ub = doc_unit_arrays(right, id_col, text_col, ngram).select(
-        F.col(id_col).alias("id_b"), F.col("units").alias("u_b")
-    )
+    cands = bl.join(br, ["band", "bucket"]).select("id_a", "id_b").distinct().persist()
+    # verification narrowing (same as minhash_dedup_pairs): re-shingle
+    # only docs that appear in a candidate pair, not either full corpus
+    ua = doc_unit_arrays(
+        left.join(cands.select(F.col("id_a").alias(id_col)).distinct(), id_col, "left_semi"),
+        id_col,
+        text_col,
+        ngram,
+    ).select(F.col(id_col).alias("id_a"), F.col("units").alias("u_a"))
+    ub = doc_unit_arrays(
+        right.join(cands.select(F.col("id_b").alias(id_col)).distinct(), id_col, "left_semi"),
+        id_col,
+        text_col,
+        ngram,
+    ).select(F.col(id_col).alias("id_b"), F.col("units").alias("u_b"))
     return (
         cands.join(ua, "id_a")
         .join(ub, "id_b")
