@@ -219,3 +219,24 @@ def test_verify_replication_digest_join_not_cartesian(spark, sf_dir):
     assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan
     assert "SortMergeJoin FullOuter" in plan or "ShuffledHashJoin FullOuter" in plan \
         or "SortMergeJoin" in plan
+
+
+def test_minhash_verify_narrows_to_candidates(spark, sf_dir):
+    """The verification stage of minhash_dedup_pairs must re-shingle only
+    CANDIDATE docs, not the full corpus: the pair set is cached and its
+    ids semi-join the corpus before unit arrays are computed. Plan
+    evidence: the candidate set appears as an InMemoryRelation and the
+    corpus joins it via a semi join; without the narrowing the plan had
+    no cache and two full-corpus shingle projections."""
+    from hindex_spark.operators.dedup import minhash_dedup_pairs
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    df = minhash_dedup_pairs(docs, "doc_id", "text", 0.9)
+    p = _plan(df)
+    assert "InMemoryTableScan" in p or "InMemoryRelation" in p
+    assert re.search(r"(?i)semi.*join|join.*semi", p), p[:2000]
+    assert "CartesianProduct" not in p
+    # hygiene: drop the operator's caches so later tests see clean state
+    jmap = spark.sparkContext._jsc.getPersistentRDDs()
+    for rid in jmap.keySet():
+        jmap.get(rid).unpersist()
