@@ -68,6 +68,7 @@ class ChangelogEmitter:
 
     def _resume_seq(self, spark) -> int:
         """Highest seq already in the log (0 for a fresh path)."""
+        _recover_interrupted_compaction(self.path)
         try:
             existing = spark.read.parquet(self.path)
         except Exception:
@@ -214,6 +215,7 @@ def replay_changelog(
     the log schema named like a sequence id; pass an explicit name or
     ``None`` (unordered — only safe for logs whose keys are touched once).
     """
+    _recover_interrupted_compaction(changelog_path)
     stream = spark.readStream.schema(schema).parquet(changelog_path)
     if seq_col == "auto":
         seq_col = next((c for c in stream.schema.names if c in _SEQ_CANDIDATES), None)
@@ -223,6 +225,21 @@ def replay_changelog(
     q = ingest.start(stream, trigger_once=True)
     q.awaitTermination()
     return ingest
+
+
+def _recover_interrupted_compaction(path: str) -> None:
+    """Crash recovery for ``compact_changelog``'s swap window: the swap
+    is rename(path -> path.old) then rename(path.compacting -> path), so
+    a kill between the two renames leaves the intact original log at
+    ``path.old`` and nothing at ``path``. Every log reader/writer entry
+    point calls this first: if the log is missing but ``.old`` exists,
+    the original is renamed back (the ``.compacting`` copy, possibly
+    complete, is discarded — it holds the same records). Idempotent and
+    a no-op for healthy logs."""
+    old = path.rstrip("/") + ".old"
+    if not os.path.exists(path) and os.path.exists(old):
+        os.rename(old, path)
+    shutil.rmtree(path.rstrip("/") + ".compacting", ignore_errors=True)
 
 
 def compact_changelog(spark, path: str, num_files: int = 1) -> int:
@@ -241,9 +258,9 @@ def compact_changelog(spark, path: str, num_files: int = 1) -> int:
     intact. Attached emitters stay valid (their in-memory seq continues;
     a re-attaching emitter resumes from the preserved seq column).
     Returns the resulting parquet file count."""
+    _recover_interrupted_compaction(path)
     df = spark.read.parquet(path)
     staging = path.rstrip("/") + ".compacting"
-    shutil.rmtree(staging, ignore_errors=True)
     # sortWithinPartitions(seq): row-group min/max stats then keep the
     # replay-side seq ordering cheap to compute
     (

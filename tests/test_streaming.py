@@ -225,3 +225,50 @@ def test_compact_changelog_preserves_replay_and_shrinks_files(spark, tmp_path):
     t2 = Table(t.df, "k", "t").enable_changelog(log)
     t2 = t2.put(spark.createDataFrame([(99, "z")], "k long, v string"))
     assert t2._changelog.seq == 7
+
+
+def test_interrupted_compaction_recovers_original_log(spark, tmp_path):
+    """Crash window of compact_changelog (the two-rename swap): a kill
+    after rename(log -> log.old) but before rename(log.compacting -> log)
+    must not lose the log — every reader/writer entry point recovers the
+    original from .old (TestForComplexIssues.testWalReplayShouldNotSkipAnyRecords
+    analog: no shipped edit may vanish)."""
+    import os
+
+    from hindex_spark.streaming.ingest import compact_changelog, replay_changelog
+    from hindex_spark.table import Table
+
+    base = spark.createDataFrame([(1, "a")], "k long, v string")
+    log = str(tmp_path / "log")
+    t = Table(base, "k", "t").enable_changelog(log)
+    for i in range(3):
+        t = t.put(spark.createDataFrame([(10 + i, f"v{i}")], "k long, v string"))
+
+    # simulate the crash: staging written, first rename done, second not
+    import shutil
+
+    shutil.copytree(log, log + ".compacting")
+    os.rename(log, log + ".old")
+    assert not os.path.exists(log)
+
+    # replay recovers and replays every record
+    peer = Table(base, "k", "peer")
+    replayed = replay_changelog(spark, peer, log, t.changelog_schema).table.df
+    got = sorted((r["k"], r["v"]) for r in replayed.collect())
+    assert got == [(1, "a"), (10, "v0"), (11, "v1"), (12, "v2")]
+    assert os.path.exists(log) and not os.path.exists(log + ".old")
+    assert not os.path.exists(log + ".compacting")
+
+    # same crash, recovery via emitter re-attach
+    os.rename(log, log + ".old")
+    t2 = Table(t.df, "k", "t").enable_changelog(log)
+    t2 = t2.put(spark.createDataFrame([(99, "z")], "k long, v string"))
+    assert t2._changelog.seq == 4  # resumed over the recovered log
+
+    # same crash, recovery at the head of a fresh compaction
+    os.rename(log, log + ".old")
+    n = compact_changelog(spark, log, num_files=1)
+    assert n == 1
+    peer2 = Table(base, "k", "peer2")
+    replayed2 = replay_changelog(spark, peer2, log, t.changelog_schema).table.df
+    assert replayed2.count() == 5  # 1 base + 3 puts + the post-crash put
