@@ -239,7 +239,13 @@ def ivf_topk(
 ) -> DataFrame:
     """IVF probe: each query scores the (tiny) centroid set, searches
     only its ``nprobe`` nearest clusters — cost O(N * nprobe/n_clusters)
-    per query. Same output shape as brute_force_topk."""
+    per query. Same output shape as brute_force_topk.
+
+    If ``assignments`` already carries ``vec_col`` (a pre-joined
+    cluster-partitioned vector store — the materialized IVF index, which
+    is what a production deployment persists: vectors laid out BY
+    cluster so a probe reads only its clusters' partitions), the
+    embeddings join is skipped; per-probe cost is then pure scan+score."""
     q_scored = queries.crossJoin(F.broadcast(centroids)).withColumn(
         "__sim", cosine_expr(F.col(q_vec_col), F.col("centroid"))
     )
@@ -249,7 +255,10 @@ def ivf_topk(
         .filter(F.col("__rn") <= nprobe)
         .select(q_id_col, q_vec_col, "cluster")
     )
-    clustered = embeddings.join(assignments, id_col)
+    if vec_col in assignments.columns:
+        clustered = assignments
+    else:
+        clustered = embeddings.join(assignments, id_col)
     joined = clustered.join(F.broadcast(probes), "cluster")
     scored = joined.select(
         F.col(q_id_col),
