@@ -26,6 +26,7 @@ import json
 import os
 import re
 import shutil
+import threading
 from dataclasses import dataclass, field
 from typing import Dict, List, Optional
 
@@ -35,6 +36,10 @@ from pyspark.sql import functions as F
 from hindex_spark.index.build import build_index
 from hindex_spark.index.spec import IndexSpecification, TableIndices
 from hindex_spark.table import Table
+
+#: serializes session-catalog DDL (DROP+CREATE pairs) across threads —
+#: the session catalog is per-JVM, so an in-process lock suffices
+_REGISTRATION_LOCK = threading.RLock()
 
 
 @dataclass
@@ -210,12 +215,20 @@ class Catalog:
         ordinary parquet with bucket-id file names, so a fresh session
         re-attaches by re-running this DDL."""
         sc = ", ".join(f"`{c}`" for c in sort_cols)
-        self.spark.sql(f"DROP TABLE IF EXISTS `{qname}`")
-        self.spark.sql(
-            f"CREATE TABLE `{qname}` ({self._ddl(schema)}) USING PARQUET "
-            f"CLUSTERED BY (`{bucket_col}`) SORTED BY ({sc}) INTO {n} BUCKETS "
-            f"LOCATION '{os.path.abspath(location)}'"
-        )
+        # DROP + CREATE is two statements against the (per-JVM) session
+        # catalog; without the lock, two concurrent loads of the same
+        # table both DROP then both CREATE and the loser dies with
+        # TABLE_ALREADY_EXISTS. Readers stay otherwise lock-free: a
+        # DataFrame returned by load() resolved its versioned location
+        # eagerly, so later re-registrations never retarget it (the
+        # version GC grace window covers files it still reads).
+        with _REGISTRATION_LOCK:
+            self.spark.sql(f"DROP TABLE IF EXISTS `{qname}`")
+            self.spark.sql(
+                f"CREATE TABLE `{qname}` ({self._ddl(schema)}) USING PARQUET "
+                f"CLUSTERED BY (`{bucket_col}`) SORTED BY ({sc}) INTO {n} BUCKETS "
+                f"LOCATION '{os.path.abspath(location)}'"
+            )
 
     def _write_bucketed(
         self, df: DataFrame, final: str, qname: str, bucket_col: str, sort_cols, n: int,

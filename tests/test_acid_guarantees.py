@@ -1,0 +1,115 @@
+"""TestAcidGuaranteesForIndex analog (hbase-secondaryindex/src/test/...
+/regionserver/TestAcidGuaranteesForIndex.java): concurrent writers put
+the SAME value into every family of a row; concurrent readers must
+never observe a row whose families disagree (a torn write), and
+index-driven scans must agree with the data they point at.
+
+In this engine the atomicity unit is (a) one batch mutation job —
+table and every index updated by the same job — and (b) the catalog's
+version-pointer swap: a reader that loaded version N keeps a
+consistent (data, index) pair even while version N+1 is being written.
+"""
+
+import random
+import threading
+
+from pyspark.sql import functions as F
+
+from hindex_spark import filters as fl
+from hindex_spark.catalog import Catalog
+from hindex_spark.index.spec import IndexSpecification
+from hindex_spark.table import Scan, Table
+
+N_ROWS = 20
+
+
+def _fresh_table(spark):
+    rows = [(f"row{i:03d}", "v0", "v0", "v0") for i in range(N_ROWS)]
+    df = spark.createDataFrame(rows, "rowkey string, A_data string, B_data string, C_data string")
+    t = Table(df, "rowkey", "acid")
+    t.create_index(IndexSpecification("idx_a").add_column("A_data", "String"))
+    return t
+
+
+def test_concurrent_writer_readers_never_see_torn_rows(spark, tmp_path):
+    cat = Catalog(spark, str(tmp_path / "wh"))
+    cat.save(_fresh_table(spark), num_partitions=2)
+
+    stop = threading.Event()
+    failures = []
+
+    def writer():
+        rng = random.Random(42)
+        try:
+            for cycle in range(4):
+                t = cat.load("acid")
+                val = f"w{cycle}"
+                keys = rng.sample([f"row{i:03d}" for i in range(N_ROWS)], 8)
+                puts = spark.createDataFrame(
+                    [(k, val, val, val) for k in keys],
+                    "rowkey string, A_data string, B_data string, C_data string",
+                )
+                cat.save(t.put(puts), num_partitions=2)
+        except Exception as exc:  # noqa: BLE001
+            failures.append(f"writer: {exc!r}")
+        finally:
+            stop.set()
+
+    def reader():
+        try:
+            while not stop.is_set():
+                t = cat.load("acid")
+                # torn-row check: every visible row has A == B == C
+                torn = t.df.filter(
+                    (F.col("A_data") != F.col("B_data"))
+                    | (F.col("B_data") != F.col("C_data"))
+                ).count()
+                if torn:
+                    failures.append(f"torn rows visible: {torn}")
+                    return
+                # index consistency: the loaded index must be exactly the
+                # projection of the loaded data (never lags or leads)
+                idx = t.index_tables["idx_a"]
+                a = sorted((r["A_data"], r["rowkey"]) for r in idx.collect())
+                b = sorted(
+                    (r["A_data"], r["rowkey"])
+                    for r in t.df.select("A_data", "rowkey").collect()
+                )
+                if a != b:
+                    failures.append(f"index lags data: {a[:3]} vs {b[:3]}")
+                    return
+                # an index-driven scan returns rows whose value matches
+                some_val = t.df.select("A_data").first()[0]
+                f = fl.SingleColumnValueFilter(
+                    "A_data", fl.EQUAL, some_val, filter_if_missing=True
+                )
+                out = t.scan(Scan(filter=f))
+                bad = out.filter(
+                    (F.col("A_data") != some_val)
+                    | (F.col("B_data") != some_val)
+                    | (F.col("C_data") != some_val)
+                ).count()
+                if bad:
+                    failures.append(f"indexed scan returned torn rows: {bad}")
+                    return
+        except Exception as exc:  # noqa: BLE001
+            failures.append(f"reader: {exc!r}")
+
+    threads = [threading.Thread(target=writer)] + [
+        threading.Thread(target=reader) for _ in range(2)
+    ]
+    for th in threads:
+        th.start()
+    for th in threads:
+        th.join(timeout=600)
+    assert not failures, failures
+
+    # final state: last writer cycle fully visible and consistent
+    t = cat.load("acid")
+    assert t.df.count() == N_ROWS
+    assert (
+        t.df.filter(
+            (F.col("A_data") != F.col("B_data")) | (F.col("B_data") != F.col("C_data"))
+        ).count()
+        == 0
+    )
