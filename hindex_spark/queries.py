@@ -1288,7 +1288,13 @@ _PRIORITY = [
     # 563-row lexicographic OR, negative typed values)
     "idxtab_and_setcover", "idxtab_or_union", "idxtab_prefix_range",
     "idxtab_null_semantics",
-    "idxtab_and_or_combination", "idxtab_equal_range_combination",
+    # idxtab_stale_index (round 5): poisoned index entries must produce
+    # zero phantom rows — the main-scan re-verification semantics
+    # (TestIndexRegionObserverForScan:486). Takes the slot of
+    # idxtab_and_or_combination, whose AND/OR-combination coverage stays
+    # in the prefix via and_setcover + or_union + and_with_poisoned_or
+    # (and in the local gate itself).
+    "idxtab_stale_index", "idxtab_equal_range_combination",
     "idxtab_and_with_poisoned_or",
     "idxtab_range_not_last", "idxtab_similar_value_pattern",
     "idxtab_complex_range_or",

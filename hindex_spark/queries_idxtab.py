@@ -694,3 +694,34 @@ def q_idxtab_multi_index_put(spark, sf_dir):
             F.lit("all").alias("src"), "rowkey", null_s.alias("c1"), null_s.alias("c2")
         )
     )
+
+
+@query(
+    "idxtab_stale_index",
+    f"""WITH {_values_cte()}
+        SELECT rowkey, c1 FROM idxtab WHERE c1 = 'zz'
+        UNION ALL
+        SELECT rowkey, c1 FROM idxtab WHERE c1 = 'a'""",
+)
+def q_idxtab_stale_index(spark, sf_dir):
+    """Stale/poisoned index entries must yield ZERO phantom rows
+    (TestIndexRegionObserverForScan.testScanShouldNotRetreiveRowsIfRows
+    ArePresentOnlyInIndexedTableAndNotInMainTable:486): the main scan
+    re-verifies every seek point, so an index entry pointing at a
+    missing row, or at a row whose current value no longer matches,
+    contributes nothing. The gate poisons idx2 with BOTH kinds of junk
+    ('zz' -> nonexistent rowkey; 'zz' -> live row whose c1 is not 'zz';
+    'a' -> rowkey outside the table) and scans both values: 'zz' must
+    return empty, 'a' must return exactly the true c1='a' rows — all
+    through the index flow (used_indexes asserted)."""
+    t = _idxtab(spark)
+    poison = spark.createDataFrame(
+        [("zz", "rowNONE"), ("zz", "row000"), ("a", "rowGHOST")],
+        ["c1", "rowkey"],
+    )
+    t.index_tables["idx2"] = t.index_tables["idx2"].unionByName(poison)
+    s_zz = t.scan(Scan(filter=_scvf("c1", fl.EQUAL, "zz"), columns=["c1"]))
+    assert t.last_index_plan.used_indexes == ["idx2"], t.last_index_plan.used_indexes
+    s_a = t.scan(Scan(filter=_scvf("c1", fl.EQUAL, "a"), columns=["c1"]))
+    assert t.last_index_plan.used_indexes == ["idx2"], t.last_index_plan.used_indexes
+    return s_zz.unionByName(s_a)
