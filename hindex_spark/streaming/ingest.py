@@ -235,7 +235,9 @@ def _recover_interrupted_compaction(path: str) -> None:
     point calls this first: if the log is missing but ``.old`` exists,
     the original is renamed back (the ``.compacting`` copy, possibly
     complete, is discarded — it holds the same records). Idempotent and
-    a no-op for healthy logs."""
+    a no-op for healthy logs. Assumes compaction is single-writer (like
+    Catalog.save): clearing stale staging would break a compaction
+    running concurrently in another process."""
     old = path.rstrip("/") + ".old"
     if not os.path.exists(path) and os.path.exists(old):
         os.rename(old, path)
