@@ -204,7 +204,12 @@ def main():
 
     # The IVF scale path: index build (sampled k-means) is database
     # setup — one-time, like the secondary-index build — and the probe
-    # workload is what repeats per query batch.
+    # workload is what repeats per query batch. At sf0.1 (2k vectors)
+    # the probe's extra stages (centroid scoring window + cluster join)
+    # cost more than they save — brute force scores all 2k rows in one
+    # stage — so expect ivf >= bruteforce HERE; the crossover is where
+    # nprobe/n_clusters of the corpus no longer fits one stage's scan
+    # budget (millions of vectors), which is the regime IVF exists for.
     try:
         ivf_asn, ivf_cent = sim.ivf_build(emb, n_clusters=16, iters=2)
         # the materialized IVF index: vectors stored WITH their cluster
