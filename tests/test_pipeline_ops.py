@@ -835,3 +835,20 @@ def test_repetition_ratio_short_docs_no_ansi_crash(spark):
     ).collect()
     got = {r["doc_id"]: r["r"] for r in out}
     assert got["d1"] == 0.0 and got["d2"] == 0.0 and got["d3"] > 0.4
+
+
+def test_ivf_topk_prejoined_store_identical(spark, sf_dir):
+    """ivf_topk over a materialized cluster store (assignments carrying
+    the vector column — the persisted IVF index layout) must return
+    exactly what the separate-frames shape returns."""
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    assignments, centroids = sim.ivf_build(emb, n_clusters=8, iters=2)
+    queries = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_vec")
+    )
+    split = sim.ivf_topk(emb, assignments, centroids, queries, 10, nprobe=3)
+    store = emb.join(assignments, "vec_id")
+    fused = sim.ivf_topk(emb, store, centroids, queries, 10, nprobe=3)
+    a = sorted(map(tuple, split.collect()))
+    b = sorted(map(tuple, fused.collect()))
+    assert a == b
