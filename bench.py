@@ -150,6 +150,36 @@ def main():
     if orders_w is not None:
         bench("sequential_write", seq_write)
 
+    # The fork's headline write cost: the same put against a table WITH
+    # a maintained secondary index — data merge + index delta derivation
+    # in one batch job (IndexRegionObserver.preBatchMutate analog). The
+    # delta over sequential_write is the price of synchronous index
+    # maintenance; the index side is keyed by affected rowkeys only, so
+    # the overhead is proportional to the batch, not the table.
+    try:
+        cat.save(
+            Table(orders.df, "o_orderkey", "orders_wi"), num_partitions=32
+        )
+        orders_wi = cat.load("orders_wi")
+        orders_wi.create_index(
+            IndexSpecification("idx_cust_w").add_column("o_custkey", "Long")
+        )
+        orders_wi.index_tables["idx_cust_w"].count()
+    except Exception as exc:  # noqa: BLE001
+        orders_wi = None
+        errors["indexed_write"] = f"setup: {type(exc).__name__}: {exc}"[:220]
+
+    def idx_write():
+        puts = orders_wi.df.limit(10000).select(
+            "o_orderkey", (F.col("o_custkey") + 1).alias("o_custkey")
+        )
+        t2 = orders_wi.put(puts)
+        t2.df.count()
+        t2.index_tables["idx_cust_w"].count()
+
+    if orders_wi is not None:
+        bench("indexed_write", idx_write)
+
     # --- aggregation ------------------------------------------------------
     def q1():
         (
