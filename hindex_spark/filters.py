@@ -592,6 +592,22 @@ class FilterList(Filter):
             return FilterList._is_pure(f.inner)
         return type(f).apply is Filter.apply
 
+    @staticmethod
+    def _row_faithful(f: "Filter") -> bool:
+        """True iff ``f.predicate`` selects exactly the rows ``f.apply``
+        would keep. Projection-only filters (KeyOnly, SCVExclude, ...)
+        qualify; TRUNCATION filters do not — PageFilter keeps a count
+        prefix (predicate lit(True)) and WhileMatchFilter keeps a
+        take-while prefix (predicate = inner), so a predicate union over
+        them silently over-selects."""
+        if isinstance(f, (PageFilter, WhileMatchFilter)):
+            return False
+        if isinstance(f, FilterList):
+            return all(FilterList._row_faithful(g) for g in f.filters)
+        if isinstance(f, SkipFilter):
+            return FilterList._row_faithful(f.inner)
+        return True
+
     def apply(self, df: DataFrame, table) -> DataFrame:
         # Non-predicate members (PageFilter, WhileMatch, nested lists
         # containing them) compose sequentially for AND; for OR they
@@ -609,6 +625,24 @@ class FilterList(Filter):
             for f in special:
                 out = f.apply(out, table)
             return out
+        lying = [f for f in self.filters if not FilterList._row_faithful(f)]
+        if lying:
+            # A TRUNCATION member (PageFilter's count limit, WhileMatch's
+            # take-while) under MUST_PASS_ONE has positional row-stream
+            # semantics (per-row ReturnCode interleaving,
+            # FilterList.java:178-200) that a predicate union cannot
+            # express; PageFilter's ``predicate()`` is lit(True), so
+            # falling through silently returned EVERY row. Fail loudly,
+            # like the versioned-read knobs on Table.scan. (Projection
+            # members — KeyOnly, SCVExclude, FirstKeyMatchingQualifiers —
+            # keep faithful row predicates and stay allowed.)
+            names = ", ".join(type(f).__name__ for f in lying)
+            raise NotImplementedError(
+                f"FilterList MUST_PASS_ONE with truncation member(s) "
+                f"[{names}] is not expressible declaratively; compose them "
+                f"sequentially (MUST_PASS_ALL) or apply them to the union "
+                f"result instead"
+            )
         return df.filter(self.predicate(table))
 
     def index_tree(self, table):

@@ -258,3 +258,35 @@ def test_long_and_bit_comparators_tolerate_unparseable_values(spark):
         "v", fl.EQUAL, fl.BitComparator(0xFF, "and"), filter_if_missing=True
     )
     assert [r["rowkey"] for r in t.scan(Scan(filter=fb)).collect()] == ["r1", "r3"]
+
+
+def test_filter_list_or_with_page_filter_fails_loudly(spark):
+    """MUST_PASS_ONE containing a limit-semantics member (PageFilter,
+    WhileMatch) previously fell through to predicate() == lit(True) and
+    silently returned EVERY row. The declarative model cannot express
+    the reference's per-row ReturnCode interleaving
+    (FilterList.java:178-200), so it must refuse, not approximate."""
+    import pytest
+
+    from hindex_spark.table import Scan, Table
+
+    df = spark.createDataFrame([("r1", 1), ("r2", 2), ("r3", 3)], ["rowkey", "v"])
+    t = Table(df, "rowkey", "ortab")
+    f = fl.FilterList(
+        "OR",
+        [
+            fl.PageFilter(1),
+            fl.SingleColumnValueFilter("v", fl.EQUAL, 2, filter_if_missing=True),
+        ],
+    )
+    with pytest.raises(NotImplementedError, match="MUST_PASS_ONE"):
+        t.scan(Scan(filter=f)).count()
+    # AND composition (the documented alternative) still works
+    f_and = fl.FilterList(
+        "AND",
+        [
+            fl.SingleColumnValueFilter("v", fl.GREATER, 0, filter_if_missing=True),
+            fl.PageFilter(2),
+        ],
+    )
+    assert t.scan(Scan(filter=f_and)).count() == 2
