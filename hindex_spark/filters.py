@@ -602,6 +602,8 @@ class FilterList(Filter):
         them silently over-selects."""
         if isinstance(f, (PageFilter, WhileMatchFilter)):
             return False
+        if isinstance(f, (ColumnPaginationFilter, ColumnCountGetFilter)):
+            return False  # positional cell truncation — predicate lit(True)
         if isinstance(f, FilterList):
             return all(FilterList._row_faithful(g) for g in f.filters)
         if isinstance(f, SkipFilter):
