@@ -19,7 +19,7 @@ pruning, join strategy, and whole-stage codegen.
 
 from hindex_spark.session import get_spark, load_tables  # noqa: F401
 from hindex_spark.table import CellTable, Scan, Table  # noqa: F401
-from hindex_spark.catalog import Catalog, TableDescriptor  # noqa: F401
+from hindex_spark.catalog import Catalog, FamilyDescriptor, TableDescriptor  # noqa: F401
 from hindex_spark.parse_filter import parse_filter  # noqa: F401
 from hindex_spark.index.spec import (  # noqa: F401
     ColumnQualifier,
