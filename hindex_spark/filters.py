@@ -604,6 +604,8 @@ class FilterList(Filter):
             return False
         if isinstance(f, (ColumnPaginationFilter, ColumnCountGetFilter)):
             return False  # positional cell truncation — predicate lit(True)
+        if isinstance(f, DependentColumnFilter):
+            return False  # needs the cell-layer ts self-join — no predicate form
         if isinstance(f, FilterList):
             return all(FilterList._row_faithful(g) for g in f.filters)
         if isinstance(f, SkipFilter):
