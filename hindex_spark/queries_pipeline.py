@@ -1154,3 +1154,41 @@ def q_pipeline_e2e(spark, sf_dir):
         F.col("pos").cast("long").alias("pos"),
         F.col("n_tokens").cast("long").alias("n_tokens"),
     )
+
+
+MM_RESIZE_ORACLE = """
+    WITH raw AS (SELECT doc_id, hex(encode(text)) AS h,
+                        octet_length(encode(text)) AS n FROM documents),
+    byt AS (SELECT doc_id, n,
+                 list_transform(
+                   range(0, n),
+                   i -> (strpos('0123456789ABCDEF', substr(h, 2*i+1, 1))-1)*16
+                      + strpos('0123456789ABCDEF', substr(h, 2*i+2, 1))-1
+                 ) AS bytes
+          FROM raw),
+    rz AS (SELECT doc_id, n,
+                  CASE WHEN n <= 64 THEN bytes
+                       ELSE list_transform(range(0, 64),
+                              i -> bytes[CAST(FLOOR(i * (n / 64.0)) AS INT) + 1])
+                  END AS rbytes
+           FROM byt)
+    SELECT doc_id,
+           len(rbytes)::BIGINT AS n_bytes,
+           CASE WHEN len(rbytes) = 0 THEN 0.0
+                ELSE list_aggregate(rbytes, 'sum') * 1.0 / len(rbytes) END AS mean_byte,
+           CASE WHEN len(rbytes) = 0 THEN 0
+                ELSE list_aggregate(rbytes, 'max') END::INT AS max_byte
+    FROM rz
+"""
+
+
+@query("multimodal_resize", MM_RESIZE_ORACLE)
+def q_mm_resize(spark, sf_dir):
+    """Resize plumbing gate: attach_blob -> resize_blobs (evenly-strided
+    64-byte stand-in for Image.resize) -> extract_features over the
+    RESIZED payloads. The oracle recomputes the stride pick byte-by-byte
+    from hex(encode(text)) in DuckDB, so both the Arrow resize pass and
+    the downstream feature pass hash-check end to end."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    resized = mm.resize_blobs(mm.attach_blob(docs), target_bytes=64)
+    return mm.extract_features(resized)

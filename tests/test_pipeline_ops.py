@@ -852,3 +852,24 @@ def test_ivf_topk_prejoined_store_identical(spark, sf_dir):
     a = sorted(map(tuple, split.collect()))
     b = sorted(map(tuple, fused.collect()))
     assert a == b
+
+
+def test_multimodal_resize_exact_bytes(spark):
+    """resize_blobs picks exactly the evenly-strided bytes (the
+    deterministic stand-in contract a real Image.resize replaces)."""
+    df = spark.createDataFrame(
+        [(1, "x" * 6), (2, "abcdefghijklmnopqrstuvwxyz" * 10)], ["doc_id", "text"]
+    )
+    out = {
+        r["doc_id"]: r
+        for r in mm.resize_blobs(mm.attach_blob(df), target_bytes=8).collect()
+    }
+    # short payload (n <= target): unchanged
+    assert bytes(out[1]["blob"]) == b"x" * 6
+    assert out[1]["out_bytes"] == 6 and out[1]["in_bytes"] == 6
+    # long payload: int(i * n/8) strided pick
+    payload = ("abcdefghijklmnopqrstuvwxyz" * 10).encode()
+    n = len(payload)
+    expect = bytes(payload[int(i * (n / 8))] for i in range(8))
+    assert bytes(out[2]["blob"]) == expect
+    assert out[2]["out_bytes"] == 8 and out[2]["in_bytes"] == n
