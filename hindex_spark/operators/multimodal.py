@@ -130,27 +130,28 @@ def resize_blobs(
     checkable); width/height metadata update rides the same pass, so the
     downstream schema is exactly what a real decoder would produce."""
 
+    import numpy as np
+
+    def _resize_one(payload: bytes) -> bytes:
+        n = len(payload)
+        if n <= target_bytes:
+            return payload
+        arr = np.frombuffer(payload, dtype=np.uint8)
+        # int(i * stride) truncation, matching the DuckDB oracle's FLOOR
+        idx = (np.arange(target_bytes) * (n / target_bytes)).astype(np.int64)
+        return arr[idx].tobytes()
+
     def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            out_rows = []
-            for _, r in pdf.iterrows():
-                payload = bytes(r[blob_col])
-                n = len(payload)
-                if n <= target_bytes:
-                    resized = payload
-                else:
-                    stride = n / target_bytes
-                    resized = bytes(payload[int(i * stride)] for i in range(target_bytes))
-                out_rows.append(
-                    {
-                        "doc_id": r[id_col],
-                        "blob": resized,
-                        "out_bytes": len(resized),
-                        "in_bytes": n,
-                    }
-                )
+            blobs = pdf[blob_col].map(bytes)
+            resized = blobs.map(_resize_one)
             yield pd.DataFrame(
-                out_rows, columns=["doc_id", "blob", "out_bytes", "in_bytes"]
+                {
+                    "doc_id": pdf[id_col],
+                    "blob": resized,
+                    "out_bytes": resized.map(len),
+                    "in_bytes": blobs.map(len),
+                }
             )
 
     return df.select(id_col, blob_col).mapInPandas(
