@@ -100,16 +100,10 @@ def frame_sample(df: DataFrame, id_col: str = "doc_id", blob_col: str = "blob", 
     def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             rows = []
-            for _, r in pdf.iterrows():
-                payload = bytes(r[blob_col])
+            for doc_id, blob in zip(pdf[id_col], pdf[blob_col]):
+                payload = bytes(blob)
                 for i, off in enumerate(range(0, len(payload), every)):
-                    rows.append(
-                        {
-                            "doc_id": r[id_col],
-                            "frame_no": i,
-                            "frame": payload[off : off + every],
-                        }
-                    )
+                    rows.append((doc_id, i, payload[off : off + every]))
             yield pd.DataFrame(rows, columns=["doc_id", "frame_no", "frame"])
 
     return df.select(id_col, blob_col).mapInPandas(
