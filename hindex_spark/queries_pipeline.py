@@ -1192,3 +1192,32 @@ def q_mm_resize(spark, sf_dir):
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
     resized = mm.resize_blobs(mm.attach_blob(docs), target_bytes=64)
     return mm.extract_features(resized)
+
+
+MM_FRAMES_ORACLE = """
+    WITH raw AS (SELECT doc_id, hex(encode(text)) AS h,
+                        octet_length(encode(text)) AS n FROM documents),
+    fr AS (SELECT doc_id,
+                  unnest(range(0, CAST(CEIL(n / 16.0) AS INT))) AS frame_no,
+                  h, n
+           FROM raw WHERE n > 0)
+    SELECT doc_id,
+           CAST(frame_no AS INT) AS frame_no,
+           substr(h, CAST(frame_no * 32 AS INT) + 1, 32) AS frame_hex
+    FROM fr
+"""
+
+
+@query("multimodal_frames", MM_FRAMES_ORACLE)
+def q_mm_frames(spark, sf_dir):
+    """Frame-sampling gate: every 16-byte chunk of each blob becomes one
+    frame row. A frame's hex is exactly a 32-char substring of the
+    payload's hex, so DuckDB verifies the whole mapInPandas explosion
+    content-exactly with plain string slicing."""
+    from pyspark.sql import functions as F
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    frames = mm.frame_sample(mm.attach_blob(docs), every=16)
+    return frames.select(
+        "doc_id", "frame_no", F.hex(F.col("frame")).alias("frame_hex")
+    )
