@@ -33,7 +33,13 @@ import sys
 # coprocessor-endpoint surface (SURVEY §2.11 maps Endpoint -> mapInPandas
 # by design — arbitrary distributed computation is its contract).
 # Everything else must stay in codegen.
-ARROW_ALLOWED = {"multimodal_features", "multimodal_blob_stats", "coproc_row_count"}
+ARROW_ALLOWED = {
+    "multimodal_features",
+    "multimodal_blob_stats",
+    "multimodal_resize",
+    "multimodal_frames",
+    "coproc_row_count",
+}
 
 FORBIDDEN = ("CartesianProduct", "BatchEvalPython")
 ARROW_NODES = ("ArrowEvalPython", "MapInPandas", "FlatMapGroupsInPandas")
