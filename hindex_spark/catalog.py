@@ -454,8 +454,15 @@ class Catalog:
         # from. Inference remains the pre-schemas-descriptor fallback.
         if schema is None:
             schema = self.spark.read.parquet(location).schema
-        self._register_bucketed(qname, location, schema, bucket_col, sort_cols, n)
-        return self.spark.table(f"`{qname}`")
+        # register AND resolve under one lock hold (RLock — nested in
+        # _register_bucketed): spark.table() outside it would race a
+        # concurrent load's DROP between this thread's CREATE and its
+        # resolution, raising TABLE_OR_VIEW_NOT_FOUND. Once resolved,
+        # the returned plan is bound to these files; later DROP/CREATE
+        # of the name never retargets it.
+        with _REGISTRATION_LOCK:
+            self._register_bucketed(qname, location, schema, bucket_col, sort_cols, n)
+            return self.spark.table(f"`{qname}`")
 
     def load(self, name: str) -> Table:
         """Open a table: reads descriptor, attaches data + index scans
@@ -551,7 +558,14 @@ class Catalog:
         snap.index_tables = t.index_tables
         d = self._dir(f"{name}@{snapshot_name}")
         os.makedirs(d, exist_ok=True)
-        self.save(snap)
+        # the snapshot's descriptor must carry the SOURCE's physical
+        # layout and family options — a default save here would make
+        # restore_snapshot/clone_snapshot (which read the snapshot's
+        # descriptor) silently rewrite the table to bucketed/32 and
+        # drop every FamilyDescriptor (TTL, max_versions, bloom, codec)
+        desc = self._load_desc(name)
+        self.save(snap, num_partitions=desc.num_buckets, layout=desc.layout,
+                  families=list(desc.families) or None)
 
     # -- admin DDL (HBaseAdmin surface + IndexMasterObserver cascades) ------
 

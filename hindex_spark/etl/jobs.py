@@ -133,6 +133,11 @@ def import_tsv_cells(
         (i, c) for i, c in enumerate(columns)
         if c not in ("HBASE_ROW_KEY", "HBASE_TS_KEY")
     ]
+    if not value_fields:
+        raise ValueError(
+            "columns spec has no cf:qualifier value fields — nothing to "
+            f"import (got {list(columns)!r})"
+        )
     for _, c in value_fields:
         if ":" not in c:
             raise ValueError(f"value column spec must be cf:qualifier, got {c!r}")

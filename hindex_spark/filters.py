@@ -595,22 +595,22 @@ class FilterList(Filter):
     @staticmethod
     def _row_faithful(f: "Filter") -> bool:
         """True iff ``f.predicate`` selects exactly the rows ``f.apply``
-        would keep. Projection-only filters (KeyOnly, SCVExclude, ...)
-        qualify; TRUNCATION filters do not — PageFilter keeps a count
-        prefix (predicate lit(True)) and WhileMatchFilter keeps a
-        take-while prefix (predicate = inner), so a predicate union over
-        them silently over-selects."""
-        if isinstance(f, (PageFilter, WhileMatchFilter)):
-            return False
-        if isinstance(f, (ColumnPaginationFilter, ColumnCountGetFilter)):
-            return False  # positional cell truncation — predicate lit(True)
-        if isinstance(f, DependentColumnFilter):
-            return False  # needs the cell-layer ts self-join — no predicate form
+        would keep. DEFAULT-CLOSED: a filter that overrides ``apply`` is
+        only trusted if it is on the explicit allowlist of overrides
+        known to merely project columns or reuse their own predicate
+        (``_PREDICATE_FAITHFUL_OVERRIDES``). Truncation filters —
+        PageFilter's count prefix (predicate lit(True)), WhileMatch's
+        take-while, positional cell pagination — fall out automatically,
+        and so does any FUTURE subclass with hidden apply() behavior:
+        it gets the loud MUST_PASS_ONE refusal instead of a silent
+        predicate-union over-selection."""
         if isinstance(f, FilterList):
             return all(FilterList._row_faithful(g) for g in f.filters)
         if isinstance(f, SkipFilter):
             return FilterList._row_faithful(f.inner)
-        return True
+        if type(f).apply is Filter.apply:
+            return True  # pure predicate filter — apply IS df.filter(predicate)
+        return isinstance(f, _PREDICATE_FAITHFUL_OVERRIDES)
 
     def apply(self, df: DataFrame, table) -> DataFrame:
         # Non-predicate members (PageFilter, WhileMatch, nested lists
@@ -812,3 +812,21 @@ class ValueFilter(Filter):
 
     def predicate(self, table) -> Column:
         return _as_comparator(self.comparator).compare(F.col("value"), self.op)
+
+
+#: ``apply``-overriding filters whose ROW SELECTION still equals their
+#: ``predicate`` — the override only projects columns (KeyOnly, SCV-
+#: Exclude), routes through predicate() itself (RandomRow, Family), or
+#: both (FirstKeyValueMatchingQualifiers). FilterList._row_faithful is
+#: default-closed against everything not listed here: truncation and
+#: positional filters (PageFilter, WhileMatch, ColumnPagination,
+#: ColumnCountGet, DependentColumn) and any future override are refused
+#: under MUST_PASS_ONE rather than silently over-selecting.
+_PREDICATE_FAITHFUL_OVERRIDES = (
+    SingleColumnValueExcludeFilter,
+    RandomRowFilter,
+    KeyOnlyFilter,
+    FirstKeyOnlyFilter,
+    FirstKeyValueMatchingQualifiersFilter,
+    FamilyFilter,
+)

@@ -39,6 +39,29 @@ MINHASH_B = [15485867, 32452843, 49979687, 67867967, 86028121,
 N_HASHES = 8
 BAND_SIZE = 2  # 4 bands of 2 -> candidates at jaccard ~>= 0.5
 
+#: cached intermediates (candidate pairs, narrowed unit arrays) from the
+#: most recent pair-search call — see _rotate_caches
+_LIVE_CACHES: list = []
+
+
+def _rotate_caches(*new: DataFrame) -> None:
+    """Release the PREVIOUS pair-search call's cached intermediates and
+    track this call's. The candidate/unit-array persists must outlive
+    the function (they back the returned lazy plan), but an unbounded
+    CacheManager residue per call would thrash executor storage in a
+    service calling pair search per corpus batch. Unpersist is always
+    correctness-safe — a still-referenced earlier plan silently
+    recomputes — so the worst case is re-shingling, never a wrong
+    answer. Single-writer like the catalog: concurrent pair searches in
+    one session would evict each other's caches (slower, still correct)."""
+    global _LIVE_CACHES
+    for df in _LIVE_CACHES:
+        try:
+            df.unpersist()
+        except Exception:
+            pass
+    _LIVE_CACHES = list(new)
+
 
 def token_hash(token: Column) -> Column:
     """Deterministic 31-bit token hash reproducible in ANSI SQL:
@@ -340,6 +363,7 @@ def minhash_dedup_pairs(
     ua = doc_unit_arrays(
         df.join(cand_ids, id_col, "left_semi"), id_col, text_col, ngram
     ).persist()
+    _rotate_caches(cands, ua)
     va = ua.select(F.col(id_col).alias("id_a"), F.col("units").alias("u_a"))
     vb = ua.select(F.col(id_col).alias("id_b"), F.col("units").alias("u_b"))
     return (
@@ -401,6 +425,7 @@ def minhash_join(
             else:
                 br = br.join(big, ["band", "bucket"], "left_anti")
     cands = bl.join(br, ["band", "bucket"]).select("id_a", "id_b").distinct().persist()
+    _rotate_caches(cands)
     # verification narrowing (same as minhash_dedup_pairs): re-shingle
     # only docs that appear in a candidate pair, not either full corpus
     ua = doc_unit_arrays(

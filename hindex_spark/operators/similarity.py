@@ -50,6 +50,18 @@ def lsh_bucket(vec: Column, planes: List[List[float]]) -> Column:
     return out
 
 
+def _not_self(queries: DataFrame, q_id_col: str, corpus: DataFrame, id_col: str) -> Column:
+    """Self-match exclusion for top-k: drop pairs where the query IS the
+    corpus vector. Only meaningful when the two id columns share a type
+    (ids from one namespace); with differing types (string q_id vs long
+    vec_id) no pair can be a self-match AND the raw `!=` would abort the
+    whole job under ANSI mode's strict cast — so compare only when the
+    types line up."""
+    if queries.schema[q_id_col].dataType == corpus.schema[id_col].dataType:
+        return F.col(q_id_col) != F.col(id_col)
+    return F.lit(True)
+
+
 #: max parquet footers actually opened by _estimate_rows; beyond this an
 #: evenly-spaced sample is opened and the total extrapolated (the caller
 #: needs a sampling-rate estimate, not an exact count)
@@ -130,7 +142,7 @@ def brute_force_topk(
         F.col(q_id_col),
         F.col(id_col),
         F.round(cosine_expr(F.col(vec_col), F.col(q_vec_col)), 6).alias("cosine"),
-    ).filter(F.col(q_id_col) != F.col(id_col))
+    ).filter(_not_self(queries, q_id_col, embeddings, id_col))
     w = Window.partitionBy(q_id_col).orderBy(F.col("cosine").desc(), F.col(id_col))
     return (
         scored.withColumn("rank", F.row_number().over(w))
@@ -264,7 +276,7 @@ def ivf_topk(
         F.col(q_id_col),
         F.col(id_col),
         F.round(cosine_expr(F.col(vec_col), F.col(q_vec_col)), 6).alias("cosine"),
-    ).filter(F.col(q_id_col) != F.col(id_col))
+    ).filter(_not_self(queries, q_id_col, embeddings, id_col))
     w = Window.partitionBy(q_id_col).orderBy(F.col("cosine").desc(), F.col(id_col))
     return (
         scored.withColumn("rank", F.row_number().over(w))
@@ -348,7 +360,7 @@ def lsh_topk(
         F.col(q_id_col),
         F.col(id_col),
         F.round(cosine_expr(F.col(vec_col), F.col(q_vec_col)), 6).alias("cosine"),
-    ).filter(F.col(q_id_col) != F.col(id_col))
+    ).filter(_not_self(queries, q_id_col, embeddings, id_col))
     w = Window.partitionBy(q_id_col).orderBy(F.col("cosine").desc(), F.col(id_col))
     return (
         scored.withColumn("rank", F.row_number().over(w))
@@ -502,12 +514,16 @@ def pq_topk(
         ]
         q_norm = math.sqrt(sum(x * x for x in qv)) or 1.0
         lut_rows.append((r[q_id_col], lut, q_norm))
+    # the query-id type follows the caller's queries frame (string ids
+    # are as legal here as in brute_force_topk — hardcoding long would
+    # crash createDataFrame for them)
+    qid_ddl = queries.schema[q_id_col].dataType.simpleString()
     qlut = spark.createDataFrame(
-        lut_rows, f"{q_id_col} long, lut array<array<double>>, q_norm double"
+        lut_rows, f"{q_id_col} {qid_ddl}, lut array<array<double>>, q_norm double"
     )
     approx = (
         codes_df.crossJoin(F.broadcast(qlut))
-        .filter(F.col(q_id_col) != F.col(id_col))
+        .filter(_not_self(queries, q_id_col, codes_df, id_col))
         .withColumn(
             "__adot",
             F.aggregate(

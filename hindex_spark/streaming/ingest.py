@@ -79,6 +79,12 @@ class ChangelogEmitter:
         return int(m) if m is not None else 0
 
     def emit(self, op: str, rows: DataFrame, table_df: DataFrame, rowkey_col: str) -> None:
+        # Recovery runs on EVERY emit, not just the seq-resuming first
+        # one: an already-attached emitter appending right after a
+        # compaction died between its two swap renames would otherwise
+        # recreate the log dir and permanently orphan the original
+        # records in ``.old``. Healthy-path cost: two os.path.exists.
+        _recover_interrupted_compaction(self.path)
         if self.seq is None:
             self.seq = self._resume_seq(rows.sparkSession)
         self.seq += 1
@@ -271,11 +277,13 @@ def compact_changelog(spark, path: str, num_files: int = 1) -> int:
         .write.mode("overwrite")
         .parquet(staging)
     )
-    old = path.rstrip("/") + ".old"
-    shutil.rmtree(old, ignore_errors=True)
-    os.rename(path, old)
-    os.rename(staging, path)
-    shutil.rmtree(old, ignore_errors=True)
+    # one shared swap implementation: _recover_interrupted_compaction's
+    # ".old" contract depends on the exact rename sequence, so a second
+    # hand-rolled copy here would have to stay behaviorally identical
+    # forever (etl.jobs.compact_table_files already reuses it too)
+    from hindex_spark.catalog import Catalog
+
+    Catalog._swap_in(path.rstrip("/"), staging)
     return len(
         [f for f in os.listdir(path) if f.endswith(".parquet") and not f.startswith(".")]
     )

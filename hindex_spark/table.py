@@ -339,9 +339,16 @@ class Table:
         # the latest batch row where it was non-null. max_by skips rows
         # whose ordering key is NULL, so masking the seq with "value is
         # null" yields latest-NON-NULL in one map-side-combinable agg —
-        # no window, no orderability constraint on the value type.
+        # no window, no orderability constraint on the value type. The
+        # seq itself rides inside a (seq IS NOT NULL, seq) struct: a row
+        # whose ORDER_COL is NULL must still apply (it sorts below every
+        # sequenced row; ties among NULL-seq rows are unordered, the
+        # same caveat as the no-order_col path) — a bare NULL ordering
+        # key would make max_by skip the row and silently drop its put.
         seq = F.col(order_col) if order_col else F.monotonically_increasing_id()
-        puts0 = puts.withColumn("__put_seq", seq)
+        puts0 = puts.withColumn(
+            "__put_seq", F.struct(seq.isNotNull().alias("p"), seq.alias("s"))
+        )
         puts1 = puts0.groupBy(rk).agg(
             *[
                 F.max_by(

@@ -72,7 +72,11 @@ def test_concurrent_writer_readers_never_see_torn_rows(spark, tmp_path):
         moved >= 2 past the reader's snapshot (i.e. the snapshot left the
         grace window). Errors while the snapshot is still covered are
         real failures. Atomicity breaches are value checks (torn rows,
-        index lag), never exceptions, so this cannot mask one."""
+        index lag), never exceptions, so this cannot mask one. The
+        drift branch additionally requires a file/parquet-read-shaped
+        error: a TABLE_OR_VIEW_NOT_FOUND registration race or an
+        analysis bug must fail the test even while the writer is
+        churning versions."""
         s = str(exc)
         if any(
             m in s
@@ -82,7 +86,10 @@ def test_concurrent_writer_readers_never_see_torn_rows(spark, tmp_path):
             )
         ):
             return True
-        return _current_version() >= v_loaded + 2
+        read_shaped = any(
+            m in s for m in ("FAILED_READ_FILE", "arquet", "ile:", "EOF")
+        )
+        return read_shaped and _current_version() >= v_loaded + 2
 
     def reader():
         while not stop.is_set():

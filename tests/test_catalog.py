@@ -570,3 +570,34 @@ def test_load_mutate_resave_reload_index_stays_consistent(spark, sf_dir, tmp_pat
     b = sorted((r["o_custkey"], r["o_orderkey"])
                for r in t3.df.select("o_custkey", "o_orderkey").collect())
     assert a == b
+
+
+def test_snapshot_preserves_layout_and_families(spark, sf_dir, tmp_path):
+    """The snapshot's descriptor must carry the SOURCE table's physical
+    layout and family options: restore/clone read the snapshot's
+    descriptor, so a defaulted snapshot save silently rewrote a range
+    table to bucketed/32 and dropped every FamilyDescriptor (TTL,
+    max_versions, bloom, codec) on restore."""
+    from hindex_spark.catalog import FamilyDescriptor
+
+    cat = Catalog(spark, str(tmp_path / "whsl"))
+    df = spark.read.parquet(f"{sf_dir}/region.parquet").select(
+        "r_regionkey", F.col("r_name").alias("d_name")
+    )
+    t = Table(df, "r_regionkey", "reg_snap")
+    fams = [FamilyDescriptor("d", ttl=3600, max_versions=3, compression="zstd")]
+    cat.save(t, num_partitions=2, layout="range", families=fams)
+    cat.snapshot("reg_snap", "s1")
+
+    sdesc = cat._load_desc("reg_snap@s1")
+    assert sdesc.layout == "range"
+    assert [f.name for f in sdesc.families] == ["d"]
+    assert sdesc.families[0].ttl == 3600
+    assert sdesc.families[0].max_versions == 3
+    assert sdesc.families[0].compression == "zstd"
+
+    # restore round-trips the physical descriptor, not just the rows
+    cat.restore_snapshot("reg_snap", "s1")
+    rdesc = cat._load_desc("reg_snap")
+    assert rdesc.layout == "range"
+    assert [(f.name, f.ttl, f.max_versions) for f in rdesc.families] == [("d", 3600, 3)]

@@ -2,6 +2,8 @@
 
 import os
 
+import pytest
+
 from pyspark.sql import functions as F
 
 from hindex_spark import filters as fl
@@ -337,3 +339,13 @@ def test_export_cells_versions_timerange_raw(spark, tmp_path):
     src_vis = sorted(map(tuple, resolve(cells, max_versions=1).collect()))
     dump_vis = sorted(map(tuple, resolve(got3, max_versions=1).collect()))
     assert src_vis == dump_vis
+
+
+def test_import_tsv_cells_no_value_fields_raises(spark, tmp_path):
+    # a columns spec with only bookkeeping fields has nothing to import;
+    # it must be a clear ValueError, not a malformed stack(0, ) SQL parse
+    p = str(tmp_path / "novals.tsv")
+    with open(p, "w") as fh:
+        fh.write("r1\t100\n")
+    with pytest.raises(ValueError, match="no cf:qualifier"):
+        jobs.import_tsv_cells(spark, p, ["HBASE_ROW_KEY", "HBASE_TS_KEY"])

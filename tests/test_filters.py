@@ -290,3 +290,51 @@ def test_filter_list_or_with_page_filter_fails_loudly(spark):
         ],
     )
     assert t.scan(Scan(filter=f_and)).count() == 2
+
+
+def test_filter_list_or_refuses_unknown_apply_override(spark):
+    """_row_faithful is DEFAULT-CLOSED: a filter subclass overriding
+    apply() with hidden truncation behavior that is NOT on the
+    projection allowlist must get the loud MUST_PASS_ONE refusal — the
+    old blocklist silently over-selected (its predicate is lit(True),
+    so the OR union returned every row)."""
+    import pytest
+
+    from hindex_spark.table import Scan, Table
+
+    class EveryOtherRowFilter(fl.Filter):
+        # pathological third-party filter: keeps alternate rows —
+        # positional semantics no predicate can express
+        def predicate(self, table):
+            return F.lit(True)
+
+        def apply(self, df, table):
+            from pyspark.sql import Window
+
+            w = Window.orderBy("rowkey")
+            return (
+                df.withColumn("__n", F.row_number().over(w))
+                .filter(F.col("__n") % 2 == 1)
+                .drop("__n")
+            )
+
+    df = spark.createDataFrame([("r1", 1), ("r2", 2)], ["rowkey", "v"])
+    t = Table(df, "rowkey", "dc")
+    f = fl.FilterList(
+        "OR",
+        [
+            EveryOtherRowFilter(),
+            fl.SingleColumnValueFilter("v", fl.EQUAL, 2, filter_if_missing=True),
+        ],
+    )
+    with pytest.raises(NotImplementedError, match="MUST_PASS_ONE"):
+        t.scan(Scan(filter=f)).count()
+    # allowlisted projection overrides still union fine
+    f_ok = fl.FilterList(
+        "OR",
+        [
+            fl.RandomRowFilter(1.0),
+            fl.SingleColumnValueFilter("v", fl.EQUAL, 2, filter_if_missing=True),
+        ],
+    )
+    assert t.scan(Scan(filter=f_ok)).count() == 2

@@ -373,3 +373,24 @@ def test_acid_row_atomicity_and_snapshot_isolation(spark):
         assert idx.count() == 20
     # earlier snapshots were not disturbed by later writes (reader isolation)
     assert snapshots[0].df.filter(F.col("A_data") == "v0").count() == 20
+
+
+def test_put_with_null_order_col_still_applies(spark):
+    # A row whose ORDER_COL is NULL must still apply (at lowest
+    # precedence) — max_by over a bare NULL ordering key would skip it,
+    # silently dropping the put (new keys became all-NULL ghosts,
+    # existing keys kept their old value).
+    t = _tab(spark)
+    puts = spark.createDataFrame(
+        [
+            ("r1", "seqless", None),      # existing key, NULL seq: applies
+            ("r9", "ghost_no_more", None),  # new key, NULL seq: full row
+            ("r2", "a", 1),
+            ("r2", "b", None),            # NULL seq loses to ver=1
+        ],
+        "rowkey string, c_str string, ver int",
+    )
+    t2 = t.put(puts, order_col="ver")
+    assert _row(t2, "r1")["c_str"] == "seqless"
+    assert _row(t2, "r9")["c_str"] == "ghost_no_more"
+    assert _row(t2, "r2")["c_str"] == "a"  # sequenced row beats NULL-seq

@@ -873,3 +873,19 @@ def test_multimodal_resize_exact_bytes(spark):
     expect = bytes(payload[int(i * (n / 8))] for i in range(8))
     assert bytes(out[2]["blob"]) == expect
     assert out[2]["out_bytes"] == 8 and out[2]["in_bytes"] == n
+
+
+def test_pq_topk_accepts_string_query_ids(spark, sf_dir):
+    # brute_force_topk imposes no id type; pq_topk shares its output
+    # contract, so a hardcoded long q_id schema in the broadcast LUT
+    # frame crashed string-keyed query sets.
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    cbs = sim.pq_train(emb, m=8, k=16)
+    codes = sim.pq_encode(emb, cbs)
+    queries = emb.filter(F.col("vec_id") < 3).select(
+        F.concat(F.lit("q"), F.col("vec_id")).alias("q_id"),
+        F.col("embedding").alias("q_vec"),
+    )
+    out = sim.pq_topk(emb, codes, cbs, queries, k=5, shortlist=50).collect()
+    assert {r["q_id"] for r in out} == {"q0", "q1", "q2"}
+    assert all(r["rank"] <= 5 for r in out)

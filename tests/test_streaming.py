@@ -272,3 +272,36 @@ def test_interrupted_compaction_recovers_original_log(spark, tmp_path):
     peer2 = Table(base, "k", "peer2")
     replayed2 = replay_changelog(spark, peer2, log, t.changelog_schema).table.df
     assert replayed2.count() == 5  # 1 base + 3 puts + the post-crash put
+
+
+def test_attached_emitter_recovers_interrupted_compaction(spark, tmp_path):
+    """An ALREADY-ATTACHED emitter (seq resumed) appending right after a
+    compaction died between its two swap renames must restore the
+    original log from .old before writing — otherwise the append
+    recreates the log dir with only the new batch and the next healthy
+    recovery/compaction permanently discards every prior record."""
+    import os
+    import shutil
+
+    from hindex_spark.streaming.ingest import replay_changelog
+    from hindex_spark.table import Table
+
+    base = spark.createDataFrame([(1, "a")], "k long, v string")
+    log = str(tmp_path / "log")
+    t = Table(base, "k", "t").enable_changelog(log)
+    t = t.put(spark.createDataFrame([(10, "v0")], "k long, v string"))
+    assert t._changelog.seq is not None  # attached: resume path is done
+
+    # crash mid-swap: first rename happened, second did not
+    shutil.copytree(log, log + ".compacting")
+    os.rename(log, log + ".old")
+
+    # next emit from the SAME emitter must recover, then append
+    t = t.put(spark.createDataFrame([(11, "v1")], "k long, v string"))
+
+    peer = Table(base, "k", "peer")
+    replayed = replay_changelog(spark, peer, log, t.changelog_schema).table.df
+    got = sorted((r["k"], r["v"]) for r in replayed.collect())
+    assert got == [(1, "a"), (10, "v0"), (11, "v1")]
+    assert not os.path.exists(log + ".old")
+    assert not os.path.exists(log + ".compacting")
