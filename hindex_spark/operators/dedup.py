@@ -53,10 +53,18 @@ def _rotate_caches(*new: DataFrame) -> None:
     correctness-safe — a still-referenced earlier plan silently
     recomputes — so the worst case is re-shingling, never a wrong
     answer. Single-writer like the catalog: concurrent pair searches in
-    one session would evict each other's caches (slower, still correct)."""
+    one session would evict each other's caches (slower, still correct).
+
+    Spark's CacheManager is keyed by logical plan, so a REPEATED call on
+    the same inputs shares one cache entry with the previous call —
+    unpersisting the old handle would evict the new call's cache too.
+    Semantically-identical frames are therefore kept (repeat queries
+    stay warm); only genuinely stale entries are released."""
     global _LIVE_CACHES
     for df in _LIVE_CACHES:
         try:
+            if any(df.sameSemantics(n) for n in new):
+                continue
             df.unpersist()
         except Exception:
             pass
