@@ -219,6 +219,24 @@ class Filter:
         """Condition tree for the index planner; NON_INDEXABLE default."""
         return NON_INDEXABLE
 
+    def branch_cond(self, df: DataFrame, table, gate: Column, tag: str):
+        """(df', cond, helper_cols): ``cond`` is a boolean Column selecting
+        exactly the rows this filter ALONE would keep, given that it only
+        'sees' rows where ``gate`` holds — the per-member evaluation
+        FilterList MUST_PASS_ONE needs (FilterList.java:178-200: every OR
+        member observes the full cell stream and keeps its own positional
+        state). Stateful filters override this to materialize their state
+        as window/aggregate helper columns on df' (names in helper_cols,
+        dropped by the caller). Default: a row-faithful filter's branch is
+        its predicate; anything else is genuinely position-dependent and
+        refused loudly (e.g. PageFilter — see its override)."""
+        if FilterList._row_faithful(self):
+            return df, self.predicate(table), []
+        raise NotImplementedError(
+            f"{type(self).__name__} under FilterList MUST_PASS_ONE has "
+            f"apply() behavior not expressible as a per-row branch condition"
+        )
+
 
 def _resolve(table, column: str) -> Column:
     """Map a column name through the table's resolver if present."""
@@ -453,6 +471,20 @@ class PageFilter(Filter):
     def predicate(self, table) -> Column:
         return F.lit(True)
 
+    def branch_cond(self, df, table, gate, tag):
+        # Deliberately refused: PageFilter's kept-set is "the first N rows
+        # the scan happened to produce" — a nondeterministic global
+        # truncation (reference semantics are even looser: per-region
+        # counts, PageFilter.java:42). There is no per-row predicate whose
+        # truth doesn't depend on which other rows were already emitted,
+        # so a MUST_PASS_ONE union over it has no deterministic meaning.
+        raise NotImplementedError(
+            "PageFilter under FilterList MUST_PASS_ONE is not expressible "
+            "as a deterministic branch condition (row-count truncation "
+            "depends on scan emission order); apply the page limit to the "
+            "union result instead"
+        )
+
 
 @dataclass
 class KeyOnlyFilter(Filter):
@@ -555,6 +587,20 @@ class WhileMatchFilter(Filter):
     def predicate(self, table) -> Column:
         return self.inner.predicate(table)
 
+    def branch_cond(self, df, table, gate, tag):
+        # Branch kept-set = rows strictly before the first row this member
+        # SAW (gate) that fails the wrapped predicate. Same min-aggregate +
+        # broadcast-join shape as apply(); the single-row aggregate is
+        # scale-free.
+        key = table.rowkey_col if table is not None and hasattr(table, "rowkey_col") else "rowkey"
+        h = f"__ff_{tag}"
+        first_fail = df.filter(gate & ~self.inner.predicate(table)).agg(
+            F.min(key).alias(h)
+        )
+        out = df.join(F.broadcast(first_fail))
+        cond = F.col(h).isNull() | (F.col(key) < F.col(h))
+        return out, cond, [h]
+
 
 @dataclass
 class FilterList(Filter):
@@ -630,24 +676,46 @@ class FilterList(Filter):
                 out = f.apply(out, table)
             return out
         lying = [f for f in self.filters if not FilterList._row_faithful(f)]
-        if lying:
-            # A TRUNCATION member (PageFilter's count limit, WhileMatch's
-            # take-while) under MUST_PASS_ONE has positional row-stream
-            # semantics (per-row ReturnCode interleaving,
-            # FilterList.java:178-200) that a predicate union cannot
-            # express; PageFilter's ``predicate()`` is lit(True), so
-            # falling through silently returned EVERY row. Fail loudly,
-            # like the versioned-read knobs on Table.scan. (Projection
-            # members — KeyOnly, SCVExclude, FirstKeyMatchingQualifiers —
-            # keep faithful row predicates and stay allowed.)
-            names = ", ".join(type(f).__name__ for f in lying)
-            raise NotImplementedError(
-                f"FilterList MUST_PASS_ONE with truncation member(s) "
-                f"[{names}] is not expressible declaratively; compose them "
-                f"sequentially (MUST_PASS_ALL) or apply them to the union "
-                f"result instead"
-            )
-        return df.filter(self.predicate(table))
+        if not lying:
+            return df.filter(self.predicate(table))
+        # Positional/stateful members (ColumnPagination, ColumnCountGet,
+        # DependentColumn, WhileMatch, nested lists of them) ARE
+        # evaluable under MUST_PASS_ONE: each member's kept-set is
+        # computed per-branch over the full row stream — its positional
+        # state materialized as window/aggregate helper columns — and the
+        # branch conditions are OR-ed in one pass (FilterList.java:178-200
+        # evaluation order: every OR member observes every cell). Only
+        # genuinely order-dependent members (PageFilter's nondeterministic
+        # row-count truncation) still refuse, from their own branch_cond.
+        out, cond, helpers = self.branch_cond(df, table, F.lit(True), "b")
+        out = out.filter(cond)
+        return out.drop(*helpers) if helpers else out
+
+    def branch_cond(self, df, table, gate, tag):
+        helpers: list = []
+        if self.operator == "AND":
+            # Sequential short-circuit semantics (FilterListWithAND:
+            # members after a rejecting one do not see the cell), so each
+            # member's gate is the conjunction of everything before it —
+            # a stateful member only counts cells that survived its
+            # predecessors, matching apply()'s sequential composition.
+            g = gate
+            for i, f in enumerate(self.filters):
+                df, c, hs = f.branch_cond(df, table, g, f"{tag}a{i}")
+                helpers += hs
+                g = g & c
+            return df, g, helpers
+        conds = []
+        for i, f in enumerate(self.filters):
+            df, c, hs = f.branch_cond(df, table, gate, f"{tag}o{i}")
+            helpers += hs
+            conds.append(c)
+        if not conds:
+            return df, F.lit(True), helpers
+        cond = conds[0]
+        for c in conds[1:]:
+            cond = cond | c
+        return df, cond, helpers
 
     def index_tree(self, table):
         kids = [f.index_tree(table) for f in self.filters]
@@ -759,6 +827,25 @@ class ColumnPaginationFilter(Filter):
     def predicate(self, table) -> Column:
         return F.lit(True)
 
+    def branch_cond(self, df, table, gate, tag):
+        # Positional rank among the cells this member SAW: a gated
+        # cumulative count in qualifier order (= row_number when
+        # gate=true). Window is per-rowkey — shuffles on the same key the
+        # cell layer is already partitioned by, no scale hazard.
+        h = f"__cn_{tag}"
+        w = (
+            Window.partitionBy("rowkey")
+            .orderBy("qualifier")
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        )
+        out = df.withColumn(h, F.sum(F.when(gate, 1).otherwise(0)).over(w))
+        cond = (
+            gate
+            & (F.col(h) > self.offset)
+            & (F.col(h) <= self.offset + self.limit)
+        )
+        return out, cond, [h]
+
 
 @dataclass
 class ColumnCountGetFilter(Filter):
@@ -771,6 +858,11 @@ class ColumnCountGetFilter(Filter):
 
     def predicate(self, table) -> Column:
         return F.lit(True)
+
+    def branch_cond(self, df, table, gate, tag):
+        return ColumnPaginationFilter(limit=self.limit, offset=0).branch_cond(
+            df, table, gate, tag
+        )
 
 
 @dataclass
@@ -802,6 +894,25 @@ class DependentColumnFilter(Filter):
     def predicate(self, table) -> Column:
         return F.lit(True)
 
+    def branch_cond(self, df, table, gate, tag):
+        # The reference-column ts set this member SAW, materialized as a
+        # per-rowkey window aggregate (partitioned on rowkey — same key as
+        # the cell store, no extra shuffle class); membership is the
+        # branch condition. Equivalent to apply()'s self-join when
+        # gate=true, but composable under MUST_PASS_ONE.
+        h = f"__rts_{tag}"
+        is_ref = (F.col("cf") == self.ref_family) & (
+            F.col("qualifier") == self.ref_qualifier
+        )
+        w = Window.partitionBy("rowkey")
+        out = df.withColumn(
+            h, F.collect_set(F.when(gate & is_ref, F.col("ts"))).over(w)
+        )
+        cond = F.array_contains(F.col(h), F.col("ts"))
+        if self.drop_dependent_column:
+            cond = cond & ~is_ref
+        return out, cond, [h]
+
 
 @dataclass
 class ValueFilter(Filter):
@@ -818,10 +929,12 @@ class ValueFilter(Filter):
 #: ``predicate`` — the override only projects columns (KeyOnly, SCV-
 #: Exclude), routes through predicate() itself (RandomRow, Family), or
 #: both (FirstKeyValueMatchingQualifiers). FilterList._row_faithful is
-#: default-closed against everything not listed here: truncation and
-#: positional filters (PageFilter, WhileMatch, ColumnPagination,
-#: ColumnCountGet, DependentColumn) and any future override are refused
-#: under MUST_PASS_ONE rather than silently over-selecting.
+#: default-closed against everything not listed here. Positional/stateful
+#: filters (WhileMatch, ColumnPagination, ColumnCountGet, DependentColumn)
+#: are evaluated under MUST_PASS_ONE via their ``branch_cond`` overrides
+#: (per-branch window state, OR-ed in one pass); PageFilter and any FUTURE
+#: apply() override without a branch_cond still refuse loudly rather than
+#: silently over-selecting via a lit(True) predicate.
 _PREDICATE_FAITHFUL_OVERRIDES = (
     SingleColumnValueExcludeFilter,
     RandomRowFilter,

@@ -1256,6 +1256,88 @@ def q_cells_dependent_column(spark, sf_dir):
     return out.select("rowkey", "qualifier", "ts", "value")
 
 
+@query(
+    "filter_or_pagination",
+    """WITH latest AS (
+         SELECT CAST(user_id AS VARCHAR) AS rowkey, event_type AS qualifier,
+                epoch_us(ts) AS ts, printf('%.2f', value) AS value
+         FROM (SELECT *, row_number() OVER (
+                  PARTITION BY user_id, event_type
+                  ORDER BY ts DESC, printf('%.2f', value) DESC) AS rn
+               FROM events) WHERE rn = 1)
+       SELECT rowkey, qualifier, ts, value
+       FROM (SELECT *, row_number() OVER (
+                PARTITION BY rowkey ORDER BY qualifier) AS cn FROM latest)
+       WHERE (cn > 1 AND cn <= 3) OR value >= '90'""",
+)
+def q_filter_or_pagination(spark, sf_dir):
+    """FilterList MUST_PASS_ONE with a POSITIONAL member — the reference
+    evaluates every OR member against every cell with per-member state
+    (FilterList.java:178-200; TestFilterList composes
+    ColumnPaginationFilter under OR). Branch semantics: the pagination
+    window is computed over the full cell stream of each row (a
+    per-rowkey window), OR-ed with the sibling value predicate in one
+    pass — no union, no distinct, one shuffle on rowkey."""
+    from hindex_spark.cells import resolve
+    from hindex_spark.filters import (
+        GREATER_OR_EQUAL,
+        ColumnPaginationFilter,
+        FilterList,
+        ValueFilter,
+    )
+
+    latest = resolve(_event_cells(spark, sf_dir), max_versions=1)
+    f = FilterList(
+        "OR",
+        [
+            ColumnPaginationFilter(limit=2, offset=1),
+            ValueFilter(GREATER_OR_EQUAL, "90"),
+        ],
+    )
+    out = f.apply(latest, None)
+    return out.select("rowkey", "qualifier", "ts", "value")
+
+
+@query(
+    "cells_or_dependent",
+    """WITH latest AS (
+         SELECT CAST(user_id AS VARCHAR) AS rowkey, event_type AS qualifier,
+                epoch_us(ts) AS ts, printf('%.2f', value) AS value
+         FROM (SELECT *, row_number() OVER (
+                  PARTITION BY user_id, event_type
+                  ORDER BY ts DESC, printf('%.2f', value) DESC) AS rn
+               FROM events) WHERE rn = 1)
+       SELECT c.rowkey, c.qualifier, c.ts, c.value FROM latest c
+       WHERE c.qualifier = 'signup'
+          OR EXISTS (SELECT 1 FROM latest r WHERE r.qualifier = 'click'
+                     AND r.rowkey = c.rowkey AND r.ts = c.ts)""",
+)
+def q_cells_or_dependent(spark, sf_dir):
+    """DependentColumnFilter under FilterList MUST_PASS_ONE
+    (DependentColumnFilter.java:51 composed per FilterList.java:56): keep
+    cells whose ts matches the reference column's ts, OR whose qualifier
+    matches the sibling branch. The dependent branch's ts-set is a
+    collect_set window per rowkey — same shuffle key as the cell store."""
+    from hindex_spark.cells import resolve
+    from hindex_spark.filters import (
+        EQUAL,
+        DependentColumnFilter,
+        FilterList,
+        QualifierFilter,
+    )
+
+    latest = resolve(_event_cells(spark, sf_dir), max_versions=1)
+    f = FilterList(
+        "OR",
+        [
+            DependentColumnFilter("e", "click"),
+            QualifierFilter(EQUAL, "signup"),
+        ],
+    )
+    out = f.apply(latest, None)
+    return out.select("rowkey", "qualifier", "ts", "value")
+
+
 def _register_all():
     import hindex_spark.queries_etl  # noqa: F401  (registers entries)
     import hindex_spark.queries_idxtab  # noqa: F401
@@ -1312,12 +1394,16 @@ _PRIORITY = [
     # mutation_put_repeated_rows supersedes mutation_put_upsert in the
     # prefix (same put path PLUS raw repeated-rowkey batch collapse,
     # testBulkPutWithRepeatedRows); put_upsert stays in the local gate.
+    # mutation_mutate_row ceded its slot to the round-6 MUST_PASS_ONE
+    # positional-branch gates (the mutation family stays driver-visible
+    # via the four gates above; mutate_row stays in the local gate).
     "mutation_put_repeated_rows", "mutation_delete_batch",
     "mutation_check_and_mutate", "mutation_batch_status",
-    "mutation_mutate_row",
-    # core read path
+    # core read path + the round-6 OR-branch evaluation (positional /
+    # dependent members under MUST_PASS_ONE — previously refused, now
+    # evaluated per FilterList.java:178-200 branch semantics)
     "point_get", "scan_range", "filter_scvf",
-    "filter_or_index_union",
+    "filter_or_index_union", "filter_or_pagination", "cells_or_dependent",
     # LLM-pipeline operators: dedup family, corpus cleaning, ANN, text
     "dedup_exact", "dedup_minhash_lsh", "dedup_simhash", "dedup_clusters",
     "dedup_embedding_lsh", "dedup_semantic", "corpus_clean",
@@ -1330,8 +1416,11 @@ _PRIORITY = [
     # WhileMatchFilter, and text_quality gates ceded their prefix slots
     # to the round-5 index-maintenance ports and stay oracle-checked in
     # the local gate (their families remain driver-visible).
+    # etl_verify_replication ceded its slot to cells_or_dependent (ETL
+    # stays driver-visible via etl_import_tsv_with_index; replication
+    # verification stays in the local gate).
     "streaming_walplayer", "streaming_changelog_resume",
-    "etl_import_tsv_with_index", "etl_verify_replication",
+    "etl_import_tsv_with_index",
     "events_asof_join",
 ]
 

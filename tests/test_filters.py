@@ -338,3 +338,126 @@ def test_filter_list_or_refuses_unknown_apply_override(spark):
         ],
     )
     assert t.scan(Scan(filter=f_ok)).count() == 2
+
+
+def _cells_or_fixture(spark):
+    return CellTable(spark).put_cells(
+        [
+            ("r1", "cf1", "qa", 5, "1"),
+            ("r1", "cf1", "qb", 5, "9"),
+            ("r1", "cf1", "qc", 6, "3"),
+            ("r1", "cf1", "qd", 5, "8"),
+            ("r2", "cf1", "qa", 7, "2"),
+            ("r2", "cf1", "qb", 5, "9"),
+        ]
+    ).read(max_versions=10)
+
+
+def test_filter_list_or_with_column_pagination(spark):
+    """MUST_PASS_ONE with a positional member now EVALUATES instead of
+    refusing (FilterList.java:178-200: every OR member sees every cell
+    and keeps its own state). Kept-set = union of each member applied
+    alone over the full stream."""
+    cells = _cells_or_fixture(spark)
+    f = fl.FilterList(
+        "OR",
+        [
+            fl.ColumnPaginationFilter(limit=2, offset=1),
+            fl.ValueFilter(fl.GREATER_OR_EQUAL, "9"),
+        ],
+    )
+    got = {(r["rowkey"], r["qualifier"]) for r in f.apply(cells, None).collect()}
+    pag = {
+        (r["rowkey"], r["qualifier"])
+        for r in fl.ColumnPaginationFilter(limit=2, offset=1).apply(cells, None).collect()
+    }
+    val = {
+        (r["rowkey"], r["qualifier"])
+        for r in fl.ValueFilter(fl.GREATER_OR_EQUAL, "9").apply(cells, None).collect()
+    }
+    assert got == pag | val
+    # and schema is unchanged (helper columns dropped)
+    assert f.apply(cells, None).columns == cells.columns
+
+
+def test_filter_list_or_with_column_count_get(spark):
+    cells = _cells_or_fixture(spark)
+    f = fl.FilterList(
+        "OR",
+        [fl.ColumnCountGetFilter(1), fl.ValueFilter(fl.EQUAL, "3")],
+    )
+    got = {(r["rowkey"], r["qualifier"]) for r in f.apply(cells, None).collect()}
+    assert got == {("r1", "qa"), ("r2", "qa"), ("r1", "qc")}
+
+
+def test_filter_list_or_with_dependent_column(spark):
+    """DependentColumnFilter under OR: branch = cells whose ts matches
+    the reference column's ts (DependentColumnFilter.java:51), unioned
+    with the sibling branch."""
+    cells = _cells_or_fixture(spark)
+    f = fl.FilterList(
+        "OR",
+        [
+            fl.DependentColumnFilter("cf1", "qc"),
+            fl.ValueFilter(fl.EQUAL, "2"),
+        ],
+    )
+    got = {(r["rowkey"], r["qualifier"]) for r in f.apply(cells, None).collect()}
+    dep = {
+        (r["rowkey"], r["qualifier"])
+        for r in fl.DependentColumnFilter("cf1", "qc").apply(cells, None).collect()
+    }
+    assert got == dep | {("r2", "qa")}
+
+
+def test_filter_list_or_with_while_match(spark):
+    """WhileMatch under OR: branch = take-while prefix in rowkey order,
+    unioned with the sibling predicate branch."""
+    df = spark.createDataFrame(
+        [("r1", 1), ("r2", 2), ("r3", 30), ("r4", 4)], ["rowkey", "v"]
+    )
+    t = Table(df, "rowkey", "orwm")
+    f = fl.FilterList(
+        "OR",
+        [
+            fl.WhileMatchFilter(
+                fl.SingleColumnValueFilter("v", fl.LESS, 10, filter_if_missing=True)
+            ),
+            fl.SingleColumnValueFilter("v", fl.EQUAL, 4, filter_if_missing=True),
+        ],
+    )
+    got = {r["rowkey"] for r in f.apply(t.df, t).collect()}
+    # while-match keeps r1, r2 (stops at r3); the OR branch adds r4
+    assert got == {"r1", "r2", "r4"}
+
+
+def test_filter_list_or_nested_and_with_pagination(spark):
+    """Nested MUST_PASS_ALL branch containing a positional member under
+    OR: the pagination counts only cells that survived its predecessors
+    in the AND chain (FilterListWithAND short-circuit — a rejected cell
+    is never seen by later members)."""
+    cells = _cells_or_fixture(spark)
+    inner = fl.FilterList(
+        "AND",
+        [
+            fl.ValueFilter(fl.NOT_EQUAL, "9"),
+            fl.ColumnCountGetFilter(1),
+        ],
+    )
+    f = fl.FilterList("OR", [inner, fl.ValueFilter(fl.EQUAL, "8")])
+    got = {(r["rowkey"], r["qualifier"]) for r in f.apply(cells, None).collect()}
+    # AND branch: first non-"9" cell per row -> (r1,qa), (r2,qa);
+    # OR sibling adds value=="8" -> (r1,qd)
+    assert got == {("r1", "qa"), ("r2", "qa"), ("r1", "qd")}
+
+
+def test_filter_list_or_page_filter_still_refused(spark):
+    """PageFilter stays refused under MUST_PASS_ONE — its kept-set
+    depends on scan emission order, which has no deterministic per-row
+    condition."""
+    import pytest
+
+    cells = _cells_or_fixture(spark)
+    f = fl.FilterList("OR", [fl.PageFilter(2), fl.ValueFilter(fl.EQUAL, "3")])
+    with pytest.raises(NotImplementedError, match="MUST_PASS_ONE"):
+        f.apply(cells, None).count()
