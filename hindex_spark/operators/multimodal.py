@@ -95,19 +95,27 @@ def extract_features(df: DataFrame, id_col: str = "doc_id", blob_col: str = "blo
 
 def frame_sample(df: DataFrame, id_col: str = "doc_id", blob_col: str = "blob", every: int = 16) -> DataFrame:
     """Frame-sampling plumbing: explode each blob into every-Nth 'frame'
-    (byte chunk stand-in). Real video decode replaces the chunker only."""
-
-    def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        for pdf in batches:
-            rows = []
-            for doc_id, blob in zip(pdf[id_col], pdf[blob_col]):
-                payload = bytes(blob)
-                for i, off in enumerate(range(0, len(payload), every)):
-                    rows.append((doc_id, i, payload[off : off + every]))
-            yield pd.DataFrame(rows, columns=["doc_id", "frame_no", "frame"])
-
-    return df.select(id_col, blob_col).mapInPandas(
-        op, schema="doc_id long, frame_no int, frame binary"
+    (byte chunk stand-in). Pure JVM — ``sequence`` + ``explode`` +
+    ``substring`` run inside whole-stage codegen, so blobs never cross an
+    Arrow boundary (at video scale that is the difference between a JVM
+    scan and serializing every payload into Python). A real video decoder
+    slots in downstream as a mapInPandas over the emitted
+    (doc_id, frame_no, frame) chunks; the chunker itself is arithmetic."""
+    every = int(every)
+    b = F.col(blob_col)
+    last_frame = F.floor((F.length(b) - F.lit(1)) / F.lit(every)).cast("int")
+    # explode(when(...)) drops empty blobs (null array), matching the old
+    # behavior of emitting no rows for a zero-length payload
+    return df.select(
+        F.col(id_col).cast("long").alias("doc_id"),
+        b.alias("__b"),
+        F.explode(
+            F.when(F.length(b) > 0, F.sequence(F.lit(0), last_frame))
+        ).alias("frame_no"),
+    ).select(
+        "doc_id",
+        "frame_no",
+        F.expr(f"substring(__b, frame_no * {every} + 1, {every})").alias("frame"),
     )
 
 
