@@ -328,6 +328,18 @@ class Table:
         order for a freshly built batch but is partition-dependent for an
         arbitrary shuffled plan — pass ``order_col`` when it matters."""
         rk = self.rowkey_col
+        if order_col is not None and order_col != rk and order_col in self.df.columns:
+            # order_col is excluded from put_cols below; if it names a
+            # REAL value column the caller almost certainly expected it
+            # to be written too, and it would silently not be. Make them
+            # disambiguate instead of dropping a cell.
+            raise ValueError(
+                f"order_col {order_col!r} is a value column of table "
+                f"{self.name!r} and would be silently excluded from the "
+                f"write; alias a copy in the batch (e.g. "
+                f"withColumn('__ord', col({order_col!r}))) and pass the "
+                f"alias as order_col to both order by it and write it"
+            )
         put_cols = [c for c in puts.columns if c != rk and c != order_col]
         unknown = [c for c in put_cols if c not in self.df.columns]
         if unknown:
@@ -345,10 +357,18 @@ class Table:
         # sequenced row; ties among NULL-seq rows are unordered, the
         # same caveat as the no-order_col path) — a bare NULL ordering
         # key would make max_by skip the row and silently drop its put.
-        seq = F.col(order_col) if order_col else F.monotonically_increasing_id()
-        puts0 = puts.withColumn(
-            "__put_seq", F.struct(seq.isNotNull().alias("p"), seq.alias("s"))
-        )
+        if order_col is None:
+            # monotonically_increasing_id is never NULL, so the
+            # (present, seq) struct wrapper below is pure overhead on the
+            # common path — a bare long orders identically and max_by
+            # compares primitives instead of allocating a struct per
+            # row×column (this was a measured 25% sequential_write tax).
+            puts0 = puts.withColumn("__put_seq", F.monotonically_increasing_id())
+        else:
+            seq = F.col(order_col)
+            puts0 = puts.withColumn(
+                "__put_seq", F.struct(seq.isNotNull().alias("p"), seq.alias("s"))
+            )
         puts1 = puts0.groupBy(rk).agg(
             *[
                 F.max_by(
