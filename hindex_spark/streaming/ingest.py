@@ -19,12 +19,76 @@ from __future__ import annotations
 
 import os
 import shutil
+from contextlib import contextmanager
 from typing import Callable, Optional
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from hindex_spark.table import Table
+
+
+@contextmanager
+def _log_lock(path: str):
+    """Exclusive flock serializing changelog WRITERS — emit, compaction,
+    and swap recovery — the same pattern as Catalog.save. Without it a
+    concurrent emit could rmtree a live compaction's staging dir or
+    rename ``.old`` back inside the swap window; with it, an emit landing
+    during a compaction simply waits and then appends to the compacted
+    log (its record is never silently dropped from the fold). Readers
+    never take the lock: the seq COLUMN keeps replay order-consistent
+    regardless of file layout. The lock file is a SIBLING of the log dir
+    so parquet globs never see it."""
+    import fcntl
+
+    lock_path = path.rstrip("/") + ".lock"
+    parent = os.path.dirname(lock_path)
+    if parent:
+        os.makedirs(parent, exist_ok=True)
+    with open(lock_path, "w") as fh:
+        fcntl.flock(fh, fcntl.LOCK_EX)  # released on close
+        yield
+
+
+def _max_seq_from_footers(path: str) -> int:
+    """Highest ``seq`` in the log, from parquet FOOTER statistics only:
+    O(#files) metadata reads, no row data, and no Spark job — attach cost
+    is independent of log row count (the reference likewise recovers its
+    WAL sequence id from log metadata rather than replaying edits,
+    FSHLog.java). Falls back to a single-column pyarrow read for a file
+    whose footer lacks min/max stats (foreign writer). Returns 0 for a
+    fresh or absent log."""
+    import glob
+
+    files = glob.glob(os.path.join(path, "*.parquet"))
+    if not files:
+        return 0
+    import pyarrow.compute as pc
+    import pyarrow.parquet as pq
+
+    best = 0
+    for f in files:
+        try:
+            md = pq.read_metadata(f)
+        except Exception:
+            continue  # half-written stray; replay skips it the same way
+        names = md.schema.names
+        if "seq" not in names:
+            continue
+        idx = names.index("seq")
+        file_best: Optional[int] = 0
+        for rg in range(md.num_row_groups):
+            st = md.row_group(rg).column(idx).statistics
+            if st is None or not st.has_min_max:
+                file_best = None
+                break
+            file_best = max(file_best, int(st.max))
+        if file_best is None:
+            col = pq.read_table(f, columns=["seq"]).column("seq")
+            m = pc.max(col).as_py()
+            file_best = int(m) if m is not None else 0
+        best = max(best, file_best)
+    return best
 
 
 class ChangelogEmitter:
@@ -67,37 +131,33 @@ class ChangelogEmitter:
         self.seq: Optional[int] = None  # resumed lazily on first emit
 
     def _resume_seq(self, spark) -> int:
-        """Highest seq already in the log (0 for a fresh path)."""
-        _recover_interrupted_compaction(self.path)
-        try:
-            existing = spark.read.parquet(self.path)
-        except Exception:
-            return 0  # path absent or empty — fresh log
-        if "seq" not in existing.columns:
-            return 0
-        m = existing.agg(F.max("seq")).first()[0]
-        return int(m) if m is not None else 0
+        """Highest seq already in the log (0 for a fresh path) — footer
+        statistics only, O(#files) metadata reads, no Spark job (see
+        ``_max_seq_from_footers``); caller holds the log lock."""
+        return _max_seq_from_footers(self.path)
 
     def emit(self, op: str, rows: DataFrame, table_df: DataFrame, rowkey_col: str) -> None:
-        # Recovery runs on EVERY emit, not just the seq-resuming first
-        # one: an already-attached emitter appending right after a
-        # compaction died between its two swap renames would otherwise
-        # recreate the log dir and permanently orphan the original
-        # records in ``.old``. Healthy-path cost: two os.path.exists.
-        _recover_interrupted_compaction(self.path)
-        if self.seq is None:
-            self.seq = self._resume_seq(rows.sparkSession)
-        self.seq += 1
-        cols = [F.lit(self.seq).alias("seq"), F.lit(op).alias("op"), F.col(rowkey_col)]
-        rows_cols = set(rows.columns)
-        for f in table_df.schema.fields:
-            if f.name == rowkey_col:
-                continue
-            if f.name in rows_cols:
-                cols.append(F.col(f.name))
-            else:
-                cols.append(F.lit(None).cast(f.dataType).alias(f.name))
-        rows.select(*cols).write.mode("append").parquet(self.path)
+        # The whole append runs under the log lock: swap recovery, seq
+        # resume, and the parquet write are then atomic w.r.t. a
+        # concurrent compaction (an emit can no longer delete a live
+        # staging dir or land inside the swap window and vanish from the
+        # compacted fold). Recovery itself is the rename-back check ONLY
+        # — stale ``.compacting`` staging belongs to compact_changelog.
+        with _log_lock(self.path):
+            _recover_swap(self.path)
+            if self.seq is None:
+                self.seq = self._resume_seq(rows.sparkSession)
+            self.seq += 1
+            cols = [F.lit(self.seq).alias("seq"), F.lit(op).alias("op"), F.col(rowkey_col)]
+            rows_cols = set(rows.columns)
+            for f in table_df.schema.fields:
+                if f.name == rowkey_col:
+                    continue
+                if f.name in rows_cols:
+                    cols.append(F.col(f.name))
+                else:
+                    cols.append(F.lit(None).cast(f.dataType).alias(f.name))
+            rows.select(*cols).write.mode("append").parquet(self.path)
 
     def log_schema(self, table_df: DataFrame, rowkey_col: str) -> str:
         rk_type = dict((f.name, f.dataType.simpleString()) for f in table_df.schema.fields)
@@ -192,9 +252,20 @@ class StreamingIngest:
         }
         return out
 
-    def start(self, stream_df: DataFrame, trigger_once: bool = True):
-        """Attach to a readStream DataFrame and start folding."""
+    def start(self, stream_df: DataFrame, trigger_once: bool = True, checkpoint: str | None = None):
+        """Attach to a readStream DataFrame and start folding.
+
+        ``checkpoint``: Structured Streaming checkpoint location. A batch
+        whose ``apply_batch`` raises is NOT committed to the checkpoint,
+        so a restarted query re-delivers it — combined with the
+        single-assignment commit in ``apply_batch`` (table and index
+        plans swap in together or not at all) this gives exactly-once
+        fold semantics across ingest-process deaths, the
+        region-server-restart recovery contract
+        (TestIndexPutsWithRegionServerRestart)."""
         writer = stream_df.writeStream.foreachBatch(self.apply_batch).outputMode("update")
+        if checkpoint:
+            writer = writer.option("checkpointLocation", checkpoint)
         if trigger_once:
             writer = writer.trigger(availableNow=True)
         return writer.start()
@@ -234,20 +305,29 @@ def replay_changelog(
 
 
 def _recover_interrupted_compaction(path: str) -> None:
-    """Crash recovery for ``compact_changelog``'s swap window: the swap
-    is rename(path -> path.old) then rename(path.compacting -> path), so
-    a kill between the two renames leaves the intact original log at
-    ``path.old`` and nothing at ``path``. Every log reader/writer entry
-    point calls this first: if the log is missing but ``.old`` exists,
-    the original is renamed back (the ``.compacting`` copy, possibly
-    complete, is discarded — it holds the same records). Idempotent and
-    a no-op for healthy logs. Assumes compaction is single-writer (like
-    Catalog.save): clearing stale staging would break a compaction
-    running concurrently in another process."""
+    """Crash recovery for ``compact_changelog``'s swap window, safe to
+    call from any entry point: takes the log lock, renames the intact
+    original back if a kill between the two swap renames left it at
+    ``path.old`` with nothing at ``path``, and clears stale staging.
+    Idempotent and a no-op for healthy logs."""
+    with _log_lock(path):
+        _recover_swap(path)
+        shutil.rmtree(path.rstrip("/") + ".compacting", ignore_errors=True)
+
+
+def _recover_swap(path: str) -> None:
+    """Rename-back HALF of compaction crash recovery (caller holds the
+    log lock): the swap is rename(path -> path.old) then
+    rename(path.compacting -> path); a kill between the renames leaves
+    the original log at ``path.old`` and nothing at ``path`` — restore
+    it. Deliberately does NOT touch ``.compacting``: only
+    compact_changelog may clear its own staging (an emit clearing it
+    concurrently was the race ADVICE flagged — under the lock the point
+    is moot in-process, but the narrow contract also keeps cross-process
+    emitters from deleting a remote compactor's half-written staging)."""
     old = path.rstrip("/") + ".old"
     if not os.path.exists(path) and os.path.exists(old):
         os.rename(old, path)
-    shutil.rmtree(path.rstrip("/") + ".compacting", ignore_errors=True)
 
 
 def compact_changelog(spark, path: str, num_files: int = 1) -> int:
@@ -265,25 +345,33 @@ def compact_changelog(spark, path: str, num_files: int = 1) -> int:
     and swapped in, so a crash mid-compaction leaves the original log
     intact. Attached emitters stay valid (their in-memory seq continues;
     a re-attaching emitter resumes from the preserved seq column).
-    Returns the resulting parquet file count."""
-    _recover_interrupted_compaction(path)
-    df = spark.read.parquet(path)
-    staging = path.rstrip("/") + ".compacting"
-    # sortWithinPartitions(seq): row-group min/max stats then keep the
-    # replay-side seq ordering cheap to compute
-    (
-        df.coalesce(num_files)
-        .sortWithinPartitions("seq")
-        .write.mode("overwrite")
-        .parquet(staging)
-    )
-    # one shared swap implementation: _recover_interrupted_compaction's
-    # ".old" contract depends on the exact rename sequence, so a second
-    # hand-rolled copy here would have to stay behaviorally identical
-    # forever (etl.jobs.compact_table_files already reuses it too)
-    from hindex_spark.catalog import Catalog
+    Returns the resulting parquet file count.
 
-    Catalog._swap_in(path.rstrip("/"), staging)
+    Holds the log lock for the whole read -> staging write -> swap
+    sequence, so concurrent emits serialize around it: an emit either
+    lands before the read (and is folded) or after the swap (and appends
+    to the compacted log) — never inside the window where it would
+    vanish from the fold."""
+    with _log_lock(path):
+        _recover_swap(path)
+        staging = path.rstrip("/") + ".compacting"
+        shutil.rmtree(staging, ignore_errors=True)  # stale staging is OURS to clear
+        df = spark.read.parquet(path)
+        # sortWithinPartitions(seq): row-group min/max stats then keep the
+        # replay-side seq ordering cheap to compute
+        (
+            df.coalesce(num_files)
+            .sortWithinPartitions("seq")
+            .write.mode("overwrite")
+            .parquet(staging)
+        )
+        # one shared swap implementation: _recover_swap's ".old" contract
+        # depends on the exact rename sequence, so a second hand-rolled
+        # copy here would have to stay behaviorally identical forever
+        # (etl.jobs.compact_table_files already reuses it too)
+        from hindex_spark.catalog import Catalog
+
+        Catalog._swap_in(path.rstrip("/"), staging)
     return len(
         [f for f in os.listdir(path) if f.endswith(".parquet") and not f.startswith(".")]
     )

@@ -305,3 +305,140 @@ def test_attached_emitter_recovers_interrupted_compaction(spark, tmp_path):
     assert got == [(1, "a"), (10, "v0"), (11, "v1")]
     assert not os.path.exists(log + ".old")
     assert not os.path.exists(log + ".compacting")
+
+
+def test_changelog_attach_is_metadata_only(spark, tmp_path):
+    """Re-attaching to a many-file log resumes seq from parquet FOOTER
+    statistics: O(#files) metadata reads and NO Spark job — attach cost
+    must not grow with log row count (the WAL grows unboundedly between
+    compactions at reference mutation rates)."""
+    import os
+
+    from hindex_spark.streaming.ingest import ChangelogEmitter
+    from hindex_spark.table import Table
+
+    base = spark.createDataFrame([(1, "a")], "k long, v string")
+    log = str(tmp_path / "log")
+    t = Table(base, "k", "t").enable_changelog(log)
+    for i in range(4):
+        t = t.put(spark.createDataFrame([(10 + i, f"v{i}")], "k long, v string"))
+    nfiles = len([f for f in os.listdir(log) if f.endswith(".parquet")])
+    assert nfiles >= 4  # one append per mutation
+
+    tracker = spark.sparkContext.statusTracker()
+    before = set(tracker.getJobIdsForGroup())
+    em = ChangelogEmitter(log)
+    assert em._resume_seq(spark) == 4
+    after = set(tracker.getJobIdsForGroup())
+    assert after == before, "attach launched a Spark job (full log scan)"
+
+
+def test_emit_never_clears_live_compaction_staging(spark, tmp_path):
+    """An emit landing while a compaction staging dir exists (a live
+    compactor, possibly in another process) must not delete it: only
+    compact_changelog clears its own staging. The emit itself still
+    succeeds and appends."""
+    import os
+
+    from hindex_spark.table import Table
+
+    base = spark.createDataFrame([(1, "a")], "k long, v string")
+    log = str(tmp_path / "log")
+    t = Table(base, "k", "t").enable_changelog(log)
+    t = t.put(spark.createDataFrame([(10, "v0")], "k long, v string"))
+
+    staging = log + ".compacting"
+    os.makedirs(staging)
+    marker = os.path.join(staging, "half-written.parquet.tmp")
+    with open(marker, "w") as fh:
+        fh.write("in-flight")
+
+    t = t.put(spark.createDataFrame([(11, "v1")], "k long, v string"))
+    assert os.path.exists(marker), "emit deleted a live compaction's staging"
+    assert t._changelog.seq == 2
+
+
+def test_kill_mid_batch_restart_replays_from_checkpoint(spark, tmp_path):
+    """TestIndexPutsWithRegionServerRestart analog: the ingest process
+    dies MID-BATCH — after the batch's table+index fold is computed (the
+    'data written' moment) but before the commit — then restarts from
+    the Structured Streaming checkpoint. Required: (a) the half-applied
+    batch is observable NOWHERE (table and index stay at the previous
+    version together — a reader never sees the table ahead of its
+    index); (b) the restarted query re-delivers the batch and applies it
+    exactly once."""
+    import pytest
+    from pyspark.errors.exceptions.captured import StreamingQueryException
+
+    base = spark.createDataFrame(
+        [("r1", 10), ("r2", 20), ("r3", 30)], ["rowkey", "v"]
+    )
+    t = Table(base, "rowkey", "t")
+    t.create_index(IndexSpecification("idx_v").add_column("v", "Int"))
+
+    src = str(tmp_path / "mutations")
+    ckpt = str(tmp_path / "ckpt")
+    spark.createDataFrame(
+        [("put", "r1", 11), ("put", "r9", 99), ("delete", "r2", None)],
+        "op string, rowkey string, v int",
+    ).write.parquet(src)
+
+    class KillMidBatch(StreamingIngest):
+        def __init__(self, *a, **kw):
+            super().__init__(*a, **kw)
+            self.kills_remaining = 1
+
+        def apply_batch(self, batch_df, epoch_id):
+            if self.kills_remaining > 0:
+                self.kills_remaining -= 1
+                # compute the fold exactly like the real path (table AND
+                # index plans built and materialized), then die before
+                # the single commit assignment
+                rk = self.table.rowkey_col
+                keep = [rk] + [
+                    c for c in batch_df.columns
+                    if c != rk and c != "op" and c in self.table.df.columns
+                ]
+                t2 = self.table.delete(
+                    batch_df.filter(F.col("op") == "delete").select(rk)
+                )
+                t2 = t2.put(batch_df.filter(F.col("op") == "put").select(*keep))
+                t2.df.count()  # the 'table write' happened...
+                raise RuntimeError("simulated ingest death mid-batch")
+            super().apply_batch(batch_df, epoch_id)
+
+    ingest = KillMidBatch(t)
+    stream = spark.readStream.schema("op string, rowkey string, v int").parquet(src)
+    with pytest.raises(StreamingQueryException, match="mid-batch"):
+        q = ingest.start(stream, checkpoint=ckpt)
+        q.awaitTermination()
+
+    # (a) nothing half-applied: table AND index both at the pre-batch state
+    assert ingest.batches_applied == 0
+    got = {r["rowkey"]: r["v"] for r in ingest.table.df.collect()}
+    assert got == {"r1": 10, "r2": 20, "r3": 30}
+    idx = {(r["v"], r["rowkey"]) for r in ingest.table.index_tables["idx_v"].collect()}
+    assert idx == {(10, "r1"), (20, "r2"), (30, "r3")}
+
+    # (b) restart from the same checkpoint: batch re-delivered, applied once
+    q2 = ingest.start(
+        spark.readStream.schema("op string, rowkey string, v int").parquet(src),
+        checkpoint=ckpt,
+    )
+    q2.awaitTermination()
+    assert ingest.batches_applied == 1
+    got = {r["rowkey"]: r["v"] for r in ingest.table.df.collect()}
+    assert got == {"r1": 11, "r3": 30, "r9": 99}
+    idx = {(r["v"], r["rowkey"]) for r in ingest.table.index_tables["idx_v"].collect()}
+    assert idx == {(11, "r1"), (30, "r3"), (99, "r9")}
+
+    # a further restart re-delivers NOTHING (the batch is committed)
+    q3 = ingest.start(
+        spark.readStream.schema("op string, rowkey string, v int").parquet(src),
+        checkpoint=ckpt,
+    )
+    q3.awaitTermination()
+    assert ingest.batches_applied == 1  # exactly once, not at-least-once
+    assert {r["rowkey"]: r["v"] for r in ingest.table.df.collect()} == {
+        "r1": 11, "r3": 30, "r9": 99,
+    }
