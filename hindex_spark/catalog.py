@@ -27,6 +27,7 @@ import os
 import re
 import shutil
 import threading
+from contextlib import contextmanager
 from dataclasses import dataclass, field
 from typing import Dict, List, Optional
 
@@ -40,6 +41,21 @@ from hindex_spark.table import Table
 #: serializes session-catalog DDL (DROP+CREATE pairs) across threads —
 #: the session catalog is per-JVM, so an in-process lock suffices
 _REGISTRATION_LOCK = threading.RLock()
+
+
+class SaveContentionError(RuntimeError):
+    """Another writer holds this table's save lease (and it is not
+    stale). The reference serializes DDL cluster-wide through the master
+    (IndexMasterObserver.java:89-129); here the lease file is the
+    storage-level stand-in."""
+
+
+class FencedWriterError(RuntimeError):
+    """This writer's lease was broken (it exceeded the lease TTL and a
+    competitor took over) — the save ABORTS before the descriptor commit
+    so it can never clobber the new holder's version. The fencing-token
+    pattern: whoever's token is in the lease file at commit time wins;
+    everyone else detects the takeover and stops."""
 
 
 @dataclass
@@ -270,6 +286,7 @@ class Catalog:
         num_partitions: int = 32,
         layout: str = "bucketed",
         families: Optional[List[FamilyDescriptor]] = None,
+        lease_ttl: float = 600.0,
     ) -> None:
         """Persist table + all index tables.
 
@@ -295,24 +312,116 @@ class Catalog:
         atomically swapped in, so saving a table over the path its own
         lazy plan reads from cannot lose data.
 
-        Writers are serialized per table: save() holds an exclusive
-        flock on ``<table>/_save.lock`` for the whole read-version ->
-        write -> commit -> GC sequence. Without it, two concurrent
-        saves would read the same descriptor version, write into the
-        SAME new-version directories, and race the pointer swap and GC
-        (the loser's files half-overwritten or collected under the
-        winner). Readers never take the lock — the version pointer
-        keeps them consistent. At 100 TB the analog is whatever mutual
-        exclusion the object store / job scheduler provides around the
-        commit step; the data writes themselves are already
-        crash-isolated by staging."""
+        Writers are serialized per table at TWO layers. Same host: an
+        exclusive flock on ``<table>/_save.lock`` for the whole
+        read-version -> write -> commit -> GC sequence (without it, two
+        concurrent saves would read the same descriptor version, write
+        into the SAME new-version directories, and race the pointer swap
+        and GC). Cross host — where flock may not propagate over the
+        shared filesystem — a storage-level LEASE with a fencing token:
+        save O_EXCL-creates ``<table>/_lease.json`` holding a fresh
+        token; a competitor finding a lease younger than ``lease_ttl``
+        raises SaveContentionError, while a stale lease (holder died or
+        stalled past the TTL) is taken over atomically. Right before the
+        descriptor commit the writer re-reads the lease: if its token is
+        gone it was fenced — FencedWriterError, nothing clobbered. Pick
+        ``lease_ttl`` above the longest expected save; the reference
+        gets the same guarantee from master-serialized DDL
+        (IndexMasterObserver.java:89-129). Readers never take either
+        lock — the version pointer keeps them consistent."""
         d = self._dir(table.name)
         os.makedirs(d, exist_ok=True)
+        with self._writer_flock(d):
+            token = self._acquire_lease(d, lease_ttl)
+            try:
+                self._save_locked(
+                    table, d, num_partitions, layout, families, fence_token=token
+                )
+            finally:
+                self._release_lease(d, token)
+
+    @contextmanager
+    def _writer_flock(self, d: str):
+        """Same-host writer serialization (a test seam: stubbed out to
+        simulate a second host whose flock does not span the storage)."""
         import fcntl
 
         with open(os.path.join(d, "_save.lock"), "w") as lock_fh:
             fcntl.flock(lock_fh, fcntl.LOCK_EX)  # released on close
-            self._save_locked(table, d, num_partitions, layout, families)
+            yield
+
+    def _lease_path(self, d: str) -> str:
+        return os.path.join(d, "_lease.json")
+
+    def _acquire_lease(self, d: str, ttl: float) -> str:
+        """O_EXCL-create the lease (atomic claim on POSIX and on object
+        stores with if-none-match semantics). An existing lease younger
+        than ``ttl`` -> SaveContentionError. A stale one is taken over
+        via atomic replace; if two writers race the takeover, exactly
+        one token survives in the file and the commit-time fence check
+        stops the other."""
+        import socket
+        import time
+        import uuid
+
+        lease = self._lease_path(d)
+        token = uuid.uuid4().hex
+        payload = json.dumps(
+            {
+                "token": token,
+                "pid": os.getpid(),
+                "host": socket.gethostname(),
+                "acquired_at": time.time(),
+            }
+        )
+        try:
+            fd = os.open(lease, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+            with os.fdopen(fd, "w") as fh:
+                fh.write(payload)
+            return token
+        except FileExistsError:
+            pass
+        try:
+            with open(lease) as fh:
+                cur = json.load(fh)
+        except Exception:
+            cur = None  # vanished or corrupt — treat as stale
+        if cur is not None:
+            age = time.time() - float(cur.get("acquired_at", 0))
+            if age < ttl:
+                raise SaveContentionError(
+                    f"table dir {d!r}: save lease held by pid "
+                    f"{cur.get('pid')} on {cur.get('host')!r} "
+                    f"(age {age:.1f}s < ttl {ttl:.1f}s)"
+                )
+        tmp = f"{lease}.{token}.tmp"
+        with open(tmp, "w") as fh:
+            fh.write(payload)
+        os.replace(tmp, lease)
+        return token
+
+    def _check_fence(self, d: str, token: str) -> None:
+        try:
+            with open(self._lease_path(d)) as fh:
+                cur = json.load(fh)
+        except Exception:
+            cur = {}
+        if cur.get("token") != token:
+            raise FencedWriterError(
+                f"table dir {d!r}: save lease was taken over by pid "
+                f"{cur.get('pid')} on {cur.get('host')!r} (this save "
+                f"exceeded its lease TTL); aborting before the "
+                f"descriptor commit — the new holder's version is intact"
+            )
+
+    def _release_lease(self, d: str, token: str) -> None:
+        try:
+            with open(self._lease_path(d)) as fh:
+                if json.load(fh).get("token") != token:
+                    return  # fenced — the lease belongs to someone else now
+            os.remove(self._lease_path(d))
+        except OSError:
+            pass
 
     def _save_locked(
         self,
@@ -321,6 +430,7 @@ class Catalog:
         num_partitions: int,
         layout: str,
         families: Optional[List[FamilyDescriptor]],
+        fence_token: Optional[str] = None,
     ) -> None:
         # Version-pointer commit (TestAcidGuaranteesForIndex invariant —
         # a reader must NEVER see the table ahead of its indexes, which
@@ -429,6 +539,12 @@ class Catalog:
         hook = getattr(self, "_pre_commit_hook", None)
         if hook is not None:
             hook()  # test seam: observe the catalog BEFORE the pointer swap
+        if fence_token is not None:
+            # Fencing: if this writer's lease was broken (save exceeded
+            # its TTL and a competitor took over), abort HERE — before
+            # the pointer swap — so the takeover's committed version and
+            # its files are never clobbered or GC'd by a zombie writer.
+            self._check_fence(d, fence_token)
         tmp = desc_file + ".tmp"
         with open(tmp, "w") as fh:
             fh.write(desc.to_json())

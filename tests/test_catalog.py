@@ -601,3 +601,62 @@ def test_snapshot_preserves_layout_and_families(spark, sf_dir, tmp_path):
     rdesc = cat._load_desc("reg_snap")
     assert rdesc.layout == "range"
     assert [(f.name, f.ttl, f.max_versions) for f in rdesc.families] == [("d", 3600, 3)]
+
+
+def test_cross_process_save_lease_contention_and_fencing(spark, tmp_path):
+    """Cross-host writer mutual exclusion (IndexMasterObserver.java:89-129
+    serializes DDL cluster-wide; here a storage-level lease with a
+    fencing token stands in). Two Catalog objects share one warehouse;
+    the second has its flock stubbed out, simulating a host whose flock
+    does not span the shared filesystem. (1) A live lease refuses the
+    competitor loudly. (2) A stale lease is taken over, and the original
+    (zombie) writer is FENCED at commit time — the takeover's committed
+    version survives untouched."""
+    import contextlib
+
+    import pytest
+
+    from hindex_spark.catalog import FencedWriterError, SaveContentionError
+
+    wh = str(tmp_path / "wh")
+    cat_a = Catalog(spark, wh)
+    cat_b = Catalog(spark, wh)
+    cat_b._writer_flock = lambda d: contextlib.nullcontext()
+
+    base = spark.createDataFrame([(1, "base")], "k long, v string")
+    cat_a.save(Table(base, "k", "t"))
+
+    # (1) B attempts a save while A holds a LIVE lease -> refused
+    refused = {}
+
+    def contender():
+        try:
+            cat_b.save(Table(spark.createDataFrame([(2, "B")], "k long, v string"), "k", "t"))
+        except SaveContentionError as e:
+            refused["err"] = str(e)
+
+    cat_a._pre_commit_hook = contender
+    cat_a.save(Table(spark.createDataFrame([(2, "A")], "k long, v string"), "k", "t"))
+    assert "err" in refused and "lease held" in refused["err"]
+    assert {(r["k"], r["v"]) for r in cat_a.load("t").df.collect()} == {(2, "A")}
+
+    # (2) A stalls past its TTL mid-save; B breaks the stale lease and
+    # commits; A must be fenced at its commit point, not clobber B
+    def breaker():
+        cat_b.save(
+            Table(spark.createDataFrame([(3, "B2")], "k long, v string"), "k", "t"),
+            lease_ttl=0.0,
+        )
+
+    cat_a._pre_commit_hook = breaker
+    with pytest.raises(FencedWriterError):
+        cat_a.save(
+            Table(spark.createDataFrame([(3, "A2")], "k long, v string"), "k", "t"),
+            lease_ttl=0.0,
+        )
+    del cat_a._pre_commit_hook
+    assert {(r["k"], r["v"]) for r in cat_a.load("t").df.collect()} == {(3, "B2")}
+
+    # lease is released after both outcomes: a fresh save proceeds
+    cat_a.save(Table(spark.createDataFrame([(4, "A3")], "k long, v string"), "k", "t"))
+    assert {(r["k"], r["v"]) for r in cat_a.load("t").df.collect()} == {(4, "A3")}
