@@ -141,19 +141,32 @@ def import_tsv_cells(
     for _, c in value_fields:
         if ":" not in c:
             raise ValueError(f"value column spec must be cf:qualifier, got {c!r}")
-    stack_args = ", ".join(
-        f"'{c.split(':', 1)[0]}', '{c.split(':', 1)[1]}', {names[i]}"
+    # Melt via explode(array(struct(...))) with cf/qualifier as lit()
+    # Columns — NOT a stack() SQL string, where a quote or comma inside
+    # a family/qualifier name would break (or subvert) F.expr parsing.
+    # Same Generate plan shape as stack, no SQL string construction.
+    kvs = [
+        F.struct(
+            F.lit(c.split(":", 1)[0]).alias("cf"),
+            F.lit(c.split(":", 1)[1]).alias("qualifier"),
+            F.col(names[i]).alias("value"),
+        )
         for i, c in value_fields
-    )
+    ]
     cells = (
         df.select(
             rk.alias("rowkey"),
             ts.alias("ts"),
-            F.expr(f"stack({len(value_fields)}, {stack_args}) AS (cf, qualifier, value)"),
+            F.explode(F.array(*kvs)).alias("__kv"),
         )
-        .filter(F.col("value").isNotNull())
+        .filter(F.col("__kv.value").isNotNull())
         .select(
-            "rowkey", "cf", "qualifier", "ts", F.lit("put").alias("op"), "value"
+            "rowkey",
+            F.col("__kv.cf").alias("cf"),
+            F.col("__kv.qualifier").alias("qualifier"),
+            "ts",
+            F.lit("put").alias("op"),
+            F.col("__kv.value").alias("value"),
         )
     )
     if bad_lines == "skip":
@@ -281,9 +294,13 @@ def cell_counter_report(cells: DataFrame, separator: str = ":") -> DataFrame:
     in-memory frame, matching the reference's single map-reduce pass.
     The report (and the persisted frame) is O(distinct row-columns)
     because of stat 6 — same cardinality as the reference's counter
-    output; spill-safe via MEMORY_AND_DISK. Callers running repeated
-    reports should unpersist via ``spark.catalog.clearCache()`` or the
-    returned plan's lineage going out of scope.
+    output; spill-safe via MEMORY_AND_DISK. The report is materialized
+    EAGERLY (localCheckpoint) and the base aggregate unpersisted before
+    returning: repeated reports over different inputs then release
+    their working cache instead of accumulating executor storage, and
+    no caller ever needs clearCache() (which would also evict the
+    catalog's unrelated table/index caches). The checkpoint blocks free
+    with the returned plan's GC, like any materialized result.
     """
     v = (
         cells.groupBy("rowkey", "cf", "qualifier")
@@ -315,6 +332,8 @@ def cell_counter_report(cells: DataFrame, separator: str = ":") -> DataFrame:
     out = total_rows
     for part in (total_fams, per_fam, total_quals, per_qual, versions):
         out = out.unionByName(part)
+    out = out.localCheckpoint(eager=True)  # one job over the persisted base
+    v.unpersist()
     return out
 
 

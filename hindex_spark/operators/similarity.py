@@ -183,18 +183,38 @@ def ivf_build(
     """
     spark = embeddings.sparkSession
     n = _estimate_rows(embeddings)
-    if n > sample_size:
-        mod = max(1, n // sample_size)
-        train = embeddings.filter(F.pmod(F.hash(F.col(id_col)), F.lit(mod)) == 0)
-    else:
-        train = embeddings
+    mod = max(1, n // sample_size) if n > sample_size else 1
+
+    def _train_df(m: int) -> DataFrame:
+        if m <= 1:
+            return embeddings
+        return embeddings.filter(F.pmod(F.hash(F.col(id_col)), F.lit(m)) == 0)
 
     def _cent_df(rows):
         return spark.createDataFrame(rows, f"cluster int, centroid array<double>")
 
+    train = _train_df(mod)
     init = train.orderBy(id_col).limit(n_clusters).collect()
-    if len(init) < n_clusters:  # degenerate sample: top up from the corpus
-        init = embeddings.orderBy(id_col).limit(n_clusters).collect()
+    # Degenerate hash sample (row estimate was off): WIDEN the sample a
+    # bounded number of times — never fall back to a TakeOrdered over
+    # the full corpus (a 100 TB scan+sort for a path that should never
+    # trigger on real data). mod==1 means no sampling was applied at
+    # all (corpus ≤ sample_size), so init already saw every vector.
+    attempts = 0
+    while len(init) < n_clusters and mod > 1 and attempts < 3:
+        mod = max(1, mod // 64)
+        attempts += 1
+        train = _train_df(mod)
+        init = train.orderBy(id_col).limit(n_clusters).collect()
+    if len(init) < n_clusters and mod > 1:
+        raise ValueError(
+            f"ivf_build: hash sample still has {len(init)} < "
+            f"{n_clusters} vectors after {attempts} widenings (row "
+            f"estimate {n} is off by orders of magnitude); lower "
+            f"n_clusters/sample_size or fix the corpus row estimate"
+        )
+    if not init:
+        raise ValueError("ivf_build: no vectors to train on")
     cent_rows = [
         (i + 1, [float(x) for x in r[vec_col]]) for i, r in enumerate(init)
     ]
@@ -276,7 +296,7 @@ def ivf_topk(
         F.col(q_id_col),
         F.col(id_col),
         F.round(cosine_expr(F.col(vec_col), F.col(q_vec_col)), 6).alias("cosine"),
-    ).filter(_not_self(queries, q_id_col, embeddings, id_col))
+    ).filter(_not_self(queries, q_id_col, clustered, id_col))
     w = Window.partitionBy(q_id_col).orderBy(F.col("cosine").desc(), F.col(id_col))
     return (
         scored.withColumn("rank", F.row_number().over(w))

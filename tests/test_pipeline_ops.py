@@ -889,3 +889,29 @@ def test_pq_topk_accepts_string_query_ids(spark, sf_dir):
     out = sim.pq_topk(emb, codes, cbs, queries, k=5, shortlist=50).collect()
     assert {r["q_id"] for r in out} == {"q0", "q1", "q2"}
     assert all(r["rank"] <= 5 for r in out)
+
+
+def test_ivf_build_degenerate_sample_widens_never_full_scan(spark, monkeypatch):
+    """A wildly-off row estimate makes the hash sample come back short;
+    ivf_build must WIDEN the sample a bounded number of times and then
+    error — never TakeOrdered over the full corpus (a 100 TB scan+sort
+    for a should-never-happen path)."""
+    import pytest
+
+    import hindex_spark.operators.similarity as sim
+
+    emb = spark.range(200).select(
+        F.col("id").alias("vec_id"),
+        F.array(F.col("id").cast("double"), F.lit(1.0)).alias("embedding"),
+    )
+
+    # estimate inflated 64x: first sample is ~3 rows, one widening fixes it
+    monkeypatch.setattr(sim, "_estimate_rows", lambda df: 200 * 64)
+    assignments, cents = sim.ivf_build(emb, n_clusters=4, iters=1, sample_size=10)
+    assert assignments.count() == 200
+    assert cents.count() == 4
+
+    # estimate inflated 64^5x: three widenings still short -> loud error
+    monkeypatch.setattr(sim, "_estimate_rows", lambda df: 200 * 64**5)
+    with pytest.raises(ValueError, match="widenings"):
+        sim.ivf_build(emb, n_clusters=4, iters=1, sample_size=10)
