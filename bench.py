@@ -219,6 +219,21 @@ def main():
         ).count(),
         runs=3,
     )
+    # The full production configuration: xxhash64 digests + the
+    # max_bucket boilerplate valve. Unbounded banding is quadratic in
+    # the largest bucket, and which shingle lands a band minimum is
+    # hash-family luck — at 10x bench scale one 6.6k-doc bucket put 22M
+    # of the xxh path's 26M candidate pairs (the md5 family drew a 1.9k
+    # bucket on the same corpus). The valve drops such buckets before
+    # expansion; verified pairs are unchanged (members still pair
+    # through their other, more selective bands).
+    bench(
+        "dedup_minhash_lsh_prod",
+        lambda: dd.minhash_dedup_pairs(
+            docs, "doc_id", "text", 0.9, hash_fn="xxhash64", max_bucket=4096
+        ).count(),
+        runs=3,
+    )
     bench(
         "text_analyze",
         lambda: tx.analyze(docs).select(F.max("quality"), F.max("n_tokens")).collect(),
