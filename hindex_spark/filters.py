@@ -814,8 +814,18 @@ class ColumnPaginationFilter(Filter):
     limit: int
     offset: int = 0
 
+    @staticmethod
+    def _cell_order():
+        """Reference cell comparison order within a row: family, then
+        qualifier, then newest version first (KeyValue.COMPARATOR) —
+        ordering on qualifier alone left the rank nondeterministic for
+        multi-family or multi-version frames. Columns absent from the
+        frame (a single-family latest view) are simply not referenced."""
+        return [F.col("cf").asc_nulls_first(), F.col("qualifier"), F.col("ts").desc()]
+
     def apply(self, df: DataFrame, table) -> DataFrame:
-        w = Window.partitionBy("rowkey").orderBy("qualifier")
+        order = [c for c, name in zip(self._cell_order(), ("cf", "qualifier", "ts")) if name in df.columns]
+        w = Window.partitionBy("rowkey").orderBy(*order)
         return (
             df.withColumn("__cn", F.row_number().over(w))
             .filter(
@@ -829,13 +839,18 @@ class ColumnPaginationFilter(Filter):
 
     def branch_cond(self, df, table, gate, tag):
         # Positional rank among the cells this member SAW: a gated
-        # cumulative count in qualifier order (= row_number when
+        # cumulative count in reference cell order (= row_number when
         # gate=true). Window is per-rowkey — shuffles on the same key the
         # cell layer is already partitioned by, no scale hazard.
         h = f"__cn_{tag}"
+        order = [
+            c
+            for c, name in zip(self._cell_order(), ("cf", "qualifier", "ts"))
+            if name in df.columns
+        ]
         w = (
             Window.partitionBy("rowkey")
-            .orderBy("qualifier")
+            .orderBy(*order)
             .rowsBetween(Window.unboundedPreceding, Window.currentRow)
         )
         out = df.withColumn(h, F.sum(F.when(gate, 1).otherwise(0)).over(w))
