@@ -228,8 +228,9 @@ class Filter:
         state). Stateful filters override this to materialize their state
         as window/aggregate helper columns on df' (names in helper_cols,
         dropped by the caller). Default: a row-faithful filter's branch is
-        its predicate; anything else is genuinely position-dependent and
-        refused loudly (e.g. PageFilter — see its override)."""
+        its predicate; an UNKNOWN apply()-override without its own
+        branch_cond is refused loudly rather than silently over-selected
+        through a lit(True) predicate."""
         if FilterList._row_faithful(self):
             return df, self.predicate(table), []
         raise NotImplementedError(
@@ -459,31 +460,48 @@ class RandomRowFilter(Filter):
 
 @dataclass
 class PageFilter(Filter):
-    """PageFilter.java:42 — stop after N rows. Reference semantics are
-    per-region (client can see more); here it is a global limit, which is
-    the client-visible contract users actually rely on."""
+    """PageFilter.java:42 — stop after N rows. The reference counts rows
+    in scan order (per region; a plain scan visits regions in rowkey
+    order, so the single-client contract is "the first N rows of the
+    scan" = the N smallest rowkeys). Modeled exactly that way here, so
+    the kept-set is DETERMINISTIC — both standalone and as a
+    MUST_PASS_ONE branch (TestFilterList.testOrdering composes
+    OR(PrefixFilter, PageFilter): prefix rows keep passing after the
+    page branch is exhausted). Cost: one TakeOrdered of N keys + a
+    broadcast of the single boundary key — bounded by the page size, not
+    the table."""
 
     page_size: int
 
+    def _boundary(self, df: DataFrame, table, pred: Column, tag: str):
+        """(df', cond, helpers): cond = 'this row is among the first
+        ``page_size`` distinct rowkeys satisfying ``pred``' (distinct:
+        on the cell layer a row is all its cells; the reference counts
+        ROWS, not cells)."""
+        key = table.rowkey_col if table is not None and hasattr(table, "rowkey_col") else "rowkey"
+        h = f"__pg_{tag}"
+        kth = (
+            df.filter(pred)
+            .select(key)
+            .distinct()
+            .orderBy(key)
+            .limit(self.page_size)
+            .agg(F.max(key).alias(h))
+        )
+        out = df.join(F.broadcast(kth))
+        cond = F.col(h).isNotNull() & (F.col(key) <= F.col(h))
+        return out, cond, [h]
+
     def apply(self, df: DataFrame, table) -> DataFrame:
-        return df.limit(self.page_size)
+        out, cond, helpers = self._boundary(df, table, F.lit(True), "a")
+        return out.filter(cond).drop(*helpers)
 
     def predicate(self, table) -> Column:
         return F.lit(True)
 
     def branch_cond(self, df, table, gate, tag):
-        # Deliberately refused: PageFilter's kept-set is "the first N rows
-        # the scan happened to produce" — a nondeterministic global
-        # truncation (reference semantics are even looser: per-region
-        # counts, PageFilter.java:42). There is no per-row predicate whose
-        # truth doesn't depend on which other rows were already emitted,
-        # so a MUST_PASS_ONE union over it has no deterministic meaning.
-        raise NotImplementedError(
-            "PageFilter under FilterList MUST_PASS_ONE is not expressible "
-            "as a deterministic branch condition (row-count truncation "
-            "depends on scan emission order); apply the page limit to the "
-            "union result instead"
-        )
+        # first N rows this member SAW (gate) in scan order
+        return self._boundary(df, table, gate, tag)
 
 
 @dataclass
@@ -678,15 +696,15 @@ class FilterList(Filter):
         lying = [f for f in self.filters if not FilterList._row_faithful(f)]
         if not lying:
             return df.filter(self.predicate(table))
-        # Positional/stateful members (ColumnPagination, ColumnCountGet,
-        # DependentColumn, WhileMatch, nested lists of them) ARE
-        # evaluable under MUST_PASS_ONE: each member's kept-set is
-        # computed per-branch over the full row stream — its positional
-        # state materialized as window/aggregate helper columns — and the
-        # branch conditions are OR-ed in one pass (FilterList.java:178-200
-        # evaluation order: every OR member observes every cell). Only
-        # genuinely order-dependent members (PageFilter's nondeterministic
-        # row-count truncation) still refuse, from their own branch_cond.
+        # Positional/stateful members (PageFilter, ColumnPagination,
+        # ColumnCountGet, DependentColumn, WhileMatch, nested lists of
+        # them) ARE evaluable under MUST_PASS_ONE: each member's kept-set
+        # is computed per-branch over the full row stream — its
+        # positional state materialized as window/aggregate helper
+        # columns — and the branch conditions are OR-ed in one pass
+        # (FilterList.java:178-200 evaluation order: every OR member
+        # observes every cell). Only an unknown apply()-override with no
+        # branch_cond still refuses, from the default branch_cond.
         out, cond, helpers = self.branch_cond(df, table, F.lit(True), "b")
         out = out.filter(cond)
         return out.drop(*helpers) if helpers else out
@@ -945,11 +963,12 @@ class ValueFilter(Filter):
 #: Exclude), routes through predicate() itself (RandomRow, Family), or
 #: both (FirstKeyValueMatchingQualifiers). FilterList._row_faithful is
 #: default-closed against everything not listed here. Positional/stateful
-#: filters (WhileMatch, ColumnPagination, ColumnCountGet, DependentColumn)
-#: are evaluated under MUST_PASS_ONE via their ``branch_cond`` overrides
-#: (per-branch window state, OR-ed in one pass); PageFilter and any FUTURE
-#: apply() override without a branch_cond still refuse loudly rather than
-#: silently over-selecting via a lit(True) predicate.
+#: filters (PageFilter, WhileMatch, ColumnPagination, ColumnCountGet,
+#: DependentColumn) are evaluated under MUST_PASS_ONE via their
+#: ``branch_cond`` overrides (per-branch window/aggregate state, OR-ed in
+#: one pass); any FUTURE apply() override without a branch_cond still
+#: refuses loudly rather than silently over-selecting via a lit(True)
+#: predicate.
 _PREDICATE_FAITHFUL_OVERRIDES = (
     SingleColumnValueExcludeFilter,
     RandomRowFilter,

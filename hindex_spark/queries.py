@@ -1299,6 +1299,41 @@ def q_filter_or_pagination(spark, sf_dir):
 
 
 @query(
+    "filter_or_page",
+    """SELECT p_partkey, p_name FROM part
+       WHERE p_partkey <= (SELECT max(p_partkey) FROM
+             (SELECT p_partkey FROM part ORDER BY p_partkey LIMIT 5))
+          OR lower(p_name) LIKE '%red%'""",
+)
+def q_filter_or_page(spark, sf_dir):
+    """PageFilter under FilterList MUST_PASS_ONE
+    (TestFilterList.testOrdering: OR(match, PageFilter) — match rows
+    keep passing after the page branch is exhausted). The page branch is
+    the first N rows of the scan in rowkey order — the deterministic
+    model of PageFilter.java's scan-order row count — computed as a
+    TakeOrdered of N keys + one broadcast boundary key."""
+    from hindex_spark.filters import (
+        EQUAL,
+        FilterList,
+        PageFilter,
+        SingleColumnValueFilter,
+        SubstringComparator,
+    )
+
+    t = _t(spark, sf_dir, "part", "p_partkey")
+    f = FilterList(
+        "OR",
+        [
+            PageFilter(5),
+            SingleColumnValueFilter(
+                "p_name", EQUAL, SubstringComparator("red"), filter_if_missing=True
+            ),
+        ],
+    )
+    return t.scan(Scan(filter=f, columns=["p_name"]))
+
+
+@query(
     "cells_or_dependent",
     """WITH latest AS (
          SELECT CAST(user_id AS VARCHAR) AS rowkey, event_type AS qualifier,

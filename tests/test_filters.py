@@ -260,17 +260,17 @@ def test_long_and_bit_comparators_tolerate_unparseable_values(spark):
     assert [r["rowkey"] for r in t.scan(Scan(filter=fb)).collect()] == ["r1", "r3"]
 
 
-def test_filter_list_or_with_page_filter_fails_loudly(spark):
-    """MUST_PASS_ONE containing a limit-semantics member (PageFilter,
-    WhileMatch) previously fell through to predicate() == lit(True) and
-    silently returned EVERY row. The declarative model cannot express
-    the reference's per-row ReturnCode interleaving
-    (FilterList.java:178-200), so it must refuse, not approximate."""
-    import pytest
-
+def test_filter_list_or_with_page_filter_evaluates(spark):
+    """TestFilterList.testOrdering port: MUST_PASS_ONE(match-filter,
+    PageFilter) — rows matching the sibling keep passing even after the
+    page branch is exhausted, and the page branch admits exactly the
+    first N rows of the scan (rowkey order — the deterministic model of
+    the reference's scan-order row count)."""
     from hindex_spark.table import Scan, Table
 
-    df = spark.createDataFrame([("r1", 1), ("r2", 2), ("r3", 3)], ["rowkey", "v"])
+    df = spark.createDataFrame(
+        [("r1", 1), ("r2", 2), ("r3", 3), ("r4", 2)], ["rowkey", "v"]
+    )
     t = Table(df, "rowkey", "ortab")
     f = fl.FilterList(
         "OR",
@@ -279,9 +279,10 @@ def test_filter_list_or_with_page_filter_fails_loudly(spark):
             fl.SingleColumnValueFilter("v", fl.EQUAL, 2, filter_if_missing=True),
         ],
     )
-    with pytest.raises(NotImplementedError, match="MUST_PASS_ONE"):
-        t.scan(Scan(filter=f)).count()
-    # AND composition (the documented alternative) still works
+    got = {r["rowkey"] for r in t.scan(Scan(filter=f)).collect()}
+    # page branch: first 1 row of the scan (r1); sibling adds v==2 rows
+    assert got == {"r1", "r2", "r4"}
+    # AND composition still works (sequential apply)
     f_and = fl.FilterList(
         "AND",
         [
@@ -289,7 +290,8 @@ def test_filter_list_or_with_page_filter_fails_loudly(spark):
             fl.PageFilter(2),
         ],
     )
-    assert t.scan(Scan(filter=f_and)).count() == 2
+    and_got = {r["rowkey"] for r in t.scan(Scan(filter=f_and)).collect()}
+    assert and_got == {"r1", "r2"}  # first 2 rows in scan order
 
 
 def test_filter_list_or_refuses_unknown_apply_override(spark):
@@ -451,13 +453,12 @@ def test_filter_list_or_nested_and_with_pagination(spark):
     assert got == {("r1", "qa"), ("r2", "qa"), ("r1", "qd")}
 
 
-def test_filter_list_or_page_filter_still_refused(spark):
-    """PageFilter stays refused under MUST_PASS_ONE — its kept-set
-    depends on scan emission order, which has no deterministic per-row
-    condition."""
-    import pytest
-
+def test_filter_list_or_page_filter_on_cells(spark):
+    """PageFilter under MUST_PASS_ONE on the CELL layer: the page branch
+    counts ROWS (distinct rowkeys, all their cells), not cells —
+    PageFilter.java counts at filterRowKey granularity."""
     cells = _cells_or_fixture(spark)
-    f = fl.FilterList("OR", [fl.PageFilter(2), fl.ValueFilter(fl.EQUAL, "3")])
-    with pytest.raises(NotImplementedError, match="MUST_PASS_ONE"):
-        f.apply(cells, None).count()
+    f = fl.FilterList("OR", [fl.PageFilter(1), fl.ValueFilter(fl.EQUAL, "2")])
+    got = {(r["rowkey"], r["qualifier"]) for r in f.apply(cells, None).collect()}
+    # first 1 row in scan order = ALL of r1's cells; sibling adds value=='2'
+    assert got == {("r1", "qa"), ("r1", "qb"), ("r1", "qc"), ("r1", "qd"), ("r2", "qa")}
