@@ -62,15 +62,27 @@ def maintain_index(
     affected_rowkeys: DataFrame,
     spec: IndexSpecification,
     rowkey_col: str = "rowkey",
+    affected_state: Optional[DataFrame] = None,
 ) -> DataFrame:
     """Incremental maintenance: remove index entries for affected rowkeys
     (the reference reads the old row to find entries to tombstone,
     doGetAndGroupByTS:288-328 — here an anti-join does it without the
     read), then add entries from the new state of those rows.
-    """
+
+    ``affected_state``: optional precomputed new state of EXACTLY the
+    affected rows (only the specs' source columns + rowkey are needed).
+    Without it, fresh entries come from semi-joining the full new table
+    state — which, when that state is a lazy merge plan, re-executes the
+    whole merge for the index side (a semi-join cannot push through a
+    full-outer join). Mutation verbs that already know the affected
+    rows' new values pass them directly; the index job is then a narrow
+    join bounded by the batch, not the table."""
     keys = affected_rowkeys.select(rowkey_col).distinct()
     kept = index_df.join(keys, rowkey_col, "left_anti")
-    fresh = build_index(
-        new_table_state.join(keys, rowkey_col, "left_semi"), spec, rowkey_col
+    src = (
+        affected_state
+        if affected_state is not None
+        else new_table_state.join(keys, rowkey_col, "left_semi")
     )
+    fresh = build_index(src, spec, rowkey_col)
     return kept.unionByName(fresh)

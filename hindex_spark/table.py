@@ -272,12 +272,19 @@ class Table:
         return emitter.log_schema(self.df, self.rowkey_col)
 
     def _with_new_df(
-        self, df: DataFrame, affected: DataFrame, op: str = "put", change: DataFrame = None
+        self,
+        df: DataFrame,
+        affected: DataFrame,
+        op: str = "put",
+        change: DataFrame = None,
+        affected_state: DataFrame = None,
     ) -> "Table":
         out = Table(df, self.rowkey_col, self.name, self.indices)
         # Same-job index maintenance (IndexRegionObserver.preBatchMutate).
         out.index_tables = {
-            name: maintain_index(idx, df, affected, spec, self.rowkey_col)
+            name: maintain_index(
+                idx, df, affected, spec, self.rowkey_col, affected_state=affected_state
+            )
             for name, idx, spec in (
                 (s.name, self.index_tables[s.name], s) for s in self.indices.indices
             )
@@ -391,7 +398,47 @@ class Table:
                 out_cols.append(F.coalesce(F.col(f"n.{c}"), F.col(f"o.{c}")).alias(c))
             else:
                 out_cols.append(F.col(f"o.{c}").alias(c))
-        return self._with_new_df(joined.select(*out_cols), puts1.select(rk), change=puts1)
+        return self._with_new_df(
+            joined.select(*out_cols),
+            puts1.select(rk),
+            change=puts1,
+            affected_state=self._put_affected_state(puts1, put_cols),
+        )
+
+    def _put_affected_state(self, puts1: DataFrame, put_cols) -> Optional[DataFrame]:
+        """New state of exactly the put-affected rows, restricted to the
+        columns any index derives from — the narrow input maintain_index
+        needs. Without this, the index's fresh-entry build semi-joined
+        the full merged table state, re-executing the whole full-outer
+        merge for the index side of every put (a semi-join cannot push
+        through a full-outer join); measured ~60% of indexed_write. Here
+        the old side is a COLUMN-PRUNED scan semi-joined down to the
+        batch keys (broadcast at any table size — keys are the batch),
+        merged with the collapsed batch by the same Put coalesce rule:
+        a partial put still re-derives multi-column index rows from the
+        surviving old values (idxtab_partial_put semantics,
+        IndexUtils.prepareIndexPut:269-330)."""
+        rk = self.rowkey_col
+        needed = sorted(
+            {q.column for s in self.indices.indices for q in s.columns} - {rk}
+        )
+        if not self.indices.indices:
+            return None
+        keys = puts1.select(rk)
+        old_n = (
+            self.df.select(rk, *needed).join(keys, rk, "left_semi").alias("o")
+        )
+        new_n = puts1.select(
+            rk, *[c for c in needed if c in put_cols]
+        ).alias("n")
+        joined = old_n.join(new_n, F.col(f"o.{rk}") == F.col(f"n.{rk}"), "full_outer")
+        cols = [F.coalesce(F.col(f"o.{rk}"), F.col(f"n.{rk}")).alias(rk)]
+        for c in needed:
+            if c in put_cols:
+                cols.append(F.coalesce(F.col(f"n.{c}"), F.col(f"o.{c}")).alias(c))
+            else:
+                cols.append(F.col(f"o.{c}").alias(c))
+        return joined.select(*cols)
 
     def delete(self, rowkeys: DataFrame) -> "Table":
         """Whole-row deletes (Delete.java:69 with no family) — anti-join."""
