@@ -405,46 +405,68 @@ class Table:
             affected_state=self._put_affected_state(puts1, put_cols),
         )
 
-    def _put_affected_state(self, puts1: DataFrame, put_cols) -> Optional[DataFrame]:
-        """New state of exactly the put-affected rows, restricted to the
-        columns any index derives from — the narrow input maintain_index
-        needs. Without this, the index's fresh-entry build semi-joined
-        the full merged table state, re-executing the whole full-outer
-        merge for the index side of every put (a semi-join cannot push
-        through a full-outer join); measured ~60% of indexed_write. Here
-        the old side is a COLUMN-PRUNED scan semi-joined down to the
-        batch keys (broadcast at any table size — keys are the batch),
-        merged with the collapsed batch by the same Put coalesce rule:
-        a partial put still re-derives multi-column index rows from the
-        surviving old values (idxtab_partial_put semantics,
+    def _narrow_affected_state(
+        self, batch_agg: DataFrame, batch_cols, value_expr
+    ) -> Optional[DataFrame]:
+        """New state of exactly the batch-affected rows, restricted to
+        the columns any index derives from — the narrow input
+        maintain_index needs. Without this, the index's fresh-entry
+        build semi-joined the full merged table state, re-executing the
+        whole full-outer merge for the index side of every mutation (a
+        semi-join cannot push through a full-outer join). Here the old
+        side is a COLUMN-PRUNED scan semi-joined down to the batch keys
+        (broadcast at any table size — keys are the batch), merged with
+        the collapsed batch by ``value_expr(c)`` — the verb's own merge
+        rule over the "o"/"n" aliases. Every row of the narrow frame is
+        batch-touched by construction, so verbs whose full merge guards
+        on touched-ness pass the unguarded arithmetic. A partial put
+        still re-derives multi-column index rows from the surviving old
+        values (idxtab_partial_put semantics,
         IndexUtils.prepareIndexPut:269-330)."""
+        if not self.indices.indices:
+            return None
         rk = self.rowkey_col
         needed = sorted(
             {q.column for s in self.indices.indices for q in s.columns} - {rk}
         )
-        if not self.indices.indices:
-            return None
-        keys = puts1.select(rk)
+        keys = batch_agg.select(rk)
         old_n = (
             self.df.select(rk, *needed).join(keys, rk, "left_semi").alias("o")
         )
-        new_n = puts1.select(
-            rk, *[c for c in needed if c in put_cols]
+        new_n = batch_agg.select(
+            rk, *[c for c in needed if c in batch_cols]
         ).alias("n")
         joined = old_n.join(new_n, F.col(f"o.{rk}") == F.col(f"n.{rk}"), "full_outer")
         cols = [F.coalesce(F.col(f"o.{rk}"), F.col(f"n.{rk}")).alias(rk)]
         for c in needed:
-            if c in put_cols:
-                cols.append(F.coalesce(F.col(f"n.{c}"), F.col(f"o.{c}")).alias(c))
+            if c in batch_cols:
+                cols.append(value_expr(c).alias(c))
             else:
                 cols.append(F.col(f"o.{c}").alias(c))
         return joined.select(*cols)
 
+    def _put_affected_state(self, puts1: DataFrame, put_cols) -> Optional[DataFrame]:
+        return self._narrow_affected_state(
+            puts1,
+            put_cols,
+            lambda c: F.coalesce(F.col(f"n.{c}"), F.col(f"o.{c}")),
+        )
+
     def delete(self, rowkeys: DataFrame) -> "Table":
         """Whole-row deletes (Delete.java:69 with no family) — anti-join."""
         keys = rowkeys.select(self.rowkey_col).distinct()
+        # deleted rows have NO new state: hand maintain_index an empty
+        # narrow frame (folds to an empty LocalRelation) instead of a
+        # semi-join over the anti-joined table, which re-scanned the
+        # table just to prove there is nothing to re-index
+        empty_state = (
+            self.df.filter(F.lit(False)) if self.indices.indices else None
+        )
         return self._with_new_df(
-            self.df.join(keys, self.rowkey_col, "left_anti"), keys, op="delete"
+            self.df.join(keys, self.rowkey_col, "left_anti"),
+            keys,
+            op="delete",
+            affected_state=empty_state,
         )
 
     def delete_where(self, predicate: Column) -> "Table":
@@ -549,7 +571,17 @@ class Table:
                 )
             else:
                 out_cols.append(F.col(f"o.{c}").alias(c))
-        return self._with_new_df(joined.select(*out_cols), incs.select(rk))
+        return self._with_new_df(
+            joined.select(*out_cols),
+            incs.select(rk),
+            affected_state=self._narrow_affected_state(
+                incs,
+                delta_cols,
+                # every narrow-frame row is batch-touched: unguarded add
+                lambda c: F.coalesce(F.col(f"o.{c}"), F.lit(0))
+                + F.coalesce(F.col(f"n.{c}"), F.lit(0)),
+            ),
+        )
 
     def append(self, appends: DataFrame) -> "Table":
         """Atomic value append (Append.java:44 / HRegion.append:5096):
@@ -587,7 +619,18 @@ class Table:
                 )
             else:
                 out_cols.append(F.col(f"o.{c}").alias(c))
-        return self._with_new_df(joined.select(*out_cols), apps.select(rk))
+        return self._with_new_df(
+            joined.select(*out_cols),
+            apps.select(rk),
+            affected_state=self._narrow_affected_state(
+                apps,
+                app_cols,
+                lambda c: F.concat(
+                    F.coalesce(F.col(f"o.{c}"), F.lit("")),
+                    F.coalesce(F.col(f"n.{c}"), F.lit("")),
+                ),
+            ),
+        )
 
     def increment_and_get(self, increments: DataFrame) -> Tuple["Table", DataFrame]:
         """Increment.java:50 returns the NEW values in a Result — same
