@@ -313,10 +313,18 @@ class Table:
                 self._changelog.emit("put", change, self.df, rk)
             else:
                 # Computed mutations (increment/append): ship the CDC
-                # after-image of the touched rows — one semi-join probe
-                # of the already-computed merge, analogous to their WAL
-                # carrying the computed new cell values.
-                after = df.join(affected.select(rk), rk, "left_semi")
+                # after-image of the touched rows, analogous to their
+                # WAL carrying the computed new cell values. A
+                # full-width affected_state IS that after-image, already
+                # bounded by the batch; otherwise probe the merge with a
+                # semi-join (which re-executes it — the verbs that can
+                # pass affected_state do).
+                if affected_state is not None and set(affected_state.columns) == set(
+                    self.df.columns
+                ):
+                    after = affected_state
+                else:
+                    after = df.join(affected.select(rk), rk, "left_semi")
                 self._changelog.emit("put", after, self.df, rk)
         return out
 
@@ -406,7 +414,7 @@ class Table:
         )
 
     def _narrow_affected_state(
-        self, batch_agg: DataFrame, batch_cols, value_expr
+        self, batch_agg: DataFrame, batch_cols, value_expr, columns=None
     ) -> Optional[DataFrame]:
         """New state of exactly the batch-affected rows, restricted to
         the columns any index derives from — the narrow input
@@ -422,13 +430,22 @@ class Table:
         on touched-ness pass the unguarded arithmetic. A partial put
         still re-derives multi-column index rows from the surviving old
         values (idxtab_partial_put semantics,
-        IndexUtils.prepareIndexPut:269-330)."""
-        if not self.indices.indices:
-            return None
+        IndexUtils.prepareIndexPut:269-330).
+
+        ``columns``: explicit column set instead of the index-derived
+        one — pass the full value-column list to get a CDC after-image
+        of the affected rows (the changelog emit for computed
+        mutations); Catalyst prunes unused columns when the same frame
+        feeds the narrower index build."""
         rk = self.rowkey_col
-        needed = sorted(
-            {q.column for s in self.indices.indices for q in s.columns} - {rk}
-        )
+        if columns is not None:
+            needed = [c for c in columns if c != rk]
+        elif self.indices.indices:
+            needed = sorted(
+                {q.column for s in self.indices.indices for q in s.columns} - {rk}
+            )
+        else:
+            return None
         keys = batch_agg.select(rk)
         old_n = (
             self.df.select(rk, *needed).join(keys, rk, "left_semi").alias("o")
@@ -571,6 +588,11 @@ class Table:
                 )
             else:
                 out_cols.append(F.col(f"o.{c}").alias(c))
+        # full-width when a changelog needs the CDC after-image; the
+        # index build prunes back down to its own columns either way
+        state_cols = (
+            list(self.df.columns) if self._changelog is not None else None
+        )
         return self._with_new_df(
             joined.select(*out_cols),
             incs.select(rk),
@@ -580,6 +602,7 @@ class Table:
                 # every narrow-frame row is batch-touched: unguarded add
                 lambda c: F.coalesce(F.col(f"o.{c}"), F.lit(0))
                 + F.coalesce(F.col(f"n.{c}"), F.lit(0)),
+                columns=state_cols,
             ),
         )
 
@@ -619,6 +642,9 @@ class Table:
                 )
             else:
                 out_cols.append(F.col(f"o.{c}").alias(c))
+        state_cols = (
+            list(self.df.columns) if self._changelog is not None else None
+        )
         return self._with_new_df(
             joined.select(*out_cols),
             apps.select(rk),
@@ -629,6 +655,7 @@ class Table:
                     F.coalesce(F.col(f"o.{c}"), F.lit("")),
                     F.coalesce(F.col(f"n.{c}"), F.lit("")),
                 ),
+                columns=state_cols,
             ),
         )
 
