@@ -303,7 +303,12 @@ class Table:
                 # vanished rows stay gone. Two seq-ordered records per
                 # batch, cost still proportional to the batch.
                 self._changelog.emit("delete", affected.select(rk), self.df, rk)
-                after = df.join(affected.select(rk), rk, "left_semi")
+                if affected_state is not None and set(affected_state.columns) == set(
+                    self.df.columns
+                ):
+                    after = affected_state  # batch-bounded, no merge re-probe
+                else:
+                    after = df.join(affected.select(rk), rk, "left_semi")
                 self._changelog.emit("put", after, self.df, rk)
             elif change is not None:
                 # WAL-faithful DELTA: exactly the cells the mutation
@@ -538,7 +543,25 @@ class Table:
             nn = F.col(c).isNotNull() if c not in cols else (~hit) & F.col(c).isNotNull()
             survives = survives | nn
         new_df = marked.filter((~hit) | survives).select(*out_cols)
-        return self._with_new_df(new_df, keys, op="replace")
+        # Batch-bounded affected state for index maintenance + the
+        # changelog after-image: the hit rows post-clear, minus rows
+        # that died (no surviving cell) — computed from a semi-join of
+        # the OLD table, never by re-probing the full marked plan.
+        aff = self.df.join(keys, rk, "left_semi")
+        aff_cols = [F.col(rk)] + [
+            F.lit(None).cast(self.df.schema[c].dataType).alias(c)
+            if c in cols
+            else F.col(c)
+            for c in value_cols
+        ]
+        aff_survives = F.lit(False)
+        for c in value_cols:
+            if c not in cols:
+                aff_survives = aff_survives | F.col(c).isNotNull()
+        aff_state = aff.filter(aff_survives).select(*aff_cols)
+        return self._with_new_df(
+            new_df, keys, op="replace", affected_state=aff_state
+        )
 
     def delete_family(self, rowkeys: DataFrame, family: str) -> "Table":
         """Family-level delete (Delete.addFamily, Delete.java:142): clear
