@@ -403,12 +403,18 @@ class PrefixFilter(Filter):
 
 @dataclass
 class InclusiveStopFilter(Filter):
-    """InclusiveStopFilter.java — scan stops at stop row inclusive."""
+    """InclusiveStopFilter.java — scan stops at stop row inclusive.
+    ``reverse`` (set by Table.scan for reversed scans) flips the bound:
+    a reversed scan walks DOWN, so it stops at rows below stop_row."""
 
     stop_row: Any
+    reverse: bool = False
 
     def predicate(self, table) -> Column:
-        return _rowkey(table) <= F.lit(self.stop_row)
+        rk = _rowkey(table)
+        if self.reverse:
+            return rk >= F.lit(self.stop_row)
+        return rk <= F.lit(self.stop_row)
 
 
 @dataclass
@@ -469,27 +475,29 @@ class PageFilter(Filter):
     OR(PrefixFilter, PageFilter): prefix rows keep passing after the
     page branch is exhausted). Cost: one TakeOrdered of N keys + a
     broadcast of the single boundary key — bounded by the page size, not
-    the table."""
+    the table. ``reverse`` (set by Table.scan for reversed scans) pages
+    from the TOP key downward — scan order is scan order."""
 
     page_size: int
+    reverse: bool = False
 
     def _boundary(self, df: DataFrame, table, pred: Column, tag: str):
         """(df', cond, helpers): cond = 'this row is among the first
-        ``page_size`` distinct rowkeys satisfying ``pred``' (distinct:
-        on the cell layer a row is all its cells; the reference counts
-        ROWS, not cells)."""
+        ``page_size`` distinct rowkeys satisfying ``pred``' in scan
+        direction (distinct: on the cell layer a row is all its cells;
+        the reference counts ROWS, not cells)."""
         key = table.rowkey_col if table is not None and hasattr(table, "rowkey_col") else "rowkey"
         h = f"__pg_{tag}"
-        kth = (
-            df.filter(pred)
-            .select(key)
-            .distinct()
-            .orderBy(key)
-            .limit(self.page_size)
-            .agg(F.max(key).alias(h))
-        )
+        keyed = df.filter(pred).select(key).distinct()
+        if self.reverse:
+            kth = keyed.orderBy(F.col(key).desc()).limit(self.page_size).agg(
+                F.min(key).alias(h)
+            )
+        else:
+            kth = keyed.orderBy(key).limit(self.page_size).agg(F.max(key).alias(h))
         out = df.join(F.broadcast(kth))
-        cond = F.col(h).isNotNull() & (F.col(key) <= F.col(h))
+        cmp = F.col(key) >= F.col(h) if self.reverse else F.col(key) <= F.col(h)
+        cond = F.col(h).isNotNull() & cmp
         return out, cond, [h]
 
     def apply(self, df: DataFrame, table) -> DataFrame:
@@ -584,40 +592,39 @@ class SkipFilter(Filter):
 class WhileMatchFilter(Filter):
     """WhileMatchFilter.java — scan until the wrapped filter first fails
     (take-while over the rowkey-sorted stream). Implemented as a running
-    min over rowkey order."""
+    min over rowkey order; ``reverse`` (set by Table.scan for reversed
+    scans) takes-while from the TOP key downward instead, matching the
+    reference where the filter sees rows in scan direction."""
 
     inner: Filter
+    reverse: bool = False
+
+    def _bound(self, df: DataFrame, table, pred: Column, tag: str):
+        """(df', cond, helpers): rows strictly before the FIRST failing
+        row in scan direction, via a single-row min/max aggregate of
+        failing keys plus a broadcast range filter — fully parallel (a
+        running-min window would serialize the table through one
+        partition at scale)."""
+        key = table.rowkey_col if table is not None and hasattr(table, "rowkey_col") else "rowkey"
+        h = f"__ff_{tag}"
+        agg = F.max(key) if self.reverse else F.min(key)
+        first_fail = df.filter(pred & ~self.inner.predicate(table)).agg(agg.alias(h))
+        out = df.join(F.broadcast(first_fail))
+        cmp = F.col(key) > F.col(h) if self.reverse else F.col(key) < F.col(h)
+        cond = F.col(h).isNull() | cmp
+        return out, cond, [h]
 
     def apply(self, df: DataFrame, table) -> DataFrame:
-        # take-while over rowkey order = rows strictly before the FIRST
-        # failing row. Computed as a min-aggregate of failing keys plus a
-        # range filter — both fully parallel (a running-min window would
-        # serialize the whole table through one partition at scale).
-        key = table.rowkey_col if table is not None and hasattr(table, "rowkey_col") else "rowkey"
-        inner_pred = self.inner.predicate(table)
-        first_fail = df.filter(~inner_pred).agg(F.min(key).alias("__ff"))
-        return (
-            df.join(first_fail)
-            .filter(F.col("__ff").isNull() | (F.col(key) < F.col("__ff")))
-            .drop("__ff")
-        )
+        out, cond, helpers = self._bound(df, table, F.lit(True), "w")
+        return out.filter(cond).drop(*helpers)
 
     def predicate(self, table) -> Column:
         return self.inner.predicate(table)
 
     def branch_cond(self, df, table, gate, tag):
         # Branch kept-set = rows strictly before the first row this member
-        # SAW (gate) that fails the wrapped predicate. Same min-aggregate +
-        # broadcast-join shape as apply(); the single-row aggregate is
-        # scale-free.
-        key = table.rowkey_col if table is not None and hasattr(table, "rowkey_col") else "rowkey"
-        h = f"__ff_{tag}"
-        first_fail = df.filter(gate & ~self.inner.predicate(table)).agg(
-            F.min(key).alias(h)
-        )
-        out = df.join(F.broadcast(first_fail))
-        cond = F.col(h).isNull() | (F.col(key) < F.col(h))
-        return out, cond, [h]
+        # SAW (gate) that fails the wrapped predicate.
+        return self._bound(df, table, gate, tag)
 
 
 @dataclass
@@ -956,6 +963,27 @@ class ValueFilter(Filter):
 
     def predicate(self, table) -> Column:
         return _as_comparator(self.comparator).compare(F.col("value"), self.op)
+
+
+def reverse_scan_view(f: Filter) -> Filter:
+    """Direction-aware copy of a filter tree for a REVERSED scan: the
+    reference evaluates filters against rows in scan order, so
+    WhileMatch takes-while from the top key downward, InclusiveStop
+    bounds from below, and PageFilter pages the highest keys
+    (Scan.java:578-595 reversed contract). Pure predicates are
+    direction-free and returned as-is; the caller's tree is never
+    mutated."""
+    if isinstance(f, FilterList):
+        return FilterList(f.operator, [reverse_scan_view(g) for g in f.filters])
+    if isinstance(f, SkipFilter):
+        return SkipFilter(reverse_scan_view(f.inner))
+    if isinstance(f, WhileMatchFilter):
+        return WhileMatchFilter(reverse_scan_view(f.inner), reverse=True)
+    if isinstance(f, InclusiveStopFilter):
+        return InclusiveStopFilter(f.stop_row, reverse=True)
+    if isinstance(f, PageFilter):
+        return PageFilter(f.page_size, reverse=True)
+    return f
 
 
 #: ``apply``-overriding filters whose ROW SELECTION still equals their

@@ -138,19 +138,51 @@ class Table:
         df = self.df
         rk = F.col(self.rowkey_col)
 
+        # Reversed-range convention (Scan.java:578-595): on a reversed
+        # scan the reference's startRow is the HIGH end (inclusive) and
+        # stopRow the LOW end (exclusive unless stop_inclusive). A
+        # caller porting reference code writes start > stop; honor that
+        # unambiguous shape instead of silently returning zero rows.
+        # (start <= stop keeps this engine's low/high convention, where
+        # ``reversed`` only flips output order — the entrenched contract
+        # of the property suite.)
+        ref_reversed_range = (
+            scan.reversed
+            and scan.start_row is not None
+            and scan.stop_row is not None
+            and scan.start_row > scan.stop_row
+        )
         if scan.start_row is not None:
-            df = df.filter(rk >= F.lit(scan.start_row))
+            if ref_reversed_range:
+                df = df.filter(rk <= F.lit(scan.start_row))
+            else:
+                df = df.filter(rk >= F.lit(scan.start_row))
         if scan.stop_row is not None:
-            df = df.filter(
-                rk <= F.lit(scan.stop_row) if scan.stop_inclusive else rk < F.lit(scan.stop_row)
-            )
+            if ref_reversed_range:
+                df = df.filter(
+                    rk >= F.lit(scan.stop_row) if scan.stop_inclusive else rk > F.lit(scan.stop_row)
+                )
+            else:
+                df = df.filter(
+                    rk <= F.lit(scan.stop_row) if scan.stop_inclusive else rk < F.lit(scan.stop_row)
+                )
+
+        # Reversed scans evaluate direction-sensitive filters (WhileMatch
+        # take-while, InclusiveStop bound, PageFilter paging) against
+        # rows in SCAN order — swap in a direction-aware view of the
+        # tree (the caller's filter objects are never mutated).
+        scan_filter = scan.filter
+        if scan.reversed and scan_filter is not None:
+            from hindex_spark.filters import reverse_scan_view
+
+            scan_filter = reverse_scan_view(scan_filter)
 
         # Index interception (IndexRegionObserver.postScannerOpen:464-519):
         # rewrite eligible predicates into index-range-scan -> semi-join.
         plan = IndexPlan(None, self.rowkey_col)
-        if scan.filter is not None and (self.index_tables or scan.index_hint is not None):
+        if scan_filter is not None and (self.index_tables or scan.index_hint is not None):
             evaluator = ScanFilterEvaluator(self.indices.indices, self.rowkey_col)
-            tree = scan.filter.index_tree(self)
+            tree = scan_filter.index_tree(self)
             plan = evaluator.evaluate(tree, hint=scan.index_hint)
             if plan.uses_index or plan.is_empty:
                 df = plan.apply(df, self.index_tables)
@@ -158,8 +190,8 @@ class Table:
 
         # The full filter is always re-applied (index only narrows seek
         # points; the main scan still runs the Filter — SURVEY §3.1 step 4).
-        if scan.filter is not None and not plan.is_empty:
-            df = scan.filter.apply(df, self)
+        if scan_filter is not None and not plan.is_empty:
+            df = scan_filter.apply(df, self)
 
         if scan.columns is not None:
             cols = list(scan.columns)

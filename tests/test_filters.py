@@ -462,3 +462,60 @@ def test_filter_list_or_page_filter_on_cells(spark):
     got = {(r["rowkey"], r["qualifier"]) for r in f.apply(cells, None).collect()}
     # first 1 row in scan order = ALL of r1's cells; sibling adds value=='2'
     assert got == {("r1", "qa"), ("r1", "qb"), ("r1", "qc"), ("r1", "qd"), ("r2", "qa")}
+
+
+def test_reversed_scan_reference_range_convention(spark):
+    """Scan.java:578-595: a reversed scan's startRow is the HIGH end
+    (inclusive) and stopRow the LOW end (exclusive). A reference-ported
+    Scan(reversed, start=high, stop=low) must select that range, not
+    zero rows; start <= stop keeps this engine's low/high convention."""
+    from hindex_spark.table import Scan, Table
+
+    df = spark.createDataFrame([("r%02d" % i, i) for i in range(10)], ["rowkey", "v"])
+    t = Table(df, "rowkey")
+    got = [r["rowkey"] for r in t.scan(Scan(start_row="r07", stop_row="r03", reversed=True)).collect()]
+    assert got == ["r07", "r06", "r05", "r04"]  # high..low, stop exclusive
+    got_inc = [
+        r["rowkey"]
+        for r in t.scan(
+            Scan(start_row="r07", stop_row="r03", stop_inclusive=True, reversed=True)
+        ).collect()
+    ]
+    assert got_inc == ["r07", "r06", "r05", "r04", "r03"]
+    # engine convention unchanged: low/high + reversed output order
+    got_fwd = [r["rowkey"] for r in t.scan(Scan(start_row="r03", stop_row="r07", reversed=True)).collect()]
+    assert got_fwd == ["r06", "r05", "r04", "r03"]
+
+
+def test_reversed_scan_direction_sensitive_filters(spark):
+    """Reversed scans evaluate WhileMatch / InclusiveStop / PageFilter
+    against rows in SCAN order (top key downward) — the reference's
+    filters see the reversed stream."""
+    from hindex_spark.table import Scan, Table
+
+    df = spark.createDataFrame(
+        [("r%02d" % i, i) for i in range(10)], ["rowkey", "v"]
+    )
+    t = Table(df, "rowkey")
+
+    # take-while from the top: v >= 7 holds for r09, r08, r07; fails at r06
+    wm = fl.WhileMatchFilter(
+        fl.SingleColumnValueFilter("v", fl.GREATER_OR_EQUAL, 7, filter_if_missing=True)
+    )
+    got = [r["rowkey"] for r in t.scan(Scan(filter=wm, reversed=True)).collect()]
+    assert got == ["r09", "r08", "r07"]
+    # the caller's tree is untouched (forward semantics preserved)
+    assert wm.reverse is False
+    fwd = [r["rowkey"] for r in t.scan(Scan(filter=wm)).collect()]
+    assert fwd == []  # v>=7 fails at r00 immediately in forward order
+
+    # reversed InclusiveStop: walk down, stop at r06 inclusive
+    st = fl.InclusiveStopFilter("r06")
+    got = [r["rowkey"] for r in t.scan(Scan(filter=st, reversed=True)).collect()]
+    assert got == ["r09", "r08", "r07", "r06"]
+
+    # reversed PageFilter: the first 3 rows of a reversed scan are the
+    # 3 highest keys
+    pg = fl.PageFilter(3)
+    got = [r["rowkey"] for r in t.scan(Scan(filter=pg, reversed=True)).collect()]
+    assert got == ["r09", "r08", "r07"]

@@ -121,8 +121,14 @@ def test_scan_composition_matches_model(spark, indexed_scan_table, scan_spec):
     stop_inc = True
     if rng is not None:
         start, stop, stop_inc = rng
-        model = [r for r in model if r[0] >= start]
-        model = [r for r in model if (r[0] <= stop if stop_inc else r[0] < stop)]
+        if reversed_ and start is not None and stop is not None and start > stop:
+            # reference reversed-range convention (Scan.java:578-595):
+            # startRow is the HIGH end inclusive, stopRow the LOW end
+            model = [r for r in model if r[0] <= start]
+            model = [r for r in model if (r[0] >= stop if stop_inc else r[0] > stop)]
+        else:
+            model = [r for r in model if r[0] >= start]
+            model = [r for r in model if (r[0] <= stop if stop_inc else r[0] < stop)]
     model = [r for r in model if _model_pred(fspec, r)]
     model.sort(key=lambda r: r[0], reverse=reversed_)
     if limit is not None:
