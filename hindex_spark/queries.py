@@ -133,6 +133,21 @@ def q_reversed(spark, sf_dir):
     return t.scan(Scan(reversed=True, limit=100, columns=["o_totalprice"]))
 
 
+@query(
+    "scan_reversed_range",
+    """SELECT o_orderkey, o_totalprice FROM orders
+       WHERE o_orderkey <= 500 AND o_orderkey > 450""",
+)
+def q_reversed_range(spark, sf_dir):
+    """Reference reversed-range convention (Scan.java:578-595): a
+    reversed scan's startRow is the HIGH end inclusive, stopRow the LOW
+    end exclusive — start > stop selects (stop, start], not zero rows."""
+    t = _t(spark, sf_dir, "orders", "o_orderkey")
+    return t.scan(
+        Scan(start_row=500, stop_row=450, reversed=True, columns=["o_totalprice"])
+    )
+
+
 # ---------------------------------------------------------------------------
 # §2.3 filter algebra
 # ---------------------------------------------------------------------------
