@@ -7,9 +7,9 @@ single pass over the documents table with full column pruning.
 
 from __future__ import annotations
 
-from typing import Dict, List
+from typing import Dict, List, Optional, Sequence
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 # Whitespace tokenizer shared by every operator (and mirrored in oracle
@@ -186,4 +186,68 @@ def analyze(df: DataFrame, text_col: str = "text") -> DataFrame:
         lang_id(c).alias("lang_pred"),
         fingerprint(c).alias("fingerprint"),
         bag_fingerprint(c).alias("bag_fingerprint"),
+    )
+
+
+# --- domain-level corpus operators ------------------------------------------
+# Web-scale pipelines curate per SOURCE DOMAIN before per-document work
+# (CCNet/RefinedWeb/Dolma style): cap documents per domain, drop
+# blocklisted domains, and report per-domain quality so curation
+# decisions are data-driven. ``source`` plays the domain here.
+
+
+def domain_stats(
+    df: DataFrame, source_col: str = "source", text_col: str = "text"
+) -> DataFrame:
+    """Per-domain curation report: document count, distinct-content
+    count (within-domain exact-dup signal), mean quality, mean length.
+    One hash aggregate on the domain key — scale-free."""
+    c = F.col(text_col)
+    return df.groupBy(F.col(source_col).alias("domain")).agg(
+        F.count("*").alias("n_docs"),
+        F.countDistinct(F.md5(c)).alias("n_unique"),
+        F.round(F.avg(quality_score(c)), 4).alias("avg_quality"),
+        F.round(F.avg(F.length(c)), 2).alias("avg_chars"),
+    )
+
+
+def domain_filter(
+    df: DataFrame,
+    source_col: str = "source",
+    blocklist: Optional[Sequence[str]] = None,
+    allowlist: Optional[Sequence[str]] = None,
+) -> DataFrame:
+    """Drop blocklisted domains / keep only allowlisted ones. Plain
+    pushed-down predicates (isin compiles to an In filter reaching the
+    parquet scan); at real blocklist sizes (millions of domains) switch
+    to a broadcast anti-join on a blocklist table — same semantics."""
+    out = df
+    if blocklist:
+        out = out.filter(~F.col(source_col).isin(list(blocklist)))
+    if allowlist:
+        out = out.filter(F.col(source_col).isin(list(allowlist)))
+    return out
+
+
+def domain_cap(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    source_col: str = "source",
+    max_per_domain: int = 1000,
+) -> DataFrame:
+    """Keep at most ``max_per_domain`` documents per domain — the
+    deterministic lowest-id members, so reruns and replicas agree
+    (RefinedWeb-style per-domain caps against boilerplate-heavy hosts).
+
+    One window per domain key. Skew note for 100 TB: a single giant
+    domain serializes its own partition's sort; since everything past
+    the cap is discarded anyway, pre-thin pathological domains first
+    (e.g. filter by a hash-mod keeping ~2x the cap per known-giant
+    domain from ``domain_stats``), then apply the exact window on the
+    survivors."""
+    w = Window.partitionBy(source_col).orderBy(id_col)
+    return (
+        df.withColumn("__dn", F.row_number().over(w))
+        .filter(F.col("__dn") <= max_per_domain)
+        .drop("__dn")
     )

@@ -1221,3 +1221,59 @@ def q_mm_frames(spark, sf_dir):
     return frames.select(
         "doc_id", "frame_no", F.hex(F.col("frame")).alias("frame_hex")
     )
+
+
+# ---------------------------------------------------------------------------
+# domain-level corpus curation (CCNet/RefinedWeb/Dolma-style)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "corpus_domain_stats",
+    f"""WITH t AS (SELECT source, text,
+                   string_split_regex(trim(text), '\\s+') AS toks FROM documents),
+        q AS (SELECT source, text,
+               least(length(text) / 200.0, 1.0) AS len_score,
+               length(regexp_replace(text, '[^.!?,;:]', '', 'g')) * 2.0
+                 / greatest(length(text), 1) AS punct_pen,
+               len(list_filter(toks, x -> list_contains({_STOP_LIT}, x))) * 1.0
+                 / greatest(len(toks), 1) AS stop,
+               list_sum(list_transform(toks, x -> length(x))) * 1.0
+                 / greatest(len(toks), 1) AS wordlen
+              FROM t)
+        SELECT source AS domain,
+               COUNT(*) AS n_docs,
+               COUNT(DISTINCT md5(text)) AS n_unique,
+               ROUND(AVG(greatest(least(len_score - punct_pen
+                 - (CASE WHEN wordlen < 2 OR wordlen > 12 THEN 0.3 ELSE 0.0 END)
+                 + stop * 0.2, 1.0), 0.0)), 4) AS avg_quality,
+               ROUND(AVG(length(text)), 2) AS avg_chars
+        FROM q GROUP BY source""",
+)
+def q_domain_stats(spark, sf_dir):
+    """Per-domain curation report (domain = the documents table's
+    ``source``): doc count, distinct-content count (within-domain
+    exact-dup signal), mean quality, mean length — one hash aggregate
+    on the domain key."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return tx.domain_stats(docs)
+
+
+@query(
+    "corpus_domain_cap",
+    """SELECT doc_id, source FROM (
+         SELECT doc_id, source, row_number() OVER (
+             PARTITION BY source ORDER BY doc_id) AS rn
+         FROM documents
+         WHERE source NOT IN ('src3', 'src7'))
+       WHERE rn <= 10""",
+)
+def q_domain_cap(spark, sf_dir):
+    """Domain blocklist + per-domain cap (RefinedWeb-style): drop
+    blocklisted domains (pushed-down In predicate), then keep the 10
+    lowest-id documents of each surviving domain — deterministic, so
+    reruns and replicas agree."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    out = tx.domain_filter(docs, blocklist=["src3", "src7"])
+    out = tx.domain_cap(out, max_per_domain=10)
+    return out.select("doc_id", "source")

@@ -915,3 +915,29 @@ def test_ivf_build_degenerate_sample_widens_never_full_scan(spark, monkeypatch):
     monkeypatch.setattr(sim, "_estimate_rows", lambda df: 200 * 64**5)
     with pytest.raises(ValueError, match="widenings"):
         sim.ivf_build(emb, n_clusters=4, iters=1, sample_size=10)
+
+
+def test_domain_operators(spark, sf_dir):
+    """Domain-level curation: stats aggregate, blocklist filter (pushed
+    to the scan), deterministic per-domain cap."""
+    from hindex_spark.operators import text as tx
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    stats = tx.domain_stats(docs)
+    assert set(stats.columns) == {"domain", "n_docs", "n_unique", "avg_quality", "avg_chars"}
+    total = stats.agg(F.sum("n_docs")).first()[0]
+    assert total == docs.count()
+
+    filtered = tx.domain_filter(docs, blocklist=["src0"])
+    assert filtered.filter(F.col("source") == "src0").count() == 0
+    plan = filtered._jdf.queryExecution().executedPlan().toString()
+    assert "PushedFilters" in plan and "src0" in plan  # predicate reaches the scan
+
+    capped = tx.domain_cap(docs, max_per_domain=3)
+    per = capped.groupBy("source").count().agg(F.max("count")).first()[0]
+    assert per <= 3
+    # deterministic: lowest ids survive
+    low = capped.filter(F.col("source") == "src0").agg(F.collect_set("doc_id")).first()[0]
+    expect = [r["doc_id"] for r in docs.filter(F.col("source") == "src0")
+              .orderBy("doc_id").limit(3).collect()]
+    assert sorted(low) == expect
