@@ -31,7 +31,8 @@ def test_bench_cli_contract_sf0001():
         "scan_range_10000", "sequential_read", "filter_scan",
         "index_filter_scan", "sequential_write", "indexed_write",
         "agg_q1", "agg_median",
-        "dedup_minhash_lsh", "dedup_minhash_lsh_xxh", "text_analyze",
+        "dedup_minhash_lsh", "dedup_minhash_lsh_xxh",
+        "dedup_minhash_lsh_prod", "text_analyze",
         "ann_bruteforce_topk", "ann_ivf_topk",
         "join_q3_topk", "sessionize", "asof_join", "corpus_clean",
     }
