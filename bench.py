@@ -89,6 +89,16 @@ def main():
                     except Exception:  # noqa: BLE001 - already released
                         pass
             timings[name] = round(best, 4)
+            # Heap hygiene between workloads: a heavy workload (e.g. the
+            # unbounded-banding LSH pair) leaves old-gen garbage that
+            # inflates the NEXT workloads' timings by up to 10x at sf1.
+            # One explicit collection per workload (outside the timed
+            # region) keeps measurements independent — in production each
+            # job has its own executors, so this isolation is free there.
+            try:
+                spark.sparkContext._jvm.System.gc()
+            except Exception:  # noqa: BLE001 - measurement aid only
+                pass
         except Exception as exc:  # noqa: BLE001 - reported, not swallowed
             msg = str(exc).splitlines()[0] if str(exc) else ""
             errors[name] = f"{type(exc).__name__}: {msg[:200]}"
