@@ -263,13 +263,24 @@ class Table:
         lines.append(df._jdf.queryExecution().executedPlan().toString())
         return "\n".join(lines)
 
-    def get(self, rowkey: Any, columns: Optional[Sequence[str]] = None) -> DataFrame:
+    def get(
+        self,
+        rowkey: Any,
+        columns: Optional[Sequence[str]] = None,
+        filter: Optional[Filter] = None,
+    ) -> DataFrame:
         """Point read (Get.java:66) — a 1-row scan; the rowkey equality
         predicate is pushed to the parquet scan (min/max + bloom pruning,
-        the HFile block-index/bloom analog)."""
+        the HFile block-index/bloom analog). ``filter`` mirrors
+        Get.setFilter (Get.java:207): the filter evaluates against the
+        fetched row, so a non-matching Get returns empty — the
+        conditional-read idiom."""
         df = self.df.filter(F.col(self.rowkey_col) == F.lit(rowkey))
+        if filter is not None:
+            df = filter.apply(df, self)
         if columns is not None:
             cols = [self.rowkey_col] + [c for c in columns if c != self.rowkey_col]
+            cols = [c for c in cols if c in df.columns or c not in self.df.columns]
             df = df.select(*cols)
         return df
 

@@ -519,3 +519,17 @@ def test_reversed_scan_direction_sensitive_filters(spark):
     pg = fl.PageFilter(3)
     got = [r["rowkey"] for r in t.scan(Scan(filter=pg, reversed=True)).collect()]
     assert got == ["r09", "r08", "r07"]
+
+
+def test_get_with_filter(spark, sf_dir):
+    """Get.setFilter (Get.java:207): the filter evaluates against the
+    fetched row — a non-matching Get returns empty, a matching one the
+    row; apply()-overriding filters (projection) compose too."""
+    t = _part(spark, sf_dir)
+    f_match = fl.SingleColumnValueFilter("p_size", fl.GREATER, -1, filter_if_missing=True)
+    f_miss = fl.SingleColumnValueFilter("p_size", fl.LESS, -1, filter_if_missing=True)
+    assert t.get(10, filter=f_match).count() == 1
+    assert t.get(10, filter=f_miss).count() == 0
+    out = t.get(10, columns=["p_size"], filter=fl.SingleColumnValueExcludeFilter(
+        "p_size", fl.GREATER, -1, filter_if_missing=True))
+    assert out.columns == ["p_partkey"]  # excluded column dropped, like scan
