@@ -81,6 +81,23 @@ def q_point_get(spark, sf_dir):
 
 
 @query(
+    "point_exists_batch",
+    """SELECT p.o_orderkey, (o.o_orderkey IS NOT NULL) AS "exists"
+       FROM (VALUES (1), (2), (77), (-5), (999999999)) p(o_orderkey)
+       LEFT JOIN (SELECT DISTINCT o_orderkey FROM orders) o
+       USING (o_orderkey)""",
+)
+def q_exists_batch(spark, sf_dir):
+    """HTable.exists(List<Get>) (HTable.java:693): one boolean per
+    probed key from a single semi-probe join."""
+    t = _t(spark, sf_dir, "orders", "o_orderkey")
+    probes = spark.createDataFrame(
+        [(1,), (2,), (77,), (-5,), (999999999,)], "o_orderkey long"
+    )
+    return t.exists_batch(probes)
+
+
+@query(
     "get_row_or_before",
     """SELECT o_orderkey, o_custkey, o_totalprice FROM orders
        WHERE o_orderkey <= 777 ORDER BY o_orderkey DESC LIMIT 1""",

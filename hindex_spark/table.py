@@ -284,6 +284,30 @@ class Table:
             df = df.select(*cols)
         return df
 
+    def exists(self, rowkey: Any) -> bool:
+        """HTable.exists(Get) (HTable.java:675) — presence check without
+        transferring the row. The parquet bloom/min-max pruning does the
+        heavy lifting; only a count reaches the driver."""
+        return (
+            self.df.filter(F.col(self.rowkey_col) == F.lit(rowkey)).limit(1).count()
+            > 0
+        )
+
+    def exists_batch(self, rowkeys: DataFrame) -> DataFrame:
+        """HTable.exists(List<Get>) (HTable.java:693) — one boolean per
+        probed key, resolved by a single semi-probe left join (broadcast
+        when the probe set is small), never one job per key."""
+        rk = self.rowkey_col
+        present = (
+            self.df.select(rk).distinct().withColumn("__present", F.lit(True))
+        )
+        return (
+            rowkeys.select(rk)
+            .distinct()
+            .join(present, rk, "left")
+            .select(rk, F.coalesce(F.col("__present"), F.lit(False)).alias("exists"))
+        )
+
     def get_row_or_before(self, rowkey: Any) -> DataFrame:
         """Floor lookup (HTable.java:705): greatest row <= key."""
         return (

@@ -394,3 +394,17 @@ def test_put_with_null_order_col_still_applies(spark):
     assert _row(t2, "r1")["c_str"] == "seqless"
     assert _row(t2, "r9")["c_str"] == "ghost_no_more"
     assert _row(t2, "r2")["c_str"] == "a"  # sequenced row beats NULL-seq
+
+
+def test_exists_single_and_batch(spark, sf_dir):
+    """HTable.exists(Get) / exists(List<Get>) (HTable.java:675,693):
+    presence without row transfer; the batch form is ONE join, one
+    boolean per probed key."""
+    from hindex_spark.table import Table
+
+    t = Table.from_parquet(spark, f"{sf_dir}/orders.parquet", "o_orderkey", "orders")
+    assert t.exists(1) is True
+    assert t.exists(-99) is False
+    probes = spark.createDataFrame([(1,), (2,), (-99,)], ["o_orderkey"])
+    got = {r["o_orderkey"]: r["exists"] for r in t.exists_batch(probes).collect()}
+    assert got == {1: True, 2: True, -99: False}
