@@ -549,3 +549,67 @@ def q_cells_cell_counter(spark, sf_dir):
         F.col("event_type").alias("qualifier"),
     )
     return jobs.cell_counter_report(cells)
+
+
+@query(
+    "streaming_interval_join",
+    """SELECT c.user_id,
+              COUNT(*) AS n_attributed,
+              ROUND(SUM(p.value), 2) AS attributed_value
+       FROM (SELECT user_id, ts FROM events WHERE event_type = 'click') c
+       JOIN (SELECT user_id, ts, value FROM events
+             WHERE event_type = 'purchase') p
+         ON p.user_id = c.user_id
+        AND p.ts >= c.ts AND p.ts <= c.ts + INTERVAL 1 HOUR
+       GROUP BY c.user_id""",
+)
+def q_streaming_interval_join(spark, sf_dir):
+    """Stream-stream interval join (attribution: purchases within one
+    hour after a click, per user) — watermarked on both sides so join
+    state is bounded by the watermark window, not the stream. Inner
+    matches emit in the batch they are found, so the availableNow run
+    equals the batch join (the oracle)."""
+    import uuid
+
+    from hindex_spark.streaming.ingest import stream_interval_join
+    from hindex_spark.timeutil import ts_timestamp
+
+    src = tempfile.mkdtemp(prefix="hindex_ssjoin_") + "/events"
+    spark.read.parquet(f"{sf_dir}/events.parquet").write.parquet(src)
+    schema = spark.read.parquet(src).schema
+
+    def _side(event_type, ts_name, cols):
+        s = spark.readStream.schema(schema).parquet(src)
+        s = s.withColumn("__t", ts_timestamp(s)).filter(
+            F.col("event_type") == event_type
+        )
+        return s.select(*cols, F.col("__t").alias(ts_name))
+
+    clicks = _side("click", "c_ts", [F.col("user_id").alias("c_user")])
+    purchases = _side("purchase", "p_ts", [F.col("user_id").alias("p_user"), "value"])
+    joined = stream_interval_join(
+        clicks,
+        purchases,
+        F.col("p_user") == F.col("c_user"),
+        "c_ts",
+        "p_ts",
+        3600,
+        watermark="2 hours",
+    )
+    qname = f"ssj_out_{uuid.uuid4().hex[:8]}"
+    q = (
+        joined.writeStream.outputMode("append")
+        .format("memory")
+        .queryName(qname)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return (
+        spark.sql(f"SELECT * FROM {qname}")
+        .groupBy(F.col("c_user").alias("user_id"))
+        .agg(
+            F.count("*").alias("n_attributed"),
+            F.round(F.sum("value"), 2).alias("attributed_value"),
+        )
+    )

@@ -377,6 +377,39 @@ def compact_changelog(spark, path: str, num_files: int = 1) -> int:
     )
 
 
+def stream_interval_join(
+    left: DataFrame,
+    right: DataFrame,
+    join_cond,
+    left_ts_col: str,
+    right_ts_col: str,
+    within_seconds: int,
+    watermark: str = "30 minutes",
+) -> DataFrame:
+    """Watermarked stream-stream interval join — the attribution shape
+    (e.g. purchases within N seconds after a click). Both sides carry a
+    watermark and the join adds the event-time range constraint, so
+    Spark bounds the join state: a buffered row is dropped once the
+    other stream's watermark passes its join window (the Structured
+    Streaming stream-stream join contract). Inner matches emit in the
+    batch they are found — no result is withheld.
+
+    ``join_cond``: the key equality Column (sides must carry distinct
+    column names). At 100 TB state size is O(events inside one watermark
+    window per key), not O(stream)."""
+    l = left.withWatermark(left_ts_col, watermark)
+    r = right.withWatermark(right_ts_col, watermark)
+    cond = (
+        join_cond
+        & (F.col(right_ts_col) >= F.col(left_ts_col))
+        & (
+            F.col(right_ts_col)
+            <= F.col(left_ts_col) + F.expr(f"INTERVAL {int(within_seconds)} SECONDS")
+        )
+    )
+    return l.join(r, cond)
+
+
 def windowed_event_counts(
     events: DataFrame,
     ts_col: str = "ts",

@@ -442,3 +442,53 @@ def test_kill_mid_batch_restart_replays_from_checkpoint(spark, tmp_path):
     assert {r["rowkey"]: r["v"] for r in ingest.table.df.collect()} == {
         "r1": 11, "r3": 30, "r9": 99,
     }
+
+
+def test_stream_interval_join_matches_batch(spark, sf_dir, tmp_path):
+    """Stream-stream interval join equals the batch interval join
+    (inner matches emit in the batch they are found), and both sides
+    carry watermarks so the plan's join state is bounded."""
+    from hindex_spark.streaming.ingest import stream_interval_join
+    from hindex_spark.timeutil import ts_timestamp
+
+    src = str(tmp_path / "events")
+    spark.read.parquet(f"{sf_dir}/events.parquet").write.parquet(src)
+    schema = spark.read.parquet(src).schema
+
+    def _side(stream, event_type, ts_name, cols):
+        s = stream.withColumn("__t", ts_timestamp(stream)).filter(
+            F.col("event_type") == event_type
+        )
+        return s.select(*cols, F.col("__t").alias(ts_name))
+
+    s1 = spark.readStream.schema(schema).parquet(src)
+    s2 = spark.readStream.schema(schema).parquet(src)
+    clicks = _side(s1, "click", "c_ts", [F.col("user_id").alias("c_user")])
+    buys = _side(s2, "purchase", "p_ts", [F.col("user_id").alias("p_user"), "value"])
+    joined = stream_interval_join(
+        clicks, buys, F.col("p_user") == F.col("c_user"), "c_ts", "p_ts", 3600,
+        watermark="2 hours",
+    )
+    assert "watermark" in joined._jdf.queryExecution().analyzed().toString().lower()
+    q = (
+        joined.writeStream.outputMode("append").format("memory")
+        .queryName("ssj_test").trigger(availableNow=True).start()
+    )
+    q.awaitTermination()
+    got = spark.sql("SELECT COUNT(*) AS n FROM ssj_test").first()["n"]
+
+    ev = spark.read.parquet(src)
+    ev = ev.withColumn("__t", ts_timestamp(ev))
+    bc = ev.filter(F.col("event_type") == "click").select(
+        F.col("user_id").alias("c_user"), F.col("__t").alias("c_ts")
+    )
+    bp = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("user_id").alias("p_user"), F.col("__t").alias("p_ts"), "value"
+    )
+    want = bc.join(
+        bp,
+        (F.col("p_user") == F.col("c_user"))
+        & (F.col("p_ts") >= F.col("c_ts"))
+        & (F.col("p_ts") <= F.col("c_ts") + F.expr("INTERVAL 3600 SECONDS")),
+    ).count()
+    assert got == want and got > 0
