@@ -613,3 +613,55 @@ def q_streaming_interval_join(spark, sf_dir):
             F.round(F.sum("value"), 2).alias("attributed_value"),
         )
     )
+
+
+@query(
+    "streaming_session_window",
+    """WITH l AS (SELECT user_id, ts, value,
+                  CASE WHEN lag(ts) OVER w IS NULL
+                        OR ts - lag(ts) OVER w > INTERVAL 30 MINUTE
+                       THEN 1 ELSE 0 END AS brk
+           FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts)),
+        s AS (SELECT user_id, ts, value,
+                  SUM(brk) OVER (PARTITION BY user_id ORDER BY ts
+                                 ROWS UNBOUNDED PRECEDING) AS sid
+              FROM l)
+       SELECT epoch_us(MIN(ts)) AS sess_start_us,
+              epoch_us(MAX(ts) + INTERVAL 30 MINUTE) AS sess_end_us,
+              user_id,
+              COUNT(*) AS n,
+              ROUND(SUM(value), 2) AS total_value
+       FROM s GROUP BY user_id, sid""",
+)
+def q_streaming_session_window(spark, sf_dir):
+    """Native streaming session windows (F.session_window): sessions
+    close after a 30-minute gap; window end = last event + gap — the
+    same islands the batch SQL oracle derives with lag()+running-sum.
+    Complete-mode memory sink with availableNow: deterministic."""
+    import uuid
+
+    from hindex_spark.streaming.ingest import session_window_counts
+    from hindex_spark.timeutil import ts_timestamp
+
+    src = tempfile.mkdtemp(prefix="hindex_sesswin_") + "/events"
+    spark.read.parquet(f"{sf_dir}/events.parquet").write.parquet(src)
+    schema = spark.read.parquet(src).schema
+    stream = spark.readStream.schema(schema).parquet(src)
+    stream = stream.withColumn("ts", ts_timestamp(stream))
+    agg = session_window_counts(stream, gap="30 minutes")
+    qname = f"sess_out_{uuid.uuid4().hex[:8]}"
+    q = (
+        agg.writeStream.outputMode("complete")
+        .format("memory")
+        .queryName(qname)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.sql(f"SELECT * FROM {qname}").select(
+        F.unix_micros("sess_start").alias("sess_start_us"),
+        F.unix_micros("sess_end").alias("sess_end_us"),
+        "user_id",
+        "n",
+        "total_value",
+    )

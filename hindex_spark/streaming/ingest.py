@@ -410,6 +410,33 @@ def stream_interval_join(
     return l.join(r, cond)
 
 
+def session_window_counts(
+    events: DataFrame,
+    ts_col: str = "ts",
+    key: str = "user_id",
+    gap: str = "30 minutes",
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Streaming sessionization via the native session window
+    (F.session_window): a session extends while events arrive within
+    ``gap`` of the last one; window end = last event + gap. The
+    streaming analog of operators.temporal.session_stats — same island
+    semantics, but maintained incrementally with watermark-bounded
+    state instead of a batch window function."""
+    return (
+        events.withWatermark(ts_col, watermark)
+        .groupBy(F.session_window(ts_col, gap), key)
+        .agg(F.count("*").alias("n"), F.round(F.sum("value"), 2).alias("total_value"))
+        .select(
+            F.col("session_window.start").alias("sess_start"),
+            F.col("session_window.end").alias("sess_end"),
+            key,
+            "n",
+            "total_value",
+        )
+    )
+
+
 def windowed_event_counts(
     events: DataFrame,
     ts_col: str = "ts",
