@@ -652,18 +652,6 @@ class FilterList(Filter):
         return out
 
     @staticmethod
-    def _is_pure(f: "Filter") -> bool:
-        """True iff applying ``f`` is equivalent to filtering by its
-        predicate — i.e. no limit/truncation/projection behavior hides
-        anywhere in the subtree (a nested FilterList is only pure if all
-        its members are)."""
-        if isinstance(f, FilterList):
-            return all(FilterList._is_pure(g) for g in f.filters)
-        if isinstance(f, SkipFilter):
-            return FilterList._is_pure(f.inner)
-        return type(f).apply is Filter.apply
-
-    @staticmethod
     def _row_faithful(f: "Filter") -> bool:
         """True iff ``f.predicate`` selects exactly the rows ``f.apply``
         would keep. DEFAULT-CLOSED: a filter that overrides ``apply`` is
@@ -684,20 +672,14 @@ class FilterList(Filter):
         return isinstance(f, _PREDICATE_FAITHFUL_OVERRIDES)
 
     def apply(self, df: DataFrame, table) -> DataFrame:
-        # Non-predicate members (PageFilter, WhileMatch, nested lists
-        # containing them) compose sequentially for AND; for OR they
-        # must be pure predicates.
+        # MUST_PASS_ALL composes members sequentially in DECLARED order
+        # (FilterListWithAND evaluates in list order with short-circuit:
+        # a stateful member placed before a predicate sees pre-filter
+        # rows). Catalyst collapses the adjacent pure-predicate filter
+        # nodes, so strict order costs nothing over batching them.
         if self.operator == "AND":
-            pure = [f for f in self.filters if FilterList._is_pure(f)]
-            special = [f for f in self.filters if not FilterList._is_pure(f)]
             out = df
-            if pure:
-                preds = [f.predicate(table) for f in pure]
-                p = preds[0]
-                for q in preds[1:]:
-                    p = p & q
-                out = out.filter(p)
-            for f in special:
+            for f in self.filters:
                 out = f.apply(out, table)
             return out
         lying = [f for f in self.filters if not FilterList._row_faithful(f)]
