@@ -657,11 +657,12 @@ class FilterList(Filter):
         would keep. DEFAULT-CLOSED: a filter that overrides ``apply`` is
         only trusted if it is on the explicit allowlist of overrides
         known to merely project columns or reuse their own predicate
-        (``_PREDICATE_FAITHFUL_OVERRIDES``). Truncation filters —
+        (``_PREDICATE_FAITHFUL_OVERRIDES``). Stateful filters —
         PageFilter's count prefix (predicate lit(True)), WhileMatch's
-        take-while, positional cell pagination — fall out automatically,
-        and so does any FUTURE subclass with hidden apply() behavior:
-        it gets the loud MUST_PASS_ONE refusal instead of a silent
+        take-while, positional cell pagination — fall out automatically
+        and are routed to branch_cond evaluation under MUST_PASS_ONE;
+        any FUTURE subclass with hidden apply() behavior and no
+        branch_cond gets the loud refusal instead of a silent
         predicate-union over-selection."""
         if isinstance(f, FilterList):
             return all(FilterList._row_faithful(g) for g in f.filters)
