@@ -320,6 +320,23 @@ def q_while_match(spark, sf_dir):
 
 
 @query(
+    "filter_while_match_reversed",
+    """SELECT event_id, value FROM events
+       WHERE event_id > (SELECT COALESCE(MAX(event_id), -1) FROM events
+                         WHERE NOT (value < 199))""",
+)
+def q_while_match_reversed(spark, sf_dir):
+    """WhileMatch on a REVERSED scan (WhileMatchFilter.java evaluated in
+    scan direction): take-while from the TOP key downward — rows above
+    the highest failing key."""
+    t = _t(spark, sf_dir, "events", "event_id")
+    wm = fl.WhileMatchFilter(
+        fl.SingleColumnValueFilter("value", fl.LESS, 199.0, filter_if_missing=True)
+    )
+    return t.scan(Scan(filter=wm, reversed=True, columns=["value"]))
+
+
+@query(
     "filter_skip",
     "SELECT event_id, value FROM events WHERE value < 50",
 )
