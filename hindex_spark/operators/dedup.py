@@ -21,9 +21,9 @@ MERSENNE31; minhash_i = min((A[i]*h + B[i]) mod MERSENNE31).
 
 from __future__ import annotations
 
-from typing import List, Optional
+from typing import List, Optional, Union
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Observation
 from pyspark.sql import functions as F
 
 from hindex_spark.operators.text import distinct_tokens, fingerprint, tokens
@@ -38,6 +38,24 @@ MINHASH_B = [15485867, 32452843, 49979687, 67867967, 86028121,
              104395301, 122949823, 141650939]
 N_HASHES = 8
 BAND_SIZE = 2  # 4 bands of 2 -> candidates at jaccard ~>= 0.5
+
+#: Production default for the LSH/SimHash banding skew valve. A band
+#: bucket of m members expands to m(m-1)/2 candidate pairs; one hot
+#: boilerplate bucket can dominate the whole job (measured at sf1:
+#: a single 6.6k-doc bucket made the unvalved path 32x slower on 10x
+#: data while the valved path stayed ~linear). 4096 caps any one
+#: bucket's expansion at ~8.4M pairs — bounded work per bucket — while
+#: genuine near-dup clusters (overwhelmingly < 100 docs) are untouched.
+#: Production entry points (clean_corpus / minhash_join /
+#: incremental_dedup) default to this; pass max_bucket=None for the
+#: unbounded oracle-exact semantics.
+DEFAULT_MAX_BUCKET = 4096
+
+
+def _resolve_valve(max_bucket: Union[int, None, str]) -> Optional[int]:
+    """Map the ``"default"`` sentinel to DEFAULT_MAX_BUCKET; pass ints
+    and the explicit None (= unbounded opt-out) through unchanged."""
+    return DEFAULT_MAX_BUCKET if max_bucket == "default" else max_bucket
 
 #: cached intermediates (candidate pairs, narrowed unit arrays) from the
 #: most recent pair-search call — see _rotate_caches
@@ -293,7 +311,10 @@ def _band_rows(signatures: DataFrame, id_col: str) -> DataFrame:
 
 
 def lsh_candidate_pairs(
-    signatures: DataFrame, id_col: str, max_bucket: Optional[int] = None
+    signatures: DataFrame,
+    id_col: str,
+    max_bucket: Optional[int] = None,
+    dropped: Optional[Observation] = None,
 ) -> DataFrame:
     """Band the signature (4 bands x 2 rows), group by band bucket, and
     emit id pairs from within each bucket — ONE pass over the signature
@@ -306,7 +327,16 @@ def lsh_candidate_pairs(
     their other, more selective bands — a bucket that common is driven by
     boilerplate shingles, not near-duplication, and its |bucket|^2
     expansion is exactly the blow-up LSH exists to avoid). Default None
-    = unbounded, bit-for-bit the oracle semantics."""
+    = unbounded, bit-for-bit the oracle semantics.
+
+    ``dropped``: an optional ``pyspark.sql.Observation``; when the valve
+    is active, it records ``dropped_buckets`` / ``dropped_docs`` (count
+    and total membership of over-cap buckets) as a side effect of the
+    normal pass — no extra job. Read it with ``dropped.get`` after the
+    first action on the result. Caveat: if the valve drops EVERY bucket
+    (zero candidates), AQE's empty-relation propagation can collapse the
+    plan below the metrics node before it runs and ``dropped.get``
+    raises — use ``lsh_bucket_profile`` for unconditional accounting."""
     bands = _band_rows(signatures, id_col)
     buckets = (
         bands.groupBy("band", "bucket")
@@ -314,6 +344,17 @@ def lsh_candidate_pairs(
         .filter(F.size("ids") >= 2)
     )
     if max_bucket is not None:
+        if dropped is not None:
+            over = F.size("ids") > max_bucket
+            buckets = buckets.observe(
+                dropped,
+                F.coalesce(
+                    F.sum(F.when(over, 1).otherwise(0)), F.lit(0)
+                ).alias("dropped_buckets"),
+                F.coalesce(
+                    F.sum(F.when(over, F.size("ids")).otherwise(0)), F.lit(0)
+                ).alias("dropped_docs"),
+            )
         buckets = buckets.filter(F.size("ids") <= max_bucket)
     ids = F.col("ids")
     pairs = F.flatten(
@@ -332,6 +373,22 @@ def lsh_candidate_pairs(
     )
 
 
+def lsh_bucket_profile(signatures: DataFrame, id_col: str) -> DataFrame:
+    """Diagnostic: (band, bucket, size) for every band bucket with >= 2
+    members, largest first — the skew profile an operator reads to pick
+    (or audit) ``max_bucket``. Same one-shuffle cost shape as the
+    candidate pass itself; run it on a sample at 100 TB. Unlike the
+    ``dropped`` Observation this is unconditional (it does not ride the
+    candidate query, so empty-candidate plans can't collapse it)."""
+    return (
+        _band_rows(signatures, id_col)
+        .groupBy("band", "bucket")
+        .agg(F.count("*").alias("size"))
+        .filter(F.col("size") >= 2)
+        .orderBy(F.col("size").desc())
+    )
+
+
 def minhash_dedup_pairs(
     df: DataFrame,
     id_col: str,
@@ -340,6 +397,7 @@ def minhash_dedup_pairs(
     ngram: int = 3,
     max_bucket: Optional[int] = None,
     hash_fn: str = "md5",
+    dropped: Optional[Observation] = None,
 ) -> DataFrame:
     """LSH candidates verified with exact Jaccard. Verification joins the
     (small) candidate-pair set back to the per-doc unit ARRAYS and takes
@@ -362,6 +420,7 @@ def minhash_dedup_pairs(
         minhash_signatures(df, id_col, text_col, ngram, hash_fn=hash_fn),
         id_col,
         max_bucket=max_bucket,
+        dropped=dropped,
     ).persist()
     cand_ids = (
         cands.select(F.col("id_a").alias(id_col))
@@ -405,8 +464,9 @@ def minhash_join(
     text_col: str,
     threshold: float,
     ngram: int = 3,
-    max_bucket: Optional[int] = None,
+    max_bucket: Union[int, None, str] = "default",
     hash_fn: str = "md5",
+    dropped: Optional[Observation] = None,
 ) -> DataFrame:
     """Cross-corpus near-duplicate JOIN at LSH cost: which docs in
     ``left`` are near-duplicates of docs in ``right``? The scale path for
@@ -423,29 +483,54 @@ def minhash_join(
 
     ``max_bucket`` drops (band, bucket) keys whose pair expansion exceeds
     ``max_bucket``^2 (boilerplate buckets, the skew valve at 100 TB).
+    This is a PRODUCTION entry point, so the valve defaults ON
+    (``"default"`` -> DEFAULT_MAX_BUCKET = 4096 — the one measured
+    super-linear mode at sf1 was exactly an unvalved hot bucket); pass
+    ``max_bucket=None`` explicitly for unbounded oracle-exact semantics.
+    ``dropped``: optional Observation recording ``dropped_buckets`` /
+    ``dropped_rows`` (over-cap (side, band, bucket) keys and their total
+    membership) as a side effect of the normal pass.
 
     Output: (id_a from left, id_b from right, jaccard >= threshold).
     """
+    max_bucket = _resolve_valve(max_bucket)
     bl = _band_rows(
         minhash_signatures(left, id_col, text_col, ngram, hash_fn=hash_fn), id_col
     ).select(F.col(id_col).alias("id_a"), "band", "bucket")
     br = _band_rows(
         minhash_signatures(right, id_col, text_col, ngram, hash_fn=hash_fn), id_col
     ).select(F.col(id_col).alias("id_b"), "band", "bucket")
+    extra_caches: list = []
     if max_bucket is not None:
-        for side, key in ((bl, "id_a"), (br, "id_b")):
-            big = (
-                side.groupBy("band", "bucket")
-                .agg(F.count("*").alias("__n"))
-                .filter(F.col("__n") > max_bucket)
-                .select("band", "bucket")
+        sizes = (
+            bl.groupBy("band", "bucket").agg(F.count("*").alias("__n"))
+            .withColumn("__side", F.lit("L"))
+            .unionByName(
+                br.groupBy("band", "bucket").agg(F.count("*").alias("__n"))
+                .withColumn("__side", F.lit("R"))
             )
-            if side is bl:
-                bl = bl.join(big, ["band", "bucket"], "left_anti")
-            else:
-                br = br.join(big, ["band", "bucket"], "left_anti")
+        )
+        big = sizes.filter(F.col("__n") > max_bucket)
+        if dropped is not None:
+            big = big.observe(
+                dropped,
+                F.coalesce(F.count("*"), F.lit(0)).alias("dropped_buckets"),
+                F.coalesce(F.sum("__n"), F.lit(0)).alias("dropped_rows"),
+            )
+        # tiny (only over-cap keys); persisted so both anti-joins read one
+        # computation and the observation fires exactly once
+        big = big.persist()
+        extra_caches.append(big)
+        bl = bl.join(
+            F.broadcast(big.filter(F.col("__side") == "L").select("band", "bucket")),
+            ["band", "bucket"], "left_anti",
+        )
+        br = br.join(
+            F.broadcast(big.filter(F.col("__side") == "R").select("band", "bucket")),
+            ["band", "bucket"], "left_anti",
+        )
     cands = bl.join(br, ["band", "bucket"]).select("id_a", "id_b").distinct().persist()
-    _rotate_caches(cands)
+    _rotate_caches(cands, *extra_caches)
     # verification narrowing (same as minhash_dedup_pairs): re-shingle
     # only docs that appear in a candidate pair, not either full corpus;
     # docs repartitioned pre-shingle so the pair joins keep probe
@@ -528,7 +613,8 @@ def incremental_dedup(
     text_col: str,
     threshold: float = 0.9,
     ngram: int = 3,
-    max_bucket: Optional[int] = None,
+    max_bucket: Union[int, None, str] = "default",
+    dropped: Optional[Observation] = None,
 ) -> DataFrame:
     """Dedup an incoming batch AGAINST an existing corpus — the
     production shape (daily crawl vs. the historical index): a batch doc
@@ -543,12 +629,18 @@ def incremental_dedup(
     is never rewritten and only its fingerprints/signatures are read —
     at 100 TB both reductions are pure map passes over the parquet scan,
     and in steady state they would be precomputed once and reused per
-    batch."""
+    batch (see ``DedupState`` for the persisted-store path).
+
+    Production entry point: the LSH skew valve defaults ON
+    (``max_bucket="default"`` -> DEFAULT_MAX_BUCKET); pass None for
+    unbounded oracle-exact semantics. ``dropped`` (an Observation)
+    reports over-cap buckets when the valve fires."""
     nf = new.withColumn("__fp", fingerprint(F.col(text_col)))
     cf = corpus.select(fingerprint(F.col(text_col)).alias("__fp")).distinct()
     fresh = nf.join(cf, "__fp", "left_anti").drop("__fp")
     near = minhash_join(
-        fresh, corpus, id_col, text_col, threshold, ngram, max_bucket
+        fresh, corpus, id_col, text_col, threshold, ngram, max_bucket,
+        dropped=dropped,
     ).select(F.col("id_a").alias(id_col)).distinct()
     return fresh.join(near, id_col, "left_anti")
 
@@ -764,6 +856,7 @@ def simhash_pairs(
     banded: bool = True,
     bits: int = SIMHASH_BITS,
     hash_fn: str = "md5",
+    dropped: Optional[Observation] = None,
 ) -> DataFrame:
     """Near-dup pairs with Hamming(simhash) <= k, banded by pigeonhole:
     the ``bits``-wide hash splits into k+1 bit-slices, and any pair within
@@ -829,6 +922,17 @@ def simhash_pairs(
         .filter(F.size("ms") >= 2)
     )
     if max_bucket is not None:
+        if dropped is not None:
+            over = F.size("ms") > max_bucket
+            buckets = buckets.observe(
+                dropped,
+                F.coalesce(
+                    F.sum(F.when(over, 1).otherwise(0)), F.lit(0)
+                ).alias("dropped_buckets"),
+                F.coalesce(
+                    F.sum(F.when(over, F.size("ms")).otherwise(0)), F.lit(0)
+                ).alias("dropped_docs"),
+            )
         buckets = buckets.filter(F.size("ms") <= max_bucket)
     ms = F.col("ms")
     pairs = F.flatten(
@@ -870,7 +974,8 @@ def clean_corpus(
     ngram: int = 3,
     method: str = "exact",
     keep: str = "greedy",
-    max_bucket: Optional[int] = None,
+    max_bucket: Union[int, None, str] = "default",
+    dropped: Optional[Observation] = None,
 ) -> DataFrame:
     """The flagship training-data pipeline: quality filter -> exact
     dedup -> near-dup dedup (keep the lowest-id member of every near-dup
@@ -907,10 +1012,18 @@ def clean_corpus(
     a single hot bucket can dominate the whole job. Capping drops
     buckets larger than ``max_bucket`` (those docs are near-identical
     boilerplate — the cheap follow-up is exact dedup on the bucket key,
-    which the preceding exact_dedup stage already approximates). Default
-    None = no cap = oracle-exact. Not applicable to method="exact"
-    (inverted-index join has no band buckets) — raises there rather
-    than silently ignoring a scale valve the caller asked for.
+    which the preceding exact_dedup stage already approximates). This
+    is a PRODUCTION entry point, so the valve defaults ON for the
+    banded methods (``"default"`` -> DEFAULT_MAX_BUCKET = 4096 — the
+    one measured super-linear mode at sf1 was exactly an unvalved hot
+    bucket); pass ``max_bucket=None`` explicitly for unbounded
+    oracle-exact semantics. An EXPLICIT cap with method="exact"
+    (inverted-index join has no band buckets) raises rather than
+    silently ignoring a scale valve the caller asked for; the
+    ``"default"`` sentinel is simply inapplicable there.
+    ``dropped``: optional ``pyspark.sql.Observation`` recording
+    ``dropped_buckets`` / ``dropped_docs`` when the valve fires (read
+    ``dropped.get`` after the first action on the result).
     """
     from pyspark import StorageLevel
 
@@ -928,7 +1041,7 @@ def clean_corpus(
     if method == "lsh":
         pairs = minhash_dedup_pairs(
             deduped, id_col, text_col, jaccard_threshold, ngram,
-            max_bucket=max_bucket,
+            max_bucket=_resolve_valve(max_bucket), dropped=dropped,
         )
     elif method == "simhash":
         if 0 < jaccard_threshold < 1:
@@ -939,10 +1052,10 @@ def clean_corpus(
             )
         pairs = simhash_pairs(
             deduped, id_col, text_col, int(jaccard_threshold), ngram,
-            max_bucket=max_bucket, bits=60,
+            max_bucket=_resolve_valve(max_bucket), bits=60, dropped=dropped,
         ).select("id_a", "id_b")
     else:
-        if max_bucket is not None:
+        if max_bucket is not None and max_bucket != "default":
             raise ValueError(
                 "max_bucket applies to the banded methods ('lsh', 'simhash'); "
                 "method='exact' has no band buckets to cap"

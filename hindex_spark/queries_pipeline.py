@@ -938,6 +938,7 @@ def q_minhash_join(spark, sf_dir):
         "doc_id",
         "text",
         0.9,
+        max_bucket=None,  # oracle-exact: the production default valve is ON
     )
 
 
@@ -1016,6 +1017,7 @@ def q_incremental_dedup(spark, sf_dir):
         "doc_id",
         "text",
         0.9,
+        max_bucket=None,  # oracle-exact: the production default valve is ON
     )
 
 

@@ -295,16 +295,25 @@ class Table:
 
     def exists_batch(self, rowkeys: DataFrame) -> DataFrame:
         """HTable.exists(List<Get>) (HTable.java:693) — one boolean per
-        probed key, resolved by a single semi-probe left join (broadcast
-        when the probe set is small), never one job per key."""
+        probed key, never one job per key and never a table-wide exchange.
+
+        The table side is first semi-restricted to the broadcast probe set,
+        so the ``distinct`` that follows runs over at most |probe hits| rows
+        — the reference does per-key server probes, and at 100 TB a 5-key
+        probe must not pay a full-table shuffle. Both joins broadcast the
+        small side, so a bucketed/sorted table keeps a zero-exchange plan on
+        its own rows."""
         rk = self.rowkey_col
+        probes = rowkeys.select(rk).distinct()
         present = (
-            self.df.select(rk).distinct().withColumn("__present", F.lit(True))
+            self.df.join(F.broadcast(probes), rk, "left_semi")
+            .select(rk)
+            .distinct()
+            .withColumn("__present", F.lit(True))
         )
         return (
-            rowkeys.select(rk)
-            .distinct()
-            .join(present, rk, "left")
+            probes
+            .join(F.broadcast(present), rk, "left")
             .select(rk, F.coalesce(F.col("__present"), F.lit(False)).alias("exists"))
         )
 

@@ -32,6 +32,39 @@ def test_bucketed_join_has_no_shuffle(spark, sf_dir, tmp_path):
         spark.sql("DROP TABLE IF EXISTS orders_bucketed_idx_idx_cust")
 
 
+def test_exists_batch_zero_table_side_exchange_on_bucketed(spark, sf_dir, tmp_path):
+    # HTable.exists(List<Get>) (HTable.java:693) = per-key server probes.
+    # On the engine's bucketed layout the whole table side of exists_batch
+    # (scan -> broadcast LeftSemi restriction -> distinct) must run with
+    # ZERO exchanges: the scan's HashPartitioning(rowkey) satisfies the
+    # distinct's clustering, so probing N keys never shuffles table rows.
+    import re
+
+    cat = Catalog(spark, str(tmp_path / "wh"))
+    cat.save_bucketed(
+        Table.from_parquet(spark, f"{sf_dir}/orders.parquet", "o_orderkey", "oexb"),
+        num_buckets=8,
+    )
+    try:
+        bt = Table(spark.table("oexb_bucketed"), "o_orderkey", "oexb_bucketed")
+        probes = spark.createDataFrame([(1,), (2,), (999999999,)], "o_orderkey long")
+        out = bt.exists_batch(probes)
+        p = out._jdf.queryExecution().executedPlan().toString()
+        # partial+final distinct directly over the semi join — consecutive
+        # plan lines, i.e. NO Exchange between the bucketed scan, the
+        # probe restriction, and the distinct
+        assert re.search(
+            r"HashAggregate[^\n]*\n[^\n]*HashAggregate[^\n]*\n[^\n]*LeftSemi", p
+        )
+        semi_to_scan = re.search(r"LeftSemi.*?FileScan", p, re.S)
+        assert semi_to_scan is not None and "Exchange" not in semi_to_scan.group(0)
+        assert "Bucketed: true" in p
+        got = {r["o_orderkey"]: r["exists"] for r in out.collect()}
+        assert got == {1: True, 2: True, 999999999: False}
+    finally:
+        spark.sql("DROP TABLE IF EXISTS oexb_bucketed")
+
+
 def test_scan_where(spark, sf_dir):
     t = Table.from_parquet(spark, f"{sf_dir}/orders.parquet", "o_orderkey", "orders")
     out = t.scan_where("o_totalprice > 100000", ["o_totalprice"])

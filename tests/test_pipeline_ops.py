@@ -564,6 +564,72 @@ def test_minhash_join_max_bucket_valve(spark):
     assert dd.minhash_join(left, right, "doc_id", "text", 0.9, max_bucket=2).count() == 0
 
 
+def test_valve_defaults_on_for_production_entry_points(spark):
+    # The production entry points default the skew valve ON
+    # ("default" -> DEFAULT_MAX_BUCKET): tiny corpora are unaffected
+    # (no bucket approaches 4096), and the sentinel resolves correctly.
+    assert dd._resolve_valve("default") == dd.DEFAULT_MAX_BUCKET == 4096
+    assert dd._resolve_valve(None) is None
+    assert dd._resolve_valve(7) == 7
+    # method="exact" with the (inapplicable) default sentinel must NOT
+    # raise — only an explicit cap does
+    docs = spark.createDataFrame(
+        [(1, "alpha beta gamma delta epsilon zeta")], "doc_id long, text string"
+    )
+    assert dd.clean_corpus(docs, "doc_id", "text", min_quality=0.0).count() == 1
+
+
+def test_valve_drop_reporting_observation(spark):
+    from pyspark.sql import Observation
+
+    # dropped-bucket accounting rides the normal pass (df.observe — no
+    # extra job): the 3-doc boilerplate cluster's (band, bucket) keys go
+    # over max_bucket=2 and the Observation reports them, while the
+    # genuine near-dup pair (8/9) still surfaces through its own buckets
+    bp = "terms of service apply to all content on this site " * 4
+    rows = [(i, bp + w) for i, w in enumerate(["alpha", "beta", "gamma"])] + [
+        (8, "one two three four five six seven eight nine ten"),
+        (9, "one two three four five six seven eight nine ten!"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    obs = Observation("lsh_drops")
+    pairs = dd.minhash_dedup_pairs(
+        docs, "doc_id", "text", 0.5, max_bucket=2, dropped=obs
+    )
+    got = {(r["id_a"], r["id_b"]) for r in pairs.collect()}
+    # (8,9) surfaces normally; the boilerplate trio may still pair via
+    # its more-selective under-cap bands (documented valve semantics) —
+    # what matters here is that the over-cap buckets were counted
+    assert (8, 9) in got
+    m = obs.get
+    assert m["dropped_buckets"] >= 1 and m["dropped_docs"] >= 3
+
+    # cross-corpus join side: over-cap (side, band, bucket) keys reported
+    same = "w x y z " * 5
+    left = spark.createDataFrame(
+        [(i, same) for i in range(3)] + [(8, "one two three four five six")],
+        ["doc_id", "text"],
+    )
+    right = spark.createDataFrame(
+        [(i + 10, same) for i in range(3)] + [(18, "one two three four five six")],
+        ["doc_id", "text"],
+    )
+    obs2 = Observation("join_drops")
+    out = dd.minhash_join(
+        left, right, "doc_id", "text", 0.9, max_bucket=2, dropped=obs2
+    )
+    got2 = {(r["id_a"], r["id_b"]) for r in out.collect()}
+    assert got2 == {(8, 18)}  # hot boilerplate dropped, real pair kept
+    m2 = obs2.get
+    assert m2["dropped_buckets"] >= 2 and m2["dropped_rows"] >= 6
+
+    # unconditional accounting path: the skew profile names the hot buckets
+    prof = dd.lsh_bucket_profile(
+        dd.minhash_signatures(docs, "doc_id", "text", 3), "doc_id"
+    ).collect()
+    assert prof and prof[0]["size"] == 3
+
+
 def test_trim_repeated_lines_within_doc_only(spark):
     rows = [
         (1, "a b c a b d"),   # 2-word lines: "a b","c a","b d" -> no repeats

@@ -65,6 +65,21 @@ def test_point_get_reads_one_predicate(spark, sf_dir):
     assert m and "o_totalprice" not in m.group(1)
 
 
+def test_exists_batch_probe_restricts_before_distinct(spark, sf_dir):
+    # HTable.exists(List<Get>) (HTable.java:693) does per-key server
+    # probes, never a table scan+shuffle. Our plan must semi-restrict the
+    # table to the broadcast probe set BEFORE any distinct/aggregate, so
+    # the only table-side rows that reach an Exchange are the probe hits.
+    t = Table.from_parquet(spark, f"{sf_dir}/orders.parquet", "o_orderkey", "orders")
+    probes = spark.createDataFrame([(1,), (2,), (999999999,)], "o_orderkey long")
+    p = _plan(t.exists_batch(probes))
+    m = re.search(r"LeftSemi.*?FileScan", p, re.S)
+    # the table FileScan is consumed directly by a broadcast LeftSemi join
+    # (no Exchange between scan and restriction)
+    assert m is not None and "Exchange" not in m.group(0)
+    assert "SortMergeJoin" not in p  # full-table shuffle semi-join is a regression
+
+
 def test_small_dim_join_broadcasts(spark, sf_dir):
     cust = spark.read.parquet(f"{sf_dir}/customer.parquet")
     nation = spark.read.parquet(f"{sf_dir}/nation.parquet")
