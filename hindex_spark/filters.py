@@ -421,7 +421,17 @@ class InclusiveStopFilter(Filter):
 class FuzzyRowFilter(Filter):
     """FuzzyRowFilter.java:68 — rowkey pattern with fixed and wildcard
     positions. ``pattern`` uses '?' for any-char; compiled to a regex
-    anchored both ends (prunable prefix handled by the planner)."""
+    anchored both ends.
+
+    Prunability: the reference seeks past non-matching regions using
+    fixed byte positions (FuzzyRowFilter.getNextCellHint). The Spark
+    analog: a fixed LEADING prefix (chars before the first '?') becomes
+    a ``prefix <= rk < prefix-successor`` range conjunct alongside the
+    regex, so the comparisons reach the parquet scan as PushedFilters
+    and row-group min/max pruning skips the non-matching bulk — without
+    it, a fuzzy scan reads every rowkey at 100 TB. Applied only when the
+    rowkey column is a string (a cast would block pushdown); the regex
+    stays authoritative for correctness either way."""
 
     pattern: str
 
@@ -431,7 +441,25 @@ class FuzzyRowFilter(Filter):
         rx = "^" + "".join(
             "." if ch == "?" else _re.escape(ch) for ch in self.pattern
         ) + "$"
-        return _rowkey(table).cast("string").rlike(rx)
+        rk = _rowkey(table)
+        pred = rk.cast("string").rlike(rx)
+        prefix = self.pattern.split("?", 1)[0]
+        if prefix and table is not None and hasattr(table, "df"):
+            from pyspark.sql.types import StringType
+
+            try:
+                dtype = table.df.schema[table.rowkey_col].dataType
+            except Exception:
+                dtype = None
+            if isinstance(dtype, StringType):
+                pred = (rk >= F.lit(prefix)) & pred
+                last = ord(prefix[-1])
+                # successor string = prefix with last char +1; skip at
+                # the surrogate/codepoint boundaries (prefix bound alone
+                # still prunes everything below the range)
+                if last < 0xD7FF or 0xE000 <= last < 0x10FFFF:
+                    pred = (rk < F.lit(prefix[:-1] + chr(last + 1))) & pred
+        return pred
 
 
 @dataclass

@@ -1,0 +1,244 @@
+"""Persisted dedup state — steady-state incremental dedup.
+
+``incremental_dedup`` (operators/dedup.py) recomputes corpus
+fingerprints and minhash signatures from the raw text on every batch:
+correct, but at 100 TB the daily batch then pays a full corpus
+re-shingle — the dominant cost of the daily-crawl shape. ``DedupState``
+is the catalog artifact that removes it: ONE narrow row per corpus doc
+(id, content fingerprint, mh0..mh7) persisted as a bucketed table, built
+once and maintained by the same job that accepts a batch — the
+index-maintenance pattern (index/build.py:59) applied to dedup state.
+
+Per-batch cost with the store (batch ≪ corpus):
+  * exact pass — the state's fingerprint column is semi-restricted to
+    the BROADCAST batch fingerprints (stream the state scan, no
+    shuffle), then the batch anti-joins the (tiny) hit set;
+  * near-dup pass — corpus band rows derive from the STORED signatures
+    (a map-only explode over the narrow state table, never the text)
+    and join the broadcast batch bands; candidate verification
+    re-shingles ONLY docs named in a candidate pair (the corpus text is
+    semi-joined down to candidate ids before tokenization).
+The corpus parquet is scanned exactly once per batch — for candidate
+verification — and never through the signature fold. Asserted by
+``tests/test_pipeline_ops.py::test_dedup_state_corpus_not_reshingled``.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+from typing import Optional, Union
+
+from pyspark.sql import DataFrame, Observation
+from pyspark.sql import functions as F
+
+from hindex_spark.operators.dedup import (
+    N_HASHES,
+    _band_rows,
+    _resolve_valve,
+    _rotate_caches,
+    _signature_struct,
+    doc_unit_arrays,
+    shingle_expr,
+)
+from hindex_spark.operators.text import distinct_tokens, fingerprint, tokens
+
+
+def state_rows(
+    docs: DataFrame, id_col: str, text_col: str, ngram: int = 3,
+    hash_fn: str = "md5",
+) -> DataFrame:
+    """(id, __fp, mh0..mh7) in ONE map pass over the text: fingerprint
+    and the 8-way minhash fold share a single scan/projection — no
+    shuffle, no second read of the text."""
+    if ngram <= 1:
+        base = docs.select(
+            F.col(id_col),
+            fingerprint(F.col(text_col)).alias("__fp"),
+            distinct_tokens(F.col(text_col)).alias("__units"),
+        )
+    else:
+        base = docs.select(
+            F.col(id_col),
+            fingerprint(F.col(text_col)).alias("__fp"),
+            tokens(F.col(text_col)).alias("__toks"),
+        ).select(
+            F.col(id_col), "__fp",
+            shingle_expr(F.col("__toks"), ngram).alias("__units"),
+        )
+    sig = base.select(
+        F.col(id_col), "__fp",
+        _signature_struct(F.col("__units"), hash_fn).alias("s"),
+    )
+    return sig.select(
+        F.col(id_col), "__fp",
+        *[F.col(f"s.mh{i}").alias(f"mh{i}") for i in range(N_HASHES)],
+    )
+
+
+class DedupState:
+    """Handle to a persisted dedup-state table inside a ``Catalog``.
+
+    Lifecycle::
+
+        st = DedupState.build(cat, corpus, "doc_id", "text", "docs")
+        survivors = st.dedup_batch(batch, corpus, threshold=0.9)
+        st.update(survivors)          # accepted docs join the state
+        ...
+        st = DedupState.open(cat, "docs")   # next session / next day
+    """
+
+    def __init__(self, catalog, name: str, id_col: str, text_col: str,
+                 ngram: int = 3, hash_fn: str = "md5"):
+        self.catalog = catalog
+        self.name = name
+        self.id_col = id_col
+        self.text_col = text_col
+        self.ngram = ngram
+        self.hash_fn = hash_fn
+        self.table_name = f"{name}_dedupstate_bucketed"
+
+    # -- storage ------------------------------------------------------------
+
+    def _meta_path(self) -> str:
+        return os.path.join(self.catalog.root, f"{self.name}_dedupstate_meta.json")
+
+    @classmethod
+    def build(cls, catalog, corpus: DataFrame, id_col: str, text_col: str,
+              name: str, ngram: int = 3, hash_fn: str = "md5",
+              num_buckets: int = 32) -> "DedupState":
+        """One-time (or rebuild) pass: shingle the corpus ONCE, persist
+        the narrow state bucketed on id. ~tens of bytes/doc — the 100 TB
+        corpus's state is a few hundred GB, rewritten never, appended to
+        per accepted batch."""
+        from hindex_spark.table import Table
+
+        st = cls(catalog, name, id_col, text_col, ngram, hash_fn)
+        rows = state_rows(corpus, id_col, text_col, ngram, hash_fn)
+        catalog.save_bucketed(
+            Table(rows, id_col, f"{name}_dedupstate"), num_buckets=num_buckets
+        )
+        with open(st._meta_path(), "w") as f:
+            json.dump(
+                {"id_col": id_col, "text_col": text_col, "ngram": ngram,
+                 "hash_fn": hash_fn}, f,
+            )
+        return st
+
+    @classmethod
+    def open(cls, catalog, name: str) -> "DedupState":
+        with open(os.path.join(
+                catalog.root, f"{name}_dedupstate_meta.json")) as f:
+            m = json.load(f)
+        return cls(catalog, name, m["id_col"], m["text_col"],
+                   m["ngram"], m["hash_fn"])
+
+    @property
+    def df(self) -> DataFrame:
+        """The persisted (id, __fp, mh0..mh7) table."""
+        return self.catalog.spark.table(self.table_name)
+
+    def update(self, accepted: DataFrame) -> None:
+        """Append the accepted batch's state rows — the per-batch
+        maintenance step. INSERT INTO honors the table's bucket spec, so
+        appends stay bucketed on id; no rewrite of existing state."""
+        rows = state_rows(
+            accepted, self.id_col, self.text_col, self.ngram, self.hash_fn
+        )
+        view = f"__dedupstate_append_{self.name}"
+        rows.createOrReplaceTempView(view)
+        self.catalog.spark.sql(
+            f"INSERT INTO {self.table_name} SELECT * FROM {view}"
+        )
+        self.catalog.spark.catalog.dropTempView(view)
+
+    # -- the per-batch query ------------------------------------------------
+
+    def dedup_batch(
+        self,
+        new: DataFrame,
+        corpus: DataFrame,
+        threshold: float = 0.9,
+        max_bucket: Union[int, None, str] = "default",
+        dropped: Optional[Observation] = None,
+    ) -> DataFrame:
+        """Surviving rows of ``new`` (original schema) after exact +
+        near-dup checks against the persisted state. ``corpus`` supplies
+        text ONLY for candidate verification (semi-joined to candidate
+        ids before any tokenization); its signatures/fingerprints come
+        from the store. Result-identical to
+        ``incremental_dedup(new, corpus, ...)`` at the same settings
+        (same signature family, same banding, same exact-Jaccard
+        verification) — asserted in tests."""
+        id_col, text_col = self.id_col, self.text_col
+        max_bucket = _resolve_valve(max_bucket)
+        state = self.df
+
+        # exact pass: exists_batch shape — semi-restrict the state's fp
+        # column by the broadcast batch fps (no state-side shuffle),
+        # then anti-join the batch against the tiny hit set.
+        nf = new.withColumn("__fp", fingerprint(F.col(text_col)))
+        batch_fps = nf.select("__fp").distinct()
+        fp_hits = (
+            state.join(F.broadcast(batch_fps), "__fp", "left_semi")
+            .select("__fp").distinct()
+        )
+        fresh = nf.join(F.broadcast(fp_hits), "__fp", "left_anti").drop("__fp")
+
+        # near-dup pass: corpus bands from the STORE (map-only explode,
+        # no text), batch bands broadcast into the equi-join.
+        batch_sigs = state_rows(fresh, id_col, text_col, self.ngram, self.hash_fn)
+        bb = _band_rows(
+            batch_sigs.drop("__fp"), id_col
+        ).select(F.col(id_col).alias("id_a"), "band", "bucket")
+        cb = _band_rows(
+            state.drop("__fp"), id_col
+        ).select(F.col(id_col).alias("id_b"), "band", "bucket")
+        if max_bucket is not None:
+            # corpus-side valve (the batch side is bounded by the batch):
+            # over-cap (band, bucket) keys are boilerplate, not near-dups
+            sizes = cb.groupBy("band", "bucket").agg(F.count("*").alias("__n"))
+            big = sizes.filter(F.col("__n") > max_bucket)
+            if dropped is not None:
+                big = big.observe(
+                    dropped,
+                    F.coalesce(F.count("*"), F.lit(0)).alias("dropped_buckets"),
+                    F.coalesce(F.sum("__n"), F.lit(0)).alias("dropped_rows"),
+                )
+            cb = cb.join(
+                F.broadcast(big.select("band", "bucket")),
+                ["band", "bucket"], "left_anti",
+            )
+        cands = (
+            cb.join(F.broadcast(bb), ["band", "bucket"])
+            .select("id_a", "id_b").distinct().persist()
+        )
+
+        # verification: exact Jaccard on unit arrays, re-shingling ONLY
+        # candidate docs — the single corpus-text scan of the batch.
+        ua = doc_unit_arrays(
+            fresh.join(
+                cands.select(F.col("id_a").alias(id_col)).distinct(),
+                id_col, "left_semi",
+            ),
+            id_col, text_col, self.ngram,
+        ).select(F.col(id_col).alias("id_a"), F.col("units").alias("u_a"))
+        ub = doc_unit_arrays(
+            corpus.join(
+                F.broadcast(cands.select(F.col("id_b").alias(id_col)).distinct()),
+                id_col, "left_semi",
+            ),
+            id_col, text_col, self.ngram,
+        ).select(F.col(id_col).alias("id_b"), F.col("units").alias("u_b"))
+        near = (
+            cands.join(ua, "id_a")
+            .join(ub, "id_b")
+            .withColumn("c", F.size(F.array_intersect(F.col("u_a"), F.col("u_b"))))
+            .withColumn(
+                "jaccard", F.col("c") / (F.size("u_a") + F.size("u_b") - F.col("c"))
+            )
+            .filter(F.col("jaccard") >= threshold)
+            .select(F.col("id_a").alias(id_col)).distinct()
+        )
+        _rotate_caches(cands)
+        return fresh.join(near, id_col, "left_anti")

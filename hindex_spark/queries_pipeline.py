@@ -972,9 +972,7 @@ def q_trim_repeated_lines(spark, sf_dir):
     return dd.trim_repeated_lines(docs, "doc_id", "text", words_per_line=2)
 
 
-@query(
-    "corpus_incremental_dedup",
-    f"""{_minhash_sig_sql()},
+_INCR_DEDUP_ORACLE = f"""{_minhash_sig_sql()},
         {_bands_sql()},
         fp AS (
           SELECT doc_id,
@@ -1005,8 +1003,10 @@ def q_trim_repeated_lines(spark, sf_dir):
           WHERE c * 1.0 / (sa.n + sb.n - c) >= 0.9)
         SELECT d.* FROM documents d
         JOIN fresh ON d.doc_id = fresh.doc_id
-        WHERE NOT EXISTS (SELECT 1 FROM near WHERE near.id_a = d.doc_id)""",
-)
+        WHERE NOT EXISTS (SELECT 1 FROM near WHERE near.id_a = d.doc_id)"""
+
+
+@query("corpus_incremental_dedup", _INCR_DEDUP_ORACLE)
 def q_incremental_dedup(spark, sf_dir):
     """Daily-batch shape: docs with id % 10 = 0 arrive as the new batch
     and are deduped (exact + near) against the rest of the corpus."""
@@ -1018,6 +1018,32 @@ def q_incremental_dedup(spark, sf_dir):
         "text",
         0.9,
         max_bucket=None,  # oracle-exact: the production default valve is ON
+    )
+
+
+@query("corpus_incremental_dedup_store", _INCR_DEDUP_ORACLE)
+def q_incremental_dedup_store(spark, sf_dir):
+    """The STEADY-STATE daily-batch shape: the corpus's fingerprints and
+    minhash signatures live in a persisted DedupState catalog table
+    (operators/dedup_state.py) and the batch dedups against the STORE —
+    the corpus text is read only to verify candidate pairs, never
+    re-shingled per batch (plan-asserted in
+    test_dedup_state_corpus_not_reshingled). Result-identical to
+    ``corpus_incremental_dedup``, so it shares that oracle."""
+    import tempfile
+
+    from hindex_spark.catalog import Catalog
+    from hindex_spark.operators.dedup_state import DedupState
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    corpus = docs.filter(F.col("doc_id") % 10 != 0)
+    cat = Catalog(spark, tempfile.mkdtemp(prefix="hindex_dedupstate_"))
+    st = DedupState.build(cat, corpus, "doc_id", "text", "gatecorpus")
+    return st.dedup_batch(
+        docs.filter(F.col("doc_id") % 10 == 0),
+        corpus,
+        threshold=0.9,
+        max_bucket=None,  # oracle-exact
     )
 
 

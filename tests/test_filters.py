@@ -76,6 +76,24 @@ def test_fuzzy_row_filter(spark, sf_dir):
     import re
 
     assert all(re.match(r"^p0.5.$", k) for k in keys) and keys
+    # prefix range conjunct must not drop legit matches at the range
+    # edges, and patterns with no fixed prefix / no wildcards still work
+    rows = spark.createDataFrame(
+        [("p0a5x",), ("p015z",), ("p0z5a",), ("q0151",), ("p1a5b",), ("p015",)],
+        "rk string",
+    )
+    t3 = Table(rows, "rk")
+    got = sorted(
+        r["rk"] for r in t3.scan(Scan(filter=fl.FuzzyRowFilter("p0?5?"))).collect()
+    )
+    assert got == ["p015z", "p0a5x", "p0z5a"]
+    assert t3.scan(Scan(filter=fl.FuzzyRowFilter("?015z"))).count() == 1  # no prefix
+    assert t3.scan(Scan(filter=fl.FuzzyRowFilter("q0151"))).count() == 1  # no wildcard
+    # non-string rowkey: regex-only path, no crash
+    t4 = Table(t.df, "p_partkey")
+    assert t4.scan(Scan(filter=fl.FuzzyRowFilter("1?"))).count() == t.df.filter(
+        F.col("p_partkey").cast("string").rlike("^1.$")
+    ).count()
 
 
 def test_page_filter_and_while_match(spark, sf_dir):

@@ -691,6 +691,101 @@ def test_incremental_dedup_exact_and_near(spark):
     assert out.columns == new.columns
 
 
+def test_dedup_state_matches_stateless_incremental(spark, tmp_path):
+    from hindex_spark.catalog import Catalog
+    from hindex_spark.operators.dedup_state import DedupState
+
+    corpus = spark.createDataFrame(
+        [(1, "the quick brown fox jumps over the lazy dog"),
+         (2, "some existing corpus content lives right here")],
+        ["doc_id", "text"],
+    )
+    new = spark.createDataFrame(
+        [(10, "the quick brown fox jumps over the lazy dog"),        # exact dup of 1
+         (11, "the quick brown fox jumps over the lazy dog today"),  # near dup of 1
+         (12, "genuinely novel material unseen anywhere before now")],
+        ["doc_id", "text"],
+    )
+    cat = Catalog(spark, str(tmp_path / "wh"))
+    try:
+        st = DedupState.build(cat, corpus, "doc_id", "text", "c1", num_buckets=4)
+        out = st.dedup_batch(new, corpus, threshold=0.5)
+        stateless = dd.incremental_dedup(
+            new, corpus, "doc_id", "text", threshold=0.5, max_bucket=None
+        )
+        assert sorted(r["doc_id"] for r in out.collect()) == sorted(
+            r["doc_id"] for r in stateless.collect()
+        ) == [12]
+        assert out.columns == new.columns
+        # reopen from disk: meta round-trips
+        st2 = DedupState.open(cat, "c1")
+        assert st2.ngram == 3 and st2.id_col == "doc_id"
+        assert sorted(
+            r["doc_id"] for r in st2.dedup_batch(new, corpus, 0.5).collect()
+        ) == [12]
+    finally:
+        spark.sql("DROP TABLE IF EXISTS c1_dedupstate_bucketed")
+
+
+def test_dedup_state_update_appends_batch(spark, tmp_path):
+    from hindex_spark.catalog import Catalog
+    from hindex_spark.operators.dedup_state import DedupState
+
+    corpus = spark.createDataFrame(
+        [(1, "original corpus document with several distinct words")],
+        ["doc_id", "text"],
+    )
+    b1 = spark.createDataFrame(
+        [(10, "first accepted batch doc about sailing ships at sea")],
+        ["doc_id", "text"],
+    )
+    b2 = spark.createDataFrame(
+        [(20, "first accepted batch doc about sailing ships at sea today"),  # near dup of 10
+         (21, "completely unrelated second batch material here now")],
+        ["doc_id", "text"],
+    )
+    cat = Catalog(spark, str(tmp_path / "wh"))
+    try:
+        st = DedupState.build(cat, corpus, "doc_id", "text", "c2", num_buckets=4)
+        acc1 = st.dedup_batch(b1, corpus, threshold=0.5)
+        assert [r["doc_id"] for r in acc1.collect()] == [10]
+        st.update(acc1)
+        assert st.df.count() == 2  # appended, not rewritten
+        # the union view the NEXT batch must dedup against
+        corpus2 = corpus.unionByName(b1)
+        acc2 = st.dedup_batch(b2, corpus2, threshold=0.5)
+        # 20 near-dups the batch-1 doc that only exists in state via update()
+        assert sorted(r["doc_id"] for r in acc2.collect()) == [21]
+    finally:
+        spark.sql("DROP TABLE IF EXISTS c2_dedupstate_bucketed")
+
+
+def test_dedup_state_corpus_not_reshingled(spark, sf_dir, tmp_path):
+    # The steady-state contract: dedup_batch's plan reads the corpus
+    # parquet EXACTLY once (candidate verification, semi-joined to
+    # candidate ids) — signatures and fingerprints come from the store,
+    # so no per-batch corpus re-shingle. The state table scan (bucketed)
+    # must appear instead.
+    from hindex_spark.catalog import Catalog
+    from hindex_spark.operators.dedup_state import DedupState
+
+    corpus = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    cat = Catalog(spark, str(tmp_path / "wh"))
+    try:
+        st = DedupState.build(cat, corpus, "doc_id", "text", "c3", num_buckets=4)
+        batch = spark.createDataFrame(
+            [(900001, "a brand new document for the daily batch")],
+            "doc_id long, text string",
+        )
+        out = st.dedup_batch(batch, corpus, threshold=0.9)
+        p = out._jdf.queryExecution().executedPlan().toString()
+        assert p.count("documents.parquet") == 1  # verification scan only
+        assert "c3_dedupstate_bucketed" in p       # signatures from the store
+        assert out.count() == 1
+    finally:
+        spark.sql("DROP TABLE IF EXISTS c3_dedupstate_bucketed")
+
+
 def test_shared_span_pairs_partial_overlap(spark):
     shared = "alpha beta gamma delta"
     docs = spark.createDataFrame(

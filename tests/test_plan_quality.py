@@ -80,6 +80,18 @@ def test_exists_batch_probe_restricts_before_distinct(spark, sf_dir):
     assert "SortMergeJoin" not in p  # full-table shuffle semi-join is a regression
 
 
+def test_fuzzy_row_prefix_range_pushes_down(spark, sf_dir):
+    # FuzzyRowFilter.getNextCellHint analog: the fixed leading prefix of
+    # the fuzzy pattern must reach the parquet scan as a rowkey range so
+    # row-group min/max pruning fires — the regex alone would force a
+    # full scan of the rowkey column at 100 TB.
+    t = Table.from_parquet(spark, f"{sf_dir}/part.parquet", "p_name", "part")
+    df = t.scan(Scan(filter=fl.FuzzyRowFilter("alm?nd"), columns=["p_partkey"]))
+    p = _plan(df)
+    assert "GreaterThanOrEqual(p_name,alm)" in p
+    assert "LessThan(p_name,aln)" in p
+
+
 def test_small_dim_join_broadcasts(spark, sf_dir):
     cust = spark.read.parquet(f"{sf_dir}/customer.parquet")
     nation = spark.read.parquet(f"{sf_dir}/nation.parquet")
