@@ -67,6 +67,18 @@ class Table:
         self.index_tables: Dict[str, DataFrame] = {}
         self.last_index_plan: Optional[IndexPlan] = None  # test spy
         self._changelog = None  # ChangelogEmitter when replication is on
+        self._verbs_since_checkpoint = 0  # see checkpoint()
+
+    #: Auto lineage truncation for chained mutations: every mutation verb
+    #: stacks a full-outer merge + per-index maintenance joins into ONE
+    #: lazy plan, so an interactive sequence of checkAnd*/put/delete grows
+    #: the plan (and every downstream scan's planning time) without bound
+    #: — measured 65 exchanges after two checkAnd* verbs on a 4-index
+    #: table. After this many chained verbs the result is localCheckpoint'd
+    #: non-eagerly (plan truncated immediately, computed on first action —
+    #: the batch analog of StreamingIngest.checkpoint_every). Set to 0 to
+    #: disable; call ``checkpoint()`` explicitly for eager truncation.
+    AUTO_CHECKPOINT_EVERY: int = 2
 
     # -- construction ------------------------------------------------------
 
@@ -120,6 +132,27 @@ class Table:
         self.df = self.df.cache()
         self.index_tables = {k: v.cache() for k, v in self.index_tables.items()}
         return self
+
+    def checkpoint(self, eager: bool = True) -> "Table":
+        """Truncate the mutation-chain lineage of this table (and its
+        index tables) via localCheckpoint — the batch analog of
+        StreamingIngest._checkpointed (streaming/ingest.py). Plans built
+        on the result no longer replay the whole verb chain, so planning
+        time and repeated-subtree recomputation stay bounded for long
+        interactive sequences. ``eager=False`` truncates the plan
+        immediately but defers computation to the first action (pure
+        laziness preserved); auto-truncation (AUTO_CHECKPOINT_EVERY)
+        uses that mode."""
+        out = Table(
+            self.df.localCheckpoint(eager=eager),
+            self.rowkey_col, self.name, self.indices,
+        )
+        out.index_tables = {
+            k: v.localCheckpoint(eager=eager) for k, v in self.index_tables.items()
+        }
+        out._changelog = self._changelog
+        out.last_index_plan = self.last_index_plan
+        return out
 
     # -- reads --------------------------------------------------------------
 
@@ -407,6 +440,12 @@ class Table:
                 else:
                     after = df.join(affected.select(rk), rk, "left_semi")
                 self._changelog.emit("put", after, self.df, rk)
+        out._verbs_since_checkpoint = self._verbs_since_checkpoint + 1
+        if (
+            Table.AUTO_CHECKPOINT_EVERY
+            and out._verbs_since_checkpoint >= Table.AUTO_CHECKPOINT_EVERY
+        ):
+            out = out.checkpoint(eager=False)
         return out
 
     def put(self, puts: DataFrame, order_col: Optional[str] = None) -> "Table":

@@ -408,3 +408,44 @@ def test_exists_single_and_batch(spark, sf_dir):
     probes = spark.createDataFrame([(1,), (2,), (-99,)], ["o_orderkey"])
     got = {r["o_orderkey"]: r["exists"] for r in t.exists_batch(probes).collect()}
     assert got == {1: True, 2: True, -99: False}
+
+
+def test_auto_checkpoint_bounds_chained_mutation_plans(spark):
+    # Long interactive verb chains must not grow the physical plan (and
+    # its exchange count) without bound: after AUTO_CHECKPOINT_EVERY
+    # chained mutations the lineage is truncated (localCheckpoint,
+    # non-eager), matching StreamingIngest's checkpoint_every discipline.
+    from hindex_spark.index.spec import IndexSpecification
+
+    def chain(t):
+        for i in range(6):
+            puts = spark.createDataFrame([("r1", f"v{i}")], ["rowkey", "c_str"])
+            t = t.put(puts)
+        return t
+
+    t = _tab(spark)
+    t.create_index(IndexSpecification("ix").add_column("c_str"))
+    bounded = chain(t)
+    p_bounded = bounded.df._jdf.queryExecution().executedPlan().toString()
+
+    old = Table.AUTO_CHECKPOINT_EVERY
+    Table.AUTO_CHECKPOINT_EVERY = 0
+    try:
+        t2 = _tab(spark)
+        t2.create_index(IndexSpecification("ix").add_column("c_str"))
+        unbounded = chain(t2)
+        p_unbounded = unbounded.df._jdf.queryExecution().executedPlan().toString()
+    finally:
+        Table.AUTO_CHECKPOINT_EVERY = old
+
+    assert p_bounded.count("Exchange") * 2 <= p_unbounded.count("Exchange")
+    # truncation must not change results — same final rows either way
+    assert sorted(map(tuple, bounded.df.collect())) == sorted(
+        map(tuple, unbounded.df.collect())
+    )
+    # explicit eager checkpoint keeps data and indexes intact
+    cp = bounded.checkpoint()
+    assert sorted(map(tuple, cp.df.collect())) == sorted(
+        map(tuple, bounded.df.collect())
+    )
+    assert cp.index_tables["ix"].count() == bounded.index_tables["ix"].count()
