@@ -27,6 +27,7 @@ import os
 import re
 import shutil
 import threading
+import uuid
 from contextlib import contextmanager
 from dataclasses import dataclass, field
 from typing import Dict, List, Optional
@@ -248,9 +249,16 @@ class Catalog:
 
     def _write_bucketed(
         self, df: DataFrame, final: str, qname: str, bucket_col: str, sort_cols, n: int,
-        bloom_cols=None, codec=None, register=True,
+        bloom_cols=None, codec=None, register=True, staging_suffix=".staging",
+        swap=True,
     ) -> None:
-        staging = final + ".staging"
+        """``staging_suffix``/``swap``: Catalog.save stages each version
+        write into a WRITER-UNIQUE directory (suffix = the fence token)
+        and defers the swap to the commit phase — two writers racing the
+        same version number (a zombie past its lease TTL + the takeover)
+        can then never write into the same directory; the loser is
+        fenced before its staging is ever promoted."""
+        staging = final + staging_suffix
         shutil.rmtree(staging, ignore_errors=True)
         tmp = f"{qname}__staging"
         self.spark.sql(f"DROP TABLE IF EXISTS `{tmp}`")
@@ -269,6 +277,8 @@ class Catalog:
             w = w.option("compression", codec)
         w.option("path", staging).saveAsTable(tmp)
         self.spark.sql(f"DROP TABLE IF EXISTS `{tmp}`")  # metadata only; files stay
+        if not swap:
+            return  # caller promotes staging after its fence check
         self._swap_in(final, staging)
         # re-register the final name: a previous registration of this
         # table may carry a different bucket count or schema, and a
@@ -388,7 +398,7 @@ class Catalog:
             cur = None  # vanished or corrupt — treat as stale
         if cur is not None:
             age = time.time() - float(cur.get("acquired_at", 0))
-            if age < ttl:
+            if age < ttl and not self._lease_holder_dead(cur):
                 raise SaveContentionError(
                     f"table dir {d!r}: save lease held by pid "
                     f"{cur.get('pid')} on {cur.get('host')!r} "
@@ -399,6 +409,26 @@ class Catalog:
             fh.write(payload)
         os.replace(tmp, lease)
         return token
+
+    @staticmethod
+    def _lease_holder_dead(cur: dict) -> bool:
+        """A lease whose holder is a DEAD process on THIS host is stale
+        immediately — without this, a writer killed between lease
+        acquire and release blocks every later same-host save (where
+        the flock already proves no live writer) for the full TTL. On
+        another host pid liveness is unknowable here, so the TTL
+        governs (the cross-host fencing path)."""
+        import socket
+
+        if cur.get("host") != socket.gethostname():
+            return False
+        try:
+            os.kill(int(cur["pid"]), 0)
+            return False  # alive (or at least present)
+        except ProcessLookupError:
+            return True
+        except (PermissionError, KeyError, TypeError, ValueError):
+            return False  # exists-but-not-ours, or unreadable — be safe
 
     def _check_fence(self, d: str, token: str) -> None:
         try:
@@ -420,7 +450,10 @@ class Catalog:
                 if json.load(fh).get("token") != token:
                     return  # fenced — the lease belongs to someone else now
             os.remove(self._lease_path(d))
-        except OSError:
+        except (OSError, ValueError):
+            # ValueError covers json.JSONDecodeError on a concurrently-
+            # replaced/corrupt lease: a release failure must never make
+            # an already-committed save look failed to the caller.
             pass
 
     def _save_locked(
@@ -488,13 +521,24 @@ class Catalog:
         )
         data_path = self._data_dir(d, new_v)
         index_root = self._index_root(d, new_v)
-        registrations = []  # deferred until after the descriptor commit
+        # WRITER-UNIQUE staging (fence-token suffix): a zombie writer
+        # past its lease TTL and its takeover both compute the same
+        # new_v, but each writes into its OWN staging directories —
+        # promotion to the v{N} paths happens only after the fence
+        # check, so a fenced zombie can never clobber the takeover's
+        # committed version files (previously both wrote
+        # mode('overwrite') straight into the shared v{N} dirs).
+        suffix = ".staging." + (fence_token or uuid.uuid4().hex)
+        promotions = []       # (final, staging) — promoted post-fence
+        registrations = []    # deferred until after the descriptor commit
         if layout == "bucketed":
             qd = self._sql_name(table.name, "__data")
             self._write_bucketed(
                 table.df, data_path, qd, rk, [rk],
                 num_partitions, bloom_cols=bloom_cols, codec=codec, register=False,
+                staging_suffix=suffix, swap=False,
             )
+            promotions.append((data_path, data_path + suffix))
             registrations.append((qd, data_path, table.df.schema, [rk]))
             for spec in table.indices.indices:
                 # bucket by rowkey (shuffle-free maintenance + semi-join
@@ -508,7 +552,9 @@ class Catalog:
                 self._write_bucketed(
                     idx_df, ipath, qi, rk, spec.indexed_names + [rk],
                     num_partitions, codec=codec, register=False,
+                    staging_suffix=suffix, swap=False,
                 )
+                promotions.append((ipath, ipath + suffix))
                 registrations.append((qi, ipath, idx_df.schema, spec.indexed_names + [rk]))
         else:
             w = (
@@ -524,7 +570,8 @@ class Catalog:
                 w = w.option(f"parquet.bloom.filter.enabled#{c}", "true")
             if codec is not None:
                 w = w.option("compression", codec)
-            w.parquet(data_path)
+            w.parquet(data_path + suffix)
+            promotions.append((data_path, data_path + suffix))
             for spec in table.indices.indices:
                 idx = table.index_tables[spec.name]
                 sort_cols = spec.indexed_names + [rk]
@@ -535,15 +582,24 @@ class Catalog:
                 )
                 if codec is not None:
                     iw = iw.option("compression", codec)
-                iw.parquet(os.path.join(index_root, spec.name))
+                ipath = os.path.join(index_root, spec.name)
+                iw.parquet(ipath + suffix)
+                promotions.append((ipath, ipath + suffix))
         hook = getattr(self, "_pre_commit_hook", None)
         if hook is not None:
             hook()  # test seam: observe the catalog BEFORE the pointer swap
         if fence_token is not None:
             # Fencing: if this writer's lease was broken (save exceeded
             # its TTL and a competitor took over), abort HERE — before
-            # the pointer swap — so the takeover's committed version and
-            # its files are never clobbered or GC'd by a zombie writer.
+            # any staging is promoted — so the takeover's committed
+            # version and its files are never clobbered or GC'd by a
+            # zombie writer.
+            self._check_fence(d, fence_token)
+        for final, staging in promotions:
+            self._swap_in(final, staging)
+        if fence_token is not None:
+            # Re-check after promotion: a takeover racing the promotion
+            # window still fences this writer before the pointer swap.
             self._check_fence(d, fence_token)
         tmp = desc_file + ".tmp"
         with open(tmp, "w") as fh:
@@ -555,6 +611,15 @@ class Catalog:
         for qname, loc, schema, sort_cols in registrations:
             self._register_bucketed(qname, loc, schema, rk, sort_cols, num_partitions)
         self._gc_versions(d, keep={new_v, cur})
+        # Sweep dead writers' staging leftovers (ours were renamed away;
+        # anything else belongs to a crashed/fenced writer — we hold the
+        # lease, so no live writer owns them).
+        for root in (d, index_root):
+            if not os.path.isdir(root):
+                continue
+            for entry in os.listdir(root):
+                if ".staging." in entry:
+                    shutil.rmtree(os.path.join(root, entry), ignore_errors=True)
 
     def _attach_bucketed(
         self, qname: str, location: str, bucket_col: str, sort_cols, n: int,

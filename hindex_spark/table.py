@@ -47,6 +47,17 @@ class Scan:
     reversed: bool = False           # setReversed (Scan.java:585)
     limit: Optional[int] = None      # PageFilter / client-side stop
     index_hint: Any = None           # SingleIndex/MultiIndex/NoIndexExpression
+    #: Reversed-range convention control. The reference's reversed scan
+    #: (Scan.java:578-595) treats startRow as the HIGH end and stopRow
+    #: as the LOW end. With both bounds set and start > stop that shape
+    #: is unambiguous and honored automatically. With ONLY start_row (or
+    #: only stop_row) set the shapes are indistinguishable, and the
+    #: engine's low/high convention wins: a lone start_row is a LOW
+    #: bound (rk >= start) even under reversed=True. A reference-ported
+    #: single-bound reversed scan must set reference_range=True to get
+    #: startRow-as-high / stopRow-as-low explicitly (requires
+    #: reversed=True; raises otherwise).
+    reference_range: bool = False
 
 
 class Table:
@@ -179,11 +190,22 @@ class Table:
         # (start <= stop keeps this engine's low/high convention, where
         # ``reversed`` only flips output order — the entrenched contract
         # of the property suite.)
-        ref_reversed_range = (
-            scan.reversed
-            and scan.start_row is not None
-            and scan.stop_row is not None
-            and scan.start_row > scan.stop_row
+        # ``reference_range=True`` opts single-bound reversed scans into
+        # the reference convention explicitly (the shapes are ambiguous
+        # with one bound — see the Scan field doc).
+        if scan.reference_range and not scan.reversed:
+            raise ValueError(
+                "Scan(reference_range=True) is the REVERSED-scan range "
+                "convention (startRow = high end, Scan.java:578-595); "
+                "set reversed=True or drop the flag"
+            )
+        ref_reversed_range = scan.reversed and (
+            scan.reference_range
+            or (
+                scan.start_row is not None
+                and scan.stop_row is not None
+                and scan.start_row > scan.stop_row
+            )
         )
         if scan.start_row is not None:
             if ref_reversed_range:

@@ -269,13 +269,12 @@ def test_crash_between_staging_write_and_swap_is_recoverable(spark, sf_dir, tmp_
     """TestIndexPutsWithRegionServerRestart analog (hbase-secondaryindex/
     src/test/.../TestIndexPutsWithRegionServerRestart.java): the reference
     survives a region-server kill mid-load via WAL replay. The engine's
-    equivalent crash window is INSIDE a save, after the staging directory
-    is fully written but before ``_swap_in`` promotes it. A kill there
-    must (a) leave an orphan ``.staging`` dir that the NEXT save reclaims
-    (the retry computes the same version number, so the staging path is
-    reused and rmtree'd), (b) keep every reader on the old committed
-    version — table AND index consistent — and (c) leave zero ``.staging``
-    residue after the successful retry."""
+    equivalent crash window is INSIDE a save, after the writer-unique
+    staging directories (suffix = fence token) are fully written but
+    before the post-fence promotion. A kill there must (a) leave orphan
+    ``.staging.<token>`` dirs that the NEXT successful save sweeps, (b)
+    keep every reader on the old committed version — table AND index
+    consistent — and (c) leave zero staging residue after the retry."""
     import glob
 
     import pytest
@@ -310,7 +309,8 @@ def test_crash_between_staging_write_and_swap_is_recoverable(spark, sf_dir, tmp_
     cat_dying._swap_in = dying_swap
     with pytest.raises(RuntimeError, match="killed between staging"):
         cat_dying.save(t2, num_partitions=2)
-    assert os.path.isdir(f"{d}/data_v1.staging")  # the orphan
+    assert glob.glob(f"{d}/data_v1.staging.*")  # the orphan (token-suffixed)
+    assert not os.path.isdir(f"{d}/data_v1")    # nothing promoted
     # readers never see it: still the committed v0 pair
     recovered = cat.load("orders_crash")
     assert recovered.df.count() == v0_rows
@@ -328,7 +328,7 @@ def test_crash_between_staging_write_and_swap_is_recoverable(spark, sf_dir, tmp_
 
     # retry on a healthy catalog: reclaims the orphans, commits v1
     cat.save(t2, num_partitions=2)
-    assert glob.glob(f"{d}/**/*.staging", recursive=True) == []
+    assert glob.glob(f"{d}/**/*.staging*", recursive=True) == []
     now = cat.load("orders_crash")
     assert now.df.count() == v0_rows - 100
     assert _index_consistent(now)
@@ -656,7 +656,71 @@ def test_cross_process_save_lease_contention_and_fencing(spark, tmp_path):
         )
     del cat_a._pre_commit_hook
     assert {(r["k"], r["v"]) for r in cat_a.load("t").df.collect()} == {(3, "B2")}
+    # the zombie's write stayed in its own token-suffixed staging (B's
+    # committed version files were NEVER touched — the clobbering the
+    # shared-v{N} layout allowed) and B's post-commit sweep reclaimed it
+    import glob
+
+    assert glob.glob(f"{wh}/t/**/*.staging*", recursive=True) == []
 
     # lease is released after both outcomes: a fresh save proceeds
     cat_a.save(Table(spark.createDataFrame([(4, "A3")], "k long, v string"), "k", "t"))
     assert {(r["k"], r["v"]) for r in cat_a.load("t").df.collect()} == {(4, "A3")}
+    assert glob.glob(f"{wh}/t/**/*.staging*", recursive=True) == []
+
+
+def test_dead_same_host_lease_holder_is_immediately_stale(spark, tmp_path):
+    """A writer SIGKILLed between lease acquire and release must not
+    block later same-host saves for the full TTL: the flock already
+    proves no live writer, and a dead pid on this host makes the lease
+    stale immediately (cross-host leases still wait out the TTL)."""
+    import json as _json
+    import socket
+    import subprocess
+    import time
+
+    wh = str(tmp_path / "wh")
+    cat = Catalog(spark, wh)
+    base = spark.createDataFrame([(1, "x")], "k long, v string")
+    cat.save(Table(base, "k", "t"))
+
+    # forge a lease held by a real-but-dead pid on this host, fresh age
+    p = subprocess.Popen(["true"])
+    p.wait()
+    d = str(tmp_path / "wh" / "t")
+    with open(cat._lease_path(d), "w") as fh:
+        fh.write(_json.dumps({
+            "token": "deadbeef", "pid": p.pid,
+            "host": socket.gethostname(), "acquired_at": time.time(),
+        }))
+    # default TTL is 600s — this must NOT wait or raise
+    cat.save(Table(spark.createDataFrame([(2, "y")], "k long, v string"), "k", "t"))
+    assert {(r["k"], r["v"]) for r in cat.load("t").df.collect()} == {(2, "y")}
+
+    # a LIVE same-host holder still refuses
+    from hindex_spark.catalog import SaveContentionError
+    import os as _os
+    import pytest
+
+    with open(cat._lease_path(d), "w") as fh:
+        fh.write(_json.dumps({
+            "token": "cafe", "pid": _os.getpid(),
+            "host": socket.gethostname(), "acquired_at": time.time(),
+        }))
+    with pytest.raises(SaveContentionError):
+        cat.save(Table(base, "k", "t"))
+    _os.remove(cat._lease_path(d))
+
+
+def test_release_lease_tolerates_corrupt_lease_file(spark, tmp_path):
+    """_release_lease runs in save()'s finally: a corrupt/concurrently-
+    replaced lease (json.load -> ValueError) must not make a fully
+    committed save look failed."""
+    import os as _os
+
+    cat = Catalog(spark, str(tmp_path / "wh"))
+    d = str(tmp_path / "wh" / "t")
+    _os.makedirs(d, exist_ok=True)
+    with open(cat._lease_path(d), "w") as fh:
+        fh.write("{not json at all")
+    cat._release_lease(d, "sometoken")  # must not raise

@@ -1,0 +1,191 @@
+"""Multi-process chaos tier (hbase-it / IntegrationTestIngest spirit):
+two REAL OS processes — each with its own JVM — race the catalog save
+path and the changelog emit/compaction path. Unlike the stubbed-flock
+fencing tests (test_catalog.py), nothing is simulated here: the flock,
+the lease file, and the version-pointer commits are exercised across
+genuine process boundaries.
+
+Invariants asserted (TestAcidGuaranteesForIndex spirit):
+  * concurrent saves serialize — the final descriptor version counts
+    every commit, the loaded table is EXACTLY one writer's table (never
+    a mix), and data/index stay consistent;
+  * changelog compaction racing a live emitter loses no records and
+    keeps seq ordering replayable.
+"""
+
+import glob
+import json
+import os
+import subprocess
+import sys
+import time
+
+import pytest
+from pyspark.sql import functions as F
+
+from hindex_spark.catalog import Catalog
+from hindex_spark.index.spec import IndexSpecification
+from hindex_spark.table import Table
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+SAVE_WORKER = """
+import json, os, sys, time
+sys.path.insert(0, {repo!r})
+from pyspark.sql import SparkSession
+from hindex_spark.catalog import Catalog, SaveContentionError
+from hindex_spark.index.spec import IndexSpecification
+from hindex_spark.table import Table
+
+wh, sync = sys.argv[1], sys.argv[2]
+spark = (SparkSession.builder.master("local[2]")
+         .config("spark.sql.shuffle.partitions", "2")
+         .config("spark.ui.enabled", "false")
+         .appName("chaos_worker").getOrCreate())
+cat = Catalog(spark, wh)
+open(os.path.join(sync, "ready"), "w").close()
+while not os.path.exists(os.path.join(sync, "go")):
+    time.sleep(0.05)
+outcomes = []
+for i in range(3):
+    rows = [(k, "B%d" % i) for k in range(5)]
+    t = Table(spark.createDataFrame(rows, "k long, v string"), "k", "chaos")
+    t.create_index(IndexSpecification("ix").add_column("v"))
+    try:
+        cat.save(t, num_partitions=2)
+        outcomes.append("commit")
+    except SaveContentionError:
+        outcomes.append("contention")
+with open(os.path.join(sync, "outcomes.json"), "w") as f:
+    json.dump(outcomes, f)
+spark.stop()
+"""
+
+COMPACT_WORKER = """
+import os, sys, time
+sys.path.insert(0, {repo!r})
+from pyspark.sql import SparkSession
+from hindex_spark.streaming.ingest import compact_changelog
+
+log, sync = sys.argv[1], sys.argv[2]
+spark = (SparkSession.builder.master("local[2]")
+         .config("spark.sql.shuffle.partitions", "2")
+         .config("spark.ui.enabled", "false")
+         .appName("chaos_compactor").getOrCreate())
+open(os.path.join(sync, "ready"), "w").close()
+while not os.path.exists(os.path.join(sync, "go")):
+    time.sleep(0.05)
+for _ in range(3):
+    compact_changelog(spark, log, num_files=1)
+    time.sleep(0.2)
+open(os.path.join(sync, "done"), "w").close()
+spark.stop()
+"""
+
+
+def _spawn(script: str, *args: str, sync: str) -> subprocess.Popen:
+    path = os.path.join(sync, "worker.py")
+    with open(path, "w") as f:
+        f.write(script.format(repo=REPO))
+    env = dict(os.environ, PYTHONPATH=REPO)
+    return subprocess.Popen(
+        [sys.executable, path, *args, sync],
+        env=env, stdout=subprocess.DEVNULL, stderr=subprocess.DEVNULL,
+    )
+
+
+def _wait_file(path: str, timeout: float = 120.0) -> None:
+    deadline = time.time() + timeout
+    while not os.path.exists(path):
+        if time.time() > deadline:
+            raise TimeoutError(f"worker never produced {path}")
+        time.sleep(0.1)
+
+
+def test_two_process_save_race_serializes_and_commits_atomically(spark, tmp_path):
+    wh = str(tmp_path / "wh")
+    sync = str(tmp_path / "sync")
+    os.makedirs(sync)
+    cat = Catalog(spark, wh)
+    t0 = Table(
+        spark.createDataFrame([(k, "init") for k in range(5)], "k long, v string"),
+        "k", "chaos",
+    )
+    t0.create_index(IndexSpecification("ix").add_column("v"))
+    cat.save(t0, num_partitions=2)  # v0
+
+    proc = _spawn(SAVE_WORKER, wh, sync=sync)
+    try:
+        _wait_file(os.path.join(sync, "ready"))
+        open(os.path.join(sync, "go"), "w").close()
+        my_outcomes = []
+        for i in range(3):
+            rows = [(k, f"A{i}") for k in range(5)]
+            t = Table(spark.createDataFrame(rows, "k long, v string"), "k", "chaos")
+            t.create_index(IndexSpecification("ix").add_column("v"))
+            cat.save(t, num_partitions=2)
+            my_outcomes.append("commit")
+        assert proc.wait(timeout=180) == 0
+    finally:
+        if proc.poll() is None:
+            proc.kill()
+
+    with open(os.path.join(sync, "outcomes.json")) as f:
+        worker_outcomes = json.load(f)
+    commits = my_outcomes.count("commit") + worker_outcomes.count("commit")
+    # same-host flock serializes: every save eventually commits
+    assert worker_outcomes.count("contention") == 0
+
+    d = str(tmp_path / "wh" / "chaos")
+    with open(os.path.join(d, "_descriptor.json")) as f:
+        version = json.load(f)["version"]
+    assert version == commits  # v0 + one increment per committed save
+
+    got = cat.load("chaos")
+    tags = {r["v"] for r in got.df.collect()}
+    assert len(tags) == 1 and next(iter(tags)) in {"A0", "A1", "A2", "B0", "B1", "B2"}
+    # index consistent with data (the same-commit invariant)
+    via_idx = {(r["v"], r["k"]) for r in got.index_tables["ix"].select("v", "k").collect()}
+    assert via_idx == {(r["v"], r["k"]) for r in got.df.select("v", "k").collect()}
+    # no lease or staging residue
+    assert not os.path.exists(os.path.join(d, "_lease.json"))
+    assert glob.glob(f"{d}/**/*.staging*", recursive=True) == []
+
+
+def test_two_process_changelog_compaction_race_loses_nothing(spark, tmp_path):
+    from hindex_spark.streaming.ingest import ChangelogEmitter
+
+    log = str(tmp_path / "log")
+    sync = str(tmp_path / "sync")
+    os.makedirs(sync)
+
+    base = spark.createDataFrame([(1, "x")], "k long, v string")
+    em = ChangelogEmitter(log)
+    # seed a couple of batches so the compactor has work immediately
+    for i in range(2):
+        rows = spark.createDataFrame([(10 + i, f"v{i}")], "k long, v string")
+        em.emit("put", rows, base, "k")
+
+    proc = _spawn(COMPACT_WORKER, log, sync=sync)
+    emitted = 2
+    try:
+        _wait_file(os.path.join(sync, "ready"))
+        open(os.path.join(sync, "go"), "w").close()
+        for i in range(2, 8):
+            rows = spark.createDataFrame([(10 + i, f"v{i}")], "k long, v string")
+            em.emit("put", rows, base, "k")
+            emitted += 1
+            time.sleep(0.1)
+        assert proc.wait(timeout=180) == 0
+    finally:
+        if proc.poll() is None:
+            proc.kill()
+
+    final = spark.read.parquet(log)
+    # every emitted record survived the concurrent compactions, with
+    # distinct replayable seqs
+    assert final.count() == emitted
+    seqs = [r["seq"] for r in final.select("seq").collect()]
+    assert len(set(seqs)) == emitted
+    keys = {r["k"] for r in final.collect()}
+    assert keys == {10 + i for i in range(8)}

@@ -503,6 +503,27 @@ def test_reversed_scan_reference_range_convention(spark):
     # engine convention unchanged: low/high + reversed output order
     got_fwd = [r["rowkey"] for r in t.scan(Scan(start_row="r03", stop_row="r07", reversed=True)).collect()]
     assert got_fwd == ["r06", "r05", "r04", "r03"]
+    # SINGLE-BOUND reversed scans are shape-ambiguous: by default the
+    # engine's convention wins (lone start_row = LOW bound), and
+    # reference_range=True opts into startRow-as-high explicitly
+    lone_default = [
+        r["rowkey"] for r in t.scan(Scan(start_row="r07", reversed=True)).collect()
+    ]
+    assert lone_default == ["r09", "r08", "r07"]  # rk >= r07, reversed order
+    lone_ref = [
+        r["rowkey"]
+        for r in t.scan(Scan(start_row="r07", reversed=True, reference_range=True)).collect()
+    ]
+    assert lone_ref == ["r07", "r06", "r05", "r04", "r03", "r02", "r01", "r00"]
+    lone_stop_ref = [
+        r["rowkey"]
+        for r in t.scan(Scan(stop_row="r07", reversed=True, reference_range=True)).collect()
+    ]
+    assert lone_stop_ref == ["r09", "r08"]  # stopRow = LOW end, exclusive
+    import pytest
+
+    with pytest.raises(ValueError, match="reference_range"):
+        t.scan(Scan(start_row="r07", reference_range=True))  # needs reversed
 
 
 def test_reversed_scan_direction_sensitive_filters(spark):
