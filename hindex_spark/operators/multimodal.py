@@ -2,10 +2,13 @@
 typed metadata, processed by Arrow-batched Pandas operators.
 
 The Spark-side plumbing (schema, partition-sized batch iteration, UDF
-signatures) is real and tested; the actual media decode is stubbed
-behind ``NotImplementedError`` (decode libs are not in this container)
-with a deterministic fake used by tests — swap ``_decode_stub`` for a
-PIL/ffmpeg call and nothing else changes.
+signatures) is real and tested. Media decode goes through a runtime
+seam (``_pil``): when Pillow is importable on the executors,
+``extract_features`` decodes real pixels and ``resize_blobs(...,
+target_size=(w, h))`` performs a real ``Image.resize`` + PNG re-encode;
+when it is not (this container), a deterministic byte-stat fake with
+the SAME output schema stands in, so oracle results are identical
+either way. ffmpeg-class video decode remains stub-only.
 
 Scale notes: blobs ride the normal columnar path (parquet binary
 columns); mapInPandas streams Arrow batches so a 100 MB image batch
@@ -32,7 +35,27 @@ BLOB_META = T.StructType(
     ]
 )
 
-REAL_DECODE = False  # flip when decode libs are available
+_PIL_UNSET = object()
+_PIL = _PIL_UNSET
+
+
+def _pil():
+    """Runtime decode seam: the PIL ``Image`` module if importable, else
+    ``None``. Resolved lazily ONCE per Python worker (mapInPandas runs
+    this on executors, where the import set can differ from the driver).
+    In this container PIL is absent, so every operator takes the
+    deterministic stub path; installing Pillow activates real decode
+    with no code change — the skip-marked tests in
+    ``test_multimodal.py`` exercise that path when it exists."""
+    global _PIL
+    if _PIL is _PIL_UNSET:
+        try:
+            from PIL import Image  # noqa: PLC0415 - runtime capability probe
+
+            _PIL = Image
+        except ImportError:
+            _PIL = None
+    return _PIL
 
 
 def attach_blob(df: DataFrame, text_col: str = "text", media_type: str = "image") -> DataFrame:
@@ -59,9 +82,8 @@ def blob_stats(df: DataFrame, blob_col: str = "blob") -> DataFrame:
 
 def _decode_stub(payload: bytes) -> dict:
     """Deterministic fake decode: byte-level stats standing in for pixel
-    decoding. A real build replaces this body with PIL/ffmpeg."""
-    if REAL_DECODE:
-        raise NotImplementedError("media decode libs not present in this container")
+    decoding — the fallback when PIL is absent or the payload is not a
+    decodable image."""
     n = len(payload)
     s = sum(payload) if n else 0
     return {
@@ -71,16 +93,53 @@ def _decode_stub(payload: bytes) -> dict:
     }
 
 
+def _decode_auto(payload: bytes) -> dict:
+    """Real decode when possible, stub otherwise, SAME output schema.
+    With Pillow installed, a payload that parses as an image yields
+    pixel-level stats (mean/max over the decoded raster, any mode);
+    anything else — including every synthetic utf-8 blob the oracle
+    gates use, which has no image magic bytes — falls through to the
+    deterministic byte stub, so gate results are identical with or
+    without PIL present."""
+    img_mod = _pil()
+    if img_mod is not None:
+        import io  # noqa: PLC0415 - worker-side
+
+        try:
+            with img_mod.open(io.BytesIO(payload)) as img:
+                raw = img.tobytes()
+            n = len(raw)
+            return {
+                "n_bytes": len(payload),
+                "mean_byte": (sum(raw) / n) if n else 0.0,
+                "max_byte": max(raw) if n else 0,
+            }
+        except Exception:  # noqa: BLE001 - not an image → stub path
+            pass
+    return _decode_stub(payload)
+
+
 FEATURE_SCHEMA = "doc_id long, n_bytes long, mean_byte double, max_byte int"
 
 
-def extract_features(df: DataFrame, id_col: str = "doc_id", blob_col: str = "blob") -> DataFrame:
+def extract_features(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    blob_col: str = "blob",
+    decode: str = "auto",
+) -> DataFrame:
     """mapInPandas feature extraction over Arrow batches — the pattern
-    for decode / resize / frame-sample operators."""
+    for decode / resize / frame-sample operators.
+
+    ``decode="auto"`` (default) uses real PIL pixel decoding per blob
+    when Pillow is importable on the executors, falling back to the
+    byte-stat stub per blob otherwise; ``decode="stub"`` forces the
+    deterministic stub (what the DuckDB oracles model)."""
+    fn = _decode_stub if decode == "stub" else _decode_auto
 
     def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            feats = pdf[blob_col].map(lambda b: _decode_stub(bytes(b)))
+            feats = pdf[blob_col].map(lambda b: fn(bytes(b)))
             yield pd.DataFrame(
                 {
                     "doc_id": pdf[id_col],
@@ -124,17 +183,34 @@ def resize_blobs(
     id_col: str = "doc_id",
     blob_col: str = "blob",
     target_bytes: int = 64,
+    target_size: "tuple[int, int] | None" = None,
 ) -> DataFrame:
     """Image-resize plumbing: transform each blob to a fixed-size payload
-    with updated metadata — the Arrow-batched shape of a real resize
-    (PIL's ``Image.resize`` replaces the byte-sampler only). The stand-in
-    picks ``target_bytes`` evenly-strided bytes (deterministic, oracle-
-    checkable); width/height metadata update rides the same pass, so the
-    downstream schema is exactly what a real decoder would produce."""
+    with updated metadata — the Arrow-batched shape of a real resize.
+    The default stand-in picks ``target_bytes`` evenly-strided bytes
+    (deterministic, oracle-checkable).
+
+    Passing ``target_size=(w, h)`` opts into the REAL path: blobs that
+    decode as images under PIL are ``Image.resize``d to (w, h) and
+    re-encoded as PNG; undecodable blobs (and everything, when Pillow is
+    absent) keep the byte-sampler, so the output schema and the oracle
+    gates are unchanged either way."""
 
     import numpy as np
 
     def _resize_one(payload: bytes) -> bytes:
+        if target_size is not None:
+            img_mod = _pil()
+            if img_mod is not None:
+                import io  # noqa: PLC0415 - worker-side
+
+                try:
+                    with img_mod.open(io.BytesIO(payload)) as img:
+                        out = io.BytesIO()
+                        img.resize(target_size).save(out, format="PNG")
+                        return out.getvalue()
+                except Exception:  # noqa: BLE001 - not an image → stub path
+                    pass
         n = len(payload)
         if n <= target_bytes:
             return payload

@@ -1463,7 +1463,10 @@ _PRIORITY = [
     "idxtab_stale_index", "idxtab_equal_range_combination",
     "idxtab_and_with_poisoned_or",
     "idxtab_range_not_last", "idxtab_similar_value_pattern",
-    "idxtab_complex_range_or",
+    # idxtab_complex_range_or ceded its slot (round 7) to
+    # scan_reversed_range; complex range+OR planning stays visible via
+    # idxtab_and_with_poisoned_or + idxtab_or_union + idxtab_range_not_last
+    # and the query stays oracle-checked in the local gate.
     # index-maintenance ports (TestIndexRegionObserver /
     # TestExtendedPutOps): partial-column put re-derives the multi-col
     # index row; family delete under a two-family index; checkAndPut /
@@ -1485,9 +1488,15 @@ _PRIORITY = [
     "mutation_check_and_mutate", "mutation_batch_status",
     # core read path + the round-6 OR-branch evaluation (positional /
     # dependent members under MUST_PASS_ONE — previously refused, now
-    # evaluated per FilterList.java:178-200 branch semantics)
-    "point_get", "scan_range", "filter_scvf",
-    "filter_or_index_union", "filter_or_pagination", "cells_or_dependent",
+    # evaluated per FilterList.java:178-200 branch semantics).
+    # Round-7 rotation (verdict task 9): scan_reversed_range (the
+    # reference high-to-low range convention, table.py:149) and
+    # filter_or_page (PageFilter under MUST_PASS_ONE) join the prefix;
+    # filter_or_index_union ceded its slot (OR-over-indexable semantics
+    # stay visible via idxtab_or_union; the query stays in the local
+    # gate) as did idxtab_complex_range_or above.
+    "point_get", "scan_range", "scan_reversed_range", "filter_scvf",
+    "filter_or_page", "filter_or_pagination", "cells_or_dependent",
     # LLM-pipeline operators: dedup family, corpus cleaning, ANN, text
     "dedup_exact", "dedup_minhash_lsh", "dedup_simhash", "dedup_clusters",
     "dedup_embedding_lsh", "dedup_semantic", "corpus_clean",

@@ -1102,3 +1102,67 @@ def test_domain_operators(spark, sf_dir):
     expect = [r["doc_id"] for r in docs.filter(F.col("source") == "src0")
               .orderBy("doc_id").limit(3).collect()]
     assert sorted(low) == expect
+
+
+# --- PIL real-decode seam (round 7) ------------------------------------
+
+def test_multimodal_auto_decode_falls_back_to_stub(spark):
+    """decode="auto" on non-image payloads (all synthetic utf-8 blobs)
+    must be bit-identical to decode="stub" — this is what keeps the
+    oracle gates stable whether or not Pillow is installed."""
+    df = mm.attach_blob(
+        spark.createDataFrame([(1, "hello"), (2, "wörld🙂"), (3, "")], ["doc_id", "text"])
+    )
+    auto = sorted(mm.extract_features(df, decode="auto").collect())
+    stub = sorted(mm.extract_features(df, decode="stub").collect())
+    assert auto == stub
+
+
+def _pil_or_none():
+    try:
+        from PIL import Image  # noqa: PLC0415
+
+        return Image
+    except ImportError:
+        return None
+
+
+import pytest  # noqa: E402
+
+
+@pytest.mark.skipif(_pil_or_none() is None, reason="Pillow not installed")
+def test_multimodal_pil_real_decode(spark):
+    """With Pillow present, extract_features decodes real pixels: a 2x2
+    grayscale PNG with known raster yields pixel (not file-byte) stats."""
+    import io
+
+    Image = _pil_or_none()
+    img = Image.new("L", (2, 2))
+    img.putdata([0, 10, 20, 250])
+    buf = io.BytesIO()
+    img.save(buf, format="PNG")
+    payload = buf.getvalue()
+
+    df = spark.createDataFrame([(1, bytearray(payload))], "doc_id long, blob binary")
+    row = mm.extract_features(df).first()
+    assert row["n_bytes"] == len(payload)       # payload size, not raster size
+    assert row["max_byte"] == 250                # pixel max, not PNG-byte max
+    assert abs(row["mean_byte"] - (0 + 10 + 20 + 250) / 4) < 1e-9
+
+
+@pytest.mark.skipif(_pil_or_none() is None, reason="Pillow not installed")
+def test_multimodal_pil_real_resize(spark):
+    """target_size opts resize_blobs into a real Image.resize + PNG
+    re-encode; the output blob must decode to the requested dimensions."""
+    import io
+
+    Image = _pil_or_none()
+    img = Image.new("RGB", (8, 8), (200, 10, 10))
+    buf = io.BytesIO()
+    img.save(buf, format="PNG")
+
+    df = spark.createDataFrame([(1, bytearray(buf.getvalue()))], "doc_id long, blob binary")
+    row = mm.resize_blobs(df, target_size=(3, 2)).first()
+    out = Image.open(io.BytesIO(bytes(row["blob"])))
+    assert out.size == (3, 2)
+    assert row["out_bytes"] == len(bytes(row["blob"]))
