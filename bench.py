@@ -305,6 +305,47 @@ def main():
 
     bench("join_q3_topk", join_q3)
 
+    # The same Q3 against the engine's OWN storage layout: orders and
+    # lineitem cataloged bucketed-by-orderkey (32 buckets, one file per
+    # bucket, SORTED BY honored). The one-time saves are database
+    # setup — like the index builds above — and the orders⋈lineitem
+    # sort-merge join then needs NO Exchange on either fact side (the
+    # groupBy(o_orderkey) also reuses the join's partitioning). The
+    # delta vs join_q3_topk quantifies the shuffle the catalog layout
+    # removes — the dominant cost of the raw variant at sf1+.
+    try:
+        li_b_tbl = Table(
+            spark.read.parquet(f"{SF_DIR}/lineitem.parquet"),
+            "l_orderkey",
+            "lineitem_b",
+        )
+        cat.save(li_b_tbl, num_partitions=32)
+        lineitem_b = cat.load("lineitem_b")
+        orders_b = cat.load("orders_w")  # already bucketed on o_orderkey
+    except Exception as exc:  # noqa: BLE001
+        lineitem_b = None
+        errors["join_q3_topk_bucketed"] = f"setup: {type(exc).__name__}: {exc}"[:220]
+
+    def join_q3_bucketed():
+        cust = spark.read.parquet(f"{SF_DIR}/customer.parquet").filter(
+            F.col("c_mktsegment") == "BUILDING"
+        )
+        (
+            lineitem_b.df.join(
+                orders_b.df.filter(F.col("o_orderdate") < "1997-06-01"),
+                lineitem_b.df.l_orderkey == orders_b.df.o_orderkey,
+            )
+            .join(F.broadcast(cust), F.col("o_custkey") == cust.c_custkey)
+            .groupBy("o_orderkey")
+            .agg(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("revenue"))
+            .orderBy(F.col("revenue").desc())
+            .limit(10)
+            .collect()
+        )
+
+    if lineitem_b is not None:
+        bench("join_q3_topk_bucketed", join_q3_bucketed)
+
     from hindex_spark.operators.temporal import as_of_join, session_stats
     from hindex_spark.timeutil import ts_micros
 
