@@ -146,6 +146,15 @@ class Catalog:
     def __init__(self, spark: SparkSession, root: str):
         self.spark = spark
         self.root = root
+        # Self-repair for vanilla sessions (the driver's): the layout
+        # guarantees one file per bucket, so sorted-bucket-scan ordering
+        # is always legal — lets co-bucketed SMJs skip the sort too.
+        try:
+            spark.conf.set(
+                "spark.sql.legacy.bucketedTableScan.outputOrdering", "true"
+            )
+        except Exception:  # noqa: BLE001 - read-only conf contexts
+            pass
 
     def _dir(self, name: str) -> str:
         return os.path.join(self.root, name)

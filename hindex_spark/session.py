@@ -42,6 +42,14 @@ def get_spark(app_name: str = "hindex_spark", cpus: int | None = None) -> SparkS
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.parquet.filterPushdown", "true")
+        # the catalog's bucketed layout guarantees one file per bucket
+        # (repartition-on-bucket-hash before bucketBy), so bucketed scans
+        # can legally report their SORTED BY ordering: co-bucketed
+        # sort-merge joins then skip BOTH the exchange AND the
+        # per-partition sort (at 100 TB the sort is an O(n log n) +
+        # spill cost on every SMJ). Spark verifies one-file-per-bucket
+        # before reporting order, so multi-file buckets are unaffected.
+        .config("spark.sql.legacy.bucketedTableScan.outputOrdering", "true")
         # driver testdata's events.ts is parquet TIMESTAMP(NANOS) which the
         # vectorized reader rejects; read as long (epoch nanos) and convert
         # explicitly where needed

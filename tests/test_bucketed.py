@@ -108,3 +108,45 @@ def test_cobucketed_fact_join_and_agg_zero_exchanges(spark, sf_dir, tmp_path):
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
         spark.sql("DROP TABLE IF EXISTS oq3t_bucketed")
         spark.sql("DROP TABLE IF EXISTS lq3t_bucketed")
+
+
+def test_cobucketed_join_skips_sort_and_exchange(spark, sf_dir, tmp_path):
+    # One file per bucket (the writer repartitions on the bucket hash
+    # before bucketBy) + sorted-bucket-scan ordering enabled by the
+    # engine session => a co-bucketed SMJ needs neither an Exchange NOR
+    # a per-partition Sort: the scan itself satisfies both the
+    # clustering and the ordering requirement. At 100 TB this removes
+    # an O(n log n)+spill step from every rowkey join.
+    import re
+
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        cat = Catalog(spark, str(tmp_path / "wh"))
+        cat.save(
+            Table.from_parquet(spark, f"{sf_dir}/orders.parquet", "o_orderkey", "oss"),
+            num_partitions=4,
+        )
+        cat.save(
+            Table.from_parquet(spark, f"{sf_dir}/lineitem.parquet", "l_orderkey", "lss"),
+            num_partitions=4,
+        )
+        o = cat.load("oss").df
+        l = cat.load("lss").df
+        q = l.join(o, l.l_orderkey == o.o_orderkey).groupBy("o_orderkey").agg(
+            F.count("*").alias("n")
+        )
+        plan = q._jdf.queryExecution().executedPlan().toString()
+        assert len(re.findall(r"Exchange hashpartitioning", plan)) == 0, plan
+        assert len(re.findall(r"\bSort \[", plan)) == 0, plan
+        # correctness unchanged vs the raw-parquet join
+        raw = (
+            spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+            .join(
+                spark.read.parquet(f"{sf_dir}/orders.parquet"),
+                F.col("l_orderkey") == F.col("o_orderkey"),
+            )
+            .count()
+        )
+        assert q.agg(F.sum("n")).first()[0] == raw
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
