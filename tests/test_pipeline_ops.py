@@ -1166,3 +1166,65 @@ def test_multimodal_pil_real_resize(spark):
     out = Image.open(io.BytesIO(bytes(row["blob"])))
     assert out.size == (3, 2)
     assert row["out_bytes"] == len(bytes(row["blob"]))
+
+
+# --- parameterized MinHash family (round 7) ----------------------------
+
+def test_minhash_wide_family_shape_and_determinism(spark):
+    """n_hashes widens the signature (mh0..mh15); the first 8 columns
+    are IDENTICAL to the default family (the oracle-pinned constants are
+    a strict prefix of the extended coefficient sequence)."""
+    docs = spark.createDataFrame(
+        [(1, "the quick brown fox jumps over the lazy dog"),
+         (2, "pack my box with five dozen liquor jugs")],
+        ["doc_id", "text"],
+    )
+    s8 = dd.minhash_signatures(docs, "doc_id", "text", 3)
+    s16 = dd.minhash_signatures(docs, "doc_id", "text", 3, n_hashes=16)
+    assert [c for c in s16.columns if c.startswith("mh")] == [f"mh{i}" for i in range(16)]
+    a = {r["doc_id"]: r for r in s8.collect()}
+    b = {r["doc_id"]: r for r in s16.collect()}
+    for i in (1, 2):
+        assert all(a[i][f"mh{j}"] == b[i][f"mh{j}"] for j in range(8))
+
+
+def test_minhash_tuned_band_verified_pairs_subset_and_recall(spark):
+    """(16, 4) banding: every verified pair is exact-Jaccard correct
+    (subset of the exact inverted-index pairs), and on an extreme
+    near-dup fixture (one token changed in a 60-token doc, s ~ 0.95)
+    recall is total for these fixed hash constants."""
+    base = " ".join(f"tok{i}" for i in range(60))
+    variant = base.replace("tok30", "tokX")          # near-dup of base
+    other = " ".join(f"zz{i}" for i in range(60))    # unrelated
+    docs = spark.createDataFrame(
+        [(1, base), (2, variant), (3, other)], ["doc_id", "text"]
+    )
+    tuned = dd.minhash_dedup_pairs(
+        docs, "doc_id", "text", 0.8, n_hashes=16, band_size=4
+    ).collect()
+    exact = dd.jaccard_pairs(docs, "doc_id", "text", 0.8, ngram=3).collect()
+    t = {(r["id_a"], r["id_b"]) for r in tuned}
+    e = {(r["id_a"], r["id_b"]) for r in exact}
+    assert t == {(1, 2)} and t <= e
+
+
+def test_minhash_band_size_reduces_candidates(spark):
+    """Wider bands are strictly more selective: (16, 4) candidates are a
+    subset of what the (8, 2) family surfaces on a mixed corpus (both
+    post-verification outputs stay identical on true near-dups)."""
+    rows = [(i, " ".join(f"w{i}_{j}" for j in range(30))) for i in range(20)]
+    rows.append((100, rows[0][1]. replace("w0_5", "q")))
+    docs = spark.createDataFrame(rows, ["doc_id", "text"])
+    c82 = dd.lsh_candidate_pairs(
+        dd.minhash_signatures(docs, "doc_id", "text", 3), "doc_id"
+    ).count()
+    c164 = dd.lsh_candidate_pairs(
+        dd.minhash_signatures(docs, "doc_id", "text", 3, n_hashes=16),
+        "doc_id", band_size=4,
+    ).count()
+    assert c164 <= c82
+    # the true near-dup pair survives the tighter family
+    tuned = dd.minhash_dedup_pairs(
+        docs, "doc_id", "text", 0.7, n_hashes=16, band_size=4
+    ).collect()
+    assert {(r["id_a"], r["id_b"]) for r in tuned} == {(0, 100)}
