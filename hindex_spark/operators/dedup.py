@@ -678,6 +678,8 @@ def incremental_dedup(
     ngram: int = 3,
     max_bucket: Union[int, None, str] = "default",
     dropped: Optional[Observation] = None,
+    n_hashes: int = N_HASHES,
+    band_size: int = BAND_SIZE,
 ) -> DataFrame:
     """Dedup an incoming batch AGAINST an existing corpus — the
     production shape (daily crawl vs. the historical index): a batch doc
@@ -703,7 +705,7 @@ def incremental_dedup(
     fresh = nf.join(cf, "__fp", "left_anti").drop("__fp")
     near = minhash_join(
         fresh, corpus, id_col, text_col, threshold, ngram, max_bucket,
-        dropped=dropped,
+        dropped=dropped, n_hashes=n_hashes, band_size=band_size,
     ).select(F.col("id_a").alias(id_col)).distinct()
     return fresh.join(near, id_col, "left_anti")
 

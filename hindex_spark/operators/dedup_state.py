@@ -46,11 +46,11 @@ from hindex_spark.operators.text import distinct_tokens, fingerprint, tokens
 
 def state_rows(
     docs: DataFrame, id_col: str, text_col: str, ngram: int = 3,
-    hash_fn: str = "md5",
+    hash_fn: str = "md5", n_hashes: int = N_HASHES,
 ) -> DataFrame:
-    """(id, __fp, mh0..mh7) in ONE map pass over the text: fingerprint
-    and the 8-way minhash fold share a single scan/projection — no
-    shuffle, no second read of the text."""
+    """(id, __fp, mh0..mh{n-1}) in ONE map pass over the text:
+    fingerprint and the n-way minhash fold share a single
+    scan/projection — no shuffle, no second read of the text."""
     if ngram <= 1:
         base = docs.select(
             F.col(id_col),
@@ -68,11 +68,11 @@ def state_rows(
         )
     sig = base.select(
         F.col(id_col), "__fp",
-        _signature_struct(F.col("__units"), hash_fn).alias("s"),
+        _signature_struct(F.col("__units"), hash_fn, n_hashes).alias("s"),
     )
     return sig.select(
         F.col(id_col), "__fp",
-        *[F.col(f"s.mh{i}").alias(f"mh{i}") for i in range(N_HASHES)],
+        *[F.col(f"s.mh{i}").alias(f"mh{i}") for i in range(n_hashes)],
     )
 
 
@@ -89,13 +89,19 @@ class DedupState:
     """
 
     def __init__(self, catalog, name: str, id_col: str, text_col: str,
-                 ngram: int = 3, hash_fn: str = "md5"):
+                 ngram: int = 3, hash_fn: str = "md5",
+                 n_hashes: int = N_HASHES, band_size: int = 2):
         self.catalog = catalog
         self.name = name
         self.id_col = id_col
         self.text_col = text_col
         self.ngram = ngram
         self.hash_fn = hash_fn
+        # The LSH family is part of the ARTIFACT's identity: stored
+        # signatures are only band-compatible with themselves, so both
+        # knobs persist in the meta and every query derives from them.
+        self.n_hashes = n_hashes
+        self.band_size = band_size
         self.table_name = f"{name}_dedupstate_bucketed"
 
     # -- storage ------------------------------------------------------------
@@ -106,22 +112,25 @@ class DedupState:
     @classmethod
     def build(cls, catalog, corpus: DataFrame, id_col: str, text_col: str,
               name: str, ngram: int = 3, hash_fn: str = "md5",
-              num_buckets: int = 32) -> "DedupState":
+              num_buckets: int = 32, n_hashes: int = N_HASHES,
+              band_size: int = 2) -> "DedupState":
         """One-time (or rebuild) pass: shingle the corpus ONCE, persist
         the narrow state bucketed on id. ~tens of bytes/doc — the 100 TB
         corpus's state is a few hundred GB, rewritten never, appended to
         per accepted batch."""
         from hindex_spark.table import Table
 
-        st = cls(catalog, name, id_col, text_col, ngram, hash_fn)
-        rows = state_rows(corpus, id_col, text_col, ngram, hash_fn)
+        st = cls(catalog, name, id_col, text_col, ngram, hash_fn,
+                 n_hashes, band_size)
+        rows = state_rows(corpus, id_col, text_col, ngram, hash_fn, n_hashes)
         catalog.save_bucketed(
             Table(rows, id_col, f"{name}_dedupstate"), num_buckets=num_buckets
         )
         with open(st._meta_path(), "w") as f:
             json.dump(
                 {"id_col": id_col, "text_col": text_col, "ngram": ngram,
-                 "hash_fn": hash_fn}, f,
+                 "hash_fn": hash_fn, "n_hashes": n_hashes,
+                 "band_size": band_size}, f,
             )
         return st
 
@@ -131,7 +140,8 @@ class DedupState:
                 catalog.root, f"{name}_dedupstate_meta.json")) as f:
             m = json.load(f)
         return cls(catalog, name, m["id_col"], m["text_col"],
-                   m["ngram"], m["hash_fn"])
+                   m["ngram"], m["hash_fn"],
+                   m.get("n_hashes", N_HASHES), m.get("band_size", 2))
 
     @property
     def df(self) -> DataFrame:
@@ -143,7 +153,8 @@ class DedupState:
         maintenance step. INSERT INTO honors the table's bucket spec, so
         appends stay bucketed on id; no rewrite of existing state."""
         rows = state_rows(
-            accepted, self.id_col, self.text_col, self.ngram, self.hash_fn
+            accepted, self.id_col, self.text_col, self.ngram, self.hash_fn,
+            self.n_hashes,
         )
         view = f"__dedupstate_append_{self.name}"
         rows.createOrReplaceTempView(view)
@@ -187,12 +198,14 @@ class DedupState:
 
         # near-dup pass: corpus bands from the STORE (map-only explode,
         # no text), batch bands broadcast into the equi-join.
-        batch_sigs = state_rows(fresh, id_col, text_col, self.ngram, self.hash_fn)
+        batch_sigs = state_rows(
+            fresh, id_col, text_col, self.ngram, self.hash_fn, self.n_hashes
+        )
         bb = _band_rows(
-            batch_sigs.drop("__fp"), id_col
+            batch_sigs.drop("__fp"), id_col, self.band_size
         ).select(F.col(id_col).alias("id_a"), "band", "bucket")
         cb = _band_rows(
-            state.drop("__fp"), id_col
+            state.drop("__fp"), id_col, self.band_size
         ).select(F.col(id_col).alias("id_b"), "band", "bucket")
         if max_bucket is not None:
             # corpus-side valve (the batch side is bounded by the batch):

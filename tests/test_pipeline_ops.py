@@ -1228,3 +1228,35 @@ def test_minhash_band_size_reduces_candidates(spark):
         docs, "doc_id", "text", 0.7, n_hashes=16, band_size=4
     ).collect()
     assert {(r["id_a"], r["id_b"]) for r in tuned} == {(0, 100)}
+
+
+def test_dedup_state_tuned_family_roundtrip(spark, sf_dir, tmp_path):
+    """A DedupState built with the tuned (16, 4) family persists the
+    family in its meta, reopens with it, and dedups a batch identically
+    to the direct tuned incremental path."""
+    from hindex_spark.catalog import Catalog
+    from hindex_spark.operators.dedup_state import DedupState
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    corpus = docs.filter(F.col("doc_id") % 3 != 0)
+    batch = docs.filter(F.col("doc_id") % 3 == 0).limit(200)
+
+    cat = Catalog(spark, str(tmp_path / "wh"))
+    st = DedupState.build(
+        cat, corpus, "doc_id", "text", "docs_t", n_hashes=16, band_size=4
+    )
+    st2 = DedupState.open(cat, "docs_t")
+    assert (st2.n_hashes, st2.band_size) == (16, 4)
+    assert "mh15" in st2.df.columns
+
+    got = sorted(
+        r["doc_id"] for r in st2.dedup_batch(batch, corpus, 0.9).collect()
+    )
+    want = sorted(
+        r["doc_id"]
+        for r in dd.incremental_dedup(
+            batch, corpus, "doc_id", "text", 0.9,
+            n_hashes=16, band_size=4,
+        ).collect()
+    )
+    assert got == want
