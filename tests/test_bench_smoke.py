@@ -32,8 +32,10 @@ def test_bench_cli_contract_sf0001():
         "index_filter_scan", "sequential_write", "indexed_write",
         "agg_q1", "agg_median",
         "dedup_minhash_lsh", "dedup_minhash_lsh_xxh",
-        "dedup_minhash_lsh_prod", "text_analyze",
+        "dedup_minhash_lsh_prod", "dedup_minhash_lsh_tuned",
+        "dedup_incremental", "dedup_incremental_store", "text_analyze",
         "ann_bruteforce_topk", "ann_ivf_topk",
-        "join_q3_topk", "sessionize", "asof_join", "corpus_clean",
+        "join_q3_topk", "join_q3_topk_bucketed",
+        "sessionize", "asof_join", "corpus_clean",
     }
     assert set(out["queries"]) == expected, set(out["queries"]) ^ expected
