@@ -63,10 +63,21 @@ def main():
 
     spark = get_spark("correctness_check")
     con = duckdb.connect()
+    # Cap the oracle's memory: some oracle SQL is deliberately naive
+    # (unvalved all-pairs LSH banding) and quadratic in corpus size —
+    # fine at the driver's sf0.01, but at sf1 an uncapped DuckDB grew
+    # past 100 GB and the OOM killer took the whole gate run down.
+    # Capped, an infeasible oracle fails loudly as ONE query's error.
+    try:
+        con.execute("SET memory_limit='24GB'")
+    except Exception:
+        pass
     for t in TABLES:
-        con.execute(
-            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')"
-        )
+        # driver testdata is one file per table; tools/make_sf1.py (and
+        # any Spark writer) produces a DIRECTORY of part files — glob it
+        p = f"{sf_dir}/{t}.parquet"
+        src = f"{p}/*.parquet" if os.path.isdir(p) else p
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{src}')")
 
     qs = entry.queries()
     oracles = entry.oracle_sql()
