@@ -1,0 +1,200 @@
+"""DSIR-style data selection via importance resampling.
+
+Public method (Xie et al. 2023, "Data Selection for Language Models via
+Importance Resampling", NeurIPS): featurize every document as a bag of
+hashed n-grams (unigrams + bigrams hashed into ``n_buckets`` buckets),
+fit two add-1-smoothed multinomial bucket distributions — the TARGET
+corpus (the domain you want more of) and the RAW corpus (the crawl) —
+and weight each raw document by
+
+    log w(x) = sum over x's n-gram occurrences of
+               [log p_target(bucket) - log p_raw(bucket)]
+
+then keep the top-k raw docs by weight (the deterministic variant of the
+paper's Gumbel-top-k resampling; rank ties break on doc id).
+
+Scale shape (the reason this fits a 100 TB corpus):
+- featurize = one narrow projection pass (tokens -> bigrams -> md5 mod
+  B), no shuffle, full codegen — the array is never exploded until the
+  aggregation that consumes it;
+- the two distributions are hash aggregates whose RESULT is bounded by
+  ``n_buckets`` (default 8192) regardless of corpus size — map-side
+  combine collapses each partition to <= B rows before the exchange, and
+  the fitted table broadcasts everywhere it is used;
+- scoring is explode + broadcast-hash-join + per-doc sum: one shuffle
+  keyed on doc id with map-side partial aggregation;
+- selection is ``orderBy(...).limit(k)`` = TakeOrderedAndProject (per-
+  partition heaps + driver merge of k rows), never a global sort.
+
+Determinism / oracle-exactness: each bucket's log-ratio is rounded to
+6 dp and cast to DECIMAL(18,6) BEFORE the per-doc sum, so the sum is
+exact integer arithmetic — independent of Spark's (and DuckDB's)
+aggregation order. A double sum of hundreds of log terms would differ in
+the last ulp between engines and could flip a top-k boundary; the
+decimal sum cannot.
+
+Bucket hashing reuses the corpus-wide convention (dedup.py:105): the
+ANSI-reproducible ``int(md5[:15] hex)`` reduced mod ``n_buckets``.
+Production corpora can swap in xxhash64 via ``hash_fn`` exactly as the
+MinHash family does (token_hash_xx rationale, dedup.py:111).
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from hindex_spark.operators.dedup import HASH_FNS, _unit_hash
+from hindex_spark.operators.text import tokens
+
+#: default feature-space width; 8k buckets is the paper's hashed n-gram
+#: regime scaled to fit a broadcast (8k rows ~ 100 KB serialized)
+N_BUCKETS = 8192
+
+#: fixed-point scale for the per-bucket log-ratio (see module docstring)
+RATIO_SCALE = 6
+
+
+def ngram_units(text: Column) -> Column:
+    """Unigrams + bigrams of the whitespace tokenization, as one array —
+    WITH repeats (DSIR weights occurrence counts, not the distinct set,
+    so a doc that says "click here" 50 times is scored 50 times for it).
+    Mirrored in oracle SQL as toks || bigram list_transform."""
+    toks = tokens(text)
+    bigrams = F.when(
+        F.size(toks) >= 2,
+        F.transform(
+            F.sequence(F.lit(0), F.size(toks) - 2),
+            lambda i: F.concat_ws(
+                " ", F.element_at(toks, i + 1), F.element_at(toks, i + 2)
+            ),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    return F.concat(toks, bigrams)
+
+
+def hashed_buckets(text: Column, n_buckets: int = N_BUCKETS, hash_fn: str = "md5") -> Column:
+    """array<long> of feature-bucket ids for one document (repeats kept)."""
+    return F.transform(ngram_units(text), lambda u: _unit_hash(hash_fn)(u) % n_buckets)
+
+
+def bucket_counts(
+    df: DataFrame,
+    text_col: str,
+    n_buckets: int = N_BUCKETS,
+    hash_fn: str = "md5",
+) -> DataFrame:
+    """Fit one corpus's feature distribution: (bucket, cnt) with at most
+    ``n_buckets`` result rows however large ``df`` is. This is the
+    artifact a production pipeline fits ONCE per corpus and persists
+    (the dedup-state pattern, state.py) — scoring jobs then only
+    broadcast it."""
+    return (
+        df.select(
+            F.explode(hashed_buckets(F.col(text_col), n_buckets, hash_fn)).alias(
+                "bucket"
+            )
+        )
+        .groupBy("bucket")
+        .agg(F.count("*").alias("cnt"))
+    )
+
+
+def log_ratio_table(
+    target_counts: DataFrame,
+    raw_counts: DataFrame,
+    n_buckets: int = N_BUCKETS,
+) -> DataFrame:
+    """(bucket, r): r = round(log p_target - log p_raw, 6) as
+    DECIMAL(18,6), under add-1 smoothing over ``n_buckets`` buckets.
+    Buckets absent from BOTH corpora are omitted — their ratio is the
+    constant log((R+B)/(T+B)), which ``importance_weights`` supplies as
+    the coalesce default, so the table never needs B rows for sparse
+    fits. Both inputs are <= B rows; everything here is broadcast-sized.
+    """
+    t_tot = target_counts.agg(F.sum("cnt").cast("double").alias("t_tot"))
+    r_tot = raw_counts.agg(F.sum("cnt").cast("double").alias("r_tot"))
+    joined = (
+        target_counts.withColumnRenamed("cnt", "tc")
+        .join(raw_counts.withColumnRenamed("cnt", "rc"), "bucket", "full_outer")
+        .crossJoin(F.broadcast(t_tot))
+        .crossJoin(F.broadcast(r_tot))
+    )
+    b = float(n_buckets)
+    r = F.log((F.coalesce(F.col("tc"), F.lit(0)) + 1.0) / (F.col("t_tot") + b)) - F.log(
+        (F.coalesce(F.col("rc"), F.lit(0)) + 1.0) / (F.col("r_tot") + b)
+    )
+    return joined.select(
+        "bucket",
+        F.round(r, RATIO_SCALE).cast(f"decimal(18,{RATIO_SCALE})").alias("r"),
+        F.round(
+            F.log(1.0 / (F.col("t_tot") + b)) - F.log(1.0 / (F.col("r_tot") + b)),
+            RATIO_SCALE,
+        )
+        .cast(f"decimal(18,{RATIO_SCALE})")
+        .alias("r_default"),
+    )
+
+
+def importance_weights(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    ratios: DataFrame,
+    n_buckets: int = N_BUCKETS,
+    hash_fn: str = "md5",
+) -> DataFrame:
+    """(id, weight): per-doc DSIR log importance weight. ``ratios`` is a
+    ``log_ratio_table`` output (broadcast — it is <= n_buckets rows).
+    Docs whose text has no tokens get weight 0 — nothing to score.
+    ``weight`` is the exact decimal sum cast to double (deterministic:
+    the decimal sum is order-independent)."""
+    units = df.select(
+        F.col(id_col),
+        F.explode_outer(hashed_buckets(F.col(text_col), n_buckets, hash_fn)).alias(
+            "bucket"
+        ),
+    )
+    # the unseen-bucket default rides in as a broadcast 1-row frame (all
+    # r_default rows are the same constant; max = that constant) — a left
+    # join that misses the ratio table entirely still scores correctly
+    default = ratios.agg(F.max("r_default").alias("rd"))
+    scored = units.join(F.broadcast(ratios), "bucket", "left").crossJoin(
+        F.broadcast(default)
+    )
+    zero = F.lit(0).cast(f"decimal(18,{RATIO_SCALE})")
+    per_unit = F.when(F.col("bucket").isNull(), zero).otherwise(
+        F.coalesce(F.col("r"), F.col("rd"), zero)
+    )
+    return (
+        scored.groupBy(id_col)
+        .agg(F.sum(per_unit).cast("double").alias("weight"))
+        .select(id_col, F.coalesce("weight", F.lit(0.0)).alias("weight"))
+    )
+
+
+def dsir_select(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    target: Column,
+    k: int,
+    n_buckets: int = N_BUCKETS,
+    hash_fn: str = "md5",
+    weights: Optional[DataFrame] = None,
+) -> DataFrame:
+    """End-to-end DSIR selection: fit target (= ``df`` where ``target``)
+    vs raw (= all of ``df``) distributions, weight every doc, keep the
+    top ``k`` by (weight desc, id asc). Returns (id, weight) of the
+    selected docs. Pass ``weights`` to skip the fit+score (e.g. scored
+    once, selected at several k)."""
+    if weights is None:
+        t_counts = bucket_counts(df.filter(target), text_col, n_buckets, hash_fn)
+        r_counts = bucket_counts(df, text_col, n_buckets, hash_fn)
+        ratios = log_ratio_table(t_counts, r_counts, n_buckets)
+        weights = importance_weights(df, id_col, text_col, ratios, n_buckets, hash_fn)
+    # orderBy + limit = TakeOrderedAndProject: per-partition top-k heaps,
+    # driver merges k rows — no global sort at any corpus size
+    return weights.orderBy(F.col("weight").desc(), F.col(id_col)).limit(k)

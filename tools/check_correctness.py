@@ -70,6 +70,11 @@ def main():
     # Capped, an infeasible oracle fails loudly as ONE query's error.
     try:
         con.execute("SET memory_limit='24GB'")
+        # ...and its disk spill: the same quadratic oracle, allowed to
+        # spill unboundedly, filled the whole disk at sf1 (76 GB of
+        # duckdb_temp_storage-*.tmp) and took down every other job on
+        # the machine. Capped, it fails fast as that one query's error.
+        con.execute("SET max_temp_directory_size='30GB'")
     except Exception:
         pass
     for t in TABLES:
