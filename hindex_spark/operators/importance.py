@@ -198,3 +198,119 @@ def dsir_select(
     # orderBy + limit = TakeOrderedAndProject: per-partition top-k heaps,
     # driver merges k rows — no global sort at any corpus size
     return weights.orderBy(F.col("weight").desc(), F.col(id_col)).limit(k)
+
+
+# ---------------------------------------------------------------------------
+# CCNet-style LM quality filter (perplexity under a target n-gram LM)
+# ---------------------------------------------------------------------------
+
+
+def lm_cross_entropy(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    target_counts: DataFrame,
+    n_buckets: int = N_BUCKETS,
+    hash_fn: str = "md5",
+) -> DataFrame:
+    """CCNet-style LM quality signal (Wenzek et al. 2020 filter corpora
+    by perplexity under a LM trained on clean text): per-doc
+    cross-entropy under the hashed-n-gram unigram LM fitted by
+    ``bucket_counts`` on the TARGET corpus —
+
+        H(x) = -(1/n) * sum over x's n-gram occurrences of
+               log p_target(bucket)         (add-1 smoothing over B)
+
+    Lower = more target-like; threshold or head/middle/tail-split on it
+    exactly as CCNet does. Same scale shape as ``importance_weights``
+    (the fitted table broadcasts; one doc-keyed shuffle), same decimal
+    fixed-point trick so the mean is deterministic. Output: (id, h),
+    h rounded to 6 dp.
+    """
+    tot = target_counts.agg(F.sum("cnt").cast("double").alias("t_tot"))
+    b = float(n_buckets)
+    lp = target_counts.crossJoin(F.broadcast(tot)).select(
+        "bucket",
+        F.round(F.log((F.col("cnt") + 1.0) / (F.col("t_tot") + b)), RATIO_SCALE)
+        .cast(f"decimal(18,{RATIO_SCALE})")
+        .alias("lp"),
+        F.round(F.log(1.0 / (F.col("t_tot") + b)), RATIO_SCALE)
+        .cast(f"decimal(18,{RATIO_SCALE})")
+        .alias("lp_default"),
+    )
+    units = df.select(
+        F.col(id_col),
+        F.explode_outer(hashed_buckets(F.col(text_col), n_buckets, hash_fn)).alias(
+            "bucket"
+        ),
+    )
+    default = lp.agg(F.max("lp_default").alias("lpd"))
+    scored = units.join(F.broadcast(lp), "bucket", "left").crossJoin(
+        F.broadcast(default)
+    )
+    zero = F.lit(0).cast(f"decimal(18,{RATIO_SCALE})")
+    per_unit = F.when(F.col("bucket").isNull(), zero).otherwise(
+        F.coalesce(F.col("lp"), F.col("lpd"), zero)
+    )
+    n_units = F.sum(F.when(F.col("bucket").isNull(), 0).otherwise(1))
+    return (
+        scored.groupBy(id_col)
+        .agg(F.sum(per_unit).cast("double").alias("__s"), n_units.alias("__n"))
+        .select(
+            id_col,
+            F.round(
+                F.when(F.col("__n") > 0, -F.col("__s") / F.col("__n")).otherwise(0.0), 6
+            ).alias("h"),
+        )
+    )
+
+
+def perplexity_partition(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    target_counts: DataFrame,
+    n_buckets: int = N_BUCKETS,
+    hash_fn: str = "md5",
+) -> DataFrame:
+    """CCNet's head/middle/tail split: rank docs by LM cross-entropy and
+    label the best third 'head', middle third 'middle', worst 'tail'
+    (ties broken by id; thresholds = exact tertile ranks). One extra
+    shuffle over the (id, h) frame — corpus-width, 2 narrow columns.
+    ``ntile`` would serialize the whole corpus through one partition;
+    rank-vs-count arithmetic keeps the sort distributed."""
+    from pyspark.sql import Window
+
+    h = lm_cross_entropy(df, id_col, text_col, target_counts, n_buckets, hash_fn)
+    # Exact global rank WITHOUT a single-partition window (the naive
+    # Window.orderBy(h, id) serializes the corpus through one task):
+    # range-partition by the sort key, then rank = per-partition
+    # row_number + the cumulative count of all earlier partitions. The
+    # only driver action is the per-partition count vector — bounded by
+    # the partition count, not the corpus.
+    part = h.repartitionByRange(F.col("h"), F.col(id_col)).withColumn(
+        "__pid", F.spark_partition_id()
+    )
+    part = part.localCheckpoint(eager=False)  # pin pids: count + rank must agree
+    sizes = {r["__pid"]: r["c"] for r in part.groupBy("__pid").count().withColumnRenamed("count", "c").collect()}
+    n = sum(sizes.values())
+    offsets, acc = {}, 0
+    for pid in sorted(sizes):
+        offsets[pid] = acc
+        acc += sizes[pid]
+    off_df = part.sparkSession.createDataFrame(
+        [(int(p), int(o)) for p, o in offsets.items()], "__pid int, __off long"
+    )
+    k1, k2 = (n + 2) // 3, (2 * n + 2) // 3  # ceil(n/3), ceil(2n/3)
+    w = Window.partitionBy("__pid").orderBy(F.col("h"), F.col(id_col))
+    ranked = part.join(F.broadcast(off_df), "__pid").withColumn(
+        "__rn", F.row_number().over(w) + F.col("__off")
+    )
+    return ranked.select(
+        id_col,
+        "h",
+        F.when(F.col("__rn") <= k1, F.lit("head"))
+        .when(F.col("__rn") <= k2, F.lit("middle"))
+        .otherwise(F.lit("tail"))
+        .alias("bucket3"),
+    )

@@ -1377,3 +1377,74 @@ def q_dsir_select(spark, sf_dir):
 
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
     return imp.dsir_select(docs, "doc_id", "text", F.col("lang") == "en", 120)
+
+
+def _ccnet_h_sql(n_buckets: int) -> str:
+    """Oracle for the CCNet LM cross-entropy pass: unigram LM over
+    hashed n-gram buckets fitted on lang='en' docs, per-doc
+    h = round(-(1/n) * sum(round(ln p, 6)::decimal), 6). Non-en docs
+    carry buckets absent from the en fit, so the unseen-bucket default
+    path is exercised by the gate itself."""
+    b = n_buckets
+    return f"""
+        WITH t AS (SELECT doc_id, lang,
+                     string_split_regex(trim(text), '\\s+') AS toks FROM documents),
+        u AS (SELECT doc_id, lang,
+                unnest(toks || (CASE WHEN len(toks) >= 2
+                  THEN list_transform(range(1, len(toks)), i -> toks[i] || ' ' || toks[i + 1])
+                  ELSE CAST([] AS VARCHAR[]) END)) AS unit
+              FROM t),
+        bk AS (SELECT doc_id, lang,
+                 (CAST(CONCAT('0x', SUBSTRING(md5(unit), 1, 15)) AS BIGINT)
+                    % 2147483647) % {b} AS bucket
+               FROM u),
+        tc AS (SELECT bucket, COUNT(*) AS tc FROM bk WHERE lang = 'en' GROUP BY bucket),
+        tot AS (SELECT SUM(tc) * 1.0 AS t_tot FROM tc),
+        lp AS (SELECT bucket,
+                 CAST(ROUND(ln((tc + 1.0) / (t_tot + {b})), 6) AS DECIMAL(18,6)) AS lp
+               FROM tc, tot),
+        dflt AS (SELECT CAST(ROUND(ln(1.0 / (t_tot + {b})), 6) AS DECIMAL(18,6)) AS lpd
+                 FROM tot),
+        w AS (SELECT bk.doc_id,
+                ROUND(-CAST(SUM(COALESCE(lp.lp, dflt.lpd)) AS DOUBLE) / COUNT(*), 6) AS h
+              FROM bk LEFT JOIN lp USING (bucket), dflt GROUP BY bk.doc_id)
+    """
+
+
+@query(
+    "corpus_perplexity",
+    _ccnet_h_sql(8192) + "SELECT doc_id, h FROM w",
+)
+def q_corpus_perplexity(spark, sf_dir):
+    """CCNet-style LM quality signal (Wenzek et al. 2020): per-doc
+    cross-entropy under the hashed-n-gram unigram LM fitted on the
+    lang='en' slice. Fit = one bounded hash aggregate; score = broadcast
+    join + decimal sum."""
+    from hindex_spark.operators import importance as imp
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    t = imp.bucket_counts(docs.filter(F.col("lang") == "en"), "text")
+    return imp.lm_cross_entropy(docs, "doc_id", "text", t)
+
+
+@query(
+    "corpus_perplexity_split",
+    _ccnet_h_sql(8192)
+    + """, r AS (SELECT doc_id, h,
+                   row_number() OVER (ORDER BY h, doc_id) AS rn,
+                   COUNT(*) OVER () AS n FROM w)
+        SELECT doc_id, h,
+               CASE WHEN rn <= (n + 2) // 3 THEN 'head'
+                    WHEN rn <= (2 * n + 2) // 3 THEN 'middle'
+                    ELSE 'tail' END AS bucket3
+        FROM r""",
+)
+def q_corpus_perplexity_split(spark, sf_dir):
+    """CCNet head/middle/tail tertile split on LM cross-entropy — exact
+    global rank via the range-partition + offset pattern (no
+    single-partition window)."""
+    from hindex_spark.operators import importance as imp
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    t = imp.bucket_counts(docs.filter(F.col("lang") == "en"), "text")
+    return imp.perplexity_partition(docs, "doc_id", "text", t)

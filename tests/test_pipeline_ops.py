@@ -1349,3 +1349,41 @@ def test_dsir_null_text_scores_zero(spark):
         for x in imp.importance_weights(df, "doc_id", "text", ratios).collect()
     }
     assert w[2] == 0.0 and len(w) == 2
+
+
+def test_lm_cross_entropy_ranks_target_like_docs_lower(spark):
+    from hindex_spark.operators import importance as imp
+
+    rows = [
+        (1, "the quick brown fox jumps over the lazy dog", "en"),
+        (2, "the quick red fox jumps over the lazy cat", "en"),
+        (3, "zzz qqq xxx www vvv kkk jjj", "xx"),
+        (4, "the quick brown dog jumps over the lazy fox", "xx"),  # en-like
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string, lang string")
+    t = imp.bucket_counts(df.filter(F.col("lang") == "en"), "text")
+    h = {r["doc_id"]: r["h"] for r in imp.lm_cross_entropy(df, "doc_id", "text", t).collect()}
+    assert len(h) == 4
+    # gibberish doc has the highest cross-entropy; the en-like held-out
+    # doc sits below it
+    assert h[3] > h[4]
+    assert h[3] > max(h[1], h[2])
+
+
+def test_perplexity_partition_exact_tertiles(spark):
+    from hindex_spark.operators import importance as imp
+
+    rows = [(i, " ".join(f"w{(i * j) % 11}" for j in range(8)), "en" if i % 3 == 0 else "xx")
+            for i in range(30)]
+    df = spark.createDataFrame(rows, "doc_id long, text string, lang string")
+    t = imp.bucket_counts(df.filter(F.col("lang") == "en"), "text")
+    out = imp.perplexity_partition(df, "doc_id", "text", t).collect()
+    assert len(out) == 30
+    by_label = {}
+    for r in out:
+        by_label.setdefault(r["bucket3"], []).append((r["h"], r["doc_id"]))
+    assert {len(v) for v in by_label.values()} == {10}
+    # the split is a real ordering: every head (h, id) precedes every
+    # middle, every middle precedes every tail
+    assert max(by_label["head"]) < min(by_label["middle"])
+    assert max(by_label["middle"]) < min(by_label["tail"])
