@@ -266,6 +266,21 @@ def main():
         lambda: tx.analyze(docs).select(F.max("quality"), F.max("n_tokens")).collect(),
     )
 
+    # DSIR importance selection end-to-end: fit target+raw hashed-ngram
+    # distributions (two bounded hash aggregates), score every doc via
+    # broadcast join + decimal sum, take top 10% — the corpus-wide
+    # data-selection pass of a training-data pipeline. Uses the xxhash64
+    # production hash (oracle gates keep md5).
+    def dsir():
+        from hindex_spark.operators import importance as imp
+
+        k = max(docs.count() // 10, 10)
+        imp.dsir_select(
+            docs, "doc_id", "text", F.col("lang") == "en", k, hash_fn="xxhash64"
+        ).count()
+
+    bench("corpus_dsir_select", dsir, runs=3)
+
     def ann():
         queries_df = emb.filter(F.col("vec_id") < 5).select(
             F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_vec")

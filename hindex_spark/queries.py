@@ -1501,7 +1501,12 @@ _PRIORITY = [
     "dedup_exact", "dedup_minhash_lsh", "dedup_simhash", "dedup_clusters",
     "dedup_embedding_lsh", "dedup_semantic", "corpus_clean",
     "corpus_pipeline_e2e",
-    "sim_bruteforce_topk", "sim_ivf_ann_topk",
+    # Round-7 rotation: corpus_dsir_select (DSIR importance resampling,
+    # operators/importance.py — the newest pipeline family) takes
+    # sim_bruteforce_topk's slot; ANN stays driver-visible via
+    # sim_ivf_ann_topk (whose full-probe mode IS the brute-force scan),
+    # and the brute-force gate stays oracle-checked in the local gate.
+    "corpus_dsir_select", "sim_ivf_ann_topk",
     "text_token_count",
     # streaming / ETL / temporal. streaming_changelog_resume supersedes
     # the r4 replication roundtrip (same emit->replay roundtrip PLUS
