@@ -64,10 +64,23 @@ def _minhash_coeffs(n_hashes: int):
 #: unbounded oracle-exact semantics.
 DEFAULT_MAX_BUCKET = 4096
 
+#: ``max_bucket="auto"`` derives the cap from the corpus's OWN bucket-
+#: size distribution: p99.9 of band-bucket sizes x AUTO_VALVE_MULT,
+#: floored at AUTO_VALVE_FLOOR. On a typical corpus p99.9 is single
+#: digits (near-dup clusters are small cliques), so the cap lands at the
+#: floor and only genuine outlier buckets — the boilerplate mode the
+#: constant valve exists for — are dropped; on a corpus whose honest
+#: cluster sizes run large, the cap scales up instead of silently
+#: truncating real clusters the way a fixed constant would.
+AUTO_VALVE_FLOOR = 256
+AUTO_VALVE_MULT = 8
 
-def _resolve_valve(max_bucket: Union[int, None, str]) -> Optional[int]:
-    """Map the ``"default"`` sentinel to DEFAULT_MAX_BUCKET; pass ints
-    and the explicit None (= unbounded opt-out) through unchanged."""
+
+def _resolve_valve(max_bucket: Union[int, None, str]) -> Union[int, None, str]:
+    """Map the ``"default"`` sentinel to DEFAULT_MAX_BUCKET; pass ints,
+    ``"auto"`` (cap derived from the bucket-size distribution inside the
+    candidate pass), and the explicit None (= unbounded opt-out) through
+    unchanged."""
     return DEFAULT_MAX_BUCKET if max_bucket == "default" else max_bucket
 
 #: cached intermediates (candidate pairs, narrowed unit arrays) from the
@@ -350,7 +363,7 @@ def _band_rows(
 def lsh_candidate_pairs(
     signatures: DataFrame,
     id_col: str,
-    max_bucket: Optional[int] = None,
+    max_bucket: Union[int, None, str] = None,
     dropped: Optional[Observation] = None,
     band_size: int = BAND_SIZE,
 ) -> DataFrame:
@@ -365,7 +378,10 @@ def lsh_candidate_pairs(
     their other, more selective bands — a bucket that common is driven by
     boilerplate shingles, not near-duplication, and its |bucket|^2
     expansion is exactly the blow-up LSH exists to avoid). Default None
-    = unbounded, bit-for-bit the oracle semantics.
+    = unbounded, bit-for-bit the oracle semantics. ``"auto"`` derives
+    the cap from this corpus's own bucket-size distribution
+    (p99.9 x AUTO_VALVE_MULT, floored at AUTO_VALVE_FLOOR) at the cost
+    of one extra aggregation job.
 
     ``dropped``: an optional ``pyspark.sql.Observation``; when the valve
     is active, it records ``dropped_buckets`` / ``dropped_docs`` (count
@@ -393,6 +409,18 @@ def lsh_candidate_pairs(
         .agg(F.array_sort(F.collect_set(F.col(id_col))).alias("ids"))
         .filter(F.size("ids") >= 2)
     )
+    if max_bucket == "auto":
+        # Derive the cap from this corpus's own skew profile (see
+        # AUTO_VALVE_FLOOR): one extra aggregation job whose driver-side
+        # result is a single double (a quantile sketch over band-bucket
+        # sizes), then proceed exactly as a constant cap. The bucket agg
+        # runs twice in this mode (sketch + pair expansion) — the price
+        # of not hand-tuning the cap; at 100 TB run the sketch on a
+        # sample via lsh_bucket_profile instead and pass the int.
+        q = buckets.select(F.size("ids").alias("s")).approxQuantile(
+            "s", [0.999], 0.001
+        )
+        max_bucket = int(max(AUTO_VALVE_FLOOR, (q[0] if q else 0) * AUTO_VALVE_MULT))
     if max_bucket is not None:
         if dropped is not None:
             over = F.size("ids") > max_bucket
@@ -445,7 +473,7 @@ def minhash_dedup_pairs(
     text_col: str,
     threshold: float,
     ngram: int = 3,
-    max_bucket: Optional[int] = None,
+    max_bucket: Union[int, None, str] = None,
     hash_fn: str = "md5",
     dropped: Optional[Observation] = None,
     n_hashes: int = N_HASHES,
@@ -986,6 +1014,13 @@ def simhash_pairs(
         )
         .filter(F.size("ms") >= 2)
     )
+    if max_bucket == "auto":
+        # same corpus-derived cap as lsh_candidate_pairs (one extra
+        # bounded-result aggregation job)
+        q = buckets.select(F.size("ms").alias("s")).approxQuantile(
+            "s", [0.999], 0.001
+        )
+        max_bucket = int(max(AUTO_VALVE_FLOOR, (q[0] if q else 0) * AUTO_VALVE_MULT))
     if max_bucket is not None:
         if dropped is not None:
             over = F.size("ms") > max_bucket
@@ -1084,7 +1119,8 @@ def clean_corpus(
     banded methods (``"default"`` -> DEFAULT_MAX_BUCKET = 4096 — the
     one measured super-linear mode at sf1 was exactly an unvalved hot
     bucket); pass ``max_bucket=None`` explicitly for unbounded
-    oracle-exact semantics. An EXPLICIT cap with method="exact"
+    oracle-exact semantics, or ``"auto"`` to derive the cap from the
+    corpus's own bucket-size distribution (AUTO_VALVE_FLOOR notes). An EXPLICIT cap with method="exact"
     (inverted-index join has no band buckets) raises rather than
     silently ignoring a scale valve the caller asked for; the
     ``"default"`` sentinel is simply inapplicable there.

@@ -1387,3 +1387,57 @@ def test_perplexity_partition_exact_tertiles(spark):
     # middle, every middle precedes every tail
     assert max(by_label["head"]) < min(by_label["middle"])
     assert max(by_label["middle"]) < min(by_label["tail"])
+
+
+def test_lsh_auto_valve_floor_and_outlier_drop(spark, monkeypatch):
+    import hindex_spark.operators.dedup as ddm
+
+    # 20 identical boilerplate docs (one hot bucket per band) + two
+    # genuine near-dup pairs
+    rows = [(i, "the same boilerplate footer text repeated everywhere") for i in range(20)]
+    rows += [
+        (100, "alpha beta gamma delta epsilon zeta eta theta"),
+        (101, "alpha beta gamma delta epsilon zeta eta iota"),
+        (200, "one two three four five six seven eight"),
+        (201, "one two three four five six seven nine"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    sigs = ddm.minhash_signatures(df, "doc_id", "text")
+    unbounded = ddm.lsh_candidate_pairs(sigs, "doc_id", None).count()
+    # at test scale every bucket is under AUTO_VALVE_FLOOR: auto == unbounded
+    assert ddm.lsh_candidate_pairs(sigs, "doc_id", "auto").count() == unbounded
+    # shrink the floor so the boilerplate bucket becomes the outlier the
+    # heuristic exists to drop; the genuine near-dup pairs must survive
+    monkeypatch.setattr(ddm, "AUTO_VALVE_FLOOR", 4)
+    monkeypatch.setattr(ddm, "AUTO_VALVE_MULT", 0)
+    capped = ddm.lsh_candidate_pairs(sigs, "doc_id", "auto")
+    got = {(r["id_a"], r["id_b"]) for r in capped.collect()}
+    assert (100, 101) in got and (200, 201) in got
+    assert len(got) < unbounded
+    # clean_corpus plumbs the sentinel end-to-end
+    out = ddm.clean_corpus(
+        df, "doc_id", "text", 0.0, 0.9, method="lsh", max_bucket="auto"
+    )
+    assert out.count() >= 3  # one boilerplate survivor + near-dup keepers
+
+
+def test_dsir_weights_partition_invariant(spark):
+    """The decimal fixed-point sum makes weights independent of
+    partitioning/aggregation order — the determinism claim."""
+    from hindex_spark.operators import importance as imp
+
+    rows = [(i, " ".join(f"w{(i * 7 + j) % 13}" for j in range(30))) for i in range(60)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    target = F.col("doc_id") % 5 == 0
+    t = imp.bucket_counts(df.filter(target), "text")
+    r = imp.bucket_counts(df, "text")
+    ratios = imp.log_ratio_table(t, r)
+    w1 = {
+        x["doc_id"]: x["weight"]
+        for x in imp.importance_weights(df.repartition(1), "doc_id", "text", ratios).collect()
+    }
+    w16 = {
+        x["doc_id"]: x["weight"]
+        for x in imp.importance_weights(df.repartition(16), "doc_id", "text", ratios).collect()
+    }
+    assert w1 == w16  # bit-identical, not approximately equal
