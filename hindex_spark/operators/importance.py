@@ -116,9 +116,16 @@ def log_ratio_table(
     """
     t_tot = target_counts.agg(F.sum("cnt").cast("double").alias("t_tot"))
     r_tot = raw_counts.agg(F.sum("cnt").cast("double").alias("r_tot"))
+    # union-of-keys + two broadcast left joins instead of a full-outer
+    # join: Spark cannot build a broadcast hash table for FULL OUTER, so
+    # the outer-join shape sort-merge-joins even two 8k-row fits; this
+    # shape keeps every bounded-size join a broadcast
+    keys = (
+        target_counts.select("bucket").union(raw_counts.select("bucket")).distinct()
+    )
     joined = (
-        target_counts.withColumnRenamed("cnt", "tc")
-        .join(raw_counts.withColumnRenamed("cnt", "rc"), "bucket", "full_outer")
+        keys.join(F.broadcast(target_counts.withColumnRenamed("cnt", "tc")), "bucket", "left")
+        .join(F.broadcast(raw_counts.withColumnRenamed("cnt", "rc")), "bucket", "left")
         .crossJoin(F.broadcast(t_tot))
         .crossJoin(F.broadcast(r_tot))
     )

@@ -267,3 +267,33 @@ def test_minhash_verify_narrows_to_candidates(spark, sf_dir):
     jmap = spark.sparkContext._jsc.getPersistentRDDs()
     for rid in jmap.keySet():
         jmap.get(rid).unpersist()
+
+
+def test_dsir_select_broadcast_join_topk_no_global_sort(spark, sf_dir):
+    """DSIR selection: the ratio table joins as a broadcast (never a
+    corpus-wide SortMergeJoin on the exploded n-gram rows), selection is
+    TakeOrderedAndProject (never a global Sort + Limit), and nothing is
+    cartesian except the sanctioned 1-row default/total frames."""
+    from hindex_spark.operators import importance as imp
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    df = imp.dsir_select(docs, "doc_id", "text", F.col("lang") == "en", 50)
+    p = _plan(df)
+    assert "TakeOrderedAndProject" in p
+    assert "CartesianProduct" not in p
+    # the bucket->ratio join on the exploded units must broadcast
+    assert "BroadcastHashJoin" in p
+    assert "SortMergeJoin" not in p
+
+
+def test_lm_cross_entropy_fit_broadcasts(spark, sf_dir):
+    from hindex_spark.operators import importance as imp
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    t = imp.bucket_counts(docs.filter(F.col("lang") == "en"), "text")
+    p = _plan(imp.lm_cross_entropy(docs, "doc_id", "text", t))
+    assert "BroadcastHashJoin" in p and "SortMergeJoin" not in p
+    assert "CartesianProduct" not in p
+    # the per-doc aggregate is partial+final (map-side combine before
+    # the doc-keyed exchange)
+    assert p.count("HashAggregate") >= 2
