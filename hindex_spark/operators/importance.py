@@ -154,31 +154,35 @@ def importance_weights(
     hash_fn: str = "md5",
 ) -> DataFrame:
     """(id, weight): per-doc DSIR log importance weight. ``ratios`` is a
-    ``log_ratio_table`` output (broadcast — it is <= n_buckets rows).
-    Docs whose text has no tokens get weight 0 — nothing to score.
-    ``weight`` is the exact decimal sum cast to double (deterministic:
-    the decimal sum is order-independent)."""
-    units = df.select(
-        F.col(id_col),
-        F.explode_outer(hashed_buckets(F.col(text_col), n_buckets, hash_fn)).alias(
-            "bucket"
-        ),
-    )
-    # the unseen-bucket default rides in as a broadcast 1-row frame (all
-    # r_default rows are the same constant; max = that constant) — a left
-    # join that misses the ratio table entirely still scores correctly
-    default = ratios.agg(F.max("r_default").alias("rd"))
-    scored = units.join(F.broadcast(ratios), "bucket", "left").crossJoin(
-        F.broadcast(default)
+    ``log_ratio_table`` output (<= n_buckets rows).
+
+    Scoring is SCAN-SHAPED: the bounded ratio table collapses into ONE
+    row holding a bucket->r map (map_from_entries over <= B entries),
+    cross-broadcast onto the corpus, and each doc's weight is a decimal
+    fold over its own n-gram array — no explode, no doc-keyed exchange,
+    zero shuffle. (The explode + broadcast-join + groupBy(id) shape the
+    oracle SQL uses computes the identical decimal-exact sum — both are
+    order-independent — but pays a corpus-wide exchange keyed on doc id
+    that this shape simply does not have.) Docs with no tokens / NULL
+    text score 0. ``weight`` = exact decimal sum cast to double."""
+    ratio_map = ratios.agg(
+        F.map_from_entries(
+            F.collect_list(F.struct(F.col("bucket"), F.col("r")))
+        ).alias("m"),
+        F.max("r_default").alias("rd"),
     )
     zero = F.lit(0).cast(f"decimal(18,{RATIO_SCALE})")
-    per_unit = F.when(F.col("bucket").isNull(), zero).otherwise(
-        F.coalesce(F.col("r"), F.col("rd"), zero)
+    buckets = hashed_buckets(F.col(text_col), n_buckets, hash_fn)
+    fold = F.aggregate(
+        buckets,
+        zero,
+        lambda acc, b: (
+            acc + F.coalesce(F.col("m")[b], F.col("rd"), zero)
+        ).cast(f"decimal(18,{RATIO_SCALE})"),
     )
-    return (
-        scored.groupBy(id_col)
-        .agg(F.sum(per_unit).cast("double").alias("weight"))
-        .select(id_col, F.coalesce("weight", F.lit(0.0)).alias("weight"))
+    return df.crossJoin(F.broadcast(ratio_map)).select(
+        F.col(id_col),
+        F.coalesce(fold.cast("double"), F.lit(0.0)).alias("weight"),
     )
 
 
@@ -229,10 +233,11 @@ def lm_cross_entropy(
                log p_target(bucket)         (add-1 smoothing over B)
 
     Lower = more target-like; threshold or head/middle/tail-split on it
-    exactly as CCNet does. Same scale shape as ``importance_weights``
-    (the fitted table broadcasts; one doc-keyed shuffle), same decimal
-    fixed-point trick so the mean is deterministic. Output: (id, h),
-    h rounded to 6 dp.
+    exactly as CCNet does. Same scan shape as ``importance_weights``
+    (fitted log-probs collapse to a broadcast map; per-doc decimal fold
+    over the doc's own n-gram array — zero shuffle in the scoring pass),
+    same decimal fixed-point trick so the mean is deterministic.
+    Output: (id, h), h rounded to 6 dp.
     """
     tot = target_counts.agg(F.sum("cnt").cast("double").alias("t_tot"))
     b = float(n_buckets)
@@ -245,30 +250,27 @@ def lm_cross_entropy(
         .cast(f"decimal(18,{RATIO_SCALE})")
         .alias("lp_default"),
     )
-    units = df.select(
-        F.col(id_col),
-        F.explode_outer(hashed_buckets(F.col(text_col), n_buckets, hash_fn)).alias(
-            "bucket"
-        ),
-    )
-    default = lp.agg(F.max("lp_default").alias("lpd"))
-    scored = units.join(F.broadcast(lp), "bucket", "left").crossJoin(
-        F.broadcast(default)
+    lp_map = lp.agg(
+        F.map_from_entries(
+            F.collect_list(F.struct(F.col("bucket"), F.col("lp")))
+        ).alias("m"),
+        F.max("lp_default").alias("lpd"),
     )
     zero = F.lit(0).cast(f"decimal(18,{RATIO_SCALE})")
-    per_unit = F.when(F.col("bucket").isNull(), zero).otherwise(
-        F.coalesce(F.col("lp"), F.col("lpd"), zero)
+    buckets = hashed_buckets(F.col(text_col), n_buckets, hash_fn)
+    s = F.aggregate(
+        buckets,
+        zero,
+        lambda acc, bk: (
+            acc + F.coalesce(F.col("m")[bk], F.col("lpd"), zero)
+        ).cast(f"decimal(18,{RATIO_SCALE})"),
     )
-    n_units = F.sum(F.when(F.col("bucket").isNull(), 0).otherwise(1))
-    return (
-        scored.groupBy(id_col)
-        .agg(F.sum(per_unit).cast("double").alias("__s"), n_units.alias("__n"))
-        .select(
-            id_col,
-            F.round(
-                F.when(F.col("__n") > 0, -F.col("__s") / F.col("__n")).otherwise(0.0), 6
-            ).alias("h"),
-        )
+    n = F.size(buckets)
+    return df.crossJoin(F.broadcast(lp_map)).select(
+        F.col(id_col),
+        F.round(
+            F.when(n > 0, -s.cast("double") / n).otherwise(0.0), 6
+        ).alias("h"),
     )
 
 

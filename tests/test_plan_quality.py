@@ -286,14 +286,27 @@ def test_dsir_select_broadcast_join_topk_no_global_sort(spark, sf_dir):
     assert "SortMergeJoin" not in p
 
 
-def test_lm_cross_entropy_fit_broadcasts(spark, sf_dir):
+def test_lm_cross_entropy_scoring_is_scan_shaped(spark, sf_dir):
+    """The scoring pass is a pure map: fitted log-probs collapse to a
+    broadcast map row and each doc folds its own n-gram array — the
+    corpus side must see NO exchange keyed on doc id and no join wider
+    than the 1-row broadcast cross."""
     from hindex_spark.operators import importance as imp
 
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
     t = imp.bucket_counts(docs.filter(F.col("lang") == "en"), "text")
     p = _plan(imp.lm_cross_entropy(docs, "doc_id", "text", t))
-    assert "BroadcastHashJoin" in p and "SortMergeJoin" not in p
-    assert "CartesianProduct" not in p
-    # the per-doc aggregate is partial+final (map-side combine before
-    # the doc-keyed exchange)
-    assert p.count("HashAggregate") >= 2
+    assert "SortMergeJoin" not in p and "CartesianProduct" not in p
+    assert "hashpartitioning(doc_id" not in p
+
+
+def test_dsir_weights_no_doc_keyed_exchange(spark, sf_dir):
+    from hindex_spark.operators import importance as imp
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    t = imp.bucket_counts(docs.filter(F.col("lang") == "en"), "text")
+    r = imp.bucket_counts(docs, "text")
+    ratios = imp.log_ratio_table(t, r)
+    p = _plan(imp.importance_weights(docs, "doc_id", "text", ratios))
+    assert "hashpartitioning(doc_id" not in p
+    assert "SortMergeJoin" not in p and "CartesianProduct" not in p
