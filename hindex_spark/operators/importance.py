@@ -46,7 +46,7 @@ from typing import Optional
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-from hindex_spark.operators.dedup import HASH_FNS, _unit_hash
+from hindex_spark.operators.dedup import _unit_hash
 from hindex_spark.operators.text import tokens
 
 #: default feature-space width; 8k buckets is the paper's hashed n-gram
@@ -165,11 +165,28 @@ def importance_weights(
     order-independent — but pays a corpus-wide exchange keyed on doc id
     that this shape simply does not have.) Docs with no tokens / NULL
     text score 0. ``weight`` = exact decimal sum cast to double."""
+    return with_importance_weight(
+        df, text_col, ratios, n_buckets=n_buckets, hash_fn=hash_fn
+    ).select(F.col(id_col), F.col("weight"))
+
+
+def with_importance_weight(
+    df: DataFrame,
+    text_col: str,
+    ratios: DataFrame,
+    weight_col: str = "weight",
+    n_buckets: int = N_BUCKETS,
+    hash_fn: str = "md5",
+) -> DataFrame:
+    """``df`` with a ``weight_col`` double column appended — the
+    composition form of ``importance_weights`` (all original columns
+    survive, so a pipeline can filter/score mid-chain without a
+    corpus-wide join back on id). Same scan-shaped fold."""
     ratio_map = ratios.agg(
         F.map_from_entries(
             F.collect_list(F.struct(F.col("bucket"), F.col("r")))
-        ).alias("m"),
-        F.max("r_default").alias("rd"),
+        ).alias("__m"),
+        F.max("r_default").alias("__rd"),
     )
     zero = F.lit(0).cast(f"decimal(18,{RATIO_SCALE})")
     buckets = hashed_buckets(F.col(text_col), n_buckets, hash_fn)
@@ -177,12 +194,13 @@ def importance_weights(
         buckets,
         zero,
         lambda acc, b: (
-            acc + F.coalesce(F.col("m")[b], F.col("rd"), zero)
+            acc + F.coalesce(F.col("__m")[b], F.col("__rd"), zero)
         ).cast(f"decimal(18,{RATIO_SCALE})"),
     )
-    return df.crossJoin(F.broadcast(ratio_map)).select(
-        F.col(id_col),
-        F.coalesce(fold.cast("double"), F.lit(0.0)).alias("weight"),
+    return (
+        df.crossJoin(F.broadcast(ratio_map))
+        .withColumn(weight_col, F.coalesce(fold.cast("double"), F.lit(0.0)))
+        .drop("__m", "__rd")
     )
 
 

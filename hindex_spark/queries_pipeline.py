@@ -1448,3 +1448,75 @@ def q_corpus_perplexity_split(spark, sf_dir):
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
     t = imp.bucket_counts(docs.filter(F.col("lang") == "en"), "text")
     return imp.perplexity_partition(docs, "doc_id", "text", t)
+
+
+@query(
+    "corpus_pipeline_dsir",
+    f"""WITH t0 AS (SELECT doc_id, text, lang,
+                     string_split_regex(trim(text), '\\s+') AS toks FROM documents),
+        q0 AS (SELECT doc_id, text, lang,
+               ROUND(greatest(least(
+                 least(length(text) / 200.0, 1.0)
+                 - length(regexp_replace(text, '[^.!?,;:]', '', 'g')) * 2.0
+                   / greatest(length(text), 1)
+                 - (CASE WHEN list_sum(list_transform(toks, x -> length(x))) * 1.0
+                           / greatest(len(toks), 1) < 2
+                         OR list_sum(list_transform(toks, x -> length(x))) * 1.0
+                           / greatest(len(toks), 1) > 12
+                    THEN 0.3 ELSE 0.0 END)
+                 + len(list_filter(toks, x -> list_contains({_STOP_LIT}, x))) * 1.0
+                   / greatest(len(toks), 1) * 0.2,
+                 1.0), 0.0), 4) AS quality
+              FROM t0),
+        good AS (SELECT doc_id, text, lang FROM q0 WHERE quality >= 0.3),
+        hashed AS (SELECT *, md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) AS hh
+                   FROM good),
+        kept AS (SELECT doc_id, text, lang FROM (
+                   SELECT *, MIN(doc_id) OVER (PARTITION BY hh) AS keeper FROM hashed)
+                 WHERE doc_id = keeper),
+        kt AS (SELECT doc_id, lang,
+                 string_split_regex(trim(text), '\\s+') AS toks FROM kept),
+        u AS (SELECT doc_id, lang,
+                unnest(toks || (CASE WHEN len(toks) >= 2
+                  THEN list_transform(range(1, len(toks)), i -> toks[i] || ' ' || toks[i + 1])
+                  ELSE CAST([] AS VARCHAR[]) END)) AS unit
+              FROM kt),
+        bk AS (SELECT doc_id, lang,
+                 (CAST(CONCAT('0x', SUBSTRING(md5(unit), 1, 15)) AS BIGINT)
+                    % 2147483647) % 8192 AS bucket
+               FROM u),
+        tc AS (SELECT bucket, COUNT(*) AS tc FROM bk WHERE lang = 'en' GROUP BY bucket),
+        rc AS (SELECT bucket, COUNT(*) AS rc FROM bk GROUP BY bucket),
+        tot AS (SELECT (SELECT SUM(tc) FROM tc) * 1.0 AS t_tot,
+                       (SELECT SUM(rc) FROM rc) * 1.0 AS r_tot),
+        ratio AS (
+          SELECT rc.bucket,
+                 CAST(ROUND(ln((COALESCE(tc.tc, 0) + 1.0) / (t_tot + 8192))
+                          - ln((rc.rc + 1.0) / (r_tot + 8192)), 6) AS DECIMAL(18,6)) AS r
+          FROM rc LEFT JOIN tc USING (bucket), tot),
+        w AS (SELECT bk.doc_id, CAST(SUM(ratio.r) AS DOUBLE) AS weight
+              FROM bk JOIN ratio USING (bucket) GROUP BY bk.doc_id)
+        SELECT doc_id, weight FROM w ORDER BY weight DESC, doc_id LIMIT 150""",
+)
+def q_pipeline_dsir(spark, sf_dir):
+    """Quality gate -> exact dedup -> DSIR top-k selection as one
+    composed lazy plan — the data-selection variant of the e2e pipeline.
+    The DSIR stage appends its weight scan-shaped
+    (with_importance_weight), so composing it adds zero shuffles beyond
+    the dedup window; selection is TakeOrderedAndProject."""
+    from hindex_spark.operators import importance as imp
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "doc_id", "text", "lang"
+    )
+    good = docs.filter(F.round(tx.quality_score(F.col("text")), 4) >= 0.3)
+    kept = dd.exact_dedup(good, "doc_id", "text")
+    t = imp.bucket_counts(kept.filter(F.col("lang") == "en"), "text")
+    r = imp.bucket_counts(kept, "text")
+    ratios = imp.log_ratio_table(t, r)
+    sel = imp.with_importance_weight(kept, "text", ratios)
+    return (
+        sel.select("doc_id", "weight")
+        .orderBy(F.col("weight").desc(), F.col("doc_id"))
+        .limit(150)
+    )
