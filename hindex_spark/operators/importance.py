@@ -21,8 +21,10 @@ Scale shape (the reason this fits a 100 TB corpus):
   ``n_buckets`` (default 8192) regardless of corpus size — map-side
   combine collapses each partition to <= B rows before the exchange, and
   the fitted table broadcasts everywhere it is used;
-- scoring is explode + broadcast-hash-join + per-doc sum: one shuffle
-  keyed on doc id with map-side partial aggregation;
+- scoring is SCAN-SHAPED: the fitted table collapses to a single
+  broadcast map row and each doc folds its own n-gram array — no
+  explode, no doc-keyed exchange, zero shuffle (works unchanged on a
+  streaming frame: the plan is a stateless projection);
 - selection is ``orderBy(...).limit(k)`` = TakeOrderedAndProject (per-
   partition heaps + driver merge of k rows), never a global sort.
 
@@ -341,3 +343,117 @@ def perplexity_partition(
         .otherwise(F.lit("tail"))
         .alias("bucket3"),
     )
+
+
+# ---------------------------------------------------------------------------
+# persisted fit — score batches/streams without refitting
+# ---------------------------------------------------------------------------
+
+
+class ImportanceModel:
+    """Persisted DSIR/LM fit — the DedupState pattern
+    (operators/dedup_state.py) applied to importance sampling: fit the
+    target/raw bucket distributions ONCE, persist the merged counts as a
+    tiny catalog artifact (<= n_buckets rows — a few hundred KB at any
+    corpus size), and score any later batch or stream from the stored
+    fit. Per-batch cost with the model: zero corpus scans, zero
+    shuffles — scoring is the scan-shaped fold of
+    ``with_importance_weight``.
+
+    Lifecycle::
+
+        m = ImportanceModel.fit(cat, "docs_en", target=en_docs,
+                                raw=all_docs, text_col="text")
+        scored = m.weight(batch_df)            # batch, or
+        scored = m.weight(stream_df)           # readStream: the scoring
+                                               # plan is a stateless
+                                               # projection + broadcast
+        ...
+        m = ImportanceModel.open(cat, "docs_en")   # next day
+    """
+
+    def __init__(self, catalog, name: str, text_col: str,
+                 n_buckets: int = N_BUCKETS, hash_fn: str = "md5"):
+        self.catalog = catalog
+        self.name = name
+        self.text_col = text_col
+        self.n_buckets = n_buckets
+        self.hash_fn = hash_fn
+
+    def _data_path(self) -> str:
+        import os
+
+        return os.path.join(self.catalog.root, f"{self.name}_importance_fit")
+
+    def _meta_path(self) -> str:
+        import os
+
+        return os.path.join(self.catalog.root, f"{self.name}_importance_meta.json")
+
+    @classmethod
+    def fit(cls, catalog, name: str, target: DataFrame, raw: DataFrame,
+            text_col: str, n_buckets: int = N_BUCKETS,
+            hash_fn: str = "md5") -> "ImportanceModel":
+        """Two bounded hash aggregates over the corpora, merged on the
+        union of bucket keys into (bucket, tc, rc) and written as one
+        parquet artifact. The fit's identity knobs (n_buckets, hash_fn,
+        text_col) persist in the meta — stored counts are only
+        comparable under the same featurization."""
+        import json
+
+        m = cls(catalog, name, text_col, n_buckets, hash_fn)
+        t = bucket_counts(target, text_col, n_buckets, hash_fn)
+        r = bucket_counts(raw, text_col, n_buckets, hash_fn)
+        merged = (
+            t.select("bucket").union(r.select("bucket")).distinct()
+            .join(F.broadcast(t.withColumnRenamed("cnt", "tc")), "bucket", "left")
+            .join(F.broadcast(r.withColumnRenamed("cnt", "rc")), "bucket", "left")
+            .select(
+                "bucket",
+                F.coalesce("tc", F.lit(0)).alias("tc"),
+                F.coalesce("rc", F.lit(0)).alias("rc"),
+            )
+        )
+        merged.coalesce(1).write.mode("overwrite").parquet(m._data_path())
+        with open(m._meta_path(), "w") as f:
+            json.dump({"text_col": text_col, "n_buckets": n_buckets,
+                       "hash_fn": hash_fn}, f)
+        return m
+
+    @classmethod
+    def open(cls, catalog, name: str) -> "ImportanceModel":
+        import json
+
+        with open(cls(catalog, name, "")._meta_path()) as f:
+            meta = json.load(f)
+        return cls(catalog, name, meta["text_col"], meta["n_buckets"],
+                   meta["hash_fn"])
+
+    def counts(self) -> DataFrame:
+        return self.catalog.spark.read.parquet(self._data_path())
+
+    def ratios(self) -> DataFrame:
+        c = self.counts()
+        return log_ratio_table(
+            c.filter(F.col("tc") > 0).select("bucket", F.col("tc").alias("cnt")),
+            c.filter(F.col("rc") > 0).select("bucket", F.col("rc").alias("cnt")),
+            self.n_buckets,
+        )
+
+    def weight(self, df: DataFrame, weight_col: str = "weight") -> DataFrame:
+        """``df`` + DSIR weight column from the stored fit. Works on
+        batch AND streaming frames — the plan is a stateless projection
+        over a broadcast 1-row map."""
+        return with_importance_weight(
+            df, self.text_col, self.ratios(), weight_col,
+            self.n_buckets, self.hash_fn,
+        )
+
+    def cross_entropy(self, df: DataFrame, id_col: str) -> DataFrame:
+        """(id, h) under the stored TARGET fit (CCNet filter form)."""
+        c = self.counts()
+        return lm_cross_entropy(
+            df, id_col, self.text_col,
+            c.filter(F.col("tc") > 0).select("bucket", F.col("tc").alias("cnt")),
+            self.n_buckets, self.hash_fn,
+        )

@@ -1441,3 +1441,67 @@ def test_dsir_weights_partition_invariant(spark):
         for x in imp.importance_weights(df.repartition(16), "doc_id", "text", ratios).collect()
     }
     assert w1 == w16  # bit-identical, not approximately equal
+
+
+def test_importance_model_fit_open_score_roundtrip(spark, tmp_path):
+    from hindex_spark.catalog import Catalog
+    from hindex_spark.operators import importance as imp
+
+    docs = spark.createDataFrame(
+        [(i, " ".join(f"tok{(i * 3 + j) % 9}" for j in range(12)),
+          "en" if i % 2 == 0 else "xx") for i in range(20)],
+        "doc_id long, text string, lang string",
+    )
+    cat = Catalog(spark, str(tmp_path / "wh"))
+    m = imp.ImportanceModel.fit(
+        cat, "docs_en", target=docs.filter(F.col("lang") == "en"),
+        raw=docs, text_col="text",
+    )
+    # stored fit reproduces the unfitted path bit-for-bit
+    live = imp.log_ratio_table(
+        imp.bucket_counts(docs.filter(F.col("lang") == "en"), "text"),
+        imp.bucket_counts(docs, "text"),
+    )
+    w_live = {r["doc_id"]: r["weight"]
+              for r in imp.importance_weights(docs, "doc_id", "text", live).collect()}
+    m2 = imp.ImportanceModel.open(cat, "docs_en")
+    w_stored = {r["doc_id"]: r["weight"]
+                for r in m2.weight(docs).select("doc_id", "weight").collect()}
+    assert w_live == w_stored
+    # cross-entropy from the stored target slice matches the live fit
+    h_live = {r["doc_id"]: r["h"] for r in imp.lm_cross_entropy(
+        docs, "doc_id", "text",
+        imp.bucket_counts(docs.filter(F.col("lang") == "en"), "text")).collect()}
+    h_stored = {r["doc_id"]: r["h"] for r in m2.cross_entropy(docs, "doc_id").collect()}
+    assert h_live == h_stored
+
+
+def test_importance_scoring_works_on_streams(spark, tmp_path):
+    """The scan-shaped fold is a stateless projection, so the SAME
+    scoring call works on a readStream frame — batch and stream outputs
+    must agree exactly."""
+    from hindex_spark.catalog import Catalog
+    from hindex_spark.operators import importance as imp
+
+    docs = spark.createDataFrame(
+        [(i, " ".join(f"tok{(i * 5 + j) % 11}" for j in range(10)),
+          "en" if i % 3 == 0 else "xx") for i in range(15)],
+        "doc_id long, text string, lang string",
+    )
+    src = str(tmp_path / "stream_src")
+    docs.coalesce(1).write.parquet(src)
+    cat = Catalog(spark, str(tmp_path / "wh"))
+    m = imp.ImportanceModel.fit(
+        cat, "s1", target=docs.filter(F.col("lang") == "en"),
+        raw=docs, text_col="text",
+    )
+    batch = {r["doc_id"]: r["weight"]
+             for r in m.weight(docs).select("doc_id", "weight").collect()}
+    stream = spark.readStream.schema(docs.schema).parquet(src)
+    out = m.weight(stream).select("doc_id", "weight")
+    q = (out.writeStream.format("memory").queryName("imp_scores")
+         .outputMode("append").trigger(availableNow=True).start())
+    q.awaitTermination(120)
+    got = {r["doc_id"]: r["weight"]
+           for r in spark.sql("SELECT * FROM imp_scores").collect()}
+    assert got == batch
