@@ -802,6 +802,116 @@ def dedup_lines(
     )
 
 
+def remove_duplicate_spans(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    k: int = 8,
+    hash_unit: str = "raw",
+) -> DataFrame:
+    """ExactSubstr-style duplicate-SPAN removal (Lee et al. 2022,
+    "Deduplicating Training Data Makes Language Models Better"): any run
+    of >= ``k`` tokens that also occurs earlier in the corpus (global
+    (doc, pos) order) is cut out of the document; the globally first
+    occurrence survives. Unlike ``dedup_lines``'s fixed non-overlapping
+    windows, the k-grams here OVERLAP, so a duplicated run is removed
+    regardless of how it aligns to any window grid — the property that
+    makes the suffix-array version exact, reproduced with k-gram
+    granularity.
+
+    Semantics: a k-gram occurrence is a duplicate iff its row_number in
+    (gram -> order by (id, pos)) is > 1; every token position covered by
+    a duplicate k-gram is dropped; docs are reassembled from surviving
+    tokens in order. Every doc survives (fully-duplicated docs come back
+    with ``text=''`` and ``n_tokens_kept=0`` — the caller decides whether
+    to drop empties, as C4 does).
+
+    Scale shape (T = corpus tokens): one narrow explode to ~T gram rows,
+    ONE shuffle — the row_number window keyed by the gram — then a
+    bounded <= k*T covered-position explode, an (id, pos) equi-join and
+    one groupBy(doc) reassembly. No self-join of documents, no driver
+    loop. Skew = the duplicated boilerplate itself (exactly the content
+    being removed); each window group only needs its minimum, and the
+    per-group sort is by (id, pos) on identical-gram rows.
+
+    ``hash_unit="xx"`` keys the window by ``xxhash64(gram)`` instead of
+    the gram STRING — at 100 TB the shuffle carries 8-byte keys instead
+    of ~8-word strings (collision odds ~T^2/2^64, negligible); ``"raw"``
+    is the oracle-exact default.
+    """
+    if hash_unit not in ("raw", "xx"):
+        raise ValueError(f"hash_unit must be 'raw' or 'xx', got {hash_unit!r}")
+    from pyspark.sql import Window
+
+    toked = df.filter(F.col(text_col).isNotNull()).select(
+        F.col(id_col), tokens(F.col(text_col)).alias("__toks")
+    )
+    # token rows (1-based pos, matching SQL array indexing)
+    tok = toked.select(
+        F.col(id_col), F.posexplode("__toks").alias("__p0", "__tok")
+    ).select(F.col(id_col), (F.col("__p0") + 1).alias("pos"), F.col("__tok"))
+    # overlapping k-gram rows at positions 1..n-k+1 (sequence(1,0) would
+    # DESCEND, so short docs get an explicit empty gram list)
+    grams = toked.select(
+        F.col(id_col),
+        F.explode(
+            F.when(
+                F.size("__toks") >= k,
+                F.transform(
+                    F.sequence(F.lit(1), F.size("__toks") - F.lit(k) + 1),
+                    lambda i: F.struct(
+                        i.alias("pos"),
+                        F.concat_ws(" ", F.slice(F.col("__toks"), i, k)).alias(
+                            "gram"
+                        ),
+                    ),
+                ),
+            ).otherwise(F.array().cast("array<struct<pos:int,gram:string>>"))
+        ).alias("g"),
+    ).select(F.col(id_col), F.col("g.pos").alias("pos"), F.col("g.gram"))
+    gram_key = (
+        F.xxhash64("gram") if hash_unit == "xx" else F.col("gram")
+    )
+    w = Window.partitionBy(gram_key).orderBy(id_col, "pos")
+    dup = (
+        grams.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") > 1)
+        .select(id_col, "pos")
+    )
+    covered = dup.select(
+        F.col(id_col).alias("__cid"),
+        F.explode(F.sequence(F.col("pos"), F.col("pos") + F.lit(k - 1))).alias(
+            "cpos"
+        ),
+    ).distinct()
+    joined = tok.join(
+        covered,
+        (F.col(id_col) == F.col("__cid")) & (F.col("pos") == F.col("cpos")),
+        "left",
+    ).select(id_col, "pos", "__tok", "cpos")
+    return joined.groupBy(id_col).agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(
+                    F.collect_list(
+                        F.when(
+                            F.col("cpos").isNull(), F.struct("pos", "__tok")
+                        )
+                    )
+                ),
+                lambda s: s["__tok"],
+            ),
+            " ",
+        ).alias("text"),
+        F.sum(F.when(F.col("cpos").isNull(), 1).otherwise(0))
+        .cast("long")
+        .alias("n_tokens_kept"),
+        F.sum(F.when(F.col("cpos").isNotNull(), 1).otherwise(0))
+        .cast("long")
+        .alias("n_tokens_removed"),
+    )
+
+
 def trim_repeated_lines(
     df: DataFrame, id_col: str, text_col: str, words_per_line: int = 10
 ) -> DataFrame:

@@ -117,3 +117,69 @@ def pack_sequences(
         (F.row_number().over(wpos) - 1).alias("pos"),
         F.col("__len").alias("n_tokens"),
     )
+
+
+def shuffle_shards(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    n_shards: int = 32,
+    seed: int = 42,
+    hash_fn: str = "md5",
+    with_positions: bool = True,
+) -> DataFrame:
+    """Deterministic GLOBAL shuffle + shard assignment — the step that
+    turns a cleaned corpus into training shards whose read order is a
+    seeded pseudo-random permutation (trainers stream shards
+    sequentially; the shuffle must happen HERE, at write time, because
+    no trainer can shuffle 100 TB at read time).
+
+    Every doc gets ``key = H(id, seed)`` (seeded, so re-sharding with a
+    new seed is a new permutation and the same seed is bit-reproducible
+    across runs AND engines — no ``rand()``, no ``hash()``),
+    ``shard = key % n_shards`` and, within the shard, ``position`` =
+    rank by (key, id). Reading shards in position order IS the permuted
+    corpus.
+
+    ``hash_fn="md5"`` is the oracle-exact path (md5 prefix -> 60-bit
+    int, the MinHash-family convention); ``"xx"`` is the production
+    path (``xxhash64(id, seed)`` stays inside codegen, no string
+    round-trip).
+
+    Scale shape: the key and shard are a pure projection (no shuffle).
+    ``with_positions=True`` adds ONE shuffle — a per-shard window sort —
+    and each shard lands on one task, so size ``n_shards`` to your
+    cluster (1024 shards over 100 TB = ~100 GB sorts: use more shards).
+    ``with_positions=False`` skips the window entirely — callers that
+    just write shard files should ``repartition(n_shards, "shard")``
+    + ``sortWithinPartitions("key")``, which gets Spark's sort-spill
+    machinery instead of a rank column.
+
+    Output: (id, shard, position?, key).
+    """
+    if hash_fn == "md5":
+        key = F.conv(
+            F.substring(
+                F.md5(F.concat_ws(":", F.col(id_col).cast("string"), F.lit(str(seed)))),
+                1,
+                15,
+            ),
+            16,
+            10,
+        ).cast("long")
+    elif hash_fn == "xx":
+        key = F.xxhash64(F.col(id_col), F.lit(seed))
+    else:
+        raise ValueError(f"hash_fn must be 'md5' or 'xx', got {hash_fn!r}")
+    keyed = df.select(
+        F.col(id_col),
+        key.alias("key"),
+    ).withColumn("shard", F.pmod(F.col("key"), F.lit(n_shards)).cast("int"))
+    if not with_positions:
+        return keyed.select(id_col, "shard", "key")
+    w = Window.partitionBy("shard").orderBy("key", id_col)
+    return keyed.select(
+        id_col,
+        "shard",
+        F.row_number().over(w).alias("position"),
+        "key",
+    )

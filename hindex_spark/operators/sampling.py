@@ -15,7 +15,7 @@ RandomRowFilter.java); this is part of the LLM-pipeline operator set.
 
 from __future__ import annotations
 
-from typing import Dict, Optional
+from typing import Dict, List, Optional
 
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
@@ -155,4 +155,58 @@ def stratified_cap(
         df.withColumn("__rn", F.row_number().over(w))
         .filter(F.col("__rn") <= cap)
         .drop("__rn")
+    )
+
+
+def select_token_budget(
+    df: DataFrame,
+    domain_col: str,
+    budget_tokens: int,
+    order_by: Optional[List[Column]] = None,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """TOKEN-budget selection per domain — the data-mixing primitive a
+    training recipe actually runs: each domain contributes its
+    highest-priority documents until the next doc would push the
+    domain's cumulative token count past ``budget_tokens`` (docs are
+    kept iff their INCLUSIVE running total fits the budget, so the
+    budget is a hard cap, never overshot by a partial doc).
+
+    ``order_by`` ranks docs within a domain (default: longest docs
+    first by ``n_chars`` if present, else token count); ties always
+    break on ``id_col`` so the selection is deterministic across
+    engines and runs.
+
+    Scale shape: one projection for the per-doc token count, then ONE
+    shuffle — the per-domain ordered cumulative sum (running SUM
+    window). That is the minimum for an exact budget. If one domain is
+    a dominant fraction of a 100 TB corpus, its window sort lands on
+    one task — use the exact-global-rank pattern from
+    ``importance.perplexity_split`` (range-partition by the sort key,
+    per-partition running sums + partition-count offsets) for that
+    shape; for the common many-domain mixture this window is the right
+    plan.
+
+    Output: (id, domain, n_tokens, cum_tokens) for the KEPT docs.
+    """
+    from hindex_spark.operators.text import token_count
+
+    if order_by is None:
+        if "n_chars" in df.columns:
+            order_by = [F.col("n_chars").desc()]
+        else:
+            order_by = [token_count(F.col(text_col)).desc()]
+    scored = df.filter(F.col(text_col).isNotNull()).withColumn(
+        "n_tokens", token_count(F.col(text_col)).cast("long")
+    )
+    w = (
+        Window.partitionBy(domain_col)
+        .orderBy(*order_by, F.col(id_col))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        scored.withColumn("cum_tokens", F.sum("n_tokens").over(w))
+        .filter(F.col("cum_tokens") <= budget_tokens)
+        .select(id_col, domain_col, "n_tokens", "cum_tokens")
     )

@@ -1520,3 +1520,95 @@ def q_pipeline_dsir(spark, sf_dir):
         .orderBy(F.col("weight").desc(), F.col("doc_id"))
         .limit(150)
     )
+
+
+# ---------------------------------------------------------------------------
+# round 7: substring-span dedup, token-budget mixing, global shuffle shards
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "corpus_substring_dedup",
+    r"""WITH toked AS (
+          SELECT doc_id, string_split_regex(trim(text), '\s+') AS toks
+          FROM documents WHERE text IS NOT NULL),
+        tok AS (
+          SELECT doc_id, unnest(range(1, len(toks)+1)) AS pos, toks FROM toked),
+        grams AS (
+          SELECT doc_id, pos, array_to_string(toks[pos:pos+4], ' ') AS gram
+          FROM tok WHERE pos <= len(toks) - 4),
+        dup AS (
+          SELECT doc_id, pos FROM (
+            SELECT doc_id, pos,
+                   row_number() OVER (PARTITION BY gram ORDER BY doc_id, pos) AS rn
+            FROM grams) WHERE rn > 1),
+        covered AS (
+          SELECT DISTINCT doc_id, unnest(range(pos, pos+5)) AS cpos FROM dup)
+        SELECT t.doc_id,
+               COALESCE(string_agg(CASE WHEN c.cpos IS NULL THEN toks[t.pos] END,
+                                   ' ' ORDER BY t.pos), '') AS text,
+               CAST(SUM(CASE WHEN c.cpos IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+                 AS n_tokens_kept,
+               CAST(SUM(CASE WHEN c.cpos IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+                 AS n_tokens_removed
+        FROM tok t LEFT JOIN covered c ON t.doc_id = c.doc_id AND t.pos = c.cpos
+        GROUP BY t.doc_id""",
+)
+def q_substring_dedup(spark, sf_dir):
+    """ExactSubstr-style span removal (Lee et al. 2022): overlapping
+    5-gram occurrence dedup, all-but-first duplicated runs cut out of
+    the text, docs reassembled."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return dd.remove_duplicate_spans(docs, "doc_id", "text", k=5)
+
+
+@query(
+    "corpus_token_budget",
+    r"""WITH sized AS (
+          SELECT doc_id, source, n_chars,
+                 CAST(len(string_split_regex(trim(text), '\s+')) AS BIGINT)
+                   AS n_tokens
+          FROM documents WHERE text IS NOT NULL),
+        c AS (
+          SELECT doc_id, source, n_tokens,
+                 CAST(SUM(n_tokens) OVER (
+                   PARTITION BY source ORDER BY n_chars DESC, doc_id
+                   ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_tokens
+          FROM sized)
+        SELECT doc_id, source, n_tokens, cum_tokens
+        FROM c WHERE cum_tokens <= 600""",
+)
+def q_token_budget(spark, sf_dir):
+    """Per-domain token-budget selection: longest-first docs until each
+    source's 600-token budget is exactly capped."""
+    from hindex_spark.operators.sampling import select_token_budget
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return select_token_budget(docs, "source", budget_tokens=600)
+
+
+@query(
+    "corpus_shuffle_shards",
+    """WITH keyed AS (
+          SELECT doc_id,
+                 CAST(CONCAT('0x', SUBSTRING(
+                   md5(CAST(doc_id AS VARCHAR) || ':42'), 1, 15)) AS BIGINT)
+                   AS key
+          FROM documents),
+        s AS (SELECT doc_id, key, CAST(key % 8 AS INT) AS shard FROM keyed)
+        SELECT doc_id, shard,
+               CAST(row_number() OVER (PARTITION BY shard ORDER BY key, doc_id)
+                 AS BIGINT) AS position,
+               key
+        FROM s""",
+)
+def q_shuffle_shards(spark, sf_dir):
+    """Deterministic seeded global shuffle into 8 training shards with
+    exact within-shard positions."""
+    from hindex_spark.operators.packing import shuffle_shards
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    out = shuffle_shards(docs, "doc_id", n_shards=8, seed=42)
+    return out.select(
+        "doc_id", "shard", F.col("position").cast("long").alias("position"), "key"
+    )

@@ -1505,3 +1505,141 @@ def test_importance_scoring_works_on_streams(spark, tmp_path):
     got = {r["doc_id"]: r["weight"]
            for r in spark.sql("SELECT * FROM imp_scores").collect()}
     assert got == batch
+
+
+# ---------------------------------------------------------------------------
+# round 7: substring-span dedup, token-budget mixing, shuffle shards
+# ---------------------------------------------------------------------------
+
+
+def test_remove_duplicate_spans_cuts_later_occurrence(spark):
+    # doc 1 and doc 2 share an 8-token run; k=5 must cut it from doc 2
+    # only, leaving doc 2's unique prefix/suffix intact.
+    rows = [
+        (1, "alpha beta gamma delta epsilon zeta eta theta"),
+        (2, "start alpha beta gamma delta epsilon zeta eta theta end"),
+        (3, "totally unrelated words live in this third document here"),
+    ]
+    docs = spark.createDataFrame(rows, ["doc_id", "text"])
+    out = {
+        r["doc_id"]: r
+        for r in dd.remove_duplicate_spans(docs, "doc_id", "text", k=5).collect()
+    }
+    assert out[1]["text"] == rows[0][1]  # first occurrence untouched
+    assert out[1]["n_tokens_removed"] == 0
+    assert out[2]["text"] == "start end"
+    assert out[2]["n_tokens_removed"] == 8
+    assert out[3]["text"] == rows[2][1]
+    assert len(out) == 3
+
+
+def test_remove_duplicate_spans_unaligned_and_within_doc(spark):
+    # the duplicated run inside ONE doc (offset, not window-aligned)
+    # is still caught: second copy removed, first kept.
+    run = "one two three four five"
+    rows = [(1, f"x {run} y z {run} w")]
+    docs = spark.createDataFrame(rows, ["doc_id", "text"])
+    out = dd.remove_duplicate_spans(docs, "doc_id", "text", k=5).collect()[0]
+    assert out["text"] == f"x {run} y z w"
+    assert out["n_tokens_removed"] == 5
+
+
+def test_remove_duplicate_spans_fully_dup_doc_empties(spark):
+    rows = [
+        (1, "a b c d e f g h"),
+        (2, "a b c d e f g h"),
+        (3, "tiny"),  # < k tokens: no grams, never touched
+    ]
+    docs = spark.createDataFrame(rows, ["doc_id", "text"])
+    out = {
+        r["doc_id"]: r
+        for r in dd.remove_duplicate_spans(docs, "doc_id", "text", k=5).collect()
+    }
+    assert out[1]["text"] == "a b c d e f g h"
+    assert out[2]["text"] == "" and out[2]["n_tokens_kept"] == 0
+    assert out[3]["text"] == "tiny"
+
+
+def test_remove_duplicate_spans_xx_matches_raw(spark, sf_dir):
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    raw = dd.remove_duplicate_spans(docs, "doc_id", "text", k=5)
+    xx = dd.remove_duplicate_spans(docs, "doc_id", "text", k=5, hash_unit="xx")
+    assert raw.exceptAll(xx).count() == 0 and xx.exceptAll(raw).count() == 0
+
+
+def test_select_token_budget_exact_cap(spark):
+    from hindex_spark.operators.sampling import select_token_budget
+
+    rows = [
+        # (id, domain, text): d1 docs are 4/3/2 tokens long
+        (1, "d1", "a b c d"),
+        (2, "d1", "a b c"),
+        (3, "d1", "a b"),
+        (4, "d2", "one two three four five six"),
+    ]
+    docs = spark.createDataFrame(rows, ["doc_id", "dom", "text"])
+    # budget 7: longest-first -> doc1 (4) + doc2 (3) = 7 fits; doc3 would
+    # make 9 -> excluded. d2's single 6-token doc fits.
+    out = {
+        r["doc_id"]: r
+        for r in select_token_budget(docs, "dom", budget_tokens=7).collect()
+    }
+    assert sorted(out) == [1, 2, 4]
+    assert out[2]["cum_tokens"] == 7
+    assert out[4]["cum_tokens"] == 6
+
+
+def test_select_token_budget_never_overshoots(spark, sf_dir):
+    from hindex_spark.operators.sampling import select_token_budget
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    out = select_token_budget(docs, "source", budget_tokens=600)
+    mx = out.groupBy("source").agg(F.max("cum_tokens").alias("m")).collect()
+    assert mx and all(r["m"] <= 600 for r in mx)
+
+
+def test_shuffle_shards_is_permutation(spark, sf_dir):
+    from hindex_spark.operators.packing import shuffle_shards
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    n = docs.count()
+    out = shuffle_shards(docs, "doc_id", n_shards=8, seed=42)
+    assert out.count() == n
+    # every (shard, position) unique, positions contiguous from 1
+    per = out.groupBy("shard").agg(
+        F.count("*").alias("c"),
+        F.countDistinct("position").alias("d"),
+        F.max("position").alias("m"),
+    ).collect()
+    assert all(r["c"] == r["d"] == r["m"] for r in per)
+    assert 1 < len(per) <= 8
+
+
+def test_shuffle_shards_seed_changes_permutation(spark, sf_dir):
+    from hindex_spark.operators.packing import shuffle_shards
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    a = shuffle_shards(docs, "doc_id", n_shards=8, seed=1)
+    b = shuffle_shards(docs, "doc_id", n_shards=8, seed=2)
+    moved = a.alias("a").join(b.alias("b"), "doc_id").filter(
+        (F.col("a.shard") != F.col("b.shard"))
+        | (F.col("a.position") != F.col("b.position"))
+    )
+    assert moved.count() > 0
+    # same seed: bit-identical
+    c = shuffle_shards(docs, "doc_id", n_shards=8, seed=1)
+    assert a.exceptAll(c).count() == 0
+
+
+def test_shuffle_shards_xx_path_and_no_positions(spark, sf_dir):
+    from hindex_spark.operators.packing import shuffle_shards
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    fast = shuffle_shards(
+        docs, "doc_id", n_shards=8, seed=42, hash_fn="xx", with_positions=False
+    )
+    assert fast.columns == ["doc_id", "shard", "key"]
+    assert fast.count() == docs.count()
+    # no window in the plan: the fast path must stay shuffle-free
+    plan = fast._jdf.queryExecution().executedPlan().toString()
+    assert "Window" not in plan and "Exchange" not in plan
