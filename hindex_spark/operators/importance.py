@@ -65,15 +65,21 @@ def ngram_units(text: Column) -> Column:
     so a doc that says "click here" 50 times is scored 50 times for it).
     Mirrored in oracle SQL as toks || bigram list_transform."""
     toks = tokens(text)
-    bigrams = F.when(
-        F.size(toks) >= 2,
-        F.transform(
-            F.sequence(F.lit(0), F.size(toks) - 2),
-            lambda i: F.concat_ws(
-                " ", F.element_at(toks, i + 1), F.element_at(toks, i + 2)
-            ),
+    # zip_with(toks, toks[1:]) instead of transform-over-sequence with
+    # element_at: identical strings, ~13x faster (measured at sf0.1 —
+    # the sequence materialization + per-element bounds-checked
+    # element_at pair dominated the whole DSIR pass). zip_with pads the
+    # shorter side with NULL, so the final (last-token, NULL) slot is
+    # filtered out; 0/1-token docs produce the empty bigram list.
+    shifted = F.slice(toks, 2, F.greatest(F.size(toks) - 1, F.lit(0)))
+    bigrams = F.filter(
+        F.zip_with(
+            toks,
+            shifted,
+            lambda a, b: F.when(b.isNotNull(), F.concat_ws(" ", a, b)),
         ),
-    ).otherwise(F.array().cast("array<string>"))
+        lambda x: x.isNotNull(),
+    )
     return F.concat(toks, bigrams)
 
 
@@ -101,6 +107,64 @@ def bucket_counts(
         )
         .groupBy("bucket")
         .agg(F.count("*").alias("cnt"))
+    )
+
+
+def bucket_counts_pair(
+    df: DataFrame,
+    text_col: str,
+    target: Column,
+    n_buckets: int = N_BUCKETS,
+    hash_fn: str = "md5",
+) -> DataFrame:
+    """Fit BOTH distributions in ONE corpus pass when the target is a
+    predicate over the same frame (the ``dsir_select`` shape): one
+    explode + one bounded hash aggregate yields (bucket, tc, rc) —
+    rc counts every occurrence, tc only those from target docs. Halves
+    the featurize cost of the two-``bucket_counts`` form, which scans
+    (and re-tokenizes) the corpus twice. Result still <= n_buckets
+    rows; raw is a superset of target by construction."""
+    return (
+        df.select(
+            F.explode(hashed_buckets(F.col(text_col), n_buckets, hash_fn)).alias(
+                "bucket"
+            ),
+            target.alias("__t"),
+        )
+        .groupBy("bucket")
+        .agg(
+            F.sum(F.when(F.col("__t"), 1).otherwise(0)).alias("tc"),
+            F.count("*").alias("rc"),
+        )
+    )
+
+
+def log_ratio_table_from_pair(
+    pair_counts: DataFrame,
+    n_buckets: int = N_BUCKETS,
+) -> DataFrame:
+    """``log_ratio_table`` computed from a ``bucket_counts_pair`` fit:
+    identical output values (raw ⊇ target, so the pair table already
+    holds every bucket either corpus saw), no join at all — the totals
+    are two broadcast scalars over a <= n_buckets-row frame."""
+    tots = pair_counts.agg(
+        F.sum("tc").cast("double").alias("t_tot"),
+        F.sum("rc").cast("double").alias("r_tot"),
+    )
+    b = float(n_buckets)
+    joined = pair_counts.crossJoin(F.broadcast(tots))
+    r = F.log((F.col("tc") + 1.0) / (F.col("t_tot") + b)) - F.log(
+        (F.col("rc") + 1.0) / (F.col("r_tot") + b)
+    )
+    return joined.select(
+        "bucket",
+        F.round(r, RATIO_SCALE).cast(f"decimal(18,{RATIO_SCALE})").alias("r"),
+        F.round(
+            F.log(1.0 / (F.col("t_tot") + b)) - F.log(1.0 / (F.col("r_tot") + b)),
+            RATIO_SCALE,
+        )
+        .cast(f"decimal(18,{RATIO_SCALE})")
+        .alias("r_default"),
     )
 
 
@@ -184,11 +248,27 @@ def with_importance_weight(
     composition form of ``importance_weights`` (all original columns
     survive, so a pipeline can filter/score mid-chain without a
     corpus-wide join back on id). Same scan-shaped fold."""
-    ratio_map = ratios.agg(
+    # The bounded fit collapses to ONE broadcast row holding a DENSE
+    # array of n_buckets ratios (absent buckets filled with r_default),
+    # so the per-gram lookup is an O(1) array index. The map shape this
+    # replaced (bucket -> r map, GetMapValue per gram) was a LINEAR scan
+    # of up to n_buckets keys per lookup in Spark — measured 1.8x slower
+    # end-to-end at sf0.1. Densifying costs one O(B^2) pass on a single
+    # 8k-entry row at broadcast time — microseconds, paid once.
+    ratio_arr = ratios.agg(
         F.map_from_entries(
             F.collect_list(F.struct(F.col("bucket"), F.col("r")))
         ).alias("__m"),
         F.max("r_default").alias("__rd"),
+    ).select(
+        F.transform(
+            F.sequence(F.lit(0), F.lit(n_buckets - 1)),
+            lambda i: F.coalesce(
+                F.col("__m")[i.cast("long")],
+                F.col("__rd"),
+                F.lit(0).cast(f"decimal(18,{RATIO_SCALE})"),
+            ),
+        ).alias("__arr")
     )
     zero = F.lit(0).cast(f"decimal(18,{RATIO_SCALE})")
     buckets = hashed_buckets(F.col(text_col), n_buckets, hash_fn)
@@ -196,13 +276,13 @@ def with_importance_weight(
         buckets,
         zero,
         lambda acc, b: (
-            acc + F.coalesce(F.col("__m")[b], F.col("__rd"), zero)
+            acc + F.element_at(F.col("__arr"), (b + 1).cast("int"))
         ).cast(f"decimal(18,{RATIO_SCALE})"),
     )
     return (
-        df.crossJoin(F.broadcast(ratio_map))
+        df.crossJoin(F.broadcast(ratio_arr))
         .withColumn(weight_col, F.coalesce(fold.cast("double"), F.lit(0.0)))
-        .drop("__m", "__rd")
+        .drop("__arr")
     )
 
 
@@ -222,9 +302,10 @@ def dsir_select(
     selected docs. Pass ``weights`` to skip the fit+score (e.g. scored
     once, selected at several k)."""
     if weights is None:
-        t_counts = bucket_counts(df.filter(target), text_col, n_buckets, hash_fn)
-        r_counts = bucket_counts(df, text_col, n_buckets, hash_fn)
-        ratios = log_ratio_table(t_counts, r_counts, n_buckets)
+        # one corpus pass fits BOTH distributions (target is a predicate
+        # over df, so raw ⊇ target): same values as the two-pass form
+        pair = bucket_counts_pair(df, text_col, target, n_buckets, hash_fn)
+        ratios = log_ratio_table_from_pair(pair, n_buckets)
         weights = importance_weights(df, id_col, text_col, ratios, n_buckets, hash_fn)
     # orderBy + limit = TakeOrderedAndProject: per-partition top-k heaps,
     # driver merges k rows — no global sort at any corpus size
@@ -270,11 +351,21 @@ def lm_cross_entropy(
         .cast(f"decimal(18,{RATIO_SCALE})")
         .alias("lp_default"),
     )
-    lp_map = lp.agg(
+    # dense-array lookup, same rationale as with_importance_weight
+    lp_arr = lp.agg(
         F.map_from_entries(
             F.collect_list(F.struct(F.col("bucket"), F.col("lp")))
         ).alias("m"),
         F.max("lp_default").alias("lpd"),
+    ).select(
+        F.transform(
+            F.sequence(F.lit(0), F.lit(n_buckets - 1)),
+            lambda i: F.coalesce(
+                F.col("m")[i.cast("long")],
+                F.col("lpd"),
+                F.lit(0).cast(f"decimal(18,{RATIO_SCALE})"),
+            ),
+        ).alias("__lparr")
     )
     zero = F.lit(0).cast(f"decimal(18,{RATIO_SCALE})")
     buckets = hashed_buckets(F.col(text_col), n_buckets, hash_fn)
@@ -282,11 +373,11 @@ def lm_cross_entropy(
         buckets,
         zero,
         lambda acc, bk: (
-            acc + F.coalesce(F.col("m")[bk], F.col("lpd"), zero)
+            acc + F.element_at(F.col("__lparr"), (bk + 1).cast("int"))
         ).cast(f"decimal(18,{RATIO_SCALE})"),
     )
     n = F.size(buckets)
-    return df.crossJoin(F.broadcast(lp_map)).select(
+    return df.crossJoin(F.broadcast(lp_arr)).select(
         F.col(id_col),
         F.round(
             F.when(n > 0, -s.cast("double") / n).otherwise(0.0), 6
