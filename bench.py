@@ -281,6 +281,17 @@ def main():
 
     bench("corpus_dsir_select", dsir, runs=3)
 
+    # ExactSubstr-style duplicate-span removal (the heaviest dedup
+    # granularity: every overlapping k-gram occurrence goes through ONE
+    # gram-keyed window shuffle). xxhash64 unit keys keep the shuffle
+    # rows at 8 bytes — the 100 TB configuration.
+    bench(
+        "corpus_substring_dedup",
+        lambda: dd.remove_duplicate_spans(
+            docs, "doc_id", "text", k=8, hash_unit="xx"
+        ).select(F.sum("n_tokens_removed")).collect(),
+    )
+
     def ann():
         queries_df = emb.filter(F.col("vec_id") < 5).select(
             F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_vec")

@@ -1495,12 +1495,21 @@ _PRIORITY = [
     # filter_or_index_union ceded its slot (OR-over-indexable semantics
     # stay visible via idxtab_or_union; the query stays in the local
     # gate) as did idxtab_complex_range_or above.
+    # filter_or_pagination ceded its slot (round 7) to
+    # corpus_substring_dedup below; pagination-under-OR semantics stay
+    # driver-visible via filter_or_page + cells_or_dependent and the
+    # query stays oracle-checked in the local gate.
     "point_get", "scan_range", "scan_reversed_range", "filter_scvf",
-    "filter_or_page", "filter_or_pagination", "cells_or_dependent",
+    "filter_or_page", "cells_or_dependent",
     # LLM-pipeline operators: dedup family, corpus cleaning, ANN, text
     "dedup_exact", "dedup_minhash_lsh", "dedup_simhash", "dedup_clusters",
     "dedup_embedding_lsh", "dedup_semantic", "corpus_clean",
     "corpus_pipeline_e2e",
+    # Round-7 rotation: corpus_substring_dedup (ExactSubstr-style
+    # duplicate-SPAN removal, operators/dedup.py:remove_duplicate_spans —
+    # a new dedup granularity: sub-document runs, not whole docs/lines)
+    # takes filter_or_pagination's slot.
+    "corpus_substring_dedup",
     # Round-7 rotation: corpus_dsir_select (DSIR importance resampling,
     # operators/importance.py — the newest pipeline family) takes
     # sim_bruteforce_topk's slot; ANN stays driver-visible via

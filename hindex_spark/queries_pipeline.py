@@ -1612,3 +1612,82 @@ def q_shuffle_shards(spark, sf_dir):
     return out.select(
         "doc_id", "shard", F.col("position").cast("long").alias("position"), "key"
     )
+
+
+# ---------------------------------------------------------------------------
+# round 7: lexical search (BM25 retrieval, TF-IDF keyword extraction)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "text_bm25_topk",
+    r"""WITH toked AS (
+          SELECT doc_id, string_split_regex(trim(text), '\s+') AS toks
+          FROM documents WHERE text IS NOT NULL),
+        stats AS (
+          SELECT CAST(count(*) AS DOUBLE) AS n,
+                 CAST(SUM(len(toks)) AS DOUBLE) AS sumdl,
+                 CAST(SUM(CASE WHEN list_contains(toks, 'spark') THEN 1 ELSE 0 END) AS DOUBLE) AS df0,
+                 CAST(SUM(CASE WHEN list_contains(toks, 'merge') THEN 1 ELSE 0 END) AS DOUBLE) AS df1,
+                 CAST(SUM(CASE WHEN list_contains(toks, 'vector') THEN 1 ELSE 0 END) AS DOUBLE) AS df2
+          FROM toked),
+        scored AS (
+          SELECT doc_id,
+            CAST(
+              CAST(ROUND(ln(1.0 + (n - df0 + 0.5)/(df0 + 0.5)), 6) AS DECIMAL(18,6))
+              * CAST(ROUND(CAST(len(list_filter(toks, x -> x = 'spark')) AS DOUBLE)*2.2
+                  /(CAST(len(list_filter(toks, x -> x = 'spark')) AS DOUBLE)
+                    + 1.2*(0.25 + 0.75*CAST(len(toks) AS DOUBLE)/(sumdl/n))), 6) AS DECIMAL(18,6))
+              + CAST(ROUND(ln(1.0 + (n - df1 + 0.5)/(df1 + 0.5)), 6) AS DECIMAL(18,6))
+              * CAST(ROUND(CAST(len(list_filter(toks, x -> x = 'merge')) AS DOUBLE)*2.2
+                  /(CAST(len(list_filter(toks, x -> x = 'merge')) AS DOUBLE)
+                    + 1.2*(0.25 + 0.75*CAST(len(toks) AS DOUBLE)/(sumdl/n))), 6) AS DECIMAL(18,6))
+              + CAST(ROUND(ln(1.0 + (n - df2 + 0.5)/(df2 + 0.5)), 6) AS DECIMAL(18,6))
+              * CAST(ROUND(CAST(len(list_filter(toks, x -> x = 'vector')) AS DOUBLE)*2.2
+                  /(CAST(len(list_filter(toks, x -> x = 'vector')) AS DOUBLE)
+                    + 1.2*(0.25 + 0.75*CAST(len(toks) AS DOUBLE)/(sumdl/n))), 6) AS DECIMAL(18,6))
+            AS DOUBLE) AS score
+          FROM toked, stats)
+        SELECT doc_id, score FROM scored WHERE score > 0
+        ORDER BY score DESC, doc_id LIMIT 25""",
+)
+def q_bm25_topk(spark, sf_dir):
+    """BM25 ranked retrieval for a 3-term query — scan-shaped scoring
+    (one bounded stats row broadcast, per-doc projection, top-k heap)."""
+    from hindex_spark.operators.search import bm25_topk
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return bm25_topk(docs, "doc_id", "text", "spark merge vector", k=25)
+
+
+@query(
+    "text_tfidf_keywords",
+    r"""WITH toked AS (
+          SELECT doc_id, string_split_regex(trim(text), '\s+') AS toks
+          FROM documents WHERE text IS NOT NULL),
+        nd AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM toked),
+        tf AS (
+          SELECT doc_id, token, count(*) AS tf FROM (
+            SELECT doc_id, unnest(toks) AS token FROM toked)
+          GROUP BY doc_id, token),
+        dfq AS (
+          SELECT token,
+                 CAST(ROUND(ln((n + 1.0)/(CAST(count(*) AS DOUBLE) + 1.0)) + 1.0, 6)
+                   AS DECIMAL(18,6)) AS idf
+          FROM tf, nd GROUP BY token, n),
+        scored AS (
+          SELECT doc_id, token, tf,
+                 CAST(CAST(tf AS DECIMAL(18,6)) * idf AS DOUBLE) AS score
+          FROM tf JOIN dfq USING (token))
+        SELECT doc_id, token, tf, score FROM (
+          SELECT *, row_number() OVER (
+            PARTITION BY doc_id ORDER BY score DESC, token) AS rn
+          FROM scored) WHERE rn <= 3""",
+)
+def q_tfidf_keywords(spark, sf_dir):
+    """Top-3 TF-IDF keywords per document (smoothed sklearn idf,
+    decimal-exact scores, token tie-breaks)."""
+    from hindex_spark.operators.search import tfidf_keywords
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return tfidf_keywords(docs, "doc_id", "text", top_n=3)

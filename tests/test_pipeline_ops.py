@@ -1643,3 +1643,79 @@ def test_shuffle_shards_xx_path_and_no_positions(spark, sf_dir):
     # no window in the plan: the fast path must stay shuffle-free
     plan = fast._jdf.queryExecution().executedPlan().toString()
     assert "Window" not in plan and "Exchange" not in plan
+
+
+# ---------------------------------------------------------------------------
+# round 7: lexical search (BM25, TF-IDF keywords)
+# ---------------------------------------------------------------------------
+
+
+def test_bm25_ranks_term_density(spark):
+    from hindex_spark.operators.search import bm25_topk
+
+    rows = [
+        (1, "spark spark spark row row"),          # 3 hits of 'spark'
+        (2, "spark row row row row"),              # 1 hit
+        (3, "row row row row row"),                # 0 hits -> excluded
+        (4, "spark spark row row row"),            # 2 hits
+    ]
+    docs = spark.createDataFrame(rows, ["doc_id", "text"])
+    got = bm25_topk(docs, "doc_id", "text", "spark", k=10).collect()
+    assert [r["doc_id"] for r in got] == [1, 4, 2]
+    assert all(r["score"] > 0 for r in got)
+
+
+def test_bm25_multi_term_and_length_norm(spark):
+    from hindex_spark.operators.search import bm25_topk
+
+    rows = [
+        (1, "alpha beta"),                          # both terms, short doc
+        (2, "alpha " + "pad " * 50 + "beta"),       # both terms, long doc
+        (3, "alpha alpha alpha"),                   # one term only
+    ]
+    docs = spark.createDataFrame(rows, ["doc_id", "text"])
+    got = {r["doc_id"]: r["score"] for r in
+           bm25_topk(docs, "doc_id", "text", "alpha beta", k=10).collect()}
+    # length normalization: the short doc with both terms wins
+    assert got[1] > got[2]
+    assert set(got) == {1, 2, 3}
+
+
+def test_bm25_topk_is_take_ordered(spark, sf_dir):
+    from hindex_spark.operators.search import bm25_topk
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    out = bm25_topk(docs, "doc_id", "text", "spark merge vector", k=25)
+    assert out.count() == 25
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_tfidf_keywords_prefers_rare_terms(spark):
+    from hindex_spark.operators.search import tfidf_keywords
+
+    rows = [
+        (1, "common zebra"),
+        (2, "common common"),
+        (3, "common aardvark"),
+    ]
+    docs = spark.createDataFrame(rows, ["doc_id", "text"])
+    got = tfidf_keywords(docs, "doc_id", "text", top_n=1).collect()
+    top = {r["doc_id"]: r["token"] for r in got}
+    # at equal tf the doc-unique term's idf beats the corpus-wide one
+    assert top[1] == "zebra" and top[3] == "aardvark" and top[2] == "common"
+
+
+def test_tfidf_top_n_and_deterministic_ties(spark):
+    from hindex_spark.operators.search import tfidf_keywords
+
+    docs = spark.createDataFrame(
+        [(1, "b a c d"), (2, "a b")], ["doc_id", "text"]
+    )
+    got = tfidf_keywords(docs, "doc_id", "text", top_n=2).collect()
+    by_doc = {}
+    for r in got:
+        by_doc.setdefault(r["doc_id"], []).append(r["token"])
+    # doc 1: c and d are unique (tie on score) -> token asc tie-break
+    assert by_doc[1] == ["c", "d"]
+    assert len(by_doc[2]) == 2
