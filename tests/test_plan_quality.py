@@ -281,9 +281,12 @@ def test_dsir_select_broadcast_join_topk_no_global_sort(spark, sf_dir):
     p = _plan(df)
     assert "TakeOrderedAndProject" in p
     assert "CartesianProduct" not in p
-    # the bucket->ratio join on the exploded units must broadcast
-    assert "BroadcastHashJoin" in p
+    # since the one-pass pair fit, the plan has NO bucket-keyed join at
+    # all (the fit is one bounded aggregate; scoring is the broadcast
+    # 1-row cross + per-doc fold) — so simply: nothing sort-merge-joins
+    # and nothing exchanges on doc id
     assert "SortMergeJoin" not in p
+    assert "hashpartitioning(doc_id" not in p
 
 
 def test_lm_cross_entropy_scoring_is_scan_shaped(spark, sf_dir):
