@@ -292,6 +292,31 @@ def main():
         ).select(F.sum("n_tokens_removed")).collect(),
     )
 
+    # BM25: the full corpus scan vs the persisted inverted index. The
+    # index build is database setup (one corpus pass, like the index
+    # builds above); the query-time delta is the point — a 3-term query
+    # reads 3 of 32 postings buckets instead of every document.
+    from hindex_spark.operators.search import SearchIndex, bm25_topk
+
+    bench(
+        "bm25_scan_topk",
+        lambda: bm25_topk(
+            docs, "doc_id", "text", "spark merge vector", k=25
+        ).collect(),
+        runs=3,
+    )
+    try:
+        search_ix = SearchIndex.build(cat, docs, "doc_id", "text", "bench_docs")
+    except Exception as exc:  # noqa: BLE001
+        search_ix = None
+        errors["bm25_indexed_topk"] = f"setup: {type(exc).__name__}: {exc}"[:220]
+    if search_ix is not None:
+        bench(
+            "bm25_indexed_topk",
+            lambda: search_ix.topk("spark merge vector", k=25).collect(),
+            runs=3,
+        )
+
     def ann():
         queries_df = emb.filter(F.col("vec_id") < 5).select(
             F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_vec")

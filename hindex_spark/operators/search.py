@@ -57,6 +57,35 @@ def query_terms(query: str) -> List[str]:
     return out
 
 
+def _bm25_term_score(
+    tf: Column,
+    dl: Column,
+    df_t: Column,
+    n: Column,
+    avgdl: Column,
+    k1: float,
+    b: float,
+) -> Column:
+    """One term's BM25 contribution as an exact DECIMAL product —
+    round(idf, 6) * round(tf-normalization, 6). Shared by the full-scan
+    and the inverted-index paths so their expression trees (and hence
+    every last double bit) are identical."""
+    idf = F.round(
+        F.log(1.0 + (n - df_t + 0.5) / (df_t + 0.5)), _SCALE
+    ).cast(_DEC)
+    norm = F.round(
+        tf * (k1 + 1.0) / (tf + k1 * (1.0 - b + b * dl / avgdl)), _SCALE
+    ).cast(_DEC)
+    # the (18,6)x(18,6) product is decimal(37,12); one more ADD would
+    # overflow Spark's 38-digit cap, which silently REDUCES THE SCALE
+    # to 11 (allowPrecisionLoss) — the scan path's 3-term sum then
+    # differs from the index path's SUM (which keeps scale 12) in the
+    # 11th decimal. Values are tiny (|score term| < ~100), so pin the
+    # exact value into (25,12) and every downstream add/sum stays exact
+    # and identical across both paths and both engines.
+    return (idf * norm).cast("decimal(25,12)")
+
+
 def bm25_topk(
     df: DataFrame,
     id_col: str,
@@ -110,22 +139,22 @@ def bm25_topk(
         # silently turns the term into the array index
         lit_t = F.lit(t)
         tf = F.size(F.filter("__toks", lambda x: x == lit_t)).cast("double")
-        idf = F.round(
-            F.log(
-                1.0
-                + (F.col("__n") - F.col(f"__df{i}") + 0.5)
-                / (F.col(f"__df{i}") + 0.5)
-            ),
-            _SCALE,
-        ).cast(_DEC)
-        norm = F.round(
-            tf * (k1 + 1.0) / (tf + k1 * (1.0 - b + b * dl.cast("double") / avgdl)),
-            _SCALE,
-        ).cast(_DEC)
-        parts.append((idf * norm).alias(f"__s{i}"))
-    total: Column = parts[0] if len(parts) == 1 else sum(
-        parts[1:], start=parts[0]
-    )
+        parts.append(
+            _bm25_term_score(
+                tf,
+                dl.cast("double"),
+                F.col(f"__df{i}"),
+                F.col("__n"),
+                avgdl,
+                k1,
+                b,
+            ).alias(f"__s{i}")
+        )
+    # fold with a fixed-type running total: precision can never creep
+    # up to the 38-digit cliff however many query terms there are
+    total: Column = parts[0]
+    for p_ in parts[1:]:
+        total = (total + p_).cast("decimal(30,12)")
     return (
         scored.select(
             F.col(id_col), total.cast("double").alias("score")
@@ -193,3 +222,194 @@ def tfidf_keywords(
         .filter(F.col("__rn") <= top_n)
         .drop("__rn")
     )
+
+
+# ---------------------------------------------------------------------------
+# persisted inverted index — BM25 without the corpus scan
+# ---------------------------------------------------------------------------
+
+
+class SearchIndex:
+    """Persisted inverted index for BM25 retrieval — the secondary-index
+    design of this engine (catalog-bucketed, query-key-local) applied to
+    lexical search. ``bm25_topk`` scans every document for every query;
+    at 100 TB a 3-term query must not read 100 TB. The index persists
+    ONE postings table — (token, id, tf, dl), bucketed AND sorted on
+    token — so a query reads only its terms' postings: bucket pruning
+    keeps all other buckets unread (plan-asserted via
+    SelectedBucketsCount) and the within-bucket token sort gives
+    parquet row-group pruning on top.
+
+    Result-identity with the full scan: per-term document frequency is
+    exactly the fetched posting-list length, corpus size / total length
+    persist in the meta, and the per-term decimal score is the SAME
+    expression (``_bm25_term_score``) — a doc's grouped posting sum
+    equals the scan's per-term column sum because absent terms
+    contribute an exact decimal zero. Gated against the same oracle SQL
+    as the scan path.
+
+    Lifecycle (the DedupState pattern)::
+
+        ix = SearchIndex.build(cat, docs, "doc_id", "text", "docs")
+        hits = ix.topk("spark merge vector", k=25)
+        ix.update(new_docs)            # postings append + stats bump
+        ix = SearchIndex.open(cat, "docs")   # next session
+    """
+
+    def __init__(self, catalog, name: str, id_col: str, text_col: str,
+                 n_docs: int, sum_dl: float):
+        self.catalog = catalog
+        self.name = name
+        self.id_col = id_col
+        self.text_col = text_col
+        self.n_docs = n_docs
+        self.sum_dl = sum_dl
+        self.table_name = f"{name}_postings_bucketed"
+
+    # -- storage ------------------------------------------------------------
+
+    def _meta_path(self) -> str:
+        import os
+
+        return os.path.join(
+            self.catalog.root, f"{self.name}_postings_meta.json"
+        )
+
+    @staticmethod
+    def _posting_rows(docs: DataFrame, id_col: str, text_col: str) -> DataFrame:
+        """(token, id, tf, dl): one row per distinct (doc, token). dl is
+        the doc's token count, constant per doc (max() only fixes the
+        aggregate's shape)."""
+        toked = docs.filter(F.col(text_col).isNotNull()).select(
+            F.col(id_col), tokens(F.col(text_col)).alias("__toks")
+        )
+        return (
+            toked.select(
+                F.col(id_col),
+                F.size("__toks").alias("__dl"),
+                F.explode("__toks").alias("token"),
+            )
+            .groupBy("token", id_col)
+            .agg(
+                F.count("*").alias("tf"),
+                F.max("__dl").alias("dl"),
+            )
+        )
+
+    @classmethod
+    def build(cls, catalog, docs: DataFrame, id_col: str, text_col: str,
+              name: str, num_buckets: int = 32) -> "SearchIndex":
+        """One corpus pass: explode + one (token, id) aggregate, persist
+        bucketed/sorted on token. Postings are ~tens of bytes per (doc,
+        distinct token) — the artifact a 100 TB corpus amortizes over
+        every query ever run against it."""
+        import json
+
+        from hindex_spark.table import Table
+
+        toked = docs.filter(F.col(text_col).isNotNull()).select(
+            tokens(F.col(text_col)).alias("__toks")
+        )
+        stats = toked.agg(
+            F.count("*").alias("n"),
+            F.sum(F.size("__toks")).cast("double").alias("sumdl"),
+        ).collect()[0]
+        rows = cls._posting_rows(docs, id_col, text_col)
+        catalog.save_bucketed(
+            Table(rows, "token", f"{name}_postings"), num_buckets=num_buckets
+        )
+        ix = cls(catalog, name, id_col, text_col,
+                 int(stats["n"]), float(stats["sumdl"] or 0.0))
+        with open(ix._meta_path(), "w") as f:
+            json.dump({"id_col": id_col, "text_col": text_col,
+                       "n_docs": ix.n_docs, "sum_dl": ix.sum_dl}, f)
+        return ix
+
+    @classmethod
+    def open(cls, catalog, name: str) -> "SearchIndex":
+        import json
+        import os
+
+        with open(os.path.join(
+                catalog.root, f"{name}_postings_meta.json")) as f:
+            m = json.load(f)
+        return cls(catalog, name, m["id_col"], m["text_col"],
+                   m["n_docs"], m["sum_dl"])
+
+    @property
+    def postings(self) -> DataFrame:
+        return self.catalog.spark.table(self.table_name)
+
+    def update(self, new_docs: DataFrame) -> None:
+        """Per-batch maintenance: append the batch's postings (INSERT
+        INTO honors the bucket spec) and bump the persisted corpus
+        stats. Assumes batch ids are new — re-ingesting a doc id adds,
+        not replaces, its postings (the DedupState.update contract)."""
+        import json
+
+        rows = self._posting_rows(new_docs, self.id_col, self.text_col)
+        view = f"__postings_append_{self.name}"
+        rows.createOrReplaceTempView(view)
+        self.catalog.spark.sql(
+            f"INSERT INTO {self.table_name} SELECT * FROM {view}"
+        )
+        self.catalog.spark.catalog.dropTempView(view)
+        batch = (
+            new_docs.filter(F.col(self.text_col).isNotNull())
+            .agg(
+                F.count("*").alias("n"),
+                F.sum(F.size(tokens(F.col(self.text_col))))
+                .cast("double")
+                .alias("sumdl"),
+            )
+            .collect()[0]
+        )
+        self.n_docs += int(batch["n"])
+        self.sum_dl += float(batch["sumdl"] or 0.0)
+        with open(self._meta_path(), "w") as f:
+            json.dump({"id_col": self.id_col, "text_col": self.text_col,
+                       "n_docs": self.n_docs, "sum_dl": self.sum_dl}, f)
+
+    # -- the query ----------------------------------------------------------
+
+    def topk(
+        self,
+        query: str,
+        k: int,
+        k1: float = 1.2,
+        b: float = 0.75,
+    ) -> DataFrame:
+        """Top-``k`` (id, score) for ``query`` from postings only. Reads
+        the query terms' buckets (bucket pruning + token-sorted row
+        groups), derives df from the fetched posting lists, scores each
+        posting with the shared decimal expression and sums per doc —
+        one bounded groupBy over candidate docs, then
+        TakeOrderedAndProject."""
+        terms = query_terms(query)
+        if not terms:
+            raise ValueError("SearchIndex.topk: query has no terms")
+        p = self.postings.filter(F.col("token").isin(terms))
+        dfreqs = p.groupBy("token").agg(
+            F.count("*").cast("double").alias("__df")
+        )
+        n = F.lit(float(self.n_docs))
+        avgdl = F.lit(self.sum_dl) / F.lit(float(self.n_docs))
+        scored = p.join(F.broadcast(dfreqs), "token").select(
+            F.col(self.id_col),
+            _bm25_term_score(
+                F.col("tf").cast("double"),
+                F.col("dl").cast("double"),
+                F.col("__df"),
+                n,
+                avgdl,
+                k1,
+                b,
+            ).alias("__s"),
+        )
+        return (
+            scored.groupBy(self.id_col)
+            .agg(F.sum("__s").cast("double").alias("score"))
+            .filter(F.col("score") > 0)
+            .orderBy(F.col("score").desc(), F.col(self.id_col))
+            .limit(k)
+        )

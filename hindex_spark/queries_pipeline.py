@@ -1619,9 +1619,7 @@ def q_shuffle_shards(spark, sf_dir):
 # ---------------------------------------------------------------------------
 
 
-@query(
-    "text_bm25_topk",
-    r"""WITH toked AS (
+_BM25_ORACLE = r"""WITH toked AS (
           SELECT doc_id, string_split_regex(trim(text), '\s+') AS toks
           FROM documents WHERE text IS NOT NULL),
         stats AS (
@@ -1649,8 +1647,10 @@ def q_shuffle_shards(spark, sf_dir):
             AS DOUBLE) AS score
           FROM toked, stats)
         SELECT doc_id, score FROM scored WHERE score > 0
-        ORDER BY score DESC, doc_id LIMIT 25""",
-)
+        ORDER BY score DESC, doc_id LIMIT 25"""
+
+
+@query("text_bm25_topk", _BM25_ORACLE)
 def q_bm25_topk(spark, sf_dir):
     """BM25 ranked retrieval for a 3-term query — scan-shaped scoring
     (one bounded stats row broadcast, per-doc projection, top-k heap)."""
@@ -1691,3 +1691,21 @@ def q_tfidf_keywords(spark, sf_dir):
 
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
     return tfidf_keywords(docs, "doc_id", "text", top_n=3)
+
+
+@query("text_bm25_indexed", _BM25_ORACLE)
+def q_bm25_indexed(spark, sf_dir):
+    """The SAME BM25 query served from the persisted inverted index
+    (operators/search.py:SearchIndex) instead of a corpus scan: postings
+    bucketed/sorted on token, so only the query terms' buckets are read
+    (bucket pruning plan-asserted in tests). Result-identical to
+    ``text_bm25_topk`` — shares its oracle."""
+    import tempfile
+
+    from hindex_spark.catalog import Catalog
+    from hindex_spark.operators.search import SearchIndex
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    cat = Catalog(spark, tempfile.mkdtemp(prefix="hindex_searchix_"))
+    ix = SearchIndex.build(cat, docs, "doc_id", "text", "gatedocs")
+    return ix.topk("spark merge vector", k=25)

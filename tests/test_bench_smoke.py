@@ -35,6 +35,7 @@ def test_bench_cli_contract_sf0001():
         "dedup_minhash_lsh_prod", "dedup_minhash_lsh_tuned",
         "dedup_incremental", "dedup_incremental_store", "text_analyze",
         "corpus_dsir_select", "corpus_substring_dedup",
+        "bm25_scan_topk", "bm25_indexed_topk",
         "ann_bruteforce_topk", "ann_ivf_topk",
         "join_q3_topk", "join_q3_topk_bucketed",
         "sessionize", "asof_join", "corpus_clean",

@@ -1719,3 +1719,60 @@ def test_tfidf_top_n_and_deterministic_ties(spark):
     # doc 1: c and d are unique (tie on score) -> token asc tie-break
     assert by_doc[1] == ["c", "d"]
     assert len(by_doc[2]) == 2
+
+
+def test_search_index_matches_scan_bm25(spark, sf_dir, tmp_path):
+    from hindex_spark.catalog import Catalog
+    from hindex_spark.operators.search import SearchIndex, bm25_topk
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    cat = Catalog(spark, str(tmp_path / "wh"))
+    ix = SearchIndex.build(cat, docs, "doc_id", "text", "docs")
+    got = ix.topk("spark merge vector", k=25).collect()
+    want = bm25_topk(docs, "doc_id", "text", "spark merge vector", k=25).collect()
+    assert [(r["doc_id"], r["score"]) for r in got] == [
+        (r["doc_id"], r["score"]) for r in want
+    ]
+
+
+def test_search_index_prunes_buckets(spark, sf_dir, tmp_path):
+    from hindex_spark.catalog import Catalog
+    from hindex_spark.operators.search import SearchIndex
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    cat = Catalog(spark, str(tmp_path / "wh"))
+    ix = SearchIndex.build(cat, docs, "doc_id", "text", "docs", num_buckets=32)
+    plan = ix.topk("spark", k=5)._jdf.queryExecution().executedPlan().toString()
+    # a 1-term query must read 1 of the 32 postings buckets, not 32
+    assert "SelectedBucketsCount: 1 out of 32" in plan, plan[:2000]
+
+
+def test_search_index_update_equals_rebuild(spark, tmp_path):
+    from hindex_spark.catalog import Catalog
+    from hindex_spark.operators.search import SearchIndex
+
+    all_rows = [
+        (1, "spark makes joins fast"),
+        (2, "merge joins beat loops"),
+        (3, "vector scans stay cheap"),
+        (4, "spark spark everywhere spark"),
+        (5, "totally unrelated content here"),
+    ]
+    docs = spark.createDataFrame(all_rows, ["doc_id", "text"])
+    old = docs.filter(F.col("doc_id") <= 3)
+    new = docs.filter(F.col("doc_id") > 3)
+    cat = Catalog(spark, str(tmp_path / "wh"))
+    ix = SearchIndex.build(cat, old, "doc_id", "text", "inc")
+    ix.update(new)
+    full = SearchIndex.build(
+        Catalog(spark, str(tmp_path / "wh2")), docs, "doc_id", "text", "full"
+    )
+    q = "spark merge vector"
+    got = [(r["doc_id"], r["score"]) for r in ix.topk(q, k=10).collect()]
+    want = [(r["doc_id"], r["score"]) for r in full.topk(q, k=10).collect()]
+    assert got == want
+    # reopen from disk: stats persisted
+    again = SearchIndex.open(cat, "inc")
+    assert again.n_docs == 5
+    got2 = [(r["doc_id"], r["score"]) for r in again.topk(q, k=10).collect()]
+    assert got2 == want
