@@ -1442,7 +1442,8 @@ def _register_all():
 # family. Everything else stays oracle-checked in the local gate.
 _PRIORITY = [
     # aggregations (exact two-phase median inside agg_summary) + TPC-H
-    "tpch_q1", "agg_summary", "agg_group", "topk_per_group",
+    # agg_group ceded its slot (round 7) to text_bm25_indexed below
+    "tpch_q1", "agg_summary", "topk_per_group",
     "join_revenue_topk",
     # index planner: semi-joins, set ops, hints, value partitions
     "index_semijoin_eq", "index_hint_forced", "index_maintained_scan",
@@ -1516,6 +1517,13 @@ _PRIORITY = [
     # sim_ivf_ann_topk (whose full-probe mode IS the brute-force scan),
     # and the brute-force gate stays oracle-checked in the local gate.
     "corpus_dsir_select", "sim_ivf_ann_topk",
+    # Round-7 rotation: text_bm25_indexed (lexical search served from
+    # the catalog's bucket-pruned inverted index, operators/search.py —
+    # a new query family, and the artifact-maintenance pattern applied
+    # to retrieval) takes agg_group's slot; grouped aggregation stays
+    # driver-visible via tpch_q1 + agg_summary + topk_per_group and
+    # agg_group stays oracle-checked in the local gate.
+    "text_bm25_indexed",
     "text_token_count",
     # streaming / ETL / temporal. streaming_changelog_resume supersedes
     # the r4 replication roundtrip (same emit->replay roundtrip PLUS
