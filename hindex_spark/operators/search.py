@@ -277,9 +277,13 @@ class SearchIndex:
 
     @staticmethod
     def _posting_rows(docs: DataFrame, id_col: str, text_col: str) -> DataFrame:
-        """(token, id, tf, dl): one row per distinct (doc, token). dl is
-        the doc's token count, constant per doc (max() only fixes the
-        aggregate's shape)."""
+        """(token, id, tf, dl, positions): one row per distinct (doc,
+        token). dl is the doc's token count, constant per doc (max()
+        only fixes the aggregate's shape); positions is the sorted
+        1-based occurrence list — what makes the index POSITIONAL, so
+        phrase queries resolve from postings alone. BM25 never reads
+        the column (parquet column pruning keeps it off disk for
+        ranked retrieval)."""
         toked = docs.filter(F.col(text_col).isNotNull()).select(
             F.col(id_col), tokens(F.col(text_col)).alias("__toks")
         )
@@ -287,12 +291,15 @@ class SearchIndex:
             toked.select(
                 F.col(id_col),
                 F.size("__toks").alias("__dl"),
-                F.explode("__toks").alias("token"),
+                F.posexplode("__toks").alias("__p0", "token"),
             )
             .groupBy("token", id_col)
             .agg(
                 F.count("*").alias("tf"),
                 F.max("__dl").alias("dl"),
+                F.array_sort(F.collect_list(F.col("__p0") + 1)).alias(
+                    "positions"
+                ),
             )
         )
 
@@ -412,4 +419,55 @@ class SearchIndex:
             .filter(F.col("score") > 0)
             .orderBy(F.col("score").desc(), F.col(self.id_col))
             .limit(k)
+        )
+
+    def phrase_search(self, phrase: str) -> DataFrame:
+        """Exact-phrase retrieval from the positional postings: (id,
+        n_occurrences) for every doc containing the phrase's tokens
+        CONSECUTIVELY, n_occurrences = number of start positions. No
+        document text is read — the positional index resolves the
+        phrase alone (the classic positional-inverted-index algorithm:
+        intersect the terms' posting lists on doc, then check
+        position adjacency).
+
+        Scale shape: the postings filter reads only the phrase's
+        tokens' buckets (bucket pruning); ONE id-keyed aggregation
+        pivots the <= m distinct posting lists per candidate doc; the
+        adjacency check is a per-doc array fold. Cost is proportional
+        to the phrase terms' posting lists, never the corpus."""
+        slots = phrase.strip().split()
+        if not slots:
+            raise ValueError("SearchIndex.phrase_search: empty phrase")
+        uniq = query_terms(phrase)
+        p = self.postings.filter(F.col("token").isin(uniq)).select(
+            "token", F.col(self.id_col), "positions"
+        )
+        # pivot the distinct terms' posting lists onto one row per doc
+        per_doc = p.groupBy(self.id_col).agg(
+            *[
+                F.max(
+                    F.when(F.col("token") == t, F.col("positions"))
+                ).alias(f"__pos{j}")
+                for j, t in enumerate(uniq)
+            ]
+        )
+        for j in range(len(uniq)):
+            per_doc = per_doc.filter(F.col(f"__pos{j}").isNotNull())
+        # a start is a position of slot 0 whose i-th successor appears
+        # in slot i's posting list, for every later slot
+        starts = F.col("__pos0")
+        for i, tok in enumerate(slots[1:], start=1):
+            j = uniq.index(tok)
+            pos_j = F.col(f"__pos{j}")
+            off = F.lit(i)
+            starts = F.filter(
+                starts, lambda s: F.array_contains(pos_j, s + off)
+            )
+        return (
+            per_doc.select(
+                F.col(self.id_col),
+                F.size(starts).cast("long").alias("n_occurrences"),
+            )
+            .filter(F.col("n_occurrences") > 0)
+            .orderBy(self.id_col)
         )

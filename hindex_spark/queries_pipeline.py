@@ -1709,3 +1709,32 @@ def q_bm25_indexed(spark, sf_dir):
     cat = Catalog(spark, tempfile.mkdtemp(prefix="hindex_searchix_"))
     ix = SearchIndex.build(cat, docs, "doc_id", "text", "gatedocs")
     return ix.topk("spark merge vector", k=25)
+
+
+@query(
+    "text_phrase_search",
+    r"""WITH toked AS (
+          SELECT doc_id, string_split_regex(trim(text), '\s+') AS toks
+          FROM documents WHERE text IS NOT NULL),
+        occ AS (
+          SELECT doc_id FROM (
+            SELECT doc_id, unnest(range(1, len(toks))) AS p, toks FROM toked)
+          WHERE toks[p] = 'fast' AND toks[p+1] = 'data')
+        SELECT doc_id, CAST(count(*) AS BIGINT) AS n_occurrences
+        FROM occ GROUP BY doc_id""",
+)
+def q_phrase_search(spark, sf_dir):
+    """Exact-phrase retrieval from the POSITIONAL inverted index
+    (SearchIndex.phrase_search): posting-list intersection + position
+    adjacency, no document text read at query time. The oracle counts
+    phrase starts straight off the text — an independent derivation, so
+    it checks the whole index construction, not just the query."""
+    import tempfile
+
+    from hindex_spark.catalog import Catalog
+    from hindex_spark.operators.search import SearchIndex
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    cat = Catalog(spark, tempfile.mkdtemp(prefix="hindex_searchix_"))
+    ix = SearchIndex.build(cat, docs, "doc_id", "text", "gatedocs")
+    return ix.phrase_search("fast data")

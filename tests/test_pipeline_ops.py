@@ -1776,3 +1776,50 @@ def test_search_index_update_equals_rebuild(spark, tmp_path):
     assert again.n_docs == 5
     got2 = [(r["doc_id"], r["score"]) for r in again.topk(q, k=10).collect()]
     assert got2 == want
+
+
+def test_phrase_search_adjacency_and_overlap(spark, tmp_path):
+    from hindex_spark.catalog import Catalog
+    from hindex_spark.operators.search import SearchIndex
+
+    rows = [
+        (1, "big data rocks"),                 # no 'fast data'
+        (2, "fast data fast data pipelines"),  # 2 occurrences
+        (3, "data fast"),                      # reversed -> no match
+        (4, "a a a"),                          # overlapping self-phrase
+        (5, "fast and data"),                  # not adjacent
+    ]
+    docs = spark.createDataFrame(rows, ["doc_id", "text"])
+    cat = Catalog(spark, str(tmp_path / "wh"))
+    ix = SearchIndex.build(cat, docs, "doc_id", "text", "ph")
+    got = {r["doc_id"]: r["n_occurrences"]
+           for r in ix.phrase_search("fast data").collect()}
+    assert got == {2: 2}
+    # overlapping occurrences of a repeated-token phrase
+    got2 = {r["doc_id"]: r["n_occurrences"]
+            for r in ix.phrase_search("a a").collect()}
+    assert got2 == {4: 2}
+    # single-term phrase = tf
+    got3 = {r["doc_id"]: r["n_occurrences"]
+            for r in ix.phrase_search("data").collect()}
+    assert got3 == {1: 1, 2: 2, 3: 1, 5: 1}
+
+
+def test_phrase_search_matches_text_model(spark, sf_dir, tmp_path):
+    from hindex_spark.catalog import Catalog
+    from hindex_spark.operators.search import SearchIndex
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    cat = Catalog(spark, str(tmp_path / "wh"))
+    ix = SearchIndex.build(cat, docs, "doc_id", "text", "ph")
+    got = {r["doc_id"]: r["n_occurrences"]
+           for r in ix.phrase_search("fast data row").collect()}
+    rows = docs.select("doc_id", "text").collect()
+    want = {}
+    for r in rows:
+        toks = r["text"].strip().split()
+        c = sum(1 for i in range(len(toks) - 2)
+                if toks[i:i + 3] == ["fast", "data", "row"])
+        if c:
+            want[r["doc_id"]] = c
+    assert got == want
