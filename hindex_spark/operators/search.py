@@ -471,3 +471,60 @@ class SearchIndex:
             .filter(F.col("n_occurrences") > 0)
             .orderBy(self.id_col)
         )
+
+    def boolean_search(
+        self,
+        must: "tuple | list" = (),
+        should: "tuple | list" = (),
+        must_not: "tuple | list" = (),
+    ) -> DataFrame:
+        """Boolean retrieval from postings alone: docs containing ALL
+        ``must`` terms, at least one ``should`` term (when any are
+        given), and none of ``must_not``. Output: (id), ordered.
+
+        Same scale shape as ``phrase_search``: ONE bucket-pruned
+        postings fetch for every referenced term, one id-keyed pivot of
+        term-presence flags, a pure-projection predicate. must_not is
+        evaluated on the pivoted flags — docs matching ONLY negative
+        terms never enter the aggregation, and docs matching nothing
+        are correct to exclude because at least one positive term is
+        required (enforced below: pure-negation needs the corpus, not
+        an index)."""
+        must, should, must_not = list(must), list(should), list(must_not)
+        if not must and not should:
+            raise ValueError(
+                "boolean_search: need at least one must/should term "
+                "(pure negation would require a corpus scan, not the index)"
+            )
+        terms = []
+        for t in must + should + must_not:
+            if t not in terms:
+                terms.append(t)
+        p = self.postings.filter(F.col("token").isin(terms)).select(
+            "token", F.col(self.id_col)
+        )
+        per_doc = p.groupBy(self.id_col).agg(
+            *[
+                F.max(F.when(F.col("token") == t, True)).alias(f"__h{j}")
+                for j, t in enumerate(terms)
+            ]
+        )
+        cond = F.lit(True)
+        for t in must:
+            cond = cond & F.coalesce(F.col(f"__h{terms.index(t)}"), F.lit(False))
+        if should:
+            any_should = F.lit(False)
+            for t in should:
+                any_should = any_should | F.coalesce(
+                    F.col(f"__h{terms.index(t)}"), F.lit(False)
+                )
+            cond = cond & any_should
+        for t in must_not:
+            cond = cond & ~F.coalesce(
+                F.col(f"__h{terms.index(t)}"), F.lit(False)
+            )
+        return (
+            per_doc.filter(cond)
+            .select(self.id_col)
+            .orderBy(self.id_col)
+        )

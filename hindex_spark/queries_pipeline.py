@@ -1738,3 +1738,30 @@ def q_phrase_search(spark, sf_dir):
     cat = Catalog(spark, tempfile.mkdtemp(prefix="hindex_searchix_"))
     ix = SearchIndex.build(cat, docs, "doc_id", "text", "gatedocs")
     return ix.phrase_search("fast data")
+
+
+@query(
+    "text_boolean_search",
+    r"""WITH toked AS (
+          SELECT doc_id, string_split_regex(trim(text), '\s+') AS toks
+          FROM documents WHERE text IS NOT NULL)
+        SELECT doc_id FROM toked
+        WHERE list_contains(toks, 'spark')
+          AND (list_contains(toks, 'merge') OR list_contains(toks, 'vector'))
+          AND NOT list_contains(toks, 'slow')""",
+)
+def q_boolean_search(spark, sf_dir):
+    """Boolean retrieval from the inverted index: must=[spark],
+    should=[merge|vector], must_not=[slow] — bucket-pruned postings
+    fetch + one id-keyed presence pivot, no document text read."""
+    import tempfile
+
+    from hindex_spark.catalog import Catalog
+    from hindex_spark.operators.search import SearchIndex
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    cat = Catalog(spark, tempfile.mkdtemp(prefix="hindex_searchix_"))
+    ix = SearchIndex.build(cat, docs, "doc_id", "text", "gatedocs")
+    return ix.boolean_search(
+        must=["spark"], should=["merge", "vector"], must_not=["slow"]
+    )

@@ -1823,3 +1823,31 @@ def test_phrase_search_matches_text_model(spark, sf_dir, tmp_path):
         if c:
             want[r["doc_id"]] = c
     assert got == want
+
+
+def test_boolean_search_semantics(spark, tmp_path):
+    import pytest
+
+    from hindex_spark.catalog import Catalog
+    from hindex_spark.operators.search import SearchIndex
+
+    rows = [
+        (1, "spark merge"),          # must + should
+        (2, "spark vector slow"),    # killed by must_not
+        (3, "spark alone here"),     # must but no should
+        (4, "merge vector"),         # should but no must
+        (5, "spark merge vector"),   # all positives
+    ]
+    docs = spark.createDataFrame(rows, ["doc_id", "text"])
+    cat = Catalog(spark, str(tmp_path / "wh"))
+    ix = SearchIndex.build(cat, docs, "doc_id", "text", "bl")
+    got = [r["doc_id"] for r in ix.boolean_search(
+        must=["spark"], should=["merge", "vector"], must_not=["slow"]
+    ).collect()]
+    assert got == [1, 5]
+    # must-only and should-only forms
+    assert [r["doc_id"] for r in ix.boolean_search(must=["spark"]).collect()] == [1, 2, 3, 5]
+    assert [r["doc_id"] for r in ix.boolean_search(should=["merge"]).collect()] == [1, 4, 5]
+    # pure negation refuses loudly (needs the corpus, not an index)
+    with pytest.raises(ValueError):
+        ix.boolean_search(must_not=["slow"])
