@@ -869,9 +869,16 @@ def remove_duplicate_spans(
             ).otherwise(F.array().cast("array<struct<pos:int,gram:string>>"))
         ).alias("g"),
     ).select(F.col(id_col), F.col("g.pos").alias("pos"), F.col("g.gram"))
-    gram_key = (
-        F.xxhash64("gram") if hash_unit == "xx" else F.col("gram")
-    )
+    if hash_unit == "xx":
+        # project the 8-byte key and DROP the gram string BEFORE the
+        # window — otherwise the exchange carries every k-word string
+        # alongside the hash it partitions on
+        grams = grams.select(
+            F.col(id_col), "pos", F.xxhash64("gram").alias("__gk")
+        )
+        gram_key = F.col("__gk")
+    else:
+        gram_key = F.col("gram")
     w = Window.partitionBy(gram_key).orderBy(id_col, "pos")
     dup = (
         grams.withColumn("__rn", F.row_number().over(w))
