@@ -157,11 +157,13 @@ class DedupState:
             self.n_hashes,
         )
         view = f"__dedupstate_append_{self.name}"
+        # the batch's own session: inside foreachBatch the frame lives
+        # in a session clone and temp views are session-scoped (same
+        # fix as SearchIndex.update)
+        sess = rows.sparkSession
         rows.createOrReplaceTempView(view)
-        self.catalog.spark.sql(
-            f"INSERT INTO {self.table_name} SELECT * FROM {view}"
-        )
-        self.catalog.spark.catalog.dropTempView(view)
+        sess.sql(f"INSERT INTO {self.table_name} SELECT * FROM {view}")
+        sess.catalog.dropTempView(view)
 
     # -- the per-batch query ------------------------------------------------
 

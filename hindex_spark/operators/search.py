@@ -347,20 +347,52 @@ class SearchIndex:
     def postings(self) -> DataFrame:
         return self.catalog.spark.table(self.table_name)
 
+    def repair_stats(self) -> None:
+        """Recompute the persisted corpus stats FROM the postings table
+        and rewrite the meta. ``update()`` appends postings before it
+        bumps the meta, so a crash between the two leaves stats stale
+        (scores slightly off, queries still correct in shape) — this
+        closes that window after the fact. One bounded aggregate: dl is
+        constant per doc, so (n, sumdl) come from the distinct (id, dl)
+        pairs."""
+        import json
+
+        stats = (
+            self.postings.select(F.col(self.id_col), "dl")
+            .distinct()
+            .agg(
+                F.count("*").alias("n"),
+                F.sum("dl").cast("double").alias("sumdl"),
+            )
+            .collect()[0]
+        )
+        self.n_docs = int(stats["n"])
+        self.sum_dl = float(stats["sumdl"] or 0.0)
+        with open(self._meta_path(), "w") as f:
+            json.dump({"id_col": self.id_col, "text_col": self.text_col,
+                       "n_docs": self.n_docs, "sum_dl": self.sum_dl}, f)
+
     def update(self, new_docs: DataFrame) -> None:
         """Per-batch maintenance: append the batch's postings (INSERT
         INTO honors the bucket spec) and bump the persisted corpus
         stats. Assumes batch ids are new — re-ingesting a doc id adds,
-        not replaces, its postings (the DedupState.update contract)."""
+        not replaces, its postings (the DedupState.update contract).
+        The postings append and the meta bump are two steps; a crash
+        between them leaves stats stale — recoverable exactly with
+        ``repair_stats()`` (the meta is always derivable from the
+        postings)."""
         import json
 
         rows = self._posting_rows(new_docs, self.id_col, self.text_col)
         view = f"__postings_append_{self.name}"
+        # run the INSERT on the batch's OWN session: inside a streaming
+        # foreachBatch the micro-batch frame lives in a session clone,
+        # and temp views are session-scoped — registering on rows'
+        # session and inserting from the catalog's would not resolve
+        sess = rows.sparkSession
         rows.createOrReplaceTempView(view)
-        self.catalog.spark.sql(
-            f"INSERT INTO {self.table_name} SELECT * FROM {view}"
-        )
-        self.catalog.spark.catalog.dropTempView(view)
+        sess.sql(f"INSERT INTO {self.table_name} SELECT * FROM {view}")
+        sess.catalog.dropTempView(view)
         batch = (
             new_docs.filter(F.col(self.text_col).isNotNull())
             .agg(

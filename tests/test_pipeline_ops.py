@@ -1851,3 +1851,74 @@ def test_boolean_search_semantics(spark, tmp_path):
     # pure negation refuses loudly (needs the corpus, not an index)
     with pytest.raises(ValueError):
         ix.boolean_search(must_not=["slow"])
+
+
+def test_search_index_repair_stats_closes_crash_window(spark, tmp_path):
+    from hindex_spark.catalog import Catalog
+    from hindex_spark.operators.search import SearchIndex
+
+    docs = spark.createDataFrame(
+        [(1, "spark makes joins fast"), (2, "merge joins beat loops")],
+        ["doc_id", "text"],
+    )
+    batch = spark.createDataFrame(
+        [(3, "vector scans stay cheap and fast")], ["doc_id", "text"]
+    )
+    cat = Catalog(spark, str(tmp_path / "wh"))
+    ix = SearchIndex.build(cat, docs, "doc_id", "text", "cr")
+    # simulate the crash: postings appended, meta bump never happened
+    rows = SearchIndex._posting_rows(batch, "doc_id", "text")
+    rows.createOrReplaceTempView("__crash_append")
+    spark.sql(f"INSERT INTO {ix.table_name} SELECT * FROM __crash_append")
+    spark.catalog.dropTempView("__crash_append")
+    stale = SearchIndex.open(cat, "cr")
+    assert stale.n_docs == 2  # stale meta
+    stale.repair_stats()
+    assert stale.n_docs == 3 and stale.sum_dl == 4 + 4 + 6
+    # repaired index now scores identically to a fresh full build
+    full = SearchIndex.build(
+        Catalog(spark, str(tmp_path / "wh2")),
+        docs.union(batch), "doc_id", "text", "full",
+    )
+    q = "fast joins vector"
+    got = [(r["doc_id"], r["score"]) for r in stale.topk(q, k=10).collect()]
+    want = [(r["doc_id"], r["score"]) for r in full.topk(q, k=10).collect()]
+    assert got == want
+
+
+def test_search_index_maintained_from_stream(spark, sf_dir, tmp_path):
+    """The streaming-ingest shape: a readStream drains micro-batches
+    through foreachBatch -> SearchIndex.update; after the stream, the
+    index equals a batch build over everything it saw."""
+    import shutil
+
+    from hindex_spark.catalog import Catalog
+    from hindex_spark.operators.search import SearchIndex
+
+    src = str(tmp_path / "src")
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").limit(60)
+    seed = docs.filter(F.col("doc_id") < 20)
+    rest = docs.filter(F.col("doc_id") >= 20)
+    cat = Catalog(spark, str(tmp_path / "wh"))
+    ix = SearchIndex.build(cat, seed, "doc_id", "text", "stream")
+    rest.write.mode("overwrite").parquet(src)
+    stream = (
+        spark.readStream.schema(docs.schema).parquet(src)
+    )
+    q = (
+        stream.writeStream.foreachBatch(
+            lambda batch, _epoch: ix.update(batch) if batch.count() else None
+        )
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    full = SearchIndex.build(
+        Catalog(spark, str(tmp_path / "wh2")), docs, "doc_id", "text", "full"
+    )
+    query = "spark merge vector"
+    got = [(r["doc_id"], r["score"]) for r in ix.topk(query, k=15).collect()]
+    want = [(r["doc_id"], r["score"]) for r in full.topk(query, k=15).collect()]
+    assert got == want
+    shutil.rmtree(src, ignore_errors=True)
