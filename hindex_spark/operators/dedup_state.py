@@ -165,6 +165,25 @@ class DedupState:
         sess.sql(f"INSERT INTO {self.table_name} SELECT * FROM {view}")
         sess.catalog.dropTempView(view)
 
+    def compact(self, num_buckets: int = 32) -> None:
+        """Rewrite the state table as one file per bucket. Every
+        ``update()`` INSERT adds a file set per bucket; multi-file
+        buckets cost the scan its reported sort order and per-file
+        opens — periodic compaction restores build-time layout. Staged
+        write + atomic swap via the catalog. Source read as RAW parquet
+        (same reason as SearchIndex.compact: the bucketed scan's claimed
+        partitioning would elide the repartition and leave multi-file
+        buckets in place)."""
+        from hindex_spark.table import Table
+
+        rows = self.catalog.spark.read.parquet(
+            os.path.join(self.catalog.root, self.table_name, "data")
+        )
+        self.catalog.save_bucketed(
+            Table(rows, self.id_col, f"{self.name}_dedupstate"),
+            num_buckets=num_buckets,
+        )
+
     # -- the per-batch query ------------------------------------------------
 
     def dedup_batch(

@@ -1922,3 +1922,35 @@ def test_search_index_maintained_from_stream(spark, sf_dir, tmp_path):
     want = [(r["doc_id"], r["score"]) for r in full.topk(query, k=15).collect()]
     assert got == want
     shutil.rmtree(src, ignore_errors=True)
+
+
+def test_artifact_compaction_restores_single_file_buckets(spark, tmp_path):
+    import glob
+
+    from hindex_spark.catalog import Catalog
+    from hindex_spark.operators.search import SearchIndex
+
+    docs = spark.createDataFrame(
+        [(i, f"word{i} common shared tokens") for i in range(8)],
+        ["doc_id", "text"],
+    )
+    cat = Catalog(spark, str(tmp_path / "wh"))
+    ix = SearchIndex.build(cat, docs.filter(F.col("doc_id") < 4),
+                           "doc_id", "text", "cp", num_buckets=4)
+    before_hits = [(r["doc_id"], r["score"]) for r in
+                   ix.topk("common shared", k=10).collect()]
+    # several appends -> multi-file buckets
+    for lo in (4, 6):
+        ix.update(docs.filter((F.col("doc_id") >= lo) & (F.col("doc_id") < lo + 2)))
+    path = str(tmp_path / "wh" / "cp_postings_bucketed" / "data")
+    n_before = len(glob.glob(f"{path}/*.parquet"))
+    assert n_before > 4  # appends piled files beyond one per bucket
+    hits_full = [(r["doc_id"], r["score"]) for r in
+                 ix.topk("common shared", k=10).collect()]
+    ix.compact(num_buckets=4)
+    n_after = len(glob.glob(f"{path}/*.parquet"))
+    assert n_after == 4  # one file per bucket again
+    hits_compacted = [(r["doc_id"], r["score"]) for r in
+                      ix.topk("common shared", k=10).collect()]
+    assert hits_compacted == hits_full
+    assert len(before_hits) < len(hits_full)  # updates really landed
