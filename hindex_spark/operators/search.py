@@ -588,3 +588,42 @@ class SearchIndex:
             Table(rows, "token", f"{self.name}_postings"),
             num_buckets=num_buckets,
         )
+
+    def tfidf_keywords(self, top_n: int = 5) -> DataFrame:
+        """``tfidf_keywords`` served from the postings table — the
+        explode + groupBy(id, token) pass the corpus-scan version pays
+        is exactly what postings already persist, so per-run cost drops
+        to one groupBy(token) for df + the token-keyed idf join + the
+        per-doc window. Same smoothed-idf decimal math, same output
+        schema (id, token, tf, score), result-identical (shared-oracle
+        gate)."""
+        tf = self.postings.select(F.col(self.id_col), "token", "tf")
+        n = F.lit(float(self.n_docs))
+        dfreq = (
+            tf.groupBy("token")
+            .agg(F.count("*").alias("__df"))
+            .select(
+                "token",
+                F.round(
+                    F.log((n + 1.0) / (F.col("__df") + 1.0)) + 1.0, _SCALE
+                )
+                .cast(_DEC)
+                .alias("__idf"),
+            )
+        )
+        scored = tf.join(dfreq, "token").select(
+            F.col(self.id_col),
+            "token",
+            "tf",
+            (F.col("tf").cast(_DEC) * F.col("__idf")).cast("double").alias(
+                "score"
+            ),
+        )
+        w = Window.partitionBy(self.id_col).orderBy(
+            F.col("score").desc(), F.col("token")
+        )
+        return (
+            scored.withColumn("__rn", F.row_number().over(w))
+            .filter(F.col("__rn") <= top_n)
+            .drop("__rn")
+        )

@@ -1660,9 +1660,7 @@ def q_bm25_topk(spark, sf_dir):
     return bm25_topk(docs, "doc_id", "text", "spark merge vector", k=25)
 
 
-@query(
-    "text_tfidf_keywords",
-    r"""WITH toked AS (
+_TFIDF_ORACLE = r"""WITH toked AS (
           SELECT doc_id, string_split_regex(trim(text), '\s+') AS toks
           FROM documents WHERE text IS NOT NULL),
         nd AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM toked),
@@ -1682,8 +1680,10 @@ def q_bm25_topk(spark, sf_dir):
         SELECT doc_id, token, tf, score FROM (
           SELECT *, row_number() OVER (
             PARTITION BY doc_id ORDER BY score DESC, token) AS rn
-          FROM scored) WHERE rn <= 3""",
-)
+          FROM scored) WHERE rn <= 3"""
+
+
+@query("text_tfidf_keywords", _TFIDF_ORACLE)
 def q_tfidf_keywords(spark, sf_dir):
     """Top-3 TF-IDF keywords per document (smoothed sklearn idf,
     decimal-exact scores, token tie-breaks)."""
@@ -1765,3 +1765,20 @@ def q_boolean_search(spark, sf_dir):
     return ix.boolean_search(
         must=["spark"], should=["merge", "vector"], must_not=["slow"]
     )
+
+
+@query("text_tfidf_indexed", _TFIDF_ORACLE)
+def q_tfidf_indexed(spark, sf_dir):
+    """TF-IDF keywords served from the persisted postings table — the
+    explode + (id, token) aggregate the corpus-scan version pays per
+    run is exactly what the index already persists. Result-identical;
+    shares the scan gate's oracle."""
+    import tempfile
+
+    from hindex_spark.catalog import Catalog
+    from hindex_spark.operators.search import SearchIndex
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    cat = Catalog(spark, tempfile.mkdtemp(prefix="hindex_searchix_"))
+    ix = SearchIndex.build(cat, docs, "doc_id", "text", "gatedocs")
+    return ix.tfidf_keywords(top_n=3)

@@ -1954,3 +1954,15 @@ def test_artifact_compaction_restores_single_file_buckets(spark, tmp_path):
                       ix.topk("common shared", k=10).collect()]
     assert hits_compacted == hits_full
     assert len(before_hits) < len(hits_full)  # updates really landed
+
+
+def test_index_tfidf_matches_scan_tfidf(spark, sf_dir, tmp_path):
+    from hindex_spark.catalog import Catalog
+    from hindex_spark.operators.search import SearchIndex, tfidf_keywords
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    cat = Catalog(spark, str(tmp_path / "wh"))
+    ix = SearchIndex.build(cat, docs, "doc_id", "text", "tk")
+    a = ix.tfidf_keywords(top_n=3)
+    b = tfidf_keywords(docs, "doc_id", "text", top_n=3)
+    assert a.exceptAll(b).count() == 0 and b.exceptAll(a).count() == 0
