@@ -1357,9 +1357,10 @@ def q_dsir_weights(spark, sf_dir):
     from hindex_spark.operators import importance as imp
 
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
-    t_counts = imp.bucket_counts(docs.filter(F.col("lang") == "en"), "text")
-    r_counts = imp.bucket_counts(docs, "text")
-    ratios = imp.log_ratio_table(t_counts, r_counts)
+    # one-pass pair fit (target is a predicate over the same frame):
+    # identical values to the two-bucket_counts form, half the scans
+    pair = imp.bucket_counts_pair(docs, "text", F.col("lang") == "en")
+    ratios = imp.log_ratio_table_from_pair(pair)
     return imp.importance_weights(docs, "doc_id", "text", ratios)
 
 
@@ -1511,9 +1512,8 @@ def q_pipeline_dsir(spark, sf_dir):
     )
     good = docs.filter(F.round(tx.quality_score(F.col("text")), 4) >= 0.3)
     kept = dd.exact_dedup(good, "doc_id", "text")
-    t = imp.bucket_counts(kept.filter(F.col("lang") == "en"), "text")
-    r = imp.bucket_counts(kept, "text")
-    ratios = imp.log_ratio_table(t, r)
+    pair = imp.bucket_counts_pair(kept, "text", F.col("lang") == "en")
+    ratios = imp.log_ratio_table_from_pair(pair)
     sel = imp.with_importance_weight(kept, "text", ratios)
     return (
         sel.select("doc_id", "weight")
