@@ -1,0 +1,189 @@
+"""Incremental time-bucket rollups — the "hypertable continuous
+aggregate" shape: a persisted, append-maintained materialization of
+per-(time bucket, key) aggregates over an event stream, queryable
+without rescanning raw events.
+
+Design (the DedupState / SearchIndex artifact pattern):
+
+- The store holds MERGEABLE PARTIAL aggregates: (bucket_us, key, cnt,
+  vsum, vmin, vmax). ``update(batch)`` aggregates ONLY the batch to the
+  grain and appends — never rewrites history, so a daily batch costs a
+  batch-sized aggregation however large the history is, and late events
+  are just another partial row in their (old) bucket.
+- ``read()`` returns the fully merged rollup by re-aggregating the
+  partials: count/sum/min/max are mergeable, so merging partials is
+  exact. The store is bucketed on ``bucket_us``, and hash-partitioning
+  on bucket_us satisfies the (bucket_us, key) clustering the merge
+  groupBy needs — the store-side merge runs WITHOUT an Exchange.
+- ``compact()`` folds accumulated partials back to one row per
+  (bucket, key) and one file per bucket (same staged-swap machinery and
+  the same raw-parquet-source caveat as SearchIndex.compact).
+
+Determinism: the value sum is ``round(value, 6)`` cast DECIMAL(18,6)
+BEFORE aggregation (the repo's fixed-point convention) — a plain
+``sum(double)`` is ordering-dependent and differs between engines/runs;
+the decimal sum is exact integer arithmetic. min/max/count of doubles
+are order-independent and stay native.
+
+Timestamps go through :mod:`hindex_spark.timeutil` (the events table's
+physical ts type varies across data generations); buckets are epoch
+micros floored to the grain — pure integer arithmetic mirrored in the
+oracle as ``(epoch_us(ts) // grain) * grain``.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+from typing import List, Optional
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from hindex_spark.timeutil import ts_micros
+
+#: fixed-point scale for the value sum (importance.py convention)
+_SCALE = 6
+_DEC = f"decimal(18,{_SCALE})"
+
+HOUR_US = 3_600_000_000
+DAY_US = 24 * HOUR_US
+
+
+def rollup_partials(
+    events: DataFrame,
+    ts_col: str,
+    key_cols: List[str],
+    value_col: str,
+    grain_us: int,
+) -> DataFrame:
+    """One batch's partial aggregates: (bucket_us, *keys, cnt, vsum,
+    vmin, vmax). One narrow projection + one grain-keyed aggregation —
+    map-side combine collapses each partition to <= (buckets x keys)
+    rows before the exchange."""
+    # exact integer floor-to-grain (micros are positive): double
+    # division could drift on large epochs, long mod cannot
+    us = ts_micros(events, ts_col)
+    bucket = (us - (us % F.lit(grain_us))).alias("bucket_us")
+    v6 = F.round(F.col(value_col), _SCALE).cast(_DEC)
+    return (
+        events.filter(F.col(ts_col).isNotNull())
+        .select(bucket, *[F.col(k) for k in key_cols], v6.alias("__v"))
+        .groupBy("bucket_us", *key_cols)
+        .agg(
+            F.count("*").alias("cnt"),
+            F.sum("__v").cast(_DEC).alias("vsum"),
+            F.min("__v").cast(_DEC).alias("vmin"),
+            F.max("__v").cast(_DEC).alias("vmax"),
+        )
+    )
+
+
+def merge_partials(partials: DataFrame, key_cols: List[str]) -> DataFrame:
+    """Exact merge of partial rows: count/sum add, min/max fold."""
+    return partials.groupBy("bucket_us", *key_cols).agg(
+        F.sum("cnt").alias("cnt"),
+        F.sum("vsum").cast(_DEC).alias("vsum"),
+        F.min("vmin").cast(_DEC).alias("vmin"),
+        F.max("vmax").cast(_DEC).alias("vmax"),
+    )
+
+
+class RollupStore:
+    """Persisted continuous aggregate inside a ``Catalog``.
+
+    Lifecycle::
+
+        r = RollupStore.build(cat, events, "ts", ["event_type"],
+                              "value", HOUR_US, "events_hourly")
+        r.update(todays_events)      # batch-sized aggregation + append
+        hourly = r.read()            # merged rollup, store-side
+                                     # exchange-free
+        r.compact()                  # fold partials, 1 file/bucket
+    """
+
+    def __init__(self, catalog, name: str, ts_col: str,
+                 key_cols: List[str], value_col: str, grain_us: int):
+        self.catalog = catalog
+        self.name = name
+        self.ts_col = ts_col
+        self.key_cols = list(key_cols)
+        self.value_col = value_col
+        self.grain_us = grain_us
+        self.table_name = f"{name}_rollup_bucketed"
+
+    def _meta_path(self) -> str:
+        return os.path.join(self.catalog.root, f"{self.name}_rollup_meta.json")
+
+    @classmethod
+    def build(cls, catalog, events: DataFrame, ts_col: str,
+              key_cols: List[str], value_col: str, grain_us: int,
+              name: str, num_buckets: int = 32) -> "RollupStore":
+        from hindex_spark.table import Table
+
+        r = cls(catalog, name, ts_col, key_cols, value_col, grain_us)
+        rows = rollup_partials(events, ts_col, key_cols, value_col, grain_us)
+        catalog.save_bucketed(
+            Table(rows, "bucket_us", f"{name}_rollup"), num_buckets=num_buckets
+        )
+        with open(r._meta_path(), "w") as f:
+            json.dump({"ts_col": ts_col, "key_cols": r.key_cols,
+                       "value_col": value_col, "grain_us": grain_us}, f)
+        return r
+
+    @classmethod
+    def open(cls, catalog, name: str) -> "RollupStore":
+        with open(os.path.join(catalog.root, f"{name}_rollup_meta.json")) as f:
+            m = json.load(f)
+        return cls(catalog, name, m["ts_col"], m["key_cols"],
+                   m["value_col"], m["grain_us"])
+
+    @property
+    def partials(self) -> DataFrame:
+        return self.catalog.spark.table(self.table_name)
+
+    def update(self, batch: DataFrame) -> None:
+        """Append the batch's partial aggregates. Late events are fine —
+        they land as another partial row in their (old) bucket and merge
+        at read time. Batch-sized cost, history never rewritten."""
+        rows = rollup_partials(
+            batch, self.ts_col, self.key_cols, self.value_col, self.grain_us
+        )
+        view = f"__rollup_append_{self.name}"
+        sess = rows.sparkSession  # foreachBatch session clone, see
+        rows.createOrReplaceTempView(view)  # SearchIndex.update
+        sess.sql(f"INSERT INTO {self.table_name} SELECT * FROM {view}")
+        sess.catalog.dropTempView(view)
+
+    def read(
+        self,
+        start_us: Optional[int] = None,
+        end_us: Optional[int] = None,
+    ) -> DataFrame:
+        """The merged rollup (optionally time-restricted — the filter
+        lands on the store scan and prunes row groups via the
+        bucket_us sort). Store-side merge is exchange-free: the table
+        is hash-bucketed on bucket_us, which clusters every
+        (bucket_us, *keys) group."""
+        p = self.partials
+        if start_us is not None:
+            p = p.filter(F.col("bucket_us") >= start_us)
+        if end_us is not None:
+            p = p.filter(F.col("bucket_us") < end_us)
+        return merge_partials(p, self.key_cols)
+
+    def compact(self, num_buckets: int = 32) -> None:
+        """Fold accumulated partials to one row per (bucket, key) and
+        one file per bucket. Raw-parquet source for the same reason as
+        SearchIndex.compact (the bucketed scan's claimed partitioning
+        would elide the rewrite's repartition)."""
+        from hindex_spark.table import Table
+
+        raw = self.catalog.spark.read.parquet(
+            os.path.join(self.catalog.root, self.table_name, "data")
+        )
+        rows = merge_partials(raw, self.key_cols)
+        self.catalog.save_bucketed(
+            Table(rows, "bucket_us", f"{self.name}_rollup"),
+            num_buckets=num_buckets,
+        )

@@ -1782,3 +1782,43 @@ def q_tfidf_indexed(spark, sf_dir):
     cat = Catalog(spark, tempfile.mkdtemp(prefix="hindex_searchix_"))
     ix = SearchIndex.build(cat, docs, "doc_id", "text", "gatedocs")
     return ix.tfidf_keywords(top_n=3)
+
+
+# ---------------------------------------------------------------------------
+# round 7: incremental time-bucket rollup (continuous-aggregate shape)
+# ---------------------------------------------------------------------------
+
+_ROLLUP_ORACLE = """WITH b AS (
+      SELECT epoch_us(ts) - (epoch_us(ts) % 3600000000) AS bucket_us,
+             event_type,
+             CAST(ROUND(value, 6) AS DECIMAL(18,6)) AS v
+      FROM events WHERE ts IS NOT NULL)
+    SELECT bucket_us, event_type,
+           CAST(count(*) AS BIGINT) AS cnt,
+           CAST(SUM(v) AS DECIMAL(18,6)) AS vsum,
+           CAST(MIN(v) AS DECIMAL(18,6)) AS vmin,
+           CAST(MAX(v) AS DECIMAL(18,6)) AS vmax
+    FROM b GROUP BY bucket_us, event_type"""
+
+
+@query("events_rollup_hourly", _ROLLUP_ORACLE)
+def q_rollup_hourly(spark, sf_dir):
+    """Hourly continuous aggregate served from the persisted RollupStore
+    (operators/rollup.py): the store holds mergeable partials appended
+    per batch; this builds from one batch and reads the merged rollup —
+    the oracle aggregates the raw events directly, so the gate checks
+    partial+merge correctness end-to-end. Built as TWO batches (split
+    on event_id parity) so the merge path is actually exercised."""
+    import tempfile
+
+    from hindex_spark.catalog import Catalog
+    from hindex_spark.operators.rollup import HOUR_US, RollupStore
+
+    events = spark.read.parquet(f"{sf_dir}/events.parquet")
+    cat = Catalog(spark, tempfile.mkdtemp(prefix="hindex_rollup_"))
+    r = RollupStore.build(
+        cat, events.filter(F.col("event_id") % 2 == 0),
+        "ts", ["event_type"], "value", HOUR_US, "gate_events",
+    )
+    r.update(events.filter(F.col("event_id") % 2 == 1))
+    return r.read()
