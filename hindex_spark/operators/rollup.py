@@ -172,6 +172,31 @@ class RollupStore:
             p = p.filter(F.col("bucket_us") < end_us)
         return merge_partials(p, self.key_cols)
 
+    def read_at(self, grain_us: int,
+                start_us: Optional[int] = None,
+                end_us: Optional[int] = None) -> DataFrame:
+        """The rollup at a COARSER grain, served from this store's
+        partials — the rollup-lattice property: count/sum/min/max
+        partials at one grain merge exactly into any multiple of it, so
+        a daily view never touches raw events when an hourly store
+        exists. ``grain_us`` must be a positive multiple of the store's
+        grain."""
+        if grain_us <= 0 or grain_us % self.grain_us != 0:
+            raise ValueError(
+                f"read_at: {grain_us} is not a multiple of the store "
+                f"grain {self.grain_us}"
+            )
+        p = self.partials
+        if start_us is not None:
+            p = p.filter(F.col("bucket_us") >= start_us)
+        if end_us is not None:
+            p = p.filter(F.col("bucket_us") < end_us)
+        coarse = p.withColumn(
+            "bucket_us",
+            F.col("bucket_us") - (F.col("bucket_us") % F.lit(grain_us)),
+        )
+        return merge_partials(coarse, self.key_cols)
+
     def compact(self, num_buckets: int = 32) -> None:
         """Fold accumulated partials to one row per (bucket, key) and
         one file per bucket. Raw-parquet source for the same reason as

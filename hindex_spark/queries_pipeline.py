@@ -1822,3 +1822,35 @@ def q_rollup_hourly(spark, sf_dir):
     )
     r.update(events.filter(F.col("event_id") % 2 == 1))
     return r.read()
+
+
+@query(
+    "events_rollup_daily",
+    """WITH b AS (
+          SELECT epoch_us(ts) - (epoch_us(ts) % 86400000000) AS bucket_us,
+                 event_type,
+                 CAST(ROUND(value, 6) AS DECIMAL(18,6)) AS v
+          FROM events WHERE ts IS NOT NULL)
+        SELECT bucket_us, event_type,
+               CAST(count(*) AS BIGINT) AS cnt,
+               CAST(SUM(v) AS DECIMAL(18,6)) AS vsum,
+               CAST(MIN(v) AS DECIMAL(18,6)) AS vmin,
+               CAST(MAX(v) AS DECIMAL(18,6)) AS vmax
+        FROM b GROUP BY bucket_us, event_type""",
+)
+def q_rollup_daily(spark, sf_dir):
+    """DAILY rollup served from the HOURLY store's partials — the
+    rollup-lattice property (mergeable aggregates re-merge exactly at
+    any coarser grain); the oracle aggregates raw events at the daily
+    grain directly, so the gate proves the lattice step loses nothing."""
+    import tempfile
+
+    from hindex_spark.catalog import Catalog
+    from hindex_spark.operators.rollup import DAY_US, HOUR_US, RollupStore
+
+    events = spark.read.parquet(f"{sf_dir}/events.parquet")
+    cat = Catalog(spark, tempfile.mkdtemp(prefix="hindex_rollup_"))
+    r = RollupStore.build(
+        cat, events, "ts", ["event_type"], "value", HOUR_US, "gate_events"
+    )
+    return r.read_at(DAY_US)

@@ -2041,3 +2041,54 @@ def test_rollup_merged_read_is_store_side_exchange_free(spark, sf_dir, tmp_path)
     # hash-bucketed on bucket_us clusters every (bucket_us, key) group:
     # the merge aggregation needs NO exchange
     assert "Exchange" not in plan, plan[:1500]
+
+
+def test_rollup_read_at_coarser_grain_and_guard(spark, sf_dir, tmp_path):
+    import pytest
+
+    from hindex_spark.catalog import Catalog
+    from hindex_spark.operators.rollup import DAY_US, HOUR_US, RollupStore
+
+    events = spark.read.parquet(f"{sf_dir}/events.parquet")
+    cat = Catalog(spark, str(tmp_path / "wh"))
+    hourly = RollupStore.build(cat, events, "ts", ["event_type"], "value",
+                               HOUR_US, "h")
+    daily_direct = RollupStore.build(
+        Catalog(spark, str(tmp_path / "wh2")), events,
+        "ts", ["event_type"], "value", DAY_US, "d",
+    ).read()
+    via_lattice = hourly.read_at(DAY_US)
+    assert via_lattice.exceptAll(daily_direct).count() == 0
+    assert daily_direct.exceptAll(via_lattice).count() == 0
+    with pytest.raises(ValueError):
+        hourly.read_at(HOUR_US + 1)  # not a multiple
+
+
+def test_rollup_maintained_from_stream(spark, sf_dir, tmp_path):
+    from hindex_spark.catalog import Catalog
+    from hindex_spark.operators.rollup import HOUR_US, RollupStore
+
+    events = spark.read.parquet(f"{sf_dir}/events.parquet").limit(2000)
+    seed = events.filter(F.col("event_id") % 2 == 0)
+    rest = events.filter(F.col("event_id") % 2 == 1)
+    cat = Catalog(spark, str(tmp_path / "wh"))
+    r = RollupStore.build(cat, seed, "ts", ["event_type"], "value",
+                          HOUR_US, "st")
+    src = str(tmp_path / "src")
+    rest.write.mode("overwrite").parquet(src)
+    q = (
+        spark.readStream.schema(events.schema).parquet(src)
+        .writeStream.foreachBatch(
+            lambda batch, _e: r.update(batch) if batch.count() else None
+        )
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    full = RollupStore.build(
+        Catalog(spark, str(tmp_path / "wh2")), events,
+        "ts", ["event_type"], "value", HOUR_US, "full",
+    ).read()
+    got = r.read()
+    assert got.exceptAll(full).count() == 0 and full.exceptAll(got).count() == 0
