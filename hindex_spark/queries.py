@@ -1463,7 +1463,11 @@ _PRIORITY = [
     # (and in the local gate itself).
     "idxtab_stale_index", "idxtab_equal_range_combination",
     "idxtab_and_with_poisoned_or",
-    "idxtab_range_not_last", "idxtab_similar_value_pattern",
+    # idxtab_range_not_last ceded its slot (round 7) to
+    # events_rollup_hourly below; range-position planning stays
+    # driver-visible via idxtab_equal_range_combination +
+    # idxtab_and_setcover and the query stays in the local gate.
+    "idxtab_similar_value_pattern",
     # idxtab_complex_range_or ceded its slot (round 7) to
     # scan_reversed_range; complex range+OR planning stays visible via
     # idxtab_and_with_poisoned_or + idxtab_or_union + idxtab_range_not_last
@@ -1536,7 +1540,11 @@ _PRIORITY = [
     # verification stays in the local gate).
     "streaming_walplayer", "streaming_changelog_resume",
     "etl_import_tsv_with_index",
-    "events_asof_join",
+    # Round-7 rotation: events_rollup_hourly (incremental continuous
+    # aggregate, operators/rollup.py — the gate exercises the full
+    # artifact lifecycle: build + append-update + exchange-free merge)
+    # takes idxtab_range_not_last's slot.
+    "events_asof_join", "events_rollup_hourly",
 ]
 
 
