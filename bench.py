@@ -440,6 +440,32 @@ def main():
 
     bench("asof_join", asof, runs=3)
 
+    # Continuous aggregate: the same hourly query against the persisted
+    # rollup store (merged partials, store-side exchange-free) vs
+    # aggregating the raw events every time. The store build is
+    # database setup; the query-time delta is what materialization
+    # buys — and it widens with event volume, since the store is
+    # bounded by (buckets x keys), not rows.
+    from hindex_spark.operators.rollup import HOUR_US, RollupStore, rollup_partials
+
+    def rollup_direct():
+        rollup_partials(events, "ts", ["event_type"], "value", HOUR_US).count()
+
+    bench("rollup_direct_hourly", rollup_direct, runs=3)
+    try:
+        rollup_store = RollupStore.build(
+            cat, events, "ts", ["event_type"], "value", HOUR_US, "bench_events"
+        )
+    except Exception as exc:  # noqa: BLE001
+        rollup_store = None
+        errors["rollup_store_read"] = f"setup: {type(exc).__name__}: {exc}"[:220]
+    if rollup_store is not None:
+        bench(
+            "rollup_store_read",
+            lambda: rollup_store.read().count(),
+            runs=3,
+        )
+
     # runs=3: the widest run-to-run GC variance of any workload at sf1
     # (multi-stage: quality filter + exact dedup + LSH + clustering);
     # three runs with inter-run collection reach steady state reliably.
