@@ -360,6 +360,26 @@ class Catalog:
                 self._release_lease(d, token)
 
     @contextmanager
+    def write_lock(self, table_dir_name: str, lease_ttl: float = 600.0):
+        """Writer serialization for ad-hoc artifact mutations — the
+        postings / dedup-state / rollup stores append with INSERT INTO
+        and rewrite via compact(), which do not pass through ``save()``
+        and so would otherwise race each other (two concurrent appends
+        can collide in the commit protocol, and a compact can swap the
+        directory out from under an in-flight insert). This exposes the
+        SAME same-host flock + cross-host TTL lease the versioned save
+        path uses; a concurrent holder raises SaveContentionError.
+        Yields the fence token."""
+        d = os.path.join(self.root, table_dir_name)
+        os.makedirs(d, exist_ok=True)
+        with self._writer_flock(d):
+            token = self._acquire_lease(d, lease_ttl)
+            try:
+                yield token
+            finally:
+                self._release_lease(d, token)
+
+    @contextmanager
     def _writer_flock(self, d: str):
         """Same-host writer serialization (a test seam: stubbed out to
         simulate a second host whose flock does not span the storage)."""

@@ -161,9 +161,10 @@ class DedupState:
         # in a session clone and temp views are session-scoped (same
         # fix as SearchIndex.update)
         sess = rows.sparkSession
-        rows.createOrReplaceTempView(view)
-        sess.sql(f"INSERT INTO {self.table_name} SELECT * FROM {view}")
-        sess.catalog.dropTempView(view)
+        with self.catalog.write_lock(self.table_name):
+            rows.createOrReplaceTempView(view)
+            sess.sql(f"INSERT INTO {self.table_name} SELECT * FROM {view}")
+            sess.catalog.dropTempView(view)
 
     def compact(self, num_buckets: int = 32) -> None:
         """Rewrite the state table as one file per bucket. Every
@@ -176,13 +177,14 @@ class DedupState:
         buckets in place)."""
         from hindex_spark.table import Table
 
-        rows = self.catalog.spark.read.parquet(
-            os.path.join(self.catalog.root, self.table_name, "data")
-        )
-        self.catalog.save_bucketed(
-            Table(rows, self.id_col, f"{self.name}_dedupstate"),
-            num_buckets=num_buckets,
-        )
+        with self.catalog.write_lock(self.table_name):
+            rows = self.catalog.spark.read.parquet(
+                os.path.join(self.catalog.root, self.table_name, "data")
+            )
+            self.catalog.save_bucketed(
+                Table(rows, self.id_col, f"{self.name}_dedupstate"),
+                num_buckets=num_buckets,
+            )
 
     # -- the per-batch query ------------------------------------------------
 

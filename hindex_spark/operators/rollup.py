@@ -151,9 +151,10 @@ class RollupStore:
         )
         view = f"__rollup_append_{self.name}"
         sess = rows.sparkSession  # foreachBatch session clone, see
-        rows.createOrReplaceTempView(view)  # SearchIndex.update
-        sess.sql(f"INSERT INTO {self.table_name} SELECT * FROM {view}")
-        sess.catalog.dropTempView(view)
+        with self.catalog.write_lock(self.table_name):  # SearchIndex.update
+            rows.createOrReplaceTempView(view)
+            sess.sql(f"INSERT INTO {self.table_name} SELECT * FROM {view}")
+            sess.catalog.dropTempView(view)
 
     def read(
         self,
@@ -204,11 +205,12 @@ class RollupStore:
         would elide the rewrite's repartition)."""
         from hindex_spark.table import Table
 
-        raw = self.catalog.spark.read.parquet(
-            os.path.join(self.catalog.root, self.table_name, "data")
-        )
-        rows = merge_partials(raw, self.key_cols)
-        self.catalog.save_bucketed(
-            Table(rows, "bucket_us", f"{self.name}_rollup"),
-            num_buckets=num_buckets,
-        )
+        with self.catalog.write_lock(self.table_name):
+            raw = self.catalog.spark.read.parquet(
+                os.path.join(self.catalog.root, self.table_name, "data")
+            )
+            rows = merge_partials(raw, self.key_cols)
+            self.catalog.save_bucketed(
+                Table(rows, "bucket_us", f"{self.name}_rollup"),
+                num_buckets=num_buckets,
+            )

@@ -390,24 +390,25 @@ class SearchIndex:
         # and temp views are session-scoped — registering on rows'
         # session and inserting from the catalog's would not resolve
         sess = rows.sparkSession
-        rows.createOrReplaceTempView(view)
-        sess.sql(f"INSERT INTO {self.table_name} SELECT * FROM {view}")
-        sess.catalog.dropTempView(view)
-        batch = (
-            new_docs.filter(F.col(self.text_col).isNotNull())
-            .agg(
-                F.count("*").alias("n"),
-                F.sum(F.size(tokens(F.col(self.text_col))))
-                .cast("double")
-                .alias("sumdl"),
+        with self.catalog.write_lock(self.table_name):
+            rows.createOrReplaceTempView(view)
+            sess.sql(f"INSERT INTO {self.table_name} SELECT * FROM {view}")
+            sess.catalog.dropTempView(view)
+            batch = (
+                new_docs.filter(F.col(self.text_col).isNotNull())
+                .agg(
+                    F.count("*").alias("n"),
+                    F.sum(F.size(tokens(F.col(self.text_col))))
+                    .cast("double")
+                    .alias("sumdl"),
+                )
+                .collect()[0]
             )
-            .collect()[0]
-        )
-        self.n_docs += int(batch["n"])
-        self.sum_dl += float(batch["sumdl"] or 0.0)
-        with open(self._meta_path(), "w") as f:
-            json.dump({"id_col": self.id_col, "text_col": self.text_col,
-                       "n_docs": self.n_docs, "sum_dl": self.sum_dl}, f)
+            self.n_docs += int(batch["n"])
+            self.sum_dl += float(batch["sumdl"] or 0.0)
+            with open(self._meta_path(), "w") as f:
+                json.dump({"id_col": self.id_col, "text_col": self.text_col,
+                           "n_docs": self.n_docs, "sum_dl": self.sum_dl}, f)
 
     # -- the query ----------------------------------------------------------
 
@@ -581,13 +582,14 @@ class SearchIndex:
 
         from hindex_spark.table import Table
 
-        rows = self.catalog.spark.read.parquet(
-            os.path.join(self.catalog.root, self.table_name, "data")
-        )
-        self.catalog.save_bucketed(
-            Table(rows, "token", f"{self.name}_postings"),
-            num_buckets=num_buckets,
-        )
+        with self.catalog.write_lock(self.table_name):
+            rows = self.catalog.spark.read.parquet(
+                os.path.join(self.catalog.root, self.table_name, "data")
+            )
+            self.catalog.save_bucketed(
+                Table(rows, "token", f"{self.name}_postings"),
+                num_buckets=num_buckets,
+            )
 
     def tfidf_keywords(self, top_n: int = 5) -> DataFrame:
         """``tfidf_keywords`` served from the postings table — the

@@ -2092,3 +2092,33 @@ def test_rollup_maintained_from_stream(spark, sf_dir, tmp_path):
     ).read()
     got = r.read()
     assert got.exceptAll(full).count() == 0 and full.exceptAll(got).count() == 0
+
+
+def test_artifact_update_serialized_by_catalog_lease(spark, tmp_path):
+    import json as _json
+    import time
+
+    import pytest
+
+    from hindex_spark.catalog import Catalog, SaveContentionError
+    from hindex_spark.operators.search import SearchIndex
+
+    docs = spark.createDataFrame(
+        [(1, "spark rows"), (2, "merge rows")], ["doc_id", "text"]
+    )
+    cat = Catalog(spark, str(tmp_path / "wh"))
+    ix = SearchIndex.build(cat, docs, "doc_id", "text", "lk")
+    # simulate a LIVE writer on another host holding the artifact lease
+    lease = str(tmp_path / "wh" / "lk_postings_bucketed" / "_lease.json")
+    with open(lease, "w") as f:
+        _json.dump({"token": "t-other", "pid": 1, "host": "other-host",
+                    "acquired_at": time.time()}, f)
+    batch = spark.createDataFrame([(3, "vector rows")], ["doc_id", "text"])
+    with pytest.raises(SaveContentionError):
+        ix.update(batch)
+    # stale foreign lease (past TTL) is taken over and the update lands
+    with open(lease, "w") as f:
+        _json.dump({"token": "t-other", "pid": 1, "host": "other-host",
+                    "acquired_at": time.time() - 10_000}, f)
+    ix.update(batch)
+    assert ix.n_docs == 3
