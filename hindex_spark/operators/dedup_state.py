@@ -90,7 +90,9 @@ class DedupState:
 
     def __init__(self, catalog, name: str, id_col: str, text_col: str,
                  ngram: int = 3, hash_fn: str = "md5",
-                 n_hashes: int = N_HASHES, band_size: int = 2):
+                 n_hashes: int = N_HASHES, band_size: int = 2,
+                 num_buckets: int = 32):
+        self.num_buckets = num_buckets
         self.catalog = catalog
         self.name = name
         self.id_col = id_col
@@ -121,7 +123,7 @@ class DedupState:
         from hindex_spark.table import Table
 
         st = cls(catalog, name, id_col, text_col, ngram, hash_fn,
-                 n_hashes, band_size)
+                 n_hashes, band_size, num_buckets=num_buckets)
         rows = state_rows(corpus, id_col, text_col, ngram, hash_fn, n_hashes)
         catalog.save_bucketed(
             Table(rows, id_col, f"{name}_dedupstate"), num_buckets=num_buckets
@@ -130,7 +132,7 @@ class DedupState:
             json.dump(
                 {"id_col": id_col, "text_col": text_col, "ngram": ngram,
                  "hash_fn": hash_fn, "n_hashes": n_hashes,
-                 "band_size": band_size}, f,
+                 "band_size": band_size, "num_buckets": num_buckets}, f,
             )
         return st
 
@@ -141,11 +143,27 @@ class DedupState:
             m = json.load(f)
         return cls(catalog, name, m["id_col"], m["text_col"],
                    m["ngram"], m["hash_fn"],
-                   m.get("n_hashes", N_HASHES), m.get("band_size", 2))
+                   m.get("n_hashes", N_HASHES), m.get("band_size", 2),
+                   num_buckets=m.get("num_buckets", 32))
+
+    def _ensure_registered(self) -> None:
+        """Re-attach the session-scoped bucketed registration from the
+        files + persisted num_buckets on a fresh SparkSession. Uses
+        tableExists, never a resolve (see SearchIndex.update: resolving
+        would prime a file-listing cache that a later clone-session
+        INSERT silently misses)."""
+        if not self.catalog.spark.catalog.tableExists(self.table_name):
+            self.catalog._attach_bucketed(
+                self.table_name,
+                os.path.join(self.catalog.root, self.table_name, "data"),
+                self.id_col, [self.id_col], self.num_buckets,
+            )
 
     @property
     def df(self) -> DataFrame:
-        """The persisted (id, __fp, mh0..mh7) table."""
+        """The persisted (id, __fp, mh0..mh7) table (self-repairing
+        registration)."""
+        self._ensure_registered()
         return self.catalog.spark.table(self.table_name)
 
     def update(self, accepted: DataFrame) -> None:
@@ -162,9 +180,11 @@ class DedupState:
         # fix as SearchIndex.update)
         sess = rows.sparkSession
         with self.catalog.write_lock(self.table_name):
+            self._ensure_registered()
             rows.createOrReplaceTempView(view)
             sess.sql(f"INSERT INTO {self.table_name} SELECT * FROM {view}")
             sess.catalog.dropTempView(view)
+            self.catalog.spark.catalog.refreshTable(self.table_name)
 
     def compact(self, num_buckets: int = 32) -> None:
         """Rewrite the state table as one file per bucket. Every
@@ -185,6 +205,11 @@ class DedupState:
                 Table(rows, self.id_col, f"{self.name}_dedupstate"),
                 num_buckets=num_buckets,
             )
+            self.num_buckets = num_buckets
+            m = json.load(open(self._meta_path()))
+            m["num_buckets"] = num_buckets
+            with open(self._meta_path(), "w") as f:
+                json.dump(m, f)
 
     # -- the per-batch query ------------------------------------------------
 

@@ -103,7 +103,9 @@ class RollupStore:
     """
 
     def __init__(self, catalog, name: str, ts_col: str,
-                 key_cols: List[str], value_col: str, grain_us: int):
+                 key_cols: List[str], value_col: str, grain_us: int,
+                 num_buckets: int = 32):
+        self.num_buckets = num_buckets
         self.catalog = catalog
         self.name = name
         self.ts_col = ts_col
@@ -121,14 +123,16 @@ class RollupStore:
               name: str, num_buckets: int = 32) -> "RollupStore":
         from hindex_spark.table import Table
 
-        r = cls(catalog, name, ts_col, key_cols, value_col, grain_us)
+        r = cls(catalog, name, ts_col, key_cols, value_col, grain_us,
+                num_buckets=num_buckets)
         rows = rollup_partials(events, ts_col, key_cols, value_col, grain_us)
         catalog.save_bucketed(
             Table(rows, "bucket_us", f"{name}_rollup"), num_buckets=num_buckets
         )
         with open(r._meta_path(), "w") as f:
             json.dump({"ts_col": ts_col, "key_cols": r.key_cols,
-                       "value_col": value_col, "grain_us": grain_us}, f)
+                       "value_col": value_col, "grain_us": grain_us,
+                       "num_buckets": num_buckets}, f)
         return r
 
     @classmethod
@@ -136,10 +140,25 @@ class RollupStore:
         with open(os.path.join(catalog.root, f"{name}_rollup_meta.json")) as f:
             m = json.load(f)
         return cls(catalog, name, m["ts_col"], m["key_cols"],
-                   m["value_col"], m["grain_us"])
+                   m["value_col"], m["grain_us"],
+                   num_buckets=m.get("num_buckets", 32))
+
+    def _ensure_registered(self) -> None:
+        """Re-attach the session-scoped bucketed registration on a
+        fresh SparkSession. tableExists, never a resolve (see
+        SearchIndex.update: a resolve primes a file-listing cache that
+        a later clone-session INSERT silently misses)."""
+        if not self.catalog.spark.catalog.tableExists(self.table_name):
+            self.catalog._attach_bucketed(
+                self.table_name,
+                os.path.join(self.catalog.root, self.table_name, "data"),
+                "bucket_us", ["bucket_us"], self.num_buckets,
+            )
 
     @property
     def partials(self) -> DataFrame:
+        """The partials table (self-repairing registration)."""
+        self._ensure_registered()
         return self.catalog.spark.table(self.table_name)
 
     def update(self, batch: DataFrame) -> None:
@@ -152,9 +171,11 @@ class RollupStore:
         view = f"__rollup_append_{self.name}"
         sess = rows.sparkSession  # foreachBatch session clone, see
         with self.catalog.write_lock(self.table_name):  # SearchIndex.update
+            self._ensure_registered()
             rows.createOrReplaceTempView(view)
             sess.sql(f"INSERT INTO {self.table_name} SELECT * FROM {view}")
             sess.catalog.dropTempView(view)
+            self.catalog.spark.catalog.refreshTable(self.table_name)
 
     def read(
         self,
@@ -214,3 +235,8 @@ class RollupStore:
                 Table(rows, "bucket_us", f"{self.name}_rollup"),
                 num_buckets=num_buckets,
             )
+            self.num_buckets = num_buckets
+            m = json.load(open(self._meta_path()))
+            m["num_buckets"] = num_buckets
+            with open(self._meta_path(), "w") as f:
+                json.dump(m, f)

@@ -257,14 +257,20 @@ class SearchIndex:
     """
 
     def __init__(self, catalog, name: str, id_col: str, text_col: str,
-                 n_docs: int, sum_dl: float):
+                 n_docs: int, sum_dl: float, num_buckets: int = 32):
         self.catalog = catalog
         self.name = name
         self.id_col = id_col
         self.text_col = text_col
         self.n_docs = n_docs
         self.sum_dl = sum_dl
+        self.num_buckets = num_buckets
         self.table_name = f"{name}_postings_bucketed"
+
+    def _meta(self) -> dict:
+        return {"id_col": self.id_col, "text_col": self.text_col,
+                "n_docs": self.n_docs, "sum_dl": self.sum_dl,
+                "num_buckets": self.num_buckets}
 
     # -- storage ------------------------------------------------------------
 
@@ -326,10 +332,10 @@ class SearchIndex:
             Table(rows, "token", f"{name}_postings"), num_buckets=num_buckets
         )
         ix = cls(catalog, name, id_col, text_col,
-                 int(stats["n"]), float(stats["sumdl"] or 0.0))
+                 int(stats["n"]), float(stats["sumdl"] or 0.0),
+                 num_buckets=num_buckets)
         with open(ix._meta_path(), "w") as f:
-            json.dump({"id_col": id_col, "text_col": text_col,
-                       "n_docs": ix.n_docs, "sum_dl": ix.sum_dl}, f)
+            json.dump(ix._meta(), f)
         return ix
 
     @classmethod
@@ -341,10 +347,27 @@ class SearchIndex:
                 catalog.root, f"{name}_postings_meta.json")) as f:
             m = json.load(f)
         return cls(catalog, name, m["id_col"], m["text_col"],
-                   m["n_docs"], m["sum_dl"])
+                   m["n_docs"], m["sum_dl"],
+                   num_buckets=m.get("num_buckets", 32))
+
+    def _ensure_registered(self) -> None:
+        """Re-attach the session-scoped bucketed registration from the
+        files + persisted num_buckets when a FRESH SparkSession opens
+        the artifact (registrations do not survive session restarts;
+        the files and meta do)."""
+        import os
+
+        if not self.catalog.spark.catalog.tableExists(self.table_name):
+            self.catalog._attach_bucketed(
+                self.table_name,
+                os.path.join(self.catalog.root, self.table_name, "data"),
+                "token", ["token"], self.num_buckets,
+            )
 
     @property
     def postings(self) -> DataFrame:
+        """The postings table (self-repairing registration)."""
+        self._ensure_registered()
         return self.catalog.spark.table(self.table_name)
 
     def repair_stats(self) -> None:
@@ -369,8 +392,7 @@ class SearchIndex:
         self.n_docs = int(stats["n"])
         self.sum_dl = float(stats["sumdl"] or 0.0)
         with open(self._meta_path(), "w") as f:
-            json.dump({"id_col": self.id_col, "text_col": self.text_col,
-                       "n_docs": self.n_docs, "sum_dl": self.sum_dl}, f)
+            json.dump(self._meta(), f)
 
     def update(self, new_docs: DataFrame) -> None:
         """Per-batch maintenance: append the batch's postings (INSERT
@@ -391,9 +413,18 @@ class SearchIndex:
         # session and inserting from the catalog's would not resolve
         sess = rows.sparkSession
         with self.catalog.write_lock(self.table_name):
+            # re-attach the registration on a fresh session via
+            # tableExists — NOT by resolving the table: resolving primes
+            # the catalog session's file-listing cache BEFORE the
+            # clone-session INSERT below, and later reads then silently
+            # miss the appended files
+            self._ensure_registered()
             rows.createOrReplaceTempView(view)
             sess.sql(f"INSERT INTO {self.table_name} SELECT * FROM {view}")
             sess.catalog.dropTempView(view)
+            # the INSERT ran on the batch's session; invalidate the
+            # catalog session's cached listing so its readers see it
+            self.catalog.spark.catalog.refreshTable(self.table_name)
             batch = (
                 new_docs.filter(F.col(self.text_col).isNotNull())
                 .agg(
@@ -407,8 +438,7 @@ class SearchIndex:
             self.n_docs += int(batch["n"])
             self.sum_dl += float(batch["sumdl"] or 0.0)
             with open(self._meta_path(), "w") as f:
-                json.dump({"id_col": self.id_col, "text_col": self.text_col,
-                           "n_docs": self.n_docs, "sum_dl": self.sum_dl}, f)
+                json.dump(self._meta(), f)
 
     # -- the query ----------------------------------------------------------
 
@@ -582,6 +612,8 @@ class SearchIndex:
 
         from hindex_spark.table import Table
 
+        import json
+
         with self.catalog.write_lock(self.table_name):
             rows = self.catalog.spark.read.parquet(
                 os.path.join(self.catalog.root, self.table_name, "data")
@@ -590,6 +622,9 @@ class SearchIndex:
                 Table(rows, "token", f"{self.name}_postings"),
                 num_buckets=num_buckets,
             )
+            self.num_buckets = num_buckets  # bucket count is part of the
+            with open(self._meta_path(), "w") as f:  # attach contract
+                json.dump(self._meta(), f)
 
     def tfidf_keywords(self, top_n: int = 5) -> DataFrame:
         """``tfidf_keywords`` served from the postings table — the

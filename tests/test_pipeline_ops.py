@@ -2122,3 +2122,46 @@ def test_artifact_update_serialized_by_catalog_lease(spark, tmp_path):
                     "acquired_at": time.time() - 10_000}, f)
     ix.update(batch)
     assert ix.n_docs == 3
+
+
+def test_artifacts_reattach_after_session_restart(spark, tmp_path):
+    """Bucketed-table registrations are session-scoped; the artifact
+    files + meta are not. Dropping the registration simulates a fresh
+    SparkSession — open() must re-attach from disk (with the persisted
+    bucket count, so pruning/exchange-free properties survive too)."""
+    from datetime import datetime
+
+    from hindex_spark.catalog import Catalog
+    from hindex_spark.operators.dedup_state import DedupState
+    from hindex_spark.operators.rollup import HOUR_US, RollupStore
+    from hindex_spark.operators.search import SearchIndex
+
+    docs = spark.createDataFrame(
+        [(1, "spark makes joins fast"), (2, "merge joins beat loops")],
+        ["doc_id", "text"],
+    )
+    events = spark.createDataFrame(
+        [(1, datetime(2024, 1, 1, 10, 15), "click", 1.5)],
+        ["event_id", "ts", "event_type", "value"],
+    )
+    cat = Catalog(spark, str(tmp_path / "wh"))
+    ix = SearchIndex.build(cat, docs, "doc_id", "text", "ra", num_buckets=8)
+    st = DedupState.build(cat, docs, "doc_id", "text", "ra", num_buckets=8)
+    ru = RollupStore.build(cat, events, "ts", ["event_type"], "value",
+                           HOUR_US, "ra", num_buckets=8)
+    want_hits = [r["doc_id"] for r in ix.topk("spark", k=5).collect()]
+    for t in ("ra_postings_bucketed", "ra_dedupstate_bucketed",
+              "ra_rollup_bucketed"):
+        spark.sql(f"DROP TABLE IF EXISTS {t}")
+    cat2 = Catalog(spark, str(tmp_path / "wh"))
+    ix2 = SearchIndex.open(cat2, "ra")
+    assert ix2.num_buckets == 8
+    assert [r["doc_id"] for r in ix2.topk("spark", k=5).collect()] == want_hits
+    st2 = DedupState.open(cat2, "ra")
+    assert st2.df.count() == 2
+    ru2 = RollupStore.open(cat2, "ra")
+    got = ru2.read().collect()
+    assert len(got) == 1 and got[0]["cnt"] == 1
+    # updates work against the re-attached registration too
+    ix2.update(spark.createDataFrame([(3, "vector scans")], ["doc_id", "text"]))
+    assert ix2.n_docs == 3
