@@ -355,6 +355,30 @@ def main():
         db_ids = _persistent_ids()  # the IVF index joins the database caches
         bench("ann_ivf_topk", ann_ivf, runs=3)
 
+    # The PERSISTED IVF artifact: build (train + assign + bucketed
+    # write) is one-time setup; the timed probe opens nothing and scans
+    # only its nprobe clusters' buckets (bucket pruning) — the path a
+    # repeated query batch pays against a 100 TB vector store.
+    try:
+        from hindex_spark.operators.ann_index import AnnIndex
+
+        ann_ix = AnnIndex.build(
+            cat, emb, "vec_id", "embedding", "bench_vecs",
+            n_clusters=16, iters=2,
+        )
+    except Exception as exc:  # noqa: BLE001
+        ann_ix = None
+        errors["ann_ivf_stored_topk"] = f"setup: {type(exc).__name__}: {exc}"[:220]
+
+    def ann_ivf_stored():
+        queries_df = emb.filter(F.col("vec_id") < 5).select(
+            F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_vec")
+        )
+        ann_ix.topk(queries_df, 10, nprobe=2).collect()
+
+    if ann_ix is not None:
+        bench("ann_ivf_stored_topk", ann_ivf_stored, runs=3)
+
     # --- joins & temporal -------------------------------------------------
     def join_q3():
         cust = spark.read.parquet(f"{SF_DIR}/customer.parquet").filter(

@@ -158,6 +158,7 @@ def ivf_build(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     sample_size: int = 65536,
+    keep_vectors: bool = False,
 ):
     """IVF index build: k-means-lite on a deterministic hash-sample.
 
@@ -172,6 +173,9 @@ def ivf_build(
 
     Deterministic: hash-based sample, lowest-id init, stable tie-breaks.
     Returns (assignments: id_col/cluster, centroids: cluster/centroid).
+    With ``keep_vectors`` the assignments also carry ``vec_col`` — the
+    materialized-index shape ``ivf_topk`` probes without re-joining the
+    embeddings (and what ``AnnIndex`` persists cluster-bucketed).
 
     No full-corpus action in the build: the sampling rate derives from
     parquet FOOTER row counts (driver-side metadata reads — no job),
@@ -252,7 +256,7 @@ def ivf_build(
     assignments = (
         scored.withColumn("__rn", F.row_number().over(w))
         .filter(F.col("__rn") == 1)
-        .select(id_col, "cluster")
+        .select(id_col, "cluster", *([vec_col] if keep_vectors else []))
     )
     return assignments, cents
 

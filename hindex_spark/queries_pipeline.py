@@ -1854,3 +1854,64 @@ def q_rollup_daily(spark, sf_dir):
         cat, events, "ts", ["event_type"], "value", HOUR_US, "gate_events"
     )
     return r.read_at(DAY_US)
+
+
+_BF_TOPK_ORACLE = f"""SELECT q_id, vec_id, cosine, rank FROM (
+      SELECT q.vec_id AS q_id, e.vec_id AS vec_id,
+             ROUND({_Q_COS_SQL}, 6) AS cosine,
+             row_number() OVER (
+               PARTITION BY q.vec_id
+               ORDER BY ROUND({_Q_COS_SQL}, 6) DESC, e.vec_id) AS rank
+      FROM embeddings e, embeddings q
+      WHERE q.vec_id < 5 AND e.vec_id != q.vec_id)
+    WHERE rank <= 10"""
+
+
+@query("ann_ivf_store_topk", _BF_TOPK_ORACLE)
+def q_ann_ivf_store(spark, sf_dir):
+    """Persisted IVF index, hard-signal: build the catalog artifact,
+    REOPEN it (fresh handle, registration self-repair), probe all
+    clusters — the result must EXACTLY equal brute force, which makes
+    the whole train/assign/persist/open/probe path oracle-checkable (a
+    vector dropped or duplicated by the bucketed write breaks the
+    hash). Recall and bucket pruning at nprobe < n_clusters are pinned
+    by tests/test_ann_index.py."""
+    import tempfile
+
+    from hindex_spark.catalog import Catalog
+    from hindex_spark.operators.ann_index import AnnIndex
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    cat = Catalog(spark, tempfile.mkdtemp(prefix="hindex_annix_"))
+    AnnIndex.build(cat, emb, "vec_id", "embedding", "gatevecs",
+                   n_clusters=8, iters=2)
+    ix = AnnIndex.open(cat, "gatevecs")
+    queries_df = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_vec")
+    )
+    return ix.topk(queries_df, 10, nprobe=8)
+
+
+@query("ann_ivf_store_update", _BF_TOPK_ORACLE)
+def q_ann_ivf_store_update(spark, sf_dir):
+    """The maintained-index path: build on HALF the corpus, append the
+    other half with ``update()`` (frozen-centroid assignment + bucketed
+    INSERT), full-probe — still exactly brute force over the WHOLE
+    corpus, so an append that drops, duplicates, or mangles a vector
+    breaks the hash. Frozen-assignment parity with build-time
+    assignment is pinned by tests/test_ann_index.py."""
+    import tempfile
+
+    from hindex_spark.catalog import Catalog
+    from hindex_spark.operators.ann_index import AnnIndex
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    cat = Catalog(spark, tempfile.mkdtemp(prefix="hindex_annix_"))
+    half = F.pmod(F.col("vec_id"), F.lit(2)) == 0
+    ix = AnnIndex.build(cat, emb.filter(half), "vec_id", "embedding",
+                        "gatevecs_u", n_clusters=8, iters=2)
+    ix.update(emb.filter(~half))
+    queries_df = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_vec")
+    )
+    return ix.topk(queries_df, 10, nprobe=8)

@@ -1,0 +1,136 @@
+"""Tests for the persisted IVF artifact (operators/ann_index.py):
+full-probe brute-force identity, frozen-centroid append parity, bucket
+pruning in the probe plan, recall at nprobe < n_clusters, compaction
+layout, and session-restart reopen."""
+
+import os
+import re
+
+from pyspark.sql import functions as F
+
+from hindex_spark.catalog import Catalog
+from hindex_spark.operators import similarity as sim
+from hindex_spark.operators.ann_index import AnnIndex, assign_to_centroids
+
+
+def _emb(spark, sf_dir):
+    return spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+
+
+def _queries(emb):
+    return emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_vec")
+    )
+
+
+def _rows(df):
+    return [tuple(r) for r in df.orderBy("q_id", "rank").collect()]
+
+
+def test_ann_index_full_probe_equals_brute_force(spark, sf_dir, tmp_path):
+    emb = _emb(spark, sf_dir)
+    cat = Catalog(spark, str(tmp_path / "wh"))
+    AnnIndex.build(cat, emb, "vec_id", "embedding", "v", n_clusters=8, iters=2)
+    ix = AnnIndex.open(cat, "v")
+    q = _queries(emb)
+    assert _rows(ix.topk(q, 10, nprobe=8)) == _rows(
+        sim.brute_force_topk(emb, q, 10)
+    )
+
+
+def test_ann_index_update_matches_build_assignment(spark, sf_dir, tmp_path):
+    """Appending a batch with update() (frozen centroids) must place
+    each vector in the SAME cluster a build-time final assignment
+    would — they share the assignment expression."""
+    emb = _emb(spark, sf_dir)
+    cat = Catalog(spark, str(tmp_path / "wh"))
+    half = F.pmod(F.col("vec_id"), F.lit(2)) == 0
+    ix = AnnIndex.build(
+        cat, emb.filter(half), "vec_id", "embedding", "v", n_clusters=8, iters=2
+    )
+    ix.update(emb.filter(~half))
+    stored = {
+        r["vec_id"]: r["cluster"]
+        for r in ix.vectors.filter(~half).select("vec_id", "cluster").collect()
+    }
+    expected = {
+        r["vec_id"]: r["cluster"]
+        for r in assign_to_centroids(
+            emb.filter(~half), ix.centroids, "vec_id", "embedding"
+        ).collect()
+    }
+    assert stored == expected and len(stored) > 0
+
+
+def test_ann_index_probe_prunes_buckets(spark, sf_dir, tmp_path):
+    """nprobe < n_clusters must leave buckets UNREAD: the probed scan's
+    SelectedBucketsCount is below the total, and the probed cluster set
+    is bounded by n_clusters regardless of query count."""
+    emb = _emb(spark, sf_dir)
+    cat = Catalog(spark, str(tmp_path / "wh"))
+    ix = AnnIndex.build(cat, emb, "vec_id", "embedding", "v",
+                        n_clusters=8, iters=2)
+    q = _queries(emb)
+    clusters = ix.probe_clusters(q, nprobe=1)
+    assert 0 < len(clusters) <= 8
+    plan = (
+        ix.topk(q, 10, nprobe=1)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    m = re.search(r"SelectedBucketsCount: (\d+) out of (\d+)", plan)
+    assert m, f"no bucket pruning in plan:\n{plan}"
+    assert int(m.group(1)) <= len(clusters) < int(m.group(2))
+
+
+def test_ann_index_recall_at_low_nprobe(spark, sf_dir, tmp_path):
+    """Pruned probe quality: recall@10 vs brute force at nprobe=2 of 8
+    stays above a floor (clustered synthetic embeddings — the probe
+    should find most true neighbors in the query's own clusters)."""
+    emb = _emb(spark, sf_dir)
+    cat = Catalog(spark, str(tmp_path / "wh"))
+    ix = AnnIndex.build(cat, emb, "vec_id", "embedding", "v",
+                        n_clusters=8, iters=2)
+    q = _queries(emb)
+    truth = {
+        (r["q_id"], r["vec_id"])
+        for r in sim.brute_force_topk(emb, q, 10).collect()
+    }
+    got = {
+        (r["q_id"], r["vec_id"])
+        for r in ix.topk(q, 10, nprobe=2).collect()
+    }
+    recall = len(got & truth) / len(truth)
+    assert recall >= 0.5, f"recall@10 {recall:.2f} too low"
+
+
+def test_ann_index_compact_one_file_per_bucket(spark, sf_dir, tmp_path):
+    emb = _emb(spark, sf_dir)
+    cat = Catalog(spark, str(tmp_path / "wh"))
+    ix = AnnIndex.build(cat, emb, "vec_id", "embedding", "v",
+                        n_clusters=8, iters=2)
+    before = ix.vectors.count()
+    ix.update(
+        emb.limit(20).select(
+            (F.col("vec_id") + 10_000_000).alias("vec_id"), "embedding"
+        )
+    )
+    data_dir = os.path.join(cat.root, ix.table_name, "data")
+    ix.compact()
+    files = [f for f in os.listdir(data_dir) if f.endswith(".parquet")]
+    assert len(files) <= ix.num_buckets
+    assert ix.vectors.count() == before + 20
+
+
+def test_ann_index_survives_session_restart(spark, sf_dir, tmp_path):
+    """open() on a session with no registration: the bucketed table
+    self-repairs from files + meta (the artifact-store contract)."""
+    emb = _emb(spark, sf_dir)
+    cat = Catalog(spark, str(tmp_path / "wh"))
+    ix = AnnIndex.build(cat, emb, "vec_id", "embedding", "v",
+                        n_clusters=8, iters=2)
+    spark.sql(f"DROP TABLE IF EXISTS `{ix.table_name}`")
+    ix2 = AnnIndex.open(cat, "v")
+    q = _queries(emb)
+    assert _rows(ix2.topk(q, 10, nprobe=8)) == _rows(
+        sim.brute_force_topk(emb, q, 10)
+    )
