@@ -1,0 +1,106 @@
+"""Shared upsert/delete machinery for append-maintained artifact stores
+(SearchIndex postings, DedupState rows).
+
+The stores' update() contract is append-only: re-ingesting an id ADDS
+rows. Replacement needs deletion, and the rows to delete are scattered
+across the store's buckets (a document's postings hash by token, not by
+id), so a partial rewrite can't be bucket-confined. The classic answer
+is Lucene's: a generation-stamped store plus a small side set of
+"superseded up to generation G" markers consulted at read time, purged
+physically at the next compaction — the LSM newest-cell-wins rule this
+engine already applies to cell versions (cells.py), applied to artifact
+rows.
+
+Mechanics:
+
+- every store row carries ``gen`` (the writer generation that produced
+  it; build = 0);
+- a tombstone is ``(id, below_gen)``: rows of ``id`` with
+  ``gen < below_gen`` are dead. Tombstones live in a small side parquet
+  directory, appended per upsert/delete;
+- the live view left-joins the BROADCAST per-id max(below_gen) onto the
+  store and filters — one broadcast hash join, zero shuffles of the
+  store, and key-pruning filters (token buckets, fp semi-joins) still
+  push below it to the scan. With no tombstones the store frame is
+  returned untouched;
+- ``compact()`` applies the same filter while rewriting and clears the
+  tombstone directory. Generations are PRESERVED across compaction, so
+  re-applying a stale tombstone set after a crash-between-steps is a
+  no-op (every surviving row already satisfies it).
+
+Scale contract: the tombstone set is broadcast-material BY DESIGN —
+it holds ids upserted/deleted since the last compaction, the exact
+analog of Lucene's live-docs bitset. ``tombstone_count`` lets callers
+schedule compaction before the set outgrows a broadcast.
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+
+def tombstone_path(catalog_root: str, table_name: str) -> str:
+    return os.path.join(catalog_root, f"{table_name}_tombstones")
+
+
+def _has_tombstones(path: str) -> bool:
+    return os.path.isdir(path) and any(
+        f.endswith(".parquet") for f in os.listdir(path)
+    )
+
+
+def read_tombstone_cuts(spark: SparkSession, path: str):
+    """Per-id generation cutoff, or None when no tombstones exist:
+    (id-named column, __below = max below_gen)."""
+    if not _has_tombstones(path):
+        return None
+    return spark.read.parquet(path)
+
+
+def append_tombstones(ids: DataFrame, id_col: str, below_gen: int,
+                      path: str) -> None:
+    """Record 'rows of these ids below ``below_gen`` are dead'. The ids
+    frame is expected to be small (an upsert batch's pre-existing ids);
+    coalesced to one file so the side directory stays a handful of tiny
+    parquet files between compactions."""
+    (
+        ids.select(F.col(id_col), F.lit(below_gen).cast("long").alias("below_gen"))
+        .coalesce(1)
+        .write.mode("append")
+        .parquet(path)
+    )
+
+
+def live_view(store: DataFrame, id_col: str, spark: SparkSession,
+              path: str) -> DataFrame:
+    """The store minus tombstoned generations. No tombstones -> the
+    frame itself (zero overhead on never-upserted stores). A store
+    written before the gen column existed has nothing to resolve."""
+    if "gen" not in store.columns:
+        return store
+    tomb = read_tombstone_cuts(spark, path)
+    if tomb is None:
+        return store
+    cuts = tomb.groupBy(id_col).agg(F.max("below_gen").alias("__below"))
+    return (
+        store.join(F.broadcast(cuts), id_col, "left")
+        .filter(F.col("__below").isNull() | (F.col("gen") >= F.col("__below")))
+        .drop("__below")
+    )
+
+
+def clear_tombstones(path: str) -> None:
+    shutil.rmtree(path, ignore_errors=True)
+
+
+def tombstone_count(spark: SparkSession, path: str) -> int:
+    """Distinct tombstoned ids — the broadcast-size gauge a maintenance
+    job checks to schedule compaction."""
+    tomb = read_tombstone_cuts(spark, path)
+    if tomb is None:
+        return 0
+    return tomb.select(tomb.columns[0]).distinct().count()

@@ -91,8 +91,9 @@ class DedupState:
     def __init__(self, catalog, name: str, id_col: str, text_col: str,
                  ngram: int = 3, hash_fn: str = "md5",
                  n_hashes: int = N_HASHES, band_size: int = 2,
-                 num_buckets: int = 32):
+                 num_buckets: int = 32, cur_gen: int = 0):
         self.num_buckets = num_buckets
+        self.cur_gen = cur_gen
         self.catalog = catalog
         self.name = name
         self.id_col = id_col
@@ -124,7 +125,9 @@ class DedupState:
 
         st = cls(catalog, name, id_col, text_col, ngram, hash_fn,
                  n_hashes, band_size, num_buckets=num_buckets)
-        rows = state_rows(corpus, id_col, text_col, ngram, hash_fn, n_hashes)
+        rows = state_rows(
+            corpus, id_col, text_col, ngram, hash_fn, n_hashes
+        ).withColumn("gen", F.lit(0).cast("long"))
         catalog.save_bucketed(
             Table(rows, id_col, f"{name}_dedupstate"), num_buckets=num_buckets
         )
@@ -132,7 +135,8 @@ class DedupState:
             json.dump(
                 {"id_col": id_col, "text_col": text_col, "ngram": ngram,
                  "hash_fn": hash_fn, "n_hashes": n_hashes,
-                 "band_size": band_size, "num_buckets": num_buckets}, f,
+                 "band_size": band_size, "num_buckets": num_buckets,
+                 "cur_gen": 0}, f,
             )
         return st
 
@@ -144,7 +148,8 @@ class DedupState:
         return cls(catalog, name, m["id_col"], m["text_col"],
                    m["ngram"], m["hash_fn"],
                    m.get("n_hashes", N_HASHES), m.get("band_size", 2),
-                   num_buckets=m.get("num_buckets", 32))
+                   num_buckets=m.get("num_buckets", 32),
+                   cur_gen=m.get("cur_gen", 0))
 
     def _ensure_registered(self) -> None:
         """Re-attach the session-scoped bucketed registration from the
@@ -159,12 +164,30 @@ class DedupState:
                 self.id_col, [self.id_col], self.num_buckets,
             )
 
+    def _tombstone_path(self) -> str:
+        from hindex_spark.operators.artifact import tombstone_path
+
+        return tombstone_path(self.catalog.root, self.table_name)
+
     @property
-    def df(self) -> DataFrame:
-        """The persisted (id, __fp, mh0..mh7) table (self-repairing
-        registration)."""
+    def _df_raw(self) -> DataFrame:
+        """The state table as stored — tombstoned generations included
+        (self-repairing registration)."""
         self._ensure_registered()
         return self.catalog.spark.table(self.table_name)
+
+    @property
+    def df(self) -> DataFrame:
+        """The LIVE persisted (id, __fp, mh0..mh7, gen) rows: the
+        stored table minus generations superseded by
+        ``upsert``/``delete`` tombstones (operators/artifact.py). No
+        tombstones -> the raw frame, zero overhead."""
+        from hindex_spark.operators.artifact import live_view
+
+        return live_view(
+            self._df_raw, self.id_col, self.catalog.spark,
+            self._tombstone_path(),
+        )
 
     def update(self, accepted: DataFrame) -> None:
         """Append the accepted batch's state rows — the per-batch
@@ -173,7 +196,7 @@ class DedupState:
         rows = state_rows(
             accepted, self.id_col, self.text_col, self.ngram, self.hash_fn,
             self.n_hashes,
-        )
+        ).withColumn("gen", F.lit(self.cur_gen).cast("long"))
         view = f"__dedupstate_append_{self.name}"
         # the batch's own session: inside foreachBatch the frame lives
         # in a session clone and temp views are session-scoped (same
@@ -186,25 +209,89 @@ class DedupState:
             sess.catalog.dropTempView(view)
             self.catalog.spark.catalog.refreshTable(self.table_name)
 
+    def _bump_gen(self, new_gen: int) -> None:
+        self.cur_gen = new_gen
+        m = json.load(open(self._meta_path()))
+        m["cur_gen"] = new_gen
+        with open(self._meta_path(), "w") as f:
+            json.dump(m, f)
+
+    def upsert(self, docs: DataFrame) -> None:
+        """Replace-or-insert state rows for a batch of doc ids: ids
+        already in the store get their (fingerprint, signature) row
+        superseded — a tombstone cuts every older generation — and new
+        ids just append. Tombstone -> state-append write order (the new
+        rows carry ``gen == below_gen``, so the tombstone can never
+        kill them); physical purge at the next ``compact()``. The shape
+        a re-crawled/re-processed document needs: its OLD signature
+        must stop matching candidates."""
+        from hindex_spark.operators.artifact import append_tombstones
+
+        with self.catalog.write_lock(self.table_name):
+            self._ensure_registered()
+            new_gen = self.cur_gen + 1
+            batch_ids = docs.select(self.id_col).distinct()
+            existing = (
+                self._df_raw
+                .join(F.broadcast(batch_ids), self.id_col, "left_semi")
+                .select(self.id_col).distinct()
+            )
+            append_tombstones(
+                existing, self.id_col, new_gen, self._tombstone_path()
+            )
+            rows = state_rows(
+                docs, self.id_col, self.text_col, self.ngram, self.hash_fn,
+                self.n_hashes,
+            ).withColumn("gen", F.lit(new_gen).cast("long"))
+            view = f"__dedupstate_upsert_{self.name}"
+            sess = rows.sparkSession
+            rows.createOrReplaceTempView(view)
+            sess.sql(f"INSERT INTO {self.table_name} SELECT * FROM {view}")
+            sess.catalog.dropTempView(view)
+            self.catalog.spark.catalog.refreshTable(self.table_name)
+            self._bump_gen(new_gen)
+
+    def delete(self, ids: DataFrame) -> None:
+        """Remove docs from the state (the corpus dropped them): one
+        tombstone append cutting every current generation of the given
+        ids. Nothing is rewritten until ``compact()``."""
+        from hindex_spark.operators.artifact import append_tombstones
+
+        with self.catalog.write_lock(self.table_name):
+            self._ensure_registered()
+            new_gen = self.cur_gen + 1
+            append_tombstones(
+                ids.select(self.id_col).distinct(), self.id_col, new_gen,
+                self._tombstone_path(),
+            )
+            self._bump_gen(new_gen)
+
     def compact(self, num_buckets: int = 32) -> None:
-        """Rewrite the state table as one file per bucket. Every
-        ``update()`` INSERT adds a file set per bucket; multi-file
+        """Rewrite the state table as one file per bucket, purging
+        tombstoned generations (gens preserved — a crash between the
+        save and the tombstone clear re-applies the cuts as a no-op).
+        Every ``update()`` INSERT adds a file set per bucket; multi-file
         buckets cost the scan its reported sort order and per-file
         opens — periodic compaction restores build-time layout. Staged
         write + atomic swap via the catalog. Source read as RAW parquet
         (same reason as SearchIndex.compact: the bucketed scan's claimed
         partitioning would elide the repartition and leave multi-file
         buckets in place)."""
+        from hindex_spark.operators.artifact import clear_tombstones, live_view
         from hindex_spark.table import Table
 
         with self.catalog.write_lock(self.table_name):
             rows = self.catalog.spark.read.parquet(
                 os.path.join(self.catalog.root, self.table_name, "data")
             )
+            rows = live_view(
+                rows, self.id_col, self.catalog.spark, self._tombstone_path()
+            )
             self.catalog.save_bucketed(
                 Table(rows, self.id_col, f"{self.name}_dedupstate"),
                 num_buckets=num_buckets,
             )
+            clear_tombstones(self._tombstone_path())
             self.num_buckets = num_buckets
             m = json.load(open(self._meta_path()))
             m["num_buckets"] = num_buckets

@@ -257,7 +257,8 @@ class SearchIndex:
     """
 
     def __init__(self, catalog, name: str, id_col: str, text_col: str,
-                 n_docs: int, sum_dl: float, num_buckets: int = 32):
+                 n_docs: int, sum_dl: float, num_buckets: int = 32,
+                 cur_gen: int = 0):
         self.catalog = catalog
         self.name = name
         self.id_col = id_col
@@ -265,12 +266,13 @@ class SearchIndex:
         self.n_docs = n_docs
         self.sum_dl = sum_dl
         self.num_buckets = num_buckets
+        self.cur_gen = cur_gen
         self.table_name = f"{name}_postings_bucketed"
 
     def _meta(self) -> dict:
         return {"id_col": self.id_col, "text_col": self.text_col,
                 "n_docs": self.n_docs, "sum_dl": self.sum_dl,
-                "num_buckets": self.num_buckets}
+                "num_buckets": self.num_buckets, "cur_gen": self.cur_gen}
 
     # -- storage ------------------------------------------------------------
 
@@ -282,14 +284,17 @@ class SearchIndex:
         )
 
     @staticmethod
-    def _posting_rows(docs: DataFrame, id_col: str, text_col: str) -> DataFrame:
-        """(token, id, tf, dl, positions): one row per distinct (doc,
-        token). dl is the doc's token count, constant per doc (max()
-        only fixes the aggregate's shape); positions is the sorted
-        1-based occurrence list — what makes the index POSITIONAL, so
-        phrase queries resolve from postings alone. BM25 never reads
-        the column (parquet column pruning keeps it off disk for
-        ranked retrieval)."""
+    def _posting_rows(docs: DataFrame, id_col: str, text_col: str,
+                      gen: int = 0) -> DataFrame:
+        """(token, id, tf, dl, positions, gen): one row per distinct
+        (doc, token). dl is the doc's token count, constant per doc
+        (max() only fixes the aggregate's shape); positions is the
+        sorted 1-based occurrence list — what makes the index
+        POSITIONAL, so phrase queries resolve from postings alone. BM25
+        never reads the column (parquet column pruning keeps it off
+        disk for ranked retrieval). ``gen`` is the writer generation
+        (operators/artifact.py) — what upsert's tombstones cut
+        against."""
         toked = docs.filter(F.col(text_col).isNotNull()).select(
             F.col(id_col), tokens(F.col(text_col)).alias("__toks")
         )
@@ -307,6 +312,7 @@ class SearchIndex:
                     "positions"
                 ),
             )
+            .withColumn("gen", F.lit(gen).cast("long"))
         )
 
     @classmethod
@@ -348,7 +354,8 @@ class SearchIndex:
             m = json.load(f)
         return cls(catalog, name, m["id_col"], m["text_col"],
                    m["n_docs"], m["sum_dl"],
-                   num_buckets=m.get("num_buckets", 32))
+                   num_buckets=m.get("num_buckets", 32),
+                   cur_gen=m.get("cur_gen", 0))
 
     def _ensure_registered(self) -> None:
         """Re-attach the session-scoped bucketed registration from the
@@ -364,11 +371,32 @@ class SearchIndex:
                 "token", ["token"], self.num_buckets,
             )
 
+    def _tombstone_path(self) -> str:
+        from hindex_spark.operators.artifact import tombstone_path
+
+        return tombstone_path(self.catalog.root, self.table_name)
+
     @property
-    def postings(self) -> DataFrame:
-        """The postings table (self-repairing registration)."""
+    def _postings_raw(self) -> DataFrame:
+        """The postings table as stored — tombstoned generations
+        included (self-repairing registration)."""
         self._ensure_registered()
         return self.catalog.spark.table(self.table_name)
+
+    @property
+    def postings(self) -> DataFrame:
+        """The LIVE postings: the stored table minus generations
+        superseded by ``upsert``/``delete`` tombstones
+        (operators/artifact.py — Lucene's live-docs rule). With no
+        tombstones this is the raw frame, zero overhead; with them, one
+        broadcast left join that token-bucket pruning still pushes
+        below."""
+        from hindex_spark.operators.artifact import live_view
+
+        return live_view(
+            self._postings_raw, self.id_col, self.catalog.spark,
+            self._tombstone_path(),
+        )
 
     def repair_stats(self) -> None:
         """Recompute the persisted corpus stats FROM the postings table
@@ -405,7 +433,9 @@ class SearchIndex:
         postings)."""
         import json
 
-        rows = self._posting_rows(new_docs, self.id_col, self.text_col)
+        rows = self._posting_rows(
+            new_docs, self.id_col, self.text_col, gen=self.cur_gen
+        )
         view = f"__postings_append_{self.name}"
         # run the INSERT on the batch's OWN session: inside a streaming
         # foreachBatch the micro-batch frame lives in a session clone,
@@ -437,6 +467,102 @@ class SearchIndex:
             )
             self.n_docs += int(batch["n"])
             self.sum_dl += float(batch["sumdl"] or 0.0)
+            with open(self._meta_path(), "w") as f:
+                json.dump(self._meta(), f)
+
+    def _live_id_stats(self, ids: DataFrame):
+        """(count, sum dl) of the LIVE docs among ``ids`` — one bounded
+        aggregate over the postings' distinct (id, dl) pairs, restricted
+        by the broadcast id set before the distinct."""
+        row = (
+            self.postings.join(F.broadcast(ids), self.id_col, "left_semi")
+            .select(F.col(self.id_col), "dl")
+            .distinct()
+            .agg(
+                F.count("*").alias("n"),
+                F.sum("dl").cast("double").alias("sumdl"),
+            )
+            .collect()[0]
+        )
+        return int(row["n"]), float(row["sumdl"] or 0.0)
+
+    def upsert(self, docs: DataFrame) -> None:
+        """Replace-or-insert a batch: ids already in the index get their
+        postings superseded (a tombstone cuts every older generation —
+        including tokens the new version no longer contains), new ids
+        just append. Write order is tombstone -> postings -> meta:
+        the new rows carry ``gen == below_gen`` so the tombstone can
+        never kill them, and a crash mid-sequence leaves the doc
+        temporarily absent (a delete that hasn't re-inserted yet) —
+        re-running the upsert completes it, and ``repair_stats()``
+        rebuilds the meta from live postings. Physical purge happens at
+        the next ``compact()``."""
+        import json
+
+        from hindex_spark.operators.artifact import append_tombstones
+
+        with self.catalog.write_lock(self.table_name):
+            self._ensure_registered()
+            batch_ids = docs.select(self.id_col).distinct()
+            old_n, old_sumdl = self._live_id_stats(batch_ids)
+            new_gen = self.cur_gen + 1
+            if old_n:
+                # existence set from the RAW table: the tombstone write
+                # must not read the directory it appends to, and
+                # tombstoning an already-dead id is a no-op (stats came
+                # from the live view above)
+                existing = (
+                    self._postings_raw
+                    .join(F.broadcast(batch_ids), self.id_col, "left_semi")
+                    .select(self.id_col).distinct()
+                )
+                append_tombstones(
+                    existing, self.id_col, new_gen, self._tombstone_path()
+                )
+            rows = self._posting_rows(
+                docs, self.id_col, self.text_col, gen=new_gen
+            )
+            view = f"__postings_upsert_{self.name}"
+            sess = rows.sparkSession  # foreachBatch clone, see update()
+            rows.createOrReplaceTempView(view)
+            sess.sql(f"INSERT INTO {self.table_name} SELECT * FROM {view}")
+            sess.catalog.dropTempView(view)
+            self.catalog.spark.catalog.refreshTable(self.table_name)
+            batch = (
+                docs.filter(F.col(self.text_col).isNotNull())
+                .agg(
+                    F.count("*").alias("n"),
+                    F.sum(F.size(tokens(F.col(self.text_col))))
+                    .cast("double")
+                    .alias("sumdl"),
+                )
+                .collect()[0]
+            )
+            self.cur_gen = new_gen
+            self.n_docs += int(batch["n"]) - old_n
+            self.sum_dl += float(batch["sumdl"] or 0.0) - old_sumdl
+            with open(self._meta_path(), "w") as f:
+                json.dump(self._meta(), f)
+
+    def delete(self, ids: DataFrame) -> None:
+        """Remove docs from the index: one tombstone append cutting
+        every current generation of the given ids, plus the stats
+        adjustment. No postings are rewritten until ``compact()``."""
+        import json
+
+        from hindex_spark.operators.artifact import append_tombstones
+
+        with self.catalog.write_lock(self.table_name):
+            self._ensure_registered()
+            id_set = ids.select(self.id_col).distinct()
+            old_n, old_sumdl = self._live_id_stats(id_set)
+            new_gen = self.cur_gen + 1
+            append_tombstones(
+                id_set, self.id_col, new_gen, self._tombstone_path()
+            )
+            self.cur_gen = new_gen
+            self.n_docs -= old_n
+            self.sum_dl -= old_sumdl
             with open(self._meta_path(), "w") as f:
                 json.dump(self._meta(), f)
 
@@ -614,14 +740,23 @@ class SearchIndex:
 
         import json
 
+        from hindex_spark.operators.artifact import clear_tombstones, live_view
+
         with self.catalog.write_lock(self.table_name):
             rows = self.catalog.spark.read.parquet(
                 os.path.join(self.catalog.root, self.table_name, "data")
+            )
+            # physical purge of tombstoned generations (Lucene's merge
+            # rule); gens are PRESERVED so a crash between the save and
+            # the tombstone clear re-applies the cuts as a no-op
+            rows = live_view(
+                rows, self.id_col, self.catalog.spark, self._tombstone_path()
             )
             self.catalog.save_bucketed(
                 Table(rows, "token", f"{self.name}_postings"),
                 num_buckets=num_buckets,
             )
+            clear_tombstones(self._tombstone_path())
             self.num_buckets = num_buckets  # bucket count is part of the
             with open(self._meta_path(), "w") as f:  # attach contract
                 json.dump(self._meta(), f)

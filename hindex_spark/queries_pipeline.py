@@ -1915,3 +1915,62 @@ def q_ann_ivf_store_update(spark, sf_dir):
         F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_vec")
     )
     return ix.topk(queries_df, 10, nprobe=8)
+
+
+@query("text_bm25_upsert", _BM25_ORACLE)
+def q_bm25_upsert(spark, sf_dir):
+    """The index-maintenance UPSERT path, hard-signal: the index is
+    built over a corpus whose first 50 docs are MANGLED (extra tokens
+    prepended — wrong tf, df, dl and two extra vocabulary terms), then
+    the true rows are upserted. The query must score EXACTLY as a fresh
+    index over the true corpus (the shared scan-path oracle): one stale
+    posting surviving the tombstone cut — or one live posting wrongly
+    killed — shifts df/tf/avgdl and breaks the hash."""
+    import tempfile
+
+    from hindex_spark.catalog import Catalog
+    from hindex_spark.operators.search import SearchIndex
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    stale = F.col("doc_id") < 50
+    mangled = docs.withColumn(
+        "text",
+        F.when(stale, F.concat(F.lit("stalepad xyzzy "), F.col("text")))
+        .otherwise(F.col("text")),
+    )
+    cat = Catalog(spark, tempfile.mkdtemp(prefix="hindex_searchix_"))
+    ix = SearchIndex.build(cat, mangled, "doc_id", "text", "gatedocs_u")
+    ix.upsert(docs.filter(stale))
+    return ix.topk("spark merge vector", k=25)
+
+
+@query("corpus_dedup_state_upsert", _INCR_DEDUP_ORACLE)
+def q_dedup_state_upsert(spark, sf_dir):
+    """DedupState UPSERT path: the state is built over a corpus whose
+    docs with id < 100 carry MANGLED text (wrong fingerprints AND wrong
+    minhash signatures), then the true rows are upserted. The batch
+    dedup must then match the stateless incremental oracle exactly — a
+    stale signature surviving the cut produces phantom candidate pairs
+    (or misses real ones) and changes the survivor set."""
+    import tempfile
+
+    from hindex_spark.catalog import Catalog
+    from hindex_spark.operators.dedup_state import DedupState
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    corpus = docs.filter(F.col("doc_id") % 10 != 0)
+    stale = F.col("doc_id") < 100
+    mangled = corpus.withColumn(
+        "text",
+        F.when(stale, F.concat(F.lit("zzz qqq www "), F.col("text")))
+        .otherwise(F.col("text")),
+    )
+    cat = Catalog(spark, tempfile.mkdtemp(prefix="hindex_dedupstate_"))
+    st = DedupState.build(cat, mangled, "doc_id", "text", "gatecorpus_u")
+    st.upsert(corpus.filter(stale))
+    return st.dedup_batch(
+        docs.filter(F.col("doc_id") % 10 == 0),
+        corpus,
+        threshold=0.9,
+        max_bucket=None,  # oracle-exact
+    )

@@ -1,0 +1,179 @@
+"""Tests for artifact-store upsert/delete (operators/artifact.py — the
+generation + tombstone pattern): replacement identity with a fresh
+build, stats maintenance, physical purge at compact, crash-window
+idempotence, and plan quality (token bucket pruning survives the
+tombstone join)."""
+
+import os
+import re
+
+from pyspark.sql import functions as F
+
+from hindex_spark.catalog import Catalog
+from hindex_spark.operators import dedup as dd
+from hindex_spark.operators.dedup_state import DedupState
+from hindex_spark.operators.search import SearchIndex, bm25_topk
+
+
+def _docs(spark, sf_dir):
+    return spark.read.parquet(f"{sf_dir}/documents.parquet")
+
+
+def _mangle(docs, cond):
+    return docs.withColumn(
+        "text",
+        F.when(cond, F.concat(F.lit("stalepad xyzzy "), F.col("text")))
+        .otherwise(F.col("text")),
+    )
+
+
+def _topk_rows(ix, q="spark merge vector"):
+    return [
+        (r["doc_id"], r["score"])
+        for r in ix.topk(q, k=25).orderBy(F.desc("score"), "doc_id").collect()
+    ]
+
+
+def test_search_upsert_matches_fresh_scan(spark, sf_dir, tmp_path):
+    docs = _docs(spark, sf_dir)
+    stale = F.col("doc_id") < 50
+    cat = Catalog(spark, str(tmp_path / "wh"))
+    ix = SearchIndex.build(cat, _mangle(docs, stale), "doc_id", "text", "d")
+    ix.upsert(docs.filter(stale))
+    got = _topk_rows(ix)
+    want = [
+        (r["doc_id"], r["score"])
+        for r in bm25_topk(docs, "doc_id", "text", "spark merge vector", k=25)
+        .orderBy(F.desc("score"), "doc_id").collect()
+    ]
+    assert got == want
+
+
+def test_search_upsert_stats_match_repair(spark, sf_dir, tmp_path):
+    """The incremental n_docs/sum_dl arithmetic (add new, subtract old
+    LIVE) must equal a from-scratch recompute over live postings."""
+    docs = _docs(spark, sf_dir)
+    stale = F.col("doc_id") < 50
+    cat = Catalog(spark, str(tmp_path / "wh"))
+    ix = SearchIndex.build(cat, _mangle(docs, stale), "doc_id", "text", "d")
+    ix.upsert(docs.filter(stale))
+    # a second upsert of an overlapping slice exercises the multi-gen cut
+    ix.upsert(docs.filter(F.col("doc_id") < 20))
+    n, s = ix.n_docs, ix.sum_dl
+    ix.repair_stats()
+    assert (n, s) == (ix.n_docs, ix.sum_dl)
+
+
+def test_search_delete_then_compact_purges(spark, sf_dir, tmp_path):
+    docs = _docs(spark, sf_dir)
+    cat = Catalog(spark, str(tmp_path / "wh"))
+    ix = SearchIndex.build(cat, docs, "doc_id", "text", "d")
+    ix.delete(docs.filter(F.col("doc_id") < 10))
+    # masked immediately, before any rewrite
+    assert ix.postings.filter(F.col("doc_id") < 10).count() == 0
+    raw_before = ix._postings_raw.count()
+    ix.compact()
+    assert not os.path.isdir(ix._tombstone_path())
+    assert ix._postings_raw.count() < raw_before
+    assert ix._postings_raw.filter(F.col("doc_id") < 10).count() == 0
+
+
+def test_search_stale_tombstones_reapply_as_noop(spark, sf_dir, tmp_path):
+    """Crash window: compact saved the purged table but died before
+    clearing tombstones. Re-applying the stale cuts (gens preserved)
+    must change nothing."""
+    docs = _docs(spark, sf_dir)
+    stale = F.col("doc_id") < 50
+    cat = Catalog(spark, str(tmp_path / "wh"))
+    ix = SearchIndex.build(cat, _mangle(docs, stale), "doc_id", "text", "d")
+    ix.upsert(docs.filter(stale))
+    before = _topk_rows(ix)
+    # simulate the crash: compact, then restore the tombstone directory
+    import shutil
+
+    tomb = ix._tombstone_path()
+    saved = str(tmp_path / "tomb_copy")
+    shutil.copytree(tomb, saved)
+    ix.compact()
+    shutil.copytree(saved, tomb)
+    assert _topk_rows(ix) == before
+
+
+def test_search_bucket_pruning_survives_tombstones(spark, sf_dir, tmp_path):
+    """The live view's broadcast tombstone join must not defeat
+    token-bucket pruning: the term filter still reaches the scan."""
+    docs = _docs(spark, sf_dir)
+    stale = F.col("doc_id") < 50
+    cat = Catalog(spark, str(tmp_path / "wh"))
+    ix = SearchIndex.build(cat, _mangle(docs, stale), "doc_id", "text", "d")
+    ix.upsert(docs.filter(stale))
+    assert os.path.isdir(ix._tombstone_path())
+    plan = (
+        ix.topk("spark merge vector", k=25)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    m = re.search(r"SelectedBucketsCount: (\d+) out of (\d+)", plan)
+    assert m, f"no bucket pruning in plan:\n{plan}"
+    assert int(m.group(1)) < int(m.group(2))
+
+
+def test_search_phrase_and_tfidf_see_live_rows(spark, sf_dir, tmp_path):
+    """Every read path resolves tombstones — the mangled term must be
+    unfindable after the upsert."""
+    docs = _docs(spark, sf_dir)
+    stale = F.col("doc_id") < 50
+    cat = Catalog(spark, str(tmp_path / "wh"))
+    ix = SearchIndex.build(cat, _mangle(docs, stale), "doc_id", "text", "d")
+    assert ix.phrase_search("stalepad xyzzy").count() > 0
+    ix.upsert(docs.filter(stale))
+    assert ix.phrase_search("stalepad xyzzy").count() == 0
+    kw = ix.tfidf_keywords(top_n=5)
+    assert kw.filter(F.col("token").isin("stalepad", "xyzzy")).count() == 0
+
+
+def test_dedup_state_upsert_matches_stateless(spark, sf_dir, tmp_path):
+    docs = _docs(spark, sf_dir)
+    corpus = docs.filter(F.col("doc_id") % 10 != 0)
+    batch = docs.filter(F.col("doc_id") % 10 == 0)
+    stale = F.col("doc_id") < 100
+    cat = Catalog(spark, str(tmp_path / "wh"))
+    st = DedupState.build(cat, _mangle(corpus, stale), "doc_id", "text", "c")
+    st.upsert(corpus.filter(stale))
+    got = sorted(
+        r["doc_id"]
+        for r in st.dedup_batch(batch, corpus, 0.9, max_bucket=None)
+        .select("doc_id").collect()
+    )
+    want = sorted(
+        r["doc_id"]
+        for r in dd.incremental_dedup(
+            batch, corpus, "doc_id", "text", 0.9, max_bucket=None
+        ).select("doc_id").collect()
+    )
+    assert got == want
+
+
+def test_dedup_state_delete_then_compact_purges(spark, sf_dir, tmp_path):
+    docs = _docs(spark, sf_dir)
+    corpus = docs.filter(F.col("doc_id") % 10 != 0)
+    cat = Catalog(spark, str(tmp_path / "wh"))
+    st = DedupState.build(cat, corpus, "doc_id", "text", "c")
+    st.delete(corpus.filter(F.col("doc_id") < 20))
+    assert st.df.filter(F.col("doc_id") < 20).count() == 0
+    st.compact()
+    assert not os.path.isdir(st._tombstone_path())
+    assert st._df_raw.filter(F.col("doc_id") < 20).count() == 0
+
+
+def test_dedup_state_upsert_survives_reopen(spark, sf_dir, tmp_path):
+    """cur_gen persists in the meta: a reopened handle's next upsert
+    must cut the earlier one's generation, not collide with it."""
+    docs = _docs(spark, sf_dir)
+    corpus = docs.filter(F.col("doc_id") % 10 != 0).limit(200)
+    cat = Catalog(spark, str(tmp_path / "wh"))
+    st = DedupState.build(cat, _mangle(corpus, F.lit(True)), "doc_id", "text", "c")
+    st.upsert(_mangle(corpus, F.lit(True)).limit(50))
+    st2 = DedupState.open(cat, "c")
+    assert st2.cur_gen == 1
+    st2.upsert(corpus.limit(50))
+    assert st2.df.count() == st2.df.select("doc_id").distinct().count()
