@@ -90,13 +90,14 @@ class AnnIndex:
     """
 
     def __init__(self, catalog, name: str, id_col: str, vec_col: str,
-                 n_clusters: int, num_buckets: int = 32):
+                 n_clusters: int, num_buckets: int = 32, cur_gen: int = 0):
         self.catalog = catalog
         self.name = name
         self.id_col = id_col
         self.vec_col = vec_col
         self.n_clusters = n_clusters
         self.num_buckets = num_buckets
+        self.cur_gen = cur_gen
         self.table_name = f"{name}_annindex_bucketed"
 
     # -- storage ------------------------------------------------------------
@@ -127,7 +128,9 @@ class AnnIndex:
             id_col=id_col, vec_col=vec_col, sample_size=sample_size,
             keep_vectors=True,
         )
-        rows = assigned.select("cluster", id_col, vec_col)
+        rows = assigned.select("cluster", id_col, vec_col).withColumn(
+            "gen", F.lit(0).cast("long")
+        )
         with catalog.write_lock(ix.table_name):
             catalog.save_bucketed(
                 Table(rows, "cluster", f"{name}_annindex"),
@@ -141,7 +144,7 @@ class AnnIndex:
             with open(ix._meta_path(), "w") as f:
                 json.dump({"id_col": id_col, "vec_col": vec_col,
                            "n_clusters": n_clusters,
-                           "num_buckets": num_buckets}, f)
+                           "num_buckets": num_buckets, "cur_gen": 0}, f)
         return ix
 
     @classmethod
@@ -150,7 +153,8 @@ class AnnIndex:
                 catalog.root, f"{name}_annindex_meta.json")) as f:
             m = json.load(f)
         return cls(catalog, name, m["id_col"], m["vec_col"],
-                   m["n_clusters"], num_buckets=m.get("num_buckets", 32))
+                   m["n_clusters"], num_buckets=m.get("num_buckets", 32),
+                   cur_gen=m.get("cur_gen", 0))
 
     def _ensure_registered(self) -> None:
         """Re-attach the session-scoped bucketed registration from the
@@ -164,12 +168,33 @@ class AnnIndex:
                 "cluster", ["cluster"], self.num_buckets,
             )
 
+    def _tombstone_path(self) -> str:
+        from hindex_spark.operators.artifact import tombstone_path
+
+        return tombstone_path(self.catalog.root, self.table_name)
+
     @property
-    def vectors(self) -> DataFrame:
-        """The persisted (cluster, id, vector) table (self-repairing
-        registration)."""
+    def _vectors_raw(self) -> DataFrame:
+        """The vector table as stored — tombstoned generations included
+        (self-repairing registration)."""
         self._ensure_registered()
         return self.catalog.spark.table(self.table_name)
+
+    @property
+    def vectors(self) -> DataFrame:
+        """The LIVE (cluster, id, vector, gen) rows: the stored table
+        minus generations superseded by ``upsert``/``delete``
+        tombstones (operators/artifact.py). No tombstones -> the raw
+        frame, zero overhead. A re-embedded vector may move CLUSTERS —
+        exactly why replacement is a tombstone cut, not a
+        latest-wins-in-place: the old row lives in a different bucket
+        than the new one."""
+        from hindex_spark.operators.artifact import live_view
+
+        return live_view(
+            self._vectors_raw, self.id_col, self.catalog.spark,
+            self._tombstone_path(),
+        )
 
     @property
     def centroids(self) -> DataFrame:
@@ -180,13 +205,12 @@ class AnnIndex:
         """Append a batch: assign to the FROZEN centroids (batch-sized,
         no corpus access), INSERT INTO the cluster-bucketed table.
         Assumes batch ids are new — re-ingesting an id adds rather than
-        replaces (the artifact-store append contract; see
-        SearchIndex.upsert for the tombstone pattern when replacement
-        is needed)."""
+        replaces (the artifact-store append contract; ``upsert`` is the
+        replacement path)."""
         rows = assign_to_centroids(
             new_vectors.select(F.col(self.id_col), F.col(self.vec_col)),
             self.centroids, self.id_col, self.vec_col,
-        )
+        ).withColumn("gen", F.lit(self.cur_gen).cast("long"))
         view = f"__annindex_append_{self.name}"
         sess = rows.sparkSession  # foreachBatch session clone, see
         with self.catalog.write_lock(self.table_name):  # SearchIndex.update
@@ -196,10 +220,69 @@ class AnnIndex:
             sess.catalog.dropTempView(view)
             self.catalog.spark.catalog.refreshTable(self.table_name)
 
+    def _bump_gen(self, new_gen: int) -> None:
+        self.cur_gen = new_gen
+        m = json.load(open(self._meta_path()))
+        m["cur_gen"] = new_gen
+        with open(self._meta_path(), "w") as f:
+            json.dump(m, f)
+
+    def upsert(self, new_vectors: DataFrame) -> None:
+        """Replace-or-insert a batch: ids already in the index get
+        their row superseded by a tombstone cut, new ids just append.
+        A re-embedded vector typically CHANGES cluster, so the old row
+        lives in a different bucket — replacement must be the tombstone
+        pattern (operators/artifact.py), not an in-place rewrite.
+        Tombstone -> vectors -> meta write order; crash mid-sequence
+        leaves the id temporarily absent, re-running completes it."""
+        from hindex_spark.operators.artifact import append_tombstones
+
+        with self.catalog.write_lock(self.table_name):
+            self._ensure_registered()
+            new_gen = self.cur_gen + 1
+            batch_ids = new_vectors.select(self.id_col).distinct()
+            existing = (
+                self._vectors_raw
+                .join(F.broadcast(batch_ids), self.id_col, "left_semi")
+                .select(self.id_col).distinct()
+            )
+            append_tombstones(
+                existing, self.id_col, new_gen, self._tombstone_path()
+            )
+            rows = assign_to_centroids(
+                new_vectors.select(F.col(self.id_col), F.col(self.vec_col)),
+                self.centroids, self.id_col, self.vec_col,
+            ).withColumn("gen", F.lit(new_gen).cast("long"))
+            view = f"__annindex_upsert_{self.name}"
+            sess = rows.sparkSession
+            rows.createOrReplaceTempView(view)
+            sess.sql(f"INSERT INTO {self.table_name} SELECT * FROM {view}")
+            sess.catalog.dropTempView(view)
+            self.catalog.spark.catalog.refreshTable(self.table_name)
+            self._bump_gen(new_gen)
+
+    def delete(self, ids: DataFrame) -> None:
+        """Remove vectors from the index: one tombstone append cutting
+        every current generation of the given ids; physical purge at
+        the next ``compact()``."""
+        from hindex_spark.operators.artifact import append_tombstones
+
+        with self.catalog.write_lock(self.table_name):
+            self._ensure_registered()
+            new_gen = self.cur_gen + 1
+            append_tombstones(
+                ids.select(self.id_col).distinct(), self.id_col, new_gen,
+                self._tombstone_path(),
+            )
+            self._bump_gen(new_gen)
+
     def compact(self, num_buckets: Optional[int] = None) -> None:
-        """Fold multi-file buckets back to one file per bucket (raw
-        parquet source — the bucketed scan's claimed partitioning would
-        elide the rewrite's repartition, see SearchIndex.compact)."""
+        """Fold multi-file buckets back to one file per bucket, purging
+        tombstoned generations (gens preserved — re-applying stale cuts
+        after a crash between save and clear is a no-op). Raw parquet
+        source — the bucketed scan's claimed partitioning would elide
+        the rewrite's repartition, see SearchIndex.compact."""
+        from hindex_spark.operators.artifact import clear_tombstones, live_view
         from hindex_spark.table import Table
 
         if num_buckets is None:
@@ -208,10 +291,14 @@ class AnnIndex:
             rows = self.catalog.spark.read.parquet(
                 os.path.join(self.catalog.root, self.table_name, "data")
             )
+            rows = live_view(
+                rows, self.id_col, self.catalog.spark, self._tombstone_path()
+            )
             self.catalog.save_bucketed(
                 Table(rows, "cluster", f"{self.name}_annindex"),
                 num_buckets=num_buckets,
             )
+            clear_tombstones(self._tombstone_path())
             self.num_buckets = num_buckets
             m = json.load(open(self._meta_path()))
             m["num_buckets"] = num_buckets

@@ -181,22 +181,35 @@ class RollupStore:
         self,
         start_us: Optional[int] = None,
         end_us: Optional[int] = None,
+        spread_keys: bool = False,
     ) -> DataFrame:
         """The merged rollup (optionally time-restricted — the filter
         lands on the store scan and prunes row groups via the
         bucket_us sort). Store-side merge is exchange-free: the table
         is hash-bucketed on bucket_us, which clusters every
-        (bucket_us, *keys) group."""
+        (bucket_us, *keys) group.
+
+        ``spread_keys`` is the HOT-BUCKET escape: bucket_us clustering
+        puts every key of one time bucket in ONE task, so a single
+        mega-bucket (one hot hour holding most of the keys) serializes
+        its merge. Spreading repartitions on the FULL group key
+        (bucket_us, *keys) first — one deliberate exchange that fans
+        the hot bucket's keys across all tasks. Default off: the
+        exchange-free path wins whenever buckets are reasonably
+        balanced, which time buckets at production grain are."""
         p = self.partials
         if start_us is not None:
             p = p.filter(F.col("bucket_us") >= start_us)
         if end_us is not None:
             p = p.filter(F.col("bucket_us") < end_us)
+        if spread_keys:
+            p = p.repartition("bucket_us", *self.key_cols)
         return merge_partials(p, self.key_cols)
 
     def read_at(self, grain_us: int,
                 start_us: Optional[int] = None,
-                end_us: Optional[int] = None) -> DataFrame:
+                end_us: Optional[int] = None,
+                spread_keys: bool = False) -> DataFrame:
         """The rollup at a COARSER grain, served from this store's
         partials — the rollup-lattice property: count/sum/min/max
         partials at one grain merge exactly into any multiple of it, so
@@ -217,6 +230,11 @@ class RollupStore:
             "bucket_us",
             F.col("bucket_us") - (F.col("bucket_us") % F.lit(grain_us)),
         )
+        if spread_keys:
+            # coarsening concentrates buckets (24 hours -> 1 day), so
+            # the hot-bucket escape matters MORE here; same one-exchange
+            # trade as read()
+            coarse = coarse.repartition("bucket_us", *self.key_cols)
         return merge_partials(coarse, self.key_cols)
 
     def compact(self, num_buckets: int = 32) -> None:

@@ -1974,3 +1974,33 @@ def q_dedup_state_upsert(spark, sf_dir):
         threshold=0.9,
         max_bucket=None,  # oracle-exact
     )
+
+
+@query("ann_ivf_store_upsert", _BF_TOPK_ORACLE)
+def q_ann_ivf_store_upsert(spark, sf_dir):
+    """Vector UPSERT path, hard-signal: the index is built with the
+    first 50 vectors MANGLED (components reversed — wrong values AND
+    typically wrong cluster), then the true vectors are upserted. The
+    full probe must equal brute force over the TRUE corpus: a stale
+    vector surviving its tombstone — which lives in a DIFFERENT bucket
+    than its replacement — changes cosine values and breaks the hash."""
+    import tempfile
+
+    from hindex_spark.catalog import Catalog
+    from hindex_spark.operators.ann_index import AnnIndex
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    stale = F.col("vec_id") < 50
+    mangled = emb.withColumn(
+        "embedding",
+        F.when(stale, F.reverse(F.col("embedding")))
+        .otherwise(F.col("embedding")),
+    )
+    cat = Catalog(spark, tempfile.mkdtemp(prefix="hindex_annix_"))
+    ix = AnnIndex.build(cat, mangled, "vec_id", "embedding",
+                        "gatevecs_up", n_clusters=8, iters=2)
+    ix.upsert(emb.filter(stale))
+    queries_df = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_vec")
+    )
+    return ix.topk(queries_df, 10, nprobe=8)

@@ -134,3 +134,42 @@ def test_ann_index_survives_session_restart(spark, sf_dir, tmp_path):
     assert _rows(ix2.topk(q, 10, nprobe=8)) == _rows(
         sim.brute_force_topk(emb, q, 10)
     )
+
+
+def test_ann_index_upsert_replaces_even_across_clusters(spark, sf_dir, tmp_path):
+    """A re-embedded vector usually moves clusters; the tombstone cut
+    must kill the old row in its OLD bucket. Full probe after upserting
+    the true vectors over a mangled build equals brute force."""
+    emb = _emb(spark, sf_dir)
+    stale = F.col("vec_id") < 50
+    mangled = emb.withColumn(
+        "embedding",
+        F.when(stale, F.reverse(F.col("embedding")))
+        .otherwise(F.col("embedding")),
+    )
+    cat = Catalog(spark, str(tmp_path / "wh"))
+    ix = AnnIndex.build(cat, mangled, "vec_id", "embedding", "v",
+                        n_clusters=8, iters=2)
+    ix.upsert(emb.filter(stale))
+    q = _queries(emb)
+    assert _rows(ix.topk(q, 10, nprobe=8)) == _rows(
+        sim.brute_force_topk(emb, q, 10)
+    )
+    # exactly one live row per upserted id
+    live = ix.vectors.filter(stale).groupBy("vec_id").count()
+    assert live.filter(F.col("count") != 1).count() == 0
+
+
+def test_ann_index_delete_then_compact_purges(spark, sf_dir, tmp_path):
+    emb = _emb(spark, sf_dir)
+    cat = Catalog(spark, str(tmp_path / "wh"))
+    ix = AnnIndex.build(cat, emb, "vec_id", "embedding", "v",
+                        n_clusters=8, iters=2)
+    n = ix.vectors.count()
+    ix.delete(emb.filter(F.col("vec_id") < 10))
+    assert ix.vectors.count() == n - 10
+    ix.compact()
+    assert not os.path.isdir(ix._tombstone_path())
+    assert ix._vectors_raw.count() == n - 10
+    # gen survives the rewrite so stale tombstones stay no-ops
+    assert "gen" in ix._vectors_raw.columns

@@ -2043,6 +2043,33 @@ def test_rollup_merged_read_is_store_side_exchange_free(spark, sf_dir, tmp_path)
     assert "Exchange" not in plan, plan[:1500]
 
 
+def test_rollup_spread_keys_identical_result_with_exchange(
+    spark, sf_dir, tmp_path
+):
+    """The hot-bucket escape (spread_keys=True) repartitions on the
+    full group key — one deliberate Exchange that fans a mega-bucket's
+    keys across tasks — and must be result-identical to the
+    exchange-free default."""
+    from hindex_spark.catalog import Catalog
+    from hindex_spark.operators.rollup import DAY_US, HOUR_US, RollupStore
+
+    events = spark.read.parquet(f"{sf_dir}/events.parquet")
+    cat = Catalog(spark, str(tmp_path / "wh"))
+    r = RollupStore.build(cat, events, "ts", ["event_type"], "value",
+                          HOUR_US, "spread")
+    plan = r.read(spread_keys=True)._jdf.queryExecution() \
+        .executedPlan().toString()
+    assert "Exchange" in plan, plan[:1500]
+
+    def _rows(df):
+        return sorted(tuple(x) for x in df.collect())
+
+    assert _rows(r.read(spread_keys=True)) == _rows(r.read())
+    assert _rows(r.read_at(DAY_US, spread_keys=True)) == _rows(
+        r.read_at(DAY_US)
+    )
+
+
 def test_rollup_read_at_coarser_grain_and_guard(spark, sf_dir, tmp_path):
     import pytest
 
