@@ -90,7 +90,8 @@ class AnnIndex:
     """
 
     def __init__(self, catalog, name: str, id_col: str, vec_col: str,
-                 n_clusters: int, num_buckets: int = 32, cur_gen: int = 0):
+                 n_clusters: int, num_buckets: int = 32, cur_gen: int = 0,
+                 pq_codebooks=None):
         self.catalog = catalog
         self.name = name
         self.id_col = id_col
@@ -98,6 +99,11 @@ class AnnIndex:
         self.n_clusters = n_clusters
         self.num_buckets = num_buckets
         self.cur_gen = cur_gen
+        # IVF-PQ: [m][k][dim/m] floats or None. Part of the artifact's
+        # identity (codes are only decodable against their codebooks),
+        # so it persists in the meta — bounded driver-material by
+        # construction (m*k sub-centroids, the classic PQ codebook).
+        self.pq_codebooks = pq_codebooks
         self.table_name = f"{name}_annindex_bucketed"
 
     # -- storage ------------------------------------------------------------
@@ -112,25 +118,45 @@ class AnnIndex:
     def build(cls, catalog, embeddings: DataFrame, id_col: str,
               vec_col: str, name: str, n_clusters: int = 16,
               iters: int = 3, sample_size: int = 65536,
-              num_buckets: Optional[int] = None) -> "AnnIndex":
+              num_buckets: Optional[int] = None,
+              pq_m: Optional[int] = None, pq_k: int = 16,
+              pq_sample_size: int = 4096, pq_iters: int = 10) -> "AnnIndex":
         """One-time (or retrain) pass: bounded-sample k-means + ONE
         full-corpus assignment, vectors persisted bucketed on cluster.
         ``num_buckets`` defaults to ``n_clusters`` — at most one cluster
-        per bucket (modulo hash collisions), the tightest pruning."""
+        per bucket (modulo hash collisions), the tightest pruning.
+
+        ``pq_m`` turns the artifact into an IVF-PQ index (Jégou et al.
+        §IV.B): a product quantizer trained on a bounded sample encodes
+        every vector as m small codes + its norm, stored as EXTRA
+        COLUMNS of the same cluster-bucketed table — parquet column
+        pruning then lets the ADC scan read only (cluster, id, codes,
+        norm), never the raw vectors, so the probe's bytes-read shrinks
+        by ~dim*4/(m+8) on top of the cluster pruning. The exact
+        re-rank reads vectors for shortlisted ids only."""
+        from hindex_spark.operators.similarity import pq_code_cols, pq_train
         from hindex_spark.table import Table
 
         if num_buckets is None:
             num_buckets = n_clusters
+        codebooks = None
+        if pq_m is not None:
+            codebooks = pq_train(
+                embeddings, m=pq_m, k=pq_k, id_col=id_col, vec_col=vec_col,
+                sample_size=pq_sample_size, iters=pq_iters,
+            )
         ix = cls(catalog, name, id_col, vec_col, n_clusters,
-                 num_buckets=num_buckets)
+                 num_buckets=num_buckets, pq_codebooks=codebooks)
         assigned, cents = ivf_build(
             embeddings, n_clusters=n_clusters, iters=iters,
             id_col=id_col, vec_col=vec_col, sample_size=sample_size,
             keep_vectors=True,
         )
-        rows = assigned.select("cluster", id_col, vec_col).withColumn(
-            "gen", F.lit(0).cast("long")
-        )
+        rows = assigned.select("cluster", id_col, vec_col)
+        if codebooks is not None:
+            codes, norm = pq_code_cols(codebooks, vec_col)
+            rows = rows.withColumn("codes", codes).withColumn("norm", norm)
+        rows = rows.withColumn("gen", F.lit(0).cast("long"))
         with catalog.write_lock(ix.table_name):
             catalog.save_bucketed(
                 Table(rows, "cluster", f"{name}_annindex"),
@@ -144,7 +170,8 @@ class AnnIndex:
             with open(ix._meta_path(), "w") as f:
                 json.dump({"id_col": id_col, "vec_col": vec_col,
                            "n_clusters": n_clusters,
-                           "num_buckets": num_buckets, "cur_gen": 0}, f)
+                           "num_buckets": num_buckets, "cur_gen": 0,
+                           "pq_codebooks": codebooks}, f)
         return ix
 
     @classmethod
@@ -154,7 +181,8 @@ class AnnIndex:
             m = json.load(f)
         return cls(catalog, name, m["id_col"], m["vec_col"],
                    m["n_clusters"], num_buckets=m.get("num_buckets", 32),
-                   cur_gen=m.get("cur_gen", 0))
+                   cur_gen=m.get("cur_gen", 0),
+                   pq_codebooks=m.get("pq_codebooks"))
 
     def _ensure_registered(self) -> None:
         """Re-attach the session-scoped bucketed registration from the
@@ -201,16 +229,29 @@ class AnnIndex:
         """The persisted (cluster, centroid) table — n_clusters rows."""
         return self.catalog.spark.read.parquet(self._centroid_path())
 
+    def _index_rows(self, new_vectors: DataFrame, gen: int) -> DataFrame:
+        """A batch's index rows in the table schema: frozen-centroid
+        cluster assignment, PQ codes/norm when the artifact has a
+        codebook (frozen too — same retrain contract), generation
+        stamp. One batch-sized map pass."""
+        rows = assign_to_centroids(
+            new_vectors.select(F.col(self.id_col), F.col(self.vec_col)),
+            self.centroids, self.id_col, self.vec_col,
+        )
+        if self.pq_codebooks is not None:
+            from hindex_spark.operators.similarity import pq_code_cols
+
+            codes, norm = pq_code_cols(self.pq_codebooks, self.vec_col)
+            rows = rows.withColumn("codes", codes).withColumn("norm", norm)
+        return rows.withColumn("gen", F.lit(gen).cast("long"))
+
     def update(self, new_vectors: DataFrame) -> None:
         """Append a batch: assign to the FROZEN centroids (batch-sized,
         no corpus access), INSERT INTO the cluster-bucketed table.
         Assumes batch ids are new — re-ingesting an id adds rather than
         replaces (the artifact-store append contract; ``upsert`` is the
         replacement path)."""
-        rows = assign_to_centroids(
-            new_vectors.select(F.col(self.id_col), F.col(self.vec_col)),
-            self.centroids, self.id_col, self.vec_col,
-        ).withColumn("gen", F.lit(self.cur_gen).cast("long"))
+        rows = self._index_rows(new_vectors, self.cur_gen)
         view = f"__annindex_append_{self.name}"
         sess = rows.sparkSession  # foreachBatch session clone, see
         with self.catalog.write_lock(self.table_name):  # SearchIndex.update
@@ -249,10 +290,7 @@ class AnnIndex:
             append_tombstones(
                 existing, self.id_col, new_gen, self._tombstone_path()
             )
-            rows = assign_to_centroids(
-                new_vectors.select(F.col(self.id_col), F.col(self.vec_col)),
-                self.centroids, self.id_col, self.vec_col,
-            ).withColumn("gen", F.lit(new_gen).cast("long"))
+            rows = self._index_rows(new_vectors, new_gen)
             view = f"__annindex_upsert_{self.name}"
             sess = rows.sparkSession
             rows.createOrReplaceTempView(view)
@@ -330,15 +368,43 @@ class AnnIndex:
         return sorted(r["cluster"] for r in rows)
 
     def topk(self, queries: DataFrame, k: int, nprobe: int = 2,
-             q_id_col: str = "q_id", q_vec_col: str = "q_vec") -> DataFrame:
+             q_id_col: str = "q_id", q_vec_col: str = "q_vec",
+             method: str = "exact", shortlist: int = 100) -> DataFrame:
         """Top-``k`` (q_id, id, cosine, rank) per query from the stored
         index: probed clusters collected (≤ n_clusters ints), the
         vector scan filtered ``cluster IN (...)`` so bucket pruning
-        fires, then the shared ``ivf_topk`` probe over the pruned
-        frame. Result-identical to ``ivf_topk`` on the same centroids
-        (same assignment expression at build/update, same probe)."""
+        fires, then the probe over the pruned frame.
+
+        ``method="exact"`` scores the probed clusters' raw vectors
+        (result-identical to ``ivf_topk`` on the same centroids — same
+        assignment expression at build/update, same probe).
+
+        ``method="adc"`` (IVF-PQ, requires ``build(pq_m=...)``) runs
+        the asymmetric-distance shortlist over the probed clusters'
+        CODES — parquet column pruning keeps the raw vectors unread in
+        that scan — then exact-cosine re-ranks only the ``shortlist``
+        best per query. With nprobe = n_clusters and shortlist >= the
+        corpus, the result exactly equals brute force (the
+        oracle-checkable hard-signal configuration)."""
         clusters = self.probe_clusters(queries, nprobe, q_id_col, q_vec_col)
         pruned = self.vectors.filter(F.col("cluster").isin(clusters))
+        if method == "adc":
+            if self.pq_codebooks is None:
+                raise ValueError(
+                    "AnnIndex.topk(method='adc') needs a PQ codebook — "
+                    "build the index with pq_m=..."
+                )
+            from hindex_spark.operators.similarity import pq_topk
+
+            return pq_topk(
+                pruned.select(F.col(self.id_col), F.col(self.vec_col)),
+                pruned.select(F.col(self.id_col), "codes", "norm"),
+                self.pq_codebooks, queries, k, shortlist=shortlist,
+                id_col=self.id_col, vec_col=self.vec_col,
+                q_id_col=q_id_col, q_vec_col=q_vec_col,
+            )
+        if method != "exact":
+            raise ValueError(f"AnnIndex.topk: unknown method {method!r}")
         return ivf_topk(
             pruned, pruned, self.centroids, queries, k, nprobe=nprobe,
             id_col=self.id_col, vec_col=self.vec_col,

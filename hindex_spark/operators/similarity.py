@@ -464,20 +464,13 @@ def _sq_l2(a: Column, b: Column) -> Column:
     )
 
 
-def pq_encode(
-    embeddings: DataFrame,
-    codebooks: List[List[List[float]]],
-    id_col: str = "vec_id",
-    vec_col: str = "embedding",
-) -> DataFrame:
-    """Encode the corpus against the codebooks: each vector becomes
-    ``m`` one-byte-ish codes (array<int>, 1-based) + its true norm.
-    100 TB story: this is the point of PQ — the searchable corpus state
-    shrinks from dim floats to m codes per vector. All-JVM expressions
-    (codebooks enter the plan as literals; argmin = array_position of
-    array_min, first-min tie-break), one narrow projection job, no
-    shuffle, no Python."""
-    m = len(codebooks)
+def pq_code_cols(codebooks: List[List[List[float]]], vec_col: str):
+    """The (codes, norm) COLUMN expressions encoding ``vec_col`` against
+    the codebooks — exposed so callers that already project per vector
+    (AnnIndex's cluster assignment) can add the PQ columns in the SAME
+    map pass instead of paying an id-keyed join with ``pq_encode``'s
+    output. argmin = array_position of array_min (first-min tie-break);
+    all-JVM, no shuffle, no Python."""
     d_sub = len(codebooks[0][0])
     vec = F.col(vec_col).cast("array<double>")
     codes = []
@@ -489,8 +482,24 @@ def pq_encode(
     norm = F.sqrt(
         F.aggregate(vec, F.lit(0.0), lambda acc, v: acc + v * v)
     )
+    return F.array(*codes), norm
+
+
+def pq_encode(
+    embeddings: DataFrame,
+    codebooks: List[List[List[float]]],
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Encode the corpus against the codebooks: each vector becomes
+    ``m`` one-byte-ish codes (array<int>, 1-based) + its true norm.
+    100 TB story: this is the point of PQ — the searchable corpus state
+    shrinks from dim floats to m codes per vector. All-JVM expressions
+    (codebooks enter the plan as literals), one narrow projection job,
+    no shuffle, no Python."""
+    codes, norm = pq_code_cols(codebooks, vec_col)
     return embeddings.select(
-        F.col(id_col), F.array(*codes).alias("codes"), norm.alias("norm")
+        F.col(id_col), codes.alias("codes"), norm.alias("norm")
     )
 
 

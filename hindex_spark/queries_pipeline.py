@@ -2004,3 +2004,28 @@ def q_ann_ivf_store_upsert(spark, sf_dir):
         F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_vec")
     )
     return ix.topk(queries_df, 10, nprobe=8)
+
+
+@query("ann_ivfpq_store_topk", _BF_TOPK_ORACLE)
+def q_ann_ivfpq_store(spark, sf_dir):
+    """Persisted IVF-PQ index, hard-signal: codes + norms ride as extra
+    columns of the cluster-bucketed table; with every cluster probed
+    and the shortlist covering the corpus, the ADC-shortlist + exact
+    re-rank must EXACTLY equal brute force — a wrong code, a broken
+    LUT sum, or a dropped vector breaks the hash. Realistic-shortlist
+    recall and the codes-only column pruning are pinned by
+    tests/test_ann_index.py."""
+    import tempfile
+
+    from hindex_spark.catalog import Catalog
+    from hindex_spark.operators.ann_index import AnnIndex
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    cat = Catalog(spark, tempfile.mkdtemp(prefix="hindex_annix_"))
+    ix = AnnIndex.build(cat, emb, "vec_id", "embedding", "gatevecs_pq",
+                        n_clusters=8, iters=2, pq_m=4, pq_k=16)
+    queries_df = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_vec")
+    )
+    return ix.topk(queries_df, 10, nprobe=8, method="adc",
+                   shortlist=1_000_000)

@@ -173,3 +173,71 @@ def test_ann_index_delete_then_compact_purges(spark, sf_dir, tmp_path):
     assert ix._vectors_raw.count() == n - 10
     # gen survives the rewrite so stale tombstones stay no-ops
     assert "gen" in ix._vectors_raw.columns
+
+
+def test_ann_ivfpq_full_config_equals_brute_force(spark, sf_dir, tmp_path):
+    emb = _emb(spark, sf_dir)
+    cat = Catalog(spark, str(tmp_path / "wh"))
+    ix = AnnIndex.build(cat, emb, "vec_id", "embedding", "v",
+                        n_clusters=8, iters=2, pq_m=4, pq_k=16)
+    q = _queries(emb)
+    got = _rows(ix.topk(q, 10, nprobe=8, method="adc", shortlist=10**6))
+    assert got == _rows(sim.brute_force_topk(emb, q, 10))
+
+
+def test_ann_ivfpq_adc_scan_never_reads_vectors(spark, sf_dir, tmp_path):
+    """The point of storing codes as columns of the SAME bucketed
+    table: parquet column pruning keeps the raw embedding column off
+    disk in the ADC scan (it appears only in the shortlist re-rank
+    scan)."""
+    emb = _emb(spark, sf_dir)
+    cat = Catalog(spark, str(tmp_path / "wh"))
+    ix = AnnIndex.build(cat, emb, "vec_id", "embedding", "v",
+                        n_clusters=8, iters=2, pq_m=4, pq_k=16)
+    q = _queries(emb)
+    plan = (
+        ix.topk(q, 10, nprobe=2, method="adc", shortlist=50)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    scans = re.findall(r"ReadSchema: struct<(.*)", plan)
+    adc = [s for s in scans if "codes" in s]
+    assert adc, f"no codes scan in plan:\n{plan[:2000]}"
+    assert all("embedding" not in s for s in adc), scans
+    # bucket pruning composes with the column pruning
+    assert re.search(r"SelectedBucketsCount: \d+ out of \d+", plan)
+
+
+def test_ann_ivfpq_recall_and_upsert(spark, sf_dir, tmp_path):
+    emb = _emb(spark, sf_dir)
+    cat = Catalog(spark, str(tmp_path / "wh"))
+    ix = AnnIndex.build(cat, emb, "vec_id", "embedding", "v",
+                        n_clusters=8, iters=2, pq_m=4, pq_k=16)
+    q = _queries(emb)
+    truth = {
+        (r["q_id"], r["vec_id"])
+        for r in sim.brute_force_topk(emb, q, 10).collect()
+    }
+    got = {
+        (r["q_id"], r["vec_id"])
+        for r in ix.topk(q, 10, nprobe=2, method="adc", shortlist=50).collect()
+    }
+    assert len(got & truth) / len(truth) >= 0.5
+    # codebooks persist; upsert re-encodes with the frozen quantizer
+    ix2 = AnnIndex.open(cat, "v")
+    assert ix2.pq_codebooks == ix.pq_codebooks
+    ix2.upsert(emb.filter(F.col("vec_id") < 3))
+    got2 = _rows(ix2.topk(q, 10, nprobe=8, method="adc", shortlist=10**6))
+    assert got2 == _rows(sim.brute_force_topk(emb, q, 10))
+
+
+def test_ann_topk_adc_requires_codebook(spark, sf_dir, tmp_path):
+    emb = _emb(spark, sf_dir)
+    cat = Catalog(spark, str(tmp_path / "wh"))
+    ix = AnnIndex.build(cat, emb, "vec_id", "embedding", "v",
+                        n_clusters=8, iters=2)
+    q = _queries(emb)
+    try:
+        ix.topk(q, 10, method="adc")
+        raise AssertionError("expected ValueError")
+    except ValueError as e:
+        assert "pq_m" in str(e)
