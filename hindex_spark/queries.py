@@ -1508,8 +1508,15 @@ _PRIORITY = [
     "filter_or_page", "cells_or_dependent",
     # LLM-pipeline operators: dedup family, corpus cleaning, ANN, text
     "dedup_exact", "dedup_minhash_lsh", "dedup_simhash", "dedup_clusters",
-    "dedup_embedding_lsh", "dedup_semantic", "corpus_clean",
+    "dedup_semantic", "corpus_clean",
     "corpus_pipeline_e2e",
+    # Round-8 rotation: corpus_dedup_state_upsert (persisted dedup-state
+    # REPLACEMENT via generation tombstones, operators/artifact.py — a
+    # mangled-then-upserted state must match the stateless oracle
+    # exactly) takes dedup_embedding_lsh's slot; embedding near-dup
+    # stays driver-visible via dedup_semantic + the ann gates and the
+    # query stays oracle-checked in the local gate.
+    "corpus_dedup_state_upsert",
     # Round-7 rotation: corpus_substring_dedup (ExactSubstr-style
     # duplicate-SPAN removal, operators/dedup.py:remove_duplicate_spans —
     # a new dedup granularity: sub-document runs, not whole docs/lines)
@@ -1520,14 +1527,27 @@ _PRIORITY = [
     # sim_bruteforce_topk's slot; ANN stays driver-visible via
     # sim_ivf_ann_topk (whose full-probe mode IS the brute-force scan),
     # and the brute-force gate stays oracle-checked in the local gate.
-    "corpus_dsir_select", "sim_ivf_ann_topk",
+    "corpus_dsir_select",
+    # Round-8 rotation: ann_ivfpq_store_topk (the PERSISTED IVF-PQ
+    # artifact: cluster-bucketed vectors + product-quantized codes,
+    # ADC shortlist + exact re-rank, full-config brute-force parity)
+    # takes sim_ivf_ann_topk's slot — it exercises strictly more of the
+    # same path (ivf_build assignment + probe + persistence + PQ); the
+    # in-memory IVF gate stays oracle-checked in the local gate.
+    "ann_ivfpq_store_topk",
     # Round-7 rotation: text_bm25_indexed (lexical search served from
     # the catalog's bucket-pruned inverted index, operators/search.py —
     # a new query family, and the artifact-maintenance pattern applied
     # to retrieval) takes agg_group's slot; grouped aggregation stays
     # driver-visible via tpch_q1 + agg_summary + topk_per_group and
     # agg_group stays oracle-checked in the local gate.
-    "text_bm25_indexed",
+    # Round-8 rotation: text_bm25_upsert (index REPLACEMENT maintenance:
+    # a mangled build then a true-row upsert must hash-match the fresh
+    # scan oracle — tombstone cut + incremental corpus stats) takes
+    # text_bm25_indexed's slot; it exercises strictly more of the same
+    # path (build + bucket-pruned topk PLUS upsert), and the plain
+    # indexed gate stays oracle-checked in the local gate.
+    "text_bm25_upsert",
     "text_token_count",
     # streaming / ETL / temporal. streaming_changelog_resume supersedes
     # the r4 replication roundtrip (same emit->replay roundtrip PLUS

@@ -241,3 +241,36 @@ def test_ann_topk_adc_requires_codebook(spark, sf_dir, tmp_path):
         raise AssertionError("expected ValueError")
     except ValueError as e:
         assert "pq_m" in str(e)
+
+
+def test_ann_index_maintained_from_stream(spark, sf_dir, tmp_path):
+    """The streaming-ingest shape: readStream micro-batches drain
+    through foreachBatch -> AnnIndex.update (frozen centroids); after
+    the stream, a full probe equals brute force over everything the
+    index saw — nothing dropped or duplicated across the session-clone
+    INSERT path."""
+    import shutil
+
+    emb = _emb(spark, sf_dir).limit(200)
+    seed = emb.filter(F.col("vec_id") < 100)
+    rest = emb.filter(F.col("vec_id") >= 100)
+    cat = Catalog(spark, str(tmp_path / "wh"))
+    ix = AnnIndex.build(cat, seed, "vec_id", "embedding", "stream",
+                        n_clusters=8, iters=2)
+    src = str(tmp_path / "src")
+    rest.write.mode("overwrite").parquet(src)
+    stream = spark.readStream.schema(emb.schema).parquet(src)
+    q = (
+        stream.writeStream.foreachBatch(
+            lambda batch, _e: ix.update(batch) if batch.count() else None
+        )
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    queries = _queries(emb)
+    assert _rows(ix.topk(queries, 10, nprobe=8)) == _rows(
+        sim.brute_force_topk(emb, queries, 10)
+    )
+    shutil.rmtree(src, ignore_errors=True)
