@@ -2029,3 +2029,55 @@ def q_ann_ivfpq_store(spark, sf_dir):
     )
     return ix.topk(queries_df, 10, nprobe=8, method="adc",
                    shortlist=1_000_000)
+
+
+_RRF_ORACLE = f"""WITH bm_scored AS ({_BM25_ORACLE}),
+    bm AS (SELECT doc_id,
+                  row_number() OVER (ORDER BY score DESC, doc_id) AS r
+           FROM bm_scored),
+    ann AS (SELECT vec_id AS doc_id, rank AS r FROM (
+          SELECT e.vec_id,
+                 row_number() OVER (
+                   PARTITION BY q.vec_id
+                   ORDER BY ROUND({_Q_COS_SQL}, 6) DESC, e.vec_id) AS rank
+          FROM embeddings e, embeddings q
+          WHERE q.vec_id = 0 AND e.vec_id != q.vec_id)
+        WHERE rank <= 25),
+    u AS (SELECT doc_id, r FROM bm UNION ALL SELECT doc_id, r FROM ann)
+    SELECT doc_id,
+           CAST(SUM(CAST(ROUND(1.0/(60 + r), 6) AS DECIMAL(18,6)))
+                AS DOUBLE) AS rrf_score
+    FROM u GROUP BY doc_id
+    ORDER BY rrf_score DESC, doc_id LIMIT 10"""
+
+
+@query("text_hybrid_rrf", _RRF_ORACLE)
+def q_hybrid_rrf(spark, sf_dir):
+    """Hybrid retrieval served ENTIRELY from the two persisted
+    artifacts: BM25 top-25 from the bucket-pruned inverted index,
+    cosine top-25 from the persisted IVF index at full probe (both
+    individually hash-pinned to their scan oracles), fused with
+    reciprocal-rank fusion (operators/hybrid.py). The oracle replays
+    both rankings and the decimal RRF sum in SQL, so a drift in either
+    retriever OR the fusion arithmetic breaks the hash."""
+    import tempfile
+
+    from hindex_spark.catalog import Catalog
+    from hindex_spark.operators.ann_index import AnnIndex
+    from hindex_spark.operators.hybrid import add_rank, rrf_fuse
+    from hindex_spark.operators.search import SearchIndex
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    cat = Catalog(spark, tempfile.mkdtemp(prefix="hindex_hybrid_"))
+    six = SearchIndex.build(cat, docs, "doc_id", "text", "hybdocs")
+    aix = AnnIndex.build(cat, emb, "vec_id", "embedding", "hybvecs",
+                         n_clusters=8, iters=2)
+    bm = add_rank(six.topk("spark merge vector", k=25), "doc_id", "score")
+    q0 = emb.filter(F.col("vec_id") == 0).select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_vec")
+    )
+    ann = aix.topk(q0, 25, nprobe=8).select(
+        F.col("vec_id").alias("doc_id"), "rank"
+    )
+    return rrf_fuse([bm, ann], "doc_id", rrf_k=60, top_n=10)

@@ -2192,3 +2192,24 @@ def test_artifacts_reattach_after_session_restart(spark, tmp_path):
     # updates work against the re-attached registration too
     ix2.update(spark.createDataFrame([(3, "vector scans")], ["doc_id", "text"]))
     assert ix2.n_docs == 3
+
+
+def test_rrf_fuse_semantics(spark):
+    """RRF basics: overlap beats single-system presence at equal rank,
+    absent systems contribute nothing, ties break on id."""
+    from hindex_spark.operators.hybrid import add_rank, rrf_fuse
+
+    a = spark.createDataFrame([(1, 1), (2, 2), (3, 3)], ["id", "rank"])
+    b = spark.createDataFrame([(2, 1), (4, 2)], ["id", "rank"])
+    out = {r["id"]: r["rrf_score"] for r in rrf_fuse([a, b], "id", 60, 10).collect()}
+    # doc 2 appears in both (ranks 2 and 1) -> highest fused score
+    assert max(out, key=out.get) == 2
+    assert abs(out[2] - (round(1 / 62, 6) + round(1 / 61, 6))) < 1e-12
+    assert abs(out[1] - round(1 / 61, 6)) < 1e-12
+    assert set(out) == {1, 2, 3, 4}
+
+    scored = spark.createDataFrame(
+        [(5, 0.9), (6, 0.9), (7, 0.5)], ["id", "score"]
+    )
+    ranks = {r["id"]: r["rank"] for r in add_rank(scored, "id").collect()}
+    assert ranks == {5: 1, 6: 2, 7: 3}  # tie at 0.9 breaks on id
