@@ -229,6 +229,17 @@ class AnnIndex:
         """The persisted (cluster, centroid) table — n_clusters rows."""
         return self.catalog.spark.read.parquet(self._centroid_path())
 
+    def _reload_meta(self) -> None:
+        """Re-read the persisted meta (cur_gen, num_buckets) — MUST run
+        at the top of every locked mutation so another process's bumps
+        are never overwritten from a stale in-memory baseline (the
+        two-process chaos hazard)."""
+        if os.path.isfile(self._meta_path()):
+            with open(self._meta_path()) as f:
+                m = json.load(f)
+            self.num_buckets = m.get("num_buckets", self.num_buckets)
+            self.cur_gen = m.get("cur_gen", 0)
+
     def _index_rows(self, new_vectors: DataFrame, gen: int) -> DataFrame:
         """A batch's index rows in the table schema: frozen-centroid
         cluster assignment, PQ codes/norm when the artifact has a
@@ -251,10 +262,11 @@ class AnnIndex:
         Assumes batch ids are new — re-ingesting an id adds rather than
         replaces (the artifact-store append contract; ``upsert`` is the
         replacement path)."""
-        rows = self._index_rows(new_vectors, self.cur_gen)
         view = f"__annindex_append_{self.name}"
-        sess = rows.sparkSession  # foreachBatch session clone, see
+        sess = new_vectors.sparkSession  # foreachBatch session clone, see
         with self.catalog.write_lock(self.table_name):  # SearchIndex.update
+            self._reload_meta()
+            rows = self._index_rows(new_vectors, self.cur_gen)
             self._ensure_registered()
             rows.createOrReplaceTempView(view)
             sess.sql(f"INSERT INTO {self.table_name} SELECT * FROM {view}")
@@ -279,6 +291,7 @@ class AnnIndex:
         from hindex_spark.operators.artifact import append_tombstones
 
         with self.catalog.write_lock(self.table_name):
+            self._reload_meta()
             self._ensure_registered()
             new_gen = self.cur_gen + 1
             batch_ids = new_vectors.select(self.id_col).distinct()
@@ -306,6 +319,7 @@ class AnnIndex:
         from hindex_spark.operators.artifact import append_tombstones
 
         with self.catalog.write_lock(self.table_name):
+            self._reload_meta()
             self._ensure_registered()
             new_gen = self.cur_gen + 1
             append_tombstones(

@@ -189,20 +189,33 @@ class DedupState:
             self._tombstone_path(),
         )
 
+    def _reload_meta(self) -> None:
+        """Re-read the persisted meta (cur_gen, num_buckets) into this
+        handle — MUST run at the top of every locked mutation: another
+        process may have bumped the generation since open/build, and a
+        delta applied to the stale baseline loses its update (caught by
+        the two-process chaos test)."""
+        if os.path.isfile(self._meta_path()):
+            with open(self._meta_path()) as f:
+                m = json.load(f)
+            self.num_buckets = m.get("num_buckets", self.num_buckets)
+            self.cur_gen = m.get("cur_gen", 0)
+
     def update(self, accepted: DataFrame) -> None:
         """Append the accepted batch's state rows — the per-batch
         maintenance step. INSERT INTO honors the table's bucket spec, so
         appends stay bucketed on id; no rewrite of existing state."""
-        rows = state_rows(
-            accepted, self.id_col, self.text_col, self.ngram, self.hash_fn,
-            self.n_hashes,
-        ).withColumn("gen", F.lit(self.cur_gen).cast("long"))
         view = f"__dedupstate_append_{self.name}"
         # the batch's own session: inside foreachBatch the frame lives
         # in a session clone and temp views are session-scoped (same
         # fix as SearchIndex.update)
-        sess = rows.sparkSession
+        sess = accepted.sparkSession
         with self.catalog.write_lock(self.table_name):
+            self._reload_meta()
+            rows = state_rows(
+                accepted, self.id_col, self.text_col, self.ngram, self.hash_fn,
+                self.n_hashes,
+            ).withColumn("gen", F.lit(self.cur_gen).cast("long"))
             self._ensure_registered()
             rows.createOrReplaceTempView(view)
             sess.sql(f"INSERT INTO {self.table_name} SELECT * FROM {view}")
@@ -228,6 +241,7 @@ class DedupState:
         from hindex_spark.operators.artifact import append_tombstones
 
         with self.catalog.write_lock(self.table_name):
+            self._reload_meta()
             self._ensure_registered()
             new_gen = self.cur_gen + 1
             batch_ids = docs.select(self.id_col).distinct()
@@ -258,6 +272,7 @@ class DedupState:
         from hindex_spark.operators.artifact import append_tombstones
 
         with self.catalog.write_lock(self.table_name):
+            self._reload_meta()
             self._ensure_registered()
             new_gen = self.cur_gen + 1
             append_tombstones(

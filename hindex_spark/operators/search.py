@@ -422,6 +422,25 @@ class SearchIndex:
         with open(self._meta_path(), "w") as f:
             json.dump(self._meta(), f)
 
+    def _reload_meta(self) -> None:
+        """Re-read the persisted meta into this handle. MUST run at the
+        top of every locked mutation: the in-memory n_docs/sum_dl/
+        cur_gen were loaded at open/build time, and another process may
+        have mutated the artifact since — applying a delta to the stale
+        baseline silently loses its update (caught by the two-process
+        chaos test). Under the writer lease the disk meta is the one
+        truth."""
+        import json
+        import os
+
+        if os.path.isfile(self._meta_path()):
+            with open(self._meta_path()) as f:
+                m = json.load(f)
+            self.n_docs = m["n_docs"]
+            self.sum_dl = m["sum_dl"]
+            self.num_buckets = m.get("num_buckets", self.num_buckets)
+            self.cur_gen = m.get("cur_gen", 0)
+
     def update(self, new_docs: DataFrame) -> None:
         """Per-batch maintenance: append the batch's postings (INSERT
         INTO honors the bucket spec) and bump the persisted corpus
@@ -433,16 +452,17 @@ class SearchIndex:
         postings)."""
         import json
 
-        rows = self._posting_rows(
-            new_docs, self.id_col, self.text_col, gen=self.cur_gen
-        )
         view = f"__postings_append_{self.name}"
         # run the INSERT on the batch's OWN session: inside a streaming
         # foreachBatch the micro-batch frame lives in a session clone,
         # and temp views are session-scoped — registering on rows'
         # session and inserting from the catalog's would not resolve
-        sess = rows.sparkSession
+        sess = new_docs.sparkSession
         with self.catalog.write_lock(self.table_name):
+            self._reload_meta()
+            rows = self._posting_rows(
+                new_docs, self.id_col, self.text_col, gen=self.cur_gen
+            )
             # re-attach the registration on a fresh session via
             # tableExists — NOT by resolving the table: resolving primes
             # the catalog session's file-listing cache BEFORE the
@@ -502,6 +522,7 @@ class SearchIndex:
         from hindex_spark.operators.artifact import append_tombstones
 
         with self.catalog.write_lock(self.table_name):
+            self._reload_meta()
             self._ensure_registered()
             batch_ids = docs.select(self.id_col).distinct()
             old_n, old_sumdl = self._live_id_stats(batch_ids)
@@ -553,6 +574,7 @@ class SearchIndex:
         from hindex_spark.operators.artifact import append_tombstones
 
         with self.catalog.write_lock(self.table_name):
+            self._reload_meta()
             self._ensure_registered()
             id_set = ids.select(self.id_col).distinct()
             old_n, old_sumdl = self._live_id_stats(id_set)
@@ -743,6 +765,7 @@ class SearchIndex:
         from hindex_spark.operators.artifact import clear_tombstones, live_view
 
         with self.catalog.write_lock(self.table_name):
+            self._reload_meta()
             rows = self.catalog.spark.read.parquet(
                 os.path.join(self.catalog.root, self.table_name, "data")
             )

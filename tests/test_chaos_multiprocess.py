@@ -189,3 +189,97 @@ def test_two_process_changelog_compaction_race_loses_nothing(spark, tmp_path):
     assert len(set(seqs)) == emitted
     keys = {r["k"] for r in final.collect()}
     assert keys == {10 + i for i in range(8)}
+
+
+ARTIFACT_WORKER = """
+import os, sys, time
+sys.path.insert(0, {repo!r})
+from pyspark.sql import SparkSession
+from hindex_spark.catalog import Catalog
+from hindex_spark.operators.search import SearchIndex
+
+wh, sync = sys.argv[1], sys.argv[2]
+spark = (SparkSession.builder.master("local[2]")
+         .config("spark.sql.shuffle.partitions", "2")
+         .config("spark.ui.enabled", "false")
+         .appName("chaos_artifact").getOrCreate())
+cat = Catalog(spark, wh)
+ix = SearchIndex.open(cat, "chaos")
+open(os.path.join(sync, "ready"), "w").close()
+while not os.path.exists(os.path.join(sync, "go")):
+    time.sleep(0.05)
+docs = spark.createDataFrame(
+    [(1000 + i, "worker tokens alpha beta %d" % i) for i in range(20)],
+    "doc_id long, text string",
+)
+ix.update(docs)
+# replace half of its OWN batch: exercises the tombstone path too
+ix.upsert(spark.createDataFrame(
+    [(1000 + i, "worker replaced gamma %d" % i) for i in range(10)],
+    "doc_id long, text string",
+))
+open(os.path.join(sync, "done"), "w").close()
+spark.stop()
+"""
+
+
+def test_two_process_artifact_maintenance_serializes(spark, tmp_path):
+    """Two REAL processes mutate the same SearchIndex concurrently
+    (update + upsert each) through the writer lease. Nothing may be
+    lost or doubled: the final live postings hold exactly one row set
+    per doc, and the incrementally-maintained corpus stats equal a
+    from-scratch recompute (a lost meta update would diverge)."""
+    from hindex_spark.operators.search import SearchIndex
+
+    wh = str(tmp_path / "wh")
+    sync = str(tmp_path / "sync")
+    os.makedirs(sync)
+    cat = Catalog(spark, wh)
+    seed = spark.createDataFrame(
+        [(i, f"seed common words {i}") for i in range(30)],
+        "doc_id long, text string",
+    )
+    ix = SearchIndex.build(cat, seed, "doc_id", "text", "chaos")
+
+    proc = _spawn(ARTIFACT_WORKER, wh, sync=sync)
+    try:
+        _wait_file(os.path.join(sync, "ready"))
+        open(os.path.join(sync, "go"), "w").close()
+        # race it from this process: disjoint id range
+        ix.update(spark.createDataFrame(
+            [(2000 + i, f"main tokens delta {i}") for i in range(20)],
+            "doc_id long, text string",
+        ))
+        ix.upsert(spark.createDataFrame(
+            [(2000 + i, f"main replaced epsilon {i}") for i in range(10)],
+            "doc_id long, text string",
+        ))
+        _wait_file(os.path.join(sync, "done"))
+        assert proc.wait(timeout=180) == 0
+    finally:
+        if proc.poll() is None:
+            proc.kill()
+
+    ix2 = SearchIndex.open(cat, "chaos")
+    live_ids = {
+        r["doc_id"]
+        for r in ix2.postings.select("doc_id").distinct().collect()
+    }
+    assert live_ids == set(range(30)) | set(range(1000, 1020)) | set(
+        range(2000, 2020)
+    )
+    # replaced docs: exactly one live generation each
+    per_doc = (
+        ix2.postings.filter(F.col("doc_id").isin([1000, 1005, 2000, 2005]))
+        .select("doc_id", "gen").distinct()
+        .groupBy("doc_id").count().collect()
+    )
+    assert all(r["count"] == 1 for r in per_doc)
+    # stats survived the cross-process interleaving exactly
+    n, s = ix2.n_docs, ix2.sum_dl
+    ix2.repair_stats()
+    assert (n, s) == (ix2.n_docs, ix2.sum_dl)
+    # no lease residue
+    assert not os.path.exists(
+        os.path.join(wh, ix2.table_name, "_lease.json")
+    )
