@@ -379,6 +379,29 @@ def main():
     if ann_ix is not None:
         bench("ann_ivf_stored_topk", ann_ivf_stored, runs=3)
 
+    # IVF-PQ: same persisted layout + product-quantized codes; the ADC
+    # shortlist scan reads (cluster, id, codes, norm) only — the
+    # bytes-read dial PQ exists for. Build is one-time setup.
+    try:
+        ann_pq = AnnIndex.build(
+            cat, emb, "vec_id", "embedding", "bench_vecs_pq",
+            n_clusters=16, iters=2, pq_m=4, pq_k=16,
+        )
+    except Exception as exc:  # noqa: BLE001
+        ann_pq = None
+        errors["ann_ivfpq_stored_topk"] = f"setup: {type(exc).__name__}: {exc}"[:220]
+
+    def ann_ivfpq_stored():
+        queries_df = emb.filter(F.col("vec_id") < 5).select(
+            F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_vec")
+        )
+        ann_pq.topk(
+            queries_df, 10, nprobe=2, method="adc", shortlist=100
+        ).collect()
+
+    if ann_pq is not None:
+        bench("ann_ivfpq_stored_topk", ann_ivfpq_stored, runs=3)
+
     # --- joins & temporal -------------------------------------------------
     def join_q3():
         cust = spark.read.parquet(f"{SF_DIR}/customer.parquet").filter(

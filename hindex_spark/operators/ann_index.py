@@ -157,11 +157,16 @@ class AnnIndex:
             codes, norm = pq_code_cols(codebooks, vec_col)
             rows = rows.withColumn("codes", codes).withColumn("norm", norm)
         rows = rows.withColumn("gen", F.lit(0).cast("long"))
+        from hindex_spark.operators.artifact import clear_tombstones
+
         with catalog.write_lock(ix.table_name):
             catalog.save_bucketed(
                 Table(rows, "cluster", f"{name}_annindex"),
                 num_buckets=num_buckets,
             )
+            # a REBUILD starts at gen 0: clear the previous
+            # incarnation's tombstones or they'd kill every fresh row
+            clear_tombstones(ix._tombstone_path())
             # centroid table: n_clusters x dim doubles — driver-material
             # by construction (ivf_build already iterates it driver-side)
             cents.coalesce(1).write.mode("overwrite").parquet(

@@ -131,6 +131,11 @@ class DedupState:
         catalog.save_bucketed(
             Table(rows, id_col, f"{name}_dedupstate"), num_buckets=num_buckets
         )
+        # a REBUILD starts at gen 0: clear the previous incarnation's
+        # tombstones or they'd kill every fresh row
+        from hindex_spark.operators.artifact import clear_tombstones, tombstone_path
+
+        clear_tombstones(tombstone_path(catalog.root, f"{name}_dedupstate_bucketed"))
         with open(st._meta_path(), "w") as f:
             json.dump(
                 {"id_col": id_col, "text_col": text_col, "ngram": ngram,

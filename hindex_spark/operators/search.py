@@ -337,6 +337,12 @@ class SearchIndex:
         catalog.save_bucketed(
             Table(rows, "token", f"{name}_postings"), num_buckets=num_buckets
         )
+        # a REBUILD under an existing name starts at gen 0 — tombstones
+        # from the previous incarnation (below_gen >= 1) would silently
+        # kill every fresh row
+        from hindex_spark.operators.artifact import clear_tombstones, tombstone_path
+
+        clear_tombstones(tombstone_path(catalog.root, f"{name}_postings_bucketed"))
         ix = cls(catalog, name, id_col, text_col,
                  int(stats["n"]), float(stats["sumdl"] or 0.0),
                  num_buckets=num_buckets)

@@ -177,3 +177,32 @@ def test_dedup_state_upsert_survives_reopen(spark, sf_dir, tmp_path):
     assert st2.cur_gen == 1
     st2.upsert(corpus.limit(50))
     assert st2.df.count() == st2.df.select("doc_id").distinct().count()
+
+
+def test_rebuild_clears_previous_incarnation_tombstones(spark, sf_dir, tmp_path):
+    """build() under an existing artifact name restarts generations at
+    0 — the previous incarnation's tombstones (below_gen >= 1) must not
+    survive to silently kill every fresh row."""
+    docs = _docs(spark, sf_dir).limit(100)
+    cat = Catalog(spark, str(tmp_path / "wh"))
+    ix = SearchIndex.build(cat, docs, "doc_id", "text", "re")
+    ix.upsert(docs.filter(F.col("doc_id") < 50))
+    assert os.path.isdir(ix._tombstone_path())
+    ix2 = SearchIndex.build(cat, docs, "doc_id", "text", "re")
+    assert not os.path.isdir(ix2._tombstone_path())
+    assert ix2.postings.select("doc_id").distinct().count() == 100
+
+    st = DedupState.build(cat, docs, "doc_id", "text", "re")
+    st.upsert(docs.filter(F.col("doc_id") < 50))
+    st2 = DedupState.build(cat, docs, "doc_id", "text", "re")
+    assert st2.df.count() == 100
+
+    from hindex_spark.operators.ann_index import AnnIndex
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").limit(100)
+    ax = AnnIndex.build(cat, emb, "vec_id", "embedding", "re",
+                        n_clusters=4, iters=1)
+    ax.delete(emb.filter(F.col("vec_id") < 50))
+    ax2 = AnnIndex.build(cat, emb, "vec_id", "embedding", "re",
+                         n_clusters=4, iters=1)
+    assert ax2.vectors.count() == 100

@@ -38,6 +38,7 @@ def test_bench_cli_contract_sf0001():
         "bm25_scan_topk", "bm25_indexed_topk",
         "rollup_direct_hourly", "rollup_store_read",
         "ann_bruteforce_topk", "ann_ivf_topk", "ann_ivf_stored_topk",
+        "ann_ivfpq_stored_topk",
         "join_q3_topk", "join_q3_topk_bucketed",
         "sessionize", "asof_join", "corpus_clean",
     }
