@@ -104,3 +104,24 @@ def tombstone_count(spark: SparkSession, path: str) -> int:
     if tomb is None:
         return 0
     return tomb.select(tomb.columns[0]).distinct().count()
+
+
+def maintenance_stats(catalog, table_name: str, id_col: str) -> dict:
+    """The numbers a maintenance job schedules compaction on:
+    ``tombstoned_ids`` (distinct ids with live cuts — the broadcast-size
+    gauge; Lucene's deleted-docs count) and ``data_files`` (parquet
+    files under the store — files/bucket beyond 1 costs scans their
+    reported sort order and per-file opens). Driver-side listing + one
+    tiny tombstone aggregate; never touches the store's data."""
+    data_dir = os.path.join(catalog.root, table_name, "data")
+    files = 0
+    if os.path.isdir(data_dir):
+        files = sum(
+            1 for f in os.listdir(data_dir) if f.endswith(".parquet")
+        )
+    return {
+        "tombstoned_ids": tombstone_count(
+            catalog.spark, tombstone_path(catalog.root, table_name)
+        ),
+        "data_files": files,
+    }

@@ -206,3 +206,57 @@ def test_rebuild_clears_previous_incarnation_tombstones(spark, sf_dir, tmp_path)
     ax2 = AnnIndex.build(cat, emb, "vec_id", "embedding", "re",
                          n_clusters=4, iters=1)
     assert ax2.vectors.count() == 100
+
+
+def test_maintenance_stats_gauge(spark, sf_dir, tmp_path):
+    from hindex_spark.operators.artifact import maintenance_stats
+
+    docs = _docs(spark, sf_dir).limit(60)
+    cat = Catalog(spark, str(tmp_path / "wh"))
+    ix = SearchIndex.build(cat, docs, "doc_id", "text", "g")
+    s0 = maintenance_stats(cat, ix.table_name, "doc_id")
+    assert s0["tombstoned_ids"] == 0 and s0["data_files"] >= 1
+    ix.upsert(docs.filter(F.col("doc_id") < 10))
+    ix.delete(docs.filter(F.col("doc_id").between(10, 14)))
+    s1 = maintenance_stats(cat, ix.table_name, "doc_id")
+    assert s1["tombstoned_ids"] == 15
+    assert s1["data_files"] > s0["data_files"]
+    ix.compact()
+    s2 = maintenance_stats(cat, ix.table_name, "doc_id")
+    assert s2["tombstoned_ids"] == 0
+    assert s2["data_files"] <= ix.num_buckets
+
+
+def test_search_upsert_from_stream(spark, sf_dir, tmp_path):
+    """upsert() inside a streaming foreachBatch (session-clone INSERT +
+    tombstone write under the lease): the final index must equal a
+    fresh build over the corrected corpus."""
+    import shutil
+
+    docs = _docs(spark, sf_dir).limit(80)
+    stale = F.col("doc_id") < 30
+    cat = Catalog(spark, str(tmp_path / "wh"))
+    ix = SearchIndex.build(cat, _mangle(docs, stale), "doc_id", "text", "s")
+    src = str(tmp_path / "src")
+    docs.filter(stale).write.mode("overwrite").parquet(src)
+    stream = spark.readStream.schema(docs.schema).parquet(src)
+    q = (
+        stream.writeStream.foreachBatch(
+            lambda b, _e: ix.upsert(b) if b.count() else None
+        )
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    fresh = SearchIndex.build(
+        Catalog(spark, str(tmp_path / "wh2")), docs, "doc_id", "text", "f"
+    )
+    got = _topk_rows(ix)
+    want = [
+        (r["doc_id"], r["score"])
+        for r in fresh.topk("spark merge vector", k=25)
+        .orderBy(F.desc("score"), "doc_id").collect()
+    ]
+    assert got == want
+    shutil.rmtree(src, ignore_errors=True)
