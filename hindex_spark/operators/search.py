@@ -499,7 +499,14 @@ class SearchIndex:
     def _live_id_stats(self, ids: DataFrame):
         """(count, sum dl) of the LIVE docs among ``ids`` — one bounded
         aggregate over the postings' distinct (id, dl) pairs, restricted
-        by the broadcast id set before the distinct."""
+        by the broadcast id set before the distinct.
+
+        Honest 100 TB cost: the broadcast semi-join filters rows, not
+        bytes — this is a column-pruned (id, dl, gen) scan of the
+        postings per upsert batch (a few % of the index's width, paid
+        once per batch). If upserts dominate the workload, the next
+        step is a doclen side table bucketed on id (the DedupState
+        shape), which turns this into a probe of the batch's buckets."""
         row = (
             self.postings.join(F.broadcast(ids), self.id_col, "left_semi")
             .select(F.col(self.id_col), "dl")
