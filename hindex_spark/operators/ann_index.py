@@ -362,6 +362,31 @@ class AnnIndex:
             with open(self._meta_path(), "w") as f:
                 json.dump(m, f)
 
+    def retrain(self, n_clusters: Optional[int] = None, iters: int = 3,
+                sample_size: int = 65536) -> "AnnIndex":
+        """Rebuild the partition from the LIVE vectors in place — the
+        drift repair the frozen-centroid contract defers to: after many
+        appended batches the trained centroids no longer reflect the
+        distribution, and recall at a given nprobe decays. One bounded
+        retrain + one full-pass reassignment over the CURRENT live rows
+        (tombstoned generations drop out here for free), staged-swapped
+        under the same artifact name; the PQ codebook is retrained too
+        when the index has one. Returns the fresh handle (self is
+        refreshed in place as well)."""
+        live = self.vectors.select(F.col(self.id_col), F.col(self.vec_col))
+        new = AnnIndex.build(
+            self.catalog, live, self.id_col, self.vec_col, self.name,
+            n_clusters=n_clusters or self.n_clusters, iters=iters,
+            sample_size=sample_size,
+            pq_m=(len(self.pq_codebooks) if self.pq_codebooks else None),
+            pq_k=(len(self.pq_codebooks[0]) if self.pq_codebooks else 16),
+        )
+        self.n_clusters = new.n_clusters
+        self.num_buckets = new.num_buckets
+        self.cur_gen = new.cur_gen
+        self.pq_codebooks = new.pq_codebooks
+        return new
+
     # -- the query ----------------------------------------------------------
 
     def probe_clusters(self, queries: DataFrame, nprobe: int,

@@ -237,6 +237,33 @@ class RollupStore:
             coarse = coarse.repartition("bucket_us", *self.key_cols)
         return merge_partials(coarse, self.key_cols)
 
+    def expire(self, before_us: int, num_buckets: int = 32) -> None:
+        """Retention: drop every bucket strictly older than
+        ``before_us`` (the continuous-aggregate drop-chunks shape —
+        rollups usually outlive raw events, but not forever). One
+        staged bucketed rewrite of the surviving partials under the
+        writer lease; the bucket_us sort means the filter prunes row
+        groups on the read side, and readers never see a partial
+        cut (atomic swap). ``before_us`` is compared against bucket
+        starts, so a bucket whose START is >= before_us survives
+        whole."""
+        from hindex_spark.table import Table
+
+        with self.catalog.write_lock(self.table_name):
+            raw = self.catalog.spark.read.parquet(
+                os.path.join(self.catalog.root, self.table_name, "data")
+            )
+            rows = raw.filter(F.col("bucket_us") >= F.lit(before_us))
+            self.catalog.save_bucketed(
+                Table(rows, "bucket_us", f"{self.name}_rollup"),
+                num_buckets=num_buckets,
+            )
+            self.num_buckets = num_buckets
+            m = json.load(open(self._meta_path()))
+            m["num_buckets"] = num_buckets
+            with open(self._meta_path(), "w") as f:
+                json.dump(m, f)
+
     def compact(self, num_buckets: int = 32) -> None:
         """Fold accumulated partials to one row per (bucket, key) and
         one file per bucket. Raw-parquet source for the same reason as

@@ -2081,3 +2081,48 @@ def q_hybrid_rrf(spark, sf_dir):
         F.col("vec_id").alias("doc_id"), "rank"
     )
     return rrf_fuse([bm, ann], "doc_id", rrf_k=60, top_n=10)
+
+
+@query(
+    "events_rollup_retention",
+    """WITH b AS (
+          SELECT epoch_us(ts) - (epoch_us(ts) % 3600000000) AS bucket_us,
+                 event_type,
+                 CAST(ROUND(value, 6) AS DECIMAL(18,6)) AS v
+          FROM events WHERE ts IS NOT NULL),
+        cut AS (
+          SELECT MIN(bucket_us) + ((MAX(bucket_us) - MIN(bucket_us)) // 2)
+                 - (((MAX(bucket_us) - MIN(bucket_us)) // 2) % 3600000000)
+                 AS c
+          FROM b)
+        SELECT bucket_us, event_type,
+               CAST(count(*) AS BIGINT) AS cnt,
+               CAST(SUM(v) AS DECIMAL(18,6)) AS vsum,
+               CAST(MIN(v) AS DECIMAL(18,6)) AS vmin,
+               CAST(MAX(v) AS DECIMAL(18,6)) AS vmax
+        FROM b, cut WHERE bucket_us >= c
+        GROUP BY bucket_us, event_type""",
+)
+def q_rollup_retention(spark, sf_dir):
+    """Retention (the continuous-aggregate drop-chunks shape): expire
+    every bucket older than the midpoint hour, then read — the oracle
+    aggregates raw events with the same cutoff, so a bucket dropped
+    short or kept stale breaks the hash. Cutoff = min bucket + half the
+    span, floored to the hour (pure integer arithmetic both sides)."""
+    import tempfile
+
+    from hindex_spark.catalog import Catalog
+    from hindex_spark.operators.rollup import HOUR_US, RollupStore
+
+    events = spark.read.parquet(f"{sf_dir}/events.parquet")
+    cat = Catalog(spark, tempfile.mkdtemp(prefix="hindex_rollup_"))
+    r = RollupStore.build(
+        cat, events, "ts", ["event_type"], "value", HOUR_US, "gate_ret"
+    )
+    mm = r.partials.agg(
+        F.min("bucket_us").alias("mn"), F.max("bucket_us").alias("mx")
+    ).collect()[0]
+    half = (int(mm["mx"]) - int(mm["mn"])) // 2
+    cutoff = int(mm["mn"]) + half - (half % HOUR_US)
+    r.expire(cutoff)
+    return r.read()

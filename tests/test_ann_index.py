@@ -274,3 +274,35 @@ def test_ann_index_maintained_from_stream(spark, sf_dir, tmp_path):
         sim.brute_force_topk(emb, queries, 10)
     )
     shutil.rmtree(src, ignore_errors=True)
+
+
+def test_ann_index_retrain_in_place(spark, sf_dir, tmp_path):
+    """Drift repair: after appends and a delete, retrain() rebuilds
+    centroids/assignments from the LIVE vectors under the same name —
+    tombstones purge for free, full probe still equals brute force over
+    the surviving set, and the PQ codebook is retrained when present."""
+    emb = _emb(spark, sf_dir)
+    seed = emb.filter(F.col("vec_id") < 100)
+    rest = emb.filter(F.col("vec_id") >= 100)
+    cat = Catalog(spark, str(tmp_path / "wh"))
+    ix = AnnIndex.build(cat, seed, "vec_id", "embedding", "v",
+                        n_clusters=8, iters=2, pq_m=4, pq_k=16)
+    ix.update(rest)
+    ix.delete(emb.filter(F.col("vec_id") < 10))
+    old_cents = [tuple(r) for r in ix.centroids.orderBy("cluster").collect()]
+    ix2 = ix.retrain(iters=2)
+    live = emb.filter(F.col("vec_id") >= 10)
+    q = _queries(emb)
+    assert _rows(ix2.topk(q, 10, nprobe=8)) == _rows(
+        sim.brute_force_topk(live, q, 10)
+    )
+    # fresh incarnation: no tombstones, gen reset, retrained centroids
+    assert not os.path.isdir(ix2._tombstone_path())
+    assert ix2.cur_gen == 0 and ix2.pq_codebooks is not None
+    new_cents = [tuple(r) for r in ix2.centroids.orderBy("cluster").collect()]
+    assert new_cents != old_cents
+    assert ix2.vectors.count() == live.count()
+    # ADC path still exact at full config after retrain
+    assert _rows(
+        ix2.topk(q, 10, nprobe=8, method="adc", shortlist=10**6)
+    ) == _rows(sim.brute_force_topk(live, q, 10))

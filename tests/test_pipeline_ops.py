@@ -2213,3 +2213,32 @@ def test_rrf_fuse_semantics(spark):
     )
     ranks = {r["id"]: r["rank"] for r in add_rank(scored, "id").collect()}
     assert ranks == {5: 1, 6: 2, 7: 3}  # tie at 0.9 breaks on id
+
+
+def test_rollup_expire_drops_old_buckets_only(spark, sf_dir, tmp_path):
+    from hindex_spark.catalog import Catalog
+    from hindex_spark.operators.rollup import HOUR_US, RollupStore
+
+    events = spark.read.parquet(f"{sf_dir}/events.parquet")
+    cat = Catalog(spark, str(tmp_path / "wh"))
+    r = RollupStore.build(cat, events, "ts", ["event_type"], "value",
+                          HOUR_US, "ret")
+    mm = r.partials.agg(
+        F.min("bucket_us").alias("mn"), F.max("bucket_us").alias("mx")
+    ).collect()[0]
+    half = (int(mm["mx"]) - int(mm["mn"])) // 2
+    cutoff = int(mm["mn"]) + half - (half % HOUR_US)
+    before = {
+        (x["bucket_us"], x["event_type"]): tuple(x)
+        for x in r.read().collect()
+    }
+    r.expire(cutoff)
+    after = {
+        (x["bucket_us"], x["event_type"]): tuple(x)
+        for x in r.read().collect()
+    }
+    assert after == {k: v for k, v in before.items() if k[0] >= cutoff}
+    assert r.partials.filter(F.col("bucket_us") < cutoff).count() == 0
+    # survivors still merge exchange-free
+    plan = r.read()._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan
