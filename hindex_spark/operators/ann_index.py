@@ -61,20 +61,16 @@ def assign_to_centroids(
 ) -> DataFrame:
     """(cluster, id, vector) for each input vector: nearest centroid by
     cosine, ties broken on the lower cluster id (exactly ivf_build's
-    final-assignment expression, so an appended batch lands in the same
-    cluster a build-time assignment would have chosen). One broadcast
-    of the centroid set + one input-sized window — no corpus access."""
-    scored = vectors.crossJoin(F.broadcast(centroids)).withColumn(
-        "__sim", cosine_expr(F.col(vec_col), F.col("centroid"))
-    )
-    w = Window.partitionBy(id_col).orderBy(
-        F.col("__sim").desc(), F.col("cluster")
-    )
-    return (
-        scored.withColumn("__rn", F.row_number().over(w))
-        .filter(F.col("__rn") == 1)
-        .select("cluster", id_col, vec_col)
-    )
+    final-assignment expression — the shared ``nearest_centroid``
+    map-side-combined aggregate — so an appended batch lands in the
+    same cluster a build-time assignment would have chosen). One
+    broadcast of the centroid set + one narrow row per input vector
+    through the exchange — no corpus access, no wide sort."""
+    from hindex_spark.operators.similarity import nearest_centroid
+
+    return nearest_centroid(
+        vectors, centroids, id_col, vec_col, keep_vector=True
+    ).select("cluster", F.col(id_col), F.col(vec_col))
 
 
 class AnnIndex:
