@@ -409,7 +409,8 @@ class AnnIndex:
 
     def topk(self, queries: DataFrame, k: int, nprobe: int = 2,
              q_id_col: str = "q_id", q_vec_col: str = "q_vec",
-             method: str = "exact", shortlist: int = 100) -> DataFrame:
+             method: str = "exact", shortlist: int = 100,
+             filter_ids: Optional[DataFrame] = None) -> DataFrame:
         """Top-``k`` (q_id, id, cosine, rank) per query from the stored
         index: probed clusters collected (≤ n_clusters ints), the
         vector scan filtered ``cluster IN (...)`` so bucket pruning
@@ -425,9 +426,22 @@ class AnnIndex:
         that scan — then exact-cosine re-ranks only the ``shortlist``
         best per query. With nprobe = n_clusters and shortlist >= the
         corpus, the result exactly equals brute force (the
-        oracle-checkable hard-signal configuration)."""
+        oracle-checkable hard-signal configuration).
+
+        ``filter_ids`` is FILTERED search (one id column named like the
+        index's id): candidates are PRE-filtered — the semi-join
+        restricts the probed clusters' vectors before any scoring, so
+        the result is exactly the top-k among the allowed ids (never
+        the post-filter failure mode where a selective predicate
+        starves k). The filter frame is broadcast; derive it from any
+        metadata predicate and keep it id-only."""
         clusters = self.probe_clusters(queries, nprobe, q_id_col, q_vec_col)
         pruned = self.vectors.filter(F.col("cluster").isin(clusters))
+        if filter_ids is not None:
+            pruned = pruned.join(
+                F.broadcast(filter_ids.select(self.id_col).distinct()),
+                self.id_col, "left_semi",
+            )
         if method == "adc":
             if self.pq_codebooks is None:
                 raise ValueError(

@@ -1548,7 +1548,13 @@ _PRIORITY = [
     # path (build + bucket-pruned topk PLUS upsert), and the plain
     # indexed gate stays oracle-checked in the local gate.
     "text_bm25_upsert",
-    "text_token_count",
+    # Round-8 rotation: text_hybrid_rrf (reciprocal-rank fusion of the
+    # persisted BM25 index and the persisted IVF index — one gate
+    # exercising both artifact families plus the decimal fusion
+    # arithmetic) takes text_token_count's slot; token counting stays
+    # driver-visible inside every BM25 dl and corpus_dsir_select, and
+    # the query stays oracle-checked in the local gate.
+    "text_hybrid_rrf",
     # streaming / ETL / temporal. streaming_changelog_resume supersedes
     # the r4 replication roundtrip (same emit->replay roundtrip PLUS
     # emitter re-attach seq resume and log compaction); the roundtrip,

@@ -2126,3 +2126,38 @@ def q_rollup_retention(spark, sf_dir):
     cutoff = int(mm["mn"]) + half - (half % HOUR_US)
     r.expire(cutoff)
     return r.read()
+
+
+@query(
+    "ann_filtered_topk",
+    f"""SELECT q_id, vec_id, cosine, rank FROM (
+      SELECT q.vec_id AS q_id, e.vec_id AS vec_id,
+             ROUND({_Q_COS_SQL}, 6) AS cosine,
+             row_number() OVER (
+               PARTITION BY q.vec_id
+               ORDER BY ROUND({_Q_COS_SQL}, 6) DESC, e.vec_id) AS rank
+      FROM embeddings e, embeddings q
+      WHERE q.vec_id < 5 AND e.vec_id != q.vec_id AND e.label = 3)
+    WHERE rank <= 10""",
+)
+def q_ann_filtered(spark, sf_dir):
+    """FILTERED vector search, hard-signal: top-k restricted to a
+    metadata predicate (label = 3), PRE-filter semantics — the allowed
+    ids semi-restrict the probed vectors before scoring, so the result
+    is exactly the filtered brute force at full probe (post-filtering a
+    fixed candidate list would starve k under selective predicates and
+    break the hash)."""
+    import tempfile
+
+    from hindex_spark.catalog import Catalog
+    from hindex_spark.operators.ann_index import AnnIndex
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    cat = Catalog(spark, tempfile.mkdtemp(prefix="hindex_annix_"))
+    ix = AnnIndex.build(cat, emb, "vec_id", "embedding", "gatevecs_f",
+                        n_clusters=8, iters=2)
+    queries_df = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_vec")
+    )
+    allowed = emb.filter(F.col("label") == 3).select("vec_id")
+    return ix.topk(queries_df, 10, nprobe=8, filter_ids=allowed)

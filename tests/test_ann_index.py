@@ -306,3 +306,23 @@ def test_ann_index_retrain_in_place(spark, sf_dir, tmp_path):
     assert _rows(
         ix2.topk(q, 10, nprobe=8, method="adc", shortlist=10**6)
     ) == _rows(sim.brute_force_topk(live, q, 10))
+
+
+def test_ann_filtered_search_prefilter_semantics(spark, sf_dir, tmp_path):
+    """filter_ids restricts BEFORE scoring: exact parity with brute
+    force over the allowed subset, full k delivered even when the
+    predicate is selective, and the ADC path honors the same filter."""
+    emb = _emb(spark, sf_dir)
+    cat = Catalog(spark, str(tmp_path / "wh"))
+    ix = AnnIndex.build(cat, emb, "vec_id", "embedding", "v",
+                        n_clusters=8, iters=2, pq_m=4, pq_k=16)
+    q = _queries(emb)
+    allowed = emb.filter(F.col("label") == 3).select("vec_id")
+    want = _rows(sim.brute_force_topk(
+        emb.join(allowed, "vec_id", "left_semi"), q, 10
+    ))
+    got = _rows(ix.topk(q, 10, nprobe=8, filter_ids=allowed))
+    assert got == want and len(got) > 0
+    got_adc = _rows(ix.topk(q, 10, nprobe=8, method="adc",
+                            shortlist=10**6, filter_ids=allowed))
+    assert got_adc == want
