@@ -89,7 +89,12 @@ def live_view(store: DataFrame, id_col: str, spark: SparkSession,
     return (
         store.join(F.broadcast(cuts), id_col, "left")
         .filter(F.col("__below").isNull() | (F.col("gen") >= F.col("__below")))
-        .drop("__below")
+        # the equi-join hoists the join key to column 0 — restore the
+        # store's declared order, or a tombstone-purging compact()
+        # rewrites the table key-first and the next positional
+        # INSERT INTO miswrites (caught by the interleaving property
+        # test: upsert -> compact -> upsert)
+        .select(*store.columns)
     )
 
 
