@@ -130,3 +130,28 @@ def maintenance_stats(catalog, table_name: str, id_col: str) -> dict:
         ),
         "data_files": files,
     }
+
+
+#: meta-file suffix -> artifact kind (the stores' open() entry points)
+_KINDS = {
+    "_postings_meta.json": "search_index",
+    "_dedupstate_meta.json": "dedup_state",
+    "_rollup_meta.json": "rollup_store",
+    "_annindex_meta.json": "ann_index",
+    "_importance_meta.json": "importance_model",
+}
+
+
+def list_artifacts(catalog) -> list:
+    """(name, kind) of every artifact store in the catalog — the
+    discovery surface ``Catalog.list_tables`` provides for tables,
+    extended to the meta-file-rooted stores. Driver-side listing
+    only."""
+    out = []
+    if not os.path.isdir(catalog.root):
+        return out
+    for f in sorted(os.listdir(catalog.root)):
+        for suffix, kind in _KINDS.items():
+            if f.endswith(suffix):
+                out.append((f[: -len(suffix)], kind))
+    return out

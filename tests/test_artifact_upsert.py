@@ -260,3 +260,53 @@ def test_search_upsert_from_stream(spark, sf_dir, tmp_path):
     ]
     assert got == want
     shutil.rmtree(src, ignore_errors=True)
+
+
+def test_post_compact_insert_column_order_all_stores(spark, sf_dir, tmp_path):
+    """The exact sequence the interleaving property falsified on
+    SearchIndex (upsert -> purging compact -> upsert): the purged
+    rewrite must keep the declared column order or the next positional
+    INSERT INTO miswrites. Pin it for the other two stores, which share
+    live_view."""
+    from hindex_spark.operators.ann_index import AnnIndex
+
+    docs = _docs(spark, sf_dir).limit(60)
+    cat = Catalog(spark, str(tmp_path / "wh"))
+
+    st = DedupState.build(cat, docs, "doc_id", "text", "o")
+    st.upsert(docs.filter(F.col("doc_id") < 10))
+    st.compact()
+    st.upsert(docs.filter(F.col("doc_id") < 5))
+    assert st.df.count() == 60
+    assert st.df.columns[:2] == ["doc_id", "__fp"]
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").limit(60)
+    ax = AnnIndex.build(cat, emb, "vec_id", "embedding", "o",
+                        n_clusters=4, iters=1)
+    ax.upsert(emb.filter(F.col("vec_id") < 10))
+    ax.compact()
+    ax.upsert(emb.filter(F.col("vec_id") < 5))
+    assert ax.vectors.count() == 60
+    assert ax.vectors.columns[0] == "cluster"
+
+
+def test_list_artifacts_discovers_all_kinds(spark, sf_dir, tmp_path):
+    from hindex_spark.operators.ann_index import AnnIndex
+    from hindex_spark.operators.artifact import list_artifacts
+    from hindex_spark.operators.rollup import HOUR_US, RollupStore
+
+    docs = _docs(spark, sf_dir).limit(30)
+    cat = Catalog(spark, str(tmp_path / "wh"))
+    assert list_artifacts(cat) == []
+    SearchIndex.build(cat, docs, "doc_id", "text", "a")
+    DedupState.build(cat, docs, "doc_id", "text", "b")
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").limit(30)
+    AnnIndex.build(cat, emb, "vec_id", "embedding", "c",
+                   n_clusters=4, iters=1)
+    events = spark.read.parquet(f"{sf_dir}/events.parquet").limit(100)
+    RollupStore.build(cat, events, "ts", ["event_type"], "value",
+                      HOUR_US, "d")
+    assert list_artifacts(cat) == [
+        ("a", "search_index"), ("b", "dedup_state"),
+        ("c", "ann_index"), ("d", "rollup_store"),
+    ]
