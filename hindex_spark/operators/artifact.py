@@ -155,3 +155,23 @@ def list_artifacts(catalog) -> list:
             if f.endswith(suffix):
                 out.append((f[: -len(suffix)], kind))
     return out
+
+
+def maybe_compact(store, max_tombstoned: int = 100_000,
+                  max_files_per_bucket: int = 8) -> bool:
+    """Compact ``store`` when maintenance debt crosses either threshold:
+    the tombstone set approaching non-broadcast size (Lucene's
+    too-many-deletes merge trigger) or file fragmentation costing scans
+    their bucket sort. Works on any artifact store (duck-typed:
+    ``catalog``/``table_name``/``num_buckets``/``id_col``/``compact``).
+    Returns whether a compaction ran — call it after the daily
+    update/upsert batch and maintenance schedules itself."""
+    stats = maintenance_stats(store.catalog, store.table_name,
+                              getattr(store, "id_col", ""))
+    if (
+        stats["tombstoned_ids"] > max_tombstoned
+        or stats["data_files"] > max_files_per_bucket * store.num_buckets
+    ):
+        store.compact()
+        return True
+    return False

@@ -310,3 +310,18 @@ def test_list_artifacts_discovers_all_kinds(spark, sf_dir, tmp_path):
         ("a", "search_index"), ("b", "dedup_state"),
         ("c", "ann_index"), ("d", "rollup_store"),
     ]
+
+
+def test_maybe_compact_schedules_on_thresholds(spark, sf_dir, tmp_path):
+    from hindex_spark.operators.artifact import maybe_compact
+
+    docs = _docs(spark, sf_dir).limit(40)
+    cat = Catalog(spark, str(tmp_path / "wh"))
+    ix = SearchIndex.build(cat, docs, "doc_id", "text", "m")
+    assert maybe_compact(ix) is False  # no debt yet
+    ix.upsert(docs.filter(F.col("doc_id") < 10))
+    before = _topk_rows(ix)
+    assert maybe_compact(ix, max_tombstoned=5) is True
+    assert not os.path.isdir(ix._tombstone_path())
+    assert _topk_rows(ix) == before  # purge is read-invisible
+    assert maybe_compact(ix, max_tombstoned=5) is False  # debt cleared
