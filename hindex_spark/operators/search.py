@@ -346,6 +346,10 @@ class SearchIndex:
         ix = cls(catalog, name, id_col, text_col,
                  int(stats["n"]), float(stats["sumdl"] or 0.0),
                  num_buckets=num_buckets)
+        catalog.save_bucketed(
+            Table(ix._doclen_rows(docs, 0), id_col, f"{name}_doclen"),
+            num_buckets=num_buckets,
+        )
         with open(ix._meta_path(), "w") as f:
             json.dump(ix._meta(), f)
         return ix
@@ -428,6 +432,65 @@ class SearchIndex:
         with open(self._meta_path(), "w") as f:
             json.dump(self._meta(), f)
 
+    # -- doclen side table ----------------------------------------------------
+    # One narrow row per LIVE doc version: (id, dl, gen), bucketed on
+    # id. Exists so upsert's old-stats probe reads ~20 bytes/doc instead
+    # of the postings' row-per-(doc, token) — the documented 100 TB
+    # upsert cost, closed. Shares the postings table's tombstone set
+    # (generations are bumped identically), is appended alongside every
+    # postings INSERT, and is REBUILT FROM the postings at compact(), so
+    # a crash between the two INSERTs self-heals at the next compaction.
+
+    @property
+    def doclen_table_name(self) -> str:
+        return f"{self.name}_doclen_bucketed"
+
+    def _doclen_rows(self, docs: DataFrame, gen: int) -> DataFrame:
+        return docs.filter(F.col(self.text_col).isNotNull()).select(
+            F.col(self.id_col),
+            F.size(tokens(F.col(self.text_col))).alias("dl"),
+            F.lit(gen).cast("long").alias("gen"),
+        )
+
+    def _has_doclen(self) -> bool:
+        import os
+
+        return os.path.isdir(os.path.join(
+            self.catalog.root, self.doclen_table_name, "data"
+        ))
+
+    def _ensure_doclen_registered(self) -> None:
+        import os
+
+        if not self.catalog.spark.catalog.tableExists(self.doclen_table_name):
+            self.catalog._attach_bucketed(
+                self.doclen_table_name,
+                os.path.join(self.catalog.root, self.doclen_table_name, "data"),
+                self.id_col, [self.id_col], self.num_buckets,
+            )
+
+    @property
+    def doclens(self) -> DataFrame:
+        """LIVE (id, dl, gen) rows — same tombstone cut as postings."""
+        from hindex_spark.operators.artifact import live_view
+
+        self._ensure_doclen_registered()
+        return live_view(
+            self.catalog.spark.table(self.doclen_table_name),
+            self.id_col, self.catalog.spark, self._tombstone_path(),
+        )
+
+    def _append_doclens(self, docs: DataFrame, gen: int) -> None:
+        """INSERT the batch's doclen rows (caller holds the lock)."""
+        rows = self._doclen_rows(docs, gen)
+        view = f"__doclen_append_{self.name}"
+        sess = docs.sparkSession
+        self._ensure_doclen_registered()
+        rows.createOrReplaceTempView(view)
+        sess.sql(f"INSERT INTO {self.doclen_table_name} SELECT * FROM {view}")
+        sess.catalog.dropTempView(view)
+        self.catalog.spark.catalog.refreshTable(self.doclen_table_name)
+
     def _reload_meta(self) -> None:
         """Re-read the persisted meta into this handle. MUST run at the
         top of every locked mutation: the in-memory n_docs/sum_dl/
@@ -481,6 +544,8 @@ class SearchIndex:
             # the INSERT ran on the batch's session; invalidate the
             # catalog session's cached listing so its readers see it
             self.catalog.spark.catalog.refreshTable(self.table_name)
+            if self._has_doclen():
+                self._append_doclens(new_docs, self.cur_gen)
             batch = (
                 new_docs.filter(F.col(self.text_col).isNotNull())
                 .agg(
@@ -507,8 +572,13 @@ class SearchIndex:
         once per batch). If upserts dominate the workload, the next
         step is a doclen side table bucketed on id (the DedupState
         shape), which turns this into a probe of the batch's buckets."""
+        source = (
+            self.doclens if self._has_doclen() else
+            # pre-doclen store: fall back to the postings scan
+            self.postings
+        )
         row = (
-            self.postings.join(F.broadcast(ids), self.id_col, "left_semi")
+            source.join(F.broadcast(ids), self.id_col, "left_semi")
             .select(F.col(self.id_col), "dl")
             .distinct()
             .agg(
@@ -562,6 +632,8 @@ class SearchIndex:
             sess.sql(f"INSERT INTO {self.table_name} SELECT * FROM {view}")
             sess.catalog.dropTempView(view)
             self.catalog.spark.catalog.refreshTable(self.table_name)
+            if self._has_doclen():
+                self._append_doclens(docs, new_gen)
             batch = (
                 docs.filter(F.col(self.text_col).isNotNull())
                 .agg(
@@ -790,6 +862,21 @@ class SearchIndex:
             )
             self.catalog.save_bucketed(
                 Table(rows, "token", f"{self.name}_postings"),
+                num_buckets=num_buckets,
+            )
+            # doclen rebuilt FROM the just-written purged postings (dl
+            # is constant per (doc, gen)) — self-heals a crash between
+            # the postings and doclen INSERTs. MUST re-read the NEW
+            # files: the lazy pre-rewrite frame points at data the swap
+            # above already removed.
+            purged = self.catalog.spark.read.parquet(
+                os.path.join(self.catalog.root, self.table_name, "data")
+            )
+            self.catalog.save_bucketed(
+                Table(
+                    purged.select(F.col(self.id_col), "dl", "gen").distinct(),
+                    self.id_col, f"{self.name}_doclen",
+                ),
                 num_buckets=num_buckets,
             )
             clear_tombstones(self._tombstone_path())

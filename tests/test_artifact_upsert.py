@@ -325,3 +325,42 @@ def test_maybe_compact_schedules_on_thresholds(spark, sf_dir, tmp_path):
     assert not os.path.isdir(ix._tombstone_path())
     assert _topk_rows(ix) == before  # purge is read-invisible
     assert maybe_compact(ix, max_tombstoned=5) is False  # debt cleared
+
+
+def test_doclen_side_table_maintained_and_used(spark, sf_dir, tmp_path):
+    """The upsert stats probe reads the narrow (id, dl, gen) side table
+    (~20 bytes/doc) instead of scanning the postings; the side table
+    tracks every mutation and always equals the live postings' distinct
+    (id, dl) projection; compact rebuilds it from the purged postings."""
+    docs = _docs(spark, sf_dir).limit(80)
+    stale = F.col("doc_id") < 30
+    cat = Catalog(spark, str(tmp_path / "wh"))
+    ix = SearchIndex.build(cat, _mangle(docs, stale), "doc_id", "text", "dl")
+    assert ix._has_doclen()
+
+    def _doclen_matches_postings():
+        a = sorted(
+            (r["doc_id"], r["dl"])
+            for r in ix.doclens.select("doc_id", "dl").distinct().collect()
+        )
+        b = sorted(
+            (r["doc_id"], r["dl"])
+            for r in ix.postings.select("doc_id", "dl").distinct().collect()
+        )
+        assert a == b and len(a) == 80
+
+    _doclen_matches_postings()
+    ix.upsert(docs.filter(stale))
+    _doclen_matches_postings()
+    ix.update(docs.filter(F.col("doc_id") >= 80).limit(0))  # no-op batch ok
+    n, s = ix.n_docs, ix.sum_dl
+    ix.repair_stats()
+    assert (n, s) == (ix.n_docs, ix.sum_dl)
+    ix.compact()
+    _doclen_matches_postings()
+    # the probe plan reads the doclen table, not the postings
+    probe = ix.doclens.join(
+        F.broadcast(docs.limit(3).select("doc_id")), "doc_id", "left_semi"
+    )
+    plan = probe._jdf.queryExecution().executedPlan().toString()
+    assert "doclen" in plan and "positions" not in plan
