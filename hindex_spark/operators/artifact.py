@@ -111,7 +111,7 @@ def tombstone_count(spark: SparkSession, path: str) -> int:
     return tomb.select(tomb.columns[0]).distinct().count()
 
 
-def maintenance_stats(catalog, table_name: str, id_col: str) -> dict:
+def maintenance_stats(catalog, table_name: str) -> dict:
     """The numbers a maintenance job schedules compaction on:
     ``tombstoned_ids`` (distinct ids with live cuts — the broadcast-size
     gauge; Lucene's deleted-docs count) and ``data_files`` (parquet
@@ -166,8 +166,7 @@ def maybe_compact(store, max_tombstoned: int = 100_000,
     ``catalog``/``table_name``/``num_buckets``/``id_col``/``compact``).
     Returns whether a compaction ran — call it after the daily
     update/upsert batch and maintenance schedules itself."""
-    stats = maintenance_stats(store.catalog, store.table_name,
-                              getattr(store, "id_col", ""))
+    stats = maintenance_stats(store.catalog, store.table_name)
     if (
         stats["tombstoned_ids"] > max_tombstoned
         or stats["data_files"] > max_files_per_bucket * store.num_buckets

@@ -214,15 +214,15 @@ def test_maintenance_stats_gauge(spark, sf_dir, tmp_path):
     docs = _docs(spark, sf_dir).limit(60)
     cat = Catalog(spark, str(tmp_path / "wh"))
     ix = SearchIndex.build(cat, docs, "doc_id", "text", "g")
-    s0 = maintenance_stats(cat, ix.table_name, "doc_id")
+    s0 = maintenance_stats(cat, ix.table_name)
     assert s0["tombstoned_ids"] == 0 and s0["data_files"] >= 1
     ix.upsert(docs.filter(F.col("doc_id") < 10))
     ix.delete(docs.filter(F.col("doc_id").between(10, 14)))
-    s1 = maintenance_stats(cat, ix.table_name, "doc_id")
+    s1 = maintenance_stats(cat, ix.table_name)
     assert s1["tombstoned_ids"] == 15
     assert s1["data_files"] > s0["data_files"]
     ix.compact()
-    s2 = maintenance_stats(cat, ix.table_name, "doc_id")
+    s2 = maintenance_stats(cat, ix.table_name)
     assert s2["tombstoned_ids"] == 0
     assert s2["data_files"] <= ix.num_buckets
 
