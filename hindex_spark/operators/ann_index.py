@@ -73,6 +73,41 @@ def assign_to_centroids(
     ).select("cluster", F.col(id_col), F.col(vec_col))
 
 
+def _train_residual_codebooks(embeddings, centroids, id_col, vec_col,
+                              m, k, sample_size, iters):
+    """Residual PQ codebooks (IVFADC): per-subspace k-means on
+    (vec - nearest centroid) over a bounded hash-sample — the residual
+    geometry is what the quantizer must cover, not the raw vectors'.
+    Driver state: sample_size x dim doubles, same bound as pq_train."""
+    import numpy as np
+
+    from hindex_spark.operators.similarity import (
+        _estimate_rows,
+        _pq_kmeans,
+        nearest_centroid,
+    )
+
+    n = _estimate_rows(embeddings)
+    mod = max(1, n // sample_size) if n > sample_size else 1
+    samp = embeddings
+    if mod > 1:
+        samp = embeddings.filter(
+            F.pmod(F.hash(F.col(id_col)), F.lit(mod)) == 0
+        )
+    samp = samp.orderBy(id_col).limit(sample_size)
+    rows = (
+        nearest_centroid(samp, centroids, id_col, vec_col, keep_vector=True)
+        .join(F.broadcast(centroids), "cluster")
+        .select(vec_col, "centroid")
+        .collect()
+    )
+    X = np.asarray([
+        [float(v) - float(c) for v, c in zip(r[vec_col], r["centroid"])]
+        for r in rows
+    ])
+    return _pq_kmeans(X, m, k, iters)
+
+
 class AnnIndex:
     """Handle to a persisted IVF index inside a ``Catalog``.
 
@@ -87,7 +122,7 @@ class AnnIndex:
 
     def __init__(self, catalog, name: str, id_col: str, vec_col: str,
                  n_clusters: int, num_buckets: int = 32, cur_gen: int = 0,
-                 pq_codebooks=None):
+                 pq_codebooks=None, pq_residual: bool = False):
         self.catalog = catalog
         self.name = name
         self.id_col = id_col
@@ -100,6 +135,14 @@ class AnnIndex:
         # so it persists in the meta — bounded driver-material by
         # construction (m*k sub-centroids, the classic PQ codebook).
         self.pq_codebooks = pq_codebooks
+        # True = codes encode RESIDUALS (vec - centroid), the IVFADC of
+        # Jegou et al. §IV.B. On real embedding distributions residual
+        # quantization is finer (residual magnitudes shrink with good
+        # clustering); on this repo's synthetic copies it measured
+        # recall-neutral (COVERAGE's crossover table), so raw encoding
+        # stays the default and residual is the documented option.
+        # Part of the artifact identity (meta-persisted).
+        self.pq_residual = pq_residual
         self.table_name = f"{name}_annindex_bucketed"
 
     # -- storage ------------------------------------------------------------
@@ -116,7 +159,8 @@ class AnnIndex:
               iters: int = 3, sample_size: int = 65536,
               num_buckets: Optional[int] = None,
               pq_m: Optional[int] = None, pq_k: int = 16,
-              pq_sample_size: int = 4096, pq_iters: int = 10) -> "AnnIndex":
+              pq_sample_size: int = 4096, pq_iters: int = 10,
+              pq_residual: bool = False) -> "AnnIndex":
         """One-time (or retrain) pass: bounded-sample k-means + ONE
         full-corpus assignment, vectors persisted bucketed on cluster.
         ``num_buckets`` defaults to ``n_clusters`` — at most one cluster
@@ -130,28 +174,35 @@ class AnnIndex:
         norm), never the raw vectors, so the probe's bytes-read shrinks
         by ~dim*4/(m+8) on top of the cluster pruning. The exact
         re-rank reads vectors for shortlisted ids only."""
-        from hindex_spark.operators.similarity import pq_code_cols, pq_train
+        from hindex_spark.operators.similarity import pq_train
         from hindex_spark.table import Table
 
         if num_buckets is None:
             num_buckets = n_clusters
-        codebooks = None
-        if pq_m is not None:
-            codebooks = pq_train(
-                embeddings, m=pq_m, k=pq_k, id_col=id_col, vec_col=vec_col,
-                sample_size=pq_sample_size, iters=pq_iters,
-            )
-        ix = cls(catalog, name, id_col, vec_col, n_clusters,
-                 num_buckets=num_buckets, pq_codebooks=codebooks)
         assigned, cents = ivf_build(
             embeddings, n_clusters=n_clusters, iters=iters,
             id_col=id_col, vec_col=vec_col, sample_size=sample_size,
             keep_vectors=True,
         )
+        codebooks = None
+        if pq_m is not None:
+            if pq_residual:
+                codebooks = _train_residual_codebooks(
+                    embeddings, cents, id_col, vec_col, pq_m, pq_k,
+                    pq_sample_size, pq_iters,
+                )
+            else:
+                codebooks = pq_train(
+                    embeddings, m=pq_m, k=pq_k, id_col=id_col,
+                    vec_col=vec_col, sample_size=pq_sample_size,
+                    iters=pq_iters,
+                )
+        ix = cls(catalog, name, id_col, vec_col, n_clusters,
+                 num_buckets=num_buckets, pq_codebooks=codebooks,
+                 pq_residual=bool(pq_residual and pq_m is not None))
         rows = assigned.select("cluster", id_col, vec_col)
         if codebooks is not None:
-            codes, norm = pq_code_cols(codebooks, vec_col)
-            rows = rows.withColumn("codes", codes).withColumn("norm", norm)
+            rows = ix._with_pq_cols(rows, cents)
         rows = rows.withColumn("gen", F.lit(0).cast("long"))
         from hindex_spark.operators.artifact import clear_tombstones
 
@@ -172,7 +223,8 @@ class AnnIndex:
                 json.dump({"id_col": id_col, "vec_col": vec_col,
                            "n_clusters": n_clusters,
                            "num_buckets": num_buckets, "cur_gen": 0,
-                           "pq_codebooks": codebooks}, f)
+                           "pq_codebooks": codebooks,
+                           "pq_residual": ix.pq_residual}, f)
         return ix
 
     @classmethod
@@ -183,7 +235,8 @@ class AnnIndex:
         return cls(catalog, name, m["id_col"], m["vec_col"],
                    m["n_clusters"], num_buckets=m.get("num_buckets", 32),
                    cur_gen=m.get("cur_gen", 0),
-                   pq_codebooks=m.get("pq_codebooks"))
+                   pq_codebooks=m.get("pq_codebooks"),
+                   pq_residual=m.get("pq_residual", False))
 
     def _ensure_registered(self) -> None:
         """Re-attach the session-scoped bucketed registration from the
@@ -251,10 +304,7 @@ class AnnIndex:
             self.centroids, self.id_col, self.vec_col,
         )
         if self.pq_codebooks is not None:
-            from hindex_spark.operators.similarity import pq_code_cols
-
-            codes, norm = pq_code_cols(self.pq_codebooks, self.vec_col)
-            rows = rows.withColumn("codes", codes).withColumn("norm", norm)
+            rows = self._with_pq_cols(rows, self.centroids)
         return rows.withColumn("gen", F.lit(gen).cast("long"))
 
     def update(self, new_vectors: DataFrame) -> None:
@@ -273,6 +323,32 @@ class AnnIndex:
             sess.sql(f"INSERT INTO {self.table_name} SELECT * FROM {view}")
             sess.catalog.dropTempView(view)
             self.catalog.spark.catalog.refreshTable(self.table_name)
+
+    def _with_pq_cols(self, rows: DataFrame, centroids: DataFrame) -> DataFrame:
+        """Add (codes, norm) to (cluster, id, vec) rows. Raw mode codes
+        the vector itself; residual mode codes (vec - centroid) — one
+        broadcast join on cluster — while ``norm`` is ALWAYS the true
+        vector norm (it is the cosine denominator, independent of what
+        the codes quantize)."""
+        from hindex_spark.operators.similarity import pq_code_cols
+
+        dv = F.col(self.vec_col).cast("array<double>")
+        true_norm = F.sqrt(
+            F.aggregate(F.transform(dv, lambda x: x * x), F.lit(0.0),
+                        lambda a, x: a + x)
+        )
+        if not self.pq_residual:
+            codes, norm = pq_code_cols(self.pq_codebooks, self.vec_col)
+            return rows.withColumn("codes", codes).withColumn("norm", norm)
+        residual = F.zip_with(dv, F.col("centroid"), lambda a, b: a - b)
+        codes, _ = pq_code_cols(self.pq_codebooks, residual)
+        return (
+            rows.join(F.broadcast(centroids), "cluster")
+            .withColumn("codes", codes)
+            .withColumn("norm", true_norm)
+            .drop("centroid")
+            .select("cluster", self.id_col, self.vec_col, "codes", "norm")
+        )
 
     def _bump_gen(self, new_gen: int) -> None:
         self.cur_gen = new_gen
@@ -376,11 +452,13 @@ class AnnIndex:
             sample_size=sample_size,
             pq_m=(len(self.pq_codebooks) if self.pq_codebooks else None),
             pq_k=(len(self.pq_codebooks[0]) if self.pq_codebooks else 16),
+            pq_residual=self.pq_residual,
         )
         self.n_clusters = new.n_clusters
         self.num_buckets = new.num_buckets
         self.cur_gen = new.cur_gen
         self.pq_codebooks = new.pq_codebooks
+        self.pq_residual = new.pq_residual
         return new
 
     # -- the query ----------------------------------------------------------
@@ -448,6 +526,10 @@ class AnnIndex:
                     "AnnIndex.topk(method='adc') needs a PQ codebook — "
                     "build the index with pq_m=..."
                 )
+            if self.pq_residual:
+                return self._adc_residual_topk(
+                    pruned, queries, k, shortlist, q_id_col, q_vec_col
+                )
             from hindex_spark.operators.similarity import pq_topk
 
             return pq_topk(
@@ -463,4 +545,113 @@ class AnnIndex:
             pruned, pruned, self.centroids, queries, k, nprobe=nprobe,
             id_col=self.id_col, vec_col=self.vec_col,
             q_id_col=q_id_col, q_vec_col=q_vec_col,
+        )
+
+
+    def _adc_residual_topk(self, pruned: DataFrame, queries: DataFrame,
+                           k: int, shortlist: int, q_id_col: str,
+                           q_vec_col: str) -> DataFrame:
+        """ADC over RESIDUAL codes (IVFADC): the approximate dot
+        decomposes as dot(q, c_j) + dot(q, residual-hat) — the first
+        term is a per-(query, cluster) scalar computed driver-side
+        (centroids are driver-material by construction), the second the
+        usual m-lookup LUT fold, with the LUT built against the
+        residual codebook. Exact-cosine re-rank of the shortlist, same
+        tail as pq_topk; with full probe + corpus-wide shortlist the
+        result equals brute force exactly."""
+        import math
+
+        from hindex_spark.operators.similarity import _not_self
+
+        cb = self.pq_codebooks
+        m, d_sub = len(cb), len(cb[0][0])
+        spark = pruned.sparkSession
+        q_rows = queries.collect()
+        cent_map = {
+            r["cluster"]: [float(x) for x in r["centroid"]]
+            for r in self.centroids.collect()
+        }
+        lut_rows, qc_rows = [], []
+        for r in q_rows:
+            qv = [float(x) for x in r[q_vec_col]]
+            lut = [
+                [
+                    sum(qv[j * d_sub + t] * cent[t] for t in range(d_sub))
+                    for cent in cb[j]
+                ]
+                for j in range(m)
+            ]
+            q_norm = math.sqrt(sum(x * x for x in qv)) or 1.0
+            lut_rows.append((r[q_id_col], lut, q_norm))
+            for c, cv in cent_map.items():
+                qc_rows.append(
+                    (r[q_id_col], c, sum(a * b for a, b in zip(qv, cv)))
+                )
+        qid_ddl = queries.schema[q_id_col].dataType.simpleString()
+        qlut = spark.createDataFrame(
+            lut_rows,
+            f"{q_id_col} {qid_ddl}, lut array<array<double>>, q_norm double",
+        )
+        qc = spark.createDataFrame(
+            qc_rows, f"{q_id_col} {qid_ddl}, cluster int, qc double"
+        )
+        codes = pruned.select(
+            F.col(self.id_col), "cluster", "codes", "norm"
+        )
+        approx = (
+            codes.join(F.broadcast(qc), "cluster")
+            .join(F.broadcast(qlut), q_id_col)
+            .filter(_not_self(queries, q_id_col, pruned, self.id_col))
+            .withColumn(
+                "__adot",
+                F.col("qc")
+                + F.aggregate(
+                    F.zip_with(
+                        F.col("codes"), F.col("lut"),
+                        lambda c, row: F.element_at(row, c),
+                    ),
+                    F.lit(0.0),
+                    lambda acc, v: acc + v,
+                ),
+            )
+            .withColumn(
+                "__acos",
+                F.col("__adot")
+                / (
+                    F.col("q_norm")
+                    * F.when(F.col("norm") > 0, F.col("norm")).otherwise(
+                        F.lit(1.0)
+                    )
+                ),
+            )
+        )
+        ws = Window.partitionBy(q_id_col).orderBy(
+            F.col("__acos").desc(), F.col(self.id_col)
+        )
+        short = (
+            approx.withColumn("__srn", F.row_number().over(ws))
+            .filter(F.col("__srn") <= shortlist)
+            .select(q_id_col, self.id_col)
+        )
+        exact = (
+            short.join(
+                pruned.select(F.col(self.id_col), F.col(self.vec_col)),
+                self.id_col,
+            )
+            .join(F.broadcast(queries), q_id_col)
+            .select(
+                F.col(q_id_col),
+                F.col(self.id_col),
+                F.round(
+                    cosine_expr(F.col(self.vec_col), F.col(q_vec_col)), 6
+                ).alias("cosine"),
+            )
+        )
+        w = Window.partitionBy(q_id_col).orderBy(
+            F.col("cosine").desc(), F.col(self.id_col)
+        )
+        return (
+            exact.withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= k)
+            .select(q_id_col, self.id_col, "cosine", "rank")
         )

@@ -446,6 +446,14 @@ def pq_train(
     literals into JVM expressions downstream; driver state k x dim
     doubles, same as IVF's centroid table).
     """
+    X = _pq_sample(embeddings, sample_size, id_col, vec_col)
+    return _pq_kmeans(X, m, k, iters)
+
+
+def _pq_sample(embeddings: DataFrame, sample_size: int, id_col: str,
+               vec_col: str):
+    """Deterministic hash-sample of <= sample_size vectors as a numpy
+    matrix (bounded driver state)."""
     import numpy as np
 
     n = _estimate_rows(embeddings)
@@ -455,7 +463,15 @@ def pq_train(
     else:
         train = embeddings
     rows = train.orderBy(id_col).limit(sample_size).collect()
-    X = np.asarray([[float(v) for v in r[vec_col]] for r in rows])
+    return np.asarray([[float(v) for v in r[vec_col]] for r in rows])
+
+
+def _pq_kmeans(X, m: int, k: int, iters: int) -> List[List[List[float]]]:
+    """Per-subspace k-means on a driver-side sample matrix (the shared
+    trainer for raw-vector and residual codebooks). Deterministic:
+    first-k init, fixed iterations, first-min tie-breaks."""
+    import numpy as np
+
     dim = X.shape[1]
     if dim % m:
         raise ValueError(f"dim {dim} not divisible by m={m}")
@@ -486,15 +502,20 @@ def _sq_l2(a: Column, b: Column) -> Column:
     )
 
 
-def pq_code_cols(codebooks: List[List[List[float]]], vec_col: str):
-    """The (codes, norm) COLUMN expressions encoding ``vec_col`` against
-    the codebooks — exposed so callers that already project per vector
+def pq_code_cols(codebooks: List[List[List[float]]], vec_col):
+    """The (codes, norm) COLUMN expressions encoding ``vec_col`` (a
+    column name or Column — e.g. a residual expression) against the
+    codebooks — exposed so callers that already project per vector
     (AnnIndex's cluster assignment) can add the PQ columns in the SAME
     map pass instead of paying an id-keyed join with ``pq_encode``'s
     output. argmin = array_position of array_min (first-min tie-break);
-    all-JVM, no shuffle, no Python."""
+    all-JVM, no shuffle, no Python. NB: ``norm`` is the norm of the
+    ENCODED input — for residual encoding the caller supplies the true
+    vector norm separately."""
     d_sub = len(codebooks[0][0])
-    vec = F.col(vec_col).cast("array<double>")
+    vec = (F.col(vec_col) if isinstance(vec_col, str) else vec_col).cast(
+        "array<double>"
+    )
     codes = []
     for j, cb in enumerate(codebooks):
         sub = F.slice(vec, j * d_sub + 1, d_sub)

@@ -2161,3 +2161,29 @@ def q_ann_filtered(spark, sf_dir):
     )
     allowed = emb.filter(F.col("label") == 3).select("vec_id")
     return ix.topk(queries_df, 10, nprobe=8, filter_ids=allowed)
+
+
+@query("ann_ivfpq_residual_topk", _BF_TOPK_ORACLE)
+def q_ann_ivfpq_residual(spark, sf_dir):
+    """IVFADC residual encoding, hard-signal: codes quantize
+    (vec - centroid) and the ADC dot decomposes as dot(q, centroid) +
+    residual-LUT sum — with every cluster probed and a corpus-wide
+    shortlist the exact re-rank must equal brute force, so a wrong
+    coarse term, residual codebook, or decomposition breaks the hash.
+    The recall trade vs raw encoding is measured honestly in COVERAGE's
+    crossover table."""
+    import tempfile
+
+    from hindex_spark.catalog import Catalog
+    from hindex_spark.operators.ann_index import AnnIndex
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    cat = Catalog(spark, tempfile.mkdtemp(prefix="hindex_annix_"))
+    ix = AnnIndex.build(cat, emb, "vec_id", "embedding", "gatevecs_res",
+                        n_clusters=8, iters=2, pq_m=4, pq_k=16,
+                        pq_residual=True)
+    queries_df = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_vec")
+    )
+    return ix.topk(queries_df, 10, nprobe=8, method="adc",
+                   shortlist=1_000_000)

@@ -326,3 +326,42 @@ def test_ann_filtered_search_prefilter_semantics(spark, sf_dir, tmp_path):
     got_adc = _rows(ix.topk(q, 10, nprobe=8, method="adc",
                             shortlist=10**6, filter_ids=allowed))
     assert got_adc == want
+
+
+def test_ann_ivfpq_residual_mode_roundtrip_and_recall_floor(
+    spark, sf_dir, tmp_path
+):
+    """IVFADC residual encoding: the mode persists through the meta,
+    both encodings stay exact at the full configuration (covered by the
+    gates), and tight-shortlist recall clears a floor. Strict
+    residual > raw dominance is data-dependent at this tiny scale
+    (52% vs 54% here, 58% vs 44% at sf0.01, both 1.0 at 1M/2000 —
+    see COVERAGE's crossover table), so the test pins floors, not
+    ordering."""
+    emb = _emb(spark, sf_dir)
+    q = _queries(emb)
+    cat = Catalog(spark, str(tmp_path / "wh"))
+    ixr = AnnIndex.build(cat, emb, "vec_id", "embedding", "vr",
+                         n_clusters=8, iters=2, pq_m=4, pq_k=16,
+                         pq_residual=True)
+    assert ixr.pq_residual is True
+    ixw = AnnIndex.build(cat, emb, "vec_id", "embedding", "vw",
+                         n_clusters=8, iters=2, pq_m=4, pq_k=16,
+                         pq_residual=False)
+    truth = {
+        (r["q_id"], r["vec_id"])
+        for r in sim.brute_force_topk(emb, q, 10).collect()
+    }
+
+    def recall(ix, sl):
+        got = {
+            (r["q_id"], r["vec_id"])
+            for r in ix.topk(q, 10, nprobe=8, method="adc",
+                             shortlist=sl).collect()
+        }
+        return len(got & truth) / len(truth)
+
+    assert recall(ixr, 20) >= 0.4 and recall(ixw, 20) >= 0.4
+    # reopened handle keeps the residual contract
+    assert AnnIndex.open(cat, "vr").pq_residual is True
+    assert AnnIndex.open(cat, "vw").pq_residual is False
