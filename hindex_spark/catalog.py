@@ -724,32 +724,50 @@ class Catalog:
                 ).parquet(ipath)
         return t
 
+    def bucketed_sql_name(self, dir_name: str) -> str:
+        """Session-SQL identifier for a ``save_bucketed`` artifact: the
+        on-disk directory name is catalog-root-relative, but session SQL
+        names are SESSION-GLOBAL, so the registered name is tagged with
+        this catalog's root (like ``_sql_name``). Without the tag, two
+        Catalog instances in one session (every gate makes a fresh
+        tempdir Catalog) collide on e.g. ``gate_events_rollup_bucketed``
+        and any re-registration interleaving leaves a reader pointed at
+        another invocation's files."""
+        return self._sql_name(dir_name)
+
     def save_bucketed(self, table: Table, num_buckets: int = 32) -> None:
         """Explicit-name bucketed persistence (bucketBy rowkey): joins
         and aggregations on the rowkey then run WITHOUT a shuffle on
         this side — the analog of the reference's region colocation
         (SecIndexLoadBalancer keeps T and T_idx regions together so the
         index semi-join is region-local). Prefer ``save()`` (bucketed by
-        default, descriptor-integrated); this variant registers plain
-        ``<name>_bucketed`` table names and shares the same atomic
-        staging + fresh-registration plumbing."""
+        default, descriptor-integrated); this variant writes under
+        ``<root>/<name>_bucketed`` and registers the ROOT-TAGGED session
+        name ``bucketed_sql_name("<name>_bucketed")``, sharing the same
+        atomic staging + fresh-registration plumbing."""
         rk = table.rowkey_col
         name = f"{table.name}_bucketed"
         self._write_bucketed(
-            table.df, os.path.join(self.root, name, "data"), name, rk, [rk], num_buckets
+            table.df, os.path.join(self.root, name, "data"),
+            self.bucketed_sql_name(name), rk, [rk], num_buckets,
         )
         for spec in table.indices.indices:
             self._write_bucketed(
                 table.index_tables[spec.name],
                 os.path.join(self.root, name, "index", spec.name),
-                f"{table.name}_bucketed_idx_{spec.name}",
+                self.bucketed_sql_name(f"{table.name}_bucketed_idx_{spec.name}"),
                 rk,
                 [rk],
                 num_buckets,
             )
 
-    def load_bucketed(self, spark_name: str, rowkey_col: str) -> Table:
-        return Table(self.spark.table(spark_name), rowkey_col, spark_name)
+    def load_bucketed(self, name: str, rowkey_col: str) -> Table:
+        """Open a ``save_bucketed`` artifact by its directory name (the
+        plain ``<name>_bucketed``); resolves the root-tagged session
+        registration."""
+        return Table(
+            self.spark.table(self.bucketed_sql_name(name)), rowkey_col, name
+        )
 
     def list_tables(self) -> List[str]:
         if not os.path.isdir(self.root):

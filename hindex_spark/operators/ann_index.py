@@ -145,6 +145,13 @@ class AnnIndex:
         self.pq_residual = pq_residual
         self.table_name = f"{name}_annindex_bucketed"
 
+    @property
+    def sql_name(self) -> str:
+        """Root-tagged session registration name (``table_name`` is the
+        catalog-root-relative directory; session SQL names are global —
+        Catalog.bucketed_sql_name)."""
+        return self.catalog.bucketed_sql_name(self.table_name)
+
     # -- storage ------------------------------------------------------------
 
     def _meta_path(self) -> str:
@@ -243,9 +250,9 @@ class AnnIndex:
         files + persisted num_buckets on a fresh SparkSession
         (tableExists, never a resolve — SearchIndex.update's
         file-listing-cache hazard)."""
-        if not self.catalog.spark.catalog.tableExists(self.table_name):
+        if not self.catalog.spark.catalog.tableExists(self.sql_name):
             self.catalog._attach_bucketed(
-                self.table_name,
+                self.sql_name,
                 os.path.join(self.catalog.root, self.table_name, "data"),
                 "cluster", ["cluster"], self.num_buckets,
             )
@@ -260,7 +267,8 @@ class AnnIndex:
         """The vector table as stored — tombstoned generations included
         (self-repairing registration)."""
         self._ensure_registered()
-        return self.catalog.spark.table(self.table_name)
+        self.catalog.spark.catalog.refreshTable(self.sql_name)
+        return self.catalog.spark.table(self.sql_name)
 
     @property
     def vectors(self) -> DataFrame:
@@ -320,9 +328,9 @@ class AnnIndex:
             rows = self._index_rows(new_vectors, self.cur_gen)
             self._ensure_registered()
             rows.createOrReplaceTempView(view)
-            sess.sql(f"INSERT INTO {self.table_name} SELECT * FROM {view}")
+            sess.sql(f"INSERT INTO {self.sql_name} SELECT * FROM {view}")
             sess.catalog.dropTempView(view)
-            self.catalog.spark.catalog.refreshTable(self.table_name)
+            self.catalog.spark.catalog.refreshTable(self.sql_name)
 
     def _with_pq_cols(self, rows: DataFrame, centroids: DataFrame) -> DataFrame:
         """Add (codes, norm) to (cluster, id, vec) rows. Raw mode codes
@@ -384,9 +392,9 @@ class AnnIndex:
             view = f"__annindex_upsert_{self.name}"
             sess = rows.sparkSession
             rows.createOrReplaceTempView(view)
-            sess.sql(f"INSERT INTO {self.table_name} SELECT * FROM {view}")
+            sess.sql(f"INSERT INTO {self.sql_name} SELECT * FROM {view}")
             sess.catalog.dropTempView(view)
-            self.catalog.spark.catalog.refreshTable(self.table_name)
+            self.catalog.spark.catalog.refreshTable(self.sql_name)
             self._bump_gen(new_gen)
 
     def delete(self, ids: DataFrame) -> None:

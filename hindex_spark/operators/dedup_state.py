@@ -107,6 +107,13 @@ class DedupState:
         self.band_size = band_size
         self.table_name = f"{name}_dedupstate_bucketed"
 
+    @property
+    def sql_name(self) -> str:
+        """Root-tagged session registration name (``table_name`` is the
+        catalog-root-relative directory; session SQL names are global —
+        Catalog.bucketed_sql_name)."""
+        return self.catalog.bucketed_sql_name(self.table_name)
+
     # -- storage ------------------------------------------------------------
 
     def _meta_path(self) -> str:
@@ -162,9 +169,9 @@ class DedupState:
         tableExists, never a resolve (see SearchIndex.update: resolving
         would prime a file-listing cache that a later clone-session
         INSERT silently misses)."""
-        if not self.catalog.spark.catalog.tableExists(self.table_name):
+        if not self.catalog.spark.catalog.tableExists(self.sql_name):
             self.catalog._attach_bucketed(
-                self.table_name,
+                self.sql_name,
                 os.path.join(self.catalog.root, self.table_name, "data"),
                 self.id_col, [self.id_col], self.num_buckets,
             )
@@ -179,7 +186,8 @@ class DedupState:
         """The state table as stored — tombstoned generations included
         (self-repairing registration)."""
         self._ensure_registered()
-        return self.catalog.spark.table(self.table_name)
+        self.catalog.spark.catalog.refreshTable(self.sql_name)
+        return self.catalog.spark.table(self.sql_name)
 
     @property
     def df(self) -> DataFrame:
@@ -223,9 +231,9 @@ class DedupState:
             ).withColumn("gen", F.lit(self.cur_gen).cast("long"))
             self._ensure_registered()
             rows.createOrReplaceTempView(view)
-            sess.sql(f"INSERT INTO {self.table_name} SELECT * FROM {view}")
+            sess.sql(f"INSERT INTO {self.sql_name} SELECT * FROM {view}")
             sess.catalog.dropTempView(view)
-            self.catalog.spark.catalog.refreshTable(self.table_name)
+            self.catalog.spark.catalog.refreshTable(self.sql_name)
 
     def _bump_gen(self, new_gen: int) -> None:
         self.cur_gen = new_gen
@@ -265,9 +273,9 @@ class DedupState:
             view = f"__dedupstate_upsert_{self.name}"
             sess = rows.sparkSession
             rows.createOrReplaceTempView(view)
-            sess.sql(f"INSERT INTO {self.table_name} SELECT * FROM {view}")
+            sess.sql(f"INSERT INTO {self.sql_name} SELECT * FROM {view}")
             sess.catalog.dropTempView(view)
-            self.catalog.spark.catalog.refreshTable(self.table_name)
+            self.catalog.spark.catalog.refreshTable(self.sql_name)
             self._bump_gen(new_gen)
 
     def delete(self, ids: DataFrame) -> None:

@@ -114,6 +114,13 @@ class RollupStore:
         self.grain_us = grain_us
         self.table_name = f"{name}_rollup_bucketed"
 
+    @property
+    def sql_name(self) -> str:
+        """Root-tagged session registration name (``table_name`` is the
+        catalog-root-relative directory; session SQL names are global,
+        so they carry the root tag — see Catalog.bucketed_sql_name)."""
+        return self.catalog.bucketed_sql_name(self.table_name)
+
     def _meta_path(self) -> str:
         return os.path.join(self.catalog.root, f"{self.name}_rollup_meta.json")
 
@@ -148,18 +155,24 @@ class RollupStore:
         fresh SparkSession. tableExists, never a resolve (see
         SearchIndex.update: a resolve primes a file-listing cache that
         a later clone-session INSERT silently misses)."""
-        if not self.catalog.spark.catalog.tableExists(self.table_name):
+        if not self.catalog.spark.catalog.tableExists(self.sql_name):
             self.catalog._attach_bucketed(
-                self.table_name,
+                self.sql_name,
                 os.path.join(self.catalog.root, self.table_name, "data"),
                 "bucket_us", ["bucket_us"], self.num_buckets,
             )
 
     @property
     def partials(self) -> DataFrame:
-        """The partials table (self-repairing registration)."""
+        """The partials table (self-repairing registration). Refreshed
+        at EVERY read entry: any earlier resolve of this name primes the
+        session's file-listing cache, and an INSERT from another process
+        (or a foreachBatch session clone) between that resolve and this
+        read would otherwise be silently invisible — the repo's
+        documented table-cache trap, closed here by construction."""
         self._ensure_registered()
-        return self.catalog.spark.table(self.table_name)
+        self.catalog.spark.catalog.refreshTable(self.sql_name)
+        return self.catalog.spark.table(self.sql_name)
 
     def update(self, batch: DataFrame) -> None:
         """Append the batch's partial aggregates. Late events are fine —
@@ -173,9 +186,9 @@ class RollupStore:
         with self.catalog.write_lock(self.table_name):  # SearchIndex.update
             self._ensure_registered()
             rows.createOrReplaceTempView(view)
-            sess.sql(f"INSERT INTO {self.table_name} SELECT * FROM {view}")
+            sess.sql(f"INSERT INTO {self.sql_name} SELECT * FROM {view}")
             sess.catalog.dropTempView(view)
-            self.catalog.spark.catalog.refreshTable(self.table_name)
+            self.catalog.spark.catalog.refreshTable(self.sql_name)
 
     def read(
         self,

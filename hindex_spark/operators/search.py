@@ -269,6 +269,13 @@ class SearchIndex:
         self.cur_gen = cur_gen
         self.table_name = f"{name}_postings_bucketed"
 
+    @property
+    def sql_name(self) -> str:
+        """Root-tagged session registration name (``table_name`` is the
+        catalog-root-relative directory; session SQL names are global —
+        Catalog.bucketed_sql_name)."""
+        return self.catalog.bucketed_sql_name(self.table_name)
+
     def _meta(self) -> dict:
         return {"id_col": self.id_col, "text_col": self.text_col,
                 "n_docs": self.n_docs, "sum_dl": self.sum_dl,
@@ -374,9 +381,9 @@ class SearchIndex:
         the files and meta do)."""
         import os
 
-        if not self.catalog.spark.catalog.tableExists(self.table_name):
+        if not self.catalog.spark.catalog.tableExists(self.sql_name):
             self.catalog._attach_bucketed(
-                self.table_name,
+                self.sql_name,
                 os.path.join(self.catalog.root, self.table_name, "data"),
                 "token", ["token"], self.num_buckets,
             )
@@ -389,9 +396,13 @@ class SearchIndex:
     @property
     def _postings_raw(self) -> DataFrame:
         """The postings table as stored — tombstoned generations
-        included (self-repairing registration)."""
+        included (self-repairing registration). Refreshed at every read
+        entry: an earlier resolve primes the session's file-listing
+        cache and a cross-process/clone-session INSERT since would be
+        silently invisible (the documented table-cache trap)."""
         self._ensure_registered()
-        return self.catalog.spark.table(self.table_name)
+        self.catalog.spark.catalog.refreshTable(self.sql_name)
+        return self.catalog.spark.table(self.sql_name)
 
     @property
     def postings(self) -> DataFrame:
@@ -445,6 +456,10 @@ class SearchIndex:
     def doclen_table_name(self) -> str:
         return f"{self.name}_doclen_bucketed"
 
+    @property
+    def doclen_sql_name(self) -> str:
+        return self.catalog.bucketed_sql_name(self.doclen_table_name)
+
     def _doclen_rows(self, docs: DataFrame, gen: int) -> DataFrame:
         return docs.filter(F.col(self.text_col).isNotNull()).select(
             F.col(self.id_col),
@@ -462,9 +477,9 @@ class SearchIndex:
     def _ensure_doclen_registered(self) -> None:
         import os
 
-        if not self.catalog.spark.catalog.tableExists(self.doclen_table_name):
+        if not self.catalog.spark.catalog.tableExists(self.doclen_sql_name):
             self.catalog._attach_bucketed(
-                self.doclen_table_name,
+                self.doclen_sql_name,
                 os.path.join(self.catalog.root, self.doclen_table_name, "data"),
                 self.id_col, [self.id_col], self.num_buckets,
             )
@@ -475,8 +490,9 @@ class SearchIndex:
         from hindex_spark.operators.artifact import live_view
 
         self._ensure_doclen_registered()
+        self.catalog.spark.catalog.refreshTable(self.doclen_sql_name)
         return live_view(
-            self.catalog.spark.table(self.doclen_table_name),
+            self.catalog.spark.table(self.doclen_sql_name),
             self.id_col, self.catalog.spark, self._tombstone_path(),
         )
 
@@ -487,9 +503,9 @@ class SearchIndex:
         sess = docs.sparkSession
         self._ensure_doclen_registered()
         rows.createOrReplaceTempView(view)
-        sess.sql(f"INSERT INTO {self.doclen_table_name} SELECT * FROM {view}")
+        sess.sql(f"INSERT INTO {self.doclen_sql_name} SELECT * FROM {view}")
         sess.catalog.dropTempView(view)
-        self.catalog.spark.catalog.refreshTable(self.doclen_table_name)
+        self.catalog.spark.catalog.refreshTable(self.doclen_sql_name)
 
     def _reload_meta(self) -> None:
         """Re-read the persisted meta into this handle. MUST run at the
@@ -539,11 +555,11 @@ class SearchIndex:
             # miss the appended files
             self._ensure_registered()
             rows.createOrReplaceTempView(view)
-            sess.sql(f"INSERT INTO {self.table_name} SELECT * FROM {view}")
+            sess.sql(f"INSERT INTO {self.sql_name} SELECT * FROM {view}")
             sess.catalog.dropTempView(view)
             # the INSERT ran on the batch's session; invalidate the
             # catalog session's cached listing so its readers see it
-            self.catalog.spark.catalog.refreshTable(self.table_name)
+            self.catalog.spark.catalog.refreshTable(self.sql_name)
             if self._has_doclen():
                 self._append_doclens(new_docs, self.cur_gen)
             batch = (
@@ -629,9 +645,9 @@ class SearchIndex:
             view = f"__postings_upsert_{self.name}"
             sess = rows.sparkSession  # foreachBatch clone, see update()
             rows.createOrReplaceTempView(view)
-            sess.sql(f"INSERT INTO {self.table_name} SELECT * FROM {view}")
+            sess.sql(f"INSERT INTO {self.sql_name} SELECT * FROM {view}")
             sess.catalog.dropTempView(view)
-            self.catalog.spark.catalog.refreshTable(self.table_name)
+            self.catalog.spark.catalog.refreshTable(self.sql_name)
             if self._has_doclen():
                 self._append_doclens(docs, new_gen)
             batch = (

@@ -1821,6 +1821,20 @@ def q_rollup_hourly(spark, sf_dir):
         "ts", ["event_type"], "value", HOUR_US, "gate_events",
     )
     r.update(events.filter(F.col("event_id") % 2 == 1))
+    # Invariant: the partials' event count must equal the two batches'
+    # combined (ts-non-null) row count — the store saw the build batch
+    # exactly once and the update's INSERT exactly once. A divergence
+    # here (the shape of the r7/r8 driver-only hash mismatch: equal
+    # groups, uniformly-off aggregates) raises a debuggable error
+    # instead of a silent value mismatch.
+    expected = events.filter(F.col("ts").isNotNull()).count()
+    stored = r.partials.agg(F.sum("cnt")).collect()[0][0] or 0
+    if int(stored) != int(expected):
+        raise RuntimeError(
+            f"rollup partials hold {stored} events, expected {expected} "
+            f"(store={r.sql_name}, root={cat.root}): the merged read saw "
+            "the build/update batches unevenly"
+        )
     return r.read()
 
 

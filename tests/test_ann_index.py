@@ -128,7 +128,7 @@ def test_ann_index_survives_session_restart(spark, sf_dir, tmp_path):
     cat = Catalog(spark, str(tmp_path / "wh"))
     ix = AnnIndex.build(cat, emb, "vec_id", "embedding", "v",
                         n_clusters=8, iters=2)
-    spark.sql(f"DROP TABLE IF EXISTS `{ix.table_name}`")
+    spark.sql(f"DROP TABLE IF EXISTS `{ix.sql_name}`")
     ix2 = AnnIndex.open(cat, "v")
     q = _queries(emb)
     assert _rows(ix2.topk(q, 10, nprobe=8)) == _rows(

@@ -16,8 +16,8 @@ def test_bucketed_join_has_no_shuffle(spark, sf_dir, tmp_path):
         t.create_index(IndexSpecification("idx_cust").add_column("o_custkey", "Long"))
         cat.save_bucketed(t, num_buckets=8)
 
-        data = spark.table("orders_bucketed")
-        idx = spark.table("orders_bucketed_idx_idx_cust")
+        data = spark.table(cat.bucketed_sql_name("orders_bucketed"))
+        idx = spark.table(cat.bucketed_sql_name("orders_bucketed_idx_idx_cust"))
         keys = idx.filter(F.col("o_custkey") == 85).select("o_orderkey")
         joined = data.join(keys, "o_orderkey", "left_semi")
         plan = joined._jdf.queryExecution().executedPlan().toString()
@@ -28,8 +28,7 @@ def test_bucketed_join_has_no_shuffle(spark, sf_dir, tmp_path):
         ).count()
     finally:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
-        spark.sql("DROP TABLE IF EXISTS orders_bucketed")
-        spark.sql("DROP TABLE IF EXISTS orders_bucketed_idx_idx_cust")
+        pass
 
 
 def test_exists_batch_zero_table_side_exchange_on_bucketed(spark, sf_dir, tmp_path):
@@ -46,7 +45,7 @@ def test_exists_batch_zero_table_side_exchange_on_bucketed(spark, sf_dir, tmp_pa
         num_buckets=8,
     )
     try:
-        bt = Table(spark.table("oexb_bucketed"), "o_orderkey", "oexb_bucketed")
+        bt = cat.load_bucketed("oexb_bucketed", "o_orderkey")
         probes = spark.createDataFrame([(1,), (2,), (999999999,)], "o_orderkey long")
         out = bt.exists_batch(probes)
         p = out._jdf.queryExecution().executedPlan().toString()
@@ -62,7 +61,7 @@ def test_exists_batch_zero_table_side_exchange_on_bucketed(spark, sf_dir, tmp_pa
         got = {r["o_orderkey"]: r["exists"] for r in out.collect()}
         assert got == {1: True, 2: True, 999999999: False}
     finally:
-        spark.sql("DROP TABLE IF EXISTS oexb_bucketed")
+        pass
 
 
 def test_scan_where(spark, sf_dir):
@@ -94,8 +93,8 @@ def test_cobucketed_fact_join_and_agg_zero_exchanges(spark, sf_dir, tmp_path):
             Table.from_parquet(spark, f"{sf_dir}/lineitem.parquet", "l_orderkey", "lq3t"),
             num_buckets=4,
         )
-        o = spark.table("oq3t_bucketed")
-        l = spark.table("lq3t_bucketed")
+        o = spark.table(cat.bucketed_sql_name("oq3t_bucketed"))
+        l = spark.table(cat.bucketed_sql_name("lq3t_bucketed"))
         q = (
             l.join(o, l.l_orderkey == o.o_orderkey)
             .groupBy("o_orderkey")
@@ -106,8 +105,7 @@ def test_cobucketed_fact_join_and_agg_zero_exchanges(spark, sf_dir, tmp_path):
         assert q.count() > 0
     finally:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
-        spark.sql("DROP TABLE IF EXISTS oq3t_bucketed")
-        spark.sql("DROP TABLE IF EXISTS lq3t_bucketed")
+        pass
 
 
 def test_cobucketed_join_skips_sort_and_exchange(spark, sf_dir, tmp_path):

@@ -1869,7 +1869,7 @@ def test_search_index_repair_stats_closes_crash_window(spark, tmp_path):
     # simulate the crash: postings appended, meta bump never happened
     rows = SearchIndex._posting_rows(batch, "doc_id", "text")
     rows.createOrReplaceTempView("__crash_append")
-    spark.sql(f"INSERT INTO {ix.table_name} SELECT * FROM __crash_append")
+    spark.sql(f"INSERT INTO {ix.sql_name} SELECT * FROM __crash_append")
     spark.catalog.dropTempView("__crash_append")
     stale = SearchIndex.open(cat, "cr")
     assert stale.n_docs == 2  # stale meta
