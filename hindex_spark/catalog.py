@@ -286,6 +286,16 @@ class Catalog:
             w = w.option("compression", codec)
         w.option("path", staging).saveAsTable(tmp)
         self.spark.sql(f"DROP TABLE IF EXISTS `{tmp}`")  # metadata only; files stay
+        # Schema sidecar (underscore-prefixed: Spark treats it as a
+        # hidden file, like _SUCCESS). A store compacted down to ZERO
+        # live rows writes zero parquet files, and any later re-read by
+        # footer inference dies with UNABLE_TO_INFER_SCHEMA — the
+        # sidecar makes an empty store read as an empty frame (Lucene
+        # happily compacts to zero live docs; so must this). Written
+        # into STAGING so deferred-promotion writers (save()) carry it
+        # through the swap.
+        with open(os.path.join(staging, "_schema.ddl"), "w") as fh:
+            fh.write(self._ddl(df.schema))
         if not swap:
             return  # caller promotes staging after its fence check
         self._swap_in(final, staging)
@@ -650,6 +660,28 @@ class Catalog:
                 if ".staging." in entry:
                     shutil.rmtree(os.path.join(root, entry), ignore_errors=True)
 
+    @staticmethod
+    def _sidecar_schema(location: str):
+        """The _schema.ddl sidecar as a StructType, or None."""
+        from pyspark.sql import types as T
+
+        p = os.path.join(location, "_schema.ddl")
+        if os.path.isfile(p):
+            with open(p) as fh:
+                return T.StructType.fromDDL(fh.read())
+        return None
+
+    def read_raw(self, table_dir_name: str) -> DataFrame:
+        """A ``save_bucketed`` store's data directory as RAW parquet
+        (no claimed bucketing — what compaction rewrites read so the
+        repartition really runs), schema pinned from the sidecar when
+        present: a fully-purged store (zero parquet files) reads as an
+        empty frame instead of failing footer inference."""
+        loc = os.path.join(self.root, table_dir_name, "data")
+        sch = self._sidecar_schema(loc)
+        r = self.spark.read
+        return (r.schema(sch) if sch else r).parquet(loc)
+
     def _attach_bucketed(
         self, qname: str, location: str, bucket_col: str, sort_cols, n: int,
         schema=None,
@@ -661,7 +693,10 @@ class Catalog:
         # corrupt shuffle-free joins. The descriptor-recorded schema is
         # preferred over footer inference: no file read at attach time,
         # and an empty store (truncate_table) has no footers to infer
-        # from. Inference remains the pre-schemas-descriptor fallback.
+        # from. The sidecar (save_bucketed stores) is next; inference
+        # remains the last-resort fallback for pre-sidecar stores.
+        if schema is None:
+            schema = self._sidecar_schema(location)
         if schema is None:
             schema = self.spark.read.parquet(location).schema
         # register AND resolve under one lock hold (RLock — nested in

@@ -425,9 +425,7 @@ class AnnIndex:
         if num_buckets is None:
             num_buckets = self.num_buckets
         with self.catalog.write_lock(self.table_name):
-            rows = self.catalog.spark.read.parquet(
-                os.path.join(self.catalog.root, self.table_name, "data")
-            )
+            rows = self.catalog.read_raw(self.table_name)
             rows = live_view(
                 rows, self.id_col, self.catalog.spark, self._tombstone_path()
             )

@@ -263,9 +263,7 @@ class RollupStore:
         from hindex_spark.table import Table
 
         with self.catalog.write_lock(self.table_name):
-            raw = self.catalog.spark.read.parquet(
-                os.path.join(self.catalog.root, self.table_name, "data")
-            )
+            raw = self.catalog.read_raw(self.table_name)
             rows = raw.filter(F.col("bucket_us") >= F.lit(before_us))
             self.catalog.save_bucketed(
                 Table(rows, "bucket_us", f"{self.name}_rollup"),
@@ -285,9 +283,7 @@ class RollupStore:
         from hindex_spark.table import Table
 
         with self.catalog.write_lock(self.table_name):
-            raw = self.catalog.spark.read.parquet(
-                os.path.join(self.catalog.root, self.table_name, "data")
-            )
+            raw = self.catalog.read_raw(self.table_name)
             rows = merge_partials(raw, self.key_cols)
             self.catalog.save_bucketed(
                 Table(rows, "bucket_us", f"{self.name}_rollup"),

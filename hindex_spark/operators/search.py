@@ -867,9 +867,7 @@ class SearchIndex:
 
         with self.catalog.write_lock(self.table_name):
             self._reload_meta()
-            rows = self.catalog.spark.read.parquet(
-                os.path.join(self.catalog.root, self.table_name, "data")
-            )
+            rows = self.catalog.read_raw(self.table_name)
             # physical purge of tombstoned generations (Lucene's merge
             # rule); gens are PRESERVED so a crash between the save and
             # the tombstone clear re-applies the cuts as a no-op
@@ -885,9 +883,7 @@ class SearchIndex:
             # the postings and doclen INSERTs. MUST re-read the NEW
             # files: the lazy pre-rewrite frame points at data the swap
             # above already removed.
-            purged = self.catalog.spark.read.parquet(
-                os.path.join(self.catalog.root, self.table_name, "data")
-            )
+            purged = self.catalog.read_raw(self.table_name)
             self.catalog.save_bucketed(
                 Table(
                     purged.select(F.col(self.id_col), "dl", "gen").distinct(),

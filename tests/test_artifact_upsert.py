@@ -364,3 +364,64 @@ def test_doclen_side_table_maintained_and_used(spark, sf_dir, tmp_path):
     )
     plan = probe._jdf.queryExecution().executedPlan().toString()
     assert "doclen" in plan and "positions" not in plan
+
+
+def test_purge_to_empty_then_refill_all_stores(spark, sf_dir, tmp_path):
+    """An artifact compacted down to ZERO live rows must read as an
+    empty frame (Lucene happily compacts to zero live docs) and accept
+    the next batch: the _schema.ddl sidecar pins every re-read and
+    re-attach, so no path falls back to footer inference over an empty
+    directory (round-8 property-test counterexample: delete all,
+    compact -> UNABLE_TO_INFER_SCHEMA)."""
+    from hindex_spark.operators.ann_index import AnnIndex
+    from hindex_spark.operators.dedup_state import DedupState
+
+    cat = Catalog(spark, str(tmp_path / "wh"))
+
+    docs = spark.createDataFrame(
+        [(i, f"doc {i} alpha beta gamma") for i in range(4)],
+        "doc_id long, text string",
+    )
+    ix = SearchIndex.build(cat, docs, "doc_id", "text", "p2e")
+    ix.delete(docs.select("doc_id"))
+    ix.compact()
+    assert ix.postings.count() == 0 and ix.doclens.count() == 0
+    ix.update(docs.filter(F.col("doc_id") >= 2))
+    assert ix.postings.select("doc_id").distinct().count() == 2
+    assert ix.n_docs == 2
+
+    st = DedupState.build(cat, docs, "doc_id", "text", "p2e")
+    st.delete(docs.select("doc_id"))
+    st.compact()
+    assert st.df.count() == 0
+    st.update(docs.filter(F.col("doc_id") < 2))
+    assert st.df.count() == 2
+
+    emb = spark.createDataFrame(
+        [(i, [float(i), 1.0 - i, 0.5 * i]) for i in range(8)],
+        "vec_id long, embedding array<double>",
+    )
+    ax = AnnIndex.build(cat, emb, "vec_id", "embedding", "p2e",
+                        n_clusters=2, iters=1)
+    ax.delete(emb.select("vec_id"))
+    ax.compact()
+    assert ax.vectors.count() == 0
+    ax.update(emb.limit(3))
+    assert ax.vectors.count() == 3
+
+
+def test_rollup_expire_everything_reads_empty(spark, sf_dir, tmp_path):
+    """Retention that outlives every bucket leaves an empty store that
+    still reads (sidecar-pinned) and still accepts the next batch."""
+    from hindex_spark.operators.rollup import HOUR_US, RollupStore
+
+    events = spark.read.parquet(f"{sf_dir}/events.parquet")
+    cat = Catalog(spark, str(tmp_path / "wh"))
+    r = RollupStore.build(
+        cat, events.limit(500), "ts", ["event_type"], "value",
+        HOUR_US, "p2e",
+    )
+    r.expire(before_us=2**62)  # beyond every bucket
+    assert r.read().count() == 0
+    r.update(events.limit(100))
+    assert r.read().count() > 0
