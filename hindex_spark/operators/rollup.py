@@ -113,6 +113,12 @@ class RollupStore:
         self.value_col = value_col
         self.grain_us = grain_us
         self.table_name = f"{name}_rollup_bucketed"
+        #: batch generation counter (build = 0, each update/replace
+        #: bumps); what replace_batch/delete_batch tombstones cut on
+        self.cur_gen = 0
+        #: generations below this were folded together by compact() —
+        #: their batch identity is gone, corrections must refuse
+        self.sealed_below = 0
 
     @property
     def sql_name(self) -> str:
@@ -128,27 +134,59 @@ class RollupStore:
     def build(cls, catalog, events: DataFrame, ts_col: str,
               key_cols: List[str], value_col: str, grain_us: int,
               name: str, num_buckets: int = 32) -> "RollupStore":
+        from hindex_spark.operators.artifact import clear_tombstones
         from hindex_spark.table import Table
 
         r = cls(catalog, name, ts_col, key_cols, value_col, grain_us,
                 num_buckets=num_buckets)
-        rows = rollup_partials(events, ts_col, key_cols, value_col, grain_us)
+        rows = rollup_partials(
+            events, ts_col, key_cols, value_col, grain_us
+        ).withColumn("gen", F.lit(0).cast("long"))
         catalog.save_bucketed(
             Table(rows, "bucket_us", f"{name}_rollup"), num_buckets=num_buckets
         )
+        # a REBUILD starts at gen 0: clear the previous incarnation's
+        # tombstones or they'd kill matching fresh generations
+        clear_tombstones(r._tombstone_path())
+        r.cur_gen = 0
+        r.sealed_below = 0
         with open(r._meta_path(), "w") as f:
-            json.dump({"ts_col": ts_col, "key_cols": r.key_cols,
-                       "value_col": value_col, "grain_us": grain_us,
-                       "num_buckets": num_buckets}, f)
+            json.dump(r._meta(), f)
         return r
+
+    def _meta(self) -> dict:
+        return {"ts_col": self.ts_col, "key_cols": self.key_cols,
+                "value_col": self.value_col, "grain_us": self.grain_us,
+                "num_buckets": self.num_buckets, "cur_gen": self.cur_gen,
+                "sealed_below": self.sealed_below}
+
+    def _reload_meta(self) -> None:
+        """Re-read the persisted meta into this handle — MUST run at
+        the top of every locked mutation: another process may have
+        bumped the generation since open/build, and a delta applied to
+        a stale baseline silently loses its update (the cross-process
+        lost-update pattern the other stores guard against)."""
+        with open(self._meta_path()) as f:
+            m = json.load(f)
+        self.num_buckets = m.get("num_buckets", 32)
+        self.cur_gen = m.get("cur_gen", 0)
+        self.sealed_below = m.get("sealed_below", 0)
+
+    def _tombstone_path(self) -> str:
+        from hindex_spark.operators.artifact import tombstone_path
+
+        return tombstone_path(self.catalog.root, self.table_name)
 
     @classmethod
     def open(cls, catalog, name: str) -> "RollupStore":
         with open(os.path.join(catalog.root, f"{name}_rollup_meta.json")) as f:
             m = json.load(f)
-        return cls(catalog, name, m["ts_col"], m["key_cols"],
-                   m["value_col"], m["grain_us"],
-                   num_buckets=m.get("num_buckets", 32))
+        r = cls(catalog, name, m["ts_col"], m["key_cols"],
+                m["value_col"], m["grain_us"],
+                num_buckets=m.get("num_buckets", 32))
+        r.cur_gen = m.get("cur_gen", 0)
+        r.sealed_below = m.get("sealed_below", 0)
+        return r
 
     def _ensure_registered(self) -> None:
         """Re-attach the session-scoped bucketed registration on a
@@ -174,21 +212,138 @@ class RollupStore:
         self.catalog.spark.catalog.refreshTable(self.sql_name)
         return self.catalog.spark.table(self.sql_name)
 
-    def update(self, batch: DataFrame) -> None:
-        """Append the batch's partial aggregates. Late events are fine —
-        they land as another partial row in their (old) bucket and merge
-        at read time. Batch-sized cost, history never rewritten."""
+    def _stored_has_gen(self) -> bool:
+        """Whether the persisted schema carries the gen column (stores
+        written before generations existed do not)."""
+        sch = self.catalog._sidecar_schema(
+            os.path.join(self.catalog.root, self.table_name, "data")
+        )
+        if sch is not None:
+            return "gen" in sch.names
+        return "gen" in self.catalog.read_raw(self.table_name).columns
+
+    def _migrate_gen_locked(self) -> None:
+        """One-time migration of a pre-generation store: rewrite with
+        gen=0 (rollup stores are aggregate-sized, so the rewrite is
+        cheap). Caller holds the writer lock."""
+        from hindex_spark.table import Table
+
+        if self._stored_has_gen():
+            return
+        rows = self.catalog.read_raw(self.table_name).withColumn(
+            "gen", F.lit(0).cast("long")
+        )
+        self.catalog.save_bucketed(
+            Table(rows, "bucket_us", f"{self.name}_rollup"),
+            num_buckets=self.num_buckets,
+        )
+
+    def _append_locked(self, batch: DataFrame, gen: int) -> None:
+        """INSERT one batch's partials at ``gen`` (caller holds the
+        lock and has ensured registration + gen column)."""
         rows = rollup_partials(
             batch, self.ts_col, self.key_cols, self.value_col, self.grain_us
-        )
+        ).withColumn("gen", F.lit(gen).cast("long"))
         view = f"__rollup_append_{self.name}"
         sess = rows.sparkSession  # foreachBatch session clone, see
-        with self.catalog.write_lock(self.table_name):  # SearchIndex.update
+        rows.createOrReplaceTempView(view)  # SearchIndex.update
+        sess.sql(f"INSERT INTO {self.sql_name} SELECT * FROM {view}")
+        sess.catalog.dropTempView(view)
+        self.catalog.spark.catalog.refreshTable(self.sql_name)
+
+    def update(self, batch: DataFrame) -> int:
+        """Append the batch's partial aggregates as a NEW generation and
+        return it — the handle a later ``replace_batch``/``delete_batch``
+        corrects by. Late events are fine — they land as another partial
+        row in their (old) bucket and merge at read time. Batch-sized
+        cost, history never rewritten."""
+        with self.catalog.write_lock(self.table_name):
+            self._reload_meta()
             self._ensure_registered()
-            rows.createOrReplaceTempView(view)
-            sess.sql(f"INSERT INTO {self.sql_name} SELECT * FROM {view}")
-            sess.catalog.dropTempView(view)
-            self.catalog.spark.catalog.refreshTable(self.sql_name)
+            self._migrate_gen_locked()
+            gen = self.cur_gen + 1
+            self._append_locked(batch, gen)
+            self.cur_gen = gen
+            with open(self._meta_path(), "w") as f:
+                json.dump(self._meta(), f)
+        return gen
+
+    def replace_batch(self, gen: int, corrected: DataFrame) -> int:
+        """CORRECT history: supersede the partials generation ``gen``
+        (a misreported batch) with ``corrected``'s partials, without
+        rebuilding the store — the reference's cell layer corrects
+        history the same way (Delete.java:69 + Put.java:48, newest cell
+        wins). One tombstone append (kills exactly generation ``gen``
+        via the artifact machinery: id column = gen itself, cut below
+        gen+1) + one batch-sized INSERT at a new generation. Returns
+        the new generation.
+
+        Generations folded together by ``compact()`` have lost their
+        batch identity and are refused — correct those with a rebuild
+        or a compensating batch."""
+        from hindex_spark.operators.artifact import append_tombstones
+
+        with self.catalog.write_lock(self.table_name):
+            self._reload_meta()
+            self._ensure_registered()
+            self._migrate_gen_locked()
+            if gen < self.sealed_below:
+                raise ValueError(
+                    f"generation {gen} was folded by compact() (sealed "
+                    f"below {self.sealed_below}); its batch identity is "
+                    "gone — rebuild or apply a compensating batch"
+                )
+            if gen > self.cur_gen:
+                raise ValueError(
+                    f"generation {gen} does not exist (cur_gen="
+                    f"{self.cur_gen})"
+                )
+            new_gen = self.cur_gen + 1
+            gens = self.catalog.spark.createDataFrame(
+                [(gen,)], "gen long"
+            )
+            append_tombstones(gens, "gen", gen + 1, self._tombstone_path())
+            self._append_locked(corrected, new_gen)
+            self.cur_gen = new_gen
+            with open(self._meta_path(), "w") as f:
+                json.dump(self._meta(), f)
+        return new_gen
+
+    def delete_batch(self, gen: int) -> None:
+        """Retract a batch entirely: tombstone its generation, nothing
+        rewritten until ``compact()``. Same sealing rule as
+        ``replace_batch``."""
+        from hindex_spark.operators.artifact import append_tombstones
+
+        with self.catalog.write_lock(self.table_name):
+            self._reload_meta()
+            self._ensure_registered()
+            self._migrate_gen_locked()
+            if gen < self.sealed_below:
+                raise ValueError(
+                    f"generation {gen} was folded by compact() (sealed "
+                    f"below {self.sealed_below}) — rebuild instead"
+                )
+            if gen > self.cur_gen:
+                raise ValueError(
+                    f"generation {gen} does not exist (cur_gen="
+                    f"{self.cur_gen})"
+                )
+            gens = self.catalog.spark.createDataFrame([(gen,)], "gen long")
+            append_tombstones(gens, "gen", gen + 1, self._tombstone_path())
+
+    @property
+    def live_partials(self) -> DataFrame:
+        """Partials minus tombstoned (replaced/retracted) generations.
+        The cut set is batches-corrected-since-last-compact — broadcast
+        material by construction; the broadcast join preserves the
+        scan's bucket partitioning, so the downstream merge stays
+        exchange-free."""
+        from hindex_spark.operators.artifact import live_view
+
+        p = self.partials
+        return live_view(p, "gen", self.catalog.spark,
+                         self._tombstone_path())
 
     def read(
         self,
@@ -210,7 +365,7 @@ class RollupStore:
         the hot bucket's keys across all tasks. Default off: the
         exchange-free path wins whenever buckets are reasonably
         balanced, which time buckets at production grain are."""
-        p = self.partials
+        p = self.live_partials
         if start_us is not None:
             p = p.filter(F.col("bucket_us") >= start_us)
         if end_us is not None:
@@ -234,7 +389,7 @@ class RollupStore:
                 f"read_at: {grain_us} is not a multiple of the store "
                 f"grain {self.grain_us}"
             )
-        p = self.partials
+        p = self.live_partials
         if start_us is not None:
             p = p.filter(F.col("bucket_us") >= start_us)
         if end_us is not None:
@@ -250,47 +405,80 @@ class RollupStore:
             coarse = coarse.repartition("bucket_us", *self.key_cols)
         return merge_partials(coarse, self.key_cols)
 
-    def expire(self, before_us: int, num_buckets: int = 32) -> None:
+    def expire(self, before_us: int,
+               num_buckets: Optional[int] = None) -> None:
         """Retention: drop every bucket strictly older than
         ``before_us`` (the continuous-aggregate drop-chunks shape —
         rollups usually outlive raw events, but not forever). One
-        staged bucketed rewrite of the surviving partials under the
+        staged bucketed rewrite of the surviving LIVE partials under the
         writer lease; the bucket_us sort means the filter prunes row
         groups on the read side, and readers never see a partial
         cut (atomic swap). ``before_us`` is compared against bucket
         starts, so a bucket whose START is >= before_us survives
-        whole."""
+        whole. Row generations are PRESERVED (no folding), so this
+        never seals batches — corrections stay possible afterwards;
+        tombstoned rows are purged and the (re-appliable-as-no-op)
+        tombstones cleared."""
+        from hindex_spark.operators.artifact import clear_tombstones, live_view
         from hindex_spark.table import Table
 
         with self.catalog.write_lock(self.table_name):
+            self._reload_meta()
+            if num_buckets is None:
+                num_buckets = self.num_buckets
             raw = self.catalog.read_raw(self.table_name)
-            rows = raw.filter(F.col("bucket_us") >= F.lit(before_us))
+            if "gen" not in raw.columns:  # migrate pre-gen stores in place
+                raw = raw.withColumn("gen", F.lit(0).cast("long"))
+            rows = live_view(
+                raw, "gen", self.catalog.spark, self._tombstone_path()
+            ).filter(F.col("bucket_us") >= F.lit(before_us))
             self.catalog.save_bucketed(
                 Table(rows, "bucket_us", f"{self.name}_rollup"),
                 num_buckets=num_buckets,
             )
+            clear_tombstones(self._tombstone_path())
             self.num_buckets = num_buckets
-            m = json.load(open(self._meta_path()))
-            m["num_buckets"] = num_buckets
             with open(self._meta_path(), "w") as f:
-                json.dump(m, f)
+                json.dump(self._meta(), f)
 
-    def compact(self, num_buckets: int = 32) -> None:
-        """Fold accumulated partials to one row per (bucket, key) and
-        one file per bucket. Raw-parquet source for the same reason as
-        SearchIndex.compact (the bucketed scan's claimed partitioning
-        would elide the rewrite's repartition)."""
+    def compact(self, num_buckets: Optional[int] = None) -> None:
+        """Fold accumulated LIVE partials to one row per (bucket, key)
+        and one file per bucket. Raw-parquet source for the same reason
+        as SearchIndex.compact (the bucketed scan's claimed partitioning
+        would elide the rewrite's repartition).
+
+        Folding erases batch identity: the folded rows take ONE fresh
+        generation and every earlier generation is SEALED — a later
+        ``replace_batch`` of a folded batch is refused (the analog of a
+        Lucene segment merge sealing its deletes). Meta is committed
+        BEFORE the rewrite, so a crash mid-compact leaves a gen gap,
+        never a generation collision; tombstones pending at a crash
+        re-apply to the folded rows as no-ops (their cuts reference
+        strictly older generations)."""
+        from hindex_spark.operators.artifact import clear_tombstones, live_view
         from hindex_spark.table import Table
 
         with self.catalog.write_lock(self.table_name):
+            self._reload_meta()
+            if num_buckets is None:
+                num_buckets = self.num_buckets
+            new_gen = self.cur_gen + 1
+            self.cur_gen = new_gen
+            self.sealed_below = new_gen
+            self.num_buckets = num_buckets
+            with open(self._meta_path(), "w") as f:
+                json.dump(self._meta(), f)
             raw = self.catalog.read_raw(self.table_name)
-            rows = merge_partials(raw, self.key_cols)
+            if "gen" not in raw.columns:  # migrate pre-gen stores in place
+                raw = raw.withColumn("gen", F.lit(0).cast("long"))
+            live = live_view(
+                raw, "gen", self.catalog.spark, self._tombstone_path()
+            )
+            rows = merge_partials(live, self.key_cols).withColumn(
+                "gen", F.lit(new_gen).cast("long")
+            )
             self.catalog.save_bucketed(
                 Table(rows, "bucket_us", f"{self.name}_rollup"),
                 num_buckets=num_buckets,
             )
-            self.num_buckets = num_buckets
-            m = json.load(open(self._meta_path()))
-            m["num_buckets"] = num_buckets
-            with open(self._meta_path(), "w") as f:
-                json.dump(m, f)
+            clear_tombstones(self._tombstone_path())

@@ -1467,7 +1467,11 @@ _PRIORITY = [
     # events_rollup_hourly below; range-position planning stays
     # driver-visible via idxtab_equal_range_combination +
     # idxtab_and_setcover and the query stays in the local gate.
-    "idxtab_similar_value_pattern",
+    # Round-9 rotation: idxtab_similar_value_pattern ceded its slot to
+    # events_rollup_upsert below (verdict task 9's family-coverage
+    # rule: typed/padded value-pattern planning stays driver-visible
+    # via idxtab_prefix_range + idxtab_equal_range_combination, and the
+    # query stays oracle-checked in the local gate).
     # idxtab_complex_range_or ceded its slot (round 7) to
     # scan_reversed_range; complex range+OR planning stays visible via
     # idxtab_and_with_poisoned_or + idxtab_or_union + idxtab_range_not_last
@@ -1571,6 +1575,14 @@ _PRIORITY = [
     # artifact lifecycle: build + append-update + exchange-free merge)
     # takes idxtab_range_not_last's slot.
     "events_asof_join", "events_rollup_hourly",
+    # Round-9 rotation: events_rollup_upsert (rollup CORRECTION parity —
+    # a misreported batch superseded via generation tombstones must
+    # hash-match the true-events oracle) takes
+    # idxtab_similar_value_pattern's slot. It exercises the same
+    # store-read path as events_rollup_hourly PLUS the tombstone cut,
+    # so a driver-environment divergence in the store machinery now
+    # surfaces in two independent rows.
+    "events_rollup_upsert",
 ]
 
 

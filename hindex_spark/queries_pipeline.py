@@ -2142,6 +2142,33 @@ def q_rollup_retention(spark, sf_dir):
     return r.read()
 
 
+@query("events_rollup_upsert", _ROLLUP_ORACLE)
+def q_rollup_upsert(spark, sf_dir):
+    """CORRECTION parity for the rollup store: a misreported batch
+    (values tripled) is appended, then superseded via
+    ``replace_batch`` — the generation-tombstone machinery the other
+    artifact stores use (operators/artifact.py), keyed on the batch
+    generation itself; reference semantics: history is correctable
+    (Delete.java:69 + Put.java:48). The oracle aggregates the TRUE
+    events directly, so any residue of the bad batch (or loss of the
+    good one) breaks the hash."""
+    import tempfile
+
+    from hindex_spark.catalog import Catalog
+    from hindex_spark.operators.rollup import HOUR_US, RollupStore
+
+    events = spark.read.parquet(f"{sf_dir}/events.parquet")
+    odd = events.filter(F.col("event_id") % 2 == 1)
+    cat = Catalog(spark, tempfile.mkdtemp(prefix="hindex_rollup_"))
+    r = RollupStore.build(
+        cat, events.filter(F.col("event_id") % 2 == 0),
+        "ts", ["event_type"], "value", HOUR_US, "gate_upsert",
+    )
+    bad = r.update(odd.withColumn("value", F.col("value") * 3))
+    r.replace_batch(bad, odd)
+    return r.read()
+
+
 @query(
     "ann_filtered_topk",
     f"""SELECT q_id, vec_id, cosine, rank FROM (
