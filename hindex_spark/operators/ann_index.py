@@ -469,24 +469,37 @@ class AnnIndex:
 
     # -- the query ----------------------------------------------------------
 
-    def probe_clusters(self, queries: DataFrame, nprobe: int,
-                       q_id_col: str = "q_id",
-                       q_vec_col: str = "q_vec") -> List[int]:
-        """The distinct cluster ids the query set probes — bounded by
-        ``n_clusters`` however many queries there are, so collecting it
-        is always driver-material. One queries-sized job (queries x
-        centroids scoring), no index access. The per-query selection is
-        EXACTLY ivf_topk's probe window, so the collected set is a
-        superset-equal of what the probe join keeps."""
+    def _probe_frame(self, queries: DataFrame, nprobe: int,
+                     q_id_col: str = "q_id",
+                     q_vec_col: str = "q_vec") -> DataFrame:
+        """Per-query probe selection: one (q_id, cluster, centroid) row
+        per probed cluster — EXACTLY ivf_topk's probe window, all JVM
+        column ops (queries x centroids broadcast scoring + one
+        per-query window). Every serving path derives from this frame,
+        so a query's candidate set never depends on which other queries
+        share the batch."""
         q_scored = queries.crossJoin(F.broadcast(self.centroids)).withColumn(
             "__sim", cosine_expr(F.col(q_vec_col), F.col("centroid"))
         )
         wq = Window.partitionBy(q_id_col).orderBy(
             F.col("__sim").desc(), F.col("cluster")
         )
-        rows = (
+        return (
             q_scored.withColumn("__rn", F.row_number().over(wq))
             .filter(F.col("__rn") <= nprobe)
+            .drop("__rn", "__sim")
+        )
+
+    def probe_clusters(self, queries: DataFrame, nprobe: int,
+                       q_id_col: str = "q_id",
+                       q_vec_col: str = "q_vec") -> List[int]:
+        """The distinct cluster ids the query set probes — bounded by
+        ``n_clusters`` however many queries there are, so collecting it
+        is always driver-material: the ONE bounded collect a query
+        batch pays, feeding the scan's ``cluster IN (...)`` bucket
+        pruning. One queries-sized job, no index access."""
+        rows = (
+            self._probe_frame(queries, nprobe, q_id_col, q_vec_col)
             .select("cluster").distinct().collect()
         )
         return sorted(r["cluster"] for r in rows)
@@ -532,18 +545,8 @@ class AnnIndex:
                     "AnnIndex.topk(method='adc') needs a PQ codebook — "
                     "build the index with pq_m=..."
                 )
-            if self.pq_residual:
-                return self._adc_residual_topk(
-                    pruned, queries, k, shortlist, q_id_col, q_vec_col
-                )
-            from hindex_spark.operators.similarity import pq_topk
-
-            return pq_topk(
-                pruned.select(F.col(self.id_col), F.col(self.vec_col)),
-                pruned.select(F.col(self.id_col), "codes", "norm"),
-                self.pq_codebooks, queries, k, shortlist=shortlist,
-                id_col=self.id_col, vec_col=self.vec_col,
-                q_id_col=q_id_col, q_vec_col=q_vec_col,
+            return self._adc_topk(
+                pruned, queries, nprobe, k, shortlist, q_id_col, q_vec_col
             )
         if method != "exact":
             raise ValueError(f"AnnIndex.topk: unknown method {method!r}")
@@ -554,59 +557,89 @@ class AnnIndex:
         )
 
 
-    def _adc_residual_topk(self, pruned: DataFrame, queries: DataFrame,
-                           k: int, shortlist: int, q_id_col: str,
-                           q_vec_col: str) -> DataFrame:
-        """ADC over RESIDUAL codes (IVFADC): the approximate dot
-        decomposes as dot(q, c_j) + dot(q, residual-hat) — the first
-        term is a per-(query, cluster) scalar computed driver-side
-        (centroids are driver-material by construction), the second the
-        usual m-lookup LUT fold, with the LUT built against the
-        residual codebook. Exact-cosine re-rank of the shortlist, same
-        tail as pq_topk; with full probe + corpus-wide shortlist the
-        result equals brute force exactly."""
-        import math
+    def _codebook_lit(self):
+        """The PQ codebooks as ONE nested array literal (m x k x d_sub
+        doubles — bounded by construction: trained on a driver-side
+        sample), so LUT construction is a pure JVM column expression."""
+        return F.array(*[
+            F.array(*[
+                F.array(*[F.lit(float(x)) for x in cent]) for cent in sub
+            ])
+            for sub in self.pq_codebooks
+        ])
 
+    def _adc_topk(self, pruned: DataFrame, queries: DataFrame,
+                  nprobe: int, k: int, shortlist: int, q_id_col: str,
+                  q_vec_col: str) -> DataFrame:
+        """ADC shortlist + exact re-rank, ENTIRELY JVM-side: no
+        per-query driver work, so a steady stream of query batches
+        never serializes on the driver (the one bounded collect per
+        batch is probe_clusters' scan-pruning id list, upstream).
+
+        - LUT[j][c] = dot(q[j*d_sub:(j+1)*d_sub], codebook[j][c]) is a
+          transform over the broadcast codebook literal — built inside
+          the query frame's projection, m x k entries per query.
+        - For RESIDUAL codes (IVFADC) the approximate dot decomposes as
+          dot(q, centroid) + dot(q, residual-hat): the coarse term
+          comes from the probe frame's own (query, centroid) pair.
+        - Each query scores ONLY its own probed clusters: candidates
+          join the per-query probe frame on cluster, so results are
+          batch-independent — the same semantics as method="exact"
+          (previously the ADC path scored the UNION of the batch's
+          clusters, making a query's top-k depend on its batchmates).
+
+        Exact-cosine re-rank of the shortlist; with full probe +
+        corpus-wide shortlist the result equals brute force exactly."""
         from hindex_spark.operators.similarity import _not_self
 
-        cb = self.pq_codebooks
-        m, d_sub = len(cb), len(cb[0][0])
-        spark = pruned.sparkSession
-        q_rows = queries.collect()
-        cent_map = {
-            r["cluster"]: [float(x) for x in r["centroid"]]
-            for r in self.centroids.collect()
-        }
-        lut_rows, qc_rows = [], []
-        for r in q_rows:
-            qv = [float(x) for x in r[q_vec_col]]
-            lut = [
-                [
-                    sum(qv[j * d_sub + t] * cent[t] for t in range(d_sub))
-                    for cent in cb[j]
-                ]
-                for j in range(m)
-            ]
-            q_norm = math.sqrt(sum(x * x for x in qv)) or 1.0
-            lut_rows.append((r[q_id_col], lut, q_norm))
-            for c, cv in cent_map.items():
-                qc_rows.append(
-                    (r[q_id_col], c, sum(a * b for a, b in zip(qv, cv)))
-                )
-        qid_ddl = queries.schema[q_id_col].dataType.simpleString()
-        qlut = spark.createDataFrame(
-            lut_rows,
-            f"{q_id_col} {qid_ddl}, lut array<array<double>>, q_norm double",
+        d_sub = len(self.pq_codebooks[0][0])
+        qv = F.col(q_vec_col)
+        lut = F.transform(
+            self._codebook_lit(),
+            lambda sub, j: F.transform(
+                sub,
+                lambda cent: F.aggregate(
+                    F.zip_with(
+                        F.slice(qv, j * F.lit(d_sub) + 1, d_sub),
+                        cent,
+                        lambda a, b: a.cast("double") * b,
+                    ),
+                    F.lit(0.0),
+                    lambda acc, v: acc + v,
+                ),
+            ),
         )
-        qc = spark.createDataFrame(
-            qc_rows, f"{q_id_col} {qid_ddl}, cluster int, qc double"
+        q_norm = F.sqrt(
+            F.aggregate(
+                F.transform(qv, lambda x: x.cast("double") * x),
+                F.lit(0.0),
+                lambda acc, v: acc + v,
+            )
+        )
+        qc = (
+            F.aggregate(
+                F.zip_with(
+                    qv, F.col("centroid"),
+                    lambda a, b: a.cast("double") * b,
+                ),
+                F.lit(0.0),
+                lambda acc, v: acc + v,
+            )
+            if self.pq_residual
+            else F.lit(0.0)
+        )
+        probes = (
+            self._probe_frame(queries, nprobe, q_id_col, q_vec_col)
+            .withColumn("lut", lut)
+            .withColumn("q_norm", F.when(q_norm > 0, q_norm).otherwise(1.0))
+            .withColumn("qc", qc)
+            .select(q_id_col, "cluster", "lut", "q_norm", "qc")
         )
         codes = pruned.select(
             F.col(self.id_col), "cluster", "codes", "norm"
         )
         approx = (
-            codes.join(F.broadcast(qc), "cluster")
-            .join(F.broadcast(qlut), q_id_col)
+            codes.join(F.broadcast(probes), "cluster")
             .filter(_not_self(queries, q_id_col, pruned, self.id_col))
             .withColumn(
                 "__adot",

@@ -365,3 +365,41 @@ def test_ann_ivfpq_residual_mode_roundtrip_and_recall_floor(
     # reopened handle keeps the residual contract
     assert AnnIndex.open(cat, "vr").pq_residual is True
     assert AnnIndex.open(cat, "vw").pq_residual is False
+
+
+def test_adc_serving_one_bounded_collect_and_batch_independent(
+    spark, sf_dir, tmp_path, monkeypatch
+):
+    """Query-serving contract (both PQ encodings): building a topk plan
+    for a query batch performs exactly ONE driver collect — the
+    <=n_clusters probe-id list feeding the scan's bucket pruning. LUTs
+    and coarse terms are JVM column expressions, so a stream of query
+    batches never serializes on per-query driver loops. And a query's
+    ADC top-k is BATCH-INDEPENDENT at nprobe < n_clusters: each query
+    scores only its own probed clusters (the method=\"exact\"
+    semantics), not the union of its batchmates'."""
+    emb = _emb(spark, sf_dir)
+    DataFrame = type(emb)  # the concrete class (pyspark 4 splits the facade)
+    cat = Catalog(spark, str(tmp_path / "wh"))
+    for name, residual in (("vraw", False), ("vres", True)):
+        ix = AnnIndex.build(cat, emb, "vec_id", "embedding", name,
+                            n_clusters=8, iters=2, pq_m=4,
+                            pq_residual=residual)
+        q_all = _queries(emb)
+        q_one = q_all.filter(F.col("q_id") == 0)
+
+        calls = []
+        orig = DataFrame.collect
+        monkeypatch.setattr(
+            DataFrame, "collect",
+            lambda self_: calls.append(1) or orig(self_),
+        )
+        plan = ix.topk(q_all, 5, nprobe=2, method="adc", shortlist=20)
+        assert len(calls) == 1  # probe_clusters' bounded id list
+        monkeypatch.setattr(DataFrame, "collect", orig)
+
+        solo = _rows(ix.topk(q_one, 5, nprobe=2, method="adc", shortlist=20))
+        batched = [
+            r for r in _rows(plan) if r[0] == 0
+        ]
+        assert solo == batched, (name, solo, batched)
