@@ -355,7 +355,17 @@ class DedupState:
             state.join(F.broadcast(batch_fps), "__fp", "left_semi")
             .select("__fp").distinct()
         )
-        fresh = nf.join(F.broadcast(fp_hits), "__fp", "left_anti").drop("__fp")
+        # BATCH-bounded lineage truncation (Table.AUTO_CHECKPOINT's
+        # analog for store verbs): ``fresh`` is referenced three times
+        # downstream (signatures, verification arrays, survivor join),
+        # and each reference would replay the fingerprint anti-join +
+        # the batch scan. localCheckpoint is safe here BECAUSE the
+        # frame is batch-sized — the corpus-sized state stays lazy.
+        fresh = (
+            nf.join(F.broadcast(fp_hits), "__fp", "left_anti")
+            .drop("__fp")
+            .localCheckpoint(eager=False)
+        )
 
         # near-dup pass: corpus bands from the STORE (map-only explode,
         # no text), batch bands broadcast into the equi-join.

@@ -462,7 +462,17 @@ class Table:
                 else:
                     after = df.join(affected.select(rk), rk, "left_semi")
                 self._changelog.emit("put", after, self.df, rk)
-        out._verbs_since_checkpoint = self._verbs_since_checkpoint + 1
+        # Weight the auto-truncation counter by the index tables the
+        # verb re-derived: ONE put against a 3-index table builds 4
+        # merge plans, and a downstream query fanning out over the
+        # result (several scans unioned) replays each of them per
+        # branch — the multi-index analog of the long checkand chain
+        # AUTO_CHECKPOINT_EVERY was introduced for. With >= 2 indexes a
+        # single mutation now truncates immediately; 0-1 indexes keep
+        # the every-2-verbs cadence.
+        out._verbs_since_checkpoint = self._verbs_since_checkpoint + max(
+            1, len(self.indices.indices)
+        )
         if (
             Table.AUTO_CHECKPOINT_EVERY
             and out._verbs_since_checkpoint >= Table.AUTO_CHECKPOINT_EVERY
