@@ -94,13 +94,16 @@ def _decode_stub(payload: bytes) -> dict:
 
 
 def _decode_auto(payload: bytes) -> dict:
-    """Real decode when possible, stub otherwise, SAME output schema.
-    With Pillow installed, a payload that parses as an image yields
-    pixel-level stats (mean/max over the decoded raster, any mode);
-    anything else — including every synthetic utf-8 blob the oracle
-    gates use, which has no image magic bytes — falls through to the
-    deterministic byte stub, so gate results are identical with or
-    without PIL present."""
+    """Real decode when possible, stub otherwise, SAME output schema:
+    a payload that parses as an image yields PIXEL-level stats
+    (mean/max over the decoded raster). Pillow decodes when installed
+    (C-speed, every format); without it the pure-stdlib codec
+    (operators/imagecodec.py) REALLY decodes PNG and BMP — so the
+    operator decodes actual pixels in this container too. Anything
+    undecodable — including every synthetic utf-8 blob the oracle gates
+    use, which has no image magic bytes — falls through to the
+    deterministic byte stub, so gate results are identical across all
+    three paths."""
     img_mod = _pil()
     if img_mod is not None:
         import io  # noqa: PLC0415 - worker-side
@@ -116,6 +119,18 @@ def _decode_auto(payload: bytes) -> dict:
             }
         except Exception:  # noqa: BLE001 - not an image → stub path
             pass
+    else:
+        from hindex_spark.operators import imagecodec  # noqa: PLC0415
+
+        dec = imagecodec.decode_image(payload)
+        if dec is not None:
+            _, _, _, raster = dec
+            n = len(raster)
+            return {
+                "n_bytes": len(payload),
+                "mean_byte": (sum(raster) / n) if n else 0.0,
+                "max_byte": max(raster) if n else 0,
+            }
     return _decode_stub(payload)
 
 
@@ -207,10 +222,30 @@ def resize_blobs(
                 try:
                     with img_mod.open(io.BytesIO(payload)) as img:
                         out = io.BytesIO()
-                        img.resize(target_size).save(out, format="PNG")
+                        # explicit NEAREST so the Pillow path and the
+                        # pure-codec path below resample identically
+                        # (Resampling namespace is Pillow>=9.1; older
+                        # exposes the constants on the module)
+                        nearest = getattr(
+                            img_mod, "Resampling", img_mod
+                        ).NEAREST
+                        img.resize(target_size, nearest).save(
+                            out, format="PNG"
+                        )
                         return out.getvalue()
                 except Exception:  # noqa: BLE001 - not an image → stub path
                     pass
+            else:
+                from hindex_spark.operators import imagecodec  # noqa: PLC0415
+
+                dec = imagecodec.decode_image(payload)
+                if dec is not None:
+                    w, h, ch, raster = dec
+                    tw, th = target_size
+                    return imagecodec.encode_png(
+                        imagecodec.resize_nearest(raster, w, h, ch, tw, th),
+                        tw, th, ch,
+                    )
         n = len(payload)
         if n <= target_bytes:
             return payload

@@ -1130,18 +1130,14 @@ def _pil_or_none():
 import pytest  # noqa: E402
 
 
-@pytest.mark.skipif(_pil_or_none() is None, reason="Pillow not installed")
-def test_multimodal_pil_real_decode(spark):
-    """With Pillow present, extract_features decodes real pixels: a 2x2
-    grayscale PNG with known raster yields pixel (not file-byte) stats."""
-    import io
+def test_multimodal_real_decode(spark):
+    """extract_features decodes REAL pixels in every environment: a 2x2
+    grayscale PNG with known raster yields pixel (not file-byte) stats —
+    via Pillow when installed, via the pure-stdlib codec
+    (operators/imagecodec.py) otherwise."""
+    from hindex_spark.operators import imagecodec as ic
 
-    Image = _pil_or_none()
-    img = Image.new("L", (2, 2))
-    img.putdata([0, 10, 20, 250])
-    buf = io.BytesIO()
-    img.save(buf, format="PNG")
-    payload = buf.getvalue()
+    payload = ic.encode_png(bytes([0, 10, 20, 250]), 2, 2, 1)
 
     df = spark.createDataFrame([(1, bytearray(payload))], "doc_id long, blob binary")
     row = mm.extract_features(df).first()
@@ -1150,22 +1146,43 @@ def test_multimodal_pil_real_decode(spark):
     assert abs(row["mean_byte"] - (0 + 10 + 20 + 250) / 4) < 1e-9
 
 
+def test_multimodal_real_resize(spark):
+    """target_size opts resize_blobs into a real decode + NEAREST
+    resize + PNG re-encode in every environment; the output blob must
+    decode to the requested dimensions with the resampled pixels."""
+    from hindex_spark.operators import imagecodec as ic
+
+    raster = bytes([200, 10, 10] * 64)  # 8x8 solid RGB
+    payload = ic.encode_png(raster, 8, 8, 3)
+
+    df = spark.createDataFrame([(1, bytearray(payload))], "doc_id long, blob binary")
+    row = mm.resize_blobs(df, target_size=(3, 2)).first()
+    out = ic.decode_image(bytes(row["blob"]))
+    assert out is not None
+    w, h, ch, r = out
+    assert (w, h, ch) == (3, 2, 3)
+    assert r == bytes([200, 10, 10] * 6)
+    assert row["out_bytes"] == len(bytes(row["blob"]))
+
+
 @pytest.mark.skipif(_pil_or_none() is None, reason="Pillow not installed")
-def test_multimodal_pil_real_resize(spark):
-    """target_size opts resize_blobs into a real Image.resize + PNG
-    re-encode; the output blob must decode to the requested dimensions."""
+def test_multimodal_pure_codec_matches_pillow(spark):
+    """When Pillow IS available, the pure codec's decode and encode
+    agree with it byte-for-byte on raster content."""
     import io
 
-    Image = _pil_or_none()
-    img = Image.new("RGB", (8, 8), (200, 10, 10))
-    buf = io.BytesIO()
-    img.save(buf, format="PNG")
+    from hindex_spark.operators import imagecodec as ic
 
-    df = spark.createDataFrame([(1, bytearray(buf.getvalue()))], "doc_id long, blob binary")
-    row = mm.resize_blobs(df, target_size=(3, 2)).first()
-    out = Image.open(io.BytesIO(bytes(row["blob"])))
-    assert out.size == (3, 2)
-    assert row["out_bytes"] == len(bytes(row["blob"]))
+    Image = _pil_or_none()
+    raster = bytes(range(48))  # 4x4 RGB gradient
+    payload = ic.encode_png(raster, 4, 4, 3)
+    with Image.open(io.BytesIO(payload)) as img:
+        assert img.size == (4, 4)
+        assert img.tobytes() == raster
+    buf = io.BytesIO()
+    img2 = Image.frombytes("RGB", (4, 4), raster)
+    img2.save(buf, format="PNG")
+    assert ic.decode_image(buf.getvalue()) == (4, 4, 3, raster)
 
 
 # --- parameterized MinHash family (round 7) ----------------------------
