@@ -513,6 +513,36 @@ def main():
             runs=3,
         )
 
+    # Hot-bucket escape on a synthetic HOT-HOUR corpus (every event in
+    # one time bucket, high key cardinality — the shape that serializes
+    # the exchange-free merge into one task). spread_keys="auto" gauges
+    # the store's own bucket distribution and opts into the spreading
+    # exchange; the delta vs the clustered read is what the escape buys
+    # when skew is real.
+    try:
+        one_ts = events.select("ts").first()[0]
+        hot_store = RollupStore.build(
+            cat,
+            events.withColumn("ts", F.lit(one_ts)).withColumn(
+                "event_type", F.concat(F.lit("k"), F.col("event_id") % 20000)
+            ),
+            "ts", ["event_type"], "value", HOUR_US, "bench_hot_events",
+        )
+    except Exception as exc:  # noqa: BLE001
+        hot_store = None
+        errors["rollup_hot_read_auto"] = f"setup: {type(exc).__name__}: {exc}"[:220]
+    if hot_store is not None:
+        bench(
+            "rollup_hot_read_clustered",
+            lambda: hot_store.read(spread_keys=False).count(),
+            runs=3,
+        )
+        bench(
+            "rollup_hot_read_auto",
+            lambda: hot_store.read(spread_keys="auto").count(),
+            runs=3,
+        )
+
     # runs=3: the widest run-to-run GC variance of any workload at sf1
     # (multi-stage: quality filter + exact dedup + LSH + clustering);
     # three runs with inter-run collection reach steady state reliably.

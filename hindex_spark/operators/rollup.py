@@ -332,6 +332,42 @@ class RollupStore:
             gens = self.catalog.spark.createDataFrame([(gen,)], "gen long")
             append_tombstones(gens, "gen", gen + 1, self._tombstone_path())
 
+    #: "auto" spreads when the largest time bucket holds more than this
+    #: multiple of the fair per-bucket share — below it, the
+    #: exchange-free merge wins (the extra exchange costs more than the
+    #: skew); above it, one task serializes the merge.
+    AUTO_SPREAD_MULT = 4.0
+
+    def _hot_bucket(self, p: DataFrame) -> bool:
+        """Whether the (time-filtered) partials have a hot bucket_us:
+        max rows-per-bucket > AUTO_SPREAD_MULT x the fair PER-TASK
+        share. The clustered merge runs one task per hash bucket, so
+        the fair share is total/num_buckets — NOT total/distinct
+        buckets, which would never flag the worst case (everything in
+        ONE time bucket: max == total == that 'fair'). One bounded
+        extra aggregation whose driver-side result is one row — the LSH
+        auto-valve pattern (dedup.py max_bucket=\"auto\");
+        bucket_us-only projection, so the gauge scan is column-pruned."""
+        row = (
+            p.groupBy("bucket_us").agg(F.count("*").alias("__n"))
+            .agg(F.max("__n").alias("mx"), F.sum("__n").alias("tot"))
+            .collect()[0]
+        )
+        if not row["tot"]:
+            return False
+        fair = row["tot"] / max(1, self.num_buckets)
+        return row["mx"] > self.AUTO_SPREAD_MULT * fair
+
+    def _maybe_spread(self, p: DataFrame, spread_keys) -> DataFrame:
+        """Resolve the hot-bucket escape: True/False pass through,
+        \"auto\" derives it from the store's own bucket-size
+        distribution."""
+        if spread_keys == "auto":
+            spread_keys = self._hot_bucket(p)
+        if spread_keys:
+            return p.repartition("bucket_us", *self.key_cols)
+        return p
+
     @property
     def live_partials(self) -> DataFrame:
         """Partials minus tombstoned (replaced/retracted) generations.
@@ -364,14 +400,16 @@ class RollupStore:
         (bucket_us, *keys) first — one deliberate exchange that fans
         the hot bucket's keys across all tasks. Default off: the
         exchange-free path wins whenever buckets are reasonably
-        balanced, which time buckets at production grain are."""
+        balanced, which time buckets at production grain are.
+        ``spread_keys="auto"`` derives the decision from the store's
+        own bucket-size distribution (one bounded gauge aggregation —
+        see ``_hot_bucket``); result-identical either way."""
         p = self.live_partials
         if start_us is not None:
             p = p.filter(F.col("bucket_us") >= start_us)
         if end_us is not None:
             p = p.filter(F.col("bucket_us") < end_us)
-        if spread_keys:
-            p = p.repartition("bucket_us", *self.key_cols)
+        p = self._maybe_spread(p, spread_keys)
         return merge_partials(p, self.key_cols)
 
     def read_at(self, grain_us: int,
@@ -398,11 +436,11 @@ class RollupStore:
             "bucket_us",
             F.col("bucket_us") - (F.col("bucket_us") % F.lit(grain_us)),
         )
-        if spread_keys:
-            # coarsening concentrates buckets (24 hours -> 1 day), so
-            # the hot-bucket escape matters MORE here; same one-exchange
-            # trade as read()
-            coarse = coarse.repartition("bucket_us", *self.key_cols)
+        # coarsening concentrates buckets (24 hours -> 1 day), so the
+        # hot-bucket escape matters MORE here; same one-exchange trade
+        # as read(). "auto" gauges the COARSENED distribution — that is
+        # the grouping the merge actually runs at.
+        coarse = self._maybe_spread(coarse, spread_keys)
         return merge_partials(coarse, self.key_cols)
 
     def expire(self, before_us: int,

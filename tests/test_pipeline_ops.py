@@ -2335,3 +2335,40 @@ def test_rollup_compact_seals_folded_generations(spark, sf_dir, tmp_path):
     assert sorted(map(tuple, r2.read().collect())) == sorted(
         map(tuple, direct.read().collect())
     )
+
+
+def test_rollup_auto_spread_keys_from_bucket_distribution(
+    spark, sf_dir, tmp_path
+):
+    """spread_keys=\"auto\" (the LSH auto-valve pattern applied to the
+    hot-bucket escape): a hot-hour store — every event in ONE time
+    bucket — triggers the spreading exchange; a uniform store keeps the
+    exchange-free merge. Results identical to both explicit settings
+    either way."""
+    import re
+
+    from hindex_spark.catalog import Catalog
+    from hindex_spark.operators.rollup import HOUR_US, RollupStore
+
+    events = spark.read.parquet(f"{sf_dir}/events.parquet").limit(4000)
+    cat = Catalog(spark, str(tmp_path / "wh"))
+
+    uniform = RollupStore.build(cat, events, "ts", ["event_type"],
+                                "value", HOUR_US, "uni")
+    one_ts = events.select("ts").first()[0]  # every event in ONE hour
+    hot_events = events.withColumn("ts", F.lit(one_ts)).withColumn(
+        "event_type", F.concat(F.lit("k"), F.col("event_id") % 500)
+    )
+    hot = RollupStore.build(cat, hot_events, "ts", ["event_type"],
+                            "value", HOUR_US, "hot")
+
+    def n_exchanges(df):
+        p = df._jdf.queryExecution().executedPlan().toString()
+        return len(re.findall(r"Exchange hashpartitioning", p))
+
+    assert n_exchanges(uniform.read(spread_keys="auto")) == 0
+    assert n_exchanges(hot.read(spread_keys="auto")) >= 1
+    for store in (uniform, hot):
+        want = sorted(map(tuple, store.read(spread_keys=False).collect()))
+        assert sorted(map(tuple, store.read(spread_keys="auto").collect())) == want
+        assert sorted(map(tuple, store.read(spread_keys=True).collect())) == want
