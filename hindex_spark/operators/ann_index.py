@@ -385,9 +385,14 @@ class AnnIndex:
                 .join(F.broadcast(batch_ids), self.id_col, "left_semi")
                 .select(self.id_col).distinct()
             )
-            append_tombstones(
-                existing, self.id_col, new_gen, self._tombstone_path()
-            )
+            # pure-insert upsert: no pre-existing ids -> no tombstone
+            # file, or every later read pays the broadcast cut for an
+            # empty set until the next compact (SearchIndex.upsert's
+            # `if old_n:` guard; one bounded take(1) probe)
+            if existing.take(1):
+                append_tombstones(
+                    existing, self.id_col, new_gen, self._tombstone_path()
+                )
             rows = self._index_rows(new_vectors, new_gen)
             view = f"__annindex_upsert_{self.name}"
             sess = rows.sparkSession
@@ -422,9 +427,15 @@ class AnnIndex:
         from hindex_spark.operators.artifact import clear_tombstones, live_view
         from hindex_spark.table import Table
 
-        if num_buckets is None:
-            num_buckets = self.num_buckets
         with self.catalog.write_lock(self.table_name):
+            # reload FIRST, resolve the default after: the handle's
+            # in-memory num_buckets may be stale across processes, and
+            # compacting on the stale value would revert another
+            # process's bucket-count change (the same stale-baseline
+            # hazard _reload_meta documents for the other mutations)
+            self._reload_meta()
+            if num_buckets is None:
+                num_buckets = self.num_buckets
             rows = self.catalog.read_raw(self.table_name)
             rows = live_view(
                 rows, self.id_col, self.catalog.spark, self._tombstone_path()

@@ -263,9 +263,12 @@ class DedupState:
                 .join(F.broadcast(batch_ids), self.id_col, "left_semi")
                 .select(self.id_col).distinct()
             )
-            append_tombstones(
-                existing, self.id_col, new_gen, self._tombstone_path()
-            )
+            # pure-insert upsert: no pre-existing ids -> no tombstone
+            # file (AnnIndex/SearchIndex.upsert's guard; bounded probe)
+            if existing.take(1):
+                append_tombstones(
+                    existing, self.id_col, new_gen, self._tombstone_path()
+                )
             rows = state_rows(
                 docs, self.id_col, self.text_col, self.ngram, self.hash_fn,
                 self.n_hashes,
@@ -294,7 +297,7 @@ class DedupState:
             )
             self._bump_gen(new_gen)
 
-    def compact(self, num_buckets: int = 32) -> None:
+    def compact(self, num_buckets: Optional[int] = None) -> None:
         """Rewrite the state table as one file per bucket, purging
         tombstoned generations (gens preserved — a crash between the
         save and the tombstone clear re-applies the cuts as a no-op).
@@ -309,6 +312,12 @@ class DedupState:
         from hindex_spark.table import Table
 
         with self.catalog.write_lock(self.table_name):
+            # reload first: another process may have changed the bucket
+            # count; None means KEEP it (a maintenance pass must never
+            # silently reset a custom layout)
+            self._reload_meta()
+            if num_buckets is None:
+                num_buckets = self.num_buckets
             rows = self.catalog.read_raw(self.table_name)
             rows = live_view(
                 rows, self.id_col, self.catalog.spark, self._tombstone_path()

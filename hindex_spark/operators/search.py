@@ -526,6 +526,35 @@ class SearchIndex:
             self.num_buckets = m.get("num_buckets", self.num_buckets)
             self.cur_gen = m.get("cur_gen", 0)
 
+    def _migrate_gen_locked(self) -> None:
+        """One-time migration of a PRE-GENERATION store (written before
+        upsert/delete existed): rewrite postings (and the doclen side
+        table, if any) with gen=0 so every mutation path — positional
+        INSERT INTO, tombstone cuts, compact's doclen rebuild — sees one
+        consistent schema. Caller holds the writer lock. No-op on
+        current stores (one driver-side schema probe)."""
+        if "gen" in self.catalog.read_raw(self.table_name).columns:
+            return
+        from hindex_spark.table import Table
+
+        rows = self.catalog.read_raw(self.table_name).withColumn(
+            "gen", F.lit(0).cast("long")
+        )
+        self.catalog.save_bucketed(
+            Table(rows, "token", f"{self.name}_postings"),
+            num_buckets=self.num_buckets,
+        )
+        if self._has_doclen():
+            dl = self.catalog.read_raw(self.doclen_table_name)
+            if "gen" not in dl.columns:
+                self.catalog.save_bucketed(
+                    Table(
+                        dl.withColumn("gen", F.lit(0).cast("long")),
+                        self.id_col, f"{self.name}_doclen",
+                    ),
+                    num_buckets=self.num_buckets,
+                )
+
     def update(self, new_docs: DataFrame) -> None:
         """Per-batch maintenance: append the batch's postings (INSERT
         INTO honors the bucket spec) and bump the persisted corpus
@@ -545,6 +574,7 @@ class SearchIndex:
         sess = new_docs.sparkSession
         with self.catalog.write_lock(self.table_name):
             self._reload_meta()
+            self._migrate_gen_locked()
             rows = self._posting_rows(
                 new_docs, self.id_col, self.text_col, gen=self.cur_gen
             )
@@ -622,6 +652,7 @@ class SearchIndex:
 
         with self.catalog.write_lock(self.table_name):
             self._reload_meta()
+            self._migrate_gen_locked()
             self._ensure_registered()
             batch_ids = docs.select(self.id_col).distinct()
             old_n, old_sumdl = self._live_id_stats(batch_ids)
@@ -676,6 +707,7 @@ class SearchIndex:
 
         with self.catalog.write_lock(self.table_name):
             self._reload_meta()
+            self._migrate_gen_locked()
             self._ensure_registered()
             id_set = ids.select(self.id_col).distinct()
             old_n, old_sumdl = self._live_id_stats(id_set)
@@ -841,7 +873,7 @@ class SearchIndex:
             .orderBy(self.id_col)
         )
 
-    def compact(self, num_buckets: int = 32) -> None:
+    def compact(self, num_buckets: Optional[int] = None) -> None:
         """Rewrite the postings table as one file per bucket. Every
         ``update()`` INSERT adds a file set per bucket, and multi-file
         buckets cost the scan its reported sort order (an extra Sort
@@ -867,6 +899,11 @@ class SearchIndex:
 
         with self.catalog.write_lock(self.table_name):
             self._reload_meta()
+            self._migrate_gen_locked()
+            # None = KEEP the (just-reloaded) bucket count: a
+            # maintenance pass must never silently reset a custom layout
+            if num_buckets is None:
+                num_buckets = self.num_buckets
             rows = self.catalog.read_raw(self.table_name)
             # physical purge of tombstoned generations (Lucene's merge
             # rule); gens are PRESERVED so a crash between the save and

@@ -425,3 +425,44 @@ def test_rollup_expire_everything_reads_empty(spark, sf_dir, tmp_path):
     assert r.read().count() == 0
     r.update(events.limit(100))
     assert r.read().count() > 0
+
+
+def test_pre_generation_search_store_migrates_on_mutation(
+    spark, sf_dir, tmp_path
+):
+    """A store written BEFORE the gen column existed (round-7 layout:
+    no gen, no doclen side table) must migrate in place on its first
+    mutation — update/upsert/compact previously mismatched the
+    positional INSERT or crashed selecting the absent column."""
+    import shutil
+
+    from hindex_spark.table import Table as _Table
+
+    docs = spark.createDataFrame(
+        [(i, f"doc {i} alpha beta gamma") for i in range(6)],
+        "doc_id long, text string",
+    )
+    cat = Catalog(spark, str(tmp_path / "wh"))
+    ix = SearchIndex.build(cat, docs.filter(F.col("doc_id") < 4),
+                           "doc_id", "text", "oldgen")
+    # strip the store back to the pre-gen layout: no gen column, no
+    # doclen side table
+    legacy = cat.read_raw(ix.table_name).drop("gen")
+    cat.save_bucketed(_Table(legacy, "token", "oldgen_postings"),
+                      num_buckets=ix.num_buckets)
+    shutil.rmtree(f"{cat.root}/{ix.doclen_table_name}", ignore_errors=True)
+    ix2 = SearchIndex.open(cat, "oldgen")
+    assert "gen" not in cat.read_raw(ix2.table_name).columns
+
+    ix2.update(docs.filter(F.col("doc_id") == 4))
+    assert "gen" in cat.read_raw(ix2.table_name).columns  # migrated
+    ix2.upsert(docs.filter(F.col("doc_id").isin(0, 5)))
+    ix2.delete(spark.createDataFrame([(1,)], "doc_id long"))
+    ix2.compact()
+    live = sorted(
+        r["doc_id"]
+        for r in ix2.postings.select("doc_id").distinct().collect()
+    )
+    assert live == [0, 2, 3, 4, 5]
+    ix2.repair_stats()
+    assert ix2.n_docs == 5
