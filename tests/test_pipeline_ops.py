@@ -2372,3 +2372,42 @@ def test_rollup_auto_spread_keys_from_bucket_distribution(
         want = sorted(map(tuple, store.read(spread_keys=False).collect()))
         assert sorted(map(tuple, store.read(spread_keys="auto").collect())) == want
         assert sorted(map(tuple, store.read(spread_keys=True).collect())) == want
+
+
+def test_rollup_store_maintained_from_stream(spark, sf_dir, tmp_path):
+    """Streaming maintenance for the rollup store — the foreachBatch
+    shape whose clone-session INSERT is exactly the file-listing-cache
+    trap the refresh-at-read hardening closes: after draining the
+    stream, the merged read equals a batch build over everything the
+    store saw."""
+    import shutil
+
+    from hindex_spark.catalog import Catalog
+    from hindex_spark.operators.rollup import HOUR_US, RollupStore
+
+    src = str(tmp_path / "src")
+    events = spark.read.parquet(f"{sf_dir}/events.parquet").limit(6000)
+    seed = events.filter(F.col("event_id") % 3 == 0)
+    rest = events.filter(F.col("event_id") % 3 != 0)
+    cat = Catalog(spark, str(tmp_path / "wh"))
+    r = RollupStore.build(cat, seed, "ts", ["event_type"], "value",
+                          HOUR_US, "stream")
+    rest.write.mode("overwrite").parquet(src)
+    q = (
+        spark.readStream.schema(events.schema).parquet(src)
+        .writeStream.foreachBatch(
+            lambda batch, _epoch: r.update(batch) if batch.count() else None
+        )
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    full = RollupStore.build(
+        Catalog(spark, str(tmp_path / "wh2")), events, "ts",
+        ["event_type"], "value", HOUR_US, "full",
+    )
+    got = sorted(map(tuple, r.read().collect()))
+    want = sorted(map(tuple, full.read().collect()))
+    assert got == want
+    shutil.rmtree(src, ignore_errors=True)
