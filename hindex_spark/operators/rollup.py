@@ -18,6 +18,16 @@ Design (the DedupState / SearchIndex artifact pattern):
 - ``compact()`` folds accumulated partials back to one row per
   (bucket, key) and one file per bucket (same staged-swap machinery and
   the same raw-parquet-source caveat as SearchIndex.compact).
+- ``ndv_col`` adds MERGEABLE distinct counts (DataSketches HLL sketch
+  partials): exact at sparse-mode cardinalities, ~±1% beyond, and the
+  same sketches serve corrections (replace_batch) and the grain
+  lattice (daily ndv from hourly partials) — COUNT(DISTINCT) is the
+  one classic rollup aggregate plain partials cannot carry.
+- ``update()`` returns a batch GENERATION; ``replace_batch``/
+  ``delete_batch`` correct or retract a batch via the artifact
+  tombstone machinery (operators/artifact.py) without rebuilding —
+  ``compact()`` folds live partials into a fresh generation and seals
+  older ones.
 
 Determinism: the value sum is ``round(value, 6)`` cast DECIMAL(18,6)
 BEFORE aggregation (the repo's fixed-point convention) — a plain
@@ -56,37 +66,58 @@ def rollup_partials(
     key_cols: List[str],
     value_col: str,
     grain_us: int,
+    ndv_col: Optional[str] = None,
+    ndv_lgk: int = 12,
 ) -> DataFrame:
     """One batch's partial aggregates: (bucket_us, *keys, cnt, vsum,
-    vmin, vmax). One narrow projection + one grain-keyed aggregation —
-    map-side combine collapses each partition to <= (buckets x keys)
-    rows before the exchange."""
+    vmin, vmax[, nds]). One narrow projection + one grain-keyed
+    aggregation — map-side combine collapses each partition to
+    <= (buckets x keys) rows before the exchange.
+
+    ``ndv_col`` adds a MERGEABLE distinct-count column: an Apache
+    DataSketches HLL sketch per group (``nds``, binary) — the
+    continuous-aggregate answer to COUNT(DISTINCT): plain distinct
+    counts are NOT mergeable across batches (re-seen ids double-count),
+    sketches union exactly. The sketch is EXACT while in sparse mode
+    (well past typical per-(bucket, key) cardinalities) and degrades
+    gracefully to ~±1% estimation beyond — the standard 100 TB trade;
+    ``ndv_lgk`` sizes that boundary."""
     # exact integer floor-to-grain (micros are positive): double
     # division could drift on large epochs, long mod cannot
     us = ts_micros(events, ts_col)
     bucket = (us - (us % F.lit(grain_us))).alias("bucket_us")
     v6 = F.round(F.col(value_col), _SCALE).cast(_DEC)
+    cols = [bucket, *[F.col(k) for k in key_cols], v6.alias("__v")]
+    aggs = [
+        F.count("*").alias("cnt"),
+        F.sum("__v").cast(_DEC).alias("vsum"),
+        F.min("__v").cast(_DEC).alias("vmin"),
+        F.max("__v").cast(_DEC).alias("vmax"),
+    ]
+    if ndv_col is not None:
+        cols.append(F.col(ndv_col).alias("__nd"))
+        aggs.append(F.hll_sketch_agg("__nd", F.lit(ndv_lgk)).alias("nds"))
     return (
         events.filter(F.col(ts_col).isNotNull())
-        .select(bucket, *[F.col(k) for k in key_cols], v6.alias("__v"))
+        .select(*cols)
         .groupBy("bucket_us", *key_cols)
-        .agg(
-            F.count("*").alias("cnt"),
-            F.sum("__v").cast(_DEC).alias("vsum"),
-            F.min("__v").cast(_DEC).alias("vmin"),
-            F.max("__v").cast(_DEC).alias("vmax"),
-        )
+        .agg(*aggs)
     )
 
 
 def merge_partials(partials: DataFrame, key_cols: List[str]) -> DataFrame:
-    """Exact merge of partial rows: count/sum add, min/max fold."""
-    return partials.groupBy("bucket_us", *key_cols).agg(
+    """Exact merge of partial rows: count/sum add, min/max fold, NDV
+    sketches union (kept as sketches — still mergeable downstream;
+    ``RollupStore.read`` estimates at the edge)."""
+    aggs = [
         F.sum("cnt").alias("cnt"),
         F.sum("vsum").cast(_DEC).alias("vsum"),
         F.min("vmin").cast(_DEC).alias("vmin"),
         F.max("vmax").cast(_DEC).alias("vmax"),
-    )
+    ]
+    if "nds" in partials.columns:
+        aggs.append(F.hll_union_agg("nds").alias("nds"))
+    return partials.groupBy("bucket_us", *key_cols).agg(*aggs)
 
 
 class RollupStore:
@@ -104,7 +135,12 @@ class RollupStore:
 
     def __init__(self, catalog, name: str, ts_col: str,
                  key_cols: List[str], value_col: str, grain_us: int,
-                 num_buckets: int = 32):
+                 num_buckets: int = 32, ndv_col: Optional[str] = None,
+                 ndv_lgk: int = 12):
+        #: mergeable distinct-count column (HLL sketch partials) — part
+        #: of the artifact identity, like the LSH family on DedupState
+        self.ndv_col = ndv_col
+        self.ndv_lgk = ndv_lgk
         self.num_buckets = num_buckets
         self.catalog = catalog
         self.name = name
@@ -133,14 +169,17 @@ class RollupStore:
     @classmethod
     def build(cls, catalog, events: DataFrame, ts_col: str,
               key_cols: List[str], value_col: str, grain_us: int,
-              name: str, num_buckets: int = 32) -> "RollupStore":
+              name: str, num_buckets: int = 32,
+              ndv_col: Optional[str] = None,
+              ndv_lgk: int = 12) -> "RollupStore":
         from hindex_spark.operators.artifact import clear_tombstones
         from hindex_spark.table import Table
 
         r = cls(catalog, name, ts_col, key_cols, value_col, grain_us,
-                num_buckets=num_buckets)
+                num_buckets=num_buckets, ndv_col=ndv_col, ndv_lgk=ndv_lgk)
         rows = rollup_partials(
-            events, ts_col, key_cols, value_col, grain_us
+            events, ts_col, key_cols, value_col, grain_us,
+            ndv_col=ndv_col, ndv_lgk=ndv_lgk,
         ).withColumn("gen", F.lit(0).cast("long"))
         catalog.save_bucketed(
             Table(rows, "bucket_us", f"{name}_rollup"), num_buckets=num_buckets
@@ -158,7 +197,8 @@ class RollupStore:
         return {"ts_col": self.ts_col, "key_cols": self.key_cols,
                 "value_col": self.value_col, "grain_us": self.grain_us,
                 "num_buckets": self.num_buckets, "cur_gen": self.cur_gen,
-                "sealed_below": self.sealed_below}
+                "sealed_below": self.sealed_below,
+                "ndv_col": self.ndv_col, "ndv_lgk": self.ndv_lgk}
 
     def _reload_meta(self) -> None:
         """Re-read the persisted meta into this handle — MUST run at
@@ -183,7 +223,8 @@ class RollupStore:
             m = json.load(f)
         r = cls(catalog, name, m["ts_col"], m["key_cols"],
                 m["value_col"], m["grain_us"],
-                num_buckets=m.get("num_buckets", 32))
+                num_buckets=m.get("num_buckets", 32),
+                ndv_col=m.get("ndv_col"), ndv_lgk=m.get("ndv_lgk", 12))
         r.cur_gen = m.get("cur_gen", 0)
         r.sealed_below = m.get("sealed_below", 0)
         return r
@@ -242,7 +283,8 @@ class RollupStore:
         """INSERT one batch's partials at ``gen`` (caller holds the
         lock and has ensured registration + gen column)."""
         rows = rollup_partials(
-            batch, self.ts_col, self.key_cols, self.value_col, self.grain_us
+            batch, self.ts_col, self.key_cols, self.value_col,
+            self.grain_us, ndv_col=self.ndv_col, ndv_lgk=self.ndv_lgk,
         ).withColumn("gen", F.lit(gen).cast("long"))
         view = f"__rollup_append_{self.name}"
         sess = rows.sparkSession  # foreachBatch session clone, see
@@ -381,6 +423,16 @@ class RollupStore:
         return live_view(p, "gen", self.catalog.spark,
                          self._tombstone_path())
 
+    @staticmethod
+    def _finish(merged: DataFrame) -> DataFrame:
+        """Estimate NDV sketches at the serving edge (sketches stay
+        sketches inside the store so they remain mergeable)."""
+        if "nds" in merged.columns:
+            merged = merged.withColumn(
+                "ndv", F.hll_sketch_estimate("nds").cast("bigint")
+            ).drop("nds")
+        return merged
+
     def read(
         self,
         start_us: Optional[int] = None,
@@ -410,7 +462,7 @@ class RollupStore:
         if end_us is not None:
             p = p.filter(F.col("bucket_us") < end_us)
         p = self._maybe_spread(p, spread_keys)
-        return merge_partials(p, self.key_cols)
+        return self._finish(merge_partials(p, self.key_cols))
 
     def read_at(self, grain_us: int,
                 start_us: Optional[int] = None,
@@ -441,7 +493,7 @@ class RollupStore:
         # as read(). "auto" gauges the COARSENED distribution — that is
         # the grouping the merge actually runs at.
         coarse = self._maybe_spread(coarse, spread_keys)
-        return merge_partials(coarse, self.key_cols)
+        return self._finish(merge_partials(coarse, self.key_cols))
 
     def expire(self, before_us: int,
                num_buckets: Optional[int] = None) -> None:

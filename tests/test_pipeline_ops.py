@@ -2411,3 +2411,51 @@ def test_rollup_store_maintained_from_stream(spark, sf_dir, tmp_path):
     want = sorted(map(tuple, full.read().collect()))
     assert got == want
     shutil.rmtree(src, ignore_errors=True)
+
+
+def test_rollup_ndv_sketches_merge_across_batches_and_lattice(
+    spark, sf_dir, tmp_path
+):
+    """NDV partials are HLL sketches, so they merge EXACTLY where plain
+    distinct counts cannot: users spanning batches are not
+    double-counted, corrections re-merge, and the same sketches serve
+    the coarser grain (daily ndv from the hourly store's partials)."""
+    from hindex_spark.catalog import Catalog
+    from hindex_spark.operators.rollup import DAY_US, HOUR_US, RollupStore
+    from hindex_spark.timeutil import ts_micros
+
+    events = spark.read.parquet(f"{sf_dir}/events.parquet").limit(20000)
+    cat = Catalog(spark, str(tmp_path / "wh"))
+    r = RollupStore.build(
+        cat, events.filter(F.col("event_id") % 2 == 0),
+        "ts", ["event_type"], "value", HOUR_US, "ndv", ndv_col="user_id",
+    )
+    bad = r.update(
+        events.filter(F.col("event_id") % 2 == 1)
+        .withColumn("user_id", F.col("user_id") + 10_000_000)  # wrong ids
+    )
+    r.replace_batch(bad, events.filter(F.col("event_id") % 2 == 1))
+
+    def exact(grain):
+        us = ts_micros(events, "ts")
+        return {
+            (t[0], t[1]): t[2]
+            for t in events.filter(F.col("ts").isNotNull())
+            .select(
+                (us - us % F.lit(grain)).alias("b"), "event_type", "user_id"
+            )
+            .groupBy("b", "event_type")
+            .agg(F.countDistinct("user_id").alias("d"))
+            .collect()
+        }
+
+    got_h = {(row["bucket_us"], row["event_type"]): row["ndv"]
+             for row in r.read().collect()}
+    assert got_h == exact(HOUR_US)
+    got_d = {(row["bucket_us"], row["event_type"]): row["ndv"]
+             for row in r.read_at(DAY_US).collect()}
+    assert got_d == exact(DAY_US)
+    # compaction folds partials but keeps sketches mergeable
+    r.compact()
+    assert {(row["bucket_us"], row["event_type"]): row["ndv"]
+            for row in r.read_at(DAY_US).collect()} == got_d
