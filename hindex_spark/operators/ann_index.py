@@ -543,7 +543,29 @@ class AnnIndex:
         the post-filter failure mode where a selective predicate
         starves k). The filter frame is broadcast; derive it from any
         metadata predicate and keep it id-only."""
-        clusters = self.probe_clusters(queries, nprobe, q_id_col, q_vec_col)
+        probes = None
+        if method == "adc":
+            if self.pq_codebooks is None:
+                raise ValueError(
+                    "AnnIndex.topk(method='adc') needs a PQ codebook "
+                    "- build the index with pq_m=..."
+                )
+            # ONE bounded collect serves both consumers: the probe rows
+            # (LUT/q_norm/qc computed JVM-side inside that same job)
+            # come back n_queries x nprobe small, yield the scan-pruning
+            # cluster ids, and re-enter as a LocalRelation — so the
+            # broadcast side costs ZERO extra jobs (a second window job
+            # or a localCheckpoint materialization each measured
+            # +0.3-0.9 s/batch at sf1).
+            frame = self._adc_probe_frame(queries, nprobe, q_id_col,
+                                          q_vec_col)
+            rows = frame.collect()
+            clusters = sorted({r["cluster"] for r in rows})
+            probes = self.catalog.spark.createDataFrame(rows, frame.schema)
+        else:
+            clusters = self.probe_clusters(
+                queries, nprobe, q_id_col, q_vec_col
+            )
         pruned = self.vectors.filter(F.col("cluster").isin(clusters))
         if filter_ids is not None:
             pruned = pruned.join(
@@ -551,13 +573,8 @@ class AnnIndex:
                 self.id_col, "left_semi",
             )
         if method == "adc":
-            if self.pq_codebooks is None:
-                raise ValueError(
-                    "AnnIndex.topk(method='adc') needs a PQ codebook — "
-                    "build the index with pq_m=..."
-                )
             return self._adc_topk(
-                pruned, queries, nprobe, k, shortlist, q_id_col, q_vec_col
+                pruned, queries, probes, k, shortlist, q_id_col, q_vec_col
             )
         if method != "exact":
             raise ValueError(f"AnnIndex.topk: unknown method {method!r}")
@@ -571,38 +588,36 @@ class AnnIndex:
     def _codebook_lit(self):
         """The PQ codebooks as ONE nested array literal (m x k x d_sub
         doubles — bounded by construction: trained on a driver-side
-        sample), so LUT construction is a pure JVM column expression."""
-        return F.array(*[
-            F.array(*[
-                F.array(*[F.lit(float(x)) for x in cent]) for cent in sub
-            ])
+        sample), so LUT construction is a pure JVM column expression.
+        A single Literal NODE, not an array()-of-array()s tree: the
+        composed form is m*k*d_sub CreateArray/Literal nodes (~1000+),
+        and Catalyst re-analyzes that tree on every query invocation —
+        measured as a per-batch planning tax on the stored-ADC bench."""
+        cb = [
+            [[float(x) for x in cent] for cent in sub]
             for sub in self.pq_codebooks
-        ])
+        ]
+        return F.lit(cb)
 
-    def _adc_topk(self, pruned: DataFrame, queries: DataFrame,
-                  nprobe: int, k: int, shortlist: int, q_id_col: str,
-                  q_vec_col: str) -> DataFrame:
-        """ADC shortlist + exact re-rank, ENTIRELY JVM-side: no
-        per-query driver work, so a steady stream of query batches
-        never serializes on the driver (the one bounded collect per
-        batch is probe_clusters' scan-pruning id list, upstream).
+    def _adc_probe_frame(self, queries: DataFrame, nprobe: int,
+                         q_id_col: str, q_vec_col: str) -> DataFrame:
+        """The ADC serving frame, one row per (query, probed cluster):
+        LUT, query norm, and coarse term as pure JVM expressions.
+
+        Cost shape (measured at sf1): the nested-lambda LUT expression
+        costs ~0.5 s of plan analysis PER BATCH regardless of batch
+        size, where the previous driver-side Python LUT loop cost
+        ~0.1 ms PER QUERY. The expression wins from a few thousand
+        queries per batch and never serializes the driver; tiny
+        interactive batches pay the fixed tax — the right trade for a
+        store meant to serve streams of query batches.
 
         - LUT[j][c] = dot(q[j*d_sub:(j+1)*d_sub], codebook[j][c]) is a
           transform over the broadcast codebook literal — built inside
           the query frame's projection, m x k entries per query.
         - For RESIDUAL codes (IVFADC) the approximate dot decomposes as
           dot(q, centroid) + dot(q, residual-hat): the coarse term
-          comes from the probe frame's own (query, centroid) pair.
-        - Each query scores ONLY its own probed clusters: candidates
-          join the per-query probe frame on cluster, so results are
-          batch-independent — the same semantics as method="exact"
-          (previously the ADC path scored the UNION of the batch's
-          clusters, making a query's top-k depend on its batchmates).
-
-        Exact-cosine re-rank of the shortlist; with full probe +
-        corpus-wide shortlist the result equals brute force exactly."""
-        from hindex_spark.operators.similarity import _not_self
-
+          comes from the probe frame's own (query, centroid) pair."""
         d_sub = len(self.pq_codebooks[0][0])
         qv = F.col(q_vec_col)
         lut = F.transform(
@@ -639,13 +654,38 @@ class AnnIndex:
             if self.pq_residual
             else F.lit(0.0)
         )
-        probes = (
+        return (
             self._probe_frame(queries, nprobe, q_id_col, q_vec_col)
             .withColumn("lut", lut)
             .withColumn("q_norm", F.when(q_norm > 0, q_norm).otherwise(1.0))
             .withColumn("qc", qc)
             .select(q_id_col, "cluster", "lut", "q_norm", "qc")
         )
+
+    def _adc_topk(self, pruned: DataFrame, queries: DataFrame,
+                  probes: DataFrame, k: int, shortlist: int,
+                  q_id_col: str, q_vec_col: str) -> DataFrame:
+        """ADC shortlist + exact re-rank, ENTIRELY JVM-side: no
+        per-query driver work, so a steady stream of query batches
+        never serializes on the driver (the one bounded collect per
+        batch is probe_clusters' scan-pruning id list, upstream).
+
+        - LUT[j][c] = dot(q[j*d_sub:(j+1)*d_sub], codebook[j][c]) is a
+          transform over the broadcast codebook literal — built inside
+          the query frame's projection, m x k entries per query.
+        - For RESIDUAL codes (IVFADC) the approximate dot decomposes as
+          dot(q, centroid) + dot(q, residual-hat): the coarse term
+          comes from the probe frame's own (query, centroid) pair.
+        - Each query scores ONLY its own probed clusters: candidates
+          join the per-query probe frame on cluster, so results are
+          batch-independent — the same semantics as method="exact"
+          (previously the ADC path scored the UNION of the batch's
+          clusters, making a query's top-k depend on its batchmates).
+
+        Exact-cosine re-rank of the shortlist; with full probe +
+        corpus-wide shortlist the result equals brute force exactly."""
+        from hindex_spark.operators.similarity import _not_self
+
         codes = pruned.select(
             F.col(self.id_col), "cluster", "codes", "norm"
         )
