@@ -466,3 +466,26 @@ def test_pre_generation_search_store_migrates_on_mutation(
     assert live == [0, 2, 3, 4, 5]
     ix2.repair_stats()
     assert ix2.n_docs == 5
+
+
+def test_maybe_compact_schedules_rollup_store(spark, sf_dir, tmp_path):
+    """The self-scheduling maintenance gauge works on the rollup store
+    now that it carries generation tombstones: replaced batches push
+    tombstoned_ids past the threshold -> compact runs, keeps the bucket
+    count, clears the debt; a fresh store doesn't trigger."""
+    from hindex_spark.operators.artifact import maybe_compact
+    from hindex_spark.operators.rollup import HOUR_US, RollupStore
+
+    events = spark.read.parquet(f"{sf_dir}/events.parquet").limit(3000)
+    cat = Catalog(spark, str(tmp_path / "wh"))
+    r = RollupStore.build(cat, events, "ts", ["event_type"], "value",
+                          HOUR_US, "mc", num_buckets=8)
+    assert maybe_compact(r, max_tombstoned=2) is False
+    g1 = r.update(events.limit(500))
+    g2 = r.replace_batch(g1, events.limit(500))
+    r.replace_batch(g2, events.limit(500))
+    before = sorted(map(tuple, r.read().collect()))
+    assert maybe_compact(r, max_tombstoned=1) is True
+    assert r.num_buckets == 8  # maintenance never resets the layout
+    assert sorted(map(tuple, r.read().collect())) == before
+    assert maybe_compact(r, max_tombstoned=1) is False  # debt cleared
