@@ -2164,10 +2164,12 @@ def q_rollup_ndv(spark, sf_dir):
     double-counts), sketches union exactly. Built as two batches split
     on event_id parity so users SPAN batches and a naive
     sum-of-batch-distincts would be wrong; the oracle is DuckDB's exact
-    COUNT(DISTINCT). At gate cardinalities the sketch is in sparse
-    mode, i.e. exact — the hash compares exactness where exactness is
-    claimed, while the same artifact degrades to ~±1% estimates at
-    100 TB cardinalities (the standard trade, sized by ndv_lgk)."""
+    COUNT(DISTINCT). At gate cardinalities (~30 distinct per group at
+    sf0.01) the sketch is in sparse mode and exact up to 32-bit coupon
+    collisions (~3e-4 odds across all groups), so the hash compares
+    exactness where exactness holds; the same artifact degrades to
+    ~±1% estimates at 100 TB cardinalities (the standard trade, sized
+    by ndv_lgk — first measured ±1 deviation appears at sf1)."""
     import tempfile
 
     from hindex_spark.catalog import Catalog
