@@ -18,11 +18,15 @@ Design (the DedupState / SearchIndex artifact pattern):
 - ``compact()`` folds accumulated partials back to one row per
   (bucket, key) and one file per bucket (same staged-swap machinery and
   the same raw-parquet-source caveat as SearchIndex.compact).
-- ``ndv_col`` adds MERGEABLE distinct counts (DataSketches HLL sketch
-  partials): exact at sparse-mode cardinalities, ~±1% beyond, and the
-  same sketches serve corrections (replace_batch) and the grain
-  lattice (daily ndv from hourly partials) — COUNT(DISTINCT) is the
-  one classic rollup aggregate plain partials cannot carry.
+- ``ndv_col``/``pctl_col`` add MERGEABLE sketch aggregates
+  (DataSketches HLL distinct counts; KLL quantiles): the two classic
+  rollup metrics plain partials cannot carry — an id seen in two
+  batches double-counts, and a per-batch p95 says nothing about the
+  union's. Both are exact under capacity (sparse mode / k), degrade
+  gracefully beyond, and serve corrections (replace_batch) and the
+  grain lattice (daily ndv/p95 from hourly partials). Quantiles are
+  DISCRETE (the element at rank ceil(p*n) in exact mode), so no float
+  interpolation diverges between engines.
 - ``update()`` returns a batch GENERATION; ``replace_batch``/
   ``delete_batch`` correct or retract a batch via the artifact
   tombstone machinery (operators/artifact.py) without rebuilding —
@@ -68,6 +72,8 @@ def rollup_partials(
     grain_us: int,
     ndv_col: Optional[str] = None,
     ndv_lgk: int = 12,
+    pctl_col: Optional[str] = None,
+    pctl_k: int = 200,
 ) -> DataFrame:
     """One batch's partial aggregates: (bucket_us, *keys, cnt, vsum,
     vmin, vmax[, nds]). One narrow projection + one grain-keyed
@@ -97,6 +103,16 @@ def rollup_partials(
     if ndv_col is not None:
         cols.append(F.col(ndv_col).alias("__nd"))
         aggs.append(F.hll_sketch_agg("__nd", F.lit(ndv_lgk)).alias("nds"))
+    if pctl_col is not None:
+        # same 6dp fixed-point grid as vsum/vmin/vmax, so the sketch's
+        # retained ELEMENTS are bit-identical to the oracle's values
+        cols.append(
+            F.round(F.col(pctl_col), _SCALE).cast(_DEC).cast("double")
+            .alias("__pv")
+        )
+        aggs.append(
+            F.kll_sketch_agg_double("__pv", F.lit(pctl_k)).alias("klls")
+        )
     return (
         events.filter(F.col(ts_col).isNotNull())
         .select(*cols)
@@ -117,6 +133,8 @@ def merge_partials(partials: DataFrame, key_cols: List[str]) -> DataFrame:
     ]
     if "nds" in partials.columns:
         aggs.append(F.hll_union_agg("nds").alias("nds"))
+    if "klls" in partials.columns:
+        aggs.append(F.kll_merge_agg_double("klls").alias("klls"))
     return partials.groupBy("bucket_us", *key_cols).agg(*aggs)
 
 
@@ -136,11 +154,15 @@ class RollupStore:
     def __init__(self, catalog, name: str, ts_col: str,
                  key_cols: List[str], value_col: str, grain_us: int,
                  num_buckets: int = 32, ndv_col: Optional[str] = None,
-                 ndv_lgk: int = 12):
-        #: mergeable distinct-count column (HLL sketch partials) — part
-        #: of the artifact identity, like the LSH family on DedupState
+                 ndv_lgk: int = 12, pctl_col: Optional[str] = None,
+                 pctl_k: int = 200):
+        #: mergeable sketch columns (HLL distinct counts, KLL
+        #: quantiles) — part of the artifact identity, like the LSH
+        #: family on DedupState
         self.ndv_col = ndv_col
         self.ndv_lgk = ndv_lgk
+        self.pctl_col = pctl_col
+        self.pctl_k = pctl_k
         self.num_buckets = num_buckets
         self.catalog = catalog
         self.name = name
@@ -171,15 +193,19 @@ class RollupStore:
               key_cols: List[str], value_col: str, grain_us: int,
               name: str, num_buckets: int = 32,
               ndv_col: Optional[str] = None,
-              ndv_lgk: int = 12) -> "RollupStore":
+              ndv_lgk: int = 12,
+              pctl_col: Optional[str] = None,
+              pctl_k: int = 200) -> "RollupStore":
         from hindex_spark.operators.artifact import clear_tombstones
         from hindex_spark.table import Table
 
         r = cls(catalog, name, ts_col, key_cols, value_col, grain_us,
-                num_buckets=num_buckets, ndv_col=ndv_col, ndv_lgk=ndv_lgk)
+                num_buckets=num_buckets, ndv_col=ndv_col, ndv_lgk=ndv_lgk,
+                pctl_col=pctl_col, pctl_k=pctl_k)
         rows = rollup_partials(
             events, ts_col, key_cols, value_col, grain_us,
             ndv_col=ndv_col, ndv_lgk=ndv_lgk,
+            pctl_col=pctl_col, pctl_k=pctl_k,
         ).withColumn("gen", F.lit(0).cast("long"))
         catalog.save_bucketed(
             Table(rows, "bucket_us", f"{name}_rollup"), num_buckets=num_buckets
@@ -198,7 +224,8 @@ class RollupStore:
                 "value_col": self.value_col, "grain_us": self.grain_us,
                 "num_buckets": self.num_buckets, "cur_gen": self.cur_gen,
                 "sealed_below": self.sealed_below,
-                "ndv_col": self.ndv_col, "ndv_lgk": self.ndv_lgk}
+                "ndv_col": self.ndv_col, "ndv_lgk": self.ndv_lgk,
+                "pctl_col": self.pctl_col, "pctl_k": self.pctl_k}
 
     def _reload_meta(self) -> None:
         """Re-read the persisted meta into this handle — MUST run at
@@ -224,7 +251,8 @@ class RollupStore:
         r = cls(catalog, name, m["ts_col"], m["key_cols"],
                 m["value_col"], m["grain_us"],
                 num_buckets=m.get("num_buckets", 32),
-                ndv_col=m.get("ndv_col"), ndv_lgk=m.get("ndv_lgk", 12))
+                ndv_col=m.get("ndv_col"), ndv_lgk=m.get("ndv_lgk", 12),
+                pctl_col=m.get("pctl_col"), pctl_k=m.get("pctl_k", 200))
         r.cur_gen = m.get("cur_gen", 0)
         r.sealed_below = m.get("sealed_below", 0)
         return r
@@ -285,6 +313,7 @@ class RollupStore:
         rows = rollup_partials(
             batch, self.ts_col, self.key_cols, self.value_col,
             self.grain_us, ndv_col=self.ndv_col, ndv_lgk=self.ndv_lgk,
+            pctl_col=self.pctl_col, pctl_k=self.pctl_k,
         ).withColumn("gen", F.lit(gen).cast("long"))
         view = f"__rollup_append_{self.name}"
         sess = rows.sparkSession  # foreachBatch session clone, see
@@ -424,13 +453,25 @@ class RollupStore:
                          self._tombstone_path())
 
     @staticmethod
-    def _finish(merged: DataFrame) -> DataFrame:
-        """Estimate NDV sketches at the serving edge (sketches stay
-        sketches inside the store so they remain mergeable)."""
+    def _finish(merged: DataFrame, pctls=None) -> DataFrame:
+        """Estimate sketches at the serving edge (sketches stay
+        sketches inside the store so they remain mergeable): NDV as
+        ``ndv``; requested quantiles as ``p50``-style columns — the
+        KLL discrete quantile returns an ELEMENT of the input (the
+        value at rank ceil(p*n) in exact mode), so there is no float
+        interpolation to diverge between engines."""
         if "nds" in merged.columns:
             merged = merged.withColumn(
                 "ndv", F.hll_sketch_estimate("nds").cast("bigint")
             ).drop("nds")
+        if "klls" in merged.columns:
+            for q in (pctls or ()):
+                name = f"p{int(round(q * 100))}"
+                merged = merged.withColumn(
+                    name,
+                    F.kll_sketch_get_quantile_double("klls", F.lit(float(q))),
+                )
+            merged = merged.drop("klls")
         return merged
 
     def read(
@@ -438,6 +479,7 @@ class RollupStore:
         start_us: Optional[int] = None,
         end_us: Optional[int] = None,
         spread_keys: bool = False,
+        pctls=None,
     ) -> DataFrame:
         """The merged rollup (optionally time-restricted — the filter
         lands on the store scan and prunes row groups via the
@@ -462,12 +504,13 @@ class RollupStore:
         if end_us is not None:
             p = p.filter(F.col("bucket_us") < end_us)
         p = self._maybe_spread(p, spread_keys)
-        return self._finish(merge_partials(p, self.key_cols))
+        return self._finish(merge_partials(p, self.key_cols), pctls)
 
     def read_at(self, grain_us: int,
                 start_us: Optional[int] = None,
                 end_us: Optional[int] = None,
-                spread_keys: bool = False) -> DataFrame:
+                spread_keys: bool = False,
+                pctls=None) -> DataFrame:
         """The rollup at a COARSER grain, served from this store's
         partials — the rollup-lattice property: count/sum/min/max
         partials at one grain merge exactly into any multiple of it, so
@@ -493,7 +536,7 @@ class RollupStore:
         # as read(). "auto" gauges the COARSENED distribution — that is
         # the grouping the merge actually runs at.
         coarse = self._maybe_spread(coarse, spread_keys)
-        return self._finish(merge_partials(coarse, self.key_cols))
+        return self._finish(merge_partials(coarse, self.key_cols), pctls)
 
     def expire(self, before_us: int,
                num_buckets: Optional[int] = None) -> None:

@@ -2186,6 +2186,59 @@ def q_rollup_ndv(spark, sf_dir):
     return r.read()
 
 
+@query(
+    "events_rollup_pctl",
+    """WITH b AS (
+          SELECT epoch_us(ts) - (epoch_us(ts) % 3600000000) AS bucket_us,
+                 event_type,
+                 CAST(ROUND(value, 6) AS DECIMAL(18,6)) AS v
+          FROM events WHERE ts IS NOT NULL),
+        r AS (
+          SELECT bucket_us, event_type, v,
+                 ROW_NUMBER() OVER (PARTITION BY bucket_us, event_type
+                                    ORDER BY v) AS rn,
+                 COUNT(*) OVER (PARTITION BY bucket_us, event_type) AS n
+          FROM b)
+        SELECT bucket_us, event_type,
+               CAST(count(*) AS BIGINT) AS cnt,
+               CAST(SUM(v) AS DECIMAL(18,6)) AS vsum,
+               CAST(MIN(v) AS DECIMAL(18,6)) AS vmin,
+               CAST(MAX(v) AS DECIMAL(18,6)) AS vmax,
+               CAST(MAX(CASE WHEN rn = GREATEST(1, CEIL(0.5 * n))
+                             THEN v END) AS DOUBLE) AS p50,
+               CAST(MAX(CASE WHEN rn = GREATEST(1, CEIL(0.95 * n))
+                             THEN v END) AS DOUBLE) AS p95
+        FROM r GROUP BY bucket_us, event_type""",
+)
+def q_rollup_pctl(spark, sf_dir):
+    """Percentile continuous aggregate: the store carries a MERGEABLE
+    DataSketches KLL sketch per (bucket, key) — quantiles, like
+    distinct counts, cannot merge as plain partials (a per-batch p95
+    says nothing about the union's p95); KLL sketches merge exactly
+    while under capacity and within the Kolmogorov-Smirnov bound
+    beyond. The discrete quantile returns an ELEMENT of the input (the
+    value at rank ceil(p*n) in exact mode — verified against the
+    sketch's behavior and mirrored in the oracle's rank arithmetic), so
+    no float interpolation can diverge between engines. Built as two
+    parity-split batches so the p95 must come from the MERGED
+    distribution; pctl_k=4096 keeps gate-scale groups in exact mode,
+    while the 100 TB artifact runs the ~1%-error default k=200."""
+    import tempfile
+
+    from hindex_spark.catalog import Catalog
+    from hindex_spark.operators.rollup import HOUR_US, RollupStore
+
+    events = spark.read.parquet(f"{sf_dir}/events.parquet")
+    cat = Catalog(spark, tempfile.mkdtemp(prefix="hindex_rollup_"))
+    r = RollupStore.build(
+        cat, events.filter(F.col("event_id") % 2 == 0),
+        "ts", ["event_type"], "value", HOUR_US, "gate_pctl",
+        pctl_col="value", pctl_k=4096,
+    )
+    r.update(events.filter(F.col("event_id") % 2 == 1))
+    return r.read(pctls=(0.5, 0.95))
+
+
 @query("events_rollup_upsert", _ROLLUP_ORACLE)
 def q_rollup_upsert(spark, sf_dir):
     """CORRECTION parity for the rollup store: a misreported batch

@@ -2459,3 +2459,56 @@ def test_rollup_ndv_sketches_merge_across_batches_and_lattice(
     r.compact()
     assert {(row["bucket_us"], row["event_type"]): row["ndv"]
             for row in r.read_at(DAY_US).collect()} == got_d
+
+
+def test_rollup_pctl_sketches_merge_and_serve_lattice(spark, sf_dir, tmp_path):
+    """KLL quantile partials merge exactly where plain partials cannot
+    (a per-batch p95 says nothing about the union's), survive batch
+    corrections, serve the coarser grain, and stay mergeable through
+    compaction. Exact-mode reference: value at rank ceil(p*n) of the
+    6dp-rounded values."""
+    import math
+
+    from hindex_spark.catalog import Catalog
+    from hindex_spark.operators.rollup import DAY_US, HOUR_US, RollupStore
+    from hindex_spark.timeutil import ts_micros
+
+    events = spark.read.parquet(f"{sf_dir}/events.parquet").limit(20000)
+    cat = Catalog(spark, str(tmp_path / "wh"))
+    r = RollupStore.build(
+        cat, events.filter(F.col("event_id") % 2 == 0),
+        "ts", ["event_type"], "value", HOUR_US, "pc",
+        pctl_col="value", pctl_k=4096,
+    )
+    bad = r.update(
+        events.filter(F.col("event_id") % 2 == 1)
+        .withColumn("value", F.col("value") * 100)
+    )
+    r.replace_batch(bad, events.filter(F.col("event_id") % 2 == 1))
+
+    def exact(grain, p):
+        us = ts_micros(events, "ts")
+        rows = (
+            events.filter(F.col("ts").isNotNull())
+            .select((us - us % F.lit(grain)).alias("b"), "event_type",
+                    F.round("value", 6).cast("decimal(18,6)")
+                    .cast("double").alias("v"))
+            .collect()
+        )
+        groups = {}
+        for row in rows:
+            groups.setdefault((row["b"], row["event_type"]), []).append(row["v"])
+        return {
+            k: sorted(vs)[max(1, math.ceil(p * len(vs))) - 1]
+            for k, vs in groups.items()
+        }
+
+    got = {(row["bucket_us"], row["event_type"]): row["p95"]
+           for row in r.read(pctls=(0.95,)).collect()}
+    assert got == exact(HOUR_US, 0.95)
+    got_d = {(row["bucket_us"], row["event_type"]): row["p50"]
+             for row in r.read_at(DAY_US, pctls=(0.5,)).collect()}
+    assert got_d == exact(DAY_US, 0.5)
+    r.compact()
+    assert {(row["bucket_us"], row["event_type"]): row["p50"]
+            for row in r.read_at(DAY_US, pctls=(0.5,)).collect()} == got_d
