@@ -283,3 +283,98 @@ def test_two_process_artifact_maintenance_serializes(spark, tmp_path):
     assert not os.path.exists(
         os.path.join(wh, ix2.table_name, "_lease.json")
     )
+
+
+ROLLUP_WORKER = """
+import os, sys, time
+sys.path.insert(0, {repo!r})
+from pyspark.sql import SparkSession
+from pyspark.sql import functions as F
+from hindex_spark.operators.rollup import RollupStore
+
+wh, sync = sys.argv[1], sys.argv[2]
+spark = (SparkSession.builder.master("local[2]")
+         .config("spark.sql.shuffle.partitions", "2")
+         .config("spark.ui.enabled", "false")
+         .appName("chaos_rollup_worker").getOrCreate())
+r = RollupStore.open(__import__("hindex_spark.catalog",
+                                fromlist=["Catalog"]).Catalog(spark, wh),
+                     "chaosru")
+open(os.path.join(sync, "ready"), "w").close()
+while not os.path.exists(os.path.join(sync, "go")):
+    time.sleep(0.05)
+# this process appends a WRONG batch for hours [100, 200) then corrects
+# it — generation numbers must interleave with the main process's
+# mutations without collision or lost updates
+batch = spark.range(100, 200).select(
+    F.to_timestamp(F.lit("2024-01-02 00:00:00")).alias("ts"),
+    F.lit("w").alias("event_type"),
+    (F.col("id") * 999).cast("double").alias("value"),
+)
+bad = r.update(batch.withColumn("value", F.col("value") * 7))
+r.replace_batch(bad, batch)
+open(os.path.join(sync, "done"), "w").close()
+spark.stop()
+"""
+
+
+def test_two_process_rollup_corrections_serialize(spark, tmp_path):
+    """Two real processes race update/replace_batch on one rollup
+    store: generation numbers must never collide (a collision would let
+    one process's tombstone kill the other's rows), and the merged read
+    must equal a from-scratch aggregation of exactly the surviving
+    batches."""
+    from hindex_spark.operators.rollup import HOUR_US, RollupStore
+
+    wh = str(tmp_path / "wh")
+    sync = str(tmp_path / "sync")
+    os.makedirs(sync)
+    cat = Catalog(spark, wh)
+
+    def mk(tag, n0, n1, value_mult=1):
+        return (
+            spark.range(n0, n1).select(
+                F.to_timestamp(F.lit("2024-01-01 00:00:00")).alias("ts"),
+                F.lit(tag).alias("event_type"),
+                (F.col("id") * value_mult).cast("double").alias("value"),
+            )
+        )
+
+    r = RollupStore.build(cat, mk("m", 0, 50), "ts", ["event_type"],
+                          "value", HOUR_US, "chaosru")
+
+    proc = _spawn(ROLLUP_WORKER, wh, sync=sync)
+    try:
+        _wait_file(os.path.join(sync, "ready"))
+        open(os.path.join(sync, "go"), "w").close()
+        # race from this process: a wrong batch + its correction
+        bad = r.update(mk("m", 50, 120, value_mult=13))
+        r.replace_batch(bad, mk("m", 50, 120))
+        _wait_file(os.path.join(sync, "done"))
+        assert proc.wait(timeout=180) == 0
+    finally:
+        if proc.poll() is None:
+            proc.kill()
+
+    r2 = RollupStore.open(cat, "chaosru")
+    truth_events = mk("m", 0, 120).unionByName(
+        spark.range(100, 200).select(
+            F.to_timestamp(F.lit("2024-01-02 00:00:00")).alias("ts"),
+            F.lit("w").alias("event_type"),
+            (F.col("id") * 999).cast("double").alias("value"),
+        )
+    )
+    truth = RollupStore.build(
+        Catalog(spark, str(tmp_path / "wh2")), truth_events, "ts",
+        ["event_type"], "value", HOUR_US, "truth",
+    )
+    assert sorted(map(tuple, r2.read().collect())) == sorted(
+        map(tuple, truth.read().collect())
+    )
+    # every batch got a distinct generation (no cross-process collision)
+    gens = [
+        (row["gen"], row["cnt"])
+        for row in r2.live_partials.groupBy("gen")
+        .agg(F.sum("cnt").alias("cnt")).collect()
+    ]
+    assert len({g for g, _ in gens}) == len(gens) and len(gens) == 3
