@@ -513,6 +513,28 @@ def main():
             runs=3,
         )
 
+    # Sketch-carrying rollup (HLL distinct users + KLL value quantiles
+    # per bucket): the read-time delta vs rollup_store_read is what the
+    # two mergeable sketch columns cost — union + estimate at the edge
+    # instead of plain sum/min/max folds.
+    try:
+        rollup_sk = RollupStore.build(
+            cat, events, "ts", ["event_type"], "value",
+            HOUR_US, "bench_events_sk", ndv_col="user_id",
+            pctl_col="value",
+        )
+    except Exception as exc:  # noqa: BLE001
+        rollup_sk = None
+        errors["rollup_store_read_sketches"] = (
+            f"setup: {type(exc).__name__}: {exc}"[:220]
+        )
+    if rollup_sk is not None:
+        bench(
+            "rollup_store_read_sketches",
+            lambda: rollup_sk.read(pctls=(0.5, 0.95)).count(),
+            runs=3,
+        )
+
     # Hot-bucket escape on a synthetic HOT-HOUR corpus (every event in
     # one time bucket, high key cardinality — the shape that serializes
     # the exchange-free merge into one task). spread_keys="auto" gauges

@@ -37,6 +37,7 @@ def test_bench_cli_contract_sf0001():
         "corpus_dsir_select", "corpus_substring_dedup",
         "bm25_scan_topk", "bm25_indexed_topk",
         "rollup_direct_hourly", "rollup_store_read",
+        "rollup_store_read_sketches",
         "rollup_hot_read_clustered", "rollup_hot_read_auto",
         "ann_bruteforce_topk", "ann_ivf_topk", "ann_ivf_stored_topk",
         "ann_ivfpq_stored_topk",
