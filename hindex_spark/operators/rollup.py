@@ -177,6 +177,15 @@ class RollupStore:
         #: generations below this were folded together by compact() —
         #: their batch identity is gone, corrections must refuse
         self.sealed_below = 0
+        #: correction chain: str(gen) -> superseding generation (None =
+        #: retracted by delete_batch). A second correction of the same
+        #: generation must target the SUPERSEDING gen — tombstoning the
+        #: already-dead original would leave BOTH corrections live and
+        #: silently double-count — so replace_batch/delete_batch refuse
+        #: already-corrected targets by consulting this map. Persisted
+        #: in meta (survives expire(), which keeps generations); cleared
+        #: by compact() (sealed_below then covers those gens).
+        self.corrected = {}
 
     @property
     def sql_name(self) -> str:
@@ -224,6 +233,7 @@ class RollupStore:
                 "value_col": self.value_col, "grain_us": self.grain_us,
                 "num_buckets": self.num_buckets, "cur_gen": self.cur_gen,
                 "sealed_below": self.sealed_below,
+                "corrected": self.corrected,
                 "ndv_col": self.ndv_col, "ndv_lgk": self.ndv_lgk,
                 "pctl_col": self.pctl_col, "pctl_k": self.pctl_k}
 
@@ -238,6 +248,7 @@ class RollupStore:
         self.num_buckets = m.get("num_buckets", 32)
         self.cur_gen = m.get("cur_gen", 0)
         self.sealed_below = m.get("sealed_below", 0)
+        self.corrected = m.get("corrected", {})
 
     def _tombstone_path(self) -> str:
         from hindex_spark.operators.artifact import tombstone_path
@@ -255,6 +266,7 @@ class RollupStore:
                 pctl_col=m.get("pctl_col"), pctl_k=m.get("pctl_k", 200))
         r.cur_gen = m.get("cur_gen", 0)
         r.sealed_below = m.get("sealed_below", 0)
+        r.corrected = m.get("corrected", {})
         return r
 
     def _ensure_registered(self) -> None:
@@ -339,6 +351,34 @@ class RollupStore:
                 json.dump(self._meta(), f)
         return gen
 
+    def _check_correctable(self, gen: int) -> None:
+        """Refuse targets whose batch identity is gone: folded by
+        compact() (sealed), never issued, or ALREADY corrected —
+        re-tombstoning an already-dead generation would leave both
+        correction generations live and double-count."""
+        if gen < self.sealed_below:
+            raise ValueError(
+                f"generation {gen} was folded by compact() (sealed "
+                f"below {self.sealed_below}); its batch identity is "
+                "gone — rebuild or apply a compensating batch"
+            )
+        if gen > self.cur_gen:
+            raise ValueError(
+                f"generation {gen} does not exist (cur_gen="
+                f"{self.cur_gen})"
+            )
+        prior = self.corrected.get(str(gen), "__absent__")
+        if prior is None:
+            raise ValueError(
+                f"generation {gen} was already retracted by "
+                "delete_batch; there is nothing left to correct"
+            )
+        if prior != "__absent__":
+            raise ValueError(
+                f"generation {gen} was already superseded by generation "
+                f"{prior}; correct generation {prior} instead"
+            )
+
     def replace_batch(self, gen: int, corrected: DataFrame) -> int:
         """CORRECT history: supersede the partials generation ``gen``
         (a misreported batch) with ``corrected``'s partials, without
@@ -351,24 +391,18 @@ class RollupStore:
 
         Generations folded together by ``compact()`` have lost their
         batch identity and are refused — correct those with a rebuild
-        or a compensating batch."""
+        or a compensating batch. A generation ALREADY corrected (or
+        retracted) is refused too, naming its superseding generation:
+        its rows are dead, so re-tombstoning them would leave both
+        corrections live and double-count — re-correct by targeting
+        the generation this method returned."""
         from hindex_spark.operators.artifact import append_tombstones
 
         with self.catalog.write_lock(self.table_name):
             self._reload_meta()
             self._ensure_registered()
             self._migrate_gen_locked()
-            if gen < self.sealed_below:
-                raise ValueError(
-                    f"generation {gen} was folded by compact() (sealed "
-                    f"below {self.sealed_below}); its batch identity is "
-                    "gone — rebuild or apply a compensating batch"
-                )
-            if gen > self.cur_gen:
-                raise ValueError(
-                    f"generation {gen} does not exist (cur_gen="
-                    f"{self.cur_gen})"
-                )
+            self._check_correctable(gen)
             new_gen = self.cur_gen + 1
             gens = self.catalog.spark.createDataFrame(
                 [(gen,)], "gen long"
@@ -376,6 +410,7 @@ class RollupStore:
             append_tombstones(gens, "gen", gen + 1, self._tombstone_path())
             self._append_locked(corrected, new_gen)
             self.cur_gen = new_gen
+            self.corrected[str(gen)] = new_gen
             with open(self._meta_path(), "w") as f:
                 json.dump(self._meta(), f)
         return new_gen
@@ -390,18 +425,12 @@ class RollupStore:
             self._reload_meta()
             self._ensure_registered()
             self._migrate_gen_locked()
-            if gen < self.sealed_below:
-                raise ValueError(
-                    f"generation {gen} was folded by compact() (sealed "
-                    f"below {self.sealed_below}) — rebuild instead"
-                )
-            if gen > self.cur_gen:
-                raise ValueError(
-                    f"generation {gen} does not exist (cur_gen="
-                    f"{self.cur_gen})"
-                )
+            self._check_correctable(gen)
             gens = self.catalog.spark.createDataFrame([(gen,)], "gen long")
             append_tombstones(gens, "gen", gen + 1, self._tombstone_path())
+            self.corrected[str(gen)] = None
+            with open(self._meta_path(), "w") as f:
+                json.dump(self._meta(), f)
 
     #: "auto" spreads when the largest time bucket holds more than this
     #: multiple of the fair per-bucket share — below it, the
@@ -598,6 +627,9 @@ class RollupStore:
             new_gen = self.cur_gen + 1
             self.cur_gen = new_gen
             self.sealed_below = new_gen
+            # every corrected gen is now sealed — the sealed check
+            # subsumes the chain, so the map resets with the fold
+            self.corrected = {}
             self.num_buckets = num_buckets
             with open(self._meta_path(), "w") as f:
                 json.dump(self._meta(), f)

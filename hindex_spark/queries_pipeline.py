@@ -8,6 +8,8 @@ cannot drift.
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import functions as F
 
 from hindex_spark.operators import dedup as dd
@@ -1788,16 +1790,66 @@ def q_tfidf_indexed(spark, sf_dir):
 # round 7: incremental time-bucket rollup (continuous-aggregate shape)
 # ---------------------------------------------------------------------------
 
+def _rollup_micro(df):
+    """Integer MICRO-UNIT projection of a rollup read: the DECIMAL(18,6)
+    aggregates become exact BIGINT micro-units (values sit on the 6dp
+    fixed-point grid, so ``* 1e6`` is integer-exact in decimal
+    arithmetic). The rollup gates' hash surface is integers only —
+    every other driver-green gate projects its value columns as
+    DOUBLE/BIGINT, and DECIMAL is the one final-column type whose
+    engine-to-engine rendering (Decimal object vs float64) a comparator
+    can canonicalize differently; integers hash identically
+    everywhere."""
+    keep = [c for c in df.columns if c not in ("vsum", "vmin", "vmax")]
+    return df.select(
+        *keep,
+        (F.col("vsum") * 1000000).cast("long").alias("vsum_micro"),
+        (F.col("vmin") * 1000000).cast("long").alias("vmin_micro"),
+        (F.col("vmax") * 1000000).cast("long").alias("vmax_micro"),
+    )
+
+
+def _assert_rollup_equals_direct(spark, out, direct, store):
+    """Full-frame equality of the store-served rollup against the
+    direct aggregation of the raw events — the value-level invariant
+    (the r9 global-cnt invariant passed while the hash stayed red, so
+    the instrument must name the first differing GROUP). On divergence
+    raises with up to three differing rows from each side plus an
+    environment fingerprint, so a driver-side failure is debuggable
+    from the recorded err string alone."""
+    extra = out.exceptAll(direct).take(3)
+    missing = direct.exceptAll(out).take(3)
+    if extra or missing:
+        conf = spark.conf
+        fp = {
+            "spark": spark.version,
+            "tz": conf.get("spark.sql.session.timeZone", None),
+            "ansi": conf.get("spark.sql.ansi.enabled", None),
+            "precLoss": conf.get(
+                "spark.sql.decimalOperations.allowPrecisionLoss", None
+            ),
+            "aqe": conf.get("spark.sql.adaptive.enabled", None),
+            "env_TZ": os.environ.get("TZ"),
+        }
+        raise RuntimeError(
+            f"rollup store read diverges from the direct aggregation of "
+            f"raw events (store={store.sql_name}): store-only rows "
+            f"{[r.asDict() for r in extra]}, direct-only rows "
+            f"{[r.asDict() for r in missing]}, env={fp}"
+        )
+
+
 _ROLLUP_ORACLE = """WITH b AS (
       SELECT epoch_us(ts) - (epoch_us(ts) % 3600000000) AS bucket_us,
              event_type,
-             CAST(ROUND(value, 6) AS DECIMAL(18,6)) AS v
+             CAST(CAST(ROUND(value, 6) AS DECIMAL(18,6)) * 1000000
+                  AS BIGINT) AS vm
       FROM events WHERE ts IS NOT NULL)
     SELECT bucket_us, event_type,
            CAST(count(*) AS BIGINT) AS cnt,
-           CAST(SUM(v) AS DECIMAL(18,6)) AS vsum,
-           CAST(MIN(v) AS DECIMAL(18,6)) AS vmin,
-           CAST(MAX(v) AS DECIMAL(18,6)) AS vmax
+           CAST(SUM(vm) AS BIGINT) AS vsum_micro,
+           MIN(vm) AS vmin_micro,
+           MAX(vm) AS vmax_micro
     FROM b GROUP BY bucket_us, event_type"""
 
 
@@ -1808,11 +1860,20 @@ def q_rollup_hourly(spark, sf_dir):
     per batch; this builds from one batch and reads the merged rollup —
     the oracle aggregates the raw events directly, so the gate checks
     partial+merge correctness end-to-end. Built as TWO batches (split
-    on event_id parity) so the merge path is actually exercised."""
+    on event_id parity) so the merge path is actually exercised.
+
+    Output is integer micro-units and the gate asserts FULL row-set
+    equality between the store read and a direct Spark aggregation of
+    the raw events before returning — see ``_rollup_micro`` /
+    ``_assert_rollup_equals_direct``."""
     import tempfile
 
     from hindex_spark.catalog import Catalog
-    from hindex_spark.operators.rollup import HOUR_US, RollupStore
+    from hindex_spark.operators.rollup import (
+        HOUR_US,
+        RollupStore,
+        rollup_partials,
+    )
 
     events = spark.read.parquet(f"{sf_dir}/events.parquet")
     cat = Catalog(spark, tempfile.mkdtemp(prefix="hindex_rollup_"))
@@ -1821,21 +1882,12 @@ def q_rollup_hourly(spark, sf_dir):
         "ts", ["event_type"], "value", HOUR_US, "gate_events",
     )
     r.update(events.filter(F.col("event_id") % 2 == 1))
-    # Invariant: the partials' event count must equal the two batches'
-    # combined (ts-non-null) row count — the store saw the build batch
-    # exactly once and the update's INSERT exactly once. A divergence
-    # here (the shape of the r7/r8 driver-only hash mismatch: equal
-    # groups, uniformly-off aggregates) raises a debuggable error
-    # instead of a silent value mismatch.
-    expected = events.filter(F.col("ts").isNotNull()).count()
-    stored = r.partials.agg(F.sum("cnt")).collect()[0][0] or 0
-    if int(stored) != int(expected):
-        raise RuntimeError(
-            f"rollup partials hold {stored} events, expected {expected} "
-            f"(store={r.sql_name}, root={cat.root}): the merged read saw "
-            "the build/update batches unevenly"
-        )
-    return r.read()
+    out = _rollup_micro(r.read())
+    direct = _rollup_micro(
+        rollup_partials(events, "ts", ["event_type"], "value", HOUR_US)
+    )
+    _assert_rollup_equals_direct(spark, out, direct, r)
+    return out
 
 
 @query(
@@ -1843,13 +1895,14 @@ def q_rollup_hourly(spark, sf_dir):
     """WITH b AS (
           SELECT epoch_us(ts) - (epoch_us(ts) % 86400000000) AS bucket_us,
                  event_type,
-                 CAST(ROUND(value, 6) AS DECIMAL(18,6)) AS v
+                 CAST(CAST(ROUND(value, 6) AS DECIMAL(18,6)) * 1000000
+                      AS BIGINT) AS vm
           FROM events WHERE ts IS NOT NULL)
         SELECT bucket_us, event_type,
                CAST(count(*) AS BIGINT) AS cnt,
-               CAST(SUM(v) AS DECIMAL(18,6)) AS vsum,
-               CAST(MIN(v) AS DECIMAL(18,6)) AS vmin,
-               CAST(MAX(v) AS DECIMAL(18,6)) AS vmax
+               CAST(SUM(vm) AS BIGINT) AS vsum_micro,
+               MIN(vm) AS vmin_micro,
+               MAX(vm) AS vmax_micro
         FROM b GROUP BY bucket_us, event_type""",
 )
 def q_rollup_daily(spark, sf_dir):
@@ -1867,7 +1920,7 @@ def q_rollup_daily(spark, sf_dir):
     r = RollupStore.build(
         cat, events, "ts", ["event_type"], "value", HOUR_US, "gate_events"
     )
-    return r.read_at(DAY_US)
+    return _rollup_micro(r.read_at(DAY_US))
 
 
 _BF_TOPK_ORACLE = f"""SELECT q_id, vec_id, cosine, rank FROM (
@@ -2102,7 +2155,8 @@ def q_hybrid_rrf(spark, sf_dir):
     """WITH b AS (
           SELECT epoch_us(ts) - (epoch_us(ts) % 3600000000) AS bucket_us,
                  event_type,
-                 CAST(ROUND(value, 6) AS DECIMAL(18,6)) AS v
+                 CAST(CAST(ROUND(value, 6) AS DECIMAL(18,6)) * 1000000
+                      AS BIGINT) AS vm
           FROM events WHERE ts IS NOT NULL),
         cut AS (
           SELECT MIN(bucket_us) + ((MAX(bucket_us) - MIN(bucket_us)) // 2)
@@ -2111,9 +2165,9 @@ def q_hybrid_rrf(spark, sf_dir):
           FROM b)
         SELECT bucket_us, event_type,
                CAST(count(*) AS BIGINT) AS cnt,
-               CAST(SUM(v) AS DECIMAL(18,6)) AS vsum,
-               CAST(MIN(v) AS DECIMAL(18,6)) AS vmin,
-               CAST(MAX(v) AS DECIMAL(18,6)) AS vmax
+               CAST(SUM(vm) AS BIGINT) AS vsum_micro,
+               MIN(vm) AS vmin_micro,
+               MAX(vm) AS vmax_micro
         FROM b, cut WHERE bucket_us >= c
         GROUP BY bucket_us, event_type""",
 )
@@ -2139,7 +2193,7 @@ def q_rollup_retention(spark, sf_dir):
     half = (int(mm["mx"]) - int(mm["mn"])) // 2
     cutoff = int(mm["mn"]) + half - (half % HOUR_US)
     r.expire(cutoff)
-    return r.read()
+    return _rollup_micro(r.read())
 
 
 @query(
@@ -2147,13 +2201,14 @@ def q_rollup_retention(spark, sf_dir):
     """WITH b AS (
           SELECT epoch_us(ts) - (epoch_us(ts) % 3600000000) AS bucket_us,
                  event_type, user_id,
-                 CAST(ROUND(value, 6) AS DECIMAL(18,6)) AS v
+                 CAST(CAST(ROUND(value, 6) AS DECIMAL(18,6)) * 1000000
+                      AS BIGINT) AS vm
           FROM events WHERE ts IS NOT NULL)
         SELECT bucket_us, event_type,
                CAST(count(*) AS BIGINT) AS cnt,
-               CAST(SUM(v) AS DECIMAL(18,6)) AS vsum,
-               CAST(MIN(v) AS DECIMAL(18,6)) AS vmin,
-               CAST(MAX(v) AS DECIMAL(18,6)) AS vmax,
+               CAST(SUM(vm) AS BIGINT) AS vsum_micro,
+               MIN(vm) AS vmin_micro,
+               MAX(vm) AS vmax_micro,
                CAST(COUNT(DISTINCT user_id) AS BIGINT) AS ndv
         FROM b GROUP BY bucket_us, event_type""",
 )
@@ -2183,7 +2238,7 @@ def q_rollup_ndv(spark, sf_dir):
         ndv_col="user_id",
     )
     r.update(events.filter(F.col("event_id") % 2 == 1))
-    return r.read()
+    return _rollup_micro(r.read())
 
 
 @query(
@@ -2201,9 +2256,10 @@ def q_rollup_ndv(spark, sf_dir):
           FROM b)
         SELECT bucket_us, event_type,
                CAST(count(*) AS BIGINT) AS cnt,
-               CAST(SUM(v) AS DECIMAL(18,6)) AS vsum,
-               CAST(MIN(v) AS DECIMAL(18,6)) AS vmin,
-               CAST(MAX(v) AS DECIMAL(18,6)) AS vmax,
+               CAST(SUM(CAST(v * 1000000 AS BIGINT)) AS BIGINT)
+                 AS vsum_micro,
+               CAST(MIN(v) * 1000000 AS BIGINT) AS vmin_micro,
+               CAST(MAX(v) * 1000000 AS BIGINT) AS vmax_micro,
                CAST(MAX(CASE WHEN rn = GREATEST(1, CEIL(0.5 * n))
                              THEN v END) AS DOUBLE) AS p50,
                CAST(MAX(CASE WHEN rn = GREATEST(1, CEIL(0.95 * n))
@@ -2236,7 +2292,7 @@ def q_rollup_pctl(spark, sf_dir):
         pctl_col="value", pctl_k=4096,
     )
     r.update(events.filter(F.col("event_id") % 2 == 1))
-    return r.read(pctls=(0.5, 0.95))
+    return _rollup_micro(r.read(pctls=(0.5, 0.95)))
 
 
 @query("events_rollup_upsert", _ROLLUP_ORACLE)
@@ -2248,11 +2304,20 @@ def q_rollup_upsert(spark, sf_dir):
     generation itself; reference semantics: history is correctable
     (Delete.java:69 + Put.java:48). The oracle aggregates the TRUE
     events directly, so any residue of the bad batch (or loss of the
-    good one) breaks the hash."""
+    good one) breaks the hash.
+
+    Output is integer micro-units and the gate asserts FULL row-set
+    equality between the corrected store read and a direct Spark
+    aggregation of the true events before returning — see
+    ``_rollup_micro`` / ``_assert_rollup_equals_direct``."""
     import tempfile
 
     from hindex_spark.catalog import Catalog
-    from hindex_spark.operators.rollup import HOUR_US, RollupStore
+    from hindex_spark.operators.rollup import (
+        HOUR_US,
+        RollupStore,
+        rollup_partials,
+    )
 
     events = spark.read.parquet(f"{sf_dir}/events.parquet")
     odd = events.filter(F.col("event_id") % 2 == 1)
@@ -2263,7 +2328,12 @@ def q_rollup_upsert(spark, sf_dir):
     )
     bad = r.update(odd.withColumn("value", F.col("value") * 3))
     r.replace_batch(bad, odd)
-    return r.read()
+    out = _rollup_micro(r.read())
+    direct = _rollup_micro(
+        rollup_partials(events, "ts", ["event_type"], "value", HOUR_US)
+    )
+    _assert_rollup_equals_direct(spark, out, direct, r)
+    return out
 
 
 @query(

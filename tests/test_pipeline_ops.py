@@ -2302,6 +2302,60 @@ def test_rollup_replace_batch_corrects_history(spark, sf_dir, tmp_path):
     )
 
 
+def test_rollup_recorrection_refused(spark, sf_dir, tmp_path):
+    """A generation already superseded by ``replace_batch`` (or
+    retracted by ``delete_batch``) REFUSES further corrections:
+    re-tombstoning the already-dead original would leave BOTH
+    correction generations live and silently double-count (two
+    replace_batch(g1, batch) calls used to yield 2x the batch). The
+    refusal names the superseding generation; correcting THAT
+    generation works, and the chain survives a handle reopen (the map
+    is meta-persisted, so it also survives expire())."""
+    import pytest as _pytest
+
+    from hindex_spark.catalog import Catalog
+    from hindex_spark.operators.rollup import HOUR_US, RollupStore
+
+    events = spark.read.parquet(f"{sf_dir}/events.parquet").limit(4000)
+    even = events.filter(F.col("event_id") % 2 == 0)
+    odd = events.filter(F.col("event_id") % 2 == 1)
+    cat = Catalog(spark, str(tmp_path / "wh"))
+    r = RollupStore.build(cat, even, "ts", ["event_type"], "value",
+                          HOUR_US, "rechain")
+    g1 = r.update(odd.withColumn("value", F.col("value") * 3))
+    g2 = r.replace_batch(g1, odd)
+    total = int(r.read().agg(F.sum("cnt")).collect()[0][0])
+
+    # the natural re-correction mistake: target the original gen again
+    with _pytest.raises(ValueError, match=f"superseded by generation {g2}"):
+        r.replace_batch(g1, odd)
+    with _pytest.raises(ValueError, match=f"superseded by generation {g2}"):
+        r.delete_batch(g1)
+    # nothing double-counted by the refused calls
+    assert int(r.read().agg(F.sum("cnt")).collect()[0][0]) == total
+
+    # the refusal is persisted: a fresh handle refuses too
+    r2 = RollupStore.open(cat, "rechain")
+    with _pytest.raises(ValueError, match="already superseded"):
+        r2.replace_batch(g1, odd)
+
+    # correcting the SUPERSEDING generation is the supported path
+    g3 = r2.replace_batch(g2, odd.withColumn("value", F.col("value") * 2))
+    truth = RollupStore.build(
+        cat,
+        even.union(odd.withColumn("value", F.col("value") * 2)),
+        "ts", ["event_type"], "value", HOUR_US, "rechain_truth",
+    )
+    assert sorted(map(tuple, r2.read().collect())) == sorted(
+        map(tuple, truth.read().collect())
+    )
+
+    # a retracted generation refuses corrections with its own message
+    r2.delete_batch(g3)
+    with _pytest.raises(ValueError, match="retracted"):
+        r2.replace_batch(g3, odd)
+
+
 def test_rollup_compact_seals_folded_generations(spark, sf_dir, tmp_path):
     """compact() folds batches into one fresh generation: reads are
     unchanged, earlier generations refuse replace_batch (their batch
