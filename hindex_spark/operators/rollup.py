@@ -186,6 +186,18 @@ class RollupStore:
         #: in meta (survives expire(), which keeps generations); cleared
         #: by compact() (sealed_below then covers those gens).
         self.corrected = {}
+        #: write-maintained bucket histogram: str(gen) ->
+        #: {str(bucket_us): live partial rows}. Maintained under the
+        #: writer lease by every mutating verb, so
+        #: ``read(spread_keys="auto")`` decides the hot-bucket escape
+        #: from meta with ZERO extra jobs — the gauge aggregation
+        #: (``_hot_bucket``) remains only as the fallback for stores
+        #: written before the histogram existed (None = unknown).
+        #: Size is (live generations x buckets touched per batch);
+        #: compact() folds it to one generation. ADVISORY only: the
+        #: spread decision is result-identical either way, so a stale
+        #: histogram can never corrupt a read.
+        self.gen_hist = None
 
     @property
     def sql_name(self) -> str:
@@ -224,6 +236,10 @@ class RollupStore:
         clear_tombstones(r._tombstone_path())
         r.cur_gen = 0
         r.sealed_below = 0
+        # seed the bucket histogram from the saved (aggregate-sized)
+        # table — one bounded job at build time buys every later
+        # auto-read its spread decision for free
+        r.gen_hist = {"0": r._hist_of(catalog.read_raw(r.table_name))}
         with open(r._meta_path(), "w") as f:
             json.dump(r._meta(), f)
         return r
@@ -234,6 +250,7 @@ class RollupStore:
                 "num_buckets": self.num_buckets, "cur_gen": self.cur_gen,
                 "sealed_below": self.sealed_below,
                 "corrected": self.corrected,
+                "gen_hist": self.gen_hist,
                 "ndv_col": self.ndv_col, "ndv_lgk": self.ndv_lgk,
                 "pctl_col": self.pctl_col, "pctl_k": self.pctl_k}
 
@@ -249,6 +266,7 @@ class RollupStore:
         self.cur_gen = m.get("cur_gen", 0)
         self.sealed_below = m.get("sealed_below", 0)
         self.corrected = m.get("corrected", {})
+        self.gen_hist = m.get("gen_hist")
 
     def _tombstone_path(self) -> str:
         from hindex_spark.operators.artifact import tombstone_path
@@ -267,6 +285,7 @@ class RollupStore:
         r.cur_gen = m.get("cur_gen", 0)
         r.sealed_below = m.get("sealed_below", 0)
         r.corrected = m.get("corrected", {})
+        r.gen_hist = m.get("gen_hist")
         return r
 
     def _ensure_registered(self) -> None:
@@ -346,6 +365,10 @@ class RollupStore:
             self._migrate_gen_locked()
             gen = self.cur_gen + 1
             self._append_locked(batch, gen)
+            if self.gen_hist is None:  # pre-histogram store: upgrade once
+                self._hist_rebuild_locked()
+            else:
+                self.gen_hist[str(gen)] = self._hist_of_gen_locked(gen)
             self.cur_gen = gen
             with open(self._meta_path(), "w") as f:
                 json.dump(self._meta(), f)
@@ -409,6 +432,13 @@ class RollupStore:
             )
             append_tombstones(gens, "gen", gen + 1, self._tombstone_path())
             self._append_locked(corrected, new_gen)
+            if self.gen_hist is None:  # pre-histogram store: upgrade once
+                self._hist_rebuild_locked()
+            else:
+                self.gen_hist.pop(str(gen), None)
+                self.gen_hist[str(new_gen)] = self._hist_of_gen_locked(
+                    new_gen
+                )
             self.cur_gen = new_gen
             self.corrected[str(gen)] = new_gen
             with open(self._meta_path(), "w") as f:
@@ -429,6 +459,8 @@ class RollupStore:
             gens = self.catalog.spark.createDataFrame([(gen,)], "gen long")
             append_tombstones(gens, "gen", gen + 1, self._tombstone_path())
             self.corrected[str(gen)] = None
+            if self.gen_hist is not None:
+                self.gen_hist.pop(str(gen), None)
             with open(self._meta_path(), "w") as f:
                 json.dump(self._meta(), f)
 
@@ -437,6 +469,84 @@ class RollupStore:
     #: exchange-free merge wins (the extra exchange costs more than the
     #: skew); above it, one task serializes the merge.
     AUTO_SPREAD_MULT = 4.0
+
+    def _hist_of(self, df: DataFrame) -> dict:
+        """Per-bucket_us row counts of ``df`` as a JSON-keyed dict —
+        one bounded aggregation collected driver-side (the result is
+        at most buckets-touched rows)."""
+        rows = (
+            df.groupBy("bucket_us").agg(F.count("*").alias("__n")).collect()
+        )
+        return {str(r["bucket_us"]): int(r["__n"]) for r in rows}
+
+    def _hist_of_gen_locked(self, gen: int) -> dict:
+        """Histogram of exactly one generation's rows (raw parquet
+        read with the gen filter pushed to the scan). Caller holds the
+        writer lock and has just appended that generation."""
+        return self._hist_of(
+            self.catalog.read_raw(self.table_name).filter(
+                F.col("gen") == F.lit(gen)
+            )
+        )
+
+    def _hist_rebuild_locked(self) -> None:
+        """One-time upgrade of a pre-histogram store: derive the full
+        per-generation histogram from the LIVE rows (tombstoned
+        generations excluded). One bounded aggregation; from then on
+        every verb maintains the histogram incrementally."""
+        from hindex_spark.operators.artifact import live_view
+
+        raw = self.catalog.read_raw(self.table_name)
+        if "gen" not in raw.columns:
+            raw = raw.withColumn("gen", F.lit(0).cast("long"))
+        live = live_view(
+            raw, "gen", self.catalog.spark, self._tombstone_path()
+        )
+        rows = (
+            live.groupBy("gen", "bucket_us")
+            .agg(F.count("*").alias("__n"))
+            .collect()
+        )
+        hist: dict = {}
+        for r in rows:
+            hist.setdefault(str(r["gen"]), {})[str(r["bucket_us"])] = int(
+                r["__n"]
+            )
+        self.gen_hist = hist
+
+    def _hot_bucket_from_hist(self, start_us=None, end_us=None,
+                              grain_us=None):
+        """The hot-bucket decision from the write-maintained meta
+        histogram — pure driver-side dict arithmetic, ZERO jobs. The
+        time restriction filters keys; a coarser read grain re-groups
+        them (summing counts over the finer buckets is exactly the
+        coarsened frame's per-bucket row count). Returns None when the
+        histogram is unavailable (pre-histogram store, or the meta
+        could not be re-read) — callers then fall back to the live
+        gauge."""
+        try:
+            # opportunistic cross-process freshness: another writer may
+            # have appended since this handle loaded its meta
+            self._reload_meta()
+        except Exception:  # noqa: BLE001 — advisory path, gauge fallback
+            return None
+        if not self.gen_hist:
+            return None
+        acc: dict = {}
+        for h in self.gen_hist.values():
+            for b, n in h.items():
+                b = int(b)
+                if start_us is not None and b < start_us:
+                    continue
+                if end_us is not None and b >= end_us:
+                    continue
+                if grain_us is not None:
+                    b -= b % grain_us
+                acc[b] = acc.get(b, 0) + n
+        if not acc:
+            return False
+        fair = sum(acc.values()) / max(1, self.num_buckets)
+        return max(acc.values()) > self.AUTO_SPREAD_MULT * fair
 
     def _hot_bucket(self, p: DataFrame) -> bool:
         """Whether the (time-filtered) partials have a hot bucket_us:
@@ -447,7 +557,9 @@ class RollupStore:
         ONE time bucket: max == total == that 'fair'). One bounded
         extra aggregation whose driver-side result is one row — the LSH
         auto-valve pattern (dedup.py max_bucket=\"auto\");
-        bucket_us-only projection, so the gauge scan is column-pruned."""
+        bucket_us-only projection, so the gauge scan is column-pruned.
+        Since the meta histogram exists this is the FALLBACK path for
+        pre-histogram stores only — see ``_hot_bucket_from_hist``."""
         row = (
             p.groupBy("bucket_us").agg(F.count("*").alias("__n"))
             .agg(F.max("__n").alias("mx"), F.sum("__n").alias("tot"))
@@ -458,12 +570,19 @@ class RollupStore:
         fair = row["tot"] / max(1, self.num_buckets)
         return row["mx"] > self.AUTO_SPREAD_MULT * fair
 
-    def _maybe_spread(self, p: DataFrame, spread_keys) -> DataFrame:
+    def _maybe_spread(self, p: DataFrame, spread_keys, start_us=None,
+                      end_us=None, grain_us=None) -> DataFrame:
         """Resolve the hot-bucket escape: True/False pass through,
         \"auto\" derives it from the store's own bucket-size
-        distribution."""
+        distribution — the write-maintained meta histogram when the
+        store carries one (zero extra jobs), the live gauge
+        aggregation otherwise."""
         if spread_keys == "auto":
-            spread_keys = self._hot_bucket(p)
+            spread_keys = self._hot_bucket_from_hist(
+                start_us, end_us, grain_us
+            )
+            if spread_keys is None:
+                spread_keys = self._hot_bucket(p)
         if spread_keys:
             return p.repartition("bucket_us", *self.key_cols)
         return p
@@ -525,14 +644,17 @@ class RollupStore:
         exchange-free path wins whenever buckets are reasonably
         balanced, which time buckets at production grain are.
         ``spread_keys="auto"`` derives the decision from the store's
-        own bucket-size distribution (one bounded gauge aggregation —
-        see ``_hot_bucket``); result-identical either way."""
+        own bucket-size distribution — from the write-maintained meta
+        histogram at ZERO extra job cost (``_hot_bucket_from_hist``;
+        the serving path pays nothing), falling back to one bounded
+        gauge aggregation for pre-histogram stores (``_hot_bucket``);
+        result-identical every way."""
         p = self.live_partials
         if start_us is not None:
             p = p.filter(F.col("bucket_us") >= start_us)
         if end_us is not None:
             p = p.filter(F.col("bucket_us") < end_us)
-        p = self._maybe_spread(p, spread_keys)
+        p = self._maybe_spread(p, spread_keys, start_us, end_us)
         return self._finish(merge_partials(p, self.key_cols), pctls)
 
     def read_at(self, grain_us: int,
@@ -563,8 +685,10 @@ class RollupStore:
         # coarsening concentrates buckets (24 hours -> 1 day), so the
         # hot-bucket escape matters MORE here; same one-exchange trade
         # as read(). "auto" gauges the COARSENED distribution — that is
-        # the grouping the merge actually runs at.
-        coarse = self._maybe_spread(coarse, spread_keys)
+        # the grouping the merge actually runs at (the meta histogram
+        # coarsens driver-side by summing finer-bucket counts).
+        coarse = self._maybe_spread(coarse, spread_keys, start_us, end_us,
+                                    grain_us)
         return self._finish(merge_partials(coarse, self.key_cols), pctls)
 
     def expire(self, before_us: int,
@@ -600,6 +724,12 @@ class RollupStore:
             )
             clear_tombstones(self._tombstone_path())
             self.num_buckets = num_buckets
+            # the rewrite just materialized exactly the surviving rows
+            # — rebuild the bucket histogram from them (also upgrades
+            # pre-histogram stores; defensive against any hist entry a
+            # crashed correction left behind, since the tombstones it
+            # relied on are cleared here)
+            self._hist_rebuild_locked()
             with open(self._meta_path(), "w") as f:
                 json.dump(self._meta(), f)
 
@@ -630,6 +760,11 @@ class RollupStore:
             # every corrected gen is now sealed — the sealed check
             # subsumes the chain, so the map resets with the fold
             self.corrected = {}
+            # histogram goes UNKNOWN through the fold (a crash between
+            # this meta commit and the rewrite must leave auto-reads on
+            # the gauge fallback, never on stale counts); recomputed
+            # from the folded table below
+            self.gen_hist = None
             self.num_buckets = num_buckets
             with open(self._meta_path(), "w") as f:
                 json.dump(self._meta(), f)
@@ -647,3 +782,11 @@ class RollupStore:
                 num_buckets=num_buckets,
             )
             clear_tombstones(self._tombstone_path())
+            # fold complete: one fresh generation, one bounded count
+            self.gen_hist = {
+                str(new_gen): self._hist_of(
+                    self.catalog.read_raw(self.table_name)
+                )
+            }
+            with open(self._meta_path(), "w") as f:
+                json.dump(self._meta(), f)

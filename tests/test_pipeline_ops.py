@@ -2428,6 +2428,97 @@ def test_rollup_auto_spread_keys_from_bucket_distribution(
         assert sorted(map(tuple, store.read(spread_keys=True).collect())) == want
 
 
+def test_rollup_auto_spread_decides_from_meta_histogram(
+    spark, sf_dir, tmp_path
+):
+    """The auto-spread decision comes from the WRITE-maintained bucket
+    histogram in meta — auto-reads run ZERO gauge jobs (asserted by
+    making the gauge raise), across the whole verb lifecycle the
+    histogram tracks the live per-bucket counts exactly, and a
+    pre-histogram store (meta stripped) falls back to the gauge, then
+    upgrades itself on its next write."""
+    import json as _json
+    import re
+
+    from hindex_spark.catalog import Catalog
+    from hindex_spark.operators.rollup import HOUR_US, RollupStore
+
+    events = spark.read.parquet(f"{sf_dir}/events.parquet").limit(4000)
+    even = events.filter(F.col("event_id") % 2 == 0)
+    odd = events.filter(F.col("event_id") % 2 == 1)
+    cat = Catalog(spark, str(tmp_path / "wh"))
+    one_ts = events.select("ts").first()[0]
+    hot_events = events.withColumn("ts", F.lit(one_ts)).withColumn(
+        "event_type", F.concat(F.lit("k"), F.col("event_id") % 500)
+    )
+    uniform = RollupStore.build(cat, even, "ts", ["event_type"],
+                                "value", HOUR_US, "histuni")
+    hot = RollupStore.build(cat, hot_events, "ts", ["event_type"],
+                            "value", HOUR_US, "histhot")
+
+    def live_hist(r):
+        rows = r.live_partials.groupBy("bucket_us").count().collect()
+        return {str(x["bucket_us"]): x["count"] for x in rows}
+
+    def combined(r):
+        acc = {}
+        for h in r.gen_hist.values():
+            for b, n in h.items():
+                acc[b] = acc.get(b, 0) + n
+        return acc
+
+    # histogram == live per-bucket counts through the verb lifecycle
+    assert combined(uniform) == live_hist(uniform)
+    g1 = uniform.update(odd)
+    assert combined(uniform) == live_hist(uniform)
+    g2 = uniform.replace_batch(
+        g1, odd.withColumn("value", F.col("value") * 2)
+    )
+    assert combined(uniform) == live_hist(uniform)
+    uniform.delete_batch(g2)
+    assert combined(uniform) == live_hist(uniform)
+    uniform.compact()
+    assert list(uniform.gen_hist) == [str(uniform.cur_gen)]
+    assert combined(uniform) == live_hist(uniform)
+
+    # auto-reads never run the gauge when the histogram exists
+    n_exchanges = lambda df: len(re.findall(  # noqa: E731
+        r"Exchange hashpartitioning",
+        df._jdf.queryExecution().executedPlan().toString(),
+    ))
+    orig = RollupStore._hot_bucket
+    def _boom(self, p):
+        raise AssertionError("gauge aggregation ran on a histogram store")
+    RollupStore._hot_bucket = _boom
+    try:
+        assert n_exchanges(uniform.read(spread_keys="auto")) == 0
+        assert n_exchanges(hot.read(spread_keys="auto")) >= 1
+        want = sorted(map(tuple, hot.read(spread_keys=False).collect()))
+        got = sorted(map(tuple, hot.read(spread_keys="auto").collect()))
+        assert got == want
+        # pre-histogram store (old meta): gauge fallback kicks in
+        meta_path = hot._meta_path()
+        m = _json.load(open(meta_path))
+        m.pop("gen_hist")
+        with open(meta_path, "w") as f:
+            _json.dump(m, f)
+        with pytest.raises(AssertionError, match="gauge"):
+            hot.read(spread_keys="auto")._jdf.queryExecution()
+    finally:
+        RollupStore._hot_bucket = orig
+    # the stripped store still answers via the gauge...
+    assert n_exchanges(hot.read(spread_keys="auto")) >= 1
+    # ...and the next write upgrades it back to a maintained histogram
+    hot.update(hot_events.limit(50))
+    assert hot.gen_hist is not None
+    assert combined(hot) == live_hist(hot)
+    RollupStore._hot_bucket = _boom
+    try:
+        assert n_exchanges(hot.read(spread_keys="auto")) >= 1
+    finally:
+        RollupStore._hot_bucket = orig
+
+
 def test_rollup_store_maintained_from_stream(spark, sf_dir, tmp_path):
     """Streaming maintenance for the rollup store — the foreachBatch
     shape whose clone-session INSERT is exactly the file-listing-cache
