@@ -482,24 +482,43 @@ class AnnIndex:
 
     def _probe_frame(self, queries: DataFrame, nprobe: int,
                      q_id_col: str = "q_id",
-                     q_vec_col: str = "q_vec") -> DataFrame:
+                     q_vec_col: str = "q_vec",
+                     slim: bool = False) -> DataFrame:
         """Per-query probe selection: one (q_id, cluster, centroid) row
         per probed cluster — EXACTLY ivf_topk's probe window, all JVM
         column ops (queries x centroids broadcast scoring + one
         per-query window). Every serving path derives from this frame,
         so a query's candidate set never depends on which other queries
-        share the batch."""
+        share the batch.
+
+        ``slim=True`` is the COLLECT projection for the ADC serving
+        path: extra query columns are dropped, the d-dim query vector
+        rides only on each query's FIRST probe row (the enrichment
+        needs it once per query, not once per probe), and the d-dim
+        centroid is kept only when the store carries residual codes
+        (the coarse term is the only consumer) — driver transfer drops
+        from ~2·d·nprobe doubles per query to ~d (+ d·nprobe residual
+        only)."""
         q_scored = queries.crossJoin(F.broadcast(self.centroids)).withColumn(
             "__sim", cosine_expr(F.col(q_vec_col), F.col("centroid"))
         )
         wq = Window.partitionBy(q_id_col).orderBy(
             F.col("__sim").desc(), F.col("cluster")
         )
-        return (
+        ranked = (
             q_scored.withColumn("__rn", F.row_number().over(wq))
             .filter(F.col("__rn") <= nprobe)
-            .drop("__rn", "__sim")
         )
+        if slim:
+            return ranked.select(
+                F.col(q_id_col),
+                F.when(F.col("__rn") == 1, F.col(q_vec_col)).alias(
+                    q_vec_col
+                ),
+                F.col("cluster"),
+                *([F.col("centroid")] if self.pq_residual else []),
+            )
+        return ranked.drop("__rn", "__sim")
 
     def probe_clusters(self, queries: DataFrame, nprobe: int,
                        q_id_col: str = "q_id",
@@ -556,8 +575,9 @@ class AnnIndex:
             # LocalRelation, so the broadcast side costs ZERO extra
             # jobs (a second window job or a localCheckpoint
             # materialization each measured +0.3-0.9 s/batch at sf1).
+            # slim=True projects the collect to what enrichment reads.
             rows = self._probe_frame(
-                queries, nprobe, q_id_col, q_vec_col
+                queries, nprobe, q_id_col, q_vec_col, slim=True
             ).collect()
             clusters = sorted({r["cluster"] for r in rows})
             probes = self._enrich_probes(rows, q_id_col, q_vec_col,
@@ -610,25 +630,36 @@ class AnnIndex:
 
         cb = np.asarray(self.pq_codebooks, dtype=np.float64)  # (m,k,d_sub)
         m, _k, d_sub = cb.shape
+        # slim collect: the query vector rides only on each query's
+        # FIRST probe row — gather it per UNIQUE query, so the einsum
+        # runs n_queries (not n_queries x nprobe) rows
+        qvec = {
+            r[q_id_col]: r[q_vec_col] for r in rows
+            if r[q_vec_col] is not None
+        }
+        qids = list(qvec)
+        qpos = {q: i for i, q in enumerate(qids)}
         Q = np.asarray(
-            [[float(x) for x in r[q_vec_col]] for r in rows],
-            dtype=np.float64,
+            [[float(x) for x in qvec[q]] for q in qids], dtype=np.float64
         )
-        lut = np.einsum("pmd,mkd->pmk", Q.reshape(len(rows), m, d_sub), cb)
+        lut = np.einsum("pmd,mkd->pmk", Q.reshape(len(qids), m, d_sub), cb)
         q_norm = np.sqrt((Q * Q).sum(axis=1))
         q_norm[q_norm == 0] = 1.0
-        if self.pq_residual:
-            C = np.asarray([r["centroid"] for r in rows], dtype=np.float64)
-            qc = (Q * C).sum(axis=1)
-        else:
-            qc = np.zeros(len(rows))
         qid_ddl = queries.schema[q_id_col].dataType.simpleString()
-        return self.catalog.spark.createDataFrame(
-            [
+        out = []
+        for r in rows:
+            i = qpos[r[q_id_col]]
+            qc = (
+                float(np.dot(Q[i], np.asarray(r["centroid"],
+                                              dtype=np.float64)))
+                if self.pq_residual else 0.0
+            )
+            out.append(
                 (r[q_id_col], r["cluster"], lut[i].tolist(),
-                 float(q_norm[i]), float(qc[i]))
-                for i, r in enumerate(rows)
-            ],
+                 float(q_norm[i]), qc)
+            )
+        return self.catalog.spark.createDataFrame(
+            out,
             f"{q_id_col} {qid_ddl}, cluster int, lut array<array<double>>, "
             "q_norm double, qc double",
         )

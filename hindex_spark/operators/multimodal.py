@@ -93,6 +93,36 @@ def _decode_stub(payload: bytes) -> dict:
     }
 
 
+def _pil_canonical(img):
+    """Canonicalize a PIL image to the raster contract the pure codec
+    emits, so the two decode paths see the SAME pixels whatever is
+    installed: L/LA/RGB/RGBA pass through; a palette image expands
+    (RGBA when it carries a transparency table, else RGB — matching
+    imagecodec's PLTE expansion, where ``tobytes()`` on mode P would
+    return palette INDICES); any other mode (CMYK, 1-bit, I;16...)
+    becomes RGB."""
+    if img.mode in ("L", "LA", "RGB", "RGBA"):
+        return img
+    if img.mode == "P":
+        return img.convert(
+            "RGBA" if "transparency" in img.info else "RGB"
+        )
+    return img.convert("RGB")
+
+
+def _codec_canonical(payload: bytes, dec: tuple) -> tuple:
+    """Canonicalize a pure-codec decode toward Pillow's: a 32-bit BMP
+    whose 4th bytes are ALL zero is plain padding (BITMAPINFOHEADER
+    'reserved'), which Pillow drops — strip it so byte stats and
+    resizes agree across the two paths. A nonzero 4th channel is kept
+    as real alpha."""
+    w, h, ch, raster = dec
+    if ch == 4 and payload[:2] == b"BM" and not any(raster[3::4]):
+        raster = bytes(v for i, v in enumerate(raster) if i % 4 != 3)
+        ch = 3
+    return w, h, ch, raster
+
+
 def _decode_auto(payload: bytes) -> dict:
     """Real decode when possible, stub otherwise, SAME output schema:
     a payload that parses as an image yields PIXEL-level stats
@@ -110,7 +140,7 @@ def _decode_auto(payload: bytes) -> dict:
 
         try:
             with img_mod.open(io.BytesIO(payload)) as img:
-                raw = img.tobytes()
+                raw = _pil_canonical(img).tobytes()
             n = len(raw)
             return {
                 "n_bytes": len(payload),
@@ -124,7 +154,7 @@ def _decode_auto(payload: bytes) -> dict:
 
         dec = imagecodec.decode_image(payload)
         if dec is not None:
-            _, _, _, raster = dec
+            _, _, _, raster = _codec_canonical(payload, dec)
             n = len(raster)
             return {
                 "n_bytes": len(payload),
@@ -225,13 +255,15 @@ def resize_blobs(
                         # explicit NEAREST so the Pillow path and the
                         # pure-codec path below resample identically
                         # (Resampling namespace is Pillow>=9.1; older
-                        # exposes the constants on the module)
+                        # exposes the constants on the module); mode
+                        # canonicalized FIRST so a palette image
+                        # resamples expanded pixels, not indices
                         nearest = getattr(
                             img_mod, "Resampling", img_mod
                         ).NEAREST
-                        img.resize(target_size, nearest).save(
-                            out, format="PNG"
-                        )
+                        _pil_canonical(img).resize(
+                            target_size, nearest
+                        ).save(out, format="PNG")
                         return out.getvalue()
                 except Exception:  # noqa: BLE001 - not an image → stub path
                     pass
@@ -240,7 +272,7 @@ def resize_blobs(
 
                 dec = imagecodec.decode_image(payload)
                 if dec is not None:
-                    w, h, ch, raster = dec
+                    w, h, ch, raster = _codec_canonical(payload, dec)
                     tw, th = target_size
                     return imagecodec.encode_png(
                         imagecodec.resize_nearest(raster, w, h, ch, tw, th),

@@ -130,6 +130,27 @@ def test_bmp_24_and_32_bottom_up_and_top_down():
     assert [tuple(r32[i * 4:i * 4 + 3]) for i in range(4)] == pixels
 
 
+def test_bmp32_zero_alpha_canonicalizes_to_rgb_stats():
+    """The multimodal seam strips a 32-bit BMP's all-zero 4th channel
+    (BITMAPINFOHEADER padding, which Pillow also drops) before
+    computing pixel stats — so mean/max agree across the Pillow and
+    pure-codec decode paths instead of the zeros dragging the mean."""
+    from hindex_spark.operators import multimodal as mm
+
+    pixels = [(10, 20, 30), (40, 50, 60), (70, 80, 90), (200, 210, 220)]
+    payload = _bmp(2, 2, 32, pixels)
+    flat = [v for p in pixels for v in p]
+    d = mm._codec_canonical(payload, ic.decode_image(payload))
+    assert d[2] == 3 and d[3] == bytes(flat)
+    stats = mm._decode_auto(payload)
+    assert stats["mean_byte"] == sum(flat) / len(flat)
+    assert stats["max_byte"] == 220
+    # a REAL alpha channel (any nonzero 4th byte) is preserved
+    w, h, ch, raster = ic.decode_image(payload)
+    real = raster[:3] + b"\x80" + raster[4:]
+    assert mm._codec_canonical(payload, (w, h, ch, real))[2] == 4
+
+
 def test_non_images_and_corrupt_return_none():
     assert ic.decode_image(b"hello world, not an image") is None
     assert ic.decode_image(b"") is None

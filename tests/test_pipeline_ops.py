@@ -1165,24 +1165,69 @@ def test_multimodal_real_resize(spark):
     assert row["out_bytes"] == len(bytes(row["blob"]))
 
 
-@pytest.mark.skipif(_pil_or_none() is None, reason="Pillow not installed")
-def test_multimodal_pure_codec_matches_pillow(spark):
-    """When Pillow IS available, the pure codec's decode and encode
-    agree with it byte-for-byte on raster content."""
+def test_multimodal_pure_codec_cross_checked(spark):
+    """The pure codec's ENCODER is validated against an independent
+    reader in every environment: a test-local mini-decoder written
+    straight from the PNG spec (signature, IHDR parse, zlib inflate,
+    filter-0 reconstruction, CRC verification) — a separate
+    implementation from operators/imagecodec.py, so a codec bug cannot
+    self-confirm. (The decoder direction is covered by the
+    adversarially hand-built PNGs in tests/test_imagecodec.py.) When
+    Pillow is ALSO available, the same payloads additionally
+    cross-check byte-for-byte against it."""
     import io
+    import struct
+    import zlib
 
     from hindex_spark.operators import imagecodec as ic
 
+    def spec_read_png(payload):
+        # independent minimal reader: 8-bit, filter-0 rows only (all
+        # encode_png ever emits); raises on any CRC/shape violation
+        assert payload[:8] == b"\x89PNG\r\n\x1a\n"
+        pos, w, h, color, idat = 8, None, None, None, b""
+        while pos < len(payload):
+            (ln,) = struct.unpack(">I", payload[pos:pos + 4])
+            ctype = payload[pos + 4:pos + 8]
+            data = payload[pos + 8:pos + 8 + ln]
+            (crc,) = struct.unpack(
+                ">I", payload[pos + 8 + ln:pos + 12 + ln]
+            )
+            assert crc == (zlib.crc32(ctype + data) & 0xFFFFFFFF)
+            if ctype == b"IHDR":
+                w, h, depth, color, comp, filt, inter = struct.unpack(
+                    ">IIBBBBB", data
+                )
+                assert depth == 8 and comp == 0 and filt == 0 and inter == 0
+            elif ctype == b"IDAT":
+                idat += data
+            pos += 12 + ln
+        ch = {0: 1, 4: 2, 2: 3, 6: 4}[color]
+        scan = zlib.decompress(idat)
+        stride = w * ch
+        out = bytearray()
+        for y in range(h):
+            row = scan[y * (stride + 1):(y + 1) * (stride + 1)]
+            assert row[0] == 0, "encoder claimed filter 0"
+            out += row[1:]
+        return w, h, ch, bytes(out)
+
+    for ch in (1, 2, 3, 4):
+        raster = bytes((i * 13 + ch * 5) % 256 for i in range(4 * 4 * ch))
+        payload = ic.encode_png(raster, 4, 4, ch)
+        assert spec_read_png(payload) == (4, 4, ch, raster)
+
     Image = _pil_or_none()
-    raster = bytes(range(48))  # 4x4 RGB gradient
-    payload = ic.encode_png(raster, 4, 4, 3)
-    with Image.open(io.BytesIO(payload)) as img:
-        assert img.size == (4, 4)
-        assert img.tobytes() == raster
-    buf = io.BytesIO()
-    img2 = Image.frombytes("RGB", (4, 4), raster)
-    img2.save(buf, format="PNG")
-    assert ic.decode_image(buf.getvalue()) == (4, 4, 3, raster)
+    if Image is not None:
+        raster = bytes(range(48))  # 4x4 RGB gradient
+        payload = ic.encode_png(raster, 4, 4, 3)
+        with Image.open(io.BytesIO(payload)) as img:
+            assert img.size == (4, 4)
+            assert img.tobytes() == raster
+        buf = io.BytesIO()
+        img2 = Image.frombytes("RGB", (4, 4), raster)
+        img2.save(buf, format="PNG")
+        assert ic.decode_image(buf.getvalue()) == (4, 4, 3, raster)
 
 
 # --- parameterized MinHash family (round 7) ----------------------------
