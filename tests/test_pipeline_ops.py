@@ -2473,6 +2473,59 @@ def test_rollup_auto_spread_keys_from_bucket_distribution(
         assert sorted(map(tuple, store.read(spread_keys=True).collect())) == want
 
 
+def test_rollup_sketch_exactness_boundaries(spark):
+    """Pin the sketch contracts the rollup's ndv/pctl columns rely on,
+    on DETERMINISTIC inputs, so a Spark/datasketches upgrade that
+    shifts either regime fails loudly instead of silently skewing
+    stored rollups:
+
+    - HLL lgk=12 (the ndv default) is EXACT through the gate-scale
+      cardinalities (10/100/400 distinct here — sparse mode), and
+      within 1% once coupon collisions start (first observed deviation
+      on these inputs: 1000 -> 996, the boundary COVERAGE records);
+    - KLL with k >= n is EXACT: the discrete quantile is the element
+      at rank ceil(p*n) (the arithmetic the oracle mirrors);
+    - KLL beyond capacity (k=200, n=20k) answers within its rank-error
+      bound (<=2%; measured 0.15% here), not exactly."""
+    import math
+
+    # HLL: exact in sparse mode, ~1% beyond
+    for n in (10, 100, 400):
+        df = spark.range(n).select((F.col("id") % 1000000007).alias("v"))
+        est = df.agg(
+            F.hll_sketch_estimate(F.hll_sketch_agg("v", F.lit(12)))
+        ).first()[0]
+        assert est == n, f"HLL lgk=12 no longer exact at {n} distinct"
+    for n in (1000, 4000):
+        df = spark.range(n).select((F.col("id") % 1000000007).alias("v"))
+        est = df.agg(
+            F.hll_sketch_estimate(F.hll_sketch_agg("v", F.lit(12)))
+        ).first()[0]
+        assert abs(est - n) <= 0.01 * n, f"HLL error at {n}: {est}"
+
+    # KLL: exact under capacity — element at rank ceil(p*n)
+    n = 500
+    vals = spark.range(1, n + 1).select(F.col("id").cast("double").alias("v"))
+    for p in (0.01, 0.5, 0.95):
+        q = vals.agg(
+            F.kll_sketch_get_quantile_double(
+                F.kll_sketch_agg_double("v", F.lit(600)), F.lit(p)
+            )
+        ).first()[0]
+        assert q == float(max(1, math.ceil(p * n))), (p, q)
+
+    # KLL: bounded rank error beyond capacity
+    n = 20000
+    vals = spark.range(1, n + 1).select(F.col("id").cast("double").alias("v"))
+    for p in (0.5, 0.95):
+        q = vals.agg(
+            F.kll_sketch_get_quantile_double(
+                F.kll_sketch_agg_double("v", F.lit(200)), F.lit(p)
+            )
+        ).first()[0]
+        assert abs(q - p * n) <= 0.02 * n, (p, q)
+
+
 def test_rollup_auto_spread_decides_from_meta_histogram(
     spark, sf_dir, tmp_path
 ):
