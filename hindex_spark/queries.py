@@ -614,7 +614,8 @@ def q_index_hint_forced(spark, sf_dir):
 
 @query(
     "index_maintained_scan",
-    """SELECT o_orderkey, o_custkey, o_totalprice
+    """SELECT o_orderkey, o_custkey,
+              CAST(o_totalprice AS DOUBLE) AS o_totalprice
        FROM (VALUES (99999991, 7777777, 111.11), (99999992, 7777777, 222.22))
             AS v(o_orderkey, o_custkey, o_totalprice)""",
 )
