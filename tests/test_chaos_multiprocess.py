@@ -378,3 +378,22 @@ def test_two_process_rollup_corrections_serialize(spark, tmp_path):
         .agg(F.sum("cnt").alias("cnt")).collect()
     ]
     assert len({g for g, _ in gens}) == len(gens) and len(gens) == 3
+    # the write-maintained bucket histogram survived the race: each
+    # verb reloads meta under the lock before applying its delta, so
+    # neither process's histogram update may be lost — the combined
+    # meta histogram must equal the live per-bucket counts
+    live_counts = {
+        str(row["bucket_us"]): row["n"]
+        for row in r2.live_partials.groupBy("bucket_us")
+        .agg(F.count("*").alias("n")).collect()
+    }
+    combined: dict = {}
+    for h in r2.gen_hist.values():
+        for b, n in h.items():
+            combined[b] = combined.get(b, 0) + n
+    assert combined == live_counts
+    # and the corrected-generation chain merged from both processes:
+    # both bad batches are recorded as superseded
+    assert sorted(int(v) for v in r2.corrected.values()) == sorted(
+        g for g, _ in gens if g > 0
+    )
