@@ -194,10 +194,17 @@ class RollupStore:
         #: (``_hot_bucket``) remains only as the fallback for stores
         #: written before the histogram existed (None = unknown).
         #: Size is (live generations x buckets touched per batch);
-        #: compact() folds it to one generation. ADVISORY only: the
-        #: spread decision is result-identical either way, so a stale
-        #: histogram can never corrupt a read.
+        #: compact() folds it to one generation, and MAX_HIST_ENTRIES
+        #: caps total meta growth (over the cap the histogram switches
+        #: off and auto-reads use the gauge — see ``_hist_commit``).
+        #: ADVISORY only: the spread decision is result-identical
+        #: either way, so a stale histogram can never corrupt a read.
         self.gen_hist = None
+        #: True once the histogram exceeded MAX_HIST_ENTRIES: verbs
+        #: stop maintaining it (no rebuild flip-flop) and auto-reads
+        #: fall back to the gauge; build()/compact() re-evaluate, so a
+        #: fold that fits the cap re-enables maintenance.
+        self.hist_disabled = False
 
     @property
     def sql_name(self) -> str:
@@ -240,6 +247,7 @@ class RollupStore:
         # table — one bounded job at build time buys every later
         # auto-read its spread decision for free
         r.gen_hist = {"0": r._hist_of(catalog.read_raw(r.table_name))}
+        r._hist_commit(reevaluate=True)
         with open(r._meta_path(), "w") as f:
             json.dump(r._meta(), f)
         return r
@@ -251,6 +259,7 @@ class RollupStore:
                 "sealed_below": self.sealed_below,
                 "corrected": self.corrected,
                 "gen_hist": self.gen_hist,
+                "hist_disabled": self.hist_disabled,
                 "ndv_col": self.ndv_col, "ndv_lgk": self.ndv_lgk,
                 "pctl_col": self.pctl_col, "pctl_k": self.pctl_k}
 
@@ -267,6 +276,7 @@ class RollupStore:
         self.sealed_below = m.get("sealed_below", 0)
         self.corrected = m.get("corrected", {})
         self.gen_hist = m.get("gen_hist")
+        self.hist_disabled = m.get("hist_disabled", False)
 
     def _tombstone_path(self) -> str:
         from hindex_spark.operators.artifact import tombstone_path
@@ -286,6 +296,7 @@ class RollupStore:
         r.sealed_below = m.get("sealed_below", 0)
         r.corrected = m.get("corrected", {})
         r.gen_hist = m.get("gen_hist")
+        r.hist_disabled = m.get("hist_disabled", False)
         return r
 
     def _ensure_registered(self) -> None:
@@ -365,10 +376,12 @@ class RollupStore:
             self._migrate_gen_locked()
             gen = self.cur_gen + 1
             self._append_locked(batch, gen)
-            if self.gen_hist is None:  # pre-histogram store: upgrade once
-                self._hist_rebuild_locked()
-            else:
-                self.gen_hist[str(gen)] = self._hist_of_gen_locked(gen)
+            if not self.hist_disabled:
+                if self.gen_hist is None:  # pre-histogram store: upgrade
+                    self._hist_rebuild_locked()
+                else:
+                    self.gen_hist[str(gen)] = self._hist_of_gen_locked(gen)
+                self._hist_commit()
             self.cur_gen = gen
             with open(self._meta_path(), "w") as f:
                 json.dump(self._meta(), f)
@@ -432,13 +445,15 @@ class RollupStore:
             )
             append_tombstones(gens, "gen", gen + 1, self._tombstone_path())
             self._append_locked(corrected, new_gen)
-            if self.gen_hist is None:  # pre-histogram store: upgrade once
-                self._hist_rebuild_locked()
-            else:
-                self.gen_hist.pop(str(gen), None)
-                self.gen_hist[str(new_gen)] = self._hist_of_gen_locked(
-                    new_gen
-                )
+            if not self.hist_disabled:
+                if self.gen_hist is None:  # pre-histogram store: upgrade
+                    self._hist_rebuild_locked()
+                else:
+                    self.gen_hist.pop(str(gen), None)
+                    self.gen_hist[str(new_gen)] = self._hist_of_gen_locked(
+                        new_gen
+                    )
+                self._hist_commit()
             self.cur_gen = new_gen
             self.corrected[str(gen)] = new_gen
             with open(self._meta_path(), "w") as f:
@@ -469,6 +484,28 @@ class RollupStore:
     #: exchange-free merge wins (the extra exchange costs more than the
     #: skew); above it, one task serializes the merge.
     AUTO_SPREAD_MULT = 4.0
+
+    #: cap on total meta-histogram entries (sum over generations of
+    #: buckets touched). ~100k entries is a few MB of JSON — beyond it
+    #: (a never-compacted fine-grain store: minutely buckets x years)
+    #: the histogram switches OFF rather than growing the meta file
+    #: unboundedly: verbs stop maintaining it and auto-reads use the
+    #: gauge, until a build()/compact()/expire() rewrite fits the cap
+    #: again and re-enables it.
+    MAX_HIST_ENTRIES = 100_000
+
+    def _hist_commit(self, reevaluate: bool = False) -> None:
+        """Apply the size valve after a verb's histogram maintenance.
+        ``reevaluate=True`` (build/compact/expire — full rewrites)
+        lifts a previous switch-off when the rebuilt histogram fits."""
+        if self.gen_hist is None:
+            return
+        n = sum(len(h) for h in self.gen_hist.values())
+        if n > self.MAX_HIST_ENTRIES:
+            self.gen_hist = None
+            self.hist_disabled = True
+        elif reevaluate:
+            self.hist_disabled = False
 
     def _hist_of(self, df: DataFrame) -> dict:
         """Per-bucket_us row counts of ``df`` as a JSON-keyed dict —
@@ -730,6 +767,7 @@ class RollupStore:
             # crashed correction left behind, since the tombstones it
             # relied on are cleared here)
             self._hist_rebuild_locked()
+            self._hist_commit(reevaluate=True)
             with open(self._meta_path(), "w") as f:
                 json.dump(self._meta(), f)
 
@@ -788,5 +826,6 @@ class RollupStore:
                     self.catalog.read_raw(self.table_name)
                 )
             }
+            self._hist_commit(reevaluate=True)
             with open(self._meta_path(), "w") as f:
                 json.dump(self._meta(), f)

@@ -2617,6 +2617,41 @@ def test_rollup_auto_spread_decides_from_meta_histogram(
         RollupStore._hot_bucket = orig
 
 
+def test_rollup_histogram_size_valve(spark, sf_dir, tmp_path, monkeypatch):
+    """MAX_HIST_ENTRIES caps meta growth: past the cap the histogram
+    switches OFF (gen_hist=None + hist_disabled persisted — no
+    rebuild flip-flop on later writes), auto-reads fall back to the
+    gauge with identical results, and a compact() whose fold fits the
+    cap re-enables maintenance."""
+    from hindex_spark.catalog import Catalog
+    from hindex_spark.operators.rollup import HOUR_US, RollupStore
+
+    events = spark.read.parquet(f"{sf_dir}/events.parquet").limit(4000)
+    cat = Catalog(spark, str(tmp_path / "wh"))
+    r = RollupStore.build(cat, events.filter(F.col("event_id") % 2 == 0),
+                          "ts", ["event_type"], "value", HOUR_US, "valve")
+    n_buckets = len(r.gen_hist["0"])
+    want = sorted(map(tuple, r.read(spread_keys=False).collect()))
+
+    # shrink the cap below one generation's bucket count -> update trips it
+    monkeypatch.setattr(RollupStore, "MAX_HIST_ENTRIES", n_buckets)
+    r.update(events.filter(F.col("event_id") % 2 == 1))
+    assert r.gen_hist is None and r.hist_disabled
+    # persisted: a later write on a fresh handle does NOT rebuild
+    r2 = RollupStore.open(cat, "valve")
+    assert r2.hist_disabled
+    # auto-read answers via the gauge, result-identical
+    want2 = sorted(map(tuple, r2.read(spread_keys=False).collect()))
+    assert sorted(map(tuple, r2.read(spread_keys="auto").collect())) == want2
+    assert want2 != want  # the update actually landed
+
+    # a fold that fits the cap re-enables maintenance
+    monkeypatch.setattr(RollupStore, "MAX_HIST_ENTRIES", 100_000)
+    r2.compact()
+    assert not r2.hist_disabled and r2.gen_hist is not None
+    assert list(r2.gen_hist) == [str(r2.cur_gen)]
+
+
 def test_rollup_store_maintained_from_stream(spark, sf_dir, tmp_path):
     """Streaming maintenance for the rollup store — the foreachBatch
     shape whose clone-session INSERT is exactly the file-listing-cache
