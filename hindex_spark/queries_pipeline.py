@@ -2336,6 +2336,42 @@ def q_rollup_upsert(spark, sf_dir):
     return out
 
 
+@query("events_rollup_rechain", _ROLLUP_ORACLE)
+def q_rollup_rechain(spark, sf_dir):
+    """CORRECTION-CHAIN parity: a misreported batch is corrected, the
+    correction itself turns out wrong and is corrected AGAIN — by
+    targeting the SUPERSEDING generation, the only path the store
+    permits (re-correcting the original would leave both corrections
+    live and double-count; the store refuses it, asserted here). The
+    oracle aggregates the TRUE events, so any residue of either bad
+    batch breaks the hash. Integer micro-unit output like the other
+    rollup gates."""
+    import tempfile
+
+    from hindex_spark.catalog import Catalog
+    from hindex_spark.operators.rollup import HOUR_US, RollupStore
+
+    events = spark.read.parquet(f"{sf_dir}/events.parquet")
+    odd = events.filter(F.col("event_id") % 2 == 1)
+    cat = Catalog(spark, tempfile.mkdtemp(prefix="hindex_rollup_"))
+    r = RollupStore.build(
+        cat, events.filter(F.col("event_id") % 2 == 0),
+        "ts", ["event_type"], "value", HOUR_US, "gate_rechain",
+    )
+    g1 = r.update(odd.withColumn("value", F.col("value") * 3))
+    g2 = r.replace_batch(g1, odd.withColumn("value", F.col("value") * 5))
+    try:  # the double-count path must be refused, loudly
+        r.replace_batch(g1, odd)
+        raise RuntimeError(
+            "store accepted a re-correction of an already-superseded "
+            f"generation {g1} (superseded by {g2})"
+        )
+    except ValueError:
+        pass
+    r.replace_batch(g2, odd)
+    return _rollup_micro(r.read())
+
+
 @query(
     "ann_filtered_topk",
     f"""SELECT q_id, vec_id, cosine, rank FROM (
