@@ -2591,6 +2591,13 @@ def test_rollup_auto_spread_decides_from_meta_histogram(
     try:
         assert n_exchanges(uniform.read(spread_keys="auto")) == 0
         assert n_exchanges(hot.read(spread_keys="auto")) >= 1
+        # the lattice path coarsens the histogram DRIVER-SIDE (grain_us
+        # regroups keys by summing finer-bucket counts) — still no
+        # gauge job, and the hot store still spreads at the day grain
+        from hindex_spark.operators.rollup import DAY_US
+        assert n_exchanges(hot.read_at(DAY_US, spread_keys="auto")) >= 1
+        assert n_exchanges(uniform.read_at(DAY_US, spread_keys="auto")) \
+            in (0, 1)  # coarsening MAY concentrate a uniform store too
         want = sorted(map(tuple, hot.read(spread_keys=False).collect()))
         got = sorted(map(tuple, hot.read(spread_keys="auto").collect()))
         assert got == want
@@ -2615,6 +2622,42 @@ def test_rollup_auto_spread_decides_from_meta_histogram(
         assert n_exchanges(hot.read(spread_keys="auto")) >= 1
     finally:
         RollupStore._hot_bucket = orig
+
+
+def test_rollup_sketches_survive_corrections_and_lattice(
+    spark, sf_dir, tmp_path
+):
+    """Sketch columns (HLL ndv + KLL quantiles) through the CORRECTION
+    path: a misreported batch replaced via generation tombstones must
+    leave ndv/p50/p95 exactly equal to a store built from the true
+    events (exact at these cardinalities/k), at the store grain AND
+    through the read_at lattice step — the tombstone cut must drop the
+    bad generation's sketch partials, not just its plain partials."""
+    from hindex_spark.catalog import Catalog
+    from hindex_spark.operators.rollup import DAY_US, HOUR_US, RollupStore
+
+    events = spark.read.parquet(f"{sf_dir}/events.parquet").limit(4000)
+    even = events.filter(F.col("event_id") % 2 == 0)
+    odd = events.filter(F.col("event_id") % 2 == 1)
+    cat = Catalog(spark, str(tmp_path / "wh"))
+    kw = dict(ndv_col="user_id", pctl_col="value", pctl_k=4096)
+    r = RollupStore.build(cat, even, "ts", ["event_type"], "value",
+                          HOUR_US, "skcorr", **kw)
+    # bad batch skews BOTH sketch inputs: values tripled, users shifted
+    bad = r.update(
+        odd.withColumn("value", F.col("value") * 3)
+        .withColumn("user_id", F.col("user_id") + 1000000)
+    )
+    r.replace_batch(bad, odd)
+    truth = RollupStore.build(cat, even.unionByName(odd), "ts",
+                              ["event_type"], "value", HOUR_US,
+                              "sktruth", **kw)
+    for grain in (None, DAY_US):
+        read = (lambda s: s.read(pctls=(0.5, 0.95)) if grain is None
+                else s.read_at(grain, pctls=(0.5, 0.95)))
+        got = sorted(map(tuple, read(r).collect()))
+        want = sorted(map(tuple, read(truth).collect()))
+        assert got == want, f"grain={grain}"
 
 
 def test_rollup_histogram_size_valve(spark, sf_dir, tmp_path, monkeypatch):
