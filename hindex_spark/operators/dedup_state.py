@@ -264,11 +264,19 @@ class DedupState:
                 .select(self.id_col).distinct()
             )
             # pure-insert upsert: no pre-existing ids -> no tombstone
-            # file (AnnIndex/SearchIndex.upsert's guard; bounded probe)
-            if existing.take(1):
-                append_tombstones(
-                    existing, self.id_col, new_gen, self._tombstone_path()
-                )
+            # file (AnnIndex/SearchIndex.upsert's guard). The hit set is
+            # batch-bounded — persist it so the probe and the tombstone
+            # write share ONE state-scan job instead of replaying the
+            # semi-join twice.
+            existing = existing.persist()
+            try:
+                if existing.take(1):
+                    append_tombstones(
+                        existing, self.id_col, new_gen,
+                        self._tombstone_path(),
+                    )
+            finally:
+                existing.unpersist()
             rows = state_rows(
                 docs, self.id_col, self.text_col, self.ngram, self.hash_fn,
                 self.n_hashes,
