@@ -388,11 +388,18 @@ class AnnIndex:
             # pure-insert upsert: no pre-existing ids -> no tombstone
             # file, or every later read pays the broadcast cut for an
             # empty set until the next compact (SearchIndex.upsert's
-            # `if old_n:` guard; one bounded take(1) probe)
-            if existing.take(1):
-                append_tombstones(
-                    existing, self.id_col, new_gen, self._tombstone_path()
-                )
+            # `if old_n:` guard). The hit set is batch-bounded —
+            # persist it so the probe and the tombstone write share ONE
+            # index-scan job instead of replaying the semi-join twice.
+            existing = existing.persist()
+            try:
+                if existing.take(1):
+                    append_tombstones(
+                        existing, self.id_col, new_gen,
+                        self._tombstone_path(),
+                    )
+            finally:
+                existing.unpersist()
             rows = self._index_rows(new_vectors, new_gen)
             view = f"__annindex_upsert_{self.name}"
             sess = rows.sparkSession
