@@ -100,6 +100,16 @@ def main():
             failures.append(name)
             print(f"FAIL {name}: spark error: {e}")
             continue
+        # Decimal FINAL columns are a cross-engine hash hazard: this
+        # checker compares str(Decimal) == str(Decimal) (both sides
+        # fetchall), but comparators that widen one side to float64
+        # (e.g. DuckDB .df()) see '12.500000' vs '12.5' — the root
+        # cause of the three-round rollup driver-red. Flag loudly so a
+        # future gate can't reintroduce the risk while passing here.
+        deci = [c for c, t in sdf.dtypes if t.startswith("decimal")]
+        if deci:
+            print(f"WARN {name}: DECIMAL final column(s) {deci} — "
+                  "cross-engine hash risk; project integers or doubles")
         if name not in oracles:
             print(f"ok?  {name}: rows-only check, {len(srows)} rows (no oracle)")
             continue
