@@ -694,6 +694,41 @@ class RollupStore:
         p = self._maybe_spread(p, spread_keys, start_us, end_us)
         return self._finish(merge_partials(p, self.key_cols), pctls)
 
+    def read_with(
+        self,
+        tail_events: DataFrame,
+        start_us: Optional[int] = None,
+        end_us: Optional[int] = None,
+        spread_keys: bool = False,
+        pctls=None,
+    ) -> DataFrame:
+        """REAL-TIME read (the continuous-aggregate lambda shape,
+        TimescaleDB's real-time aggregates): the merged rollup over the
+        persisted partials UNION a raw ``tail_events`` frame that has
+        NOT yet been ``update()``d into the store — serving sees
+        up-to-the-second data without waiting for the batch append.
+        The tail is aggregated to the store's grain/keys/sketches with
+        the same partials expression, unioned below the merge, so the
+        result is EXACTLY what ``read()`` would return after
+        ``update(tail_events)`` — count/sum/min/max/sketches are all
+        mergeable, and the tail aggregation is tail-sized.
+
+        Caller contract (the same one update() has): ``tail_events``
+        are events the store has not seen — passing an already-updated
+        batch double-counts, exactly as update()ing it twice would."""
+        tail = rollup_partials(
+            tail_events, self.ts_col, self.key_cols, self.value_col,
+            self.grain_us, ndv_col=self.ndv_col, ndv_lgk=self.ndv_lgk,
+            pctl_col=self.pctl_col, pctl_k=self.pctl_k,
+        )
+        p = self.live_partials.drop("gen").unionByName(tail)
+        if start_us is not None:
+            p = p.filter(F.col("bucket_us") >= start_us)
+        if end_us is not None:
+            p = p.filter(F.col("bucket_us") < end_us)
+        p = self._maybe_spread(p, spread_keys, start_us, end_us)
+        return self._finish(merge_partials(p, self.key_cols), pctls)
+
     def read_at(self, grain_us: int,
                 start_us: Optional[int] = None,
                 end_us: Optional[int] = None,

@@ -2336,6 +2336,30 @@ def q_rollup_upsert(spark, sf_dir):
     return out
 
 
+@query("events_rollup_realtime", _ROLLUP_ORACLE)
+def q_rollup_realtime(spark, sf_dir):
+    """REAL-TIME continuous aggregate (the lambda read,
+    ``RollupStore.read_with``): the store materializes only the EVEN
+    half; the odd half is served as a raw not-yet-updated tail,
+    aggregated tail-sized and unioned below the merge. The oracle
+    aggregates ALL events directly, so a tail row dropped,
+    double-counted, or merged at the wrong grain breaks the hash.
+    Integer micro-unit output like the other rollup gates."""
+    import tempfile
+
+    from hindex_spark.catalog import Catalog
+    from hindex_spark.operators.rollup import HOUR_US, RollupStore
+
+    events = spark.read.parquet(f"{sf_dir}/events.parquet")
+    cat = Catalog(spark, tempfile.mkdtemp(prefix="hindex_rollup_"))
+    r = RollupStore.build(
+        cat, events.filter(F.col("event_id") % 2 == 0),
+        "ts", ["event_type"], "value", HOUR_US, "gate_rt",
+    )
+    tail = events.filter(F.col("event_id") % 2 == 1)
+    return _rollup_micro(r.read_with(tail))
+
+
 @query("events_rollup_rechain", _ROLLUP_ORACLE)
 def q_rollup_rechain(spark, sf_dir):
     """CORRECTION-CHAIN parity: a misreported batch is corrected, the

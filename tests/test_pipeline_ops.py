@@ -2660,6 +2660,39 @@ def test_rollup_sketches_survive_corrections_and_lattice(
         assert got == want, f"grain={grain}"
 
 
+def test_rollup_read_with_tail_equals_post_update_read(
+    spark, sf_dir, tmp_path
+):
+    """read_with(tail) — the real-time lambda read — must equal what
+    read() returns AFTER update(tail), including sketch columns and
+    through corrections: serving never waits for the batch append and
+    never diverges from it."""
+    from hindex_spark.catalog import Catalog
+    from hindex_spark.operators.rollup import HOUR_US, RollupStore
+
+    events = spark.read.parquet(f"{sf_dir}/events.parquet").limit(4000)
+    even = events.filter(F.col("event_id") % 2 == 0)
+    odd = events.filter(F.col("event_id") % 2 == 1)
+    tail = odd.filter(F.col("event_id") % 3 == 0)
+    seen = odd.filter(F.col("event_id") % 3 != 0)
+    cat = Catalog(spark, str(tmp_path / "wh"))
+    kw = dict(ndv_col="user_id", pctl_col="value", pctl_k=4096)
+    r = RollupStore.build(cat, even, "ts", ["event_type"], "value",
+                          HOUR_US, "rt", **kw)
+    # a correction in history must not disturb the real-time union
+    bad = r.update(seen.withColumn("value", F.col("value") * 9))
+    r.replace_batch(bad, seen)
+    rt = sorted(map(tuple, r.read_with(tail, pctls=(0.5,)).collect()))
+    r.update(tail)
+    post = sorted(map(tuple, r.read(pctls=(0.5,)).collect()))
+    assert rt == post
+    # time restriction applies to the union (store AND tail)
+    mid = sorted(r2[0] for r2 in {t[:1] for t in post})[len(post) // 2]
+    rt_cut = r.read_with(spark.createDataFrame([], tail.schema),
+                         start_us=mid)
+    assert all(row["bucket_us"] >= mid for row in rt_cut.collect())
+
+
 def test_rollup_histogram_size_valve(spark, sf_dir, tmp_path, monkeypatch):
     """MAX_HIST_ENTRIES caps meta growth: past the cap the histogram
     switches OFF (gen_hist=None + hist_disabled persisted — no
