@@ -18,15 +18,17 @@ Design (the DedupState / SearchIndex artifact pattern):
 - ``compact()`` folds accumulated partials back to one row per
   (bucket, key) and one file per bucket (same staged-swap machinery and
   the same raw-parquet-source caveat as SearchIndex.compact).
-- ``ndv_col``/``pctl_col`` add MERGEABLE sketch aggregates
-  (DataSketches HLL distinct counts; KLL quantiles): the two classic
-  rollup metrics plain partials cannot carry — an id seen in two
-  batches double-counts, and a per-batch p95 says nothing about the
-  union's. Both are exact under capacity (sparse mode / k), degrade
-  gracefully beyond, and serve corrections (replace_batch) and the
-  grain lattice (daily ndv/p95 from hourly partials). Quantiles are
-  DISCRETE (the element at rank ceil(p*n) in exact mode), so no float
-  interpolation diverges between engines.
+- ``ndv_col``/``pctl_col``/``topk_col`` add MERGEABLE sketch aggregates
+  (DataSketches HLL distinct counts; KLL quantiles; frequent-items
+  heavy hitters): the classic rollup metrics plain partials cannot
+  carry — an id seen in two batches double-counts, a per-batch p95
+  says nothing about the union's, and an item frequent overall can be
+  infrequent in every batch. All are exact under capacity (sparse
+  mode / k / maxItemsTracked), degrade gracefully beyond, and serve
+  corrections (replace_batch) and the grain lattice (daily ndv/p95/
+  top-k from hourly partials). Quantiles are DISCRETE (the element at
+  rank ceil(p*n) in exact mode), so no float interpolation diverges
+  between engines.
 - ``update()`` returns a batch GENERATION; ``replace_batch``/
   ``delete_batch`` correct or retract a batch via the artifact
   tombstone machinery (operators/artifact.py) without rebuilding —
@@ -74,6 +76,8 @@ def rollup_partials(
     ndv_lgk: int = 12,
     pctl_col: Optional[str] = None,
     pctl_k: int = 200,
+    topk_col: Optional[str] = None,
+    topk_max: int = 10000,
 ) -> DataFrame:
     """One batch's partial aggregates: (bucket_us, *keys, cnt, vsum,
     vmin, vmax[, nds]). One narrow projection + one grain-keyed
@@ -113,6 +117,21 @@ def rollup_partials(
         aggs.append(
             F.kll_sketch_agg_double("__pv", F.lit(pctl_k)).alias("klls")
         )
+    if topk_col is not None:
+        # heavy hitters: the third mergeable sketch (DataSketches
+        # frequent-items via approx_top_k_*) — per-batch top items are
+        # NOT mergeable as plain counts (an item frequent overall can
+        # be infrequent in every batch); sketch states combine exactly
+        # while per-group cardinality stays under topk_max and degrade
+        # to guaranteed-error estimates beyond. Items are CAST to
+        # string so every batch accumulates the same item type (the
+        # combine refuses mixed itemDataTypeDDL).
+        cols.append(F.col(topk_col).cast("string").alias("__ti"))
+        aggs.append(
+            F.expr(
+                f"approx_top_k_accumulate(__ti, {int(topk_max)})"
+            ).alias("tks")
+        )
     return (
         events.filter(F.col(ts_col).isNotNull())
         .select(*cols)
@@ -135,6 +154,10 @@ def merge_partials(partials: DataFrame, key_cols: List[str]) -> DataFrame:
         aggs.append(F.hll_union_agg("nds").alias("nds"))
     if "klls" in partials.columns:
         aggs.append(F.kll_merge_agg_double("klls").alias("klls"))
+    if "tks" in partials.columns:
+        # no maxItemsTracked arg: inherit from the (store-consistent)
+        # input sketches, erroring loudly on a mixed-family merge
+        aggs.append(F.expr("approx_top_k_combine(tks)").alias("tks"))
     return partials.groupBy("bucket_us", *key_cols).agg(*aggs)
 
 
@@ -155,14 +178,17 @@ class RollupStore:
                  key_cols: List[str], value_col: str, grain_us: int,
                  num_buckets: int = 32, ndv_col: Optional[str] = None,
                  ndv_lgk: int = 12, pctl_col: Optional[str] = None,
-                 pctl_k: int = 200):
+                 pctl_k: int = 200, topk_col: Optional[str] = None,
+                 topk_max: int = 10000):
         #: mergeable sketch columns (HLL distinct counts, KLL
-        #: quantiles) — part of the artifact identity, like the LSH
-        #: family on DedupState
+        #: quantiles, frequent-items heavy hitters) — part of the
+        #: artifact identity, like the LSH family on DedupState
         self.ndv_col = ndv_col
         self.ndv_lgk = ndv_lgk
         self.pctl_col = pctl_col
         self.pctl_k = pctl_k
+        self.topk_col = topk_col
+        self.topk_max = topk_max
         self.num_buckets = num_buckets
         self.catalog = catalog
         self.name = name
@@ -223,17 +249,21 @@ class RollupStore:
               ndv_col: Optional[str] = None,
               ndv_lgk: int = 12,
               pctl_col: Optional[str] = None,
-              pctl_k: int = 200) -> "RollupStore":
+              pctl_k: int = 200,
+              topk_col: Optional[str] = None,
+              topk_max: int = 10000) -> "RollupStore":
         from hindex_spark.operators.artifact import clear_tombstones
         from hindex_spark.table import Table
 
         r = cls(catalog, name, ts_col, key_cols, value_col, grain_us,
                 num_buckets=num_buckets, ndv_col=ndv_col, ndv_lgk=ndv_lgk,
-                pctl_col=pctl_col, pctl_k=pctl_k)
+                pctl_col=pctl_col, pctl_k=pctl_k,
+                topk_col=topk_col, topk_max=topk_max)
         rows = rollup_partials(
             events, ts_col, key_cols, value_col, grain_us,
             ndv_col=ndv_col, ndv_lgk=ndv_lgk,
             pctl_col=pctl_col, pctl_k=pctl_k,
+            topk_col=topk_col, topk_max=topk_max,
         ).withColumn("gen", F.lit(0).cast("long"))
         catalog.save_bucketed(
             Table(rows, "bucket_us", f"{name}_rollup"), num_buckets=num_buckets
@@ -261,7 +291,8 @@ class RollupStore:
                 "gen_hist": self.gen_hist,
                 "hist_disabled": self.hist_disabled,
                 "ndv_col": self.ndv_col, "ndv_lgk": self.ndv_lgk,
-                "pctl_col": self.pctl_col, "pctl_k": self.pctl_k}
+                "pctl_col": self.pctl_col, "pctl_k": self.pctl_k,
+                "topk_col": self.topk_col, "topk_max": self.topk_max}
 
     def _reload_meta(self) -> None:
         """Re-read the persisted meta into this handle — MUST run at
@@ -291,7 +322,9 @@ class RollupStore:
                 m["value_col"], m["grain_us"],
                 num_buckets=m.get("num_buckets", 32),
                 ndv_col=m.get("ndv_col"), ndv_lgk=m.get("ndv_lgk", 12),
-                pctl_col=m.get("pctl_col"), pctl_k=m.get("pctl_k", 200))
+                pctl_col=m.get("pctl_col"), pctl_k=m.get("pctl_k", 200),
+                topk_col=m.get("topk_col"),
+                topk_max=m.get("topk_max", 10000))
         r.cur_gen = m.get("cur_gen", 0)
         r.sealed_below = m.get("sealed_below", 0)
         r.corrected = m.get("corrected", {})
@@ -356,6 +389,7 @@ class RollupStore:
             batch, self.ts_col, self.key_cols, self.value_col,
             self.grain_us, ndv_col=self.ndv_col, ndv_lgk=self.ndv_lgk,
             pctl_col=self.pctl_col, pctl_k=self.pctl_k,
+            topk_col=self.topk_col, topk_max=self.topk_max,
         ).withColumn("gen", F.lit(gen).cast("long"))
         view = f"__rollup_append_{self.name}"
         sess = rows.sparkSession  # foreachBatch session clone, see
@@ -638,7 +672,7 @@ class RollupStore:
                          self._tombstone_path())
 
     @staticmethod
-    def _finish(merged: DataFrame, pctls=None) -> DataFrame:
+    def _finish(merged: DataFrame, pctls=None, topk=None) -> DataFrame:
         """Estimate sketches at the serving edge (sketches stay
         sketches inside the store so they remain mergeable): NDV as
         ``ndv``; requested quantiles as ``p50``-style columns — the
@@ -657,6 +691,14 @@ class RollupStore:
                     F.kll_sketch_get_quantile_double("klls", F.lit(float(q))),
                 )
             merged = merged.drop("klls")
+        if "tks" in merged.columns:
+            # heavy hitters estimated at the serving edge:
+            # array<struct<item, count>> — EXACT counts while per-group
+            # cardinality stays under the store's topk_max
+            merged = merged.withColumn(
+                "top_items",
+                F.expr(f"approx_top_k_estimate(tks, {int(topk or 5)})"),
+            ).drop("tks")
         return merged
 
     def read(
@@ -665,6 +707,7 @@ class RollupStore:
         end_us: Optional[int] = None,
         spread_keys: bool = False,
         pctls=None,
+        topk=None,
     ) -> DataFrame:
         """The merged rollup (optionally time-restricted — the filter
         lands on the store scan and prunes row groups via the
@@ -692,7 +735,7 @@ class RollupStore:
         if end_us is not None:
             p = p.filter(F.col("bucket_us") < end_us)
         p = self._maybe_spread(p, spread_keys, start_us, end_us)
-        return self._finish(merge_partials(p, self.key_cols), pctls)
+        return self._finish(merge_partials(p, self.key_cols), pctls, topk)
 
     def read_with(
         self,
@@ -701,6 +744,7 @@ class RollupStore:
         end_us: Optional[int] = None,
         spread_keys: bool = False,
         pctls=None,
+        topk=None,
     ) -> DataFrame:
         """REAL-TIME read (the continuous-aggregate lambda shape,
         TimescaleDB's real-time aggregates): the merged rollup over the
@@ -720,6 +764,7 @@ class RollupStore:
             tail_events, self.ts_col, self.key_cols, self.value_col,
             self.grain_us, ndv_col=self.ndv_col, ndv_lgk=self.ndv_lgk,
             pctl_col=self.pctl_col, pctl_k=self.pctl_k,
+            topk_col=self.topk_col, topk_max=self.topk_max,
         )
         p = self.live_partials.drop("gen").unionByName(tail)
         if start_us is not None:
@@ -727,13 +772,13 @@ class RollupStore:
         if end_us is not None:
             p = p.filter(F.col("bucket_us") < end_us)
         p = self._maybe_spread(p, spread_keys, start_us, end_us)
-        return self._finish(merge_partials(p, self.key_cols), pctls)
+        return self._finish(merge_partials(p, self.key_cols), pctls, topk)
 
     def read_at(self, grain_us: int,
                 start_us: Optional[int] = None,
                 end_us: Optional[int] = None,
                 spread_keys: bool = False,
-                pctls=None) -> DataFrame:
+                pctls=None, topk=None) -> DataFrame:
         """The rollup at a COARSER grain, served from this store's
         partials — the rollup-lattice property: count/sum/min/max
         partials at one grain merge exactly into any multiple of it, so
@@ -761,7 +806,8 @@ class RollupStore:
         # coarsens driver-side by summing finer-bucket counts).
         coarse = self._maybe_spread(coarse, spread_keys, start_us, end_us,
                                     grain_us)
-        return self._finish(merge_partials(coarse, self.key_cols), pctls)
+        return self._finish(merge_partials(coarse, self.key_cols), pctls,
+                            topk)
 
     def expire(self, before_us: int,
                num_buckets: Optional[int] = None) -> None:

@@ -2336,6 +2336,51 @@ def q_rollup_upsert(spark, sf_dir):
     return out
 
 
+@query(
+    "events_rollup_topk",
+    """WITH b AS (
+          SELECT epoch_us(ts) - (epoch_us(ts) % 3600000000) AS bucket_us,
+                 event_type, CAST(user_id AS VARCHAR) AS user_id
+          FROM events WHERE ts IS NOT NULL)
+        SELECT bucket_us, event_type, user_id,
+               CAST(count(*) AS BIGINT) AS ucnt
+        FROM b GROUP BY bucket_us, event_type, user_id""",
+)
+def q_rollup_topk(spark, sf_dir):
+    """HEAVY-HITTERS continuous aggregate: the store carries a
+    MERGEABLE DataSketches frequent-items sketch per (bucket, key)
+    (``topk_col`` — approx_top_k_accumulate/combine/estimate). Built
+    as two parity-split batches so users SPAN batches and a naive
+    per-batch top-k would be wrong; at gate cardinalities (far under
+    maxItemsTracked=10000) the sketch is EXACT, so estimating
+    k=maxItems returns every (item, exact count) pair and the oracle
+    is the plain GROUP BY — the same exactness-where-exactness-holds
+    contract as the ndv gate, with the estimate EXPLODED to rows so
+    the hash is order-independent. At 100 TB cardinalities the same
+    artifact degrades to guaranteed-error heavy hitters."""
+    import tempfile
+
+    from hindex_spark.catalog import Catalog
+    from hindex_spark.operators.rollup import HOUR_US, RollupStore
+
+    events = spark.read.parquet(f"{sf_dir}/events.parquet")
+    cat = Catalog(spark, tempfile.mkdtemp(prefix="hindex_rollup_"))
+    r = RollupStore.build(
+        cat, events.filter(F.col("event_id") % 2 == 0),
+        "ts", ["event_type"], "value", HOUR_US, "gate_topk",
+        topk_col="user_id",
+    )
+    r.update(events.filter(F.col("event_id") % 2 == 1))
+    out = r.read(topk=10000)
+    return out.select(
+        "bucket_us", "event_type", F.explode("top_items").alias("ti")
+    ).select(
+        "bucket_us", "event_type",
+        F.col("ti.item").alias("user_id"),
+        F.col("ti.count").alias("ucnt"),
+    )
+
+
 @query("events_rollup_realtime", _ROLLUP_ORACLE)
 def q_rollup_realtime(spark, sf_dir):
     """REAL-TIME continuous aggregate (the lambda read,

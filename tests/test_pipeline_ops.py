@@ -2660,6 +2660,43 @@ def test_rollup_sketches_survive_corrections_and_lattice(
         assert got == want, f"grain={grain}"
 
 
+def test_rollup_topk_sketch_corrections_and_lattice(spark, sf_dir, tmp_path):
+    """Heavy-hitters sketch column through CORRECTIONS and the grain
+    LATTICE: replacing a batch that skewed the item stream must leave
+    the exploded (item, count) set exactly equal to a truth store —
+    exact at these cardinalities — at the store grain and at read_at;
+    compared as exploded ROW SETS because tie order inside the
+    estimate array is not defined."""
+    from hindex_spark.catalog import Catalog
+    from hindex_spark.operators.rollup import DAY_US, HOUR_US, RollupStore
+
+    events = spark.read.parquet(f"{sf_dir}/events.parquet").limit(4000)
+    even = events.filter(F.col("event_id") % 2 == 0)
+    odd = events.filter(F.col("event_id") % 2 == 1)
+    cat = Catalog(spark, str(tmp_path / "wh"))
+    r = RollupStore.build(cat, even, "ts", ["event_type"], "value",
+                          HOUR_US, "tkcorr", topk_col="user_id")
+    bad = r.update(odd.withColumn("user_id", F.col("user_id") + 1000000))
+    r.replace_batch(bad, odd)
+    truth = RollupStore.build(cat, even.unionByName(odd), "ts",
+                              ["event_type"], "value", HOUR_US,
+                              "tktruth", topk_col="user_id")
+
+    def items(store, grain=None):
+        df = (store.read(topk=10000) if grain is None
+              else store.read_at(grain, topk=10000))
+        return sorted(map(tuple, df.select(
+            "bucket_us", "event_type", F.explode("top_items").alias("t")
+        ).select("bucket_us", "event_type", "t.item", "t.count")
+            .collect()))
+
+    for grain in (None, DAY_US):
+        assert items(r, grain) == items(truth, grain), f"grain={grain}"
+    # no stale heavy hitter from the bad batch survives the cut
+    assert not any("1000000" in str(t[2]) and int(t[2]) >= 1000000
+                   for t in items(r))
+
+
 def test_rollup_read_with_tail_equals_post_update_read(
     spark, sf_dir, tmp_path
 ):
