@@ -2336,6 +2336,37 @@ def q_rollup_upsert(spark, sf_dir):
     return out
 
 
+_PROFILE_BRANCH = """SELECT '{c}' AS col_name,
+      CAST(count({c}) AS BIGINT) AS n_rows,
+      CAST(count(*) - count({c}) AS BIGINT) AS n_null,
+      CAST(count(DISTINCT {c}) AS BIGINT) AS ndv,
+      CAST(min({c}) AS VARCHAR) AS min_repr,
+      CAST(max({c}) AS VARCHAR) AS max_repr
+    FROM documents"""
+
+
+@query(
+    "corpus_profile",
+    " UNION ALL ".join(
+        _PROFILE_BRANCH.format(c=c)
+        for c in ("doc_id", "text", "lang", "source", "n_chars")
+    ),
+)
+def q_corpus_profile(spark, sf_dir):
+    """One-pass per-column data profile (operators/profile.py) — the
+    batch-acceptance data-quality step: row/null/distinct counts and
+    canonical min/max for every column of the documents table in ONE
+    aggregation job (the oracle pays five scans, one per UNION branch;
+    the operator pays one). Gate uses ``exact_ndv=True`` (Spark's
+    multi-distinct expand — exact at EVERY scale factor); the sketch
+    default is the 100 TB path, with its exactness boundary pinned in
+    tests."""
+    from hindex_spark.operators.profile import profile
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return profile(docs, exact_ndv=True)
+
+
 @query(
     "events_rollup_topk",
     """WITH b AS (

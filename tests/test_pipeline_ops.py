@@ -2473,6 +2473,58 @@ def test_rollup_auto_spread_keys_from_bucket_distribution(
         assert sorted(map(tuple, store.read(spread_keys=True).collect())) == want
 
 
+def test_profile_one_pass_all_types(spark, sf_dir):
+    """profile() on the events table (longs, strings, doubles,
+    timestamps): exact-ndv values match direct computations, the
+    canonical reprs are deterministic (ints as digits, doubles at
+    fixed 6dp, timestamps as epoch micros), nulls are counted, the
+    sketch default tracks exact ndv within its documented bound, and
+    the WHOLE profile is one scan of the table."""
+    from hindex_spark.operators.profile import profile
+    from hindex_spark.timeutil import ts_micros
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet").limit(5000)
+    # inject nulls so n_null is exercised
+    ev = ev.withColumn(
+        "value", F.when(F.col("event_id") % 10 == 0, None)
+        .otherwise(F.col("value"))
+    )
+    out = {r["col_name"]: r for r in
+           profile(ev, ["event_id", "event_type", "value", "ts"],
+                   exact_ndv=True).collect()}
+    total = ev.count()
+    direct = ev.agg(
+        F.count("value").alias("nv"),
+        F.count_distinct("event_type").alias("det"),
+        F.min("event_id").alias("mnid"), F.max("event_id").alias("mxid"),
+        F.format_string("%.6f", F.round(F.min("value"), 6)).alias("mnv"),
+        F.min(ts_micros(ev, "ts")).alias("mnts"),
+    ).first()
+    assert out["event_id"]["n_rows"] == total
+    assert out["event_id"]["n_null"] == 0
+    assert out["event_id"]["min_repr"] == str(direct["mnid"])
+    assert out["event_id"]["max_repr"] == str(direct["mxid"])
+    assert out["value"]["n_null"] == total - direct["nv"]
+    assert out["value"]["min_repr"] == direct["mnv"]
+    assert out["event_type"]["ndv"] == direct["det"]
+    assert out["ts"]["min_repr"] == str(direct["mnts"])
+
+    # one-pass claim: exactly ONE scan in the physical plan
+    plan = (
+        profile(ev, exact_ndv=True)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert plan.count("Scan ") == 1, plan[:1500]
+
+    # sketch default: within 1% of exact at these cardinalities, and
+    # exact for the low-cardinality string column
+    sk = {r["col_name"]: r for r in
+          profile(ev, ["event_id", "event_type"]).collect()}
+    n_ids = ev.select("event_id").distinct().count()
+    assert abs(sk["event_id"]["ndv"] - n_ids) <= 0.01 * n_ids
+    assert sk["event_type"]["ndv"] == direct["det"]
+
+
 def test_rollup_sketch_exactness_boundaries(spark):
     """Pin the sketch contracts the rollup's ndv/pctl columns rely on,
     on DETERMINISTIC inputs, so a Spark/datasketches upgrade that
