@@ -37,9 +37,18 @@ def profile(
     columns: Optional[List[str]] = None,
     exact_ndv: bool = False,
     ndv_lgk: int = 16,
+    pctls: Optional[List[float]] = None,
+    pctl_k: int = 4096,
 ) -> DataFrame:
-    """(col_name, n_rows, n_null, ndv, min_repr, max_repr) — one row
-    per profiled column, one aggregation job total."""
+    """(col_name, n_rows, n_null, ndv, min_repr, max_repr[, pNN...]) —
+    one row per profiled column, one aggregation job total.
+
+    ``pctls`` adds a ``pNN`` DOUBLE column per requested quantile,
+    computed for NUMERIC/timestamp columns via a KLL sketch (exact
+    while the column's row count stays under ``pctl_k`` — the same
+    discrete element-at-rank-ceil(p*n) contract as the rollup's
+    pctl_col, same documented degradation beyond) and NULL for string
+    columns."""
     cols = list(columns) if columns is not None else list(df.columns)
     dtypes = dict(df.dtypes)
     aggs = [F.count(F.lit(1)).alias("__total")]
@@ -74,20 +83,41 @@ def profile(
             rep(F.min(base)).alias(f"__mn_{i}"),
             rep(F.max(base)).alias(f"__mx_{i}"),
         ]
+        if pctls:
+            numeric = (
+                t in ("double", "float") or t.startswith("decimal")
+                or t.startswith("timestamp") or t in _INT_TYPES
+            )
+            for j, q in enumerate(pctls):
+                if numeric:
+                    aggs.append(
+                        F.kll_sketch_get_quantile_double(
+                            F.kll_sketch_agg_double(
+                                base.cast("double"), F.lit(int(pctl_k))
+                            ),
+                            F.lit(float(q)),
+                        ).alias(f"__q{j}_{i}")
+                    )
+                else:
+                    aggs.append(
+                        F.lit(None).cast("double").alias(f"__q{j}_{i}")
+                    )
     row = df.agg(*aggs)
+    qnames = [f"p{int(round(q * 100))}" for q in (pctls or ())]
     stacked = ", ".join(
         f"'{c}', __n_{i}, __d_{i}, __mn_{i}, __mx_{i}"
+        + "".join(f", __q{j}_{i}" for j in range(len(qnames)))
         for i, c in enumerate(cols)
     )
     return row.select(
         F.col("__total"),
         F.expr(
-            f"stack({len(cols)}, {stacked}) "
-            "as (col_name, __n, ndv, min_repr, max_repr)"
+            f"stack({len(cols)}, {stacked}) as (col_name, __n, ndv, "
+            f"min_repr, max_repr{''.join(', ' + q for q in qnames)})"
         ),
     ).select(
         "col_name",
         F.col("__n").cast("long").alias("n_rows"),
         (F.col("__total") - F.col("__n")).cast("long").alias("n_null"),
-        "ndv", "min_repr", "max_repr",
+        "ndv", "min_repr", "max_repr", *qnames,
     )

@@ -2524,6 +2524,23 @@ def test_profile_one_pass_all_types(spark, sf_dir):
     assert abs(sk["event_id"]["ndv"] - n_ids) <= 0.01 * n_ids
     assert sk["event_type"]["ndv"] == direct["det"]
 
+    # quantile columns: exact (element at rank ceil(p*n)) while the
+    # column's row count stays under pctl_k; NULL for strings; still
+    # one scan
+    import math
+    qp = profile(ev, ["value", "event_type"], exact_ndv=True,
+                 pctls=[0.5, 0.95], pctl_k=8192)
+    assert qp._jdf.queryExecution().executedPlan().toString() \
+        .count("Scan ") == 1
+    qrows = {r["col_name"]: r for r in qp.collect()}
+    vals = sorted(x[0] for x in ev.select("value").collect()
+                  if x[0] is not None)
+    for p in (0.5, 0.95):
+        want = vals[max(1, math.ceil(p * len(vals))) - 1]
+        assert qp is not None and abs(
+            qrows["value"][f"p{int(p*100)}"] - want) < 1e-9
+    assert qrows["event_type"]["p50"] is None
+
 
 def test_rollup_sketch_exactness_boundaries(spark):
     """Pin the sketch contracts the rollup's ndv/pctl columns rely on,
