@@ -2368,6 +2368,49 @@ def q_corpus_profile(spark, sf_dir):
 
 
 @query(
+    "events_profile",
+    """SELECT 'event_id' AS col_name,
+          CAST(count(event_id) AS BIGINT) AS n_rows,
+          CAST(count(*) - count(event_id) AS BIGINT) AS n_null,
+          CAST(count(DISTINCT event_id) AS BIGINT) AS ndv,
+          CAST(min(event_id) AS VARCHAR) AS min_repr,
+          CAST(max(event_id) AS VARCHAR) AS max_repr
+        FROM events
+       UNION ALL
+       SELECT 'ts', CAST(count(ts) AS BIGINT),
+          CAST(count(*) - count(ts) AS BIGINT),
+          CAST(count(DISTINCT ts) AS BIGINT),
+          CAST(min(epoch_us(ts)) AS VARCHAR),
+          CAST(max(epoch_us(ts)) AS VARCHAR)
+        FROM events
+       UNION ALL
+       SELECT 'event_type', CAST(count(event_type) AS BIGINT),
+          CAST(count(*) - count(event_type) AS BIGINT),
+          CAST(count(DISTINCT event_type) AS BIGINT),
+          min(event_type), max(event_type)
+        FROM events
+       UNION ALL
+       SELECT 'value', CAST(count(value) AS BIGINT),
+          CAST(count(*) - count(value) AS BIGINT),
+          CAST(count(DISTINCT value) AS BIGINT),
+          printf('%.6f', ROUND(min(value), 6)),
+          printf('%.6f', ROUND(max(value), 6))
+        FROM events""",
+)
+def q_events_profile(spark, sf_dir):
+    """Profile over the EVENTS table — drives the typed canonical-repr
+    paths through the oracle: timestamps as epoch micros (physical-type
+    agnostic via timeutil), doubles at fixed 6dp (%.6f both engines),
+    longs as digits, strings binary-collated. Same one-scan operator vs
+    four-branch oracle shape as corpus_profile."""
+    from hindex_spark.operators.profile import profile
+
+    events = spark.read.parquet(f"{sf_dir}/events.parquet")
+    return profile(events, ["event_id", "ts", "event_type", "value"],
+                   exact_ndv=True)
+
+
+@query(
     "events_rollup_topk",
     """WITH b AS (
           SELECT epoch_us(ts) - (epoch_us(ts) % 3600000000) AS bucket_us,
