@@ -22,7 +22,9 @@ timestamps as epoch micros (via timeutil, physical-type agnostic).
 
 from __future__ import annotations
 
-from typing import List, Optional
+import json
+import os
+from typing import Dict, List, Optional
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
@@ -30,6 +32,19 @@ from pyspark.sql import functions as F
 from hindex_spark.timeutil import ts_micros
 
 _INT_TYPES = ("tinyint", "smallint", "int", "bigint", "long")
+
+
+def _kind_of(dtype: str) -> str:
+    """Column kind for the typed min/max slot + canonical repr — the
+    SAME dispatch as :func:`profile` so a store-merged read renders
+    bit-identically to the one-shot profiler."""
+    if dtype in ("double", "float") or dtype.startswith("decimal"):
+        return "num"
+    if dtype.startswith("timestamp"):
+        return "ts"
+    if dtype in _INT_TYPES:
+        return "int"
+    return "str"  # string / boolean / anything with a stable cast
 
 
 def profile(
@@ -121,3 +136,363 @@ def profile(
         (F.col("__total") - F.col("__n")).cast("long").alias("n_null"),
         "ndv", "min_repr", "max_repr", *qnames,
     )
+
+
+# ---------------------------------------------------------------------------
+# Mergeable profiles + the persisted ProfileStore
+# ---------------------------------------------------------------------------
+
+def profile_partials(
+    df: DataFrame,
+    columns: Optional[List[str]] = None,
+    ndv_lgk: int = 16,
+) -> DataFrame:
+    """One batch's MERGEABLE profile rows — the per-ingest-batch shape:
+    (col_name, n_total, n_nonnull, nds, min_l, max_l, min_d, max_d,
+    min_s, max_s), one row per column, ONE aggregation job (same
+    single-scan stack-unpivot as :func:`profile`).
+
+    Every statistic merges exactly across batches: counts add, typed
+    min/max fold (each column populates only its kind's slot — longs
+    for ints/timestamp-micros, doubles for fractional numerics, strings
+    otherwise), and NDV rides as the HLL sketch BINARY (not the
+    estimate): sketches union exactly where per-batch distinct counts
+    double-count re-seen values — the same reasoning as the rollup's
+    ``ndv_col``. Estimation happens once, at the merged edge
+    (:func:`render_profile`), so a store-served profile is
+    bit-identical to the one-shot profiler at the same ``ndv_lgk``."""
+    cols = list(columns) if columns is not None else list(df.columns)
+    dtypes = dict(df.dtypes)
+    aggs = [F.count(F.lit(1)).alias("__total")]
+    null_l = F.lit(None).cast("long")
+    null_d = F.lit(None).cast("double")
+    null_s = F.lit(None).cast("string")
+    for i, c in enumerate(cols):
+        kind = _kind_of(dtypes[c])
+        col = F.col(c)
+        if kind == "num":
+            base, sk = col, F.format_string("%.6f", F.round(col, 6))
+            mn = [null_l, null_l, F.min(base).cast("double"),
+                  F.max(base).cast("double"), null_s, null_s]
+        elif kind == "ts":
+            base = ts_micros(df, c)
+            sk = base
+            mn = [F.min(base), F.max(base), null_d, null_d, null_s, null_s]
+        elif kind == "int":
+            base, sk = col, col
+            mn = [F.min(base).cast("long"), F.max(base).cast("long"),
+                  null_d, null_d, null_s, null_s]
+        else:
+            base, sk = col.cast("string"), col.cast("string")
+            mn = [null_l, null_l, null_d, null_d, F.min(base), F.max(base)]
+        aggs += [
+            F.count(base).alias(f"__n_{i}"),
+            F.hll_sketch_agg(sk, F.lit(int(ndv_lgk))).alias(f"__sk_{i}"),
+            mn[0].alias(f"__mnl_{i}"), mn[1].alias(f"__mxl_{i}"),
+            mn[2].alias(f"__mnd_{i}"), mn[3].alias(f"__mxd_{i}"),
+            mn[4].alias(f"__mns_{i}"), mn[5].alias(f"__mxs_{i}"),
+        ]
+    row = df.agg(*aggs)
+    stacked = ", ".join(
+        f"'{c}', __n_{i}, __sk_{i}, __mnl_{i}, __mxl_{i}, __mnd_{i}, "
+        f"__mxd_{i}, __mns_{i}, __mxs_{i}"
+        for i, c in enumerate(cols)
+    )
+    return row.select(
+        F.col("__total").cast("long").alias("n_total"),
+        F.expr(
+            f"stack({len(cols)}, {stacked}) as (col_name, n_nonnull, nds, "
+            "min_l, max_l, min_d, max_d, min_s, max_s)"
+        ),
+    ).select(
+        "col_name", "n_total",
+        F.col("n_nonnull").cast("long").alias("n_nonnull"),
+        "nds", "min_l", "max_l", "min_d", "max_d", "min_s", "max_s",
+    )
+
+
+def merge_profile_partials(partials: DataFrame) -> DataFrame:
+    """Exact merge of profile partials: counts add, typed min/max fold,
+    NDV sketches union (kept as sketches — still mergeable)."""
+    return partials.groupBy("col_name").agg(
+        F.sum("n_total").cast("long").alias("n_total"),
+        F.sum("n_nonnull").cast("long").alias("n_nonnull"),
+        F.hll_union_agg("nds").alias("nds"),
+        F.min("min_l").alias("min_l"), F.max("max_l").alias("max_l"),
+        F.min("min_d").alias("min_d"), F.max("max_d").alias("max_d"),
+        F.min("min_s").alias("min_s"), F.max("max_s").alias("max_s"),
+    )
+
+
+def render_profile(merged: DataFrame, kinds: Dict[str, str]) -> DataFrame:
+    """Canonical profile frame from merged partials — the SAME output
+    schema and reprs as :func:`profile`: (col_name, n_rows, n_null,
+    ndv, min_repr, max_repr). ``kinds`` maps col_name -> kind (captured
+    at build time from the source dtypes)."""
+    def repr_of(lo: bool) -> F.Column:
+        l, d, s = ("min_l", "min_d", "min_s") if lo else ("max_l", "max_d", "max_s")
+        expr = F.lit(None).cast("string")
+        for c, kind in kinds.items():
+            this = (
+                F.format_string("%.6f", F.round(F.col(d), 6)) if kind == "num"
+                else F.col(l).cast("string") if kind in ("ts", "int")
+                else F.col(s)
+            )
+            expr = F.when(F.col("col_name") == c, this).otherwise(expr)
+        return expr
+
+    return merged.select(
+        "col_name",
+        F.col("n_nonnull").alias("n_rows"),
+        (F.col("n_total") - F.col("n_nonnull")).cast("long").alias("n_null"),
+        F.hll_sketch_estimate("nds").cast("long").alias("ndv"),
+        repr_of(True).alias("min_repr"),
+        repr_of(False).alias("max_repr"),
+    )
+
+
+class ProfileStore:
+    """Persisted mergeable data-quality ledger inside a ``Catalog`` —
+    the batch-ingest companion to the one-shot :func:`profile`: each
+    accepted batch appends its (tiny — one row per column) profile
+    partials as a GENERATION; ``read()`` merges and renders the
+    whole-corpus profile without ever rescanning the corpus. At 100 TB
+    that is the difference between "profile the corpus" being a daily
+    batch-sized job and an impossible full-table pass; a misreported
+    batch is corrected by ``replace_batch`` (generation tombstones —
+    the artifact machinery shared with RollupStore/DedupState), never
+    by recomputation.
+
+    Lifecycle::
+
+        ps = ProfileStore.build(cat, first_batch, ["a", "b"], "docs")
+        g = ps.update(next_batch)          # batch-sized job, appends
+        ps.read()                          # == profile(all_batches)
+        ps.replace_batch(g, fixed_batch)   # correct a bad batch
+        ps.compact()                       # fold to one row per column
+    """
+
+    def __init__(self, catalog, name: str, columns: List[str],
+                 kinds: Dict[str, str], ndv_lgk: int = 16,
+                 num_buckets: int = 4):
+        self.catalog = catalog
+        self.name = name
+        self.columns = list(columns)
+        self.kinds = dict(kinds)
+        self.ndv_lgk = ndv_lgk
+        self.num_buckets = num_buckets
+        self.cur_gen = 0
+        self.sealed_below = 0
+        #: str(gen) -> superseding gen (None = retracted); refuse
+        #: re-correcting a dead generation (RollupStore._check_correctable)
+        self.corrected = {}
+        self.table_name = f"{name}_profilestore_bucketed"
+
+    @property
+    def sql_name(self) -> str:
+        return self.catalog.bucketed_sql_name(self.table_name)
+
+    def _meta_path(self) -> str:
+        return os.path.join(
+            self.catalog.root, f"{self.name}_profilestore_meta.json")
+
+    def _meta(self) -> dict:
+        return {"columns": self.columns, "kinds": self.kinds,
+                "ndv_lgk": self.ndv_lgk, "num_buckets": self.num_buckets,
+                "cur_gen": self.cur_gen, "sealed_below": self.sealed_below,
+                "corrected": self.corrected}
+
+    def _reload_meta(self) -> None:
+        with open(self._meta_path()) as f:
+            m = json.load(f)
+        self.num_buckets = m.get("num_buckets", 4)
+        self.cur_gen = m.get("cur_gen", 0)
+        self.sealed_below = m.get("sealed_below", 0)
+        self.corrected = m.get("corrected", {})
+
+    def _save_meta(self) -> None:
+        with open(self._meta_path(), "w") as f:
+            json.dump(self._meta(), f)
+
+    def _tombstone_path(self) -> str:
+        from hindex_spark.operators.artifact import tombstone_path
+
+        return tombstone_path(self.catalog.root, self.table_name)
+
+    @classmethod
+    def build(cls, catalog, batch: DataFrame, columns: List[str],
+              name: str, ndv_lgk: int = 16,
+              num_buckets: int = 4) -> "ProfileStore":
+        """Gen-0 store from the first batch. The column KINDS captured
+        here are the artifact's identity: every later batch must carry
+        the same column types (asserted by ``update``) or the typed
+        min/max slots and sketch value spaces would silently mix."""
+        from hindex_spark.operators.artifact import clear_tombstones
+        from hindex_spark.table import Table
+
+        dtypes = dict(batch.dtypes)
+        kinds = {c: _kind_of(dtypes[c]) for c in columns}
+        ps = cls(catalog, name, columns, kinds, ndv_lgk, num_buckets)
+        rows = profile_partials(batch, columns, ndv_lgk).withColumn(
+            "gen", F.lit(0).cast("long"))
+        catalog.save_bucketed(
+            Table(rows, "col_name", f"{name}_profilestore"),
+            num_buckets=num_buckets,
+        )
+        clear_tombstones(ps._tombstone_path())
+        ps._save_meta()
+        return ps
+
+    @classmethod
+    def open(cls, catalog, name: str) -> "ProfileStore":
+        with open(os.path.join(
+                catalog.root, f"{name}_profilestore_meta.json")) as f:
+            m = json.load(f)
+        ps = cls(catalog, name, m["columns"], m["kinds"],
+                 m.get("ndv_lgk", 16), m.get("num_buckets", 4))
+        ps.cur_gen = m.get("cur_gen", 0)
+        ps.sealed_below = m.get("sealed_below", 0)
+        ps.corrected = m.get("corrected", {})
+        return ps
+
+    def _ensure_registered(self) -> None:
+        if not self.catalog.spark.catalog.tableExists(self.sql_name):
+            self.catalog._attach_bucketed(
+                self.sql_name,
+                os.path.join(self.catalog.root, self.table_name, "data"),
+                "col_name", ["col_name"], self.num_buckets,
+            )
+
+    @property
+    def partials(self) -> DataFrame:
+        """Stored partials, tombstoned generations included (refresh at
+        every read entry — the repo's table-cache trap)."""
+        self._ensure_registered()
+        self.catalog.spark.catalog.refreshTable(self.sql_name)
+        return self.catalog.spark.table(self.sql_name)
+
+    def live_partials(self) -> DataFrame:
+        from hindex_spark.operators.artifact import live_view
+
+        return live_view(self.partials, "gen", self.catalog.spark,
+                         self._tombstone_path())
+
+    def _check_batch(self, batch: DataFrame) -> None:
+        dtypes = dict(batch.dtypes)
+        for c in self.columns:
+            if c not in dtypes:
+                raise ValueError(f"batch is missing profiled column {c!r}")
+            k = _kind_of(dtypes[c])
+            if k != self.kinds[c]:
+                raise TypeError(
+                    f"column {c!r} kind changed: store={self.kinds[c]!r} "
+                    f"batch={k!r} ({dtypes[c]}) — typed min/max and "
+                    "sketch value spaces must not mix")
+
+    def _append_locked(self, batch: DataFrame, gen: int) -> None:
+        self._check_batch(batch)
+        rows = profile_partials(batch, self.columns, self.ndv_lgk
+                                ).withColumn("gen", F.lit(gen).cast("long"))
+        view = f"__profilestore_append_{self.name}"
+        sess = rows.sparkSession  # foreachBatch session clone
+        rows.createOrReplaceTempView(view)
+        sess.sql(f"INSERT INTO {self.sql_name} SELECT * FROM {view}")
+        sess.catalog.dropTempView(view)
+        self.catalog.spark.catalog.refreshTable(self.sql_name)
+
+    def update(self, batch: DataFrame) -> int:
+        """Append one batch's profile partials as a new generation and
+        return it (the handle corrections cut by)."""
+        with self.catalog.write_lock(self.table_name):
+            self._reload_meta()
+            self._ensure_registered()
+            gen = self.cur_gen + 1
+            self._append_locked(batch, gen)
+            self.cur_gen = gen
+            self._save_meta()
+        return gen
+
+    def _check_correctable(self, gen: int) -> None:
+        if gen < self.sealed_below:
+            raise ValueError(
+                f"generation {gen} was folded by compact() (sealed below "
+                f"{self.sealed_below}); its batch identity is gone")
+        if gen > self.cur_gen:
+            raise ValueError(
+                f"generation {gen} does not exist (cur_gen={self.cur_gen})")
+        prior = self.corrected.get(str(gen), "__absent__")
+        if prior is None:
+            raise ValueError(
+                f"generation {gen} was already retracted by delete_batch")
+        if prior != "__absent__":
+            raise ValueError(
+                f"generation {gen} was already superseded by generation "
+                f"{prior}; correct generation {prior} instead")
+
+    def replace_batch(self, gen: int, corrected: DataFrame) -> int:
+        """Supersede generation ``gen``'s partials with the corrected
+        batch's — one tombstone append + one batch-sized INSERT."""
+        from hindex_spark.operators.artifact import append_tombstones
+
+        with self.catalog.write_lock(self.table_name):
+            self._reload_meta()
+            self._ensure_registered()
+            self._check_correctable(gen)
+            new_gen = self.cur_gen + 1
+            gens = self.catalog.spark.createDataFrame([(gen,)], "gen long")
+            append_tombstones(gens, "gen", gen + 1, self._tombstone_path())
+            self._append_locked(corrected, new_gen)
+            self.cur_gen = new_gen
+            self.corrected[str(gen)] = new_gen
+            self._save_meta()
+        return new_gen
+
+    def delete_batch(self, gen: int) -> None:
+        """Retract a batch's contribution entirely."""
+        from hindex_spark.operators.artifact import append_tombstones
+
+        with self.catalog.write_lock(self.table_name):
+            self._reload_meta()
+            self._ensure_registered()
+            self._check_correctable(gen)
+            gens = self.catalog.spark.createDataFrame([(gen,)], "gen long")
+            append_tombstones(gens, "gen", gen + 1, self._tombstone_path())
+            self.corrected[str(gen)] = None
+            self._save_meta()
+
+    def compact(self) -> None:
+        """Fold live partials to ONE row per column at gen ``cur_gen``
+        (sealing everything below — batch identities are gone), purge
+        tombstones. The store is columns-x-generations tiny, so this is
+        a trivially cheap job; it exists so a years-running store's
+        read merges a bounded frame."""
+        from hindex_spark.operators.artifact import clear_tombstones
+        from hindex_spark.table import Table
+
+        with self.catalog.write_lock(self.table_name):
+            self._reload_meta()
+            from hindex_spark.operators.artifact import live_view
+
+            rows = live_view(
+                self.catalog.read_raw(self.table_name), "gen",
+                self.catalog.spark, self._tombstone_path(),
+            )
+            folded = merge_profile_partials(rows.drop("gen")).withColumn(
+                "gen", F.lit(self.cur_gen).cast("long"))
+            self.catalog.save_bucketed(
+                Table(folded, "col_name", f"{self.name}_profilestore"),
+                num_buckets=self.num_buckets,
+            )
+            clear_tombstones(self._tombstone_path())
+            self.sealed_below = self.cur_gen + 1
+            self.corrected = {}
+            self._save_meta()
+
+    def read(self) -> DataFrame:
+        """The whole-corpus profile — same schema/reprs as
+        :func:`profile` over the union of live batches, served from the
+        columns-sized store (no corpus scan)."""
+        return render_profile(
+            merge_profile_partials(self.live_partials().drop("gen")),
+            self.kinds,
+        )

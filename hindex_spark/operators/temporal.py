@@ -1,6 +1,7 @@
-"""Temporal operators Spark lacks natively: as-of join and
-sessionization — standard time-series/pipeline patterns, built from
-shuffle-friendly primitives (no Python in the hot path).
+"""Temporal operators Spark lacks natively: as-of join, bucketized
+range/interval joins, and sessionization — standard time-series and
+pipeline patterns, built from shuffle-friendly primitives (no Python in
+the hot path).
 
 As-of join: for each left row, the most recent right row at or before
 its timestamp (per key). Implemented with the union+window technique:
@@ -8,6 +9,20 @@ tag both sides, union, per-key window ordered by (ts, side-tag), carry
 the last right value forward — ONE shuffle on (key), no range
 explosion, no merge_asof Python loop. This is the scalable plan: cost
 is a single sort-within-key regardless of time-range density.
+
+Range join (point-in-interval) and interval-overlap join: Spark plans a
+bare non-equi condition as BroadcastNestedLoopJoin (or worse, a
+cartesian) — quadratic and undistributable at 100 TB. The scalable
+rewrite is BUCKETIZATION (the same idea behind Databricks' range-join
+optimization and interval trees flattened to a grid): chunk time into
+fixed-width buckets, explode each interval over the buckets it covers,
+tag each point with its single bucket, EQUI-join on (key, bucket), then
+apply the exact predicate as a residual filter. Cost is a plain
+shuffle-hash join whose size is |points| + |intervals| x (avg interval
+length / bucket width): pick ``bucket_width`` near the typical interval
+length and the blow-up is ~2x. The overlap join dedupes pairs that
+share several buckets with the standard first-overlap-bucket trick (a
+pure filter — no distinct, no extra shuffle).
 
 Sessionization: gap-based session ids per key via lag + cumulative sum
 — two window passes over the same (key, ts) sort, one shuffle.
@@ -69,6 +84,124 @@ def as_of_join(
     for c in right_cols:
         out = out.withColumn(c, F.col("__rv").getField(c))
     return out.drop("__side", "__rv")
+
+
+def _floor_div(col: Column, width: int) -> Column:
+    """Floor division of a LONG column by a positive int, correct for
+    negatives (plain ``div`` truncates toward zero; floor must round
+    toward -inf). The numerator is made exactly divisible via pmod, so
+    the one double division is exact while |value| < 2**53 — epoch
+    micros through year ~2255; far beyond any event data."""
+    q = col.cast("long")
+    d = F.lit(int(width)).cast("long")
+    return ((q - F.pmod(q, d)) / d).cast("long")
+
+
+def range_join(
+    points: DataFrame,
+    intervals: DataFrame,
+    point_ts: str,
+    start_col: str,
+    end_col: str,
+    key: Optional[str] = None,
+    bucket_width: int = 3_600_000_000,
+) -> DataFrame:
+    """Inner join of points to the half-open intervals containing them:
+    ``start <= ts < end`` (and ``points.key == intervals.key`` when a
+    key is given). Timestamps/bounds are int64 (epoch micros by
+    convention — adapt with :func:`hindex_spark.timeutil.ts_micros`).
+
+    Output: all point columns + all interval columns (names must not
+    collide). Each matching (point, interval) pair appears EXACTLY once:
+    a point has one bucket, and an exploded interval covers that bucket
+    at most once — no dedup pass needed.
+
+    ``bucket_width`` (same units as the timestamps) trades explosion
+    factor against join selectivity; choose it near the typical interval
+    length. Degenerate intervals (``end <= start``) match nothing and
+    are dropped before the explode (a reversed ``sequence`` would
+    descend, not return empty).
+    """
+    dup = set(points.columns) & set(intervals.columns) - ({key} if key else set())
+    if dup:
+        raise ValueError(f"column name collision between sides: {sorted(dup)}")
+    w = int(bucket_width)
+    if w <= 0:
+        raise ValueError("bucket_width must be positive")
+    iv = intervals.filter(F.col(end_col) > F.col(start_col)).withColumn(
+        "__bkt",
+        F.explode(
+            F.sequence(
+                _floor_div(F.col(start_col), w),
+                _floor_div(F.col(end_col) - F.lit(1), w),
+            )
+        ),
+    )
+    pt = points.withColumn("__bkt", _floor_div(F.col(point_ts), w))
+    on = ["__bkt"] + ([key] if key else [])
+    return (
+        pt.join(iv, on=on, how="inner")
+        .filter(
+            (F.col(point_ts) >= F.col(start_col))
+            & (F.col(point_ts) < F.col(end_col))
+        )
+        .drop("__bkt")
+    )
+
+
+def interval_overlap_join(
+    left: DataFrame,
+    right: DataFrame,
+    left_start: str,
+    left_end: str,
+    right_start: str,
+    right_end: str,
+    key: Optional[str] = None,
+    bucket_width: int = 3_600_000_000,
+) -> DataFrame:
+    """Inner join of two half-open interval sets on overlap:
+    ``l.start < r.end AND r.start < l.end`` (plus the equi key when
+    given). Bounds are int64. Output: all left + all right columns.
+
+    Both sides explode over the buckets they cover and equi-join on
+    (key, bucket); a pair sharing several buckets would then appear
+    several times, so the residual keeps only the FIRST bucket of the
+    overlap region — ``bucket == floor(max(l.start, r.start) / width)``
+    — which every overlapping pair has exactly once. Dedup is therefore
+    a filter, not a distinct: no extra shuffle.
+    """
+    dup = set(left.columns) & set(right.columns) - ({key} if key else set())
+    if dup:
+        raise ValueError(f"column name collision between sides: {sorted(dup)}")
+    w = int(bucket_width)
+    if w <= 0:
+        raise ValueError("bucket_width must be positive")
+
+    def bucketed(df: DataFrame, s: str, e: str) -> DataFrame:
+        return df.filter(F.col(e) > F.col(s)).withColumn(
+            "__bkt",
+            F.explode(
+                F.sequence(
+                    _floor_div(F.col(s), w),
+                    _floor_div(F.col(e) - F.lit(1), w),
+                )
+            ),
+        )
+
+    on = ["__bkt"] + ([key] if key else [])
+    first_overlap_bkt = _floor_div(
+        F.greatest(F.col(left_start), F.col(right_start)), w
+    )
+    return (
+        bucketed(left, left_start, left_end)
+        .join(bucketed(right, right_start, right_end), on=on, how="inner")
+        .filter(
+            (F.col(left_start) < F.col(right_end))
+            & (F.col(right_start) < F.col(left_end))
+            & (F.col("__bkt") == first_overlap_bkt)
+        )
+        .drop("__bkt")
+    )
 
 
 def sessionize(

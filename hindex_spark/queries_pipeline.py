@@ -2411,6 +2411,57 @@ def q_events_profile(spark, sf_dir):
 
 
 @query(
+    "events_profile_store",
+    """SELECT 'event_type' AS col_name,
+          CAST(count(event_type) AS BIGINT) AS n_rows,
+          CAST(count(*) - count(event_type) AS BIGINT) AS n_null,
+          CAST(count(DISTINCT event_type) AS BIGINT) AS ndv,
+          min(event_type) AS min_repr, max(event_type) AS max_repr
+        FROM events
+       UNION ALL
+       SELECT 'user_id', CAST(count(user_id) AS BIGINT),
+          CAST(count(*) - count(user_id) AS BIGINT),
+          CAST(count(DISTINCT user_id) AS BIGINT),
+          CAST(min(user_id) AS VARCHAR), CAST(max(user_id) AS VARCHAR)
+        FROM events""",
+)
+def q_events_profile_store(spark, sf_dir):
+    """Whole-corpus profile served from the persisted ProfileStore
+    (operators/profile.py): per-batch MERGEABLE profile partials (counts
+    add, typed min/max fold, NDV as HLL sketch binaries that union
+    exactly), appended per generation and merged at read — never a
+    corpus rescan. Built as three batches (event_id mod 3) with a
+    deliberately MISREPORTED middle batch corrected via
+    ``replace_batch`` (generation tombstones), so the gate pins the
+    partial+merge+correction path end-to-end against DuckDB's exact
+    profile of the raw table. Profiled columns are the two whose
+    cardinality (5 / ~1.5k at sf0.1) sits far under the lgk=16 HLL
+    exactness boundary — where the sketch estimate IS the exact count
+    at every test scale factor; the boundary itself is pinned in
+    tests."""
+    import tempfile
+
+    from hindex_spark.catalog import Catalog
+    from hindex_spark.operators.profile import ProfileStore
+
+    events = spark.read.parquet(f"{sf_dir}/events.parquet")
+    cols = ["event_type", "user_id"]
+    cat = Catalog(spark, tempfile.mkdtemp(prefix="hindex_profstore_"))
+    ps = ProfileStore.build(
+        cat, events.filter(F.col("event_id") % 3 == 0), cols, "gate_events"
+    )
+    mid = events.filter(F.col("event_id") % 3 == 1)
+    # misreport the middle batch (shifted ids, corrupted types)...
+    bad = mid.withColumn("user_id", F.col("user_id") + 1_000_000)
+    g_bad = ps.update(bad)
+    ps.update(events.filter(F.col("event_id") % 3 == 2))
+    # ...then correct it: the tombstone kills the bad generation's
+    # partials, the corrected batch lands as a new generation
+    ps.replace_batch(g_bad, mid)
+    return ps.read()
+
+
+@query(
     "events_rollup_topk",
     """WITH b AS (
           SELECT epoch_us(ts) - (epoch_us(ts) % 3600000000) AS bucket_us,

@@ -2972,3 +2972,86 @@ def test_rollup_pctl_sketches_merge_and_serve_lattice(spark, sf_dir, tmp_path):
     r.compact()
     assert {(row["bucket_us"], row["event_type"]): row["p50"]
             for row in r.read_at(DAY_US, pctls=(0.5,)).collect()} == got_d
+
+
+# ------------------------------------------------------------- profile store
+
+def _ps_frames(spark):
+    """Three typed batches (ts long-micros column stays a plain long —
+    the store's 'ts' kind is exercised by the gate on real parquet)."""
+    cols = ["id", "score", "tag"]
+    b1 = spark.createDataFrame(
+        [(1, 1.25, "a"), (2, None, "b"), (3, 9.5, None)], cols)
+    b2 = spark.createDataFrame(
+        [(4, -3.125, "a"), (2, 0.0, "c")], cols)  # id 2 re-seen
+    b3 = spark.createDataFrame(
+        [(7, 100.0, "zz"), (None, 1.25, "a")], cols)
+    return cols, b1, b2, b3
+
+
+def test_profile_store_read_equals_oneshot_profile(spark, tmp_path):
+    from hindex_spark.catalog import Catalog
+    from hindex_spark.operators.profile import ProfileStore, profile
+
+    cols, b1, b2, b3 = _ps_frames(spark)
+    cat = Catalog(spark, str(tmp_path / "wh"))
+    ps = ProfileStore.build(cat, b1, cols, "p1")
+    ps.update(b2)
+    ps.update(b3)
+    got = sorted(map(tuple, ps.read().collect()))
+    want = sorted(map(tuple, profile(
+        b1.unionByName(b2).unionByName(b3), cols).collect()))
+    assert got == want
+    # reopen from disk: same answer
+    ps2 = ProfileStore.open(cat, "p1")
+    assert sorted(map(tuple, ps2.read().collect())) == want
+
+
+def test_profile_store_corrections_and_compact(spark, tmp_path):
+    import pytest
+
+    from hindex_spark.catalog import Catalog
+    from hindex_spark.operators.profile import ProfileStore, profile
+
+    cols, b1, b2, b3 = _ps_frames(spark)
+    bad = b2.withColumn("score", F.col("score") + 1000.0)
+    cat = Catalog(spark, str(tmp_path / "wh"))
+    ps = ProfileStore.build(cat, b1, cols, "p2")
+    g_bad = ps.update(bad)
+    ps.update(b3)
+    # correct the bad batch -> profile of the TRUE union
+    g_fix = ps.replace_batch(g_bad, b2)
+    want = sorted(map(tuple, profile(
+        b1.unionByName(b2).unionByName(b3), cols).collect()))
+    assert sorted(map(tuple, ps.read().collect())) == want
+    # re-correcting the dead generation refuses, naming the superseder
+    with pytest.raises(ValueError, match=f"superseded by generation {g_fix}"):
+        ps.replace_batch(g_bad, b2)
+    # retract b3 entirely
+    g3 = [g for g in range(1, ps.cur_gen + 1)
+          if str(g) not in ps.corrected and g not in (g_fix,)]
+    ps.delete_batch(g3[0])
+    want2 = sorted(map(tuple, profile(b1.unionByName(b2), cols).collect()))
+    assert sorted(map(tuple, ps.read().collect())) == want2
+    # compact folds to one live row per column, same answer, seals gens
+    ps.compact()
+    assert sorted(map(tuple, ps.read().collect())) == want2
+    assert ps.live_partials().count() == len(cols)
+    with pytest.raises(ValueError, match="folded by compact"):
+        ps.delete_batch(g_fix)
+
+
+def test_profile_store_refuses_kind_drift(spark, tmp_path):
+    import pytest
+
+    from hindex_spark.catalog import Catalog
+    from hindex_spark.operators.profile import ProfileStore
+
+    cat = Catalog(spark, str(tmp_path / "wh"))
+    b1 = spark.createDataFrame([(1, 2.5)], ["id", "v"])
+    ps = ProfileStore.build(cat, b1, ["id", "v"], "p3")
+    drifted = spark.createDataFrame([(2, "oops")], ["id", "v"])
+    with pytest.raises(TypeError, match="kind changed"):
+        ps.update(drifted)
+    with pytest.raises(ValueError, match="missing profiled column"):
+        ps.update(spark.createDataFrame([(3,)], ["id"]))

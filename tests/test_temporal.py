@@ -107,3 +107,130 @@ def test_ts_micros_quoting_on_timestamp_branch(spark):
     df = spark.sql("SELECT TIMESTAMP '2020-01-02 03:04:05' AS `odd ts.name`")
     v = df.select(ts_micros(df, "odd ts.name").alias("t")).first()["t"]
     assert v == 1577934245000000
+
+
+# ---------------------------------------------------------------- range join
+
+def _brute_range(points, intervals, key=None):
+    """Reference: all (point, interval) pairs with start <= ts < end."""
+    out = []
+    for p in points:
+        for iv in intervals:
+            if key is not None and p[0] != iv[0]:
+                continue
+            ts = p[-1]
+            s, e = iv[-2], iv[-1]
+            if s <= ts < e:
+                out.append((p, iv))
+    return out
+
+
+def test_range_join_keyed_matches_brute_force(spark):
+    from hindex_spark.operators.temporal import range_join
+
+    pts = [("a", 1, 5), ("a", 2, 17), ("a", 3, 30), ("b", 4, 5),
+           ("a", 5, -13), ("b", 6, 0), ("a", 7, 10)]
+    ivs = [("a", "w1", 0, 10), ("a", "w2", 10, 11), ("a", "w3", -20, -5),
+           ("b", "w4", 5, 6), ("a", "w5", 17, 17),  # degenerate: empty
+           ("b", "w6", -100, 100)]
+    p = spark.createDataFrame(pts, ["k", "pid", "ts"])
+    i = spark.createDataFrame(ivs, ["k", "wid", "s", "e"])
+    # width deliberately NOT dividing the bounds evenly
+    got = {(r["pid"], r["wid"])
+           for r in range_join(p, i, "ts", "s", "e", key="k",
+                               bucket_width=7).collect()}
+    want = {(pp[1], ii[1]) for pp, ii in
+            _brute_range([(x[0], x[1], x[2]) for x in pts],
+                         [(x[0], x[1], x[2], x[3]) for x in ivs], key="k")}
+    assert got == want and ("pid", "wid") != ()
+    assert ("1", "w5") not in got  # degenerate interval matches nothing
+
+
+def test_range_join_keyless_and_exactly_once(spark):
+    from hindex_spark.operators.temporal import range_join
+
+    # long interval spanning many buckets: each inside point appears ONCE
+    p = spark.createDataFrame([(i, i * 3) for i in range(40)], ["pid", "ts"])
+    i = spark.createDataFrame([("big", 5, 100), ("lo", -50, 2)],
+                              ["wid", "s", "e"])
+    rows = range_join(p, i, "ts", "s", "e", bucket_width=4).collect()
+    from collections import Counter
+    c = Counter((r["pid"], r["wid"]) for r in rows)
+    assert max(c.values()) == 1
+    assert sum(1 for (_, w) in c if w == "big") == len(
+        [t for t in range(0, 120, 3) if 5 <= t < 100])
+    assert {pid for (pid, w) in c if w == "lo"} == {0}  # ts=0 only
+
+
+def test_range_join_rejects_collisions_and_bad_width(spark):
+    import pytest
+    from hindex_spark.operators.temporal import range_join
+
+    p = spark.createDataFrame([(1, 2)], ["ts", "x"])
+    i = spark.createDataFrame([(0, 5, 9)], ["s", "e", "x"])
+    with pytest.raises(ValueError, match="collision"):
+        range_join(p, i, "ts", "s", "e")
+    i2 = spark.createDataFrame([(0, 5)], ["s", "e"])
+    with pytest.raises(ValueError, match="positive"):
+        range_join(p, i2, "ts", "s", "e", bucket_width=0)
+
+
+def test_interval_overlap_join_matches_brute_force(spark):
+    from hindex_spark.operators.temporal import interval_overlap_join
+
+    A = [("k", "a1", 0, 10), ("k", "a2", 5, 50), ("k", "a3", -30, -10),
+         ("j", "a4", 0, 100), ("k", "a5", 7, 7)]
+    B = [("k", "b1", 9, 12), ("k", "b2", 49, 60), ("k", "b3", -11, 0),
+         ("j", "b4", 99, 200), ("k", "b5", 1000, 2000)]
+    a = spark.createDataFrame(A, ["k", "aid", "as_", "ae"])
+    b = spark.createDataFrame(B, ["k", "bid", "bs", "be"])
+    got = {(r["aid"], r["bid"])
+           for r in interval_overlap_join(
+               a, b, "as_", "ae", "bs", "be", key="k",
+               bucket_width=7).collect()}
+    want = set()
+    for (ka, aid, s1, e1) in A:
+        for (kb, bid, s2, e2) in B:
+            if ka == kb and s1 < e2 and s2 < e1 and e1 > s1 and e2 > s2:
+                want.add((aid, bid))
+    assert got == want
+    # a2 x b1 share multiple buckets -> must still appear exactly once
+    assert ("a2", "b1") in got
+
+
+def test_overlap_join_pair_exactly_once_across_many_buckets(spark):
+    from collections import Counter
+
+    from hindex_spark.operators.temporal import interval_overlap_join
+
+    a = spark.createDataFrame([("x", 0, 1000)], ["aid", "as_", "ae"])
+    b = spark.createDataFrame([("y", -500, 999)], ["bid", "bs", "be"])
+    rows = interval_overlap_join(a, b, "as_", "ae", "bs", "be",
+                                 bucket_width=10).collect()
+    assert Counter((r["aid"], r["bid"]) for r in rows) == {("x", "y"): 1}
+
+
+def test_range_join_plan_is_equi_join_not_bnl(spark):
+    """The point of bucketization: the physical plan must be a real
+    equi-join (SortMerge/ShuffledHash/BroadcastHash), never a
+    BroadcastNestedLoop or Cartesian — that is the 100 TB property."""
+    from hindex_spark.operators.temporal import (
+        interval_overlap_join,
+        range_join,
+    )
+
+    p = spark.range(100).select(F.col("id").alias("pid"),
+                                (F.col("id") * 7).alias("ts"))
+    i = spark.range(10).select(F.col("id").alias("wid"),
+                               (F.col("id") * 50).alias("s"),
+                               (F.col("id") * 50 + 80).alias("e"))
+    plan = range_join(p, i, "ts", "s", "e",
+                      bucket_width=64)._jdf.queryExecution().executedPlan().toString()
+    assert "NestedLoop" not in plan and "Cartesian" not in plan
+    a = i.select("wid", "s", "e")
+    b = i.select(F.col("wid").alias("w2"), F.col("s").alias("s2"),
+                 F.col("e").alias("e2"))
+    plan2 = interval_overlap_join(
+        a, b, "s", "e", "s2", "e2",
+        bucket_width=64)._jdf.queryExecution().executedPlan().toString()
+    assert "NestedLoop" not in plan2 and "Cartesian" not in plan2
