@@ -487,6 +487,28 @@ def main():
 
     bench("asof_join", asof, runs=3)
 
+    def range_join_attr():
+        from hindex_spark.operators.temporal import range_join
+
+        hour = 3_600_000_000
+        clicks = events.filter(F.col("event_type") == "click").select(
+            "user_id", ts_micros(events).alias("t"))
+        purch = events.filter(F.col("event_type") == "purchase").select(
+            F.col("event_id").alias("purchase_id"), "user_id",
+            (ts_micros(events) - hour).alias("ws"),
+            ts_micros(events).alias("we"))
+        range_join(clicks, purch, "t", "ws", "we", key="user_id",
+                   bucket_width=hour).groupBy("purchase_id").count().count()
+
+    bench("range_join_attribution", range_join_attr, runs=3)
+
+    def chunk_docs():
+        from hindex_spark.operators.packing import chunk_documents
+
+        chunk_documents(docs, max_tokens=32, overlap=8).count()
+
+    bench("chunk_documents", chunk_docs, runs=3)
+
     # Continuous aggregate: the same hourly query against the persisted
     # rollup store (merged partials, store-side exchange-free) vs
     # aggregating the raw events every time. The store build is

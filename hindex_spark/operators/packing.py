@@ -28,7 +28,7 @@ from pyspark.sql import Window
 
 from hindex_spark.operators.dedup import doc_units
 from hindex_spark.operators.sampling import _bucket_for
-from hindex_spark.operators.text import token_count
+from hindex_spark.operators.text import token_count, tokens
 
 
 def contaminated_ids(
@@ -182,4 +182,64 @@ def shuffle_shards(
         "shard",
         F.row_number().over(w).alias("position"),
         "key",
+    )
+
+
+def chunk_documents(
+    docs: DataFrame,
+    max_tokens: int,
+    overlap: int = 0,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Split documents into token-budgeted chunks with optional overlap
+    — the context-window preparation step between cleaning and packing:
+    a doc longer than the trainer's window must become several
+    (optionally overlapping) windows, never be truncated silently.
+
+    Chunk k covers 1-indexed token positions
+    ``[1 + k*stride, 1 + k*stride + max_tokens)`` with
+    ``stride = max_tokens - overlap``; the chunk count
+    ``1 + ceil(max(n - max_tokens, 0) / stride)`` guarantees full
+    coverage (every token is in some chunk; the last chunk may be
+    short). Output: (id, chunk_idx, n_tokens, chunk_text), where
+    chunk_text is the whitespace-CANONICAL rejoin (single spaces — the
+    same normalization the tokenizer implies).
+
+    Scale shape: one map-side projection (tokenize, explode a
+    chunk-index sequence, slice) — no shuffle, no UDF; the explosion
+    factor is exactly total_tokens/stride. NULL/whitespace-only texts
+    produce no chunks (there is nothing to train on).
+    """
+    if not (0 <= overlap < max_tokens):
+        raise ValueError(
+            f"need 0 <= overlap < max_tokens, got {overlap=} {max_tokens=}")
+    stride = max_tokens - overlap
+    toks = tokens(F.trim(F.col(text_col)))
+    base = docs.filter(
+        F.col(text_col).isNotNull() & (F.trim(F.col(text_col)) != "")
+    ).select(F.col(id_col), toks.alias("__toks"))
+    n = F.size("__toks")
+    n_chunks = (
+        F.lit(1)
+        + F.floor(
+            (F.greatest(n - F.lit(max_tokens), F.lit(0))
+             + F.lit(stride - 1)) / F.lit(stride)
+        )
+    ).cast("long")
+    exploded = base.select(
+        id_col, "__toks",
+        F.explode(F.sequence(F.lit(0).cast("long"), n_chunks - 1))
+        .alias("chunk_idx"),
+    )
+    piece = F.slice(
+        F.col("__toks"),
+        (F.col("chunk_idx") * stride + 1).cast("int"),
+        max_tokens,
+    )
+    return exploded.select(
+        id_col,
+        "chunk_idx",
+        F.size(piece).cast("long").alias("n_tokens"),
+        F.array_join(piece, " ").alias("chunk_text"),
     )

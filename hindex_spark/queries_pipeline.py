@@ -614,6 +614,40 @@ def q_pack_sequences(spark, sf_dir):
     )
 
 
+@query(
+    "corpus_chunk_documents",
+    """WITH d AS (SELECT doc_id,
+                         string_split_regex(trim(text), '\\s+') AS toks
+                  FROM documents
+                  WHERE text IS NOT NULL AND trim(text) <> ''),
+        n AS (SELECT doc_id, toks, len(toks) AS n FROM d),
+        c AS (SELECT doc_id, toks, n,
+                     1 + (GREATEST(n - 32, 0) + 23) // 24 AS nc FROM n),
+        x AS (SELECT doc_id, toks, n,
+                     unnest(generate_series(0, nc - 1)) AS chunk_idx
+              FROM c)
+       SELECT doc_id, CAST(chunk_idx AS BIGINT) AS chunk_idx,
+              CAST(LEAST(chunk_idx * 24 + 32, n) - chunk_idx * 24
+                   AS BIGINT) AS n_tokens,
+              array_to_string(
+                toks[CAST(chunk_idx * 24 + 1 AS BIGINT)
+                     : CAST(LEAST(chunk_idx * 24 + 32, n) AS BIGINT)],
+                ' ') AS chunk_text
+       FROM x""",
+)
+def q_chunk_documents(spark, sf_dir):
+    """Context-window chunking (operators/packing.py): every document
+    split into 32-token chunks with an 8-token overlap (stride 24) —
+    full token coverage, whitespace-canonical chunk text. The operator
+    is one map-side projection (tokenize, explode chunk indices,
+    slice); the oracle rebuilds the same windows with DuckDB list
+    slicing + generate_series."""
+    from hindex_spark.operators.packing import chunk_documents
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return chunk_documents(docs, max_tokens=32, overlap=8)
+
+
 # ---------------------------------------------------------------------------
 # text analysis
 # ---------------------------------------------------------------------------

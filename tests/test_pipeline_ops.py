@@ -3055,3 +3055,87 @@ def test_profile_store_refuses_kind_drift(spark, tmp_path):
         ps.update(drifted)
     with pytest.raises(ValueError, match="missing profiled column"):
         ps.update(spark.createDataFrame([(3,)], ["id"]))
+
+
+# ---------------------------------------------------------------- chunking
+
+def test_chunk_documents_semantics(spark):
+    import pytest
+
+    from hindex_spark.operators.packing import chunk_documents
+
+    docs = spark.createDataFrame(
+        [(1, "a b c d e f g"),      # 7 toks
+         (2, "x y"),                # fits in one chunk
+         (3, None),                 # no chunks
+         (4, "   "),                # whitespace-only: no chunks
+         (5, " p  q\tr ")],         # messy whitespace -> canonical join
+        ["doc_id", "text"],
+    )
+    out = chunk_documents(docs, max_tokens=4, overlap=1)
+    rows = {(r["doc_id"], r["chunk_idx"]): (r["n_tokens"], r["chunk_text"])
+            for r in out.collect()}
+    # stride 3: doc 1 (7 toks) -> ceil((7-4)/3)=1 extra -> 2 chunks
+    assert rows[(1, 0)] == (4, "a b c d")
+    assert rows[(1, 1)] == (4, "d e f g")          # overlap token 'd'
+    assert rows[(2, 0)] == (2, "x y")
+    assert rows[(5, 0)] == (3, "p q r")
+    assert not any(d in (3, 4) for d, _ in rows)
+    # full coverage: every token index of doc 1 appears in some chunk
+    assert set("abcdefg") == set(
+        "".join(t for _, (_, txt) in rows.items() for t in txt.split())
+    ) - {"x", "y", "p", "q", "r"}
+    with pytest.raises(ValueError, match="overlap"):
+        chunk_documents(docs, max_tokens=4, overlap=4)
+
+
+def test_chunk_documents_no_overlap_exact_partition(spark):
+    from hindex_spark.operators.packing import chunk_documents
+
+    docs = spark.createDataFrame(
+        [(1, " ".join(f"t{i}" for i in range(10)))], ["doc_id", "text"])
+    out = chunk_documents(docs, max_tokens=3, overlap=0).collect()
+    assert [r["n_tokens"] for r in sorted(out, key=lambda r: r["chunk_idx"])] \
+        == [3, 3, 3, 1]
+    joined = " ".join(
+        r["chunk_text"] for r in sorted(out, key=lambda r: r["chunk_idx"]))
+    assert joined == " ".join(f"t{i}" for i in range(10))
+
+
+def test_chunk_documents_plan_is_mapside(spark):
+    from hindex_spark.operators.packing import chunk_documents
+
+    docs = spark.createDataFrame([(1, "a b c")], ["doc_id", "text"])
+    plan = chunk_documents(docs, 2)._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan and "BatchEvalPython" not in plan
+
+
+def test_profile_store_update_from_stream(spark, tmp_path):
+    """ProfileStore.update inside a streaming foreachBatch (the
+    session-clone INSERT path): after the stream drains, the merged
+    read must equal the one-shot profile of everything ingested."""
+    from hindex_spark.catalog import Catalog
+    from hindex_spark.operators.profile import ProfileStore, profile
+
+    cols = ["id", "score", "tag"]
+    seed = spark.createDataFrame([(0, 0.5, "seed")], cols)
+    more = spark.createDataFrame(
+        [(1, 1.25, "a"), (2, None, "b"), (3, 9.5, None), (4, -2.0, "a")],
+        cols)
+    cat = Catalog(spark, str(tmp_path / "wh"))
+    ps = ProfileStore.build(cat, seed, cols, "pstream")
+    src = str(tmp_path / "src")
+    more.write.mode("overwrite").parquet(src)
+    stream = spark.readStream.schema(more.schema).parquet(src)
+    q = (
+        stream.writeStream.foreachBatch(
+            lambda b, _e: ps.update(b) if b.count() else None
+        )
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = sorted(map(tuple, ProfileStore.open(cat, "pstream").read().collect()))
+    want = sorted(map(tuple, profile(seed.unionByName(more), cols).collect()))
+    assert got == want
