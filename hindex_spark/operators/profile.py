@@ -146,6 +146,7 @@ def profile_partials(
     df: DataFrame,
     columns: Optional[List[str]] = None,
     ndv_lgk: int = 16,
+    pctl_k: Optional[int] = None,
 ) -> DataFrame:
     """One batch's MERGEABLE profile rows — the per-ingest-batch shape:
     (col_name, n_total, n_nonnull, nds, min_l, max_l, min_d, max_d,
@@ -160,7 +161,13 @@ def profile_partials(
     double-count re-seen values — the same reasoning as the rollup's
     ``ndv_col``. Estimation happens once, at the merged edge
     (:func:`render_profile`), so a store-served profile is
-    bit-identical to the one-shot profiler at the same ``ndv_lgk``."""
+    bit-identical to the one-shot profiler at the same ``ndv_lgk``.
+
+    ``pctl_k`` adds a mergeable KLL quantile sketch column (``klls``,
+    binary) for numeric/timestamp/int columns (NULL for strings) —
+    same exactness contract as the one-shot profiler's ``pctls``
+    (exact at rank ceil(p*n) while the column's total row count stays
+    under k, guaranteed-error estimates beyond)."""
     cols = list(columns) if columns is not None else list(df.columns)
     dtypes = dict(df.dtypes)
     aggs = [F.count(F.lit(1)).alias("__total")]
@@ -192,43 +199,69 @@ def profile_partials(
             mn[2].alias(f"__mnd_{i}"), mn[3].alias(f"__mxd_{i}"),
             mn[4].alias(f"__mns_{i}"), mn[5].alias(f"__mxs_{i}"),
         ]
+        if pctl_k is not None:
+            aggs.append(
+                (F.kll_sketch_agg_double(base.cast("double"),
+                                         F.lit(int(pctl_k)))
+                 if kind != "str"
+                 else F.lit(None).cast("binary")).alias(f"__kll_{i}")
+            )
     row = df.agg(*aggs)
+    kll_sel = ", __kll_{i}" if pctl_k is not None else ""
     stacked = ", ".join(
-        f"'{c}', __n_{i}, __sk_{i}, __mnl_{i}, __mxl_{i}, __mnd_{i}, "
-        f"__mxd_{i}, __mns_{i}, __mxs_{i}"
+        (f"'{c}', __n_{i}, __sk_{i}, __mnl_{i}, __mxl_{i}, __mnd_{i}, "
+         f"__mxd_{i}, __mns_{i}, __mxs_{i}" + kll_sel.format(i=i))
         for i, c in enumerate(cols)
     )
-    return row.select(
+    kll_name = ", klls" if pctl_k is not None else ""
+    out = row.select(
         F.col("__total").cast("long").alias("n_total"),
         F.expr(
             f"stack({len(cols)}, {stacked}) as (col_name, n_nonnull, nds, "
-            "min_l, max_l, min_d, max_d, min_s, max_s)"
+            f"min_l, max_l, min_d, max_d, min_s, max_s{kll_name})"
         ),
-    ).select(
-        "col_name", "n_total",
-        F.col("n_nonnull").cast("long").alias("n_nonnull"),
-        "nds", "min_l", "max_l", "min_d", "max_d", "min_s", "max_s",
     )
+    keep = ["col_name", "n_total",
+            F.col("n_nonnull").cast("long").alias("n_nonnull"),
+            "nds", "min_l", "max_l", "min_d", "max_d", "min_s", "max_s"]
+    if pctl_k is not None:
+        keep.append("klls")
+    return out.select(*keep)
 
 
 def merge_profile_partials(partials: DataFrame) -> DataFrame:
     """Exact merge of profile partials: counts add, typed min/max fold,
-    NDV sketches union (kept as sketches — still mergeable)."""
-    return partials.groupBy("col_name").agg(
+    NDV (and, when present, KLL quantile) sketches union/merge — kept
+    as sketches, still mergeable."""
+    aggs = [
         F.sum("n_total").cast("long").alias("n_total"),
         F.sum("n_nonnull").cast("long").alias("n_nonnull"),
         F.hll_union_agg("nds").alias("nds"),
         F.min("min_l").alias("min_l"), F.max("max_l").alias("max_l"),
         F.min("min_d").alias("min_d"), F.max("max_d").alias("max_d"),
         F.min("min_s").alias("min_s"), F.max("max_s").alias("max_s"),
-    )
+    ]
+    if "klls" in partials.columns:
+        # NULL inputs (string columns' slots) are skipped by the merge;
+        # an ALL-null group merges to an invalid buffer that must never
+        # be queried — render_profile's kind dispatch guarantees string
+        # columns take the NULL branch, not the get_quantile one.
+        aggs.append(F.kll_merge_agg_double("klls").alias("klls"))
+    return partials.groupBy("col_name").agg(*aggs)
 
 
-def render_profile(merged: DataFrame, kinds: Dict[str, str]) -> DataFrame:
+def render_profile(merged: DataFrame, kinds: Dict[str, str],
+                   pctls: Optional[List[float]] = None) -> DataFrame:
     """Canonical profile frame from merged partials — the SAME output
     schema and reprs as :func:`profile`: (col_name, n_rows, n_null,
-    ndv, min_repr, max_repr). ``kinds`` maps col_name -> kind (captured
-    at build time from the source dtypes)."""
+    ndv, min_repr, max_repr[, pNN...]). ``kinds`` maps col_name -> kind
+    (captured at build time from the source dtypes). ``pctls`` (needs
+    the ``klls`` column) adds pNN doubles for non-string columns, NULL
+    for strings — string rows must never evaluate get_quantile: their
+    merged slot is an invalid all-null-merge buffer, and the kind CASE
+    here is what guarantees they take the literal-NULL branch."""
+    numeric = [c for c, k in kinds.items() if k != "str"]
+
     def repr_of(lo: bool) -> F.Column:
         l, d, s = ("min_l", "min_d", "min_s") if lo else ("max_l", "max_d", "max_s")
         expr = F.lit(None).cast("string")
@@ -241,14 +274,23 @@ def render_profile(merged: DataFrame, kinds: Dict[str, str]) -> DataFrame:
             expr = F.when(F.col("col_name") == c, this).otherwise(expr)
         return expr
 
-    return merged.select(
+    out_cols = [
         "col_name",
         F.col("n_nonnull").alias("n_rows"),
         (F.col("n_total") - F.col("n_nonnull")).cast("long").alias("n_null"),
         F.hll_sketch_estimate("nds").cast("long").alias("ndv"),
         repr_of(True).alias("min_repr"),
         repr_of(False).alias("max_repr"),
-    )
+    ]
+    for q in pctls or ():
+        out_cols.append(
+            F.when(
+                F.col("col_name").isin(numeric),
+                F.kll_sketch_get_quantile_double("klls", F.lit(float(q))),
+            ).otherwise(F.lit(None).cast("double"))
+            .alias(f"p{int(round(q * 100))}")
+        )
+    return merged.select(*out_cols)
 
 
 class ProfileStore:
@@ -274,12 +316,15 @@ class ProfileStore:
 
     def __init__(self, catalog, name: str, columns: List[str],
                  kinds: Dict[str, str], ndv_lgk: int = 16,
-                 num_buckets: int = 4):
+                 num_buckets: int = 4, pctl_k: Optional[int] = None):
         self.catalog = catalog
         self.name = name
         self.columns = list(columns)
         self.kinds = dict(kinds)
         self.ndv_lgk = ndv_lgk
+        #: KLL quantile sketch capacity (None = store carries no
+        #: quantile column); part of the artifact identity like ndv_lgk
+        self.pctl_k = pctl_k
         self.num_buckets = num_buckets
         self.cur_gen = 0
         self.sealed_below = 0
@@ -299,6 +344,7 @@ class ProfileStore:
     def _meta(self) -> dict:
         return {"columns": self.columns, "kinds": self.kinds,
                 "ndv_lgk": self.ndv_lgk, "num_buckets": self.num_buckets,
+                "pctl_k": self.pctl_k,
                 "cur_gen": self.cur_gen, "sealed_below": self.sealed_below,
                 "corrected": self.corrected}
 
@@ -322,7 +368,8 @@ class ProfileStore:
     @classmethod
     def build(cls, catalog, batch: DataFrame, columns: List[str],
               name: str, ndv_lgk: int = 16,
-              num_buckets: int = 4) -> "ProfileStore":
+              num_buckets: int = 4,
+              pctl_k: Optional[int] = None) -> "ProfileStore":
         """Gen-0 store from the first batch. The column KINDS captured
         here are the artifact's identity: every later batch must carry
         the same column types (asserted by ``update``) or the typed
@@ -332,9 +379,10 @@ class ProfileStore:
 
         dtypes = dict(batch.dtypes)
         kinds = {c: _kind_of(dtypes[c]) for c in columns}
-        ps = cls(catalog, name, columns, kinds, ndv_lgk, num_buckets)
-        rows = profile_partials(batch, columns, ndv_lgk).withColumn(
-            "gen", F.lit(0).cast("long"))
+        ps = cls(catalog, name, columns, kinds, ndv_lgk, num_buckets,
+                 pctl_k=pctl_k)
+        rows = profile_partials(batch, columns, ndv_lgk, pctl_k=pctl_k
+                                ).withColumn("gen", F.lit(0).cast("long"))
         catalog.save_bucketed(
             Table(rows, "col_name", f"{name}_profilestore"),
             num_buckets=num_buckets,
@@ -349,7 +397,8 @@ class ProfileStore:
                 catalog.root, f"{name}_profilestore_meta.json")) as f:
             m = json.load(f)
         ps = cls(catalog, name, m["columns"], m["kinds"],
-                 m.get("ndv_lgk", 16), m.get("num_buckets", 4))
+                 m.get("ndv_lgk", 16), m.get("num_buckets", 4),
+                 pctl_k=m.get("pctl_k"))
         ps.cur_gen = m.get("cur_gen", 0)
         ps.sealed_below = m.get("sealed_below", 0)
         ps.corrected = m.get("corrected", {})
@@ -391,7 +440,8 @@ class ProfileStore:
 
     def _append_locked(self, batch: DataFrame, gen: int) -> None:
         self._check_batch(batch)
-        rows = profile_partials(batch, self.columns, self.ndv_lgk
+        rows = profile_partials(batch, self.columns, self.ndv_lgk,
+                                pctl_k=self.pctl_k
                                 ).withColumn("gen", F.lit(gen).cast("long"))
         view = f"__profilestore_append_{self.name}"
         sess = rows.sparkSession  # foreachBatch session clone
@@ -488,11 +538,17 @@ class ProfileStore:
             self.corrected = {}
             self._save_meta()
 
-    def read(self) -> DataFrame:
+    def read(self, pctls: Optional[List[float]] = None) -> DataFrame:
         """The whole-corpus profile — same schema/reprs as
         :func:`profile` over the union of live batches, served from the
-        columns-sized store (no corpus scan)."""
+        columns-sized store (no corpus scan). ``pctls`` adds pNN
+        quantile doubles (store must have been built with ``pctl_k``;
+        same exactness-under-k contract as the one-shot profiler)."""
+        if pctls and self.pctl_k is None:
+            raise ValueError(
+                "store carries no quantile sketches — rebuild with "
+                "pctl_k to serve percentiles")
         return render_profile(
             merge_profile_partials(self.live_partials().drop("gen")),
-            self.kinds,
+            self.kinds, pctls=pctls,
         )

@@ -3139,3 +3139,47 @@ def test_profile_store_update_from_stream(spark, tmp_path):
     got = sorted(map(tuple, ProfileStore.open(cat, "pstream").read().collect()))
     want = sorted(map(tuple, profile(seed.unionByName(more), cols).collect()))
     assert got == want
+
+
+def test_profile_store_quantiles_merge_exact_under_k(spark, tmp_path):
+    """KLL quantile columns through the store: merged-across-batches
+    quantiles equal the one-shot profiler's (both exact under k), and
+    string columns render NULL (their merged slot must never be
+    queried)."""
+    import pytest
+
+    from hindex_spark.catalog import Catalog
+    from hindex_spark.operators.profile import ProfileStore, profile
+
+    cols = ["id", "score", "tag"]
+    b1 = spark.createDataFrame(
+        [(i, float(i) * 1.5, f"t{i}") for i in range(20)], cols)
+    b2 = spark.createDataFrame(
+        [(i, float(i) * 1.5, f"t{i}") for i in range(20, 50)], cols)
+    cat = Catalog(spark, str(tmp_path / "wh"))
+    ps = ProfileStore.build(cat, b1, cols, "pq", pctl_k=512)
+    ps.update(b2)
+    pctls = [0.5, 0.95]
+    got = {r["col_name"]: (r["p50"], r["p95"])
+           for r in ps.read(pctls=pctls).collect()}
+    want = {r["col_name"]: (r["p50"], r["p95"])
+            for r in profile(b1.unionByName(b2), cols,
+                             pctls=pctls, pctl_k=512).collect()}
+    assert got == want
+    assert got["tag"] == (None, None)
+    assert got["score"][0] == pytest.approx(36.0)  # rank ceil(.5*50)=25 -> 24*1.5
+    # non-quantile columns still match the plain one-shot profile
+    got_plain = sorted(map(tuple, ps.read().collect()))
+    want_plain = sorted(map(tuple, profile(
+        b1.unionByName(b2), cols).collect()))
+    assert got_plain == want_plain
+    # reopen: pctl_k round-trips; a store built without it refuses
+    assert ProfileStore.open(cat, "pq").read(pctls=[0.5]).count() == 3
+    ps0 = ProfileStore.build(cat, b1, cols, "pq0")
+    with pytest.raises(ValueError, match="no quantile sketches"):
+        ps0.read(pctls=[0.5])
+    # compact folds the sketches too: same quantiles after
+    ps.compact()
+    got_c = {r["col_name"]: (r["p50"], r["p95"])
+             for r in ps.read(pctls=pctls).collect()}
+    assert got_c == want
