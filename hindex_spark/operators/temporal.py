@@ -43,12 +43,23 @@ def as_of_join(
     left_ts: str,
     right_ts: str,
     right_cols: Optional[List[str]] = None,
+    tolerance: Optional[int] = None,
 ) -> DataFrame:
     """For each left row: columns of the latest right row with
     right_ts <= left_ts (per key). Right columns are NULL when no prior
     right row exists. Output: all left columns + requested right cols.
+
+    ``tolerance`` (same units as the timestamps) bounds the match's
+    staleness — pandas merge_asof / kdb wj semantics: a prior right row
+    older than ``left_ts - tolerance`` yields NULLs, same as no match.
+    Applied as a post-carry filter on the matched row's OWN timestamp
+    (carried inside the struct), so it stays one shuffle and cannot
+    resurrect an older row.
     """
     right_cols = right_cols or [c for c in right.columns if c not in (key, right_ts)]
+    carry = list(right_cols)
+    if tolerance is not None and "__rts" not in carry:
+        carry.append("__rts")  # the matched row's own ts, for staleness
     lhs = left.select(
         F.col(key).alias("__k"),
         F.col(left_ts).alias("__ts"),
@@ -62,12 +73,18 @@ def as_of_join(
         F.col(key).alias("__k"),
         F.col(right_ts).alias("__ts"),
         F.lit(0).alias("__side"),
-        F.struct(*[F.col(c).alias(c) for c in right_cols]).alias("__r"),
+        F.struct(*[
+            (F.col(right_ts) if c == "__rts" else F.col(c)).alias(c)
+            for c in carry
+        ]).alias("__r"),
     )
     for c in left.columns:
         rhs = rhs.withColumn(c, F.lit(None).cast(dict(left.dtypes)[c]))
     rtypes = dict(right.dtypes)
-    struct_type = ", ".join(f"`{c}`: {rtypes[c]}" for c in right_cols)
+    struct_type = ", ".join(
+        f"`{c}`: {rtypes[right_ts] if c == '__rts' else rtypes[c]}"
+        for c in carry
+    )
     lhs = lhs.withColumn("__r", F.lit(None).cast(f"struct<{struct_type}>"))
     unioned = lhs.unionByName(rhs.select(*lhs.columns))
     w = (
@@ -78,12 +95,20 @@ def as_of_join(
     carried = unioned.select(
         *left.columns,
         F.col("__side"),
+        F.col("__ts").alias("__lts"),
         F.last("__r", ignorenulls=True).over(w).alias("__rv"),
     )
     out = carried.filter(F.col("__side") == 1)
+    if tolerance is not None:
+        fresh = (
+            F.col("__lts") - F.col("__rv").getField("__rts")
+        ) <= F.lit(int(tolerance))
+        out = out.withColumn(
+            "__rv", F.when(fresh, F.col("__rv"))  # stale -> all-NULL
+        )
     for c in right_cols:
         out = out.withColumn(c, F.col("__rv").getField(c))
-    return out.drop("__side", "__rv")
+    return out.drop("__side", "__rv", "__lts")
 
 
 def _floor_div(col: Column, width: int) -> Column:

@@ -223,3 +223,38 @@ def q_session_overlap(spark, sf_dir):
         F.greatest("cs", "es").alias("overlap_start"),
         (F.least(F.col("ce1"), F.col("ee1")) - 1).alias("overlap_end"),
     )
+
+
+@query(
+    "events_asof_tolerance",
+    f"""WITH e AS (SELECT event_id, user_id, epoch_us(ts) AS t FROM events),
+       err AS (SELECT user_id, epoch_us(ts) AS rt,
+                      printf('%.2f', value) AS err_value
+               FROM events WHERE event_type = 'error')
+       SELECT e.event_id, e.user_id,
+              CASE WHEN e.t - err.rt <= {GAP_US} THEN err.rt END
+                AS prior_err_ts,
+              CASE WHEN e.t - err.rt <= {GAP_US} THEN err.err_value END
+                AS err_value
+       FROM e ASOF LEFT JOIN err
+         ON e.user_id = err.user_id AND e.t >= err.rt""",
+)
+def q_asof_tolerance(spark, sf_dir):
+    """As-of join with a staleness bound (pandas merge_asof
+    ``tolerance`` / kdb wj semantics): the latest prior error is
+    surfaced only if it happened within the last hour — older matches
+    are NULL, and the bound must not resurrect an even older row (the
+    oracle applies the same CASE to DuckDB's ASOF match)."""
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    left = ev.select("event_id", "user_id", ts_micros(ev).alias("t"))
+    right = ev.filter(F.col("event_type") == "error").select(
+        "user_id",
+        ts_micros(ev).alias("rt"),
+        F.format_string("%.2f", "value").alias("err_value"),
+    )
+    out = as_of_join(left, right, key="user_id", left_ts="t",
+                     right_ts="rt", right_cols=["rt", "err_value"],
+                     tolerance=GAP_US)
+    return out.select(
+        "event_id", "user_id", F.col("rt").alias("prior_err_ts"), "err_value"
+    )

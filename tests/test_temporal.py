@@ -234,3 +234,34 @@ def test_range_join_plan_is_equi_join_not_bnl(spark):
         a, b, "s", "e", "s2", "e2",
         bucket_width=64)._jdf.queryExecution().executedPlan().toString()
     assert "NestedLoop" not in plan2 and "Cartesian" not in plan2
+
+
+def test_as_of_join_tolerance(spark):
+    trades = spark.createDataFrame(
+        [("A", 100, "t1"), ("A", 200, "t2"), ("B", 50, "t3")],
+        ["sym", "ts", "trade"],
+    )
+    quotes = spark.createDataFrame(
+        [("A", 95, 1.0), ("A", 120, 2.0), ("B", 10, 3.0)],
+        ["sym", "qts", "px"],
+    )
+    # tolerance 30: t1 matches qts=95 (staleness 5); t2's latest quote
+    # is qts=120 (staleness 80 > 30) -> NULL, NOT the older 95 either;
+    # t3's quote is 40 stale -> NULL
+    out = as_of_join(trades, quotes, "sym", "ts", "qts",
+                     right_cols=["qts", "px"], tolerance=30)
+    got = {r["trade"]: (r["qts"], r["px"]) for r in out.collect()}
+    assert got["t1"] == (95, 1.0)
+    assert got["t2"] == (None, None)
+    assert got["t3"] == (None, None)
+    # no tolerance: unchanged semantics
+    base = as_of_join(trades, quotes, "sym", "ts", "qts",
+                      right_cols=["qts", "px"])
+    got0 = {r["trade"]: (r["qts"], r["px"]) for r in base.collect()}
+    assert got0["t2"] == (120, 2.0) and got0["t3"] == (10, 3.0)
+    # tolerance 0: only equal-timestamp matches survive
+    eq = spark.createDataFrame([("A", 100, 9.9)], ["sym", "qts", "px"])
+    out0 = as_of_join(trades, eq, "sym", "ts", "qts",
+                      right_cols=["px"], tolerance=0)
+    got_eq = {r["trade"]: r["px"] for r in out0.collect()}
+    assert got_eq == {"t1": 9.9, "t2": None, "t3": None}
