@@ -1485,7 +1485,12 @@ _PRIORITY = [
     # slots (poisoned-OR semantics stay visible via
     # idxtab_and_with_poisoned_or; typed/padded values via
     # idxtab_similar_value_pattern; both stay in the local gate).
-    "idxtab_partial_put", "idxtab_family_delete_index",
+    # Round-10 rotation: idxtab_family_delete_index ceded its slot to
+    # events_profile_store below (index maintenance stays
+    # driver-visible via idxtab_partial_put + idxtab_checkand_index +
+    # index_maintained_scan; the family-delete variant stays
+    # oracle-checked in the local gate).
+    "idxtab_partial_put",
     "idxtab_checkand_index",
     # mutations (incl. the generic gated batch + per-action status).
     # mutation_put_repeated_rows supersedes mutation_put_upsert in the
@@ -1494,8 +1499,13 @@ _PRIORITY = [
     # mutation_mutate_row ceded its slot to the round-6 MUST_PASS_ONE
     # positional-branch gates (the mutation family stays driver-visible
     # via the four gates above; mutate_row stays in the local gate).
+    # Round-10 rotation: mutation_check_and_mutate ceded its slot to
+    # corpus_chunk_documents below (checkAnd* semantics stay
+    # driver-visible via idxtab_checkand_index, which drives
+    # checkAndPut/checkAndDelete through the index-maintenance path;
+    # the plain gate stays oracle-checked in the local gate).
     "mutation_put_repeated_rows", "mutation_delete_batch",
-    "mutation_check_and_mutate", "mutation_batch_status",
+    "mutation_batch_status",
     # core read path + the round-6 OR-branch evaluation (positional /
     # dependent members under MUST_PASS_ONE — previously refused, now
     # evaluated per FilterList.java:178-200 branch semantics).
@@ -1511,8 +1521,12 @@ _PRIORITY = [
     # query stays oracle-checked in the local gate.
     "point_get", "scan_range", "scan_reversed_range", "filter_scvf",
     "filter_or_page", "cells_or_dependent",
-    # LLM-pipeline operators: dedup family, corpus cleaning, ANN, text
-    "dedup_exact", "dedup_minhash_lsh", "dedup_simhash", "dedup_clusters",
+    # LLM-pipeline operators: dedup family, corpus cleaning, ANN, text.
+    # Round-10 rotation: dedup_simhash ceded its slot to
+    # events_attribution_window below (banded near-dup signatures stay
+    # driver-visible via dedup_minhash_lsh — same band-bucket-join
+    # machinery; simhash stays oracle-checked in the local gate).
+    "dedup_exact", "dedup_minhash_lsh", "dedup_clusters",
     "dedup_semantic", "corpus_clean",
     "corpus_pipeline_e2e",
     # Round-8 rotation: corpus_dedup_state_upsert (persisted dedup-state
@@ -1584,6 +1598,22 @@ _PRIORITY = [
     # so a driver-environment divergence in the store machinery now
     # surfaces in two independent rows.
     "events_rollup_upsert",
+    # Round-10 rotations (three brand-new operator families enter the
+    # prefix; the ceded slots are annotated at their families above):
+    # events_attribution_window — the bucketized RANGE JOIN
+    # (operators/temporal.py): non-equi point-in-interval rewritten as
+    # an equi-join on (user, hour bucket) + residual, left-complete
+    # attribution aggregate, integer micro-unit value surface.
+    "events_attribution_window",
+    # events_profile_store — the persisted mergeable profile ledger
+    # (operators/profile.py): per-batch partials as generations, HLL
+    # NDV sketch union, an in-gate misreported-batch correction via
+    # replace_batch, merged read vs DuckDB's exact profile.
+    "events_profile_store",
+    # corpus_chunk_documents — context-window chunking
+    # (operators/packing.py): token-budgeted overlapping chunks as one
+    # map-side projection vs a DuckDB list-slicing oracle.
+    "corpus_chunk_documents",
 ]
 
 

@@ -12,7 +12,7 @@ One Spark round-trip per example; HX_PROP_EXAMPLES deepens the run.
 import os
 from collections import Counter
 
-from hypothesis import HealthCheck, given, settings, strategies as st
+from hypothesis import HealthCheck, example, given, settings, strategies as st
 
 from hindex_spark.operators.temporal import interval_overlap_join, range_join
 
@@ -50,6 +50,11 @@ def test_range_join_matches_brute_force(spark, pts, ivs, width):
 
 @settings(**_SETTINGS)
 @given(iv_st, iv_st, width_st)
+# the round-10 falsifying example: a zero-length interval satisfies the
+# bare s1<e2 AND s2<e1 predicate against a neighbor but overlaps
+# nothing — the MODEL needed the per-side non-emptiness the operator
+# already enforces
+@example(A=[(0, -2)], B=[(-1, -1)], width=1)
 def test_overlap_join_matches_brute_force(spark, A, B, width):
     a = spark.createDataFrame(
         [(j, min(x, y), max(x, y)) for j, (x, y) in enumerate(A)],
@@ -61,11 +66,15 @@ def test_overlap_join_matches_brute_force(spark, A, B, width):
         (r["aid"], r["bid"])
         for r in interval_overlap_join(
             a, b, "as_", "ae", "bs", "be", bucket_width=width).collect())
+    # an EMPTY interval (s == e) overlaps nothing: the bare
+    # s1 < e2 AND s2 < e1 predicate is only equivalent to
+    # max(starts) < min(ends) when both sides are non-empty
     want = Counter(
         (i, j)
         for i, (x1, y1) in enumerate(A)
         for j, (x2, y2) in enumerate(B)
-        if (lambda s1, e1, s2, e2: s1 < e2 and s2 < e1)(
+        if (lambda s1, e1, s2, e2:
+            s1 < e1 and s2 < e2 and s1 < e2 and s2 < e1)(
             min(x1, y1), max(x1, y1), min(x2, y2), max(x2, y2)))
     assert got == want
     assert all(v == 1 for v in got.values())  # exactly-once, never dup
