@@ -809,6 +809,68 @@ class RollupStore:
         return self._finish(merge_partials(coarse, self.key_cols), pctls,
                             topk)
 
+    def read_sliding(self, window_us: int, slide_us: Optional[int] = None,
+                     start_us: Optional[int] = None,
+                     end_us: Optional[int] = None,
+                     spread_keys: bool = False,
+                     pctls=None, topk=None) -> DataFrame:
+        """SLIDING-window aggregates served from the stored partials —
+        the overlapping-window shape ``read``/``read_at`` (tumbling)
+        cannot express: e.g. a 6-hour window advancing hourly from an
+        hourly store. Each stored bucket explodes to the
+        ``window_us / slide_us`` slide-aligned window starts that cover
+        it (pure integer arithmetic, map-side) and the same mergeable
+        partials (count/sum/min/max + every sketch column) fold per
+        (win_start, *keys) — raw events are never rescanned, and the
+        read costs one aggregation over partials x (window/slide).
+
+        ``window_us`` and ``slide_us`` (default: the store grain) must
+        be positive multiples of the grain with slide <= window (a
+        slide beyond the window would silently drop buckets between
+        windows — refuse rather than sample). Output: ``win_start`` +
+        keys + the usual aggregate columns; windows at the data's edges
+        are partially filled, exactly as the direct computation over
+        raw events would produce. ``start_us``/``end_us`` restrict the
+        CONTRIBUTING BUCKETS (same contract as ``read``), so an
+        edge window may draw on buckets outside the range only if they
+        are included in it."""
+        slide_us = self.grain_us if slide_us is None else slide_us
+        for nm, v in (("window_us", window_us), ("slide_us", slide_us)):
+            if v <= 0 or v % self.grain_us != 0:
+                raise ValueError(
+                    f"read_sliding: {nm}={v} is not a positive multiple "
+                    f"of the store grain {self.grain_us}")
+        if slide_us > window_us:
+            raise ValueError(
+                f"read_sliding: slide {slide_us} > window {window_us} "
+                "would drop buckets between windows")
+        p = self.live_partials
+        if start_us is not None:
+            p = p.filter(F.col("bucket_us") >= start_us)
+        if end_us is not None:
+            p = p.filter(F.col("bucket_us") < end_us)
+        b = F.col("bucket_us")
+        s = F.lit(int(slide_us))
+        # slide-aligned window starts w with w <= bucket < w + window:
+        # k in [floor((b - window)/slide) + 1, floor(b/slide)] — buckets
+        # are epoch micros but (b - window) can go negative at the
+        # epoch's edge, so use the sign-safe pmod floor-div
+        lo = b - F.lit(int(window_us))
+        k_min = ((lo - F.pmod(lo, s)) / s).cast("long") + 1
+        k_max = ((b - F.pmod(b, s)) / s).cast("long")
+        exploded = (
+            p.withColumn("__k", F.explode(F.sequence(k_min, k_max)))
+            .withColumn("bucket_us", F.col("__k") * s)
+            .drop("__k")
+        )
+        if spread_keys:
+            # sliding merges group on (win, *keys): the deliberate
+            # one-exchange hot-window escape, same trade as read()
+            exploded = exploded.repartition("bucket_us", *self.key_cols)
+        merged = merge_partials(exploded, self.key_cols)
+        return self._finish(merged, pctls, topk).withColumnRenamed(
+            "bucket_us", "win_start")
+
     def expire(self, before_us: int,
                num_buckets: Optional[int] = None) -> None:
         """Retention: drop every bucket strictly older than

@@ -2601,6 +2601,50 @@ def q_rollup_rechain(spark, sf_dir):
 
 
 @query(
+    "events_rollup_sliding",
+    """WITH b AS (
+          SELECT epoch_us(ts) - (epoch_us(ts) % 3600000000) AS bucket,
+                 event_type,
+                 CAST(CAST(ROUND(value, 6) AS DECIMAL(18,6)) * 1000000
+                      AS BIGINT) AS vm
+          FROM events WHERE ts IS NOT NULL),
+       x AS (
+          SELECT unnest(generate_series(bucket - 18000000000, bucket,
+                                        3600000000)) AS win_start,
+                 event_type, vm
+          FROM b)
+       SELECT win_start, event_type,
+              CAST(count(*) AS BIGINT) AS cnt,
+              CAST(SUM(vm) AS BIGINT) AS vsum_micro,
+              MIN(vm) AS vmin_micro,
+              MAX(vm) AS vmax_micro
+       FROM x GROUP BY win_start, event_type""",
+)
+def q_rollup_sliding(spark, sf_dir):
+    """SLIDING-window aggregates from the stored partials
+    (``RollupStore.read_sliding``): a 6-hour window advancing hourly,
+    served by exploding each hourly partial to the six window starts
+    covering it and folding the mergeable partials per (win_start,
+    event_type) — raw events never rescanned. Built as two batches so
+    the slide fold also crosses generations; the oracle assigns every
+    raw event to its six windows directly. Integer micro-unit output
+    like the other rollup gates."""
+    import tempfile
+
+    from hindex_spark.catalog import Catalog
+    from hindex_spark.operators.rollup import HOUR_US, RollupStore
+
+    events = spark.read.parquet(f"{sf_dir}/events.parquet")
+    cat = Catalog(spark, tempfile.mkdtemp(prefix="hindex_rollup_"))
+    r = RollupStore.build(
+        cat, events.filter(F.col("event_id") % 2 == 0),
+        "ts", ["event_type"], "value", HOUR_US, "gate_sliding",
+    )
+    r.update(events.filter(F.col("event_id") % 2 == 1))
+    return _rollup_micro(r.read_sliding(6 * HOUR_US, HOUR_US))
+
+
+@query(
     "ann_filtered_topk",
     f"""SELECT q_id, vec_id, cosine, rank FROM (
       SELECT q.vec_id AS q_id, e.vec_id AS vec_id,

@@ -3183,3 +3183,52 @@ def test_profile_store_quantiles_merge_exact_under_k(spark, tmp_path):
     got_c = {r["col_name"]: (r["p50"], r["p95"])
              for r in ps.read(pctls=pctls).collect()}
     assert got_c == want
+
+
+def test_rollup_read_sliding(spark, tmp_path):
+    import pytest
+    from datetime import datetime
+
+    from hindex_spark.catalog import Catalog
+    from hindex_spark.operators.rollup import HOUR_US, RollupStore
+
+    rows = [
+        (1, datetime(2024, 1, 1, 10, 15), "click", 1.0),
+        (2, datetime(2024, 1, 1, 12, 45), "click", 3.0),
+        (3, datetime(2024, 1, 1, 11, 5), "view", 2.0),
+    ]
+    cols = ["event_id", "ts", "event_type", "value"]
+    cat = Catalog(spark, str(tmp_path / "wh"))
+    r = RollupStore.build(
+        cat, spark.createDataFrame(rows[:2], cols),
+        "ts", ["event_type"], "value", HOUR_US, "slide",
+        ndv_col="event_id",
+    )
+    r.update(spark.createDataFrame(rows[2:], cols))
+    # 3h window sliding hourly: the two clicks (10:xx, 12:xx) co-occur
+    # ONLY in the window starting at their common covering hour
+    got = {(x["win_start"], x["event_type"]): (x["cnt"], float(x["vsum"]),
+                                               x["ndv"])
+           for x in r.read_sliding(3 * HOUR_US, HOUR_US).collect()}
+    clicks = sorted(k for k in got if k[1] == "click")
+    # click buckets b10 and b12: windows covering both = {b10} (w <= b10
+    # and w+3h > b12 -> w == b10); each click alone covers 3 windows ->
+    # 2*3 - 1 = 5 distinct click windows
+    assert len(clicks) == 5
+    both = [k for k in clicks if got[k] == (2, 4.0, 2)]
+    assert len(both) == 1
+    # every other click window holds exactly one click (ndv sketch
+    # slides along with the plain partials)
+    assert all(got[k][0] == 1 and got[k][2] == 1
+               for k in clicks if k != both[0])
+    # window == slide == grain degenerates to read() exactly
+    tumb = {(x["bucket_us"], x["event_type"]): (x["cnt"], float(x["vsum"]))
+            for x in r.read().collect()}
+    degen = {(x["win_start"], x["event_type"]): (x["cnt"], float(x["vsum"]))
+             for x in r.read_sliding(HOUR_US).collect()}
+    assert degen == tumb
+    # guards: non-multiples and slide > window refuse loudly
+    with pytest.raises(ValueError, match="multiple"):
+        r.read_sliding(HOUR_US + 1)
+    with pytest.raises(ValueError, match="drop buckets"):
+        r.read_sliding(HOUR_US, 2 * HOUR_US)
