@@ -229,6 +229,61 @@ def interval_overlap_join(
     )
 
 
+def funnel(
+    df: DataFrame,
+    key: str,
+    ts_col: str,
+    step_col: str,
+    steps: List[str],
+    within: Optional[int] = None,
+    strict: bool = False,
+) -> DataFrame:
+    """Earliest-completion funnel per key — the sequential
+    event-pattern query (signup -> click -> purchase): step i's
+    timestamp is the MINIMUM ``ts`` of a ``steps[i]`` event at or after
+    step i-1's timestamp (NULL once the chain breaks); ``within``
+    additionally requires every step to land within that many time
+    units of step 1 (the conversion-window form). Output: one row per
+    key with ``s1_ts..sN_ts`` and ``steps_completed``.
+
+    Plan shape: ONE shuffle (the per-key partition); each step is a
+    conditional window-min over the same partitioning, so Catalyst
+    chains N Window stages without further exchanges — no self-joins,
+    no per-key loop, no UDF. Earliest-completion (greedy minimum) is
+    the standard funnel semantics: taking the earliest valid event for
+    each step never prevents a later step that some other choice would
+    have allowed.
+
+    ``strict=True`` requires each step STRICTLY after its predecessor —
+    the right setting when a step repeats (with the default at-or-after
+    semantics, [click, click] would complete on a single event at one
+    instant)."""
+    if not steps:
+        raise ValueError("funnel needs at least one step")
+    w = Window.partitionBy(key)
+    out = df.select(key, F.col(ts_col).alias("__ts"),
+                    F.col(step_col).alias("__step"))
+    prev = None
+    names = []
+    for i, s in enumerate(steps):
+        name = f"s{i + 1}_ts"
+        cond = F.col("__step") == s
+        if prev is not None:
+            after = (F.col("__ts") > F.col(prev)) if strict \
+                else (F.col("__ts") >= F.col(prev))
+            cond = cond & F.col(prev).isNotNull() & after
+            if within is not None:
+                cond = cond & (F.col("__ts") - F.col("s1_ts") <= int(within))
+        out = out.withColumn(
+            name, F.min(F.when(cond, F.col("__ts"))).over(w))
+        prev = name
+        names.append(name)
+    agg = out.groupBy(key).agg(
+        *[F.min(n).alias(n) for n in names])
+    done = sum(F.when(F.col(n).isNotNull(), 1).otherwise(0) for n in names)
+    return agg.withColumn("steps_completed", done.cast("long"))
+
+
 def sessionize(
     df: DataFrame,
     key: str,

@@ -15,6 +15,7 @@ from pyspark.sql import functions as F
 
 from hindex_spark.operators.temporal import (
     as_of_join,
+    funnel,
     interval_overlap_join,
     range_join,
     session_stats,
@@ -258,3 +259,46 @@ def q_asof_tolerance(spark, sf_dir):
     return out.select(
         "event_id", "user_id", F.col("rt").alias("prior_err_ts"), "err_value"
     )
+
+
+_FUNNEL_WITHIN = 48 * 3_600_000_000  # 48h conversion window
+
+
+@query(
+    "events_funnel",
+    f"""WITH e AS (SELECT user_id, event_type, epoch_us(ts) AS t FROM events),
+       w1 AS (SELECT user_id, event_type, t,
+                min(CASE WHEN event_type = 'signup' THEN t END)
+                  OVER (PARTITION BY user_id) AS s1_ts
+              FROM e),
+       w2 AS (SELECT *, min(CASE WHEN event_type = 'click'
+                                  AND s1_ts IS NOT NULL AND t >= s1_ts
+                                  AND t - s1_ts <= {_FUNNEL_WITHIN}
+                                 THEN t END)
+                  OVER (PARTITION BY user_id) AS s2_ts
+              FROM w1),
+       w3 AS (SELECT *, min(CASE WHEN event_type = 'purchase'
+                                  AND s2_ts IS NOT NULL AND t >= s2_ts
+                                  AND t - s1_ts <= {_FUNNEL_WITHIN}
+                                 THEN t END)
+                  OVER (PARTITION BY user_id) AS s3_ts
+              FROM w2)
+       SELECT user_id,
+              MIN(s1_ts) AS s1_ts, MIN(s2_ts) AS s2_ts, MIN(s3_ts) AS s3_ts,
+              CAST((CASE WHEN MIN(s1_ts) IS NOT NULL THEN 1 ELSE 0 END)
+                 + (CASE WHEN MIN(s2_ts) IS NOT NULL THEN 1 ELSE 0 END)
+                 + (CASE WHEN MIN(s3_ts) IS NOT NULL THEN 1 ELSE 0 END)
+                 AS BIGINT) AS steps_completed
+       FROM w3 GROUP BY user_id""",
+)
+def q_funnel(spark, sf_dir):
+    """Earliest-completion funnel (operators/temporal.py:funnel):
+    signup -> click -> purchase per user inside a 48-hour conversion
+    window — sequential event-pattern matching as chained conditional
+    window-mins over ONE per-user partition (no self-joins, no per-key
+    loop). The oracle runs the identical chain through DuckDB window
+    functions."""
+    ev0 = spark.read.parquet(f"{sf_dir}/events.parquet")
+    ev = ev0.select("user_id", "event_type", ts_micros(ev0).alias("t"))
+    return funnel(ev, "user_id", "t", "event_type",
+                  ["signup", "click", "purchase"], within=_FUNNEL_WITHIN)

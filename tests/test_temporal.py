@@ -265,3 +265,72 @@ def test_as_of_join_tolerance(spark):
                       right_cols=["px"], tolerance=0)
     got_eq = {r["trade"]: r["px"] for r in out0.collect()}
     assert got_eq == {"t1": 9.9, "t2": None, "t3": None}
+
+
+# ------------------------------------------------------------------- funnel
+
+def test_funnel_earliest_completion_and_break(spark):
+    from hindex_spark.operators.temporal import funnel
+
+    ev = spark.createDataFrame(
+        [("u", 10, "signup"), ("u", 5, "click"),   # click BEFORE signup: no
+         ("u", 20, "click"), ("u", 30, "purchase"),
+         ("v", 1, "signup"), ("v", 2, "purchase"),  # no click: chain breaks
+         ("w", 7, "click")],                        # never signed up
+        ["user", "t", "step"],
+    )
+    out = {r["user"]: (r["s1_ts"], r["s2_ts"], r["s3_ts"],
+                       r["steps_completed"])
+           for r in funnel(ev, "user", "t", "step",
+                           ["signup", "click", "purchase"]).collect()}
+    assert out["u"] == (10, 20, 30, 3)
+    assert out["v"] == (1, None, None, 1)   # purchase w/o click doesn't count
+    assert out["w"] == (None, None, None, 0)
+
+
+def test_funnel_within_window(spark):
+    from hindex_spark.operators.temporal import funnel
+
+    ev = spark.createDataFrame(
+        [("u", 0, "signup"), ("u", 5, "click"), ("u", 100, "purchase"),
+         ("x", 0, "signup"), ("x", 99, "click"), ("x", 100, "purchase")],
+        ["user", "t", "step"],
+    )
+    out = {r["user"]: (r["s3_ts"], r["steps_completed"])
+           for r in funnel(ev, "user", "t", "step",
+                           ["signup", "click", "purchase"],
+                           within=50).collect()}
+    assert out["u"] == (None, 2)   # purchase outside the 50-unit window
+    assert out["x"] == (None, 1)   # click already outside it
+
+
+def test_funnel_same_instant_and_strict(spark):
+    from hindex_spark.operators.temporal import funnel
+
+    ev = spark.createDataFrame(
+        [("u", 10, "a"), ("u", 10, "b"),     # same-instant distinct steps
+         ("r", 10, "a"), ("r", 20, "a")],    # repeated step
+        ["user", "t", "step"],
+    )
+    lax = {r["user"]: (r["s1_ts"], r["s2_ts"])
+           for r in funnel(ev, "user", "t", "step", ["a", "b"]).collect()}
+    assert lax["u"] == (10, 10)  # at-or-after admits the same instant
+    strict = {r["user"]: (r["s1_ts"], r["s2_ts"])
+              for r in funnel(ev, "user", "t", "step", ["a", "b"],
+                              strict=True).collect()}
+    assert strict["u"] == (10, None)
+    rep = {r["user"]: (r["s1_ts"], r["s2_ts"])
+           for r in funnel(ev, "user", "t", "step", ["a", "a"],
+                           strict=True).collect()}
+    assert rep["r"] == (10, 20)  # strict: a second distinct event needed
+
+
+def test_funnel_single_exchange_plan(spark):
+    from hindex_spark.operators.temporal import funnel
+
+    ev = spark.createDataFrame([("u", 1, "a")], ["user", "t", "step"])
+    plan = funnel(ev, "user", "t", "step", ["a", "b", "c"]
+                  )._jdf.queryExecution().executedPlan().toString()
+    # one shuffle for the window partition; the final groupBy reuses it
+    assert plan.count("Exchange") <= 2
+    assert "BatchEvalPython" not in plan
