@@ -397,3 +397,78 @@ def test_two_process_rollup_corrections_serialize(spark, tmp_path):
     assert sorted(int(v) for v in r2.corrected.values()) == sorted(
         g for g, _ in gens if g > 0
     )
+
+
+PROFILE_WORKER = """
+import os, sys, time
+sys.path.insert(0, {repo!r})
+from pyspark.sql import SparkSession
+from pyspark.sql import functions as F
+from hindex_spark.operators.profile import ProfileStore
+
+wh, sync = sys.argv[1], sys.argv[2]
+spark = (SparkSession.builder.master("local[2]")
+         .config("spark.sql.shuffle.partitions", "2")
+         .config("spark.ui.enabled", "false")
+         .appName("chaos_profile_worker").getOrCreate())
+ps = ProfileStore.open(__import__("hindex_spark.catalog",
+                                  fromlist=["Catalog"]).Catalog(spark, wh),
+                       "chaosps")
+open(os.path.join(sync, "ready"), "w").close()
+while not os.path.exists(os.path.join(sync, "go")):
+    time.sleep(0.05)
+# this process appends a WRONG batch for ids [100, 200) then corrects
+# it — generations must interleave with the main process's without
+# collision (a collision would let one tombstone kill the other's rows)
+batch = spark.range(100, 200).select(
+    F.col("id"),
+    (F.col("id") * 2.5).alias("score"),
+    F.concat(F.lit("w"), F.col("id")).alias("tag"),
+)
+bad = ps.update(batch.withColumn("score", F.col("score") + 1e9))
+ps.replace_batch(bad, batch)
+open(os.path.join(sync, "done"), "w").close()
+spark.stop()
+"""
+
+
+def test_two_process_profile_store_corrections_serialize(spark, tmp_path):
+    """Two real processes race update/replace_batch on one ProfileStore:
+    generations must never collide and the merged read must equal the
+    one-shot profile of exactly the surviving batches."""
+    from hindex_spark.operators.profile import ProfileStore, profile
+
+    wh = str(tmp_path / "wh")
+    sync = str(tmp_path / "sync")
+    os.makedirs(sync)
+    cat = Catalog(spark, wh)
+
+    def mk(n0, n1, shift=0.0):
+        return spark.range(n0, n1).select(
+            F.col("id"),
+            (F.col("id") * 2.5 + shift).alias("score"),
+            F.concat(F.lit("w"), F.col("id")).alias("tag"),
+        )
+
+    cols = ["id", "score", "tag"]
+    ps = ProfileStore.build(cat, mk(0, 50), cols, "chaosps")
+
+    proc = _spawn(PROFILE_WORKER, wh, sync=sync)
+    try:
+        _wait_file(os.path.join(sync, "ready"))
+        open(os.path.join(sync, "go"), "w").close()
+        bad = ps.update(mk(50, 100, shift=1e9))
+        ps.replace_batch(bad, mk(50, 100))
+        _wait_file(os.path.join(sync, "done"))
+        assert proc.wait(timeout=180) == 0
+    finally:
+        if proc.poll() is None:
+            proc.kill()
+
+    ps2 = ProfileStore.open(cat, "chaosps")
+    got = sorted(map(tuple, ps2.read().collect()))
+    want = sorted(map(tuple, profile(mk(0, 200), cols).collect()))
+    assert got == want
+    gens = [row["gen"] for row in
+            ps2.live_partials().select("gen").distinct().collect()]
+    assert len(gens) == len(set(gens)) == 3  # build + 2 corrections
