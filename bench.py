@@ -534,6 +534,28 @@ def main():
             lambda: rollup_store.read().count(),
             runs=3,
         )
+        # sliding read: 6h window advancing hourly from the same store —
+        # the delta vs rollup_store_read is the 6x bucket explosion +
+        # the (win, key) merge, the price of overlap without a rescan
+        bench(
+            "rollup_sliding_read",
+            lambda: rollup_store.read_sliding(
+                6 * HOUR_US, HOUR_US).count(),
+            runs=3,
+        )
+
+    def funnel_q():
+        from hindex_spark.operators.temporal import funnel
+
+        funnel(
+            events.select("user_id", "event_type",
+                          ts_micros(events).alias("t")),
+            "user_id", "t", "event_type",
+            ["signup", "click", "purchase"],
+            within=48 * HOUR_US,
+        ).count()
+
+    bench("funnel_3step", funnel_q, runs=3)
 
     # Sketch-carrying rollup (HLL distinct users + KLL value quantiles
     # per bucket): the read-time delta vs rollup_store_read is what the

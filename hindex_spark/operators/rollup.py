@@ -831,9 +831,9 @@ class RollupStore:
         keys + the usual aggregate columns; windows at the data's edges
         are partially filled, exactly as the direct computation over
         raw events would produce. ``start_us``/``end_us`` restrict the
-        CONTRIBUTING BUCKETS (same contract as ``read``), so an
-        edge window may draw on buckets outside the range only if they
-        are included in it."""
+        CONTRIBUTING BUCKETS (same contract as ``read``): a window
+        whose span crosses the range boundary is served from its
+        in-range buckets only."""
         slide_us = self.grain_us if slide_us is None else slide_us
         for nm, v in (("window_us", window_us), ("slide_us", slide_us)):
             if v <= 0 or v % self.grain_us != 0:
