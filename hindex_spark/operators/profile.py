@@ -349,12 +349,22 @@ class ProfileStore:
                 "corrected": self.corrected}
 
     def _reload_meta(self) -> None:
+        """Re-read persisted meta at the top of every locked mutation —
+        another process may have bumped the generation (or even rebuilt
+        the store with a different column/sketch identity) since this
+        handle opened; a delta applied to a stale baseline loses its
+        update (the cross-process lost-update pattern the other stores
+        guard against)."""
         with open(self._meta_path()) as f:
             m = json.load(f)
         self.num_buckets = m.get("num_buckets", 4)
         self.cur_gen = m.get("cur_gen", 0)
         self.sealed_below = m.get("sealed_below", 0)
         self.corrected = m.get("corrected", {})
+        self.columns = m.get("columns", self.columns)
+        self.kinds = m.get("kinds", self.kinds)
+        self.ndv_lgk = m.get("ndv_lgk", self.ndv_lgk)
+        self.pctl_k = m.get("pctl_k", self.pctl_k)
 
     def _save_meta(self) -> None:
         with open(self._meta_path(), "w") as f:
