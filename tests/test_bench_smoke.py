@@ -43,5 +43,7 @@ def test_bench_cli_contract_sf0001():
         "ann_ivfpq_stored_topk",
         "join_q3_topk", "join_q3_topk_bucketed",
         "sessionize", "asof_join", "corpus_clean",
+        "range_join_attribution", "chunk_documents",
+        "rollup_sliding_read", "funnel_3step",
     }
     assert set(out["queries"]) == expected, set(out["queries"]) ^ expected
