@@ -284,6 +284,51 @@ def funnel(
     return agg.withColumn("steps_completed", done.cast("long"))
 
 
+def funnel_report(
+    df: DataFrame,
+    key: str,
+    ts_col: str,
+    step_col: str,
+    steps: List[str],
+    within: Optional[int] = None,
+    strict: bool = False,
+) -> DataFrame:
+    """The funnel as a report: one row per step with the number of keys
+    reaching it, conversion from the previous step, and conversion from
+    step 1 — the shape an analytics user actually reads. Rates are
+    fixed 4dp strings (deterministic across engines; NULL for step 1's
+    step_conversion). Built on :func:`funnel`, so it inherits the
+    one-shuffle chained-window plan plus one tiny aggregate."""
+    f = funnel(df, key, ts_col, step_col, steps, within, strict)
+    aggs = [
+        F.count(F.when(F.col(f"s{i + 1}_ts").isNotNull(), 1))
+        .alias(f"__n{i + 1}")
+        for i in range(len(steps))
+    ]
+    totals = f.agg(*aggs)
+    rows = []
+    for i, s in enumerate(steps):
+        n = F.col(f"__n{i + 1}")
+        prev = F.col(f"__n{i}") if i > 0 else None
+        step_conv = (
+            F.when(prev > 0, F.format_string("%.4f", n / prev))
+            if i > 0 else F.lit(None).cast("string")
+        )
+        rows.append(F.struct(
+            F.lit(i + 1).cast("long").alias("step"),
+            F.lit(s).alias("step_name"),
+            n.cast("long").alias("n_reached"),
+            step_conv.alias("step_conversion"),
+            F.when(F.col("__n1") > 0,
+                   F.format_string("%.4f", n / F.col("__n1")))
+            .alias("overall_conversion"),
+        ))
+    return totals.select(
+        F.explode(F.array(*rows)).alias("r")
+    ).select("r.step", "r.step_name", "r.n_reached",
+             "r.step_conversion", "r.overall_conversion")
+
+
 def sessionize(
     df: DataFrame,
     key: str,

@@ -302,3 +302,52 @@ def q_funnel(spark, sf_dir):
     ev = ev0.select("user_id", "event_type", ts_micros(ev0).alias("t"))
     return funnel(ev, "user_id", "t", "event_type",
                   ["signup", "click", "purchase"], within=_FUNNEL_WITHIN)
+
+
+@query(
+    "events_funnel_report",
+    f"""WITH e AS (SELECT user_id, event_type, epoch_us(ts) AS t FROM events),
+       w1 AS (SELECT user_id, event_type, t,
+                min(CASE WHEN event_type = 'signup' THEN t END)
+                  OVER (PARTITION BY user_id) AS s1_ts
+              FROM e),
+       w2 AS (SELECT *, min(CASE WHEN event_type = 'click'
+                                  AND s1_ts IS NOT NULL AND t >= s1_ts
+                                  AND t - s1_ts <= {_FUNNEL_WITHIN}
+                                 THEN t END)
+                  OVER (PARTITION BY user_id) AS s2_ts
+              FROM w1),
+       w3 AS (SELECT *, min(CASE WHEN event_type = 'purchase'
+                                  AND s2_ts IS NOT NULL AND t >= s2_ts
+                                  AND t - s1_ts <= {_FUNNEL_WITHIN}
+                                 THEN t END)
+                  OVER (PARTITION BY user_id) AS s3_ts
+              FROM w2),
+       f AS (SELECT user_id, MIN(s1_ts) AS s1, MIN(s2_ts) AS s2,
+                    MIN(s3_ts) AS s3
+             FROM w3 GROUP BY user_id),
+       t AS (SELECT count(s1) AS n1, count(s2) AS n2, count(s3) AS n3
+             FROM f)
+       SELECT CAST(1 AS BIGINT) AS step, 'signup' AS step_name,
+              CAST(n1 AS BIGINT) AS n_reached FROM t
+       UNION ALL
+       SELECT 2, 'click', CAST(n2 AS BIGINT) FROM t
+       UNION ALL
+       SELECT 3, 'purchase', CAST(n3 AS BIGINT) FROM t""",
+)
+def q_funnel_report(spark, sf_dir):
+    """Per-step funnel report (operators/temporal.py:funnel_report):
+    keys reaching each step of signup -> click -> purchase inside the
+    48h window. The gate hashes on the exact integer step counts; the
+    formatted conversion-rate strings are pure functions of those
+    counts (pinned in unit tests) and are excluded because a
+    printf('%.4f') of an exact .00005 tie is the one place Java
+    (HALF_UP) and C (half-even) double formatting can diverge."""
+    from hindex_spark.operators.temporal import funnel_report
+
+    ev0 = spark.read.parquet(f"{sf_dir}/events.parquet")
+    ev = ev0.select("user_id", "event_type", ts_micros(ev0).alias("t"))
+    return funnel_report(
+        ev, "user_id", "t", "event_type",
+        ["signup", "click", "purchase"], within=_FUNNEL_WITHIN,
+    ).select("step", "step_name", "n_reached")

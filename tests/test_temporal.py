@@ -334,3 +334,28 @@ def test_funnel_single_exchange_plan(spark):
     # one shuffle for the window partition; the final groupBy reuses it
     assert plan.count("Exchange") <= 2
     assert "BatchEvalPython" not in plan
+
+
+def test_funnel_report(spark):
+    from hindex_spark.operators.temporal import funnel_report
+
+    ev = spark.createDataFrame(
+        [("u", 1, "a"), ("u", 2, "b"), ("u", 3, "c"),
+         ("v", 1, "a"), ("v", 2, "b"),
+         ("w", 1, "a"),
+         ("x", 9, "b")],   # never did step a: counts nowhere
+        ["user", "t", "step"],
+    )
+    out = {r["step"]: (r["step_name"], r["n_reached"], r["step_conversion"],
+                       r["overall_conversion"])
+           for r in funnel_report(ev, "user", "t", "step",
+                                  ["a", "b", "c"]).collect()}
+    assert out[1] == ("a", 3, None, "1.0000")
+    assert out[2] == ("b", 2, "0.6667", "0.6667")
+    assert out[3] == ("c", 1, "0.5000", "0.3333")
+    # zero keys reach step 1: rates stay NULL instead of dividing by 0
+    none = spark.createDataFrame([("u", 1, "zzz")], ["user", "t", "step"])
+    rows = {r["step"]: (r["n_reached"], r["overall_conversion"])
+            for r in funnel_report(none, "user", "t", "step",
+                                   ["a", "b"]).collect()}
+    assert rows[1] == (0, None) and rows[2] == (0, None)
