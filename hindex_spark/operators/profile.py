@@ -18,6 +18,14 @@ column type deterministically across engines: strings pass through
 (binary collation both engines), integers render as digits, fractional
 numerics at fixed 6dp (``%.6f`` — the repo's fixed-point convention),
 timestamps as epoch micros (via timeutil, physical-type agnostic).
+
+The second half of this module is the PERSISTED form:
+:func:`profile_partials` / :func:`merge_profile_partials` /
+:func:`render_profile` and :class:`ProfileStore` — per-ingest-batch
+mergeable profile rows (counts, typed min/max, HLL NDV + optional KLL
+quantile sketches) appended as correctable generations, so the
+whole-corpus profile is served from a columns-sized store instead of a
+corpus rescan.
 """
 
 from __future__ import annotations

@@ -3232,3 +3232,26 @@ def test_rollup_read_sliding(spark, tmp_path):
         r.read_sliding(HOUR_US + 1)
     with pytest.raises(ValueError, match="drop buckets"):
         r.read_sliding(HOUR_US, 2 * HOUR_US)
+
+
+def test_rollup_read_sliding_spread_identical(spark, tmp_path):
+    """spread_keys on the sliding read is the same deliberate
+    one-exchange trade as read(): result-identical, never semantic."""
+    from datetime import datetime
+
+    from hindex_spark.catalog import Catalog
+    from hindex_spark.operators.rollup import HOUR_US, RollupStore
+
+    rows = [(i, datetime(2024, 1, 1, 8 + (i % 5), i % 60), "t%d" % (i % 3),
+             float(i)) for i in range(60)]
+    cat = Catalog(spark, str(tmp_path / "wh"))
+    r = RollupStore.build(
+        cat, spark.createDataFrame(rows, ["event_id", "ts", "event_type",
+                                          "value"]),
+        "ts", ["event_type"], "value", HOUR_US, "slidesp",
+    )
+    plain = sorted(map(tuple, r.read_sliding(3 * HOUR_US).collect()))
+    spread = sorted(map(tuple,
+                        r.read_sliding(3 * HOUR_US,
+                                       spread_keys=True).collect()))
+    assert plain == spread and len(plain) > 0
