@@ -210,3 +210,56 @@ def select_token_budget(
         .filter(F.col("cum_tokens") <= budget_tokens)
         .select(id_col, domain_col, "n_tokens", "cum_tokens")
     )
+
+
+def weighted_sample(
+    df: DataFrame,
+    k: int,
+    id_col: str,
+    weight_col: str,
+    max_weight: int = 10_000,
+) -> DataFrame:
+    """Deterministic weighted sampling WITHOUT replacement: k rows
+    chosen with probability proportional to integer ``weight_col`` —
+    the Efraimidis-Spirakis scheme, in exact integer arithmetic.
+
+    E-S ranks items by u_i^(1/w_i) (u_i uniform) and takes the top k.
+    The max of w_i independent uniforms has exactly that distribution,
+    so this implementation explodes each row into w_i replicas, hashes
+    each (id, replica) through the module's cross-engine md5 bucket
+    integer, and ranks by the per-id MAX hash (ties broken by id) — no
+    float pow/log whose last-ulp could differ between engines, so the
+    oracle reproduces the selection bit-for-bit.
+
+    Scale shape: one map-side explode (factor = mean weight; weights
+    CLAMP to [1, max_weight] — pre-scale huge weights, they carry no
+    extra selection resolution), one per-id max (partial agg), one
+    global top-k (sort-limit). NULL/absent weights count as 1.
+    """
+    if k <= 0:
+        raise ValueError("k must be positive")
+    w = F.coalesce(F.col(weight_col).cast("long"), F.lit(1))
+    w = F.least(F.greatest(w, F.lit(1)), F.lit(int(max_weight)))
+    reps = df.select(
+        F.col(id_col),
+        F.explode(F.sequence(F.lit(1).cast("long"), w)).alias("__rep"),
+    )
+    # 15 hex chars = a 60-bit integer: fits long exactly, and the same
+    # SUBSTRING(md5(..),1,15) conversion is expressible in DuckDB
+    # (sample_bucket_str's convention)
+    h = F.conv(
+        F.substring(
+            F.md5(F.concat_ws("#", F.col(id_col).cast("string"),
+                              F.col("__rep").cast("string"))),
+            1, 15,
+        ),
+        16, 10,
+    ).cast("long")
+    keyed = reps.select(F.col(id_col), h.alias("__h")).groupBy(id_col).agg(
+        F.max("__h").alias("__key")
+    )
+    return (
+        keyed.orderBy(F.desc("__key"), F.col(id_col))
+        .limit(int(k))
+        .select(id_col, F.col("__key").alias("sample_key"))
+    )

@@ -466,6 +466,39 @@ def q_stratified_sample(spark, sf_dir):
 
 
 @query(
+    "corpus_weighted_sample",
+    """WITH w AS (SELECT doc_id,
+                         LEAST(GREATEST((n_chars // 100) + 1, 1), 10000)
+                           AS wt
+                  FROM documents),
+        r AS (SELECT doc_id, unnest(generate_series(1, wt)) AS rep FROM w),
+        h AS (SELECT doc_id,
+                     CAST(CONCAT('0x',
+                          SUBSTRING(md5(CONCAT(CAST(doc_id AS VARCHAR), '#',
+                                               CAST(rep AS VARCHAR))),
+                                    1, 15)) AS BIGINT) AS hv
+              FROM r),
+        k AS (SELECT doc_id, MAX(hv) AS sample_key FROM h GROUP BY doc_id)
+       SELECT doc_id, sample_key FROM k
+       ORDER BY sample_key DESC, doc_id LIMIT 50""",
+)
+def q_weighted_sample(spark, sf_dir):
+    """Weighted sampling WITHOUT replacement (sampling.py:
+    weighted_sample): 50 documents chosen proportional to a
+    length-derived integer weight — Efraimidis-Spirakis ranking by the
+    per-id MAX of per-replica 60-bit md5 hashes, EXACT integer
+    arithmetic end-to-end (no float pow/log whose last ulp could
+    diverge between engines), so the DuckDB oracle reproduces the
+    selection bit-for-bit."""
+    from hindex_spark.operators.sampling import weighted_sample
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    wdf = docs.select(
+        "doc_id", F.expr("(n_chars div 100) + 1").alias("wt"))
+    return weighted_sample(wdf, 50, "doc_id", "wt")
+
+
+@query(
     "corpus_stratified_cap",
     f"""SELECT doc_id, source FROM (
           SELECT doc_id, source,

@@ -3255,3 +3255,58 @@ def test_rollup_read_sliding_spread_identical(spark, tmp_path):
                         r.read_sliding(3 * HOUR_US,
                                        spread_keys=True).collect()))
     assert plain == spread and len(plain) > 0
+
+
+# --------------------------------------------------------- weighted sampling
+
+def test_weighted_sample_matches_python_model(spark):
+    """Bit-exact vs the same md5-hash E-S model in Python: top-k by
+    per-id max of the 60-bit (id#rep) hashes, ties by id."""
+    import hashlib
+
+    from hindex_spark.operators.sampling import weighted_sample
+
+    rows = [(i, (i % 4) + 1) for i in range(30)]
+    df = spark.createDataFrame(rows, ["doc_id", "w"])
+    got = [(r["doc_id"], r["sample_key"])
+           for r in weighted_sample(df, 7, "doc_id", "w").collect()]
+
+    def h(i, rep):
+        return int(hashlib.md5(f"{i}#{rep}".encode()).hexdigest()[:15], 16)
+
+    keys = {i: max(h(i, rep) for rep in range(1, w + 1)) for i, w in rows}
+    want = sorted(keys.items(), key=lambda kv: (-kv[1], kv[0]))[:7]
+    assert got == [(i, k) for i, k in want]
+
+
+def test_weighted_sample_is_weight_proportional(spark):
+    """Statistical sanity at the population level: ids with weight 9
+    must be selected far more often than weight-1 ids (exactly the E-S
+    guarantee), measured across many disjoint id universes."""
+    from hindex_spark.operators.sampling import weighted_sample
+
+    # 400 ids, half weight 9 and half weight 1; take 100
+    rows = [(i, 9 if i % 2 == 0 else 1) for i in range(400)]
+    df = spark.createDataFrame(rows, ["doc_id", "w"])
+    picked = [r["doc_id"] for r in
+              weighted_sample(df, 100, "doc_id", "w").collect()]
+    heavy = sum(1 for i in picked if i % 2 == 0)
+    # E[heavy] ~ 88 of 100 (9:1 odds); even a loose bound separates it
+    assert heavy > 70
+    # deterministic: same call, same answer
+    again = [r["doc_id"] for r in
+             weighted_sample(df, 100, "doc_id", "w").collect()]
+    assert picked == again
+
+
+def test_weighted_sample_clamps_and_defaults(spark):
+    import pytest
+
+    from hindex_spark.operators.sampling import weighted_sample
+
+    df = spark.createDataFrame(
+        [(1, None), (2, -5), (3, 10**9)], ["doc_id", "w"])
+    out = weighted_sample(df, 3, "doc_id", "w", max_weight=4).collect()
+    assert len(out) == 3  # NULL->1, negative->1, huge->clamped: all eligible
+    with pytest.raises(ValueError, match="positive"):
+        weighted_sample(df, 0, "doc_id", "w")
