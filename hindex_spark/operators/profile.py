@@ -570,3 +570,25 @@ class ProfileStore:
             merge_profile_partials(self.live_partials().drop("gen")),
             self.kinds, pctls=pctls,
         )
+
+    def read_with(self, tail_batch: DataFrame,
+                  pctls: Optional[List[float]] = None) -> DataFrame:
+        """REAL-TIME profile (RollupStore.read_with's lambda shape):
+        the merged profile over the persisted partials UNION a raw
+        ``tail_batch`` that has NOT yet been ``update()``d — data
+        quality checks see the in-flight batch without waiting for the
+        append. The tail is profiled batch-sized with the same partials
+        expression and unioned below the merge, so the result equals
+        what ``read()`` would return after ``update(tail_batch)``.
+        Caller contract (same as update): the tail is unseen data —
+        passing an already-updated batch double-counts."""
+        if pctls and self.pctl_k is None:
+            raise ValueError(
+                "store carries no quantile sketches — rebuild with "
+                "pctl_k to serve percentiles")
+        self._check_batch(tail_batch)
+        tail = profile_partials(tail_batch, self.columns, self.ndv_lgk,
+                                pctl_k=self.pctl_k)
+        p = self.live_partials().drop("gen").unionByName(tail)
+        return render_profile(merge_profile_partials(p), self.kinds,
+                              pctls=pctls)

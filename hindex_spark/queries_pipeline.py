@@ -2529,6 +2529,42 @@ def q_events_profile_store(spark, sf_dir):
 
 
 @query(
+    "events_profile_realtime",
+    """SELECT 'event_type' AS col_name,
+          CAST(count(event_type) AS BIGINT) AS n_rows,
+          CAST(count(*) - count(event_type) AS BIGINT) AS n_null,
+          CAST(count(DISTINCT event_type) AS BIGINT) AS ndv,
+          min(event_type) AS min_repr, max(event_type) AS max_repr
+        FROM events
+       UNION ALL
+       SELECT 'user_id', CAST(count(user_id) AS BIGINT),
+          CAST(count(*) - count(user_id) AS BIGINT),
+          CAST(count(DISTINCT user_id) AS BIGINT),
+          CAST(min(user_id) AS VARCHAR), CAST(max(user_id) AS VARCHAR)
+        FROM events""",
+)
+def q_events_profile_realtime(spark, sf_dir):
+    """REAL-TIME profile (ProfileStore.read_with — the lambda read):
+    the store has materialized only the even half of events; the odd
+    half is served as a raw not-yet-updated tail, profiled batch-sized
+    and unioned below the merge. The oracle profiles ALL events
+    directly, so a tail row dropped, double-counted, or sketched into
+    the wrong column breaks the hash."""
+    import tempfile
+
+    from hindex_spark.catalog import Catalog
+    from hindex_spark.operators.profile import ProfileStore
+
+    events = spark.read.parquet(f"{sf_dir}/events.parquet")
+    cols = ["event_type", "user_id"]
+    cat = Catalog(spark, tempfile.mkdtemp(prefix="hindex_profstore_"))
+    ps = ProfileStore.build(
+        cat, events.filter(F.col("event_id") % 2 == 0), cols, "gate_rt"
+    )
+    return ps.read_with(events.filter(F.col("event_id") % 2 == 1))
+
+
+@query(
     "events_rollup_topk",
     """WITH b AS (
           SELECT epoch_us(ts) - (epoch_us(ts) % 3600000000) AS bucket_us,

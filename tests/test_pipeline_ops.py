@@ -3310,3 +3310,23 @@ def test_weighted_sample_clamps_and_defaults(spark):
     assert len(out) == 3  # NULL->1, negative->1, huge->clamped: all eligible
     with pytest.raises(ValueError, match="positive"):
         weighted_sample(df, 0, "doc_id", "w")
+
+
+def test_profile_store_read_with_realtime_tail(spark, tmp_path):
+    """read_with(tail) must equal read() after update(tail) — exactly,
+    including quantile sketches — without mutating the store."""
+    from hindex_spark.catalog import Catalog
+    from hindex_spark.operators.profile import ProfileStore
+
+    cols = ["id", "score", "tag"]
+    b1 = spark.createDataFrame(
+        [(i, float(i), f"t{i}") for i in range(15)], cols)
+    tail = spark.createDataFrame(
+        [(i, float(i) * 2, f"u{i}") for i in range(15, 40)], cols)
+    cat = Catalog(spark, str(tmp_path / "wh"))
+    ps = ProfileStore.build(cat, b1, cols, "prt", pctl_k=256)
+    gen_before = ps.cur_gen
+    live = sorted(map(tuple, ps.read_with(tail, pctls=[0.5]).collect()))
+    assert ps.cur_gen == gen_before  # nothing persisted
+    ps.update(tail)
+    assert live == sorted(map(tuple, ps.read(pctls=[0.5]).collect()))
