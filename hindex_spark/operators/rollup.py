@@ -231,6 +231,21 @@ class RollupStore:
         #: fall back to the gauge; build()/compact() re-evaluate, so a
         #: fold that fits the cap re-enables maintenance.
         self.hist_disabled = False
+        #: version history for time travel (``read_asof``): one entry
+        #: per mutating verb, ``{"v", "op", "add", "drop", "reset"}`` —
+        #: replaying add/drop (reset = start over, compact's fold)
+        #: yields the live generation set at any version. Appended
+        #: under the writer lease; None on stores written before
+        #: versions existed (read_asof refuses those — the history
+        #: cannot be reconstructed retroactively).
+        self.history = None
+        #: monotonically increasing store version (build = 0; every
+        #: mutating verb bumps it)
+        self.cur_version = 0
+        #: versions strictly below this are unreadable: a physical
+        #: rewrite (compact/expire) purged rows their reconstruction
+        #: needs — the Delta-Lake VACUUM rule applied to generations
+        self.sealed_version = 0
 
     @property
     def sql_name(self) -> str:
@@ -273,6 +288,10 @@ class RollupStore:
         clear_tombstones(r._tombstone_path())
         r.cur_gen = 0
         r.sealed_below = 0
+        r.history = [{"v": 0, "op": "build", "add": [0], "drop": [],
+                      "reset": True}]
+        r.cur_version = 0
+        r.sealed_version = 0
         # seed the bucket histogram from the saved (aggregate-sized)
         # table — one bounded job at build time buys every later
         # auto-read its spread decision for free
@@ -292,7 +311,9 @@ class RollupStore:
                 "hist_disabled": self.hist_disabled,
                 "ndv_col": self.ndv_col, "ndv_lgk": self.ndv_lgk,
                 "pctl_col": self.pctl_col, "pctl_k": self.pctl_k,
-                "topk_col": self.topk_col, "topk_max": self.topk_max}
+                "topk_col": self.topk_col, "topk_max": self.topk_max,
+                "history": self.history, "cur_version": self.cur_version,
+                "sealed_version": self.sealed_version}
 
     def _reload_meta(self) -> None:
         """Re-read the persisted meta into this handle — MUST run at
@@ -308,6 +329,9 @@ class RollupStore:
         self.corrected = m.get("corrected", {})
         self.gen_hist = m.get("gen_hist")
         self.hist_disabled = m.get("hist_disabled", False)
+        self.history = m.get("history")
+        self.cur_version = m.get("cur_version", 0)
+        self.sealed_version = m.get("sealed_version", 0)
 
     def _tombstone_path(self) -> str:
         from hindex_spark.operators.artifact import tombstone_path
@@ -330,6 +354,9 @@ class RollupStore:
         r.corrected = m.get("corrected", {})
         r.gen_hist = m.get("gen_hist")
         r.hist_disabled = m.get("hist_disabled", False)
+        r.history = m.get("history")
+        r.cur_version = m.get("cur_version", 0)
+        r.sealed_version = m.get("sealed_version", 0)
         return r
 
     def _ensure_registered(self) -> None:
@@ -417,6 +444,7 @@ class RollupStore:
                     self.gen_hist[str(gen)] = self._hist_of_gen_locked(gen)
                 self._hist_commit()
             self.cur_gen = gen
+            self._record_version("update", add=[gen])
             with open(self._meta_path(), "w") as f:
                 json.dump(self._meta(), f)
         return gen
@@ -448,6 +476,99 @@ class RollupStore:
                 f"generation {gen} was already superseded by generation "
                 f"{prior}; correct generation {prior} instead"
             )
+
+    def _record_version(self, op: str, add=(), drop=(),
+                        reset: bool = False, seal: bool = False) -> None:
+        """Append one verb to the version history (caller holds the
+        writer lock and commits meta afterwards). Pre-history stores
+        (``history is None``) stay history-less — a partial history
+        would reconstruct WRONG states, which is worse than refusing."""
+        if self.history is None:
+            return
+        self.cur_version += 1
+        self.history.append({
+            "v": self.cur_version, "op": op,
+            "add": [int(g) for g in add], "drop": [int(g) for g in drop],
+            "reset": reset,
+        })
+        if seal:
+            self.sealed_version = self.cur_version
+
+    def _live_gens_at(self, version: int) -> set:
+        """Replay the history prefix ``v <= version`` into the set of
+        generations whose rows are live at that version. A compact
+        event's ``reset`` is deliberately NOT applied as a clear: the
+        pre-fold gens stay in the set — after a clean compact their
+        rows are gone (harmless), and after a crash between compact's
+        meta commit and its rewrite they ARE the state (the folded gen
+        has no rows yet), so the tolerant set reads correctly either
+        way. Gens dropped by replace/delete are excluded by the replay
+        itself, so the scan filter needs no tombstone join."""
+        live = set()
+        for ev in self.history:
+            if ev["v"] > version:
+                break
+            live |= set(ev["add"])
+            live -= set(ev["drop"])
+        return live
+
+    def versions(self) -> list:
+        """The store's version history (DESCRIBE HISTORY): one entry
+        per mutating verb, oldest first. Entries below
+        ``sealed_version`` are listed but no longer readable."""
+        return list(self.history or [])
+
+    def read_asof(
+        self,
+        version: int,
+        start_us: Optional[int] = None,
+        end_us: Optional[int] = None,
+        spread_keys: bool = False,
+        pctls=None,
+        topk=None,
+    ) -> DataFrame:
+        """TIME TRAVEL: the merged rollup exactly as ``read()`` would
+        have returned it at store version ``version`` (build = 0, every
+        update/replace_batch/delete_batch/compact/expire bumps —
+        ``versions()`` lists them). Because corrections are tombstone
+        appends and never rewrites, every historical row is still
+        physically present until a compact()/expire() rewrite — so an
+        as-of read is just a generation-set scan filter (replayed from
+        meta, zero extra jobs), and versions before the last rewrite
+        are refused (the Delta-Lake VACUUM rule: the rewrite purged the
+        rows those versions need).
+
+        ``read_asof(cur_version)`` is row-for-row ``read()``."""
+        self._reload_meta()
+        if self.history is None:
+            raise ValueError(
+                f"rollup store {self.name} predates version history; "
+                "rebuild it to enable time travel"
+            )
+        if version > self.cur_version:
+            raise ValueError(
+                f"version {version} does not exist (cur_version="
+                f"{self.cur_version})"
+            )
+        if version < self.sealed_version:
+            sealing = next(
+                ev for ev in self.history if ev["v"] == self.sealed_version
+            )
+            raise ValueError(
+                f"version {version} was sealed by {sealing['op']}() at "
+                f"version {self.sealed_version}: the rewrite purged rows "
+                "its reconstruction needs"
+            )
+        live = self._live_gens_at(version)
+        p = self.partials.filter(
+            F.col("gen").isin([int(g) for g in sorted(live)])
+        )
+        if start_us is not None:
+            p = p.filter(F.col("bucket_us") >= start_us)
+        if end_us is not None:
+            p = p.filter(F.col("bucket_us") < end_us)
+        p = self._maybe_spread(p, spread_keys, start_us, end_us)
+        return self._finish(merge_partials(p, self.key_cols), pctls, topk)
 
     def replace_batch(self, gen: int, corrected: DataFrame) -> int:
         """CORRECT history: supersede the partials generation ``gen``
@@ -490,6 +611,7 @@ class RollupStore:
                 self._hist_commit()
             self.cur_gen = new_gen
             self.corrected[str(gen)] = new_gen
+            self._record_version("replace", add=[new_gen], drop=[gen])
             with open(self._meta_path(), "w") as f:
                 json.dump(self._meta(), f)
         return new_gen
@@ -510,6 +632,7 @@ class RollupStore:
             self.corrected[str(gen)] = None
             if self.gen_hist is not None:
                 self.gen_hist.pop(str(gen), None)
+            self._record_version("delete", drop=[gen])
             with open(self._meta_path(), "w") as f:
                 json.dump(self._meta(), f)
 
@@ -911,6 +1034,9 @@ class RollupStore:
             # relied on are cleared here)
             self._hist_rebuild_locked()
             self._hist_commit(reevaluate=True)
+            # the rewrite purged tombstoned rows and expired buckets:
+            # versions before this point are no longer reconstructible
+            self._record_version("expire", seal=True)
             with open(self._meta_path(), "w") as f:
                 json.dump(self._meta(), f)
 
@@ -947,6 +1073,12 @@ class RollupStore:
             # from the folded table below
             self.gen_hist = None
             self.num_buckets = num_buckets
+            # recorded (and sealed) in the SAME pre-rewrite commit as
+            # the generation fold: a crash between this commit and the
+            # rewrite must leave historical versions refused, never
+            # reconstructing from rows the restarted compact rewrites
+            self._record_version("compact", add=[new_gen], reset=True,
+                                 seal=True)
             with open(self._meta_path(), "w") as f:
                 json.dump(self._meta(), f)
             raw = self.catalog.read_raw(self.table_name)

@@ -1990,6 +1990,83 @@ def q_rollup_daily(spark, sf_dir):
     return _rollup_micro(r.read_at(DAY_US))
 
 
+_TIMETRAVEL_ORACLE = """WITH b AS (
+      SELECT epoch_us(ts) - (epoch_us(ts) % 3600000000) AS bucket_us,
+             event_type,
+             CAST(CAST(ROUND(value, 6) AS DECIMAL(18,6)) * 1000000
+                  AS BIGINT) AS vm,
+             CAST(CAST(ROUND(value * 2, 6) AS DECIMAL(18,6)) * 1000000
+                  AS BIGINT) AS vm2,
+             event_id % 3 = 2 AS third
+      FROM events WHERE ts IS NOT NULL),
+    vpre AS (
+      SELECT CAST(2 AS BIGINT) AS v, bucket_us, event_type,
+             CAST(count(*) AS BIGINT) AS cnt,
+             CAST(SUM(CASE WHEN third THEN vm2 ELSE vm END)
+                  AS BIGINT) AS vsum_micro,
+             MIN(CASE WHEN third THEN vm2 ELSE vm END) AS vmin_micro,
+             MAX(CASE WHEN third THEN vm2 ELSE vm END) AS vmax_micro
+      FROM b GROUP BY bucket_us, event_type),
+    vpost AS (
+      SELECT CAST(3 AS BIGINT) AS v, bucket_us, event_type,
+             CAST(count(*) AS BIGINT) AS cnt,
+             CAST(SUM(vm) AS BIGINT) AS vsum_micro,
+             MIN(vm) AS vmin_micro,
+             MAX(vm) AS vmax_micro
+      FROM b GROUP BY bucket_us, event_type)
+    SELECT * FROM vpre UNION ALL SELECT * FROM vpost"""
+
+
+@query("events_rollup_timetravel", _TIMETRAVEL_ORACLE)
+def q_rollup_timetravel(spark, sf_dir):
+    """TIME TRAVEL on the persisted RollupStore
+    (operators/rollup.py:read_asof): builds from one-third of the
+    events, appends a second third, appends a MISREPORTED final third
+    (values doubled), then corrects it with ``replace_batch`` — and
+    returns the store AS OF the pre-correction version (still showing
+    the doubled values) unioned with the post-correction version,
+    tagged by ``v``. Corrections are tombstone appends, so the as-of
+    read is a generation-set scan filter replayed from meta — zero
+    extra jobs, no history rewrite. The oracle derives both versions
+    straight from raw events (CASE-doubling the misreported third),
+    so the whole history mechanism is value-checked end to end. The
+    reference serves historical cell versions the same way
+    (Scan.setTimeRange, Scan.java:86) — this is that capability at
+    batch granularity.
+
+    Integer micro-unit hash surface, and the post-correction as-of
+    read is asserted row-for-row equal to ``read()`` before
+    returning."""
+    import tempfile
+
+    from hindex_spark.catalog import Catalog
+    from hindex_spark.operators.rollup import HOUR_US, RollupStore
+
+    events = spark.read.parquet(f"{sf_dir}/events.parquet")
+    third = F.pmod(F.col("event_id"), F.lit(3))
+    cat = Catalog(spark, tempfile.mkdtemp(prefix="hindex_rollup_"))
+    r = RollupStore.build(
+        cat, events.filter(third == 0),
+        "ts", ["event_type"], "value", HOUR_US, "gate_events_tt",
+    )
+    r.update(events.filter(third == 1))
+    g_mis = r.update(
+        events.filter(third == 2).withColumn(
+            "value", F.col("value") * F.lit(2.0)
+        )
+    )
+    r.replace_batch(g_mis, events.filter(third == 2))
+    out_pre = _rollup_micro(r.read_asof(2))
+    out_post = _rollup_micro(r.read_asof(3))
+    _assert_rollup_equals_direct(
+        spark, out_post, _rollup_micro(r.read()), r
+    )
+    tag = lambda df, v: df.select(  # noqa: E731
+        F.lit(v).cast("long").alias("v"), "*"
+    )
+    return tag(out_pre, 2).unionByName(tag(out_post, 3))
+
+
 _BF_TOPK_ORACLE = f"""SELECT q_id, vec_id, cosine, rank FROM (
       SELECT q.vec_id AS q_id, e.vec_id AS vec_id,
              ROUND({_Q_COS_SQL}, 6) AS cosine,

@@ -99,6 +99,15 @@ def test_rollup_verb_interleavings_match_dict_model(
     live = {0: list(seed)}          # gen -> rows
     corrected = {}                  # gen -> superseding (None = deleted)
     sealed_below, cur_gen = 0, 0
+    # version-history model for read_asof: version -> snapshot of live;
+    # physical rewrites seal everything before them
+    snapshots = {0: {g: list(rs) for g, rs in live.items()}}
+    cur_version, sealed_version = 0, 0
+
+    def _snap():
+        nonlocal cur_version
+        cur_version += 1
+        snapshots[cur_version] = {g: list(rs) for g, rs in live.items()}
 
     for verb, salt, rows in ops:
         if verb == "update":
@@ -106,6 +115,7 @@ def test_rollup_verb_interleavings_match_dict_model(
             cur_gen += 1
             assert g == cur_gen
             live[g] = list(rows)
+            _snap()
         elif verb in ("replace", "delete"):
             target = salt % (cur_gen + 2)  # covers nonexistent too
             if target < sealed_below:
@@ -135,6 +145,7 @@ def test_rollup_verb_interleavings_match_dict_model(
                 r.delete_batch(target)
                 live.pop(target, None)
                 corrected[target] = None
+            _snap()
         elif verb == "compact":
             r.compact()
             cur_gen += 1
@@ -142,6 +153,8 @@ def test_rollup_verb_interleavings_match_dict_model(
             folded = [row for rows_ in live.values() for row in rows_]
             live = {cur_gen: folded}
             corrected = {}
+            _snap()
+            sealed_version = cur_version
         elif verb == "expire":
             cutoff = BUCKETS[salt % 3]
             r.expire(cutoff)
@@ -149,6 +162,8 @@ def test_rollup_verb_interleavings_match_dict_model(
                 g: [row for row in rows_ if BUCKETS[row[0]] >= cutoff]
                 for g, rows_ in live.items()
             }
+            _snap()
+            sealed_version = cur_version
 
     # 1) merged read equals the model aggregation exactly (values are
     # small integers, so the DECIMAL(18,6) sums convert exactly)
@@ -179,3 +194,22 @@ def test_rollup_verb_interleavings_match_dict_model(
     r2 = RollupStore.open(cat, "prop")
     assert (r2.cur_gen, r2.sealed_below) == (cur_gen, sealed_below)
     assert {int(k): v for k, v in r2.corrected.items()} == corrected
+
+    # 4) read_asof replays EVERY surviving version to its snapshot's
+    # model aggregation, and sealed versions are refused
+    assert (r2.cur_version, r2.sealed_version) == (
+        cur_version, sealed_version)
+    for v in range(sealed_version, cur_version + 1):
+        got_v = {
+            (row["bucket_us"], row["event_type"]): (
+                row["cnt"], float(row["vsum"]), float(row["vmin"]),
+                float(row["vmax"]),
+            )
+            for row in r2.read_asof(v).collect()
+        }
+        want_v = {k: (c, float(s), float(lo), float(hi))
+                  for k, (c, s, lo, hi) in _model_read(snapshots[v]).items()}
+        assert got_v == want_v, f"read_asof({v}) diverged"
+    if sealed_version > 0:
+        with pytest.raises(ValueError, match="sealed by"):
+            r2.read_asof(sealed_version - 1)
