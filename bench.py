@@ -509,6 +509,19 @@ def main():
 
     bench("chunk_documents", chunk_docs, runs=3)
 
+    # Record linkage: all customer-name pairs within one edit via
+    # SymSpell deletion-neighborhood blocking — linear signatures +
+    # one variant-keyed shuffle vs the quadratic all-pairs scan the
+    # oracle runs (15k names here; at 100 TB the all-pairs version is
+    # simply not runnable).
+    def edit_pairs():
+        from hindex_spark.operators.linkage import edit_distance_pairs
+
+        cust = spark.read.parquet(f"{SF_DIR}/customer.parquet")
+        edit_distance_pairs(cust, "c_custkey", "c_name", 1).count()
+
+    bench("edit_distance_pairs", edit_pairs, runs=3)
+
     # Continuous aggregate: the same hourly query against the persisted
     # rollup store (merged partials, store-side exchange-free) vs
     # aggregating the raw events every time. The store build is

@@ -2067,6 +2067,55 @@ def q_rollup_timetravel(spark, sf_dir):
     return tag(out_pre, 2).unionByName(tag(out_post, 3))
 
 
+@query(
+    "linkage_edit_pairs",
+    """SELECT a.c_custkey AS id_a, b.c_custkey AS id_b,
+              CAST(levenshtein(a.c_name, b.c_name) AS BIGINT) AS dist
+       FROM customer a JOIN customer b ON a.c_custkey < b.c_custkey
+       WHERE levenshtein(a.c_name, b.c_name) <= 1""",
+)
+def q_linkage_edit_pairs(spark, sf_dir):
+    """Record linkage: every customer-name pair within ONE Levenshtein
+    edit, via the SymSpell deletion-neighborhood blocking
+    (operators/linkage.py) — map-only variant signatures, one
+    variant-keyed shuffle, thresholded JVM-side verify. The oracle is
+    the honest all-pairs comparison, so the gate proves the blocking
+    is exact (the cover is a guarantee): blocked cost is linear in
+    rows x key length vs the oracle's quadratic scan. The reference's
+    FuzzyRowFilter (FuzzyRowFilter.java:60) is the one-pattern-vs-keys
+    version of this set operation."""
+    from hindex_spark.operators.linkage import edit_distance_pairs
+
+    cust = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    return edit_distance_pairs(cust, "c_custkey", "c_name", 1).select(
+        "id_a", "id_b", F.col("dist").cast("long").alias("dist")
+    )
+
+
+@query(
+    "linkage_edit_join",
+    """SELECT a.c_custkey AS id_a, b.c_custkey AS id_b,
+              CAST(levenshtein(a.c_name, b.c_name) AS BIGINT) AS dist
+       FROM customer a JOIN customer b ON b.c_custkey % 2 = 1
+       WHERE a.c_custkey % 2 = 0
+         AND levenshtein(a.c_name, b.c_name) <= 1""",
+)
+def q_linkage_edit_join(spark, sf_dir):
+    """Cross-table record linkage (edit_distance_join): even-custkey
+    customers matched against odd-custkey customers within one edit —
+    the two-corpus blocked-join path (distinct valve/candidate
+    machinery from the self-pairs case), against the same honest
+    quadratic oracle."""
+    from hindex_spark.operators.linkage import edit_distance_join
+
+    cust = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    even = cust.filter(F.col("c_custkey") % 2 == 0)
+    odd = cust.filter(F.col("c_custkey") % 2 == 1)
+    return edit_distance_join(
+        even, "c_custkey", "c_name", odd, "c_custkey", "c_name", 1
+    ).select("id_a", "id_b", F.col("dist").cast("long").alias("dist"))
+
+
 _BF_TOPK_ORACLE = f"""SELECT q_id, vec_id, cosine, rank FROM (
       SELECT q.vec_id AS q_id, e.vec_id AS vec_id,
              ROUND({_Q_COS_SQL}, 6) AS cosine,

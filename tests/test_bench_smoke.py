@@ -45,5 +45,6 @@ def test_bench_cli_contract_sf0001():
         "sessionize", "asof_join", "corpus_clean",
         "range_join_attribution", "chunk_documents",
         "rollup_sliding_read", "funnel_3step",
+        "edit_distance_pairs",
     }
     assert set(out["queries"]) == expected, set(out["queries"]) ^ expected
