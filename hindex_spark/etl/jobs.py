@@ -406,6 +406,90 @@ def verify_replication(
     )
 
 
+def diff_tables(
+    old: DataFrame,
+    new: DataFrame,
+    key_cols: Sequence[str],
+    compare_cols: Optional[Sequence[str]] = None,
+    include_unchanged: bool = False,
+    two_pass: bool = False,
+) -> DataFrame:
+    """Row-level table diff with changed-column attribution: one row
+    per differing key — ``change`` in (added, removed, changed) plus
+    ``changed_cols``, the comma-joined names (in ``old``'s column
+    order) of the columns whose values differ null-safely. The
+    row-detail companion to ``verify_replication`` (whose counters say
+    HOW MANY rows diverged; this says WHICH rows and WHICH columns —
+    the data-migration audit surface).
+
+    ``two_pass=True`` is the 100 TB plan for wide tables with sparse
+    diffs: pass 1 compares map-side (rowkey, digest) projections —
+    the full-outer join ships two narrow columns — and only the
+    differing keys' rows are re-joined wide for attribution, so the
+    wide shuffle is diff-sized, not table-sized. Default off: one
+    wide full-outer join, the cheaper plan when diffs are dense or
+    rows are narrow. Result-identical either way (pinned by test)."""
+    import functools
+
+    if isinstance(key_cols, str):
+        key_cols = [key_cols]
+    key_cols = list(key_cols)
+    cols = (list(compare_cols) if compare_cols is not None
+            else [c for c in old.columns if c not in key_cols])
+    missing = [c for c in cols + key_cols if c not in new.columns]
+    if missing:
+        raise ValueError(f"columns missing from new frame: {missing}")
+
+    if two_pass and not include_unchanged:
+        if len(key_cols) != 1:
+            raise ValueError("two_pass diff needs a single key column")
+        rk = key_cols[0]
+        s = _row_digest(old, rk, cols, "xxhash64")
+        p = _row_digest(new, rk, cols, "xxhash64")
+        j = s.alias("s").join(
+            p.alias("p"), F.col("s.__rk") == F.col("p.__rk"), "full_outer"
+        ).filter(
+            F.col("s.__rk").isNull() | F.col("p.__rk").isNull()
+            | (F.col("s.__digest") != F.col("p.__digest"))
+        )
+        keys = j.select(
+            F.coalesce(F.col("s.__rk"), F.col("p.__rk")).alias(rk)
+        )
+        # pass 2: wide attribution join restricted to the differing
+        # keys — semi-join each side down before the full-outer
+        old = old.join(keys, rk, "left_semi")
+        new = new.join(keys, rk, "left_semi")
+
+    o = old.select(
+        *key_cols, F.lit(True).alias("__in_old"),
+        *[F.col(c).alias(f"__o_{c}") for c in cols],
+    )
+    n = new.select(
+        *key_cols, F.lit(True).alias("__in_new"),
+        *[F.col(c).alias(f"__n_{c}") for c in cols],
+    )
+    j = o.join(n, key_cols, "full_outer")
+    differ = [~F.col(f"__o_{c}").eqNullSafe(F.col(f"__n_{c}")) for c in cols]
+    any_diff = functools.reduce(lambda a, b: a | b, differ, F.lit(False))
+    change = (
+        F.when(F.col("__in_old").isNull(), F.lit("added"))
+        .when(F.col("__in_new").isNull(), F.lit("removed"))
+        .when(any_diff, F.lit("changed"))
+        .otherwise(F.lit("unchanged"))
+    )
+    changed_cols = F.when(
+        F.col("__in_old").isNull() | F.col("__in_new").isNull(), F.lit("")
+    ).otherwise(
+        F.concat_ws(",", *[F.when(d, F.lit(c)) for c, d in zip(cols, differ)])
+    )
+    out = j.select(
+        *key_cols, change.alias("change"), changed_cols.alias("changed_cols")
+    )
+    if include_unchanged:
+        return out
+    return out.filter(F.col("change") != "unchanged")
+
+
 def bulk_load(
     spark: SparkSession, prepared_path: str, table_path: str
 ) -> None:

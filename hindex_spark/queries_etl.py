@@ -511,6 +511,67 @@ def q_etl_verify_replication(spark, sf_dir):
 
 
 @query(
+    "etl_table_diff",
+    """WITH o AS (SELECT * FROM orders WHERE o_orderkey % 5 <> 0),
+       n AS (SELECT o_orderkey, o_custkey, o_orderstatus,
+                    CASE WHEN o_orderkey % 3 = 0 THEN o_totalprice * 2
+                         ELSE o_totalprice END AS o_totalprice,
+                    o_orderdate,
+                    CASE WHEN o_orderkey % 11 = 0 THEN 'X'
+                         ELSE o_orderpriority END AS o_orderpriority
+             FROM orders WHERE o_orderkey % 7 <> 0)
+       SELECT COALESCE(o.o_orderkey, n.o_orderkey) AS o_orderkey,
+              CASE WHEN o.o_orderkey IS NULL THEN 'added'
+                   WHEN n.o_orderkey IS NULL THEN 'removed'
+                   ELSE 'changed' END AS change,
+              CASE WHEN o.o_orderkey IS NULL OR n.o_orderkey IS NULL
+                   THEN ''
+                   ELSE concat_ws(',',
+                     CASE WHEN o.o_custkey IS DISTINCT FROM n.o_custkey
+                          THEN 'o_custkey' END,
+                     CASE WHEN o.o_orderstatus IS DISTINCT FROM n.o_orderstatus
+                          THEN 'o_orderstatus' END,
+                     CASE WHEN o.o_totalprice IS DISTINCT FROM n.o_totalprice
+                          THEN 'o_totalprice' END,
+                     CASE WHEN o.o_orderdate IS DISTINCT FROM n.o_orderdate
+                          THEN 'o_orderdate' END,
+                     CASE WHEN o.o_orderpriority IS DISTINCT FROM n.o_orderpriority
+                          THEN 'o_orderpriority' END)
+              END AS changed_cols
+       FROM o FULL OUTER JOIN n ON o.o_orderkey = n.o_orderkey
+       WHERE o.o_orderkey IS NULL OR n.o_orderkey IS NULL
+          OR o.o_custkey IS DISTINCT FROM n.o_custkey
+          OR o.o_orderstatus IS DISTINCT FROM n.o_orderstatus
+          OR o.o_totalprice IS DISTINCT FROM n.o_totalprice
+          OR o.o_orderdate IS DISTINCT FROM n.o_orderdate
+          OR o.o_orderpriority IS DISTINCT FROM n.o_orderpriority""",
+)
+def q_etl_table_diff(spark, sf_dir):
+    """Row-level table diff (etl/jobs.py:diff_tables): which keys were
+    added/removed and which columns changed, per row — the audit detail
+    behind verify_replication's counters (VerifyReplication.java:80-133
+    reports counts; a migration review needs the rows). The fixture
+    diverges three ways: keys %5==0 added, keys %7==0 removed, and two
+    independent column tampers (%3 doubles o_totalprice, %11 rewrites
+    o_orderpriority) so single- and multi-column attribution both
+    occur."""
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet").select(
+        "o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice",
+        "o_orderdate", "o_orderpriority",
+    )
+    old = orders.filter(F.col("o_orderkey") % 5 != 0)
+    new = orders.filter(F.col("o_orderkey") % 7 != 0).withColumns({
+        "o_totalprice": F.when(
+            F.col("o_orderkey") % 3 == 0, F.col("o_totalprice") * 2
+        ).otherwise(F.col("o_totalprice")),
+        "o_orderpriority": F.when(
+            F.col("o_orderkey") % 11 == 0, F.lit("X")
+        ).otherwise(F.col("o_orderpriority")),
+    })
+    return jobs.diff_tables(old, new, ["o_orderkey"])
+
+
+@query(
     "cells_cell_counter",
     """WITH cells AS (
          SELECT CAST(user_id AS VARCHAR) AS rowkey,

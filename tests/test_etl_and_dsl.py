@@ -349,3 +349,41 @@ def test_import_tsv_cells_no_value_fields_raises(spark, tmp_path):
         fh.write("r1\t100\n")
     with pytest.raises(ValueError, match="no cf:qualifier"):
         jobs.import_tsv_cells(spark, p, ["HBASE_ROW_KEY", "HBASE_TS_KEY"])
+
+
+def test_diff_tables_paths_agree_and_classify(spark):
+    old = spark.createDataFrame(
+        [(1, "a", 10.0), (2, "b", 20.0), (3, None, 30.0), (4, "d", 40.0)],
+        "k long, s string, v double",
+    )
+    new = spark.createDataFrame(
+        [(1, "a", 10.0),            # unchanged
+         (2, "B", 21.0),            # two columns changed
+         (3, "c", 30.0),            # null -> value counts as changed
+         (5, "e", 50.0)],           # added; 4 removed
+        "k long, s string, v double",
+    )
+    from hindex_spark.etl import jobs as j
+
+    want = {
+        (2, "changed", "s,v"),
+        (3, "changed", "s"),
+        (4, "removed", ""),
+        (5, "added", ""),
+    }
+    direct = {tuple(r) for r in j.diff_tables(old, new, ["k"]).collect()}
+    assert direct == want
+    two = {tuple(r) for r in
+           j.diff_tables(old, new, ["k"], two_pass=True).collect()}
+    assert two == want
+    # include_unchanged keeps key 1
+    full = {tuple(r) for r in
+            j.diff_tables(old, new, ["k"], include_unchanged=True).collect()}
+    assert (1, "unchanged", "") in full and len(full) == 5
+    # compare_cols restricts attribution (v-only: key 3 is unchanged)
+    vonly = {tuple(r) for r in
+             j.diff_tables(old, new, ["k"], compare_cols=["v"]).collect()}
+    assert vonly == {(2, "changed", "v"), (4, "removed", ""),
+                     (5, "added", "")}
+    with pytest.raises(ValueError, match="missing from new"):
+        j.diff_tables(old, new.drop("v"), ["k"])
