@@ -522,6 +522,22 @@ def main():
 
     bench("edit_distance_pairs", edit_pairs, runs=3)
 
+    # Z-order layout job: quantize stats + one range exchange + sorted
+    # write — the write-time cost that buys multi-column file/row-group
+    # skipping (measured in tests/test_layout.py: a 2% one-column
+    # predicate touches <= half the files vs ~all on a hash layout).
+    import tempfile as _tf
+
+    _zdir = _tf.mkdtemp(prefix="bench_zorder_") + "/events_z"
+
+    def zorder_write():
+        from hindex_spark.operators.layout import zorder_frame
+
+        zorder_frame(events, ["user_id", "ts"], num_partitions=32)\
+            .write.mode("overwrite").parquet(_zdir)
+
+    bench("zorder_layout_write", zorder_write, runs=3)
+
     # Continuous aggregate: the same hourly query against the persisted
     # rollup store (merged partials, store-side exchange-free) vs
     # aggregating the raw events every time. The store build is

@@ -2068,6 +2068,51 @@ def q_rollup_timetravel(spark, sf_dir):
 
 
 @query(
+    "layout_zorder_scan",
+    """SELECT event_type,
+              CAST(count(*) AS BIGINT) AS cnt,
+              CAST(SUM(CAST(CAST(ROUND(value, 6) AS DECIMAL(18,6))
+                   * 1000000 AS BIGINT)) AS BIGINT) AS vsum_micro
+       FROM events
+       WHERE user_id BETWEEN 100 AND 199 AND ts IS NOT NULL
+       GROUP BY event_type""",
+)
+def q_layout_zorder_scan(spark, sf_dir):
+    """Z-order layout round trip (operators/layout.py): re-lay the
+    events table Morton-clustered on (user_id, ts), then answer a
+    selective two-column predicate FROM THE CLUSTERED COPY — the gate
+    proves the one-range-exchange layout job preserves content exactly
+    (the oracle reads the raw table), while the clustering itself is
+    what confines such predicates to a corner of the files (asserted
+    empirically in tests/test_layout.py; the reference's only layout
+    tool is the rowkey sort of its HFiles, HFileWriterV2.java — Z-order
+    is the multi-column generalization a scan-heavy corpus needs)."""
+    import tempfile
+
+    from hindex_spark.operators.layout import zorder_frame
+    from hindex_spark.timeutil import ts_micros
+
+    events = spark.read.parquet(f"{sf_dir}/events.parquet")
+    out = tempfile.mkdtemp(prefix="hindex_zorder_") + "/events_z"
+    zorder_frame(events, ["user_id", "ts"], num_partitions=16).write.parquet(
+        out
+    )
+    z = spark.read.parquet(out)
+    return (
+        z.filter(F.col("user_id").between(100, 199)
+                 & F.col("ts").isNotNull())
+        .groupBy("event_type")
+        .agg(
+            F.count("*").alias("cnt"),
+            F.sum(
+                (F.round(F.col("value"), 6).cast("decimal(18,6)")
+                 * 1000000).cast("long")
+            ).alias("vsum_micro"),
+        )
+    )
+
+
+@query(
     "linkage_edit_pairs",
     """SELECT a.c_custkey AS id_a, b.c_custkey AS id_b,
               CAST(levenshtein(a.c_name, b.c_name) AS BIGINT) AS dist

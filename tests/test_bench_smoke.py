@@ -45,6 +45,6 @@ def test_bench_cli_contract_sf0001():
         "sessionize", "asof_join", "corpus_clean",
         "range_join_attribution", "chunk_documents",
         "rollup_sliding_read", "funnel_3step",
-        "edit_distance_pairs",
+        "edit_distance_pairs", "zorder_layout_write",
     }
     assert set(out["queries"]) == expected, set(out["queries"]) ^ expected
