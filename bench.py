@@ -538,6 +538,43 @@ def main():
 
     bench("zorder_layout_write", zorder_write, runs=3)
 
+    # Incremental join view: the per-batch maintenance cost (delta
+    # joined against the bucketed other side + delta-sized appends) and
+    # the read cost (a scan of the materialized result — NEVER a join).
+    # Contrast with join_q3_topk's full join: at 100 TB the recompute
+    # grows with both tables, the delta update only with the batch.
+    from hindex_spark.operators.joinview import JoinView
+
+    try:
+        jv_orders = spark.read.parquet(f"{SF_DIR}/orders.parquet").select(
+            "o_orderkey", "o_custkey", "o_orderstatus"
+        )
+        jv_items = spark.read.parquet(f"{SF_DIR}/lineitem.parquet").select(
+            F.col("l_orderkey").alias("o_orderkey"), "l_linenumber",
+            "l_quantity",
+        )
+        jv_store = JoinView.build(
+            cat, jv_orders, jv_items.filter(F.col("l_linenumber") <= 5),
+            "o_orderkey", "bench_oi",
+        )
+        jv_delta = jv_items.filter(F.col("l_linenumber") == 6)
+    except Exception as exc:  # noqa: BLE001
+        jv_store = None
+        errors["joinview_delta_update"] = (
+            f"setup: {type(exc).__name__}: {exc}"[:220]
+        )
+    if jv_store is not None:
+        bench(
+            "joinview_delta_update",
+            lambda: jv_store.update_right(jv_delta),
+            runs=2,
+        )
+        bench(
+            "joinview_read",
+            lambda: jv_store.read().count(),
+            runs=3,
+        )
+
     # Continuous aggregate: the same hourly query against the persisted
     # rollup store (merged partials, store-side exchange-free) vs
     # aggregating the raw events every time. The store build is

@@ -2068,6 +2068,54 @@ def q_rollup_timetravel(spark, sf_dir):
 
 
 @query(
+    "joinview_incremental",
+    """SELECT o.o_orderkey, o.o_custkey, o.o_orderstatus,
+              l.l_linenumber, l.l_quantity, l.l_extendedprice
+       FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey""",
+)
+def q_joinview_incremental(spark, sf_dir):
+    """Incrementally-maintained materialized join view
+    (operators/joinview.py): build from HALF the orders and a THIRD of
+    the lineitems, grow both sides with delta updates (MV += delta
+    joined against the live other side — never a recompute), misreport
+    one lineitem batch (quantities doubled) and correct it with
+    ``replace_right_batch`` (retract-by-generation + corrected delta
+    under one lease) — then serve the view, which must equal the plain
+    join of the raw tables exactly. The reference maintains derived
+    state per-mutation the same way (IndexRegionObserver prePut
+    derivation); this is that discipline for a two-table join."""
+    import tempfile
+
+    from hindex_spark.catalog import Catalog
+    from hindex_spark.operators.joinview import JoinView
+
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet").select(
+        "o_orderkey", "o_custkey", "o_orderstatus"
+    )
+    items = spark.read.parquet(f"{sf_dir}/lineitem.parquet").select(
+        F.col("l_orderkey").alias("o_orderkey"),
+        "l_linenumber", "l_quantity", "l_extendedprice",
+    )
+    third = F.pmod(F.col("l_linenumber"), F.lit(3))
+    cat = Catalog(spark, tempfile.mkdtemp(prefix="hindex_jv_"))
+    jv = JoinView.build(
+        cat,
+        orders.filter(F.col("o_orderkey") % 2 == 0),
+        items.filter(third == 0),
+        "o_orderkey", "gate_oi",
+    )
+    jv.update_left(orders.filter(F.col("o_orderkey") % 2 == 1))
+    jv.update_right(items.filter(third == 1))
+    g_mis = jv.update_right(
+        items.filter(third == 2).withColumn(
+            "l_quantity", F.col("l_quantity") * F.lit(2.0)
+        )
+    )
+    jv.replace_right_batch(g_mis, items.filter(third == 2))
+    return jv.read()
+
+
+@query(
     "layout_zorder_scan",
     """SELECT event_type,
               CAST(count(*) AS BIGINT) AS cnt,

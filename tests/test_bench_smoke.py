@@ -46,5 +46,6 @@ def test_bench_cli_contract_sf0001():
         "range_join_attribution", "chunk_documents",
         "rollup_sliding_read", "funnel_3step",
         "edit_distance_pairs", "zorder_layout_write",
+        "joinview_delta_update", "joinview_read",
     }
     assert set(out["queries"]) == expected, set(out["queries"]) ^ expected
