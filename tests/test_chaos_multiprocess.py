@@ -472,3 +472,92 @@ def test_two_process_profile_store_corrections_serialize(spark, tmp_path):
     gens = [row["gen"] for row in
             ps2.live_partials().select("gen").distinct().collect()]
     assert len(gens) == len(set(gens)) == 3  # build + 2 corrections
+
+
+JOINVIEW_WORKER = """
+import os, sys, time
+sys.path.insert(0, {repo!r})
+from pyspark.sql import SparkSession
+from pyspark.sql import functions as F
+from hindex_spark.operators.joinview import JoinView
+
+wh, sync = sys.argv[1], sys.argv[2]
+spark = (SparkSession.builder.master("local[2]")
+         .config("spark.sql.shuffle.partitions", "2")
+         .config("spark.ui.enabled", "false")
+         .appName("chaos_joinview_worker").getOrCreate())
+jv = JoinView.open(__import__("hindex_spark.catalog",
+                              fromlist=["Catalog"]).Catalog(spark, wh),
+                   "chaosjv")
+open(os.path.join(sync, "ready"), "w").close()
+while not os.path.exists(os.path.join(sync, "go")):
+    time.sleep(0.05)
+# this process grows the RIGHT side with a wrong batch and corrects it
+# while the main process grows the LEFT side — the deltas each join
+# against the live other side under the lease, so neither may observe
+# (or miss) a half-applied update from the other
+batch = spark.range(0, 40).select(
+    (F.col("id") % 20).alias("k"),
+    (F.col("id") + 1000).alias("rv"),
+)
+bad = jv.update_right(batch.withColumn("rv", F.col("rv") * 7))
+jv.replace_right_batch(bad, batch)
+open(os.path.join(sync, "done"), "w").close()
+spark.stop()
+"""
+
+
+def test_two_process_joinview_updates_serialize(spark, tmp_path):
+    """Two real processes race delta maintenance on one join view —
+    one grows the left side, the other grows (then corrects) the right
+    side. The deltas join against the live other side under the writer
+    lease, so the final view must equal the plain join of exactly the
+    surviving batches, with no generation collision on either side."""
+    from hindex_spark.operators.joinview import JoinView
+
+    wh = str(tmp_path / "wh")
+    sync = str(tmp_path / "sync")
+    os.makedirs(sync)
+    cat = Catalog(spark, wh)
+
+    L0 = spark.range(0, 20).select(
+        F.col("id").alias("k"), (F.col("id") * 10).alias("lv")
+    )
+    R0 = spark.range(0, 10).select(
+        F.col("id").alias("k"), (F.col("id") + 500).alias("rv")
+    )
+    jv = JoinView.build(cat, L0, R0, "k", "chaosjv")
+
+    proc = _spawn(JOINVIEW_WORKER, wh, sync=sync)
+    try:
+        _wait_file(os.path.join(sync, "ready"))
+        open(os.path.join(sync, "go"), "w").close()
+        # race from this process: a wrong left batch + its correction
+        L1 = spark.range(20, 30).select(
+            F.col("id").alias("k"), (F.col("id") * 10).alias("lv")
+        )
+        bad = jv.update_left(L1.withColumn("lv", F.col("lv") + 1))
+        jv.replace_left_batch(bad, L1)
+        _wait_file(os.path.join(sync, "done"))
+        assert proc.wait(timeout=180) == 0
+    finally:
+        if proc.poll() is None:
+            proc.kill()
+
+    jv2 = JoinView.open(cat, "chaosjv")
+    R1 = spark.range(0, 40).select(
+        (F.col("id") % 20).alias("k"), (F.col("id") + 1000).alias("rv")
+    )
+    want = sorted(
+        tuple(r)
+        for r in L0.unionByName(
+            spark.range(20, 30).select(
+                F.col("id").alias("k"), (F.col("id") * 10).alias("lv"))
+        ).join(R0.unionByName(R1), "k").collect()
+    )
+    got = sorted(tuple(r) for r in jv2.read().collect())
+    assert got == want
+    # no generation collisions: each side's live gens are distinct and
+    # the correction chains from both processes were recorded
+    assert jv2.cur_lgen == 2 and jv2.cur_rgen == 2
+    assert jv2.corrected_l == {"1": 2} and jv2.corrected_r == {"1": 2}
