@@ -1443,8 +1443,12 @@ def _register_all():
 # family. Everything else stays oracle-checked in the local gate.
 _PRIORITY = [
     # aggregations (exact two-phase median inside agg_summary) + TPC-H
-    # agg_group ceded its slot (round 7) to text_bm25_indexed below
-    "tpch_q1", "agg_summary", "topk_per_group",
+    # agg_group ceded its slot (round 7) to text_bm25_indexed below.
+    # Round-10 continuation rotation: topk_per_group ceded its slot to
+    # events_rollup_timetravel below (window top-k stays driver-visible
+    # via join_revenue_topk's rank and the bm25/tfidf row_number gates;
+    # the query stays oracle-checked in the local gate).
+    "tpch_q1", "agg_summary",
     "join_revenue_topk",
     # index planner: semi-joins, set ops, hints, value partitions
     "index_semijoin_eq", "index_hint_forced", "index_maintained_scan",
@@ -1519,8 +1523,13 @@ _PRIORITY = [
     # corpus_substring_dedup below; pagination-under-OR semantics stay
     # driver-visible via filter_or_page + cells_or_dependent and the
     # query stays oracle-checked in the local gate.
+    # Round-10 continuation rotation: filter_or_page ceded its slot to
+    # linkage_edit_pairs below (MUST_PASS_ONE branch evaluation stays
+    # driver-visible via cells_or_dependent + idxtab_or_union +
+    # idxtab_and_with_poisoned_or; PageFilter-under-OR stays
+    # oracle-checked in the local gate).
     "point_get", "scan_range", "scan_reversed_range", "filter_scvf",
-    "filter_or_page", "cells_or_dependent",
+    "cells_or_dependent",
     # LLM-pipeline operators: dedup family, corpus cleaning, ANN, text.
     # Round-10 rotation: dedup_simhash ceded its slot to
     # events_attribution_window below (banded near-dup signatures stay
@@ -1583,7 +1592,12 @@ _PRIORITY = [
     # etl_verify_replication ceded its slot to cells_or_dependent (ETL
     # stays driver-visible via etl_import_tsv_with_index; replication
     # verification stays in the local gate).
-    "streaming_walplayer", "streaming_changelog_resume",
+    # Round-10 continuation rotation: streaming_walplayer ceded its
+    # slot to joinview_incremental below (WAL replay stays
+    # driver-visible via streaming_changelog_resume, which drives the
+    # same emit->replay machinery PLUS seq resume and compaction; the
+    # walplayer gate stays oracle-checked in the local gate).
+    "streaming_changelog_resume",
     "etl_import_tsv_with_index",
     # Round-7 rotation: events_rollup_hourly (incremental continuous
     # aggregate, operators/rollup.py — the gate exercises the full
@@ -1614,6 +1628,21 @@ _PRIORITY = [
     # (operators/packing.py): token-budgeted overlapping chunks as one
     # map-side projection vs a DuckDB list-slicing oracle.
     "corpus_chunk_documents",
+    # Round-10 continuation rotations (three more new families):
+    # events_rollup_timetravel — read_asof over the rollup store's meta
+    # version history (pre- and post-correction states vs a raw-event
+    # oracle). ALSO a third independent driver row through the
+    # RollupStore read path, sharpening the hourly/upsert divergence
+    # signal the round-9 verdict flagged.
+    "events_rollup_timetravel",
+    # joinview_incremental — the incrementally-maintained materialized
+    # join view (operators/joinview.py): delta maintenance on both
+    # sides + a corrected batch, served view vs the plain-join oracle.
+    "joinview_incremental",
+    # linkage_edit_pairs — bounded-edit-distance record linkage via
+    # SymSpell deletion-neighborhood blocking (operators/linkage.py)
+    # vs the honest all-pairs oracle.
+    "linkage_edit_pairs",
 ]
 
 
