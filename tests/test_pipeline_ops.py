@@ -3330,3 +3330,45 @@ def test_profile_store_read_with_realtime_tail(spark, tmp_path):
     assert ps.cur_gen == gen_before  # nothing persisted
     ps.update(tail)
     assert live == sorted(map(tuple, ps.read(pctls=[0.5]).collect()))
+
+
+def test_joinview_maintained_from_stream(spark, sf_dir, tmp_path):
+    """JoinView delta maintenance inside a streaming foreachBatch (the
+    clone-session INSERT shape the other stores harden against): right
+    side grows from a stream; after draining, the served view equals
+    the plain join of everything both sides saw."""
+    import shutil
+
+    from hindex_spark.catalog import Catalog
+    from hindex_spark.operators.joinview import JoinView
+
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet").select(
+        "o_orderkey", "o_custkey"
+    ).limit(500)
+    items = spark.read.parquet(f"{sf_dir}/lineitem.parquet").select(
+        F.col("l_orderkey").alias("o_orderkey"), "l_linenumber",
+    ).join(orders.select("o_orderkey"), "o_orderkey", "left_semi")
+    seed = items.filter(F.col("l_linenumber") <= 2)
+    rest = items.filter(F.col("l_linenumber") > 2)
+
+    cat = Catalog(spark, str(tmp_path / "wh"))
+    jv = JoinView.build(cat, orders, seed, "o_orderkey", "jvstream")
+
+    src = str(tmp_path / "src")
+    rest.write.mode("overwrite").parquet(src)
+    q = (
+        spark.readStream.schema(rest.schema).parquet(src)
+        .writeStream.foreachBatch(
+            lambda batch, _e: jv.update_right(batch) if batch.count()
+            else None
+        )
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+
+    got = sorted(tuple(r) for r in jv.read().collect())
+    want = sorted(tuple(r) for r in orders.join(items, "o_orderkey").collect())
+    assert got == want
+    shutil.rmtree(src, ignore_errors=True)
