@@ -158,6 +158,42 @@ def stratified_cap(
     )
 
 
+def cluster_balanced_sample(
+    vectors: DataFrame,
+    centroids: DataFrame,
+    per_cluster: int,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Embedding-space diversity sampling — the cluster-balanced
+    curation shape (SemDeDup's cluster step pointed at selection, the
+    per-topic analog of ``stratified_cap``): assign every vector to
+    its nearest centroid (cosine, ties to the lower cluster id —
+    ``similarity.nearest_centroid``'s map-side-collapsed broadcast
+    assignment, one narrow row per vector through the exchange), then
+    keep the ``per_cluster`` lowest-id members of each cluster — an
+    equal-representation subset no frequency-blind uniform sample
+    gives (a 90%-one-topic corpus stays 90% one topic under uniform
+    sampling; this returns one quota per REGION of embedding space).
+
+    ``centroids``: (cluster, centroid) — from ``ivf_build``, a prior
+    art run, or any fixed probe set. Output: (id, cluster, rank) with
+    rank 1..per_cluster, deterministic across engines and runs.
+
+    Scale: one broadcast assignment pass + one shuffle keyed by
+    cluster for the quota window; the cap bounds each cluster's output,
+    and the window sorts only ids (narrow rows)."""
+    from hindex_spark.operators.similarity import nearest_centroid
+
+    assigned = nearest_centroid(vectors, centroids, id_col, vec_col)
+    w = Window.partitionBy("cluster").orderBy(F.col(id_col))
+    return (
+        assigned.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= per_cluster)
+        .select(id_col, "cluster", "rank")
+    )
+
+
 def select_token_budget(
     df: DataFrame,
     domain_col: str,

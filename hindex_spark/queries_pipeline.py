@@ -2067,6 +2067,54 @@ def q_rollup_timetravel(spark, sf_dir):
     return tag(out_pre, 2).unionByName(tag(out_post, 3))
 
 
+_CLUSTER_COS_SQL = (
+    "list_dot_product(CAST(e.embedding AS DOUBLE[]), "
+    "CAST(c.centroid AS DOUBLE[])) / "
+    "(sqrt(list_dot_product(CAST(e.embedding AS DOUBLE[]), "
+    "CAST(e.embedding AS DOUBLE[]))) * "
+    "sqrt(list_dot_product(CAST(c.centroid AS DOUBLE[]), "
+    "CAST(c.centroid AS DOUBLE[]))))"
+)
+
+
+@query(
+    "corpus_cluster_sample",
+    f"""WITH c AS (
+          SELECT vec_id AS cluster, embedding AS centroid
+          FROM embeddings WHERE vec_id < 8),
+        assigned AS (
+          SELECT vec_id, cluster FROM (
+            SELECT e.vec_id, c.cluster,
+                   row_number() OVER (
+                     PARTITION BY e.vec_id
+                     ORDER BY {_CLUSTER_COS_SQL} DESC, c.cluster) AS rn
+            FROM embeddings e CROSS JOIN c) WHERE rn = 1)
+        SELECT vec_id, cluster, CAST(rank AS BIGINT) AS rank FROM (
+          SELECT cluster, vec_id, row_number() OVER (
+            PARTITION BY cluster ORDER BY vec_id) AS rank
+          FROM assigned) WHERE rank <= 3""",
+)
+def q_cluster_sample(spark, sf_dir):
+    """Cluster-balanced sampling (operators/sampling.py:
+    cluster_balanced_sample): every embedding assigned to its nearest
+    of 8 fixed centroids (cosine, lower-cluster tie-break), then the 3
+    lowest-id members per cluster — the equal-representation curation
+    subset. The oracle recomputes the full argmax assignment with a
+    window, so the gate checks the map-side-collapsed broadcast
+    assignment (similarity.nearest_centroid) AND the quota window
+    end to end."""
+    from hindex_spark.operators.sampling import cluster_balanced_sample
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    cents = emb.filter(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("cluster"),
+        F.col("embedding").alias("centroid"),
+    )
+    return cluster_balanced_sample(emb, cents, 3).select(
+        "vec_id", "cluster", F.col("rank").cast("long").alias("rank")
+    )
+
+
 @query(
     "joinview_incremental",
     """SELECT o.o_orderkey, o.o_custkey, o.o_orderstatus,

@@ -3372,3 +3372,34 @@ def test_joinview_maintained_from_stream(spark, sf_dir, tmp_path):
     want = sorted(tuple(r) for r in orders.join(items, "o_orderkey").collect())
     assert got == want
     shutil.rmtree(src, ignore_errors=True)
+
+
+def test_cluster_balanced_sample_quota_and_assignment(spark):
+    """Three well-separated centroids, unbalanced membership: every
+    cluster contributes at most the quota, members go to their true
+    nearest centroid, ranks are 1..n by ascending id."""
+    from hindex_spark.operators.sampling import cluster_balanced_sample
+
+    def v(x, y):
+        return [float(x), float(y), 0.0]
+
+    # cluster 0 direction (1,0), cluster 1 (0,1), cluster 2 (1,1)
+    cents = spark.createDataFrame(
+        [(0, v(1, 0)), (1, v(0, 1)), (2, v(1, 1))],
+        "cluster long, centroid array<double>",
+    )
+    rows = (
+        [(i, v(10 + i, 1)) for i in range(5)]          # near (1,0)
+        + [(10 + i, v(1, 10 + i)) for i in range(2)]   # near (0,1)
+        + [(20, v(5, 5))]                              # near (1,1)
+    )
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    got = sorted(
+        tuple(r)
+        for r in cluster_balanced_sample(emb, cents, 3).collect()
+    )
+    assert got == [
+        (0, 0, 1), (1, 0, 2), (2, 0, 3),       # quota cuts ids 3, 4
+        (10, 1, 1), (11, 1, 2),
+        (20, 2, 1),
+    ]
