@@ -79,6 +79,14 @@ class JoinView:
         #: DEAD iff present here. Same refusal algebra as RollupStore.
         self.corrected_l = {}
         self.corrected_r = {}
+        #: version history for time travel (read_asof): one entry per
+        #: mutating verb — {"v", "op", "side", "add", "drop"}; compact
+        #: seals everything before it. None on stores written before
+        #: versions existed.
+        self.history = [{"v": 0, "op": "build", "side": "",
+                         "add": [], "drop": []}]
+        self.cur_version = 0
+        self.sealed_version = 0
 
     # -- storage ------------------------------------------------------------
 
@@ -100,7 +108,10 @@ class JoinView:
                 "sealed_lbelow": self.sealed_lbelow,
                 "sealed_rbelow": self.sealed_rbelow,
                 "corrected_l": self.corrected_l,
-                "corrected_r": self.corrected_r}
+                "corrected_r": self.corrected_r,
+                "history": self.history,
+                "cur_version": self.cur_version,
+                "sealed_version": self.sealed_version}
 
     def _load(self, m: dict) -> None:
         self.num_buckets = m.get("num_buckets", 32)
@@ -110,6 +121,9 @@ class JoinView:
         self.sealed_rbelow = m.get("sealed_rbelow", 0)
         self.corrected_l = m.get("corrected_l", {})
         self.corrected_r = m.get("corrected_r", {})
+        self.history = m.get("history")
+        self.cur_version = m.get("cur_version", 0)
+        self.sealed_version = m.get("sealed_version", 0)
 
     def _reload_meta(self) -> None:
         """Top of every locked mutation — another process may have
@@ -203,6 +217,115 @@ class JoinView:
         )
         return mv if with_gens else mv.drop("lgen", "rgen")
 
+    def read_with(self, tail_left: Optional[DataFrame] = None,
+                  tail_right: Optional[DataFrame] = None,
+                  with_gens: bool = False) -> DataFrame:
+        """REAL-TIME read (the lambda shape RollupStore.read_with and
+        ProfileStore.read_with serve): the maintained view UNION the
+        join rows the un-ingested tail batches imply — exactly what
+        ``read()`` would return after ``update_left(tail_left)`` +
+        ``update_right(tail_right)``, without writing anything. Same
+        caller contract as update(): tails are batches the view has
+        NOT seen. Delta algebra: tl><R + L><tr + tl><tr."""
+        out = self.read(with_gens=True)
+        mvcols = [self.key, *self.left_cols, *self.right_cols,
+                  "lgen", "rgen"]
+        fake = F.lit(-1).cast("long")
+        if tail_left is not None:
+            self._check_side(tail_left, self.left_cols)
+            out = out.unionByName(
+                tail_left.join(self.right_rows(), self.key)
+                .withColumnRenamed("gen", "rgen")
+                .withColumn("lgen", fake).select(*mvcols)
+            )
+        if tail_right is not None:
+            self._check_side(tail_right, self.right_cols)
+            out = out.unionByName(
+                self.left_rows().withColumnRenamed("gen", "lgen")
+                .join(tail_right, self.key)
+                .withColumn("rgen", fake).select(*mvcols)
+            )
+        if tail_left is not None and tail_right is not None:
+            out = out.unionByName(
+                tail_left.join(tail_right, self.key)
+                .withColumn("lgen", fake).withColumn("rgen", fake)
+                .select(*mvcols)
+            )
+        return out if with_gens else out.drop("lgen", "rgen")
+
+    def _record_version(self, op: str, side: str, add=(), drop=(),
+                        seal: bool = False) -> None:
+        """Append one verb to the version history (caller holds the
+        lease and commits meta afterwards). Pre-history stores stay
+        history-less — a partial history reconstructs WRONG states."""
+        if self.history is None:
+            return
+        self.cur_version += 1
+        self.history.append({
+            "v": self.cur_version, "op": op, "side": side,
+            "add": [int(g) for g in add], "drop": [int(g) for g in drop],
+        })
+        if seal:
+            self.sealed_version = self.cur_version
+
+    def _live_at(self, version: int) -> dict:
+        """Replay the history prefix into per-side live generation
+        sets. Compact's folded gens ADD without clearing — the same
+        tolerant replay as RollupStore._live_gens_at (pre-fold rows
+        and folded rows are disjoint alternatives carrying identical
+        values, so the union reads correctly before AND after the
+        rewrite, including a crash between meta commit and fold)."""
+        live = {"l": {0}, "r": {0}}
+        for ev in self.history:
+            if ev["v"] > version:
+                break
+            if ev["side"] in live:
+                live[ev["side"]] |= set(ev["add"])
+                live[ev["side"]] -= set(ev["drop"])
+            else:  # compact touches both sides
+                live["l"] |= set(ev["add"][:1])
+                live["r"] |= set(ev["add"][1:])
+        return live
+
+    def versions(self) -> list:
+        """The store's version history (DESCRIBE HISTORY), oldest
+        first; entries below ``sealed_version`` are listed but no
+        longer readable."""
+        return list(self.history or [])
+
+    def read_asof(self, version: int, with_gens: bool = False) -> DataFrame:
+        """TIME TRAVEL: the view exactly as ``read()`` returned it at
+        store version ``version`` (build = 0; every mutating verb
+        bumps, ``versions()`` lists them). A generation-set scan
+        filter replayed from meta — zero extra jobs; versions before
+        the last compact() rewrite are refused (the VACUUM rule)."""
+        self._reload_meta()
+        if self.history is None:
+            raise ValueError(
+                f"join view {self.name} predates version history; "
+                "rebuild it to enable time travel"
+            )
+        if version > self.cur_version:
+            raise ValueError(
+                f"version {version} does not exist (cur_version="
+                f"{self.cur_version})"
+            )
+        if version < self.sealed_version:
+            sealing = next(
+                ev for ev in self.history if ev["v"] == self.sealed_version
+            )
+            raise ValueError(
+                f"version {version} was sealed by {sealing['op']}() at "
+                f"version {self.sealed_version}: the rewrite purged rows "
+                "its reconstruction needs"
+            )
+        live = self._live_at(version)
+        mv = self._raw("mv").filter(
+            F.col("lgen").isin([int(g) for g in sorted(live["l"])])
+            & F.col("rgen").isin([int(g) for g in sorted(live["r"])])
+        )
+        return mv if with_gens else mv.drop("lgen", "rgen")
+
     # -- maintenance --------------------------------------------------------
 
     def _append(self, side: str, rows: DataFrame) -> None:
@@ -244,6 +367,7 @@ class JoinView:
             self._append("l", batch.select(self.key, *self.left_cols)
                          .withColumn("gen", F.lit(gen).cast("long")))
             self.cur_lgen = gen
+            self._record_version("update", "l", add=[gen])
             self._commit_meta()
         return gen
 
@@ -265,6 +389,7 @@ class JoinView:
             self._append("r", batch.select(self.key, *self.right_cols)
                          .withColumn("gen", F.lit(gen).cast("long")))
             self.cur_rgen = gen
+            self._record_version("update", "r", add=[gen])
             self._commit_meta()
         return gen
 
@@ -301,6 +426,7 @@ class JoinView:
             self._reload_meta()
             self._check_correctable(gen, "l")
             self.corrected_l[str(gen)] = None
+            self._record_version("delete", "l", drop=[gen])
             self._commit_meta()
 
     def delete_right_batch(self, gen: int) -> None:
@@ -308,6 +434,7 @@ class JoinView:
             self._reload_meta()
             self._check_correctable(gen, "r")
             self.corrected_r[str(gen)] = None
+            self._record_version("delete", "r", drop=[gen])
             self._commit_meta()
 
     def replace_left_batch(self, gen: int, corrected: DataFrame) -> int:
@@ -333,6 +460,7 @@ class JoinView:
             self._append("l", corrected.select(self.key, *self.left_cols)
                          .withColumn("gen", F.lit(new_gen).cast("long")))
             self.cur_lgen = new_gen
+            self._record_version("replace", "l", add=[new_gen], drop=[gen])
             self._commit_meta()
         return new_gen
 
@@ -355,6 +483,7 @@ class JoinView:
             self._append("r", corrected.select(self.key, *self.right_cols)
                          .withColumn("gen", F.lit(new_gen).cast("long")))
             self.cur_rgen = new_gen
+            self._record_version("replace", "r", add=[new_gen], drop=[gen])
             self._commit_meta()
         return new_gen
 
@@ -394,6 +523,8 @@ class JoinView:
             self.cur_lgen, self.cur_rgen = new_l, new_r
             self.sealed_lbelow, self.sealed_rbelow = new_l, new_r
             self.num_buckets = num_buckets
+            self._record_version("compact", "", add=[new_l, new_r],
+                                 seal=True)
             self._commit_meta()            # step 1: bump + seal
             for side, rows in (("l", live_l), ("r", live_r),
                                ("mv", live_mv)):

@@ -83,6 +83,18 @@ def test_joinview_interleavings_match_model(spark, tmp_path_factory, ops):
     corrected = {"l": {}, "r": {}}
     cur = {"l": 0, "r": 0}
     sealed = {"l": 0, "r": 0}
+    # version-history model for read_asof
+    snapshots = {0: {s: {g: list(rs) for g, rs in live[s].items()}
+                     for s in ("l", "r")}}
+    cur_version, sealed_version = 0, 0
+
+    def _snap():
+        nonlocal cur_version
+        cur_version += 1
+        snapshots[cur_version] = {
+            s: {g: list(rs) for g, rs in live[s].items()}
+            for s in ("l", "r")
+        }
 
     def check_refusal(side, target):
         if target < sealed[side]:
@@ -102,6 +114,7 @@ def test_joinview_interleavings_match_model(spark, tmp_path_factory, ops):
             cur[side] += 1
             assert g == cur[side]
             live[side][g] = list(rows)
+            _snap()
         elif verb.startswith(("rep", "del")):
             target = salt % (cur[side] + 2)
             err = check_refusal(side, target)
@@ -127,6 +140,7 @@ def test_joinview_interleavings_match_model(spark, tmp_path_factory, ops):
                 fn()
                 live[side].pop(target, None)
                 corrected[side][target] = None
+            _snap()
         else:  # compact
             jv.compact()
             for s in ("l", "r"):
@@ -135,6 +149,8 @@ def test_joinview_interleavings_match_model(spark, tmp_path_factory, ops):
                 folded = [row for rs in live[s].values() for row in rs]
                 live[s] = {cur[s]: folded}
                 corrected[s] = {}
+            _snap()
+            sealed_version = cur_version
 
     got = Counter(tuple(r) for r in jv.read().collect())
     assert got == _model(live["l"], live["r"])
@@ -144,3 +160,14 @@ def test_joinview_interleavings_match_model(spark, tmp_path_factory, ops):
     assert (jv2.cur_lgen, jv2.cur_rgen) == (cur["l"], cur["r"])
     got2 = Counter(tuple(r) for r in jv2.read().collect())
     assert got2 == _model(live["l"], live["r"])
+
+    # read_asof replays every surviving version to its snapshot's join
+    assert (jv2.cur_version, jv2.sealed_version) == (
+        cur_version, sealed_version)
+    for v in range(sealed_version, cur_version + 1):
+        got_v = Counter(tuple(r) for r in jv2.read_asof(v).collect())
+        assert got_v == _model(
+            snapshots[v]["l"], snapshots[v]["r"]), f"read_asof({v})"
+    if sealed_version > 0:
+        with pytest.raises(ValueError, match="sealed by"):
+            jv2.read_asof(sealed_version - 1)

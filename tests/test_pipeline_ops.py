@@ -3403,3 +3403,30 @@ def test_cluster_balanced_sample_quota_and_assignment(spark):
         (10, 1, 1), (11, 1, 2),
         (20, 2, 1),
     ]
+
+
+def test_joinview_read_with_matches_post_update_read(spark, tmp_path):
+    """The lambda read: read_with(tail_l, tail_r) must equal read()
+    after actually ingesting both tails (tl><R + L><tr + tl><tr, no
+    writes) — multiset equality including duplicate join rows."""
+    from collections import Counter
+
+    from hindex_spark.catalog import Catalog
+    from hindex_spark.operators.joinview import JoinView
+
+    cat = Catalog(spark, str(tmp_path / "wh"))
+    L = spark.createDataFrame([(1, "a"), (2, "b")], "k long, lv string")
+    R = spark.createDataFrame([(1, 10), (2, 20)], "k long, rv long")
+    jv = JoinView.build(cat, L, R, "k", "lam")
+    tl = spark.createDataFrame([(1, "z"), (3, "c")], "k long, lv string")
+    tr = spark.createDataFrame([(1, 11), (3, 30)], "k long, rv long")
+    lam = Counter(tuple(r) for r in jv.read_with(tl, tr).collect())
+    jv.update_left(tl)
+    jv.update_right(tr)
+    ingested = Counter(tuple(r) for r in jv.read().collect())
+    assert lam == ingested
+    # single-tail variants
+    assert Counter(
+        tuple(r) for r in jv.read_with(tail_left=None, tail_right=None)
+        .collect()
+    ) == ingested
