@@ -2067,6 +2067,90 @@ def q_rollup_timetravel(spark, sf_dir):
     return tag(out_pre, 2).unionByName(tag(out_post, 3))
 
 
+@query(
+    "agg_grouping_cube",
+    """WITH b AS (
+          SELECT event_type,
+                 epoch_us(ts) - (epoch_us(ts) % 86400000000) AS day_us,
+                 CAST(CAST(ROUND(value, 6) AS DECIMAL(18,6)) * 1000000
+                      AS BIGINT) AS vm
+          FROM events WHERE ts IS NOT NULL)
+       SELECT event_type, day_us,
+              CAST(GROUPING(event_type, day_us) AS BIGINT) AS gid,
+              CAST(count(*) AS BIGINT) AS cnt,
+              CAST(SUM(vm) AS BIGINT) AS vsum_micro
+       FROM b GROUP BY CUBE(event_type, day_us)""",
+)
+def q_agg_grouping_cube(spark, sf_dir):
+    """CUBE grouping sets over (event_type, day): all four grouping
+    combinations plus the grouping-id bitmask in one pass — Spark's
+    ``cube`` expands the sets inside a single Expand+aggregate (one
+    shuffle for all 4 aggregations, vs 4 scans unioned; the classic
+    OLAP subtotal surface the reference's per-scan AggregationClient
+    cannot express). grouping_id bit order (first listed column =
+    most significant) is asserted against DuckDB's GROUPING()."""
+    from hindex_spark.timeutil import ts_micros
+
+    events = spark.read.parquet(f"{sf_dir}/events.parquet")
+    us = ts_micros(events, "ts")
+    b = events.filter(F.col("ts").isNotNull()).select(
+        "event_type",
+        (us - us % (86400 * 1000000)).alias("day_us"),
+        (F.round(F.col("value"), 6).cast("decimal(18,6)") * 1000000)
+        .cast("long").alias("vm"),
+    )
+    return (
+        b.cube("event_type", "day_us")
+        .agg(
+            F.grouping_id().cast("long").alias("gid"),
+            F.count("*").alias("cnt"),
+            F.sum("vm").alias("vsum_micro"),
+        )
+        .select("event_type", "day_us", "gid", "cnt", "vsum_micro")
+    )
+
+
+_EVENT_TYPES = ["click", "error", "purchase", "signup", "view"]
+
+
+@query(
+    "events_pivot_types",
+    """SELECT epoch_us(ts) - (epoch_us(ts) % 86400000000) AS day_us,
+              CAST(count(*) FILTER (WHERE event_type = 'click')
+                   AS BIGINT) AS click,
+              CAST(count(*) FILTER (WHERE event_type = 'error')
+                   AS BIGINT) AS error,
+              CAST(count(*) FILTER (WHERE event_type = 'purchase')
+                   AS BIGINT) AS purchase,
+              CAST(count(*) FILTER (WHERE event_type = 'signup')
+                   AS BIGINT) AS signup,
+              CAST(count(*) FILTER (WHERE event_type = 'view')
+                   AS BIGINT) AS view
+       FROM events WHERE ts IS NOT NULL
+       GROUP BY 1""",
+)
+def q_events_pivot_types(spark, sf_dir):
+    """PIVOT: per-day event counts spread into one column per event
+    type (explicit value list, so the plan is ONE aggregation pass —
+    no distinct-values pre-scan and a deterministic schema; absent
+    combinations coalesce to 0 to match the oracle's FILTER counts)."""
+    from hindex_spark.timeutil import ts_micros
+
+    events = spark.read.parquet(f"{sf_dir}/events.parquet")
+    us = ts_micros(events, "ts")
+    day = events.filter(F.col("ts").isNotNull()).select(
+        (us - us % (86400 * 1000000)).alias("day_us"), "event_type"
+    )
+    pivoted = (
+        day.groupBy("day_us").pivot("event_type", _EVENT_TYPES).count()
+    )
+    return pivoted.select(
+        "day_us",
+        *[F.coalesce(F.col(t), F.lit(0)).cast("long").alias(t)
+          for t in _EVENT_TYPES],
+    )
+
+
 _CLUSTER_COS_SQL = (
     "list_dot_product(CAST(e.embedding AS DOUBLE[]), "
     "CAST(c.centroid AS DOUBLE[])) / "
