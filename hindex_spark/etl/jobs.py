@@ -68,6 +68,48 @@ def import_tsv(
     return out.sortWithinPartitions(rowkey_col)
 
 
+def import_jsonl(
+    spark: SparkSession,
+    path: str,
+    schema: str,
+    rowkey_col: str,
+    bad_lines: str = "permissive",
+    num_partitions: Optional[int] = None,
+) -> DataFrame:
+    """JSON-lines ingest — the web-crawl/API-dump sibling of
+    ``import_tsv`` (same bad-line taxonomy as ImportTsv.java:87's
+    BadLine counter, mapped onto the JSON reader's parse modes so the
+    choice costs nothing): 'permissive' (default) keeps damaged lines
+    with typed fields NULL and the raw text in ``_corrupt``, 'skip'
+    drops them, 'fail' aborts on the first one. An explicit ``schema``
+    is REQUIRED: schema inference would scan the input twice and
+    silently widen types under damage — at corpus scale the contract
+    belongs to the caller.
+
+    Output is rowkey range-sorted like every other ingest (the
+    engine's HFile convention); ``_corrupt`` rides along in permissive
+    mode so a quarantine pass (``WHERE _corrupt IS NOT NULL``) can
+    audit damage without re-reading the source."""
+    modes = {"permissive": "PERMISSIVE", "skip": "DROPMALFORMED",
+             "fail": "FAILFAST"}
+    if bad_lines not in modes:
+        raise ValueError(
+            f"bad_lines must be one of {sorted(modes)}: {bad_lines!r}"
+        )
+    reader = (
+        spark.read.option("mode", modes[bad_lines])
+        .option("columnNameOfCorruptRecord", "_corrupt")
+    )
+    full = schema.rstrip()
+    if bad_lines == "permissive":
+        full = f"{full}, _corrupt string"
+    df = reader.schema(full).json(path)
+    out = df
+    if num_partitions:
+        out = out.repartitionByRange(num_partitions, rowkey_col)
+    return out.sortWithinPartitions(rowkey_col)
+
+
 def import_tsv_with_index(
     spark: SparkSession,
     path: str,

@@ -511,6 +511,40 @@ def q_etl_verify_replication(spark, sf_dir):
 
 
 @query(
+    "etl_import_jsonl",
+    """SELECT doc_id, text, lang, source, n_chars
+       FROM documents WHERE text IS NOT NULL""",
+)
+def q_etl_import_jsonl(spark, sf_dir):
+    """JSON-lines ingest round trip (etl/jobs.py:import_jsonl — the
+    web-crawl sibling of ImportTsv, same BadLine taxonomy): documents
+    written as JSONL, re-ingested under an explicit schema with the
+    permissive corrupt-record channel, quarantine empty, typed rows
+    identical to the source. Corrupt-line handling (NULL+_corrupt /
+    drop / abort) is pinned in tests/test_etl_and_dsl.py."""
+    import tempfile
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").filter(
+        F.col("text").isNotNull()
+    )
+    path = tempfile.mkdtemp(prefix="hindex_jsonl_") + "/docs"
+    docs.write.mode("overwrite").json(path)
+    got = jobs.import_jsonl(
+        spark, path,
+        "doc_id long, text string, lang string, source string, n_chars long",
+        "doc_id",
+    )
+    # quarantine must be empty on a clean dump — surface any damage as
+    # a gate error rather than silently dropping it from the compare.
+    # (Persisted first: Spark refuses queries over a raw JSON source
+    # whose pruned projection is ONLY the internal corrupt-record
+    # column, and count() prunes every data column away.)
+    got = got.persist()
+    assert got.filter(F.col("_corrupt").isNotNull()).count() == 0
+    return got.drop("_corrupt")
+
+
+@query(
     "etl_table_diff",
     """WITH o AS (SELECT * FROM orders WHERE o_orderkey % 5 <> 0),
        n AS (SELECT o_orderkey, o_custkey, o_orderstatus,

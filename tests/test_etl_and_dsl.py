@@ -387,3 +387,32 @@ def test_diff_tables_paths_agree_and_classify(spark):
                      (5, "added", "")}
     with pytest.raises(ValueError, match="missing from new"):
         j.diff_tables(old, new.drop("v"), ["k"])
+
+
+def test_import_jsonl_bad_line_taxonomy(spark, tmp_path):
+    import os
+
+    p = str(tmp_path / "in.jsonl")
+    with open(p, "w") as fh:
+        fh.write('{"id": 1, "text": "hello", "score": 0.5}\n')
+        fh.write('{"id": 2, "text": "world"}\n')       # missing field
+        fh.write('{"id": 3, "score": }\n')             # malformed JSON
+        fh.write('not json at all\n')                  # not JSON
+    sch = "id long, text string, score double"
+
+    perm = jobs.import_jsonl(spark, p, sch, "id").persist()
+    rows = {r["id"]: (r["text"], r["score"], r["_corrupt"] is not None)
+            for r in perm.collect() if r["id"] is not None}
+    # missing fields are NULL, not corrupt; damaged lines are quarantined
+    assert rows == {1: ("hello", 0.5, False), 2: ("world", None, False)}
+    assert perm.filter(F.col("_corrupt").isNotNull()).count() == 2
+
+    skip = jobs.import_jsonl(spark, p, sch, "id", bad_lines="skip")
+    assert "_corrupt" not in skip.columns
+    assert sorted(r["id"] for r in skip.collect()) == [1, 2]
+
+    with pytest.raises(Exception, match="(?i)malformed|corrupt|fail"):
+        jobs.import_jsonl(spark, p, sch, "id", bad_lines="fail").collect()
+
+    with pytest.raises(ValueError, match="bad_lines"):
+        jobs.import_jsonl(spark, p, sch, "id", bad_lines="nope")
