@@ -90,6 +90,13 @@ class JoinView:
 
     # -- storage ------------------------------------------------------------
 
+    @property
+    def table_name(self) -> str:
+        """The MV table directory — what ``artifact.maybe_compact``'s
+        duck-typed maintenance gauges (file fragmentation; this store
+        has no tombstone files, so only the file trigger fires)."""
+        return self._tbl("mv")
+
     def _tbl(self, side: str) -> str:
         return f"{self.name}_jv{side}_bucketed"
 

@@ -2151,6 +2151,44 @@ def q_events_pivot_types(spark, sf_dir):
     )
 
 
+@query(
+    "events_unpivot_types",
+    """WITH p AS (
+         SELECT epoch_us(ts) - (epoch_us(ts) % 86400000000) AS day_us,
+                CAST(count(*) FILTER (WHERE event_type = 'click')
+                     AS BIGINT) AS click,
+                CAST(count(*) FILTER (WHERE event_type = 'view')
+                     AS BIGINT) AS view
+         FROM events WHERE ts IS NOT NULL GROUP BY 1)
+       SELECT day_us, 'click' AS event_type, click AS cnt FROM p
+       UNION ALL
+       SELECT day_us, 'view' AS event_type, view AS cnt FROM p""",
+)
+def q_events_unpivot_types(spark, sf_dir):
+    """UNPIVOT (melt): the wide per-day counts from the pivot gate
+    folded back to long form with ``unpivot`` — one Expand projection,
+    no shuffle beyond the source aggregate. Pivot and unpivot together
+    close the reshaping loop an analytics engine needs."""
+    from hindex_spark.timeutil import ts_micros
+
+    events = spark.read.parquet(f"{sf_dir}/events.parquet")
+    us = ts_micros(events, "ts")
+    day = events.filter(F.col("ts").isNotNull()).select(
+        (us - us % (86400 * 1000000)).alias("day_us"), "event_type"
+    )
+    wide = (
+        day.groupBy("day_us").pivot("event_type", ["click", "view"]).count()
+    )
+    wide = wide.select(
+        "day_us",
+        *[F.coalesce(F.col(t), F.lit(0)).cast("long").alias(t)
+          for t in ("click", "view")],
+    )
+    return wide.unpivot(
+        "day_us", ["click", "view"], "event_type", "cnt"
+    )
+
+
 _CLUSTER_COS_SQL = (
     "list_dot_product(CAST(e.embedding AS DOUBLE[]), "
     "CAST(c.centroid AS DOUBLE[])) / "

@@ -3430,3 +3430,28 @@ def test_joinview_read_with_matches_post_update_read(spark, tmp_path):
         tuple(r) for r in jv.read_with(tail_left=None, tail_right=None)
         .collect()
     ) == ingested
+
+
+def test_joinview_maybe_compact_file_trigger(spark, tmp_path):
+    """artifact.maybe_compact schedules JoinView maintenance off the MV
+    file-fragmentation gauge (this store has no tombstone files), and
+    the fold preserves the served view."""
+    from collections import Counter
+
+    from hindex_spark.catalog import Catalog
+    from hindex_spark.operators.artifact import maybe_compact
+    from hindex_spark.operators.joinview import JoinView
+
+    cat = Catalog(spark, str(tmp_path / "wh"))
+    L = spark.createDataFrame([(1, "a")], "k long, lv string")
+    R = spark.createDataFrame([(1, 10)], "k long, rv long")
+    jv = JoinView.build(cat, L, R, "k", "mc", num_buckets=2)
+    for i in range(3):
+        jv.update_right(
+            spark.createDataFrame([(1, 100 + i)], "k long, rv long")
+        )
+    before = Counter(tuple(r) for r in jv.read().collect())
+    assert not maybe_compact(jv, max_files_per_bucket=100)   # under
+    assert maybe_compact(jv, max_files_per_bucket=1)         # over
+    assert jv.sealed_lbelow > 0
+    assert Counter(tuple(r) for r in jv.read().collect()) == before
