@@ -2286,6 +2286,79 @@ def q_joinview_incremental(spark, sf_dir):
 
 
 @query(
+    "pipeline_jv_rollup_e2e",
+    """WITH j AS (
+         SELECT o.o_orderstatus,
+                epoch_us(o.o_orderdate)
+                  - (epoch_us(o.o_orderdate) % 86400000000) AS bucket_us,
+                CAST(CAST(ROUND(l.l_extendedprice * (1 - l.l_discount), 6)
+                     AS DECIMAL(18,6)) * 1000000 AS BIGINT) AS vm
+         FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey)
+       SELECT bucket_us, o_orderstatus,
+              CAST(count(*) AS BIGINT) AS cnt,
+              CAST(SUM(vm) AS BIGINT) AS vsum_micro,
+              MIN(vm) AS vmin_micro,
+              MAX(vm) AS vmax_micro
+       FROM j GROUP BY bucket_us, o_orderstatus""",
+)
+def q_pipeline_jv_rollup_e2e(spark, sf_dir):
+    """COMPOSABLE IVM end to end: a JoinView (orders >< lineitem)
+    feeds a RollupStore (daily revenue per order status) — each join
+    delta is extracted BY ITS GENERATION STAMP from the maintained
+    view (``read(with_gens=True).filter(rgen = g)``, a scan filter)
+    and appended to the rollup as its own generation, so a correction
+    propagates through BOTH stores by generation arithmetic alone:
+    the misreported lineitem batch is replaced in the join view AND
+    its rollup generation is superseded by the corrected delta. The
+    oracle recomputes the whole star-schema aggregate from raw tables;
+    neither store ever rescans or recomputes history."""
+    import tempfile
+
+    from hindex_spark.catalog import Catalog
+    from hindex_spark.operators.joinview import JoinView
+    from hindex_spark.operators.rollup import DAY_US, RollupStore
+
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet").select(
+        "o_orderkey", "o_orderstatus", "o_orderdate"
+    )
+    items = spark.read.parquet(f"{sf_dir}/lineitem.parquet").select(
+        F.col("l_orderkey").alias("o_orderkey"),
+        "l_extendedprice", "l_discount",
+    )
+    third = F.pmod(F.col("l_extendedprice").cast("long"), F.lit(3))
+    cat = Catalog(spark, tempfile.mkdtemp(prefix="hindex_jvr_"))
+    jv = JoinView.build(cat, orders, items.filter(third == 0),
+                        "o_orderkey", "gate_jvr")
+
+    def revenue(mv):
+        return mv.select(
+            "o_orderstatus", "o_orderdate",
+            (F.col("l_extendedprice") * (1 - F.col("l_discount")))
+            .alias("revenue"),
+        )
+
+    r = RollupStore.build(
+        cat, revenue(jv.read()), "o_orderdate", ["o_orderstatus"],
+        "revenue", DAY_US, "gate_jvr_daily",
+    )
+    g1 = jv.update_right(items.filter(third == 1))
+    r.update(revenue(
+        jv.read(with_gens=True).filter(F.col("rgen") == g1)))
+    g2 = jv.update_right(
+        items.filter(third == 2).withColumn(
+            "l_extendedprice", F.col("l_extendedprice") * F.lit(2.0)
+        )
+    )
+    rg2 = r.update(revenue(
+        jv.read(with_gens=True).filter(F.col("rgen") == g2)))
+    # the correction propagates through BOTH stores
+    g3 = jv.replace_right_batch(g2, items.filter(third == 2))
+    r.replace_batch(rg2, revenue(
+        jv.read(with_gens=True).filter(F.col("rgen") == g3)))
+    return _rollup_micro(r.read())
+
+
+@query(
     "layout_zorder_scan",
     """SELECT event_type,
               CAST(count(*) AS BIGINT) AS cnt,
