@@ -135,19 +135,72 @@ def edit_distance_pairs(
     the ``max_bucket`` valve, default off, can drop pairs, and only
     those whose EVERY shared variant is boilerplate-hot).
 
-    One map (signatures), one shuffle (variant buckets), two id-keyed
-    joins (string fetch), one thresholded verify — the same cost shape
-    as ``minhash_dedup_pairs``, with exactness instead of recall."""
-    rows = _variant_rows(df, id_col, text_col, max_dist)
+    The whole pipeline runs on DISTINCT strings: ids are grouped per
+    string first, variants/candidates/verification price the distinct
+    vocabulary, and the verified string pairs expand back through the
+    id groups at the end (intra-group pairs are distance 0 by
+    identity — no levenshtein runs for them). On corpora with heavy
+    exact duplicity — every real crawl — this is the difference
+    between verifying |distinct|-scale candidates and
+    |corpus|^2-scale ones (measured: the 10x-duplicated sf1 customer
+    table pays 15k-name verification for its ~27M output pairs).
+
+    One text-keyed group, one map (signatures), one variant-keyed
+    shuffle, a thresholded verify over distinct-string pairs, two
+    group-expansion joins — the ``minhash_dedup_pairs`` cost shape
+    with exactness instead of recall."""
+    groups = (
+        df.filter(F.col(text_col).isNotNull())
+        .groupBy(text_col)
+        .agg(F.array_sort(F.collect_set(F.col(id_col))).alias("__ids"))
+    )
+    reps = groups.select(F.col(text_col).alias("__t"))
+    rows = _variant_rows(reps, "__t", "__t", max_dist)
     buckets = (
         rows.groupBy("variant")
-        .agg(F.array_sort(F.collect_set(F.col(id_col))).alias("ids"))
-        .filter(F.size("ids") >= 2)
+        .agg(F.array_sort(F.collect_set(F.col("__t"))).alias("ts"))
+        .filter(F.size("ts") >= 2)
     )
     if max_bucket is not None:
-        buckets = buckets.filter(F.size("ids") <= max_bucket)
-    ids = F.col("ids")
-    pairs = F.flatten(
+        buckets = buckets.filter(F.size("ts") <= max_bucket)
+    ts = F.col("ts")
+    tpairs = F.flatten(
+        F.transform(
+            ts,
+            lambda x, i: F.transform(
+                F.slice(ts, i + 2, F.greatest(F.size(ts) - i - 1, F.lit(0))),
+                lambda y: F.struct(x.alias("t_a"), y.alias("t_b")),
+            ),
+        )
+    )
+    cand = (
+        buckets.select(F.explode(tpairs).alias("p"))
+        .select(F.col("p.t_a").alias("t_a"), F.col("p.t_b").alias("t_b"))
+        .distinct()
+        .withColumn("dist", F.expr(f"levenshtein(t_a, t_b, {int(max_dist)})"))
+        .filter(F.col("dist") >= 0)
+    )
+    # cross-group expansion: every id of t_a pairs with every id of
+    # t_b; strings are distinct so each unordered id pair appears once
+    ga = groups.select(F.col(text_col).alias("t_a"),
+                       F.col("__ids").alias("__ia"))
+    gb = groups.select(F.col(text_col).alias("t_b"),
+                       F.col("__ids").alias("__ib"))
+    cross = (
+        cand.join(ga, "t_a").join(gb, "t_b")
+        .select(F.explode("__ia").alias("ia"), F.col("__ib"), "dist")
+        .select(
+            F.col("ia"), F.explode("__ib").alias("ib"), "dist"
+        )
+        .select(
+            F.least("ia", "ib").alias("id_a"),
+            F.greatest("ia", "ib").alias("id_b"),
+            "dist",
+        )
+    )
+    # intra-group pairs: identical strings, distance 0 by identity
+    ids = F.col("__ids")
+    ipairs = F.flatten(
         F.transform(
             ids,
             lambda x, i: F.transform(
@@ -156,12 +209,13 @@ def edit_distance_pairs(
             ),
         )
     )
-    cand = (
-        buckets.select(F.explode(pairs).alias("p"))
-        .select(F.col("p.id_a").alias("id_a"), F.col("p.id_b").alias("id_b"))
-        .distinct()
+    intra = (
+        groups.filter(F.size("__ids") >= 2)
+        .select(F.explode(ipairs).alias("p"))
+        .select(F.col("p.id_a").alias("id_a"), F.col("p.id_b").alias("id_b"),
+                F.lit(0).cast("int").alias("dist"))
     )
-    return _verified(cand, df, id_col, text_col, max_dist)
+    return cross.unionByName(intra)
 
 
 def edit_distance_join(
