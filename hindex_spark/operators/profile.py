@@ -55,6 +55,78 @@ def _kind_of(dtype: str) -> str:
     return "str"  # string / boolean / anything with a stable cast
 
 
+def histogram(df: DataFrame, col: str, bins: int = 10) -> DataFrame:
+    """Equi-width histogram of a numeric column: (bin, lo, hi, cnt),
+    bin in [0, bins), empty bins present with cnt = 0 — the profiling
+    staple next to ``profile``'s min/max/ndv. Two bounded jobs: one
+    min/max agg, one ``width_bucket`` aggregation (both map-side
+    partials). Nulls are excluded; a constant or all-null column
+    returns one bin holding every non-null row."""
+    if bins < 1:
+        raise ValueError(f"bins must be >= 1 (got {bins})")
+    v = F.col(col).cast("double")
+    stats = df.select(F.min(v).alias("lo"), F.max(v).alias("hi")).first()
+    lo, hi = stats["lo"], stats["hi"]
+    spark = df.sparkSession
+    if lo is None or lo == hi:
+        n = df.filter(v.isNotNull()).count()
+        return spark.createDataFrame(
+            [(0, float(lo or 0), float(hi or 0), n)],
+            "bin long, lo double, hi double, cnt long",
+        )
+    width = (hi - lo) / bins
+    # explicit floor arithmetic, NOT width_bucket: the bin must be the
+    # same float expression an external engine can evaluate
+    # (floor((v - lo) / (hi - lo) * bins)), so histograms are
+    # bit-reproducible for auditing — width_bucket's internal rounding
+    # is engine-private
+    bucket = F.greatest(
+        F.lit(0),
+        F.least(
+            F.lit(bins - 1),
+            F.floor((v - F.lit(lo)) / F.lit(hi - lo) * bins).cast("long"),
+        ),
+    )
+    counts = (
+        df.filter(v.isNotNull())
+        .groupBy(bucket.alias("bin"))
+        .agg(F.count("*").alias("cnt"))
+    )
+    grid = spark.range(bins).select(F.col("id").alias("bin"))
+    return (
+        grid.join(counts, "bin", "left")
+        .select(
+            "bin",
+            (F.lit(lo) + F.col("bin") * F.lit(width)).alias("lo"),
+            (F.lit(lo) + (F.col("bin") + 1) * F.lit(width)).alias("hi"),
+            F.coalesce(F.col("cnt"), F.lit(0)).cast("long").alias("cnt"),
+        )
+    )
+
+
+def correlations(df: DataFrame, cols: List[str]) -> DataFrame:
+    """Pairwise Pearson correlation matrix (upper triangle):
+    (col_a, col_b, corr) for every a < b pair, all coefficients in ONE
+    aggregation pass (C(n,2) corr aggregates share the scan and fold
+    map-side). Rounded to 6dp DECIMAL — the repo's cross-engine hash
+    convention for derived floats."""
+    if len(cols) < 2:
+        raise ValueError("correlations needs at least two columns")
+    aggs = [
+        F.round(F.corr(F.col(a).cast("double"), F.col(b).cast("double")), 6)
+        .cast("decimal(18,6)").alias(f"__c_{i}")
+        for i, (a, b) in enumerate(
+            (a, b) for ai, a in enumerate(cols) for b in cols[ai + 1:]
+        )
+    ]
+    row = df.agg(*aggs).first()
+    pairs = [(a, b) for ai, a in enumerate(cols) for b in cols[ai + 1:]]
+    out = [(a, b, row[i]) for i, (a, b) in enumerate(pairs)]
+    return df.sparkSession.createDataFrame(
+        out, "col_a string, col_b string, corr decimal(18,6)"
+    )
+
+
 def profile(
     df: DataFrame,
     columns: Optional[List[str]] = None,

@@ -189,6 +189,42 @@ def analyze(df: DataFrame, text_col: str = "text") -> DataFrame:
     )
 
 
+def top_ngrams(
+    df: DataFrame,
+    n: int = 2,
+    k: int = 20,
+    text_col: str = "text",
+) -> DataFrame:
+    """Corpus-wide top-k token n-grams by EXACT count: (gram, cnt),
+    highest first, gram-lexicographic tie-break so the cut is
+    deterministic across engines. The vocabulary/boilerplate report a
+    curation pass reads before choosing stop-grams or dedup shingle
+    sizes. One explode (map-side, ~tokens-per-doc rows) + one
+    gram-keyed count with map-side combine + a global top-k (Spark's
+    TakeOrderedAndProject — never a full sort of the vocabulary)."""
+    if n < 1 or k < 1:
+        raise ValueError(f"n and k must be >= 1 (got n={n}, k={k})")
+    toks = tokens(F.col(text_col))
+    # guard short docs: sequence(1, 0) steps BACKWARDS in Spark, so an
+    # under-n token list must short-circuit to an empty gram array
+    grams = F.when(
+        F.size(toks) < n, F.array().cast("array<string>")
+    ).otherwise(
+        F.transform(
+            F.sequence(F.lit(1), F.size(toks) - (n - 1)),
+            lambda i: F.concat_ws(" ", F.slice(toks, i, n)),
+        )
+    )
+    return (
+        df.filter(F.col(text_col).isNotNull())
+        .select(F.explode(grams).alias("gram"))
+        .groupBy("gram")
+        .agg(F.count("*").alias("cnt"))
+        .orderBy(F.col("cnt").desc(), F.col("gram"))
+        .limit(k)
+    )
+
+
 # --- domain-level corpus operators ------------------------------------------
 # Web-scale pipelines curate per SOURCE DOMAIN before per-document work
 # (CCNet/RefinedWeb/Dolma style): cap documents per domain, drop

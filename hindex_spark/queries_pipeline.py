@@ -2068,6 +2068,87 @@ def q_rollup_timetravel(spark, sf_dir):
 
 
 @query(
+    "profile_histogram",
+    """WITH s AS (SELECT min(value) AS lo, max(value) AS hi FROM events),
+        binned AS (
+          SELECT GREATEST(0, LEAST(9, CAST(FLOOR(
+                   (e.value - s.lo) / (s.hi - s.lo) * 10) AS BIGINT)))
+                 AS bin
+          FROM events e, s WHERE e.value IS NOT NULL),
+        grid AS (SELECT unnest(range(10)) AS bin)
+       SELECT g.bin,
+              s.lo + g.bin * ((s.hi - s.lo) / 10) AS lo,
+              s.lo + (g.bin + 1) * ((s.hi - s.lo) / 10) AS hi,
+              CAST(COALESCE(count(b.bin), 0) AS BIGINT) AS cnt
+       FROM grid g CROSS JOIN s LEFT JOIN binned b ON b.bin = g.bin
+       GROUP BY g.bin, s.lo, s.hi""",
+)
+def q_profile_histogram(spark, sf_dir):
+    """Equi-width histogram of events.value
+    (operators/profile.py:histogram): explicit floor arithmetic (not
+    width_bucket) so the bins are bit-reproducible in an external
+    auditing engine; empty bins present with cnt = 0, bin edges as
+    the identical float expression on both sides."""
+    from hindex_spark.operators.profile import histogram
+
+    events = spark.read.parquet(f"{sf_dir}/events.parquet")
+    return histogram(events, "value", bins=10)
+
+
+@query(
+    "profile_correlations",
+    """SELECT * FROM (
+         SELECT 'l_quantity' AS col_a, 'l_extendedprice' AS col_b,
+                CAST(ROUND(corr(l_quantity, l_extendedprice), 6)
+                     AS DECIMAL(18,6)) AS corr FROM lineitem
+         UNION ALL
+         SELECT 'l_quantity', 'l_discount',
+                CAST(ROUND(corr(l_quantity, l_discount), 6)
+                     AS DECIMAL(18,6)) FROM lineitem
+         UNION ALL
+         SELECT 'l_extendedprice', 'l_discount',
+                CAST(ROUND(corr(l_extendedprice, l_discount), 6)
+                     AS DECIMAL(18,6)) FROM lineitem)""",
+)
+def q_profile_correlations(spark, sf_dir):
+    """Pairwise Pearson correlation matrix
+    (operators/profile.py:correlations): every coefficient in ONE
+    aggregation pass (the oracle's three scans are the
+    counterfactual), 6dp-decimal hash surface."""
+    from hindex_spark.operators.profile import correlations
+
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    return correlations(
+        li, ["l_quantity", "l_extendedprice", "l_discount"]
+    )
+
+
+@query(
+    "text_top_bigrams",
+    r"""WITH toked AS (
+          SELECT string_split_regex(trim(text), '\s+') AS toks
+          FROM documents WHERE text IS NOT NULL),
+        grams AS (
+          SELECT toks[p] || ' ' || toks[p+1] AS gram
+          FROM (SELECT unnest(range(1, len(toks))) AS p, toks
+                FROM toked WHERE len(toks) >= 2))
+       SELECT gram, CAST(count(*) AS BIGINT) AS cnt
+       FROM grams GROUP BY gram
+       ORDER BY cnt DESC, gram LIMIT 20""",
+)
+def q_text_top_bigrams(spark, sf_dir):
+    """Corpus-wide top-20 bigrams by exact count
+    (operators/text.py:top_ngrams — the vocabulary/boilerplate report
+    behind stop-gram and shingle-size choices): one map-side gram
+    explode, one counted shuffle with map-side combine, and a global
+    top-k (TakeOrderedAndProject — never a full vocabulary sort)."""
+    from hindex_spark.operators.text import top_ngrams
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return top_ngrams(docs, n=2, k=20)
+
+
+@query(
     "agg_grouping_cube",
     """WITH b AS (
           SELECT event_type,

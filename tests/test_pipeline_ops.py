@@ -3455,3 +3455,38 @@ def test_joinview_maybe_compact_file_trigger(spark, tmp_path):
     assert maybe_compact(jv, max_files_per_bucket=1)         # over
     assert jv.sealed_lbelow > 0
     assert Counter(tuple(r) for r in jv.read().collect()) == before
+
+
+def test_top_ngrams_short_docs_and_ties(spark):
+    from hindex_spark.operators.text import top_ngrams
+
+    df = spark.createDataFrame(
+        [("a b a b",), ("a b",), ("x",), ("",), (None,)],
+        "text string",
+    )
+    got = [tuple(r) for r in top_ngrams(df, n=2, k=3).collect()]
+    # "a b" x3 (twice in doc1, once in doc2), then "b a" x1; the
+    # 1-token / empty / null docs contribute nothing (and must not
+    # trip Spark's backwards sequence(1, 0))
+    assert got == [("a b", 3), ("b a", 1)]
+    with pytest.raises(ValueError, match=">= 1"):
+        top_ngrams(df, n=0)
+
+
+def test_histogram_edges_and_degenerate(spark):
+    from hindex_spark.operators.profile import histogram
+
+    df = spark.createDataFrame(
+        [(0.0,), (2.5,), (5.0,), (7.5,), (10.0,), (None,)], "v double"
+    )
+    rows = {r["bin"]: (r["lo"], r["hi"], r["cnt"])
+            for r in histogram(df, "v", bins=4).collect()}
+    # max value lands in the LAST bin (clamped), nulls excluded
+    assert {b: c for b, (_, _, c) in rows.items()} == {
+        0: 1, 1: 1, 2: 1, 3: 2}
+    assert rows[0][0] == 0.0 and rows[3][1] == 10.0
+    const = spark.createDataFrame([(7.0,), (7.0,), (None,)], "v double")
+    got = histogram(const, "v").collect()
+    assert len(got) == 1 and got[0]["cnt"] == 2
+    with pytest.raises(ValueError, match="bins"):
+        histogram(df, "v", bins=0)
