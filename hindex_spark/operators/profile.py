@@ -127,6 +127,64 @@ def correlations(df: DataFrame, cols: List[str]) -> DataFrame:
     )
 
 
+def flag_anomalies(
+    df: DataFrame,
+    key_cols: List[str],
+    value_col: str,
+    k: float = 3.0,
+) -> DataFrame:
+    """Robust per-key outlier flags — the monitoring read over a
+    rollup: a row is anomalous when its value deviates from its key's
+    DISCRETE median by more than ``k`` times the key's MAD (median
+    absolute deviation). Output = input columns + ``med``, ``mad``,
+    ``is_anomaly``.
+
+    Both medians are DISCRETE (the element at rank ceil(n/2) in the
+    key's sorted values) — the repo's KLL quantile convention: an
+    element pick has no float interpolation to diverge between
+    engines, so the flags are bit-reproducible (DuckDB quantile_disc
+    mirrors it exactly). A key whose MAD is 0 (constant-majority
+    series) flags every value different from the median.
+
+    Two key-partitioned sort windows (median, then median of absolute
+    deviations) — rollup-sized input, so both are narrow; for raw
+    100 TB event streams run this on the rollup read, not the
+    events."""
+    from pyspark.sql import Window
+
+    v = F.col(value_col).cast("double")
+    w = Window.partitionBy(*key_cols)
+    wo = w.orderBy(v)
+    med = F.first(
+        F.when(
+            F.row_number().over(wo)
+            == F.ceil(F.count("*").over(w) / 2).cast("int"),
+            v,
+        ),
+        ignorenulls=True,
+    ).over(w)
+    stage1 = df.withColumn("med", med).withColumn(
+        "__ad", F.abs(v - F.col("med"))
+    )
+    wo2 = w.orderBy(F.col("__ad"))
+    mad = F.first(
+        F.when(
+            F.row_number().over(wo2)
+            == F.ceil(F.count("*").over(w) / 2).cast("int"),
+            F.col("__ad"),
+        ),
+        ignorenulls=True,
+    ).over(w)
+    return (
+        stage1.withColumn("mad", mad)
+        .withColumn(
+            "is_anomaly",
+            F.abs(v - F.col("med")) > F.lit(float(k)) * F.col("mad"),
+        )
+        .drop("__ad")
+    )
+
+
 def profile(
     df: DataFrame,
     columns: Optional[List[str]] = None,

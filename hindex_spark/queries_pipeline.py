@@ -2068,6 +2068,56 @@ def q_rollup_timetravel(spark, sf_dir):
 
 
 @query(
+    "events_anomaly_hours",
+    """WITH b AS (
+         SELECT epoch_us(ts) - (epoch_us(ts) % 3600000000) AS bucket_us,
+                event_type,
+                CAST(SUM(CAST(CAST(ROUND(value, 6) AS DECIMAL(18,6))
+                     * 1000000 AS BIGINT)) AS BIGINT) AS vsum_micro
+         FROM events WHERE ts IS NOT NULL
+         GROUP BY 1, 2),
+        m AS (SELECT event_type,
+                     CAST(quantile_disc(vsum_micro, 0.5) AS DOUBLE) AS med
+              FROM b GROUP BY event_type),
+        s1 AS (SELECT b.*, m.med,
+                      ABS(b.vsum_micro - m.med) AS ad
+               FROM b JOIN m USING (event_type)),
+        m2 AS (SELECT event_type,
+                      CAST(quantile_disc(ad, 0.5) AS DOUBLE) AS mad
+               FROM s1 GROUP BY event_type)
+       SELECT s1.bucket_us, s1.event_type, s1.vsum_micro, s1.med,
+              m2.mad,
+              ABS(s1.vsum_micro - s1.med) > 3.0 * m2.mad AS is_anomaly
+       FROM s1 JOIN m2 USING (event_type)""",
+)
+def q_events_anomaly_hours(spark, sf_dir):
+    """Robust per-type outlier flags over the hourly value sums
+    (operators/profile.py:flag_anomalies — the monitoring read a
+    rollup serves): a row is anomalous beyond 3 MADs from its type's
+    DISCRETE median. Both medians are element picks (rank ceil(n/2))
+    — no float interpolation to diverge between engines (DuckDB's
+    quantile_disc is the exact mirror)."""
+    from hindex_spark.operators.profile import flag_anomalies
+    from hindex_spark.timeutil import ts_micros
+
+    events = spark.read.parquet(f"{sf_dir}/events.parquet")
+    us = ts_micros(events, "ts")
+    b = (
+        events.filter(F.col("ts").isNotNull())
+        .groupBy(
+            (us - us % (3600 * 1000000)).alias("bucket_us"), "event_type"
+        )
+        .agg(
+            F.sum(
+                (F.round(F.col("value"), 6).cast("decimal(18,6)")
+                 * 1000000).cast("long")
+            ).alias("vsum_micro")
+        )
+    )
+    return flag_anomalies(b, ["event_type"], "vsum_micro", k=3.0)
+
+
+@query(
     "profile_histogram",
     """WITH s AS (SELECT min(value) AS lo, max(value) AS hi FROM events),
         binned AS (

@@ -3490,3 +3490,23 @@ def test_histogram_edges_and_degenerate(spark):
     assert len(got) == 1 and got[0]["cnt"] == 2
     with pytest.raises(ValueError, match="bins"):
         histogram(df, "v", bins=0)
+
+
+def test_flag_anomalies_mad_semantics(spark):
+    from hindex_spark.operators.profile import flag_anomalies
+
+    df = spark.createDataFrame(
+        [("a", 1.0), ("a", 2.0), ("a", 3.0), ("a", 100.0),
+         ("b", 5.0), ("b", 5.0), ("b", 5.0), ("b", 6.0)],
+        "k string, v double",
+    )
+    got = {(r["k"], r["v"]): (r["med"], r["mad"], r["is_anomaly"])
+           for r in flag_anomalies(df, ["k"], "v", k=3.0).collect()}
+    # 'a': discrete median = element at rank ceil(4/2)=2 -> 2.0;
+    # MAD = median of {1,0,1,98} -> rank-2 element of sorted {0,1,1,98}
+    # = 1.0; only 100 exceeds 3*1
+    assert got[("a", 100.0)] == (2.0, 1.0, True)
+    assert got[("a", 3.0)] == (2.0, 1.0, False)
+    # 'b': MAD 0 (constant majority) -> any deviation flags
+    assert got[("b", 6.0)][1:] == (0.0, True)
+    assert got[("b", 5.0)][2] is False
