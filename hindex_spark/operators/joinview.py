@@ -224,6 +224,31 @@ class JoinView:
         )
         return mv if with_gens else mv.drop("lgen", "rgen")
 
+    def read_left_outer(self) -> DataFrame:
+        """LEFT OUTER serving over the inner-maintained view: the
+        materialized inner rows UNION the live left rows whose key has
+        no live right match, right payload NULL. Outer semantics are
+        DERIVED AT READ TIME (one key-projected anti-join of the two
+        side stores — both bucketed on the key, so it co-partitions
+        without a shuffle) instead of maintained: maintaining outer
+        rows incrementally needs per-row match counting (a right batch
+        adding the first match for a key must retract its null row),
+        which buys nothing over this bounded read-time derivation.
+        ``read_right_outer`` is the caller swapping sides at build."""
+        mv_schema = {f.name: f.dataType for f in self._raw("mv").schema}
+        rkeys = self.right_rows().select(self.key).distinct()
+        unmatched = (
+            self.left_rows().drop("gen")
+            .join(rkeys, self.key, "left_anti")
+        )
+        for c in self.right_cols:
+            unmatched = unmatched.withColumn(
+                c, F.lit(None).cast(mv_schema[c])
+            )
+        return self.read().unionByName(
+            unmatched.select(self.key, *self.left_cols, *self.right_cols)
+        )
+
     def read_with(self, tail_left: Optional[DataFrame] = None,
                   tail_right: Optional[DataFrame] = None,
                   with_gens: bool = False) -> DataFrame:

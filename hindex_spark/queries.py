@@ -1535,7 +1535,12 @@ _PRIORITY = [
     # events_attribution_window below (banded near-dup signatures stay
     # driver-visible via dedup_minhash_lsh — same band-bucket-join
     # machinery; simhash stays oracle-checked in the local gate).
-    "dedup_exact", "dedup_minhash_lsh", "dedup_clusters",
+    # Round-10 continuation rotation: dedup_clusters ceded its slot to
+    # pipeline_jv_rollup_e2e below (connected-components clustering
+    # stays driver-visible inside corpus_clean, which runs the same CC
+    # machinery end-to-end; the standalone gate stays oracle-checked in
+    # the local gate).
+    "dedup_exact", "dedup_minhash_lsh",
     "dedup_semantic", "corpus_clean",
     "corpus_pipeline_e2e",
     # Round-8 rotation: corpus_dedup_state_upsert (persisted dedup-state
@@ -1643,6 +1648,12 @@ _PRIORITY = [
     # SymSpell deletion-neighborhood blocking (operators/linkage.py)
     # vs the honest all-pairs oracle.
     "linkage_edit_pairs",
+    # pipeline_jv_rollup_e2e — the composable-IVM capstone: JoinView
+    # deltas extracted by generation stamp feed a RollupStore, and a
+    # correction propagates through both stores by generation
+    # arithmetic alone; oracle recomputes the star-schema aggregate
+    # from raw tables.
+    "pipeline_jv_rollup_e2e",
 ]
 
 

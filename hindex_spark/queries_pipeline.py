@@ -2490,6 +2490,45 @@ def q_pipeline_jv_rollup_e2e(spark, sf_dir):
 
 
 @query(
+    "joinview_left_outer",
+    """SELECT o.o_orderkey, o.o_custkey, o.o_orderstatus,
+              l.l_linenumber, l.l_quantity
+       FROM orders o LEFT JOIN (
+         SELECT * FROM lineitem WHERE l_quantity > 30) l
+       ON o.o_orderkey = l.l_orderkey""",
+)
+def q_joinview_left_outer(spark, sf_dir):
+    """LEFT OUTER serving over the inner-maintained join view
+    (JoinView.read_left_outer): unmatched left keys derived by one
+    co-partitioned anti-join at read time — outer rows are never
+    maintained (a right batch adding a key's first match would need a
+    null-row retraction; the read-time derivation makes that class of
+    bug unrepresentable). Built across two right deltas so the
+    unmatched set genuinely shrinks as matches arrive."""
+    import tempfile
+
+    from hindex_spark.catalog import Catalog
+    from hindex_spark.operators.joinview import JoinView
+
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet").select(
+        "o_orderkey", "o_custkey", "o_orderstatus"
+    )
+    items = spark.read.parquet(f"{sf_dir}/lineitem.parquet").filter(
+        F.col("l_quantity") > 30
+    ).select(
+        F.col("l_orderkey").alias("o_orderkey"),
+        "l_linenumber", "l_quantity",
+    )
+    cat = Catalog(spark, tempfile.mkdtemp(prefix="hindex_jvlo_"))
+    jv = JoinView.build(
+        cat, orders, items.filter(F.col("l_linenumber") <= 3),
+        "o_orderkey", "gate_jvlo",
+    )
+    jv.update_right(items.filter(F.col("l_linenumber") > 3))
+    return jv.read_left_outer()
+
+
+@query(
     "layout_zorder_scan",
     """SELECT event_type,
               CAST(count(*) AS BIGINT) AS cnt,

@@ -3510,3 +3510,27 @@ def test_flag_anomalies_mad_semantics(spark):
     # 'b': MAD 0 (constant majority) -> any deviation flags
     assert got[("b", 6.0)][1:] == (0.0, True)
     assert got[("b", 5.0)][2] is False
+
+
+def test_joinview_left_outer_tracks_retractions(spark, tmp_path):
+    """Unmatched-left derivation reacts to BOTH directions: a right
+    delta matching a key removes its null row; retracting that delta
+    resurrects it."""
+    from hindex_spark.catalog import Catalog
+    from hindex_spark.operators.joinview import JoinView
+
+    cat = Catalog(spark, str(tmp_path / "wh"))
+    L = spark.createDataFrame([(1, "a"), (2, "b")], "k long, lv string")
+    R = spark.createDataFrame([(1, 10)], "k long, rv long")
+    jv = JoinView.build(cat, L, R, "k", "lo")
+
+    def rows():
+        return sorted(
+            tuple(r) for r in jv.read_left_outer().collect()
+        )
+
+    assert rows() == [(1, "a", 10), (2, "b", None)]
+    g = jv.update_right(spark.createDataFrame([(2, 20)], "k long, rv long"))
+    assert rows() == [(1, "a", 10), (2, "b", 20)]
+    jv.delete_right_batch(g)
+    assert rows() == [(1, "a", 10), (2, "b", None)]
