@@ -59,9 +59,9 @@ def histogram(df: DataFrame, col: str, bins: int = 10) -> DataFrame:
     """Equi-width histogram of a numeric column: (bin, lo, hi, cnt),
     bin in [0, bins), empty bins present with cnt = 0 — the profiling
     staple next to ``profile``'s min/max/ndv. Two bounded jobs: one
-    min/max agg, one ``width_bucket`` aggregation (both map-side
-    partials). Nulls are excluded; a constant or all-null column
-    returns one bin holding every non-null row."""
+    min/max agg, one bucketed count (both map-side partials). Nulls
+    are excluded; a constant or all-null column returns one bin
+    holding every non-null row."""
     if bins < 1:
         raise ValueError(f"bins must be >= 1 (got {bins})")
     v = F.col(col).cast("double")
@@ -469,6 +469,11 @@ class ProfileStore:
         #: str(gen) -> superseding gen (None = retracted); refuse
         #: re-correcting a dead generation (RollupStore._check_correctable)
         self.corrected = {}
+        #: version history for time travel (read_asof) — the
+        #: RollupStore mechanism verbatim; None on pre-history stores
+        self.history = None
+        self.cur_version = 0
+        self.sealed_version = 0
         self.table_name = f"{name}_profilestore_bucketed"
 
     @property
@@ -484,7 +489,9 @@ class ProfileStore:
                 "ndv_lgk": self.ndv_lgk, "num_buckets": self.num_buckets,
                 "pctl_k": self.pctl_k,
                 "cur_gen": self.cur_gen, "sealed_below": self.sealed_below,
-                "corrected": self.corrected}
+                "corrected": self.corrected,
+                "history": self.history, "cur_version": self.cur_version,
+                "sealed_version": self.sealed_version}
 
     def _reload_meta(self) -> None:
         """Re-read persisted meta at the top of every locked mutation —
@@ -503,6 +510,9 @@ class ProfileStore:
         self.kinds = m.get("kinds", self.kinds)
         self.ndv_lgk = m.get("ndv_lgk", self.ndv_lgk)
         self.pctl_k = m.get("pctl_k", self.pctl_k)
+        self.history = m.get("history")
+        self.cur_version = m.get("cur_version", 0)
+        self.sealed_version = m.get("sealed_version", 0)
 
     def _save_meta(self) -> None:
         with open(self._meta_path(), "w") as f:
@@ -536,6 +546,10 @@ class ProfileStore:
             num_buckets=num_buckets,
         )
         clear_tombstones(ps._tombstone_path())
+        ps.history = [{"v": 0, "op": "build", "add": [0], "drop": [],
+                       "reset": True}]
+        ps.cur_version = 0
+        ps.sealed_version = 0
         ps._save_meta()
         return ps
 
@@ -550,6 +564,9 @@ class ProfileStore:
         ps.cur_gen = m.get("cur_gen", 0)
         ps.sealed_below = m.get("sealed_below", 0)
         ps.corrected = m.get("corrected", {})
+        ps.history = m.get("history")
+        ps.cur_version = m.get("cur_version", 0)
+        ps.sealed_version = m.get("sealed_version", 0)
         return ps
 
     def _ensure_registered(self) -> None:
@@ -607,6 +624,7 @@ class ProfileStore:
             gen = self.cur_gen + 1
             self._append_locked(batch, gen)
             self.cur_gen = gen
+            self._record_version("update", add=[gen])
             self._save_meta()
         return gen
 
@@ -642,6 +660,7 @@ class ProfileStore:
             self._append_locked(corrected, new_gen)
             self.cur_gen = new_gen
             self.corrected[str(gen)] = new_gen
+            self._record_version("replace", add=[new_gen], drop=[gen])
             self._save_meta()
         return new_gen
 
@@ -656,6 +675,7 @@ class ProfileStore:
             gens = self.catalog.spark.createDataFrame([(gen,)], "gen long")
             append_tombstones(gens, "gen", gen + 1, self._tombstone_path())
             self.corrected[str(gen)] = None
+            self._record_version("delete", drop=[gen])
             self._save_meta()
 
     def compact(self) -> None:
@@ -684,7 +704,74 @@ class ProfileStore:
             clear_tombstones(self._tombstone_path())
             self.sealed_below = self.cur_gen + 1
             self.corrected = {}
+            self._record_version("compact", add=[self.cur_gen],
+                                 seal=True)
             self._save_meta()
+
+    def _record_version(self, op: str, add=(), drop=(),
+                        seal: bool = False) -> None:
+        """Append one verb to the version history (caller holds the
+        lease and saves meta afterwards) — the RollupStore mechanism
+        verbatim; pre-history stores stay history-less."""
+        if self.history is None:
+            return
+        self.cur_version += 1
+        self.history.append({
+            "v": self.cur_version, "op": op,
+            "add": [int(g) for g in add], "drop": [int(g) for g in drop],
+        })
+        if seal:
+            self.sealed_version = self.cur_version
+
+    def _live_gens_at(self, version: int) -> set:
+        """Tolerant replay (see RollupStore._live_gens_at): compact's
+        folded gen ADDs without clearing — pre-fold and folded rows are
+        disjoint alternatives carrying identical merged values."""
+        live = set()
+        for ev in self.history:
+            if ev["v"] > version:
+                break
+            live |= set(ev["add"])
+            live -= set(ev["drop"])
+        return live
+
+    def versions(self) -> list:
+        """DESCRIBE HISTORY: one entry per mutating verb, oldest
+        first."""
+        return list(self.history or [])
+
+    def read_asof(self, version: int,
+                  pctls: Optional[List[float]] = None) -> DataFrame:
+        """TIME TRAVEL: the whole-corpus profile exactly as ``read()``
+        served it at store version ``version`` — a generation-set scan
+        filter replayed from meta, zero extra jobs; versions below the
+        last compact() are refused (the VACUUM rule). The third store
+        with this surface (RollupStore, JoinView)."""
+        self._reload_meta()
+        if self.history is None:
+            raise ValueError(
+                f"profile store {self.name} predates version history; "
+                "rebuild it to enable time travel")
+        if version > self.cur_version:
+            raise ValueError(
+                f"version {version} does not exist (cur_version="
+                f"{self.cur_version})")
+        if version < self.sealed_version:
+            sealing = next(
+                ev for ev in self.history if ev["v"] == self.sealed_version)
+            raise ValueError(
+                f"version {version} was sealed by {sealing['op']}() at "
+                f"version {self.sealed_version}: the rewrite purged rows "
+                "its reconstruction needs")
+        if pctls and self.pctl_k is None:
+            raise ValueError(
+                "store carries no quantile sketches — rebuild with "
+                "pctl_k to serve percentiles")
+        live = self._live_gens_at(version)
+        p = self.partials.filter(
+            F.col("gen").isin([int(g) for g in sorted(live)]))
+        return render_profile(
+            merge_profile_partials(p.drop("gen")), self.kinds, pctls)
 
     def read(self, pctls: Optional[List[float]] = None) -> DataFrame:
         """The whole-corpus profile — same schema/reprs as

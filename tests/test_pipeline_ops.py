@@ -3534,3 +3534,41 @@ def test_joinview_left_outer_tracks_retractions(spark, tmp_path):
     assert rows() == [(1, "a", 10), (2, "b", 20)]
     jv.delete_right_batch(g)
     assert rows() == [(1, "a", 10), (2, "b", None)]
+
+
+def test_profile_store_read_asof(spark, tmp_path):
+    """Time travel on the profile ledger: every version replays to the
+    one-shot profile of exactly the batches live at that version;
+    compact seals; reopened handles serve history from meta."""
+    from hindex_spark.catalog import Catalog
+    from hindex_spark.operators.profile import ProfileStore, profile
+
+    cat = Catalog(spark, str(tmp_path / "wh"))
+
+    def mk(n0, n1, shift=0.0):
+        return spark.range(n0, n1).select(
+            F.col("id"), (F.col("id") * 1.5 + shift).alias("score"))
+
+    def rows(df):
+        return sorted(tuple(r) for r in df.collect())
+
+    ps = ProfileStore.build(cat, mk(0, 50), ["id", "score"], "ttp")
+    ps.update(mk(50, 100))                      # v1
+    g2 = ps.update(mk(100, 150, shift=1e9))     # v2 (bad)
+    ps.replace_batch(g2, mk(100, 150))          # v3
+    assert rows(ps.read_asof(1)) == rows(profile(mk(0, 100),
+                                                 ["id", "score"]))
+    bad_max = [r for r in ps.read_asof(2).collect()
+               if r["col_name"] == "score"][0]["max_repr"]
+    assert bad_max.startswith("10000002")       # the misreport, visible
+    assert rows(ps.read_asof(3)) == rows(ps.read())
+    ps.compact()                                # v4 seals
+    with pytest.raises(ValueError, match="sealed by compact"):
+        ps.read_asof(2)
+    ps2 = ProfileStore.open(cat, "ttp")
+    ps2.update(mk(150, 160))                    # v5
+    assert rows(ps2.read_asof(5)) == rows(ps2.read())
+    assert rows(ps2.read_asof(4)) == rows(profile(mk(0, 150),
+                                                  ["id", "score"]))
+    with pytest.raises(ValueError, match="does not exist"):
+        ps2.read_asof(9)
