@@ -3161,6 +3161,72 @@ def q_events_profile_store(spark, sf_dir):
 
 
 @query(
+    "events_profile_timetravel",
+    """WITH e2 AS (
+         SELECT event_type,
+                CASE WHEN event_id % 3 = 1 THEN user_id + 1000000
+                     ELSE user_id END AS user_id
+         FROM events)
+       SELECT CAST(2 AS BIGINT) AS v, 'event_type' AS col_name,
+          CAST(count(event_type) AS BIGINT) AS n_rows,
+          CAST(count(*) - count(event_type) AS BIGINT) AS n_null,
+          CAST(count(DISTINCT event_type) AS BIGINT) AS ndv,
+          min(event_type) AS min_repr, max(event_type) AS max_repr
+        FROM e2
+       UNION ALL
+       SELECT CAST(2 AS BIGINT), 'user_id',
+          CAST(count(user_id) AS BIGINT),
+          CAST(count(*) - count(user_id) AS BIGINT),
+          CAST(count(DISTINCT user_id) AS BIGINT),
+          CAST(min(user_id) AS VARCHAR), CAST(max(user_id) AS VARCHAR)
+        FROM e2
+       UNION ALL
+       SELECT CAST(3 AS BIGINT), 'event_type',
+          CAST(count(event_type) AS BIGINT),
+          CAST(count(*) - count(event_type) AS BIGINT),
+          CAST(count(DISTINCT event_type) AS BIGINT),
+          min(event_type), max(event_type)
+        FROM events
+       UNION ALL
+       SELECT CAST(3 AS BIGINT), 'user_id',
+          CAST(count(user_id) AS BIGINT),
+          CAST(count(*) - count(user_id) AS BIGINT),
+          CAST(count(DISTINCT user_id) AS BIGINT),
+          CAST(min(user_id) AS VARCHAR), CAST(max(user_id) AS VARCHAR)
+        FROM events""",
+)
+def q_events_profile_timetravel(spark, sf_dir):
+    """TIME TRAVEL on the profile ledger (ProfileStore.read_asof):
+    the pre-correction version (v=2, still showing the misreported
+    user_id shift) unioned with the post-correction version (v=3) —
+    both replayed from the meta version history as generation-set
+    scan filters, value-checked against DuckDB profiles of the
+    correspondingly-tampered raw table. Same history mechanism as
+    events_rollup_timetravel, third store with the surface."""
+    import tempfile
+
+    from hindex_spark.catalog import Catalog
+    from hindex_spark.operators.profile import ProfileStore
+
+    events = spark.read.parquet(f"{sf_dir}/events.parquet")
+    cols = ["event_type", "user_id"]
+    cat = Catalog(spark, tempfile.mkdtemp(prefix="hindex_profstore_"))
+    ps = ProfileStore.build(
+        cat, events.filter(F.col("event_id") % 3 == 0), cols, "gate_ptt"
+    )
+    mid = events.filter(F.col("event_id") % 3 == 1)
+    g_bad = ps.update(
+        mid.withColumn("user_id", F.col("user_id") + 1_000_000)
+    )
+    ps.update(events.filter(F.col("event_id") % 3 == 2))
+    ps.replace_batch(g_bad, mid)
+    tag = lambda df, v: df.select(  # noqa: E731
+        F.lit(v).cast("long").alias("v"), "*"
+    )
+    return tag(ps.read_asof(2), 2).unionByName(tag(ps.read_asof(3), 3))
+
+
+@query(
     "events_profile_realtime",
     """SELECT 'event_type' AS col_name,
           CAST(count(event_type) AS BIGINT) AS n_rows,
