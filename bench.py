@@ -48,7 +48,9 @@ def main():
     n_orders = orders.df.count()  # warm JVM + page cache
 
     timings = {}
+    spreads = {}
     errors = {}
+    load_before = os.getloadavg()
 
     def _persistent_ids():
         return set(spark.sparkContext._jsc.getPersistentRDDs().keySet())
@@ -76,11 +78,13 @@ def main():
         # workload starts from the same storage state.
         try:
             best = None
+            samples = []
             for _ in range(runs):
                 before = _persistent_ids()
                 t0 = time.perf_counter()
                 fn()
                 dt = time.perf_counter() - t0
+                samples.append(dt)
                 best = dt if best is None else min(best, dt)
                 jmap = spark.sparkContext._jsc.getPersistentRDDs()
                 for rid in set(jmap.keySet()) - (db_ids if db_ids is not None else before):
@@ -101,6 +105,11 @@ def main():
                 except Exception:  # noqa: BLE001 - measurement aid only
                     pass
             timings[name] = round(best, 4)
+            # ambient instrumentation: the recorded per-line MIN is the
+            # headline, but the full sample lets round-over-round diffs
+            # separate plan regressions from host noise (this host's
+            # idle-vs-loaded band at sf0.1 spans ~21-47 s total)
+            spreads[name] = [round(s, 4) for s in sorted(samples)]
         except Exception as exc:  # noqa: BLE001 - reported, not swallowed
             msg = str(exc).splitlines()[0] if str(exc) else ""
             errors[name] = f"{type(exc).__name__}: {msg[:200]}"
@@ -730,6 +739,12 @@ def main():
         "unit": "sec",
         "queries": timings,
         "sf": float(sf),
+        # per-line sorted run samples (min == the recorded timing) and
+        # a host-load fingerprint, so artifact diffs can auto-filter
+        # ambient noise from real regressions
+        "run_samples": spreads,
+        "loadavg_before": [round(x, 2) for x in load_before],
+        "loadavg_after": [round(x, 2) for x in os.getloadavg()],
     }
     if errors:
         # A partial total is not comparable to a complete one: null the

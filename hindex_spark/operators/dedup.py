@@ -21,6 +21,7 @@ MERSENNE31; minhash_i = min((A[i]*h + B[i]) mod MERSENNE31).
 
 from __future__ import annotations
 
+import os
 from typing import List, Optional, Union
 
 from pyspark.sql import Column, DataFrame, Observation
@@ -38,6 +39,25 @@ MINHASH_B = [15485867, 32452843, 49979687, 67867967, 86028121,
              104395301, 122949823, 141650939]
 N_HASHES = 8
 BAND_SIZE = 2  # 4 bands of 2 -> candidates at jaccard ~>= 0.5
+
+
+def _spread_for_shingle(df: DataFrame, id_col: str) -> DataFrame:
+    """Id-partition narrowed candidate docs BEFORE shingling: the
+    candidate-doc frame inherits the raw parquet scan's partitioning,
+    which at a few MB is ONE partition — then if the optimizer
+    broadcasts the (small) candidate-pair side, the array_intersect
+    work for millions of pairs lands on that single probe partition
+    (measured 4x on the sf1 valve path: 14 s -> 3.4 s). The exchange
+    moves only light (id, text) rows — the heavy unit arrays are built
+    post-exchange, so the shuffle is cheap AND the shingle compute
+    spreads.
+
+    ``HINDEX_LSH_PRESHINGLE_REPART=0`` disables it (the measurement
+    knob the sf1 A/B adjudication toggles in-process)."""
+    if os.environ.get("HINDEX_LSH_PRESHINGLE_REPART", "1") == "0":
+        return df
+    npart = int(df.sparkSession.conf.get("spark.sql.shuffle.partitions", "32"))
+    return df.repartition(npart, id_col)
 
 
 def _minhash_coeffs(n_hashes: int):
@@ -514,17 +534,8 @@ def minhash_dedup_pairs(
         .unionByName(cands.select(F.col("id_b").alias(id_col)))
         .distinct()
     )
-    # Id-partition the narrowed docs BEFORE shingling: the candidate-doc
-    # frame inherits the raw parquet scan's partitioning, which at a few
-    # MB is ONE partition — then if the optimizer broadcasts the (small)
-    # candidate-pair side, the array_intersect work for millions of
-    # pairs lands on that single probe partition (measured 4x on the sf1
-    # valve path: 14 s -> 3.4 s). Repartitioning pre-shingle moves only
-    # (id, text) rows — the heavy unit arrays are built post-exchange,
-    # so the shuffle is light AND the shingle compute itself spreads.
-    npart = int(df.sparkSession.conf.get("spark.sql.shuffle.partitions", "32"))
     ua = doc_unit_arrays(
-        df.join(cand_ids, id_col, "left_semi").repartition(npart, id_col),
+        _spread_for_shingle(df.join(cand_ids, id_col, "left_semi"), id_col),
         id_col,
         text_col,
         ngram,
@@ -624,20 +635,21 @@ def minhash_join(
     _rotate_caches(cands, *extra_caches)
     # verification narrowing (same as minhash_dedup_pairs): re-shingle
     # only docs that appear in a candidate pair, not either full corpus;
-    # docs repartitioned pre-shingle so the pair joins keep probe
-    # parallelism even if the optimizer broadcasts the candidate side
-    # (see minhash_dedup_pairs — the exchange moves light text rows)
-    npart = int(left.sparkSession.conf.get("spark.sql.shuffle.partitions", "32"))
+    # docs spread pre-shingle so the pair joins keep probe parallelism
+    # even if the optimizer broadcasts the candidate side (see
+    # _spread_for_shingle — the exchange moves light text rows)
     ua = doc_unit_arrays(
-        left.join(cands.select(F.col("id_a").alias(id_col)).distinct(), id_col, "left_semi")
-        .repartition(npart, id_col),
+        _spread_for_shingle(
+            left.join(cands.select(F.col("id_a").alias(id_col)).distinct(),
+                      id_col, "left_semi"), id_col),
         id_col,
         text_col,
         ngram,
     ).select(F.col(id_col).alias("id_a"), F.col("units").alias("u_a"))
     ub = doc_unit_arrays(
-        right.join(cands.select(F.col("id_b").alias(id_col)).distinct(), id_col, "left_semi")
-        .repartition(npart, id_col),
+        _spread_for_shingle(
+            right.join(cands.select(F.col("id_b").alias(id_col)).distinct(),
+                       id_col, "left_semi"), id_col),
         id_col,
         text_col,
         ngram,

@@ -162,12 +162,20 @@ class JoinView:
         if key not in left.columns or key not in right.columns:
             raise ValueError(f"join key {key!r} missing from a side")
         jv = cls(catalog, name, key, lcols, rcols, num_buckets)
+        # Normalize to key-first column order BEFORE persisting: every
+        # later append (_append) is a positional INSERT INTO that
+        # selects (key, *cols, gen) — a build frame with the key not
+        # first would otherwise store a swapped layout that appends
+        # silently corrupt.
+        left = left.select(key, *lcols)
+        right = right.select(key, *rcols)
         lrows = left.withColumn("gen", F.lit(0).cast("long"))
         rrows = right.withColumn("gen", F.lit(0).cast("long"))
         mv = (
             left.join(right, key)
             .withColumn("lgen", F.lit(0).cast("long"))
             .withColumn("rgen", F.lit(0).cast("long"))
+            .select(key, *lcols, *rcols, "lgen", "rgen")
         )
         for side, rows in (("l", lrows), ("r", rrows), ("mv", mv)):
             catalog.save_bucketed(

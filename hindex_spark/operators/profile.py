@@ -61,7 +61,11 @@ def histogram(df: DataFrame, col: str, bins: int = 10) -> DataFrame:
     staple next to ``profile``'s min/max/ndv. Two bounded jobs: one
     min/max agg, one bucketed count (both map-side partials). Nulls
     are excluded; a constant or all-null column returns one bin
-    holding every non-null row."""
+    holding every non-null row.
+
+    NOTE: the min/max agg runs EAGERLY at construction (one bounded
+    driver-side ``.first()`` — the bin edges are literals in the
+    returned plan); don't compose inside per-row loops."""
     if bins < 1:
         raise ValueError(f"bins must be >= 1 (got {bins})")
     v = F.col(col).cast("double")
@@ -108,13 +112,19 @@ def correlations(df: DataFrame, cols: List[str]) -> DataFrame:
     """Pairwise Pearson correlation matrix (upper triangle):
     (col_a, col_b, corr) for every a < b pair, all coefficients in ONE
     aggregation pass (C(n,2) corr aggregates share the scan and fold
-    map-side). Rounded to 6dp DECIMAL — the repo's cross-engine hash
-    convention for derived floats."""
+    map-side). Rounded to 6dp then cast to DOUBLE — the repo's
+    cross-engine hash convention; NEVER a decimal final column, which
+    engines canonicalize differently at the comparison edge (the class
+    that kept the rollup gates red for three rounds).
+
+    NOTE: executes one bounded driver-side collect (a single stats row
+    — the AggregationClient final-merge pattern); the operator is
+    EAGER, so don't compose it inside per-row loops."""
     if len(cols) < 2:
         raise ValueError("correlations needs at least two columns")
     aggs = [
         F.round(F.corr(F.col(a).cast("double"), F.col(b).cast("double")), 6)
-        .cast("decimal(18,6)").alias(f"__c_{i}")
+        .cast("double").alias(f"__c_{i}")
         for i, (a, b) in enumerate(
             (a, b) for ai, a in enumerate(cols) for b in cols[ai + 1:]
         )
@@ -123,7 +133,7 @@ def correlations(df: DataFrame, cols: List[str]) -> DataFrame:
     pairs = [(a, b) for ai, a in enumerate(cols) for b in cols[ai + 1:]]
     out = [(a, b, row[i]) for i, (a, b) in enumerate(pairs)]
     return df.sparkSession.createDataFrame(
-        out, "col_a string, col_b string, corr decimal(18,6)"
+        out, "col_a string, col_b string, corr double"
     )
 
 
@@ -146,19 +156,24 @@ def flag_anomalies(
     mirrors it exactly). A key whose MAD is 0 (constant-majority
     series) flags every value different from the median.
 
+    NULL values are EXCLUDED from both medians (n counts non-null
+    values; nulls sort last so the rank lands on a real value) — a
+    null row gets its key's med/mad but ``is_anomaly`` NULL; a key
+    whose values are all null gets med/mad/is_anomaly all NULL.
+
     Two key-partitioned sort windows (median, then median of absolute
-    deviations) — rollup-sized input, so both are narrow; for raw
-    100 TB event streams run this on the rollup read, not the
-    events."""
+    deviations) — rollup-sized input BY CONTRACT (full-partition
+    windows: run this on the rollup read, never the raw 100 TB
+    events)."""
     from pyspark.sql import Window
 
     v = F.col(value_col).cast("double")
     w = Window.partitionBy(*key_cols)
-    wo = w.orderBy(v)
+    wo = w.orderBy(v.asc_nulls_last())
     med = F.first(
         F.when(
             F.row_number().over(wo)
-            == F.ceil(F.count("*").over(w) / 2).cast("int"),
+            == F.ceil(F.count(v).over(w) / 2).cast("int"),
             v,
         ),
         ignorenulls=True,
@@ -166,11 +181,11 @@ def flag_anomalies(
     stage1 = df.withColumn("med", med).withColumn(
         "__ad", F.abs(v - F.col("med"))
     )
-    wo2 = w.orderBy(F.col("__ad"))
+    wo2 = w.orderBy(F.col("__ad").asc_nulls_last())
     mad = F.first(
         F.when(
             F.row_number().over(wo2)
-            == F.ceil(F.count("*").over(w) / 2).cast("int"),
+            == F.ceil(F.count("__ad").over(w) / 2).cast("int"),
             F.col("__ad"),
         ),
         ignorenulls=True,
@@ -684,29 +699,36 @@ class ProfileStore:
         tombstones. The store is columns-x-generations tiny, so this is
         a trivially cheap job; it exists so a years-running store's
         read merges a bounded frame."""
-        from hindex_spark.operators.artifact import clear_tombstones
+        from hindex_spark.operators.artifact import clear_tombstones, live_view
         from hindex_spark.table import Table
 
         with self.catalog.write_lock(self.table_name):
             self._reload_meta()
-            from hindex_spark.operators.artifact import live_view
-
+            # Pre-rewrite meta commit — RollupStore.compact's two-step
+            # ordering. The folded rows take a FRESH generation so a
+            # tombstone pending at a crash (cuts reference strictly
+            # older gens) re-applies to them as a no-op. A crash between
+            # this commit and the rewrite leaves: dead rows still
+            # tombstone-filtered on reads, historical versions refused
+            # (sealed) rather than reconstructed from rows the restarted
+            # compact rewrites, and a gen gap instead of a collision.
+            new_gen = self.cur_gen + 1
+            self.cur_gen = new_gen
+            self.sealed_below = new_gen + 1
+            self.corrected = {}
+            self._record_version("compact", add=[new_gen], seal=True)
+            self._save_meta()
             rows = live_view(
                 self.catalog.read_raw(self.table_name), "gen",
                 self.catalog.spark, self._tombstone_path(),
             )
             folded = merge_profile_partials(rows.drop("gen")).withColumn(
-                "gen", F.lit(self.cur_gen).cast("long"))
+                "gen", F.lit(new_gen).cast("long"))
             self.catalog.save_bucketed(
                 Table(folded, "col_name", f"{self.name}_profilestore"),
                 num_buckets=self.num_buckets,
             )
             clear_tombstones(self._tombstone_path())
-            self.sealed_below = self.cur_gen + 1
-            self.corrected = {}
-            self._record_version("compact", add=[self.cur_gen],
-                                 seal=True)
-            self._save_meta()
 
     def _record_version(self, op: str, add=(), drop=(),
                         seal: bool = False) -> None:

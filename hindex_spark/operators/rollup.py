@@ -1015,6 +1015,20 @@ class RollupStore:
             self._reload_meta()
             if num_buckets is None:
                 num_buckets = self.num_buckets
+            # Pre-rewrite meta commit — compact()'s two-step ordering:
+            # the rewrite purges tombstoned rows and expired buckets,
+            # so versions before this point must be REFUSED before any
+            # row they need can disappear. A crash between this commit
+            # and the rewrite leaves the table intact, dead rows still
+            # tombstone-filtered, and read_asof conservatively refusing
+            # — never reconstructing from purged rows. The histogram
+            # goes UNKNOWN through the rewrite (gauge fallback), same
+            # as compact().
+            self.num_buckets = num_buckets
+            self.gen_hist = None
+            self._record_version("expire", seal=True)
+            with open(self._meta_path(), "w") as f:
+                json.dump(self._meta(), f)
             raw = self.catalog.read_raw(self.table_name)
             if "gen" not in raw.columns:  # migrate pre-gen stores in place
                 raw = raw.withColumn("gen", F.lit(0).cast("long"))
@@ -1026,7 +1040,6 @@ class RollupStore:
                 num_buckets=num_buckets,
             )
             clear_tombstones(self._tombstone_path())
-            self.num_buckets = num_buckets
             # the rewrite just materialized exactly the surviving rows
             # — rebuild the bucket histogram from them (also upgrades
             # pre-histogram stores; defensive against any hist entry a
@@ -1034,9 +1047,6 @@ class RollupStore:
             # relied on are cleared here)
             self._hist_rebuild_locked()
             self._hist_commit(reevaluate=True)
-            # the rewrite purged tombstoned rows and expired buckets:
-            # versions before this point are no longer reconstructible
-            self._record_version("expire", seal=True)
             with open(self._meta_path(), "w") as f:
                 json.dump(self._meta(), f)
 

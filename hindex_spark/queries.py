@@ -1466,7 +1466,12 @@ _PRIORITY = [
     # idxtab_and_or_combination, whose AND/OR-combination coverage stays
     # in the prefix via and_setcover + or_union + and_with_poisoned_or
     # (and in the local gate itself).
-    "idxtab_stale_index", "idxtab_equal_range_combination",
+    # Round-11 rotation: idxtab_equal_range_combination ceded its slot
+    # to events_profile_timetravel below (equal+range planning stays
+    # driver-visible via idxtab_and_setcover + idxtab_prefix_range +
+    # index_multicol_range; the query stays oracle-checked in the
+    # local gate).
+    "idxtab_stale_index",
     "idxtab_and_with_poisoned_or",
     # idxtab_range_not_last ceded its slot (round 7) to
     # events_rollup_hourly below; range-position planning stays
@@ -1540,8 +1545,13 @@ _PRIORITY = [
     # stays driver-visible inside corpus_clean, which runs the same CC
     # machinery end-to-end; the standalone gate stays oracle-checked in
     # the local gate).
+    # Round-11 rotation: dedup_semantic ceded its slot to
+    # joinview_left_outer below (embedding near-dup stays
+    # driver-visible via ann_ivfpq_store_topk — the same
+    # cluster-bucketed cosine machinery serves both; the semantic-dedup
+    # gate stays oracle-checked in the local gate).
     "dedup_exact", "dedup_minhash_lsh",
-    "dedup_semantic", "corpus_clean",
+    "corpus_clean",
     "corpus_pipeline_e2e",
     # Round-8 rotation: corpus_dedup_state_upsert (persisted dedup-state
     # REPLACEMENT via generation tombstones, operators/artifact.py — a
@@ -1654,6 +1664,17 @@ _PRIORITY = [
     # arithmetic alone; oracle recomputes the star-schema aggregate
     # from raw tables.
     "pipeline_jv_rollup_e2e",
+    # Round-11 rotations (serving-parity read paths enter the prefix
+    # now that all 50 went green in round 10; ceded slots annotated at
+    # their families above):
+    # events_profile_timetravel — read_asof over the ProfileStore's
+    # version history (pre- and post-correction profiles vs raw-batch
+    # oracles) — the newest store read path with no driver row yet.
+    "events_profile_timetravel",
+    # joinview_left_outer — LEFT OUTER serving derived at read time
+    # over the inner-maintained view (anti-join of the two bucketed
+    # side stores), tracking retractions in both directions.
+    "joinview_left_outer",
 ]
 
 

@@ -2150,21 +2150,23 @@ def q_profile_histogram(spark, sf_dir):
     """SELECT * FROM (
          SELECT 'l_quantity' AS col_a, 'l_extendedprice' AS col_b,
                 CAST(ROUND(corr(l_quantity, l_extendedprice), 6)
-                     AS DECIMAL(18,6)) AS corr FROM lineitem
+                     AS DOUBLE) AS corr FROM lineitem
          UNION ALL
          SELECT 'l_quantity', 'l_discount',
                 CAST(ROUND(corr(l_quantity, l_discount), 6)
-                     AS DECIMAL(18,6)) FROM lineitem
+                     AS DOUBLE) FROM lineitem
          UNION ALL
          SELECT 'l_extendedprice', 'l_discount',
                 CAST(ROUND(corr(l_extendedprice, l_discount), 6)
-                     AS DECIMAL(18,6)) FROM lineitem)""",
+                     AS DOUBLE) FROM lineitem)""",
 )
 def q_profile_correlations(spark, sf_dir):
     """Pairwise Pearson correlation matrix
     (operators/profile.py:correlations): every coefficient in ONE
     aggregation pass (the oracle's three scans are the
-    counterfactual), 6dp-decimal hash surface."""
+    counterfactual). Hash surface is round-6dp-then-DOUBLE on BOTH
+    sides — never a decimal final (the class that kept the rollup
+    gates red for three rounds)."""
     from hindex_spark.operators.profile import correlations
 
     li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")

@@ -104,22 +104,35 @@ def main():
         # checker compares str(Decimal) == str(Decimal) (both sides
         # fetchall), but comparators that widen one side to float64
         # (e.g. DuckDB .df()) see '12.500000' vs '12.5' — the root
-        # cause of the three-round rollup driver-red. Flag loudly so a
-        # future gate can't reintroduce the risk while passing here.
+        # cause of the three-round rollup driver-red. HARD FAIL (was a
+        # WARN — which fired on profile_correlations and got shipped
+        # anyway): this class is structurally unshippable, even when
+        # the values happen to match locally.
         deci = [c for c, t in sdf.dtypes if t.startswith("decimal")]
         if deci:
-            print(f"WARN {name}: DECIMAL final column(s) {deci} — "
+            failures.append(name)
+            print(f"FAIL {name}: DECIMAL final column(s) {deci} — "
                   "cross-engine hash risk; project integers or doubles")
+            continue
         if name not in oracles:
             print(f"ok?  {name}: rows-only check, {len(srows)} rows (no oracle)")
             continue
         try:
-            res = con.execute(oracles[name])
-            ocols = [d[0] for d in res.description]
-            orows = res.fetchall()
+            rel = con.sql(oracles[name])
+            ocols = list(rel.columns)
+            otypes = [str(t) for t in rel.types]
+            orows = rel.fetchall()
         except Exception as e:
             failures.append(name)
             print(f"FAIL {name}: duckdb error: {e}")
+            continue
+        # same hard gate on the ORACLE side: a decimal-final oracle
+        # column hashes differently in any comparator that widens it
+        odeci = [c for c, t in zip(ocols, otypes) if t.startswith("DECIMAL")]
+        if odeci:
+            failures.append(name)
+            print(f"FAIL {name}: DECIMAL oracle column(s) {odeci} — "
+                  "cross-engine hash risk; project integers or doubles")
             continue
         problems = []
         if sorted(scols) != sorted(ocols):
