@@ -6,9 +6,11 @@ signatures) is real and tested. Media decode goes through a runtime
 seam (``_pil``): when Pillow is importable on the executors,
 ``extract_features`` decodes real pixels and ``resize_blobs(...,
 target_size=(w, h))`` performs a real ``Image.resize`` + PNG re-encode;
-when it is not (this container), a deterministic byte-stat fake with
-the SAME output schema stands in, so oracle results are identical
-either way. ffmpeg-class video decode remains stub-only.
+when it is not (this container), the pure-Python codec
+(operators/imagecodec.py) still REALLY decodes PNG/BMP/baseline-JPEG
+pixels, and only genuinely undecodable payloads take a deterministic
+byte-stat fake with the SAME output schema, so oracle results are
+identical either way. ffmpeg-class video decode remains stub-only.
 
 Scale notes: blobs ride the normal columnar path (parquet binary
 columns); mapInPandas streams Arrow batches so a 100 MB image batch
@@ -127,13 +129,13 @@ def _decode_auto(payload: bytes) -> dict:
     """Real decode when possible, stub otherwise, SAME output schema:
     a payload that parses as an image yields PIXEL-level stats
     (mean/max over the decoded raster). Pillow decodes when installed
-    (C-speed, every format); without it the pure-stdlib codec
-    (operators/imagecodec.py) REALLY decodes PNG and BMP — so the
-    operator decodes actual pixels in this container too. Anything
-    undecodable — including every synthetic utf-8 blob the oracle gates
-    use, which has no image magic bytes — falls through to the
-    deterministic byte stub, so gate results are identical across all
-    three paths."""
+    (C-speed, every format); without it the pure-Python codec
+    (operators/imagecodec.py) REALLY decodes PNG, BMP, and baseline
+    JPEG — so the operator decodes actual pixels in this container
+    too. Anything undecodable — progressive JPEG, video containers,
+    and every synthetic utf-8 blob the oracle gates use (no image
+    magic bytes) — falls through to the deterministic byte stub, so
+    gate results are identical across all three paths."""
     img_mod = _pil()
     if img_mod is not None:
         import io  # noqa: PLC0415 - worker-side
