@@ -8,16 +8,19 @@ Decodes the formats a pure-Python implementation can do exactly:
   non-interlaced; all five row filters (None/Sub/Up/Average/Paeth).
 - **BMP**: uncompressed (BI_RGB) 24/32-bit BITMAPINFOHEADER files,
   bottom-up or top-down rows, 4-byte row padding.
-- **JPEG** (ITU-T T.81 BASELINE): SOF0/SOF1 sequential Huffman, 8-bit,
-  grayscale or YCbCr with any integer sampling (4:4:4/4:2:2/4:2:0),
-  byte stuffing + restart intervals; Huffman entropy decode is pure
-  Python, dequantize/IDCT/upsample/color-convert vectorize over
-  numpy (a hard pyspark dependency, so always present). Validated
-  per-pixel against an independent decoder (JVM ImageIO): p99
-  absolute sample deviation <= 2 on photographic content — within
-  the conforming-decoder IDCT spread. PROGRESSIVE (SOF2) raises and
-  falls through to the caller's stub path, as do hierarchical /
-  arithmetic / 12-bit variants.
+- **JPEG** (ITU-T T.81): BASELINE (SOF0/SOF1) and PROGRESSIVE (SOF2)
+  Huffman DCT, 8-bit, grayscale or YCbCr with any integer sampling
+  (4:4:4/4:2:2/4:2:0), byte stuffing + restart intervals, spectral
+  selection + successive approximation. Both modes run through the
+  spec's unified coefficient-accumulation model (a baseline file is
+  one full-band scan); Huffman entropy decode is pure Python,
+  dequantize/IDCT/upsample/color-convert vectorize over numpy (a
+  hard pyspark dependency, so always present). Validated per-pixel
+  against an independent decoder (JVM ImageIO): p99 absolute sample
+  deviation <= 2 on photographic content, progressive grayscale
+  exact to maxdiff 1 — within the conforming-decoder IDCT spread.
+  Hierarchical / arithmetic-coded / 12-bit variants raise and fall
+  through to the caller's stub path.
 
 Plus the minimal write path the resize operator needs: filter-0 PNG
 encode and nearest-neighbor resize.
@@ -285,22 +288,28 @@ def _jpeg_extend(v: int, s: int) -> int:
 
 
 def _decode_jpeg(payload: bytes) -> Decoded:
-    """Baseline sequential JPEG (SOF0/SOF1). Huffman-decodes every
-    8x8 block in Python, then dequantize/IDCT/assemble/upsample/
-    YCbCr->RGB as whole-image numpy array ops (one einsum IDCT over
-    all blocks). Raises on progressive and other non-baseline frames
-    (decode_image turns that into the callers' stub fallback)."""
+    """DCT JPEG, BASELINE (SOF0/SOF1) and PROGRESSIVE (SOF2), via the
+    spec's unified coefficient-accumulation model: every scan deposits
+    (partial) quantized coefficients into per-component block grids —
+    a baseline file is simply one full-band scan — then dequantize /
+    IDCT / upsample / color-convert run once as whole-image numpy ops
+    (one einsum IDCT over all blocks). Huffman entropy decode stays
+    pure Python. Hierarchical / arithmetic-coded / 12-bit variants
+    raise (decode_image turns that into the callers' stub path)."""
     import numpy as np  # heavy math only; parse/entropy stay stdlib
 
     if payload[:2] != b"\xff\xd8":
         raise ValueError("JPEG: bad magic")
-    qt, huff, sof, dri = {}, {}, None, 0
+    qt, huff, dri = {}, {}, 0
+    frame = None   # (w, h, comps, progressive, hmax, vmax, mcux, mcuy)
+    coefs = None   # comp id -> [by][bx] -> 64 ints (zigzag order)
+    preds = {}
     i = 2
-    while i + 4 <= len(payload):
+    while i + 2 <= len(payload):
         if payload[i] != 0xFF:
             raise ValueError("JPEG: marker desync")
         m = payload[i + 1]
-        if m == 0xD9:
+        if m == 0xD9:  # EOI
             break
         (seglen,) = struct.unpack(">H", payload[i + 2:i + 4])
         seg = payload[i + 4:i + 2 + seglen]
@@ -315,7 +324,7 @@ def _decode_jpeg(payload: bytes) -> Decoded:
                 else:
                     vals = list(seg[p:p + 64])
                     p += 64
-                qt[tq] = np.array(vals, dtype=np.float64)
+                qt[tq] = vals
         elif m == 0xC4:  # DHT (possibly several tables per segment)
             p = 0
             while p < len(seg):
@@ -325,7 +334,7 @@ def _decode_jpeg(payload: bytes) -> Decoded:
                 huff[(tc, th)] = _jpeg_huff(
                     counts, list(seg[p + 17:p + 17 + n]))
                 p += 17 + n
-        elif m in (0xC0, 0xC1):  # SOF0/1: baseline sequential
+        elif m in (0xC0, 0xC1, 0xC2):  # SOF: baseline or progressive
             if seg[0] != 8:
                 raise ValueError(f"JPEG: precision {seg[0]} unsupported")
             h, w = struct.unpack(">HH", seg[1:5])
@@ -334,92 +343,217 @@ def _decode_jpeg(payload: bytes) -> Decoded:
                 samp = seg[7 + 3 * c]
                 comps.append({"id": seg[6 + 3 * c], "h": samp >> 4,
                               "v": samp & 15, "tq": seg[8 + 3 * c]})
-            sof = (w, h, comps)
-        elif m in (0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB,
+            hmax = max(c["h"] for c in comps)
+            vmax = max(c["v"] for c in comps)
+            mcux = (w + 8 * hmax - 1) // (8 * hmax)
+            mcuy = (h + 8 * vmax - 1) // (8 * vmax)
+            coefs = {}
+            for c in comps:
+                # interleaved scans walk the MCU-padded grid; the
+                # non-interleaved grid (ceil of the component box / 8)
+                # is a prefix of it
+                c["bx_pad"], c["by_pad"] = mcux * c["h"], mcuy * c["v"]
+                cw = (w * c["h"] + hmax - 1) // hmax
+                ch_ = (h * c["v"] + vmax - 1) // vmax
+                c["bx"], c["by"] = (cw + 7) // 8, (ch_ + 7) // 8
+                coefs[c["id"]] = [
+                    [[0] * 64 for _ in range(c["bx_pad"])]
+                    for _ in range(c["by_pad"])
+                ]
+            frame = (w, h, comps, m == 0xC2, hmax, vmax, mcux, mcuy)
+            preds = {c["id"]: 0 for c in comps}
+        elif m in (0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB,
                    0xCD, 0xCE, 0xCF):
             raise ValueError(
-                f"JPEG: SOF{m - 0xC0} (non-baseline) unsupported")
+                f"JPEG: SOF{m - 0xC0} (hierarchical/arithmetic) "
+                "unsupported")
         elif m == 0xDD:  # DRI
             (dri,) = struct.unpack(">H", seg[:2])
-        elif m == 0xDA:  # SOS: entropy-coded data follows
-            scan = {}
-            for c in range(seg[0]):
-                scan[seg[1 + 2 * c]] = (seg[2 + 2 * c] >> 4,
-                                        seg[2 + 2 * c] & 15)
-            return _decode_jpeg_scan(
-                payload, i + 2 + seglen, sof, scan, qt, huff, dri)
+        elif m == 0xDA:  # SOS: entropy-coded scan follows
+            if frame is None:
+                raise ValueError("JPEG: SOS before SOF")
+            ns = seg[0]
+            scan_comps = []
+            for c in range(ns):
+                cid = seg[1 + 2 * c]
+                comp = next(x for x in frame[2] if x["id"] == cid)
+                scan_comps.append((comp, seg[2 + 2 * c] >> 4,
+                                   seg[2 + 2 * c] & 15))
+            ss, se = seg[1 + 2 * ns], seg[2 + 2 * ns]
+            ah, al = seg[3 + 2 * ns] >> 4, seg[3 + 2 * ns] & 15
+            for cid in preds:  # DC prediction resets per scan
+                preds[cid] = 0
+            i = _jpeg_scan_pass(payload, i + 2 + seglen, frame,
+                                scan_comps, ss, se, ah, al, dri, huff,
+                                coefs, preds)
+            continue
         i += 2 + seglen
-    raise ValueError("JPEG: no SOS marker")
+    if frame is None or coefs is None:
+        raise ValueError("JPEG: no frame")
+    return _jpeg_reconstruct(np, frame, coefs, qt)
 
 
-def _decode_jpeg_scan(payload, pos, sof, scan, qt, huff, dri) -> Decoded:
-    import numpy as np
-
-    if sof is None:
-        raise ValueError("JPEG: SOS before SOF")
-    w, h, comps = sof
-    hmax = max(c["h"] for c in comps)
-    vmax = max(c["v"] for c in comps)
-    mcux = (w + 8 * hmax - 1) // (8 * hmax)
-    mcuy = (h + 8 * vmax - 1) // (8 * vmax)
+def _jpeg_scan_pass(payload, pos, frame, scan_comps, ss, se, ah, al,
+                    dri, huff, coefs, preds) -> int:
+    """Run one scan over the coefficient grids and return the offset
+    of the next marker. Interleaved scans (ns > 1, or a baseline
+    full-band scan) walk MCUs; progressive AC scans are always
+    single-component and walk that component's own block grid."""
+    w, h, comps, progressive, hmax, vmax, mcux, mcuy = frame
     rd = _JpegBits(payload, pos)
-    preds = {c["id"]: 0 for c in comps}
-    blocks = {c["id"]: [] for c in comps}
+    eobrun = [0]
     count = 0
-    for _my in range(mcuy):
-        for _mx in range(mcux):
-            if dri and count and count % dri == 0:
-                rd.align_restart()
-                for k in preds:
-                    preds[k] = 0
-            for c in comps:
-                cid = c["id"]
-                td, ta = scan[cid]
-                dc_tab, ac_tab = huff[(0, td)], huff[(1, ta)]
-                q = qt[c["tq"]]
-                for _b in range(c["h"] * c["v"]):
-                    coef = np.zeros(64)
-                    s = _jpeg_sym(rd, dc_tab)
-                    diff = _jpeg_extend(rd.read_bits(s), s) if s else 0
-                    preds[cid] += diff
-                    coef[0] = preds[cid] * q[0]
-                    k = 1
-                    while k < 64:  # AC: run-length (RRRRSSSS)
-                        rs = _jpeg_sym(rd, ac_tab)
-                        r, s = rs >> 4, rs & 15
-                        if s == 0:
-                            if r == 15:  # ZRL: 16 zeros
-                                k += 16
-                                continue
-                            break        # EOB
-                        k += r
-                        if k > 63:
-                            raise ValueError("JPEG: AC index overflow")
-                        coef[k] = _jpeg_extend(rd.read_bits(s), s) * q[k]
-                        k += 1
-                    blocks[cid].append(coef)
-            count += 1
-    # IDCT basis A[u,x] = c_u/2 * cos((2x+1)u*pi/16)
+
+    def maybe_restart():
+        nonlocal count
+        if dri and count and count % dri == 0:
+            rd.align_restart()
+            for cid in preds:
+                preds[cid] = 0
+            eobrun[0] = 0
+        count += 1
+
+    if len(scan_comps) == 1 and not (ss == 0 and not progressive):
+        comp, td, ta = scan_comps[0]
+        grid = coefs[comp["id"]]
+        for by in range(comp["by"]):
+            for bx in range(comp["bx"]):
+                maybe_restart()
+                _jpeg_block(rd, comp, grid[by][bx], ss, se, ah, al,
+                            huff, td, ta, preds, eobrun, progressive)
+    else:
+        for my in range(mcuy):
+            for mx in range(mcux):
+                maybe_restart()
+                for comp, td, ta in scan_comps:
+                    grid = coefs[comp["id"]]
+                    for bv in range(comp["v"]):
+                        for bh in range(comp["h"]):
+                            _jpeg_block(
+                                rd, comp,
+                                grid[my * comp["v"] + bv]
+                                    [mx * comp["h"] + bh],
+                                ss, se, ah, al, huff, td, ta, preds,
+                                eobrun, progressive)
+    # advance to the next marker (drop padding bits / fill bytes)
+    pos = rd.pos if rd.bit == 0 else rd.pos + 1
+    d = payload
+    while pos + 1 < len(d):
+        if d[pos] == 0xFF and d[pos + 1] != 0x00 \
+                and not (0xD0 <= d[pos + 1] <= 0xD7):
+            return pos
+        pos += 1
+    return len(d)
+
+
+def _jpeg_block(rd, comp, coef, ss, se, ah, al, huff, td, ta, preds,
+                eobrun, progressive):
+    """Deposit one block's worth of one scan into ``coef`` (64 ints,
+    zigzag order): baseline DC+AC, progressive DC/AC first scans, and
+    the T.81 G.1.2.3 successive-approximation refinement passes."""
+    cid = comp["id"]
+    if ss == 0:
+        if ah == 0:   # DC first (or baseline DC)
+            s = _jpeg_sym(rd, huff[(0, td)])
+            diff = _jpeg_extend(rd.read_bits(s), s) if s else 0
+            preds[cid] += diff
+            coef[0] = preds[cid] << al
+        else:         # DC refinement: one correction bit
+            if rd.read_bit():
+                coef[0] |= 1 << al
+        if progressive:   # progressive DC scans carry no AC
+            return
+    k = max(ss, 1)
+    if se < k:
+        return
+    ac_tab = huff[(1, ta)]
+    if ah == 0:       # AC first (or baseline AC)
+        if eobrun[0] > 0:
+            eobrun[0] -= 1
+            return
+        while k <= se:
+            rs = _jpeg_sym(rd, ac_tab)
+            r, s = rs >> 4, rs & 15
+            if s == 0:
+                if r < 15:      # EOBn: this + next (eobrun) blocks end
+                    eobrun[0] = (1 << r) - 1
+                    if r:
+                        eobrun[0] += rd.read_bits(r)
+                    return
+                k += 16         # ZRL
+                continue
+            k += r
+            if k > se:
+                raise ValueError("JPEG: AC index overflow")
+            coef[k] = _jpeg_extend(rd.read_bits(s), s) << al
+            k += 1
+        return
+    # AC refinement (libjpeg decode_mcu_AC_refine): place new +-1<<al
+    # coefficients while emitting correction bits for every nonzero
+    # coefficient traversed
+    p1, m1 = 1 << al, -(1 << al)
+    if eobrun[0] == 0:
+        while k <= se:
+            rs = _jpeg_sym(rd, ac_tab)
+            r, s = rs >> 4, rs & 15
+            val = 0
+            if s == 0:
+                if r < 15:
+                    eobrun[0] = 1 << r
+                    if r:
+                        eobrun[0] += rd.read_bits(r)
+                    break       # correction tail below handles the rest
+                # r == 15: skip 16 zero-history coefficients
+            else:
+                if s != 1:
+                    raise ValueError("JPEG: bad refinement size")
+                val = p1 if rd.read_bit() else m1
+            while k <= se:
+                if coef[k] != 0:
+                    if rd.read_bit() and (coef[k] & p1) == 0:
+                        coef[k] += p1 if coef[k] >= 0 else m1
+                else:
+                    if r == 0:
+                        break
+                    r -= 1
+                k += 1
+            if val:
+                coef[k] = val
+            k += 1
+    if eobrun[0] > 0:
+        while k <= se:      # EOB region: correction bits only
+            if coef[k] != 0:
+                if rd.read_bit() and (coef[k] & p1) == 0:
+                    coef[k] += p1 if coef[k] >= 0 else m1
+            k += 1
+        eobrun[0] -= 1
+
+
+def _jpeg_reconstruct(np, frame, coefs, qt) -> Decoded:
+    """Dequantize + IDCT every accumulated block (one einsum), paste
+    into per-component planes, nearest-upsample chroma, and convert
+    JFIF YCbCr -> RGB (or emit the single grayscale plane)."""
+    w, h, comps, _prog, hmax, vmax, mcux, mcuy = frame
     u = np.arange(8).reshape(8, 1)
     x = np.arange(8).reshape(1, 8)
     A = 0.5 * np.cos((2 * x + 1) * u * np.pi / 16)
     A[0] /= np.sqrt(2)
     planes = {}
     for c in comps:
-        zz = np.array(blocks[c["id"]])          # (n, 64) zigzag order
+        grid = coefs[c["id"]]
+        q = np.array(qt[c["tq"]], dtype=np.float64)
+        zz = np.array(
+            [blk for row in grid for blk in row], dtype=np.float64) * q
         nat = np.zeros_like(zz)
-        nat[:, _JPEG_ZIGZAG] = zz               # de-zigzag, row-major
+        nat[:, _JPEG_ZIGZAG] = zz       # de-zigzag to row-major
         F = nat.reshape(-1, 8, 8)
         pix = np.einsum("uy,nuv,vx->nyx", A, F, A) + 128.0
-        plane = np.zeros((mcuy * c["v"] * 8, mcux * c["h"] * 8))
-        per = c["h"] * c["v"]
-        for idx in range(pix.shape[0]):
-            mcu, r = divmod(idx, per)
-            my, mx = divmod(mcu, mcux)
-            bv, bh = divmod(r, c["h"])
-            y0, x0 = (my * c["v"] + bv) * 8, (mx * c["h"] + bh) * 8
-            plane[y0:y0 + 8, x0:x0 + 8] = pix[idx]
-        # nearest-neighbor chroma upsample + crop to the image box
+        plane = np.zeros((c["by_pad"] * 8, c["bx_pad"] * 8))
+        idx = 0
+        for by in range(c["by_pad"]):
+            for bx in range(c["bx_pad"]):
+                plane[by * 8:by * 8 + 8, bx * 8:bx * 8 + 8] = pix[idx]
+                idx += 1
         ys = (np.arange(h) * c["v"]) // vmax
         xs = (np.arange(w) * c["h"]) // hmax
         planes[c["id"]] = plane[np.ix_(ys, xs)]
@@ -428,8 +562,8 @@ def _decode_jpeg_scan(payload, pos, sof, scan, qt, huff, dri) -> Decoded:
         out = np.clip(np.round(planes[order[0]]), 0, 255).astype(np.uint8)
         return w, h, 1, out.tobytes()
     if len(order) != 3:
-        raise ValueError(f"JPEG: {len(order)}-component scan unsupported")
-    Y, Cb, Cr = (planes[o] for o in order)      # JFIF YCbCr -> RGB
+        raise ValueError(f"JPEG: {len(order)}-component unsupported")
+    Y, Cb, Cr = (planes[o] for o in order)   # JFIF YCbCr -> RGB
     rgb = np.stack(
         [Y + 1.402 * (Cr - 128.0),
          Y - 0.344136 * (Cb - 128.0) - 0.714136 * (Cr - 128.0),
@@ -437,11 +571,12 @@ def _decode_jpeg_scan(payload, pos, sof, scan, qt, huff, dri) -> Decoded:
     return w, h, 3, np.clip(np.round(rgb), 0, 255).astype(np.uint8).tobytes()
 
 
+
 def decode_image(payload: bytes) -> Optional[Decoded]:
-    """Decode a PNG/BMP/baseline-JPEG payload to (w, h, channels,
-    raster), or None if the payload is not a supported image (callers
-    fall through to their stub path, mirroring the PIL seam's behavior
-    on undecodables — progressive JPEG lands here too)."""
+    """Decode a PNG/BMP/JPEG payload to (w, h, channels, raster), or
+    None if the payload is not a supported image (callers fall through
+    to their stub path, mirroring the PIL seam's behavior on
+    undecodables — hierarchical/arithmetic JPEG variants land here)."""
     kind = sniff(payload)
     try:
         if kind == "png":

@@ -7,10 +7,11 @@ seam (``_pil``): when Pillow is importable on the executors,
 ``extract_features`` decodes real pixels and ``resize_blobs(...,
 target_size=(w, h))`` performs a real ``Image.resize`` + PNG re-encode;
 when it is not (this container), the pure-Python codec
-(operators/imagecodec.py) still REALLY decodes PNG/BMP/baseline-JPEG
-pixels, and only genuinely undecodable payloads take a deterministic
-byte-stat fake with the SAME output schema, so oracle results are
-identical either way. ffmpeg-class video decode remains stub-only.
+(operators/imagecodec.py) still REALLY decodes PNG/BMP/JPEG pixels
+(baseline and progressive), and only genuinely undecodable payloads
+take a deterministic byte-stat fake with the SAME output schema, so
+oracle results are identical either way. ffmpeg-class video decode
+remains stub-only.
 
 Scale notes: blobs ride the normal columnar path (parquet binary
 columns); mapInPandas streams Arrow batches so a 100 MB image batch
@@ -130,12 +131,13 @@ def _decode_auto(payload: bytes) -> dict:
     a payload that parses as an image yields PIXEL-level stats
     (mean/max over the decoded raster). Pillow decodes when installed
     (C-speed, every format); without it the pure-Python codec
-    (operators/imagecodec.py) REALLY decodes PNG, BMP, and baseline
-    JPEG — so the operator decodes actual pixels in this container
-    too. Anything undecodable — progressive JPEG, video containers,
-    and every synthetic utf-8 blob the oracle gates use (no image
-    magic bytes) — falls through to the deterministic byte stub, so
-    gate results are identical across all three paths."""
+    (operators/imagecodec.py) REALLY decodes PNG, BMP, and JPEG
+    (baseline AND progressive) — so the operator decodes actual
+    pixels in this container too. Anything undecodable — video
+    containers, exotic JPEG variants, and every synthetic utf-8 blob
+    the oracle gates use (no image magic bytes) — falls through to
+    the deterministic byte stub, so gate results are identical
+    across all three paths."""
     img_mod = _pil()
     if img_mod is not None:
         import io  # noqa: PLC0415 - worker-side

@@ -3,23 +3,18 @@
 Two real CC0 JPEGs (tests/fixtures/jpeg/) with goldens precomputed via
 an independent decoder (Spark's JVM ImageIO image source):
 
-    DP153539.jpg  : baseline SOF0 4:2:0, 300x296, 3ch,
+    DP153539.jpg  : BASELINE SOF0 4:2:0, 300x296, 3ch,
                     raster mean 119.0041, max 255
     grayscale.jpg : PROGRESSIVE SOF2, 300x215, 1ch,
                     raster mean 142.1358, max 255
-                    (byte-stub stats: n=36728, mean 117.574711, max 255)
 
-Contract matrix exercised with ZERO skips on every host:
-
-- baseline JPEG decodes to real pixels on EVERY path — Pillow when
-  installed, the pure-Python imagecodec baseline decoder otherwise —
-  and both must land within the conforming-decoder IDCT spread of the
-  ImageIO golden (JPEG decode is not bit-exact across decoders).
-- progressive JPEG decodes via Pillow where it exists; without Pillow
-  the codec refuses (documented non-baseline contract) and the payload
-  takes the deterministic byte stub with EXACT stub stats.
-- fixture geometry is verified from the JPEG SOF header in pure Python
-  everywhere, independent of any decoder.
+Both decode to REAL pixels on every host — Pillow when installed, the
+pure-Python imagecodec T.81 decoder otherwise — and must land within
+the conforming-decoder IDCT spread of the ImageIO goldens (JPEG decode
+is not bit-exact across decoders; the codec itself was validated
+per-pixel against ImageIO at p99 deviation <= 2, progressive exact to
+maxdiff 1). Fixture geometry is additionally verified from the JPEG
+SOF header in pure Python, independent of any decoder. Zero skips.
 """
 
 import os
@@ -29,12 +24,12 @@ FIXTURE_DIR = os.path.join(os.path.dirname(__file__), "fixtures", "jpeg")
 
 GOLDEN = {
     "grayscale.jpg": {
-        "w": 300, "h": 215, "pixel_mean": 142.1358, "progressive": True,
-        "stub": (36728, 117.574711, 255),
+        "w": 300, "h": 215, "ch": 1, "pixel_mean": 142.1358,
+        "n_bytes": 36728,
     },
     "DP153539.jpg": {
-        "w": 300, "h": 296, "pixel_mean": 119.0041, "progressive": False,
-        "stub": (26354, 131.669576, 255),
+        "w": 300, "h": 296, "ch": 3, "pixel_mean": 119.0041,
+        "n_bytes": 26354,
     },
 }
 
@@ -59,62 +54,61 @@ def _jpeg_dims(payload: bytes):
     raise AssertionError("no SOF marker found")
 
 
-def test_jpeg_baseline_codec_matches_imageio_golden():
-    """The pure-Python baseline decoder itself: exact geometry, pixel
-    mean within the cross-decoder tolerance of the ImageIO golden."""
+def test_jpeg_codec_matches_imageio_goldens():
+    """The pure-Python T.81 decoder on both modes: exact geometry and
+    channel count, pixel mean within the cross-decoder tolerance."""
     from hindex_spark.operators import imagecodec as ic
 
-    payload = open(os.path.join(FIXTURE_DIR, "DP153539.jpg"), "rb").read()
-    assert ic.sniff(payload) == "jpeg"
-    dec = ic.decode_image(payload)
-    assert dec is not None
-    w, h, ch, raster = dec
-    g = GOLDEN["DP153539.jpg"]
-    assert (w, h, ch) == (g["w"], g["h"], 3)
-    assert len(raster) == w * h * 3
-    mean = sum(raster) / len(raster)
-    assert abs(mean - g["pixel_mean"]) < 1.0, mean
-    assert max(raster) == 255
+    for name, g in GOLDEN.items():
+        payload = open(os.path.join(FIXTURE_DIR, name), "rb").read()
+        assert ic.sniff(payload) == "jpeg"
+        dec = ic.decode_image(payload)
+        assert dec is not None, name
+        w, h, ch, raster = dec
+        assert (w, h, ch) == (g["w"], g["h"], g["ch"])
+        assert len(raster) == w * h * ch
+        mean = sum(raster) / len(raster)
+        assert abs(mean - g["pixel_mean"]) < 1.0, (name, mean)
+        assert max(raster) == 255
 
 
-def test_jpeg_progressive_refused_by_codec():
-    """Progressive (SOF2) is outside the baseline contract: the codec
-    returns None (the callers' stub fallback), never a wrong raster."""
+def test_jpeg_codec_refuses_non_dct_variants():
+    """A mangled SOF (hierarchical marker) must refuse -> None (the
+    callers' stub fallback), never a wrong raster; truncated entropy
+    data must still return a full-geometry raster (zero-padded bits),
+    not crash — the resilient-decoder contract."""
     from hindex_spark.operators import imagecodec as ic
 
-    payload = open(os.path.join(FIXTURE_DIR, "grayscale.jpg"), "rb").read()
-    assert ic.sniff(payload) == "jpeg"
-    assert ic.decode_image(payload) is None
+    payload = bytearray(
+        open(os.path.join(FIXTURE_DIR, "DP153539.jpg"), "rb").read())
+    i = payload.find(b"\xff\xc0")
+    assert i > 0
+    payload[i + 1] = 0xC3  # SOF3 (lossless hierarchical): unsupported
+    assert ic.decode_image(bytes(payload)) is None
+    whole = open(os.path.join(FIXTURE_DIR, "DP153539.jpg"), "rb").read()
+    cut = ic.decode_image(whole[: len(whole) // 2])
+    assert cut is not None and (cut[0], cut[1], cut[2]) == (300, 296, 3)
 
 
 def test_jpeg_fixture_decode_goldens():
-    from hindex_spark.operators.multimodal import (
-        _decode_auto, _decode_stub, _pil,
-    )
+    """The seam: _decode_auto yields pixel stats for both fixtures on
+    every host (PIL or codec), never the byte stub."""
+    from hindex_spark.operators.multimodal import _decode_auto
 
     for name, g in GOLDEN.items():
         payload = open(os.path.join(FIXTURE_DIR, name), "rb").read()
         assert _jpeg_dims(payload) == (g["w"], g["h"])
         got = _decode_auto(payload)
-        assert got["n_bytes"] == len(payload) == g["stub"][0]
-        if not g["progressive"] or _pil() is not None:
-            # real pixel decode (PIL or the baseline codec): mean
-            # within the JPEG cross-decoder IDCT spread
-            assert abs(got["mean_byte"] - g["pixel_mean"]) < 1.5, (
-                name, got)
-            assert got["max_byte"] == 255
-        else:
-            # progressive without PIL: documented byte-stub contract
-            assert got == _decode_stub(payload)
-            assert abs(got["mean_byte"] - g["stub"][1]) < 1e-6
-            assert got["max_byte"] == g["stub"][2]
+        assert got["n_bytes"] == len(payload) == g["n_bytes"]
+        assert abs(got["mean_byte"] - g["pixel_mean"]) < 1.5, (name, got)
+        assert got["max_byte"] == 255
 
 
 def test_jpeg_fixture_through_extract_features(spark):
     """The same contract through the mapInPandas operator: real JPEG
-    blobs ride the Arrow batch path; the baseline image yields pixel
-    stats on every host, the progressive one only where PIL exists."""
-    from hindex_spark.operators.multimodal import _pil, extract_features
+    blobs ride the Arrow batch path and yield pixel stats on every
+    host."""
+    from hindex_spark.operators.multimodal import extract_features
 
     rows = []
     names = sorted(GOLDEN)
@@ -125,8 +119,5 @@ def test_jpeg_fixture_through_extract_features(spark):
     got = {r["doc_id"]: r for r in extract_features(df).collect()}
     for i, name in enumerate(names):
         g = GOLDEN[name]
-        assert got[i]["n_bytes"] == g["stub"][0]
-        if not g["progressive"] or _pil() is not None:
-            assert abs(got[i]["mean_byte"] - g["pixel_mean"]) < 1.5
-        else:
-            assert abs(got[i]["mean_byte"] - g["stub"][1]) < 1e-6
+        assert got[i]["n_bytes"] == g["n_bytes"]
+        assert abs(got[i]["mean_byte"] - g["pixel_mean"]) < 1.5
