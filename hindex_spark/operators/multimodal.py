@@ -240,10 +240,11 @@ def resize_blobs(
     (deterministic, oracle-checkable).
 
     Passing ``target_size=(w, h)`` opts into the REAL path: blobs that
-    decode as images under PIL are ``Image.resize``d to (w, h) and
-    re-encoded as PNG; undecodable blobs (and everything, when Pillow is
-    absent) keep the byte-sampler, so the output schema and the oracle
-    gates are unchanged either way."""
+    decode as images — via PIL when installed, else the pure-Python
+    codec (PNG/BMP/JPEG) — are nearest-resampled to (w, h) and
+    re-encoded as PNG; genuinely undecodable blobs keep the
+    byte-sampler, so the output schema and the oracle gates are
+    unchanged either way."""
 
     import numpy as np
 
