@@ -307,3 +307,220 @@ def resize_blobs(
     return df.select(id_col, blob_col).mapInPandas(
         op, schema="doc_id long, blob binary, out_bytes int, in_bytes int"
     )
+
+
+# ---------------------------------------------------------------------------
+# audio: real WAV decode (operators/audiocodec.py), mirroring the image
+# operators above — mapInPandas Arrow batches, deterministic formula
+# payloads for the oracle gates, stub fall-through for undecodable blobs
+# ---------------------------------------------------------------------------
+
+#: Deterministic PCM16 sample generator shared by attach_audio_blob and
+#: the DuckDB audio oracles: doc `d` carries ``32 + d % 33`` mono frames
+#: with sample ``i`` = ``((d*2654435761 + i*40503) % 65536) - 32768``
+#: (Knuth multiplicative constant; exact in int64 for any realistic id).
+AUDIO_BLOB_RATE = 8000
+
+
+def _audio_formula_samples(doc_id: int):
+    import numpy as np  # noqa: PLC0415 - worker-side
+
+    n = 32 + doc_id % 33
+    i = np.arange(n, dtype=np.int64)
+    return ((doc_id * 2654435761 + i * 40503) % 65536) - 32768
+
+
+def attach_audio_blob(
+    df: DataFrame, id_col: str = "doc_id", sample_rate: int = AUDIO_BLOB_RATE
+) -> DataFrame:
+    """Synthesize a deterministic mono PCM16 WAV payload per row — the
+    audio analog of ``attach_blob``. The sample values follow the
+    module-level formula, so DuckDB oracles recompute every decoded
+    stat from ``generate_series`` without being able to parse WAV: the
+    gates then hash-check the REAL decode path end to end."""
+    from hindex_spark.operators import audiocodec  # noqa: PLC0415
+
+    def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids = pdf[id_col].astype("int64")
+            yield pd.DataFrame(
+                {
+                    "doc_id": ids,
+                    "blob": [
+                        audiocodec.encode_wav(
+                            _audio_formula_samples(int(d)), sample_rate, bits=16
+                        )
+                        for d in ids
+                    ],
+                }
+            )
+
+    return df.select(id_col).mapInPandas(op, schema="doc_id long, blob binary")
+
+
+AUDIO_STATS_SCHEMA = (
+    "doc_id long, n_bytes long, sample_rate int, channels int, bits int, "
+    "n_frames long, duration_ms long, rms double, peak double"
+)
+
+
+def audio_stats(
+    df: DataFrame, id_col: str = "doc_id", blob_col: str = "blob"
+) -> DataFrame:
+    """Per-blob audio facts through the REAL pure-Python WAV decoder:
+    rate/channels/width/frames/duration plus RMS and absolute peak over
+    the container's native sample values (all channels). Undecodable
+    payloads (not RIFF, compressed codec) keep the row with byte count
+    and NULL audio fields — same total-function contract as the image
+    decode seam. RMS sums of squares stay below 2^53 for any bounded
+    batch of PCM frames, so the float64 mean is order-independent and
+    the DuckDB oracle reproduces it bit-exactly before the shared
+    6-decimal round (applied by the gate, JVM-side)."""
+    from hindex_spark.operators import audiocodec  # noqa: PLC0415
+
+    import numpy as np  # noqa: PLC0415
+
+    def _one(doc_id, payload: bytes) -> dict:
+        dec = audiocodec.decode_wav(payload)
+        row = {"doc_id": doc_id, "n_bytes": len(payload)}
+        if dec is None:
+            row.update(
+                sample_rate=None, channels=None, bits=None, n_frames=None,
+                duration_ms=None, rms=None, peak=None,
+            )
+            return row
+        native = dec["samples_native"].astype(np.float64)
+        n = dec["n_frames"]
+        row.update(
+            sample_rate=dec["sample_rate"],
+            channels=dec["channels"],
+            bits=dec["bits"],
+            n_frames=n,
+            duration_ms=(n * 1000) // dec["sample_rate"],
+            rms=float(np.sqrt(np.mean(native * native))) if n else 0.0,
+            peak=float(np.max(np.abs(native))) if n else 0.0,
+        )
+        return row
+
+    def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            yield pd.DataFrame(
+                [
+                    _one(int(d), bytes(b))
+                    for d, b in zip(pdf[id_col], pdf[blob_col])
+                ]
+            )
+
+    return df.select(id_col, blob_col).mapInPandas(op, schema=AUDIO_STATS_SCHEMA)
+
+
+AUDIO_WINDOWS_SCHEMA = (
+    "doc_id long, win_no int, n_in_win long, rms double, zcr long"
+)
+
+
+def audio_windows(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    blob_col: str = "blob",
+    window: int = 16,
+) -> DataFrame:
+    """Windowed DSP features over channel 0: each consecutive block of
+    ``window`` frames becomes one row with its RMS and zero-crossing
+    count (strict sign products ``v[i] * v[i-1] < 0`` WITHIN the
+    window — boundary pairs belong to no window, zeros never cross).
+    Real per-sample analysis through the real decoder; undecodable
+    blobs emit no rows (they have no frames). The numpy loop touches
+    each frame once per blob — O(frames), vectorized."""
+    from hindex_spark.operators import audiocodec  # noqa: PLC0415
+
+    import numpy as np  # noqa: PLC0415
+
+    window = int(window)
+
+    def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {"doc_id": [], "win_no": [], "n_in_win": [], "rms": [], "zcr": []}
+            for d, b in zip(pdf[id_col], pdf[blob_col]):
+                dec = audiocodec.decode_wav(bytes(b))
+                if dec is None or dec["n_frames"] == 0:
+                    continue
+                v = dec["samples_native"][:, 0].astype(np.float64)
+                n = v.shape[0]
+                for w in range((n + window - 1) // window):
+                    seg = v[w * window : (w + 1) * window]
+                    cross = int(np.sum(seg[1:] * seg[:-1] < 0))
+                    out["doc_id"].append(int(d))
+                    out["win_no"].append(w)
+                    out["n_in_win"].append(seg.shape[0])
+                    out["rms"].append(float(np.sqrt(np.mean(seg * seg))))
+                    out["zcr"].append(cross)
+            yield pd.DataFrame(out)
+
+    return df.select(id_col, blob_col).mapInPandas(op, schema=AUDIO_WINDOWS_SCHEMA)
+
+
+def audio_resample(
+    df: DataFrame,
+    dst_rate: int,
+    id_col: str = "doc_id",
+    blob_col: str = "blob",
+) -> DataFrame:
+    """Blob -> blob linear resample: decode, interpolate to ``dst_rate``
+    (audiocodec.resample_linear — output position ``j*src/dst``, float64),
+    round half-up (``floor(y + 0.5)``, mirrored by the oracle's
+    ``FLOOR(y + 0.5)`` — ties cannot hit an exact .5 only by accident,
+    so BOTH engines use the same total convention instead of relying on
+    that), re-encode mono-or-multi PCM16. 16-bit input interpolates
+    native values directly (no scale round-trip); other widths go
+    through the normalized [-1,1) domain scaled to 16-bit. Undecodable
+    payloads pass through unchanged with NULL frame counts."""
+    from hindex_spark.operators import audiocodec  # noqa: PLC0415
+
+    import numpy as np  # noqa: PLC0415
+
+    dst_rate = int(dst_rate)
+
+    def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = {
+                "doc_id": [], "blob": [], "src_rate": [],
+                "dst_rate": [], "in_frames": [], "out_frames": [],
+            }
+            for d, b in zip(pdf[id_col], pdf[blob_col]):
+                payload = bytes(b)
+                dec = audiocodec.decode_wav(payload)
+                rows["doc_id"].append(int(d))
+                rows["dst_rate"].append(dst_rate)
+                if dec is None:
+                    rows["blob"].append(payload)
+                    rows["src_rate"].append(None)
+                    rows["in_frames"].append(None)
+                    rows["out_frames"].append(None)
+                    continue
+                base = (
+                    dec["samples_native"].astype(np.float64)
+                    if dec["bits"] == 16 and dec["audio_format"] == 1
+                    else dec["samples"] * 32768.0
+                )
+                y = audiocodec.resample_linear(
+                    base, dec["sample_rate"], dst_rate
+                )
+                ints = np.clip(
+                    np.floor(y + 0.5), -32768, 32767
+                ).astype(np.int64)
+                rows["blob"].append(
+                    audiocodec.encode_wav(ints, dst_rate, bits=16)
+                )
+                rows["src_rate"].append(dec["sample_rate"])
+                rows["in_frames"].append(dec["n_frames"])
+                rows["out_frames"].append(ints.shape[0])
+            yield pd.DataFrame(rows)
+
+    return df.select(id_col, blob_col).mapInPandas(
+        op,
+        schema=(
+            "doc_id long, blob binary, src_rate int, dst_rate int, "
+            "in_frames long, out_frames long"
+        ),
+    )

@@ -1320,6 +1320,127 @@ def q_mm_frames(spark, sf_dir):
     )
 
 
+#: The audio gates decode REAL WAV containers (operators/audiocodec.py):
+#: attach_audio_blob writes a deterministic mono PCM16 WAV per doc whose
+#: sample values follow a closed-form formula, so DuckDB — which cannot
+#: parse WAV — recomputes every decoded stat from generate_series. A
+#: wrong byte anywhere in the container round-trip (header fields, LE
+#: packing, sign handling, frame clamping) breaks the hash.
+_AUDIO_SAMP_CTE = """
+    base AS (SELECT doc_id, 32 + doc_id % 33 AS n FROM documents),
+    samp AS (SELECT b.doc_id, b.n, t.i,
+                    ((b.doc_id * 2654435761 + t.i * 40503) % 65536) - 32768 AS v
+             FROM base b, LATERAL (SELECT unnest(range(0, b.n)) AS i) t)
+"""
+
+MM_AUDIO_STATS_ORACLE = f"""
+    WITH {_AUDIO_SAMP_CTE}
+    SELECT doc_id,
+           CAST(44 + 2 * max(n) AS BIGINT) AS n_bytes,
+           8000 AS sample_rate, 1 AS channels, 16 AS bits,
+           CAST(max(n) AS BIGINT) AS n_frames,
+           CAST((max(n) * 1000) // 8000 AS BIGINT) AS duration_ms,
+           ROUND(SQRT(AVG(CAST(v AS DOUBLE) * v)), 6) AS rms,
+           CAST(MAX(ABS(v)) AS DOUBLE) AS peak
+    FROM samp GROUP BY doc_id
+"""
+
+
+@query("multimodal_audio_stats", MM_AUDIO_STATS_ORACLE)
+def q_mm_audio_stats(spark, sf_dir):
+    """WAV decode gate: synthesize real PCM16 WAV blobs, decode them
+    with the pure-Python codec, and hash-check frames/duration/RMS/peak
+    (and the 44-byte-header container size) against the sample formula
+    evaluated in DuckDB. RMS sums of squares are integer-exact below
+    2^53, so both engines' float64 means agree bit-for-bit before the
+    shared 6-decimal round."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    stats = mm.audio_stats(mm.attach_audio_blob(docs))
+    return stats.select(
+        "doc_id", "n_bytes", "sample_rate", "channels", "bits",
+        "n_frames", "duration_ms",
+        F.round("rms", 6).alias("rms"), "peak",
+    )
+
+
+MM_AUDIO_WINDOWS_ORACLE = f"""
+    WITH {_AUDIO_SAMP_CTE},
+    w AS (SELECT doc_id, i, v, CAST(i // 16 AS INT) AS win_no,
+                 LAG(v) OVER (PARTITION BY doc_id, i // 16 ORDER BY i) AS pv
+          FROM samp)
+    SELECT doc_id, win_no,
+           CAST(COUNT(*) AS BIGINT) AS n_in_win,
+           ROUND(SQRT(AVG(CAST(v AS DOUBLE) * v)), 6) AS rms,
+           CAST(COALESCE(SUM(CASE WHEN v * pv < 0 THEN 1 ELSE 0 END), 0)
+                AS BIGINT) AS zcr
+    FROM w GROUP BY doc_id, win_no
+"""
+
+
+@query("multimodal_audio_windows", MM_AUDIO_WINDOWS_ORACLE)
+def q_mm_audio_windows(spark, sf_dir):
+    """Windowed DSP gate: per-16-frame RMS and zero-crossing counts
+    over decoded channel-0 samples, vs a lag-window recomputation of
+    the same formula in DuckDB (crossing = strict negative product of
+    consecutive in-window samples on both sides)."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    wins = mm.audio_windows(mm.attach_audio_blob(docs), window=16)
+    return wins.select(
+        "doc_id", "win_no", "n_in_win",
+        F.round("rms", 6).alias("rms"), "zcr",
+    )
+
+
+#: Resample oracle: output position p = j * (8000/6000) evaluated with
+#: the EXACT float64 expression the codec uses, k = floor(p) clamped,
+#: linear interp vk*(1-f) + vk1*f in the same operation order, then the
+#: shared floor(y + 0.5) half-up round — so the re-encoded PCM16 frames
+#: are reproduced bit-exactly without DuckDB ever seeing a WAV byte.
+MM_AUDIO_RESAMPLE_ORACLE = """
+    WITH base AS (SELECT doc_id, 32 + doc_id % 33 AS n FROM documents),
+    outn AS (SELECT doc_id, n, ((n - 1) * 6000) // 8000 + 1 AS m FROM base),
+    pos AS (SELECT o.doc_id, o.n, o.m, t.j,
+                   t.j * (CAST(8000 AS DOUBLE) / 6000) AS p
+            FROM outn o, LATERAL (SELECT unnest(range(0, o.m)) AS j) t),
+    itp AS (SELECT doc_id, n, m, j, p,
+                   LEAST(CAST(FLOOR(p) AS BIGINT), n - 1) AS k
+            FROM pos),
+    y AS (SELECT doc_id, m,
+                 ((doc_id * 2654435761 + k * 40503) % 65536) - 32768 AS vk,
+                 ((doc_id * 2654435761 + LEAST(k + 1, n - 1) * 40503) % 65536)
+                   - 32768 AS vk1,
+                 p - k AS f
+          FROM itp),
+    r AS (SELECT doc_id, m,
+                 CAST(FLOOR(vk * (1.0 - f) + vk1 * f + 0.5) AS BIGINT) AS rv
+          FROM y)
+    SELECT doc_id,
+           CAST(44 + 2 * max(m) AS BIGINT) AS n_bytes,
+           6000 AS sample_rate,
+           CAST(max(m) AS BIGINT) AS n_frames,
+           CAST((max(m) * 1000) // 6000 AS BIGINT) AS duration_ms,
+           ROUND(SQRT(AVG(CAST(rv AS DOUBLE) * rv)), 6) AS rms,
+           CAST(MAX(ABS(rv)) AS DOUBLE) AS peak
+    FROM r GROUP BY doc_id
+"""
+
+
+@query("multimodal_audio_resample", MM_AUDIO_RESAMPLE_ORACLE)
+def q_mm_audio_resample(spark, sf_dir):
+    """Resample gate: decode -> linear resample 8000->6000 Hz ->
+    re-encode PCM16 -> decode AGAIN and stat. The oracle reproduces the
+    interpolated integer frames from the closed form (identical float64
+    expression order), so the whole decode/resample/encode/decode chain
+    is content-checked end to end."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    resampled = mm.audio_resample(mm.attach_audio_blob(docs), 6000)
+    stats = mm.audio_stats(resampled)
+    return stats.select(
+        "doc_id", "n_bytes", "sample_rate", "n_frames", "duration_ms",
+        F.round("rms", 6).alias("rms"), "peak",
+    )
+
+
 # ---------------------------------------------------------------------------
 # domain-level corpus curation (CCNet/RefinedWeb/Dolma-style)
 # ---------------------------------------------------------------------------

@@ -38,6 +38,9 @@ ARROW_ALLOWED = {
     "multimodal_blob_stats",
     "multimodal_resize",
     "multimodal_frames",
+    "multimodal_audio_stats",
+    "multimodal_audio_windows",
+    "multimodal_audio_resample",
     "coproc_row_count",
 }
 
