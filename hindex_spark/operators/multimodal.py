@@ -6,12 +6,14 @@ signatures) is real and tested. Media decode goes through a runtime
 seam (``_pil``): when Pillow is importable on the executors,
 ``extract_features`` decodes real pixels and ``resize_blobs(...,
 target_size=(w, h))`` performs a real ``Image.resize`` + PNG re-encode;
-when it is not (this container), the pure-Python codec
-(operators/imagecodec.py) still REALLY decodes PNG/BMP/JPEG pixels
-(baseline and progressive), and only genuinely undecodable payloads
+when it is not (this container), the pure-Python codecs still REALLY
+decode: PNG/BMP/JPEG pixels (operators/imagecodec.py, baseline and
+progressive), WAV samples (operators/audiocodec.py — PCM/IEEE-float
+with stats, windowed DSP, resampling), and AVI video frames
+(operators/videocodec.py — uncompressed DIB and MJPEG). Only genuinely
+undecodable payloads (compressed audio codecs, DV/h264-class video)
 take a deterministic byte-stat fake with the SAME output schema, so
-oracle results are identical either way. ffmpeg-class video decode
-remains stub-only.
+oracle results are identical either way.
 
 Scale notes: blobs ride the normal columnar path (parquet binary
 columns); mapInPandas streams Arrow batches so a 100 MB image batch
@@ -524,3 +526,159 @@ def audio_resample(
             "in_frames long, out_frames long"
         ),
     )
+
+
+# ---------------------------------------------------------------------------
+# video: real AVI decode (operators/videocodec.py) — uncompressed DIB
+# frames and MJPEG (via the pure-Python JPEG decoder); frame access is
+# per-frame on demand, so sampling never decodes unsampled frames
+# ---------------------------------------------------------------------------
+
+#: Deterministic video generator shared with the DuckDB video oracles:
+#: doc `d` carries ``4 + d % 5`` frames of 3x2 RGB with pixel byte
+#: ``(d*7919 + f*991 + y*173 + x*31 + c*7) % 256`` — and the canonical
+#: 24-bit DIB AVI container for that geometry is exactly
+#: ``224 + 32 * n_frames`` bytes (asserted in tests), so the oracle
+#: checks container size too.
+VIDEO_W, VIDEO_H = 3, 2
+VIDEO_FPS = 10
+
+
+def _video_formula_frames(doc_id: int):
+    import numpy as np  # noqa: PLC0415 - worker-side
+
+    n = 4 + doc_id % 5
+    f, y, x, c = np.meshgrid(
+        np.arange(n, dtype=np.int64),
+        np.arange(VIDEO_H, dtype=np.int64),
+        np.arange(VIDEO_W, dtype=np.int64),
+        np.arange(3, dtype=np.int64),
+        indexing="ij",
+    )
+    px = (doc_id * 7919 + f * 991 + y * 173 + x * 31 + c * 7) % 256
+    return [px[i].astype(np.uint8) for i in range(n)]
+
+
+def attach_video_blob(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Synthesize a deterministic uncompressed-DIB AVI per row — the
+    video analog of ``attach_audio_blob``: closed-form pixels let the
+    DuckDB oracles verify the REAL container+frame decode without ever
+    parsing AVI bytes."""
+    from hindex_spark.operators import videocodec  # noqa: PLC0415
+
+    def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids = pdf[id_col].astype("int64")
+            yield pd.DataFrame(
+                {
+                    "doc_id": ids,
+                    "blob": [
+                        videocodec.encode_avi(
+                            _video_formula_frames(int(d)),
+                            fps_rate=VIDEO_FPS, fps_scale=1,
+                        )
+                        for d in ids
+                    ],
+                }
+            )
+
+    return df.select(id_col).mapInPandas(op, schema="doc_id long, blob binary")
+
+
+VIDEO_STATS_SCHEMA = (
+    "doc_id long, n_bytes long, width int, height int, fps double, "
+    "n_frames long, duration_ms long, mean_px double, max_px int"
+)
+
+
+def video_stats(
+    df: DataFrame, id_col: str = "doc_id", blob_col: str = "blob"
+) -> DataFrame:
+    """Per-blob video facts through the real AVI parser: geometry, frame
+    rate, frame count, duration, plus mean/max over every decoded RGB
+    raster byte. Undecodable payloads (not AVI, unsupported codec) keep
+    the row with NULL video fields — the codec-seam contract shared by
+    the image and audio operators. Pixel sums stay integer-exact in
+    float64 for any real corpus (8-bit values), so the DuckDB formula
+    oracle matches before the gate's shared 6-decimal round."""
+    from hindex_spark.operators import videocodec  # noqa: PLC0415
+
+    import numpy as np  # noqa: PLC0415
+
+    def _one(doc_id, payload: bytes) -> dict:
+        row = {"doc_id": doc_id, "n_bytes": len(payload)}
+        dec = videocodec.decode_avi(payload)
+        rasters = []
+        if dec is not None:
+            rasters = [
+                r for r in (
+                    videocodec.frame_raster(dec, i)
+                    for i in range(len(dec["frames"]))
+                ) if r is not None
+            ]
+        if dec is None or not rasters:
+            row.update(width=None, height=None, fps=None, n_frames=None,
+                       duration_ms=None, mean_px=None, max_px=None)
+            return row
+        allpx = np.concatenate(
+            [np.frombuffer(r[3], dtype=np.uint8) for r in rasters]
+        ).astype(np.float64)
+        n = len(rasters)
+        row.update(
+            width=dec["width"], height=dec["height"],
+            fps=dec["rate"] / dec["scale"],
+            n_frames=n,
+            duration_ms=(n * 1000 * dec["scale"]) // dec["rate"],
+            mean_px=float(allpx.mean()),
+            max_px=int(allpx.max()),
+        )
+        return row
+
+    def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            yield pd.DataFrame(
+                [_one(int(d), bytes(b)) for d, b in zip(pdf[id_col], pdf[blob_col])]
+            )
+
+    return df.select(id_col, blob_col).mapInPandas(op, schema=VIDEO_STATS_SCHEMA)
+
+
+VIDEO_FRAME_SCHEMA = "doc_id long, frame_no int, mean_px double, max_px int"
+
+
+def video_frame_features(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    blob_col: str = "blob",
+    every: int = 2,
+) -> DataFrame:
+    """Sample every Nth frame and decode ONLY those — per-frame pixel
+    stats rows. This is the 100 TB shape: frame decode cost scales with
+    frames SAMPLED (the codec keeps frame chunks as raw bytes until
+    ``frame_raster`` is called), and payloads never leave the Arrow
+    batch. Undecodable videos emit no rows."""
+    from hindex_spark.operators import videocodec  # noqa: PLC0415
+
+    import numpy as np  # noqa: PLC0415
+
+    every = int(every)
+
+    def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {"doc_id": [], "frame_no": [], "mean_px": [], "max_px": []}
+            for d, b in zip(pdf[id_col], pdf[blob_col]):
+                dec = videocodec.decode_avi(bytes(b))
+                if dec is None:
+                    continue
+                for i in range(0, len(dec["frames"]), every):
+                    r = videocodec.frame_raster(dec, i)
+                    if r is None:
+                        continue
+                    px = np.frombuffer(r[3], dtype=np.uint8).astype(np.float64)
+                    out["doc_id"].append(int(d))
+                    out["frame_no"].append(i)
+                    out["mean_px"].append(float(px.mean()))
+                    out["max_px"].append(int(px.max()))
+            yield pd.DataFrame(out)
+
+    return df.select(id_col, blob_col).mapInPandas(op, schema=VIDEO_FRAME_SCHEMA)

@@ -1441,6 +1441,74 @@ def q_mm_audio_resample(spark, sf_dir):
     )
 
 
+#: Video gates mirror the audio ones: attach_video_blob writes a real
+#: uncompressed-DIB AVI per doc (4 + d%5 frames of 3x2 RGB) whose pixel
+#: bytes follow a closed form; t enumerates the n*18 raster bytes of a
+#: doc in frame-major order (f = t/18, then y,x,c row-major within the
+#: 3x2x3 frame), so DuckDB re-derives every decoded stat — and the
+#: canonical container size 224 + 32n — without parsing AVI.
+_VIDEO_PX_CTE = """
+    vbase AS (SELECT doc_id, 4 + doc_id % 5 AS n FROM documents),
+    vpx AS (SELECT b.doc_id, b.n, t.t // 18 AS f, (t.t % 18) // 9 AS y,
+                   ((t.t % 18) % 9) // 3 AS x, t.t % 3 AS c,
+                   (b.doc_id * 7919 + (t.t // 18) * 991
+                    + ((t.t % 18) // 9) * 173
+                    + (((t.t % 18) % 9) // 3) * 31 + (t.t % 3) * 7) % 256 AS px
+            FROM vbase b, LATERAL (SELECT unnest(range(0, b.n * 18)) AS t) t)
+"""
+
+MM_VIDEO_STATS_ORACLE = f"""
+    WITH {_VIDEO_PX_CTE}
+    SELECT doc_id,
+           CAST(224 + 32 * max(n) AS BIGINT) AS n_bytes,
+           3 AS width, 2 AS height, CAST(10.0 AS DOUBLE) AS fps,
+           CAST(max(n) AS BIGINT) AS n_frames,
+           CAST(max(n) * 100 AS BIGINT) AS duration_ms,
+           ROUND(AVG(CAST(px AS DOUBLE)), 6) AS mean_px,
+           CAST(MAX(px) AS INT) AS max_px
+    FROM vpx GROUP BY doc_id
+"""
+
+
+@query("multimodal_video_stats", MM_VIDEO_STATS_ORACLE)
+def q_mm_video_stats(spark, sf_dir):
+    """AVI decode gate: synthesize real uncompressed-DIB AVI containers,
+    parse them (RIFF walk, hdrl/strl headers, movi frame chunks), decode
+    every frame's bottom-up padded BGR raster to RGB, and hash-check
+    geometry/fps/duration/pixel stats — plus the exact container byte
+    size — against the pixel formula evaluated in DuckDB."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    stats = mm.video_stats(mm.attach_video_blob(docs))
+    return stats.select(
+        "doc_id", "n_bytes", "width", "height", "fps",
+        "n_frames", "duration_ms",
+        F.round("mean_px", 6).alias("mean_px"), "max_px",
+    )
+
+
+MM_VIDEO_FRAMES_ORACLE = f"""
+    WITH {_VIDEO_PX_CTE}
+    SELECT doc_id, CAST(f AS INT) AS frame_no,
+           ROUND(AVG(CAST(px AS DOUBLE)), 6) AS mean_px,
+           CAST(MAX(px) AS INT) AS max_px
+    FROM vpx WHERE f % 2 = 0 GROUP BY doc_id, f
+"""
+
+
+@query("multimodal_video_frames", MM_VIDEO_FRAMES_ORACLE)
+def q_mm_video_frames(spark, sf_dir):
+    """Frame-sampling gate over REAL video: decode every 2nd frame only
+    (the codec defers pixel decode until a frame is requested, so
+    unsampled frames cost nothing) and check per-frame pixel stats
+    against the formula."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    feats = mm.video_frame_features(mm.attach_video_blob(docs), every=2)
+    return feats.select(
+        "doc_id", "frame_no",
+        F.round("mean_px", 6).alias("mean_px"), "max_px",
+    )
+
+
 # ---------------------------------------------------------------------------
 # domain-level corpus curation (CCNet/RefinedWeb/Dolma-style)
 # ---------------------------------------------------------------------------

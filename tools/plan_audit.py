@@ -41,6 +41,8 @@ ARROW_ALLOWED = {
     "multimodal_audio_stats",
     "multimodal_audio_windows",
     "multimodal_audio_resample",
+    "multimodal_video_stats",
+    "multimodal_video_frames",
     "coproc_row_count",
 }
 
