@@ -732,6 +732,26 @@ def main():
             runs=3,
         )
 
+    # Real media decode through the pure-Python codec seam: synthesize
+    # WAV/AVI containers per doc and decode them back (full sample /
+    # frame decode), Arrow-batched end to end — the per-byte Python
+    # decode cost is the number that must stay flat per-partition at
+    # 100 TB (it parallelizes per Arrow batch with zero shuffle).
+    from hindex_spark.operators import multimodal as mmod
+
+    bench(
+        "media_audio_decode",
+        lambda: mmod.audio_stats(mmod.attach_audio_blob(docs))
+        .agg(F.sum("n_frames")).collect(),
+        runs=3,
+    )
+    bench(
+        "media_video_decode",
+        lambda: mmod.video_frame_features(mmod.attach_video_blob(docs), every=2)
+        .agg(F.count("*"), F.sum("max_px")).collect(),
+        runs=3,
+    )
+
     total = round(sum(timings.values()), 4)
     out = {
         "metric": "bench_total",

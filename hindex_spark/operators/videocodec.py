@@ -71,12 +71,21 @@ def decode_avi(payload: bytes):
                 sub = payload[body : body + 4]
                 scan_list(body + 4, body + size, sub)
             elif cid == b"strh" and outer == b"strl":
-                if payload[body : body + 4] == b"vids" and strh is None:
+                if (
+                    payload[body : body + 4] == b"vids"
+                    and strh is None
+                    and size >= 48  # fcc pair + the 40 bytes we read
+                ):
                     strh = struct.unpack_from("<IHHIIIIIIII", payload, body + 8)
                     stream_no = n_streams
                 n_streams += 1
             elif cid == b"strf" and outer == b"strl":
-                if strh is not None and stream_no == n_streams - 1 and strf is None:
+                if (
+                    strh is not None
+                    and stream_no == n_streams - 1
+                    and strf is None
+                    and size >= 40  # full BITMAPINFOHEADER present
+                ):
                     strf = struct.unpack_from("<IiiHHIIiiII", payload, body)
             elif outer in (b"movi", b"rec ") and cid[2:4] in (b"db", b"dc"):
                 movi_chunks.append((cid[:2], payload[body : body + size]))
