@@ -296,6 +296,11 @@ class Catalog:
         # through the swap.
         with open(os.path.join(staging, "_schema.ddl"), "w") as fh:
             fh.write(self._ddl(df.schema))
+        # bucket-count sidecar: swaps atomically with the files, so a
+        # later attach can never claim a count the layout doesn't have
+        # (see _sidecar_buckets)
+        with open(os.path.join(staging, "_buckets"), "w") as fh:
+            fh.write(str(n))
         if not swap:
             return  # caller promotes staging after its fence check
         self._swap_in(final, staging)
@@ -671,6 +676,25 @@ class Catalog:
                 return T.StructType.fromDDL(fh.read())
         return None
 
+    @staticmethod
+    def _sidecar_buckets(location: str):
+        """The _buckets sidecar as an int, or None. Written into the
+        STAGED directory (like _schema.ddl) so it swaps atomically WITH
+        the data files: the bucket count a store's meta json records can
+        lag or lead the physical layout across a crash window (e.g. a
+        rebucketing expire()/compact() that dies between its meta commit
+        and the rewrite), and attaching with a count the files don't
+        have silently corrupts shuffle-free joins. The sidecar cannot
+        disagree with the files it rode in with."""
+        p = os.path.join(location, "_buckets")
+        if os.path.isfile(p):
+            try:
+                with open(p) as fh:
+                    return int(fh.read().strip())
+            except (ValueError, OSError):
+                return None
+        return None
+
     def read_raw(self, table_dir_name: str) -> DataFrame:
         """A ``save_bucketed`` store's data directory as RAW parquet
         (no claimed bucketing — what compaction rewrites read so the
@@ -699,6 +723,12 @@ class Catalog:
             schema = self._sidecar_schema(location)
         if schema is None:
             schema = self.spark.read.parquet(location).schema
+        # the files' own bucket count wins over the caller's cached one:
+        # a store meta that crashed mid-rebucket may claim a count the
+        # layout doesn't have (see _sidecar_buckets)
+        sidecar_n = self._sidecar_buckets(location)
+        if sidecar_n is not None:
+            n = sidecar_n
         # register AND resolve under one lock hold (RLock — nested in
         # _register_bucketed): spark.table() outside it would race a
         # concurrent load's DROP between this thread's CREATE and its

@@ -38,22 +38,29 @@ WAVE_FORMAT_EXTENSIBLE = 0xFFFE
 _PCM_SCALE = {8: 128.0, 16: 32768.0, 24: 8388608.0, 32: 2147483648.0}
 
 
-def _iter_chunks(payload: bytes):
-    """Yield (chunk_id, chunk_bytes) for every chunk in a RIFF body.
+def riff_chunks(payload: bytes, pos: int, end: int):
+    """Yield (chunk_id, body_offset, body_size) across a RIFF region —
+    the ONE chunk walker both the WAV and AVI codecs build on.
 
     Chunks are word-aligned: an odd-sized chunk is followed by one pad
     byte that is NOT part of the next chunk header. A declared size
-    running past the buffer (truncated file) yields the bytes that are
-    actually present — decoders must stay total on truncated input.
+    running past the region (truncated file) clamps to the bytes that
+    are actually present — decoders must stay total on truncated input.
+    Offsets (not slices) so nested LIST regions recurse without copies.
     """
-    pos = 12  # past 'RIFF' <size> 'WAVE'
-    end = len(payload)
     while pos + 8 <= end:
         cid = payload[pos : pos + 4]
         (size,) = struct.unpack_from("<I", payload, pos + 4)
-        body = payload[pos + 8 : pos + 8 + size]
-        yield cid, body
-        pos += 8 + size + (size & 1)
+        body = pos + 8
+        yield cid, body, min(size, end - body)
+        pos = body + size + (size & 1)
+
+
+def _iter_chunks(payload: bytes):
+    """(chunk_id, chunk_bytes) over a WAV body — riff_chunks from
+    offset 12 (past 'RIFF' <size> 'WAVE'), materialized to slices."""
+    for cid, body, size in riff_chunks(payload, 12, len(payload)):
+        yield cid, payload[body : body + size]
 
 
 def _parse_fmt(body: bytes):

@@ -301,6 +301,7 @@ def _decode_jpeg(payload: bytes) -> Decoded:
     if payload[:2] != b"\xff\xd8":
         raise ValueError("JPEG: bad magic")
     qt, huff, dri = {}, {}, 0
+    adobe = None   # APP14 color transform: 0 = RGB, 1 = YCbCr, 2 = YCCK
     frame = None   # (w, h, comps, progressive, hmax, vmax, mcux, mcuy)
     coefs = None   # comp id -> [by][bx] -> 64 ints (zigzag order)
     preds = {}
@@ -369,6 +370,11 @@ def _decode_jpeg(payload: bytes) -> Decoded:
                 "unsupported")
         elif m == 0xDD:  # DRI
             (dri,) = struct.unpack(">H", seg[:2])
+        elif m == 0xEE and seg[:5] == b"Adobe" and len(seg) >= 12:
+            # APP14: version(2) flags0(2) flags1(2) transform(1) —
+            # transform 0 means the three components are stored as
+            # plain R,G,B and must NOT go through the YCbCr matrix
+            adobe = seg[11]
         elif m == 0xDA:  # SOS: entropy-coded scan follows
             if frame is None:
                 raise ValueError("JPEG: SOS before SOF")
@@ -390,7 +396,7 @@ def _decode_jpeg(payload: bytes) -> Decoded:
         i += 2 + seglen
     if frame is None or coefs is None:
         raise ValueError("JPEG: no frame")
-    return _jpeg_reconstruct(np, frame, coefs, qt)
+    return _jpeg_reconstruct(np, frame, coefs, qt, adobe)
 
 
 def _jpeg_scan_pass(payload, pos, frame, scan_comps, ss, se, ah, al,
@@ -413,7 +419,13 @@ def _jpeg_scan_pass(payload, pos, frame, scan_comps, ss, se, ah, al,
             eobrun[0] = 0
         count += 1
 
-    if len(scan_comps) == 1 and not (ss == 0 and not progressive):
+    # T.81 A.2: ANY ns==1 scan is non-interleaved — one data unit per
+    # MCU, walked in the component's OWN raster order over its bx*by
+    # grid (NOT the MCU-padded grid). This includes BASELINE files with
+    # one scan per component and single-component frames declaring
+    # sampling factors > 1; for the common 1x1 grayscale case the two
+    # walks coincide.
+    if len(scan_comps) == 1:
         comp, td, ta = scan_comps[0]
         grid = coefs[comp["id"]]
         for by in range(comp["by"]):
@@ -529,10 +541,12 @@ def _jpeg_block(rd, comp, coef, ss, se, ah, al, huff, td, ta, preds,
         eobrun[0] -= 1
 
 
-def _jpeg_reconstruct(np, frame, coefs, qt) -> Decoded:
+def _jpeg_reconstruct(np, frame, coefs, qt, adobe=None) -> Decoded:
     """Dequantize + IDCT every accumulated block (one einsum), paste
     into per-component planes, nearest-upsample chroma, and convert
-    JFIF YCbCr -> RGB (or emit the single grayscale plane)."""
+    JFIF YCbCr -> RGB (or emit the single grayscale plane). Adobe
+    APP14 transform=0 — and the 'R','G','B' component-id convention —
+    mark the three components as stored RGB: no matrix."""
     w, h, comps, _prog, hmax, vmax, mcux, mcuy = frame
     u = np.arange(8).reshape(8, 1)
     x = np.arange(8).reshape(1, 8)
@@ -563,6 +577,9 @@ def _jpeg_reconstruct(np, frame, coefs, qt) -> Decoded:
         return w, h, 1, out.tobytes()
     if len(order) != 3:
         raise ValueError(f"JPEG: {len(order)}-component unsupported")
+    if adobe == 0 or (adobe is None and order == [0x52, 0x47, 0x42]):
+        rgb = np.stack([planes[o] for o in order], axis=-1)  # stored RGB
+        return w, h, 3, np.clip(np.round(rgb), 0, 255).astype(np.uint8).tobytes()
     Y, Cb, Cr = (planes[o] for o in order)   # JFIF YCbCr -> RGB
     rgb = np.stack(
         [Y + 1.402 * (Cr - 128.0),

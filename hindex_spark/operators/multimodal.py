@@ -616,7 +616,9 @@ def video_stats(
                     for i in range(len(dec["frames"]))
                 ) if r is not None
             ]
-        if dec is None or not rasters:
+        if dec is None or not rasters or dec["rate"] <= 0:
+            # rate <= 0 is a corrupt strh (fps/duration undefined):
+            # total-function contract says NULL fields, never a crash
             row.update(width=None, height=None, fps=None, n_frames=None,
                        duration_ms=None, mean_px=None, max_px=None)
             return row

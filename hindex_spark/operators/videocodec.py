@@ -30,20 +30,10 @@ import struct
 
 import numpy as np
 
+from hindex_spark.operators.audiocodec import riff_chunks as _walk
+
 BI_RGB = 0
 FOURCC_MJPG = struct.unpack("<I", b"MJPG")[0]
-
-
-def _walk(payload: bytes, pos: int, end: int):
-    """Yield (chunk_id, body_start, body_size) across a RIFF region,
-    word-aligned, tolerant of truncated final chunks."""
-    while pos + 8 <= end:
-        cid = payload[pos : pos + 4]
-        (size,) = struct.unpack_from("<I", payload, pos + 4)
-        body = pos + 8
-        avail = min(size, end - body)
-        yield cid, body, avail
-        pos = body + size + (size & 1)
 
 
 def decode_avi(payload: bytes):
@@ -120,6 +110,8 @@ def frame_raster(dec: dict, idx: int):
         return None
     chunk = dec["frames"][idx]
     w, h = dec["width"], dec["height"]
+    if w <= 0 or h <= 0:  # corrupt biWidth/biHeight: refuse, don't reshape
+        return None
     comp = dec["compression"]
     if comp == BI_RGB and dec["bit_count"] in (24, 32):
         bpp = dec["bit_count"] // 8
@@ -172,7 +164,7 @@ def encode_avi(frames, fps_rate: int = 10, fps_scale: int = 1) -> bytes:
     usec = int(1_000_000 * fps_scale / fps_rate)
     avih = struct.pack(
         "<IIIIIIIIIIIIII",
-        usec, frame_bytes * fps_rate // fps_scale, 0, 0x10,  # HASINDEX unset, INTERLEAVED-ish flags
+        usec, frame_bytes * fps_rate // fps_scale, 0, 0,  # no flags: no idx1 is written, so HASINDEX (0x10) must stay clear
         len(frames), 0, 1, frame_bytes, w, h, 0, 0, 0, 0,
     )
     strh = b"vids" + b"DIB " + struct.pack(

@@ -160,3 +160,51 @@ def test_rollup_expire_crash_before_rewrite(spark, tmp_path, monkeypatch):
     # restarted expire completes; reads converge
     r2.expire(before_us=cutoff)
     assert sorted(map(tuple, r2.read().collect())) == want
+
+
+def test_rebucket_crash_attach_uses_file_sidecar(spark, tmp_path, monkeypatch):
+    """A rebucketing expire() that crashes between its pre-rewrite meta
+    commit and save_bucketed leaves meta claiming a bucket count the
+    files don't have. The _buckets sidecar (written into staging, so it
+    swaps atomically WITH the files) must win at attach time — a stale
+    meta count silently corrupts shuffle-free joins otherwise."""
+    from datetime import datetime
+
+    from hindex_spark.catalog import Catalog
+    from hindex_spark.operators.rollup import HOUR_US, RollupStore
+
+    cat = Catalog(spark, str(tmp_path / "wh"))
+    rows = [
+        (1, datetime(2024, 1, 1, 10, 0), "click", 1.0),
+        (2, datetime(2024, 1, 2, 11, 0), "click", 2.0),
+        (3, datetime(2024, 1, 2, 12, 0), "view", 5.0),
+    ]
+    cols = ["event_id", "ts", "event_type", "value"]
+    ev = spark.createDataFrame(rows, cols)
+    r = RollupStore.build(
+        cat, ev, "ts", ["event_type"], "value", HOUR_US, "rebucket",
+        num_buckets=8,
+    )
+    want = sorted(map(tuple, r.read().collect()))
+    cutoff = int(datetime(2023, 1, 1, 0, 0).timestamp()) * 1_000_000
+    state = _crash_once_on_save(cat, monkeypatch)
+    with pytest.raises(RuntimeError, match="injected crash"):
+        r.expire(before_us=cutoff, num_buckets=16)  # rebucket 8 -> 16
+    assert not state["armed"]
+    # the crashed store's meta now claims 16; the files are still 8
+    r2 = RollupStore.open(cat, "rebucket")
+    assert r2.num_buckets == 16  # stale meta cache, by construction
+    # a fresh process would attach from that stale meta: force the
+    # re-attach by dropping the session registration the build left
+    spark.sql(f"DROP TABLE IF EXISTS `{r2.sql_name}`")
+    # attach must trust the files' sidecar: reads stay correct
+    assert sorted(map(tuple, r2.read().collect())) == want
+    # and the claimed bucketing must describe the REAL layout: 8, not 16
+    desc = spark.sql(f"DESCRIBE TABLE EXTENDED `{r2.sql_name}`").collect()
+    n_txt = [row.data_type for row in desc if row.col_name == "Num Buckets"]
+    assert n_txt and int(n_txt[0]) == 8
+    # restarted expire completes the rebucket; sidecar follows the files
+    r2.expire(before_us=cutoff, num_buckets=16)
+    assert sorted(map(tuple, r2.read().collect())) == want
+    r3 = RollupStore.open(cat, "rebucket")
+    assert sorted(map(tuple, r3.read().collect())) == want
