@@ -47,5 +47,6 @@ def test_bench_cli_contract_sf0001():
         "rollup_sliding_read", "funnel_3step",
         "edit_distance_pairs", "zorder_layout_write",
         "joinview_delta_update", "joinview_read",
+        "media_audio_decode", "media_video_decode",
     }
     assert set(out["queries"]) == expected, set(out["queries"]) ^ expected
