@@ -20,7 +20,13 @@ Decodes the formats a pure-Python implementation can do exactly:
   deviation <= 2 on photographic content, progressive grayscale
   exact to maxdiff 1 — within the conforming-decoder IDCT spread.
   Hierarchical / arithmetic-coded / 12-bit variants raise and fall
-  through to the caller's stub path.
+  through to the caller's stub path. Adobe APP14 transform=0 and
+  'R','G','B' component ids decode as stored RGB (no YCbCr matrix).
+- **GIF** (87a/89a): FIRST frame — LZW index stream (variable 3-12
+  bit codes, CLEAR/EOI, 4096-entry cap), global/local color tables,
+  interlacing, graphic-control transparency (expands to RGBA, else
+  RGB), lossless so validated byte-exactly against an independent
+  decoder (JVM ImageIO) and a real-LZW test encoder.
 
 Plus the minimal write path the resize operator needs: filter-0 PNG
 encode and nearest-neighbor resize.
@@ -50,13 +56,15 @@ _PNG_CHANNELS = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}
 
 
 def sniff(payload: bytes) -> Optional[str]:
-    """'png' | 'bmp' | 'jpeg' | None by magic bytes."""
+    """'png' | 'bmp' | 'jpeg' | 'gif' | None by magic bytes."""
     if payload[:8] == _PNG_SIG:
         return "png"
     if payload[:2] == b"BM" and len(payload) >= 54:
         return "bmp"
     if payload[:2] == b"\xff\xd8" and len(payload) >= 4:
         return "jpeg"
+    if payload[:6] in (b"GIF87a", b"GIF89a"):
+        return "gif"
     return None
 
 
@@ -589,10 +597,148 @@ def _jpeg_reconstruct(np, frame, coefs, qt, adobe=None) -> Decoded:
 
 
 
+def _gif_lzw(data: bytes, min_code: int, expect: int) -> bytes:
+    """GIF-variant LZW decode (LSB-first variable 3-12 bit codes,
+    CLEAR/EOI, table growth at 2^width capped at 4096) to at most
+    ``expect`` index bytes. Truncated streams return what decoded —
+    total on corrupt input (callers pad)."""
+    clear = 1 << min_code
+    eoi = clear + 1
+
+    def fresh():
+        return [bytes([i]) for i in range(clear)] + [b"", b""]
+
+    table = fresh()
+    width = min_code + 1
+    out = bytearray()
+    acc = nbits = pos = 0
+    prev = None
+    while len(out) < expect:
+        while nbits < width and pos < len(data):
+            acc |= data[pos] << nbits
+            nbits += 8
+            pos += 1
+        if nbits < width:
+            break  # truncated stream
+        code = acc & ((1 << width) - 1)
+        acc >>= width
+        nbits -= width
+        if code == clear:
+            table = fresh()
+            width = min_code + 1
+            prev = None
+            continue
+        if code == eoi:
+            break
+        if prev is None:  # first code after (re)start: literal
+            if code >= len(table):
+                raise ValueError("GIF: bad first LZW code")
+            entry = table[code]
+        else:
+            if code < len(table):
+                entry = table[code]
+            elif code == len(table):  # the KwKwK case
+                entry = prev + prev[:1]
+            else:
+                raise ValueError("GIF: LZW code out of range")
+            table.append(prev + entry[:1])
+            if len(table) == (1 << width) and width < 12:
+                width += 1
+        out += entry
+        prev = entry
+    return bytes(out[:expect])
+
+
+def _decode_gif(payload: bytes) -> Decoded:
+    """GIF87a/89a FIRST frame: logical-screen + image descriptors,
+    global/local color tables, interlacing (the 8/8/4/2 four-pass row
+    order), LZW index stream, palette expansion. A graphic-control
+    transparency index expands to RGBA (alpha 0 at the transparent
+    index), matching Pillow's P+transparency canonicalization; opaque
+    frames expand to RGB. The raster is FRAME-sized (left/top offsets
+    into a larger logical screen are rare outside later frames of
+    animations and are not composited). Later animation frames are
+    skipped — first-frame semantics, like Image.open()."""
+    import numpy as np  # palette expansion only
+
+    w_screen, h_screen, packed, _bg, _ar = struct.unpack_from("<HHBBB", payload, 6)
+    pos = 13
+    gct = None
+    if packed & 0x80:
+        n = 2 ** ((packed & 7) + 1)
+        gct = payload[pos : pos + 3 * n]
+        pos += 3 * n
+    transparent = None
+    while pos < len(payload):
+        b = payload[pos]
+        if b == 0x3B:  # trailer
+            break
+        if b == 0x21:  # extension: sub-block chain
+            label = payload[pos + 1]
+            pos += 2
+            first = True
+            while pos < len(payload):
+                sz = payload[pos]
+                if first and label == 0xF9 and sz >= 4:
+                    if payload[pos + 1] & 1:  # transparency flag
+                        transparent = payload[pos + 4]
+                first = False
+                pos += 1 + sz
+                if sz == 0:
+                    break
+        elif b == 0x2C:  # image descriptor: decode and return
+            _left, _top, iw, ih, ipacked = struct.unpack_from(
+                "<HHHHB", payload, pos + 1
+            )
+            pos += 10
+            ct = gct
+            if ipacked & 0x80:
+                n = 2 ** ((ipacked & 7) + 1)
+                ct = payload[pos : pos + 3 * n]
+                pos += 3 * n
+            if ct is None or iw == 0 or ih == 0:
+                raise ValueError("GIF: no color table / empty frame")
+            min_code = payload[pos]
+            pos += 1
+            if not 2 <= min_code <= 11:
+                raise ValueError("GIF: bad LZW min code size")
+            data = bytearray()
+            while pos < len(payload):
+                sz = payload[pos]
+                pos += 1
+                if sz == 0:
+                    break
+                data += payload[pos : pos + sz]
+                pos += sz
+            idx = np.frombuffer(
+                _gif_lzw(bytes(data), min_code, iw * ih).ljust(iw * ih, b"\x00"),
+                dtype=np.uint8,
+            ).reshape(ih, iw)
+            if ipacked & 0x40:  # interlaced: 4-pass row order
+                rows = np.concatenate([
+                    np.arange(0, ih, 8), np.arange(4, ih, 8),
+                    np.arange(2, ih, 4), np.arange(1, ih, 2),
+                ])
+                de = np.empty_like(idx)
+                de[rows] = idx
+                idx = de
+            pal = np.frombuffer(ct, dtype=np.uint8).reshape(-1, 3)
+            idx = np.minimum(idx, len(pal) - 1)  # clamp corrupt indices
+            rgb = pal[idx]
+            if transparent is not None:
+                alpha = np.where(idx == transparent, 0, 255).astype(np.uint8)
+                rgba = np.dstack([rgb, alpha])
+                return iw, ih, 4, rgba.tobytes()
+            return iw, ih, 3, np.ascontiguousarray(rgb).tobytes()
+        else:
+            raise ValueError("GIF: unknown block")
+    raise ValueError("GIF: no image data")
+
+
 def decode_image(payload: bytes) -> Optional[Decoded]:
-    """Decode a PNG/BMP/JPEG payload to (w, h, channels, raster), or
-    None if the payload is not a supported image (callers fall through
-    to their stub path, mirroring the PIL seam's behavior on
+    """Decode a PNG/BMP/JPEG/GIF payload to (w, h, channels, raster),
+    or None if the payload is not a supported image (callers fall
+    through to their stub path, mirroring the PIL seam's behavior on
     undecodables — hierarchical/arithmetic JPEG variants land here)."""
     kind = sniff(payload)
     try:
@@ -602,6 +748,8 @@ def decode_image(payload: bytes) -> Optional[Decoded]:
             return _decode_bmp(payload)
         if kind == "jpeg":
             return _decode_jpeg(payload)
+        if kind == "gif":
+            return _decode_gif(payload)
     except Exception:  # noqa: BLE001 - corrupt/unsupported → not an image
         return None
     return None

@@ -7,7 +7,7 @@ seam (``_pil``): when Pillow is importable on the executors,
 ``extract_features`` decodes real pixels and ``resize_blobs(...,
 target_size=(w, h))`` performs a real ``Image.resize`` + PNG re-encode;
 when it is not (this container), the pure-Python codecs still REALLY
-decode: PNG/BMP/JPEG pixels (operators/imagecodec.py, baseline and
+decode: PNG/BMP/JPEG/GIF pixels (operators/imagecodec.py, baseline and
 progressive), WAV samples (operators/audiocodec.py — PCM/IEEE-float
 with stats, windowed DSP, resampling), and AVI video frames
 (operators/videocodec.py — uncompressed DIB and MJPEG). Only genuinely
@@ -133,7 +133,7 @@ def _decode_auto(payload: bytes) -> dict:
     a payload that parses as an image yields PIXEL-level stats
     (mean/max over the decoded raster). Pillow decodes when installed
     (C-speed, every format); without it the pure-Python codec
-    (operators/imagecodec.py) REALLY decodes PNG, BMP, and JPEG
+    (operators/imagecodec.py) REALLY decodes PNG, BMP, GIF, and JPEG
     (baseline AND progressive) — so the operator decodes actual
     pixels in this container too. Anything undecodable — video
     containers, exotic JPEG variants, and every synthetic utf-8 blob
@@ -243,7 +243,7 @@ def resize_blobs(
 
     Passing ``target_size=(w, h)`` opts into the REAL path: blobs that
     decode as images — via PIL when installed, else the pure-Python
-    codec (PNG/BMP/JPEG) — are nearest-resampled to (w, h) and
+    codec (PNG/BMP/JPEG/GIF) — are nearest-resampled to (w, h) and
     re-encoded as PNG; genuinely undecodable blobs keep the
     byte-sampler, so the output schema and the oracle gates are
     unchanged either way."""

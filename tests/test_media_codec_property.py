@@ -133,3 +133,40 @@ def test_avi_total_on_truncation_and_mutation(seed, pos):
         if dec is not None:
             for i in range(len(dec["frames"])):
                 vc.frame_raster(dec, i)
+
+
+@st.composite
+def gif_image(draw):
+    k = draw(st.sampled_from([4, 8, 64, 256]))
+    w = draw(st.integers(min_value=1, max_value=40))
+    h = draw(st.integers(min_value=1, max_value=30))
+    seed = draw(st.integers(min_value=0, max_value=2**31 - 1))
+    inter = draw(st.booleans())
+    idx = np.random.default_rng(seed).integers(0, k, (h, w), np.uint8)
+    return idx, k, w, h, inter
+
+
+@settings(max_examples=80, deadline=None)
+@given(gif_image())
+def test_gif_roundtrip_property(img):
+    """Encoder (real LZW, tests/test_gifcodec.py) -> decoder is the
+    identity on palette-expanded pixels for every geometry, palette
+    size, and interlace flag."""
+    from test_gifcodec import make_gif, _pal
+    from hindex_spark.operators import imagecodec as ic
+
+    idx, k, w, h, inter = img
+    dec = ic.decode_image(make_gif(idx, _pal(k), w, h, interlaced=inter))
+    assert dec is not None and dec[:3] == (w, h, 3)
+    pal = np.array(_pal(k), dtype=np.uint8)
+    assert np.array_equal(
+        np.frombuffer(dec[3], dtype=np.uint8).reshape(h, w, 3), pal[idx]
+    )
+
+
+@settings(max_examples=150, deadline=None)
+@given(st.binary(max_size=200))
+def test_gif_decode_total_on_garbage(data):
+    from hindex_spark.operators import imagecodec as ic
+
+    ic.decode_image(b"GIF89a" + data)  # must not raise
