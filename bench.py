@@ -233,12 +233,25 @@ def main():
     # Same LSH workload on the xxhash64 production digest (verification
     # is exact Jaccard either way, so results agree): quantifies what
     # the md5-for-oracle-reproducibility choice costs on the hot path.
+    # Since round 12 this line carries the DEFAULT configuration, which
+    # for xxhash64 resolves the skew valve to "auto" (BY_HASH sentinel)
+    # — the unvalved counterfactual is the _unvalved line below.
     bench(
         "dedup_minhash_lsh_xxh",
         lambda: dd.minhash_dedup_pairs(
             docs, "doc_id", "text", 0.9, hash_fn="xxhash64"
         ).count(),
         runs=3,
+    )
+    # Explicit opt-OUT of the valve: what the pre-r12 xxh default cost.
+    # At sf1 this line recorded 30-55 s vs the valved path's 6-9 s with
+    # identical verified pairs — the measured case for the new default.
+    bench(
+        "dedup_minhash_lsh_xxh_unvalved",
+        lambda: dd.minhash_dedup_pairs(
+            docs, "doc_id", "text", 0.9, hash_fn="xxhash64", max_bucket=None
+        ).count(),
+        runs=2,
     )
     # The full production configuration: xxhash64 digests + the
     # max_bucket boilerplate valve. Unbounded banding is quadratic in
@@ -753,15 +766,22 @@ def main():
     )
 
     total = round(sum(timings.values()), 4)
+    # The ONE stdout line is the driver's evidence channel and its tail
+    # capture is bounded: round 11's run-sample additions pushed the
+    # line past the cap and BENCH_r11.json recorded parsed=null. Keep
+    # stdout to the compact scalar-min shape and sidecar everything
+    # diagnostic (per-line sorted run samples — min == the recorded
+    # timing — plus a host-load fingerprint, so artifact diffs can
+    # auto-filter ambient noise from real regressions).
     out = {
         "metric": "bench_total",
         "value": total,
         "unit": "sec",
         "queries": timings,
         "sf": float(sf),
-        # per-line sorted run samples (min == the recorded timing) and
-        # a host-load fingerprint, so artifact diffs can auto-filter
-        # ambient noise from real regressions
+    }
+    detail = {
+        "sf": float(sf),
         "run_samples": spreads,
         "loadavg_before": [round(x, 2) for x in load_before],
         "loadavg_after": [round(x, 2) for x in os.getloadavg()],
@@ -772,6 +792,14 @@ def main():
         out["errors"] = errors
         out["partial"] = True
         out["value"] = None
+    detail_path = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), "BENCH_detail.json"
+    )
+    try:
+        with open(detail_path, "w") as f:
+            json.dump(detail, f, indent=1)
+    except OSError as e:  # diagnostics must never cost the artifact
+        print(f"bench: could not write {detail_path}: {e}", file=sys.stderr)
     print(json.dumps(out))
 
 

@@ -690,9 +690,12 @@ class Catalog:
         if os.path.isfile(p):
             try:
                 with open(p) as fh:
-                    return int(fh.read().strip())
+                    n = int(fh.read().strip())
             except (ValueError, OSError):
                 return None
+            # a corrupt/truncated sidecar ('0', negatives) must fall
+            # back to the caller's count, not flow into INTO {n} BUCKETS
+            return n if n >= 1 else None
         return None
 
     def read_raw(self, table_dir_name: str) -> DataFrame:

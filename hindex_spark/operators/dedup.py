@@ -95,17 +95,77 @@ DEFAULT_MAX_BUCKET = 4096
 AUTO_VALVE_FLOOR = 256
 AUTO_VALVE_MULT = 8
 
+#: Hash-conditional valve sentinel — the ``minhash_dedup_pairs`` default
+#: since round 12: the md5 family resolves to None (unbounded,
+#: bit-for-bit the DuckDB-oracle semantics those gates pin) and every
+#: other family — xxhash64, the self-described production path no
+#: oracle pins — resolves to ``"auto"``. Rationale: unbounded banding
+#: is quadratic in the largest bucket, and the bench's own sf1 record
+#: (bench.py dedup_minhash_lsh_prod comment) shows one 6.6k-doc
+#: boilerplate bucket putting 22M of the xxh path's 26M candidate pairs
+#: — a footgun a 100 TB user should have to ARM, not disarm.
+BY_HASH = "by-hash"
 
-def _resolve_valve(max_bucket: Union[int, None, str]) -> Union[int, None, str]:
-    """Map the ``"default"`` sentinel to DEFAULT_MAX_BUCKET; pass ints,
-    ``"auto"`` (cap derived from the bucket-size distribution inside the
-    candidate pass), and the explicit None (= unbounded opt-out) through
-    unchanged."""
+
+def _resolve_valve(
+    max_bucket: Union[int, None, str], hash_fn: str = "md5"
+) -> Union[int, None, str]:
+    """Map the ``"default"`` sentinel to DEFAULT_MAX_BUCKET and the
+    ``"by-hash"`` sentinel to None (md5, oracle-exact) or ``"auto"``
+    (any production hash); pass ints, ``"auto"`` (cap derived from the
+    bucket-size distribution inside the candidate pass), and the
+    explicit None (= unbounded opt-out) through unchanged."""
+    if max_bucket == BY_HASH:
+        return None if hash_fn == "md5" else "auto"
     return DEFAULT_MAX_BUCKET if max_bucket == "default" else max_bucket
+
+
+#: (buckets frame, size expr name, cap) of the most recent candidate
+#: pass whose valve was active with no caller Observation — see
+#: ``last_valve_drops``. Single-writer, like the cache rotation above.
+#: Deliberately NOT an auto-attached Observation: a fresh Observation
+#: per call makes every plan unique, which defeats sameSemantics cache
+#: reuse across repeated identical searches (measured 2.6x on the
+#: bench's warm xxh line).
+_LAST_VALVE_ACCT: Optional[tuple] = None
+
+
+def last_valve_drops() -> Optional[dict]:
+    """Dropped-bucket accounting — ``{"dropped_buckets", "dropped_docs"}``
+    (count and total membership of over-cap buckets) — for the most
+    recent pair search whose valve was active by default or explicitly,
+    with no caller-supplied ``dropped`` Observation. The default-on
+    drop must be OBSERVABLE, not silent: this runs ONE tiny aggregate
+    over the candidate pass's bucket frame (persisted in the "auto"
+    default mode, so the upstream never recomputes) on demand. Returns
+    None if no valved search ran yet."""
+    if _LAST_VALVE_ACCT is None:
+        return None
+    buckets, size_col, cap = _LAST_VALVE_ACCT
+    over = F.size(size_col) > cap
+    row = buckets.select(
+        F.coalesce(F.sum(F.when(over, 1).otherwise(0)), F.lit(0)).alias(
+            "dropped_buckets"
+        ),
+        F.coalesce(
+            F.sum(F.when(over, F.size(size_col)).otherwise(0)), F.lit(0)
+        ).alias("dropped_docs"),
+    ).collect()[0]
+    return row.asDict()
 
 #: cached intermediates (candidate pairs, narrowed unit arrays) from the
 #: most recent pair-search call — see _rotate_caches
 _LIVE_CACHES: list = []
+
+#: persists registered by INNER stages (e.g. the auto-valve bucket agg
+#: inside lsh_candidate_pairs) awaiting adoption by the enclosing pair
+#: search's _rotate_caches call — they must outlive the returned lazy
+#: plan, so the inner function cannot rotate itself
+_PENDING_AUX: list = []
+
+
+def _register_aux_cache(df: DataFrame) -> None:
+    _PENDING_AUX.append(df)
 
 
 def _rotate_caches(*new: DataFrame) -> None:
@@ -124,15 +184,17 @@ def _rotate_caches(*new: DataFrame) -> None:
     unpersisting the old handle would evict the new call's cache too.
     Semantically-identical frames are therefore kept (repeat queries
     stay warm); only genuinely stale entries are released."""
-    global _LIVE_CACHES
+    global _LIVE_CACHES, _PENDING_AUX
+    keep = list(new) + _PENDING_AUX
+    _PENDING_AUX = []
     for df in _LIVE_CACHES:
         try:
-            if any(df.sameSemantics(n) for n in new):
+            if any(df.sameSemantics(n) for n in keep):
                 continue
             df.unpersist()
         except Exception:
             pass
-    _LIVE_CACHES = list(new)
+    _LIVE_CACHES = keep
 
 
 def token_hash(token: Column) -> Column:
@@ -434,14 +496,28 @@ def lsh_candidate_pairs(
         # AUTO_VALVE_FLOOR): one extra aggregation job whose driver-side
         # result is a single double (a quantile sketch over band-bucket
         # sizes), then proceed exactly as a constant cap. The bucket agg
-        # runs twice in this mode (sketch + pair expansion) — the price
-        # of not hand-tuning the cap; at 100 TB run the sketch on a
-        # sample via lsh_bucket_profile instead and pass the int.
+        # is PERSISTED before the sketch action so the signature +
+        # banding pipeline upstream of it runs ONCE, not once for the
+        # sketch and again for pair expansion (measured 3.7x on the
+        # bench's xxh line without the persist); the cache is adopted
+        # by the enclosing pair search's rotation. At 100 TB run the
+        # sketch on a sample via lsh_bucket_profile and pass the int.
+        from pyspark import StorageLevel  # noqa: PLC0415
+
+        buckets = buckets.persist(StorageLevel.MEMORY_AND_DISK)
+        _register_aux_cache(buckets)
         q = buckets.select(F.size("ids").alias("s")).approxQuantile(
             "s", [0.999], 0.001
         )
         max_bucket = int(max(AUTO_VALVE_FLOOR, (q[0] if q else 0) * AUTO_VALVE_MULT))
     if max_bucket is not None:
+        if dropped is None:
+            # valve active, no caller Observation: keep the accounting
+            # reachable for last_valve_drops() without perturbing the
+            # plan (an auto-attached Observation would make every call's
+            # plan unique and break warm cache reuse)
+            global _LAST_VALVE_ACCT
+            _LAST_VALVE_ACCT = (buckets, "ids", max_bucket)
         if dropped is not None:
             over = F.size("ids") > max_bucket
             buckets = buckets.observe(
@@ -493,7 +569,7 @@ def minhash_dedup_pairs(
     text_col: str,
     threshold: float,
     ngram: int = 3,
-    max_bucket: Union[int, None, str] = None,
+    max_bucket: Union[int, None, str] = BY_HASH,
     hash_fn: str = "md5",
     dropped: Optional[Observation] = None,
     n_hashes: int = N_HASHES,
@@ -521,7 +597,17 @@ def minhash_dedup_pairs(
     oracle-pinned default; (16, 4) is the high-threshold production
     configuration — see ``lsh_candidate_pairs``. Verified output is a
     SUBSET relationship, never a correctness one: every emitted pair is
-    exactly-Jaccard-checked under any family."""
+    exactly-Jaccard-checked under any family.
+
+    ``max_bucket`` defaults to the ``BY_HASH`` sentinel: None (unbounded
+    — the oracle-exact semantics the md5 DuckDB gates pin) on the md5
+    family, ``"auto"`` on xxhash64 (the production path — see BY_HASH).
+    When the valve is active and the caller supplied no ``dropped``
+    Observation, the drop accounting still exists — read it with
+    ``last_valve_drops()`` (an on-demand aggregate over the candidate
+    pass's bucket frame; plans stay Observation-free so repeated
+    identical searches keep sharing one cache entry)."""
+    max_bucket = _resolve_valve(max_bucket, hash_fn)
     cands = lsh_candidate_pairs(
         minhash_signatures(df, id_col, text_col, ngram, hash_fn=hash_fn, n_hashes=n_hashes),
         id_col,
@@ -562,7 +648,7 @@ def minhash_join(
     text_col: str,
     threshold: float,
     ngram: int = 3,
-    max_bucket: Union[int, None, str] = "default",
+    max_bucket: Union[int, None, str] = BY_HASH,
     hash_fn: str = "md5",
     dropped: Optional[Observation] = None,
     n_hashes: int = N_HASHES,
@@ -583,9 +669,14 @@ def minhash_join(
 
     ``max_bucket`` drops (band, bucket) keys whose pair expansion exceeds
     ``max_bucket``^2 (boilerplate buckets, the skew valve at 100 TB).
-    This is a PRODUCTION entry point, so the valve defaults ON
-    (``"default"`` -> DEFAULT_MAX_BUCKET = 4096 — the one measured
-    super-linear mode at sf1 was exactly an unvalved hot bucket); pass
+    This is a PRODUCTION entry point, so the valve defaults ON under the
+    ``BY_HASH`` sentinel: md5 keeps the constant cap
+    (DEFAULT_MAX_BUCKET = 4096 — no oracle pins this API's default; the
+    oracle gate passes ``max_bucket=None`` explicitly, and the one
+    measured super-linear mode at sf1 was exactly an unvalved hot
+    bucket), while xxhash64 — the production digest — derives the cap
+    from the corpus's own bucket-size distribution (``"auto"``, one
+    extra aggregation over the band-size counts). Pass
     ``max_bucket=None`` explicitly for unbounded oracle-exact semantics.
     ``dropped``: optional Observation recording ``dropped_buckets`` /
     ``dropped_rows`` (over-cap (side, band, bucket) keys and their total
@@ -593,7 +684,10 @@ def minhash_join(
 
     Output: (id_a from left, id_b from right, jaccard >= threshold).
     """
-    max_bucket = _resolve_valve(max_bucket)
+    if max_bucket == BY_HASH:
+        max_bucket = DEFAULT_MAX_BUCKET if hash_fn == "md5" else "auto"
+    else:
+        max_bucket = _resolve_valve(max_bucket, hash_fn)
     bl = _band_rows(
         minhash_signatures(left, id_col, text_col, ngram, hash_fn=hash_fn, n_hashes=n_hashes),
         id_col, band_size,
@@ -612,6 +706,19 @@ def minhash_join(
                 .withColumn("__side", F.lit("R"))
             )
         )
+        if max_bucket == "auto":
+            # Same corpus-adaptive cap as lsh_candidate_pairs: p99.9 of
+            # the (side, band, bucket) sizes x AUTO_VALVE_MULT, floored.
+            # Persist the size agg before the sketch action so both
+            # signature pipelines upstream run once, not twice.
+            from pyspark import StorageLevel  # noqa: PLC0415
+
+            sizes = sizes.persist(StorageLevel.MEMORY_AND_DISK)
+            extra_caches.append(sizes)
+            q = sizes.select(F.col("__n").cast("double").alias("s")).approxQuantile(
+                "s", [0.999], 0.001
+            )
+            max_bucket = int(max(AUTO_VALVE_FLOOR, (q[0] if q else 0) * AUTO_VALVE_MULT))
         big = sizes.filter(F.col("__n") > max_bucket)
         if dropped is not None:
             big = big.observe(
@@ -716,7 +823,8 @@ def incremental_dedup(
     text_col: str,
     threshold: float = 0.9,
     ngram: int = 3,
-    max_bucket: Union[int, None, str] = "default",
+    max_bucket: Union[int, None, str] = BY_HASH,
+    hash_fn: str = "md5",
     dropped: Optional[Observation] = None,
     n_hashes: int = N_HASHES,
     band_size: int = BAND_SIZE,
@@ -736,16 +844,18 @@ def incremental_dedup(
     and in steady state they would be precomputed once and reused per
     batch (see ``DedupState`` for the persisted-store path).
 
-    Production entry point: the LSH skew valve defaults ON
-    (``max_bucket="default"`` -> DEFAULT_MAX_BUCKET); pass None for
-    unbounded oracle-exact semantics. ``dropped`` (an Observation)
-    reports over-cap buckets when the valve fires."""
+    Production entry point: the LSH skew valve defaults ON via the
+    ``BY_HASH`` sentinel, resolved by ``minhash_join`` (md5 -> constant
+    DEFAULT_MAX_BUCKET cap, xxhash64 -> corpus-adaptive ``"auto"``);
+    pass None for unbounded oracle-exact semantics. ``dropped`` (an
+    Observation) reports over-cap buckets when the valve fires."""
     nf = new.withColumn("__fp", fingerprint(F.col(text_col)))
     cf = corpus.select(fingerprint(F.col(text_col)).alias("__fp")).distinct()
     fresh = nf.join(cf, "__fp", "left_anti").drop("__fp")
     near = minhash_join(
         fresh, corpus, id_col, text_col, threshold, ngram, max_bucket,
-        dropped=dropped, n_hashes=n_hashes, band_size=band_size,
+        hash_fn=hash_fn, dropped=dropped, n_hashes=n_hashes,
+        band_size=band_size,
     ).select(F.col("id_a").alias(id_col)).distinct()
     return fresh.join(near, id_col, "left_anti")
 
@@ -1145,12 +1255,20 @@ def simhash_pairs(
     )
     if max_bucket == "auto":
         # same corpus-derived cap as lsh_candidate_pairs (one extra
-        # bounded-result aggregation job)
+        # bounded-result aggregation job); persisted so the simhash
+        # fold upstream runs once, not twice
+        from pyspark import StorageLevel  # noqa: PLC0415
+
+        buckets = buckets.persist(StorageLevel.MEMORY_AND_DISK)
+        _register_aux_cache(buckets)
         q = buckets.select(F.size("ms").alias("s")).approxQuantile(
             "s", [0.999], 0.001
         )
         max_bucket = int(max(AUTO_VALVE_FLOOR, (q[0] if q else 0) * AUTO_VALVE_MULT))
     if max_bucket is not None:
+        if dropped is None:
+            global _LAST_VALVE_ACCT
+            _LAST_VALVE_ACCT = (buckets, "ms", max_bucket)
         if dropped is not None:
             over = F.size("ms") > max_bucket
             buckets = buckets.observe(
@@ -1203,7 +1321,8 @@ def clean_corpus(
     ngram: int = 3,
     method: str = "exact",
     keep: str = "greedy",
-    max_bucket: Union[int, None, str] = "default",
+    max_bucket: Union[int, None, str] = BY_HASH,
+    hash_fn: str = "md5",
     dropped: Optional[Observation] = None,
     n_hashes: int = N_HASHES,
     band_size: int = BAND_SIZE,
@@ -1245,14 +1364,18 @@ def clean_corpus(
     boilerplate — the cheap follow-up is exact dedup on the bucket key,
     which the preceding exact_dedup stage already approximates). This
     is a PRODUCTION entry point, so the valve defaults ON for the
-    banded methods (``"default"`` -> DEFAULT_MAX_BUCKET = 4096 — the
-    one measured super-linear mode at sf1 was exactly an unvalved hot
-    bucket); pass ``max_bucket=None`` explicitly for unbounded
-    oracle-exact semantics, or ``"auto"`` to derive the cap from the
-    corpus's own bucket-size distribution (AUTO_VALVE_FLOOR notes). An EXPLICIT cap with method="exact"
+    banded methods via the ``BY_HASH`` sentinel (md5 -> the constant
+    DEFAULT_MAX_BUCKET = 4096 cap — the one measured super-linear mode
+    at sf1 was exactly an unvalved hot bucket; ``hash_fn='xxhash64'``
+    -> corpus-adaptive ``"auto"``); pass ``max_bucket=None`` explicitly
+    for unbounded oracle-exact semantics, or ``"auto"`` to derive the
+    cap from the corpus's own bucket-size distribution
+    (AUTO_VALVE_FLOOR notes). An EXPLICIT cap with method="exact"
     (inverted-index join has no band buckets) raises rather than
     silently ignoring a scale valve the caller asked for; the
-    ``"default"`` sentinel is simply inapplicable there.
+    ``BY_HASH``/``"default"`` sentinels are simply inapplicable there.
+    ``hash_fn``: the minhash digest family for method="lsh" — 'md5'
+    (oracle-reproducible default) or 'xxhash64' (production).
     ``dropped``: optional ``pyspark.sql.Observation`` recording
     ``dropped_buckets`` / ``dropped_docs`` when the valve fires (read
     ``dropped.get`` after the first action on the result).
@@ -1270,10 +1393,17 @@ def clean_corpus(
     deduped = exact_dedup(qualified, id_col, text_col).persist(
         StorageLevel.MEMORY_AND_DISK
     )
+    # production-entry-point valve resolution (minhash_join semantics):
+    # BY_HASH keeps the constant cap on md5 and goes corpus-adaptive on
+    # the production digest
+    if max_bucket == BY_HASH:
+        resolved_bucket = DEFAULT_MAX_BUCKET if hash_fn == "md5" else "auto"
+    else:
+        resolved_bucket = _resolve_valve(max_bucket, hash_fn)
     if method == "lsh":
         pairs = minhash_dedup_pairs(
             deduped, id_col, text_col, jaccard_threshold, ngram,
-            max_bucket=_resolve_valve(max_bucket), dropped=dropped,
+            max_bucket=resolved_bucket, hash_fn=hash_fn, dropped=dropped,
             n_hashes=n_hashes, band_size=band_size,
         )
     elif method == "simhash":
@@ -1285,10 +1415,10 @@ def clean_corpus(
             )
         pairs = simhash_pairs(
             deduped, id_col, text_col, int(jaccard_threshold), ngram,
-            max_bucket=_resolve_valve(max_bucket), bits=60, dropped=dropped,
+            max_bucket=resolved_bucket, bits=60, dropped=dropped,
         ).select("id_a", "id_b")
     else:
-        if max_bucket is not None and max_bucket != "default":
+        if max_bucket is not None and max_bucket not in (BY_HASH, "default"):
             raise ValueError(
                 "max_bucket applies to the banded methods ('lsh', 'simhash'); "
                 "method='exact' has no band buckets to cap"

@@ -33,6 +33,10 @@ from pyspark.sql import DataFrame, Observation
 from pyspark.sql import functions as F
 
 from hindex_spark.operators.dedup import (
+    AUTO_VALVE_FLOOR,
+    AUTO_VALVE_MULT,
+    BY_HASH,
+    DEFAULT_MAX_BUCKET,
     N_HASHES,
     _band_rows,
     _resolve_valve,
@@ -348,7 +352,7 @@ class DedupState:
         new: DataFrame,
         corpus: DataFrame,
         threshold: float = 0.9,
-        max_bucket: Union[int, None, str] = "default",
+        max_bucket: Union[int, None, str] = BY_HASH,
         dropped: Optional[Observation] = None,
     ) -> DataFrame:
         """Surviving rows of ``new`` (original schema) after exact +
@@ -358,9 +362,18 @@ class DedupState:
         from the store. Result-identical to
         ``incremental_dedup(new, corpus, ...)`` at the same settings
         (same signature family, same banding, same exact-Jaccard
-        verification) — asserted in tests."""
+        verification) — asserted in tests.
+
+        ``max_bucket`` defaults to ``BY_HASH`` resolved against the
+        STORE's hash family (minhash_join's production-entry-point
+        semantics): md5 keeps the constant DEFAULT_MAX_BUCKET cap,
+        xxhash64 derives the cap from the store's own bucket-size
+        distribution (``"auto"``)."""
         id_col, text_col = self.id_col, self.text_col
-        max_bucket = _resolve_valve(max_bucket)
+        if max_bucket == BY_HASH:
+            max_bucket = DEFAULT_MAX_BUCKET if self.hash_fn == "md5" else "auto"
+        else:
+            max_bucket = _resolve_valve(max_bucket, self.hash_fn)
         state = self.df
 
         # exact pass: exists_batch shape — semi-restrict the state's fp
@@ -403,6 +416,23 @@ class DedupState:
             # corpus-side valve (the batch side is bounded by the batch):
             # over-cap (band, bucket) keys are boilerplate, not near-dups
             sizes = cb.groupBy("band", "bucket").agg(F.count("*").alias("__n"))
+            if max_bucket == "auto":
+                # corpus-adaptive cap, same formula as lsh_candidate_pairs;
+                # persist the size agg before the sketch action so the
+                # state-band scan upstream runs once, not twice (the
+                # cache is adopted by this call's _rotate_caches)
+                from pyspark import StorageLevel  # noqa: PLC0415
+
+                from hindex_spark.operators.dedup import _register_aux_cache
+
+                sizes = sizes.persist(StorageLevel.MEMORY_AND_DISK)
+                _register_aux_cache(sizes)
+                q = sizes.select(
+                    F.col("__n").cast("double").alias("s")
+                ).approxQuantile("s", [0.999], 0.001)
+                max_bucket = int(
+                    max(AUTO_VALVE_FLOOR, (q[0] if q else 0) * AUTO_VALVE_MULT)
+                )
             big = sizes.filter(F.col("__n") > max_bucket)
             if dropped is not None:
                 big = big.observe(

@@ -22,14 +22,17 @@ Decodes the formats a pure-Python implementation can do exactly:
   Hierarchical / arithmetic-coded / 12-bit variants raise and fall
   through to the caller's stub path. Adobe APP14 transform=0 and
   'R','G','B' component ids decode as stored RGB (no YCbCr matrix).
-- **GIF** (87a/89a): FIRST frame — LZW index stream (variable 3-12
-  bit codes, CLEAR/EOI, 4096-entry cap), global/local color tables,
-  interlacing, graphic-control transparency (expands to RGBA, else
-  RGB), lossless so validated byte-exactly against an independent
-  decoder (JVM ImageIO) and a real-LZW test encoder.
+- **GIF** (87a/89a): LZW index stream (variable 3-12 bit codes,
+  CLEAR/EOI, 4096-entry cap), global/local color tables, interlacing,
+  graphic-control transparency (expands to RGBA, else RGB), lossless
+  so validated byte-exactly against an independent decoder (JVM
+  ImageIO) and a real-LZW test encoder. ``decode_image`` keeps
+  Image.open()'s first-frame semantics; ``gif_frames`` iterates EVERY
+  frame of an animation with full disposal-method compositing.
 
-Plus the minimal write path the resize operator needs: filter-0 PNG
-encode and nearest-neighbor resize.
+Plus the write paths the resize/synthesis operators need: filter-0 PNG
+encode, a real-LZW animated GIF89a writer (``encode_gif``), and
+nearest-neighbor resize.
 
 Performance contract: this is the CORRECTNESS fallback — per-row Python
 loops over ``bytes`` (and ~0.1-0.2 s per 300x300 JPEG). Production
@@ -641,7 +644,10 @@ def _gif_lzw(data: bytes, min_code: int, expect: int) -> bytes:
                 entry = prev + prev[:1]
             else:
                 raise ValueError("GIF: LZW code out of range")
-            table.append(prev + entry[:1])
+            if len(table) < 4096:  # the 12-bit table cap: slots >= 4096
+                # are unreachable (codes are <= 12 bits), so growing past
+                # it only burns memory on deferred-clear streams
+                table.append(prev + entry[:1])
             if len(table) == (1 << width) and width < 12:
                 width += 1
         out += entry
@@ -796,3 +802,239 @@ def encode_png(raster: bytes, w: int, h: int, ch: int) -> bytes:
         + chunk(b"IDAT", zlib.compress(bytes(scan), 6))
         + chunk(b"IEND", b"")
     )
+
+
+# ---------------------------------------------------------------------------
+# animated GIF: all-frames compositing iterator + a real-LZW writer
+# ---------------------------------------------------------------------------
+
+
+def gif_frames(payload: bytes):
+    """Iterate EVERY frame of a GIF87a/89a as composited logical-screen
+    rasters: yields ``(frame_no, w_screen, h_screen, 4, rgba_bytes)``
+    with full animation semantics — per-frame graphic-control blocks,
+    frame rects (left/top offsets, clipped against corrupt geometry),
+    local color tables, interlacing, transparency (transparent pixels
+    leave the canvas unchanged), and the three disposal methods
+    (0/1 leave, 2 restore-to-background = transparent per the RGBA
+    canvas model Pillow uses, 3 restore-to-previous).
+
+    GIF frame decode is inherently SEQUENTIAL (each canvas builds on
+    the last unless every frame disposes), so samplers iterate all
+    frames and EMIT a subset — unlike AVI, where unsampled frames are
+    never decoded (videocodec.frame_raster). Raises ValueError on
+    malformed payloads; operator seams wrap it (total-function
+    contract, operators/multimodal.py)."""
+    import numpy as np  # palette expansion / compositing only
+
+    if payload[:6] not in (b"GIF87a", b"GIF89a"):
+        raise ValueError("not a GIF")
+    w_screen, h_screen, packed, _bg, _ar = struct.unpack_from("<HHBBB", payload, 6)
+    if w_screen == 0 or h_screen == 0:
+        raise ValueError("GIF: empty logical screen")
+    pos = 13
+    gct = None
+    if packed & 0x80:
+        n = 2 ** ((packed & 7) + 1)
+        gct = payload[pos : pos + 3 * n]
+        pos += 3 * n
+    canvas = np.zeros((h_screen, w_screen, 4), dtype=np.uint8)
+    transparent = None
+    disposal = 0
+    frame_no = 0
+    while pos < len(payload):
+        b = payload[pos]
+        if b == 0x3B:  # trailer
+            break
+        if b == 0x21:  # extension: graphic control or skipped chain
+            label = payload[pos + 1]
+            pos += 2
+            first = True
+            while pos < len(payload):
+                sz = payload[pos]
+                if first and label == 0xF9 and sz >= 4:
+                    gflags = payload[pos + 1]
+                    disposal = (gflags >> 2) & 7
+                    transparent = payload[pos + 4] if gflags & 1 else None
+                first = False
+                pos += 1 + sz
+                if sz == 0:
+                    break
+        elif b == 0x2C:  # image descriptor
+            left, top, iw, ih, ipacked = struct.unpack_from(
+                "<HHHHB", payload, pos + 1
+            )
+            pos += 10
+            ct = gct
+            if ipacked & 0x80:
+                n = 2 ** ((ipacked & 7) + 1)
+                ct = payload[pos : pos + 3 * n]
+                pos += 3 * n
+            if ct is None or iw == 0 or ih == 0:
+                raise ValueError("GIF: no color table / empty frame")
+            min_code = payload[pos]
+            pos += 1
+            if not 2 <= min_code <= 11:
+                raise ValueError("GIF: bad LZW min code size")
+            data = bytearray()
+            while pos < len(payload):
+                sz = payload[pos]
+                pos += 1
+                if sz == 0:
+                    break
+                data += payload[pos : pos + sz]
+                pos += sz
+            idx = np.frombuffer(
+                _gif_lzw(bytes(data), min_code, iw * ih).ljust(iw * ih, b"\x00"),
+                dtype=np.uint8,
+            ).reshape(ih, iw)
+            if ipacked & 0x40:  # interlaced: 8/8/4/2 four-pass rows
+                rows = np.concatenate([
+                    np.arange(0, ih, 8), np.arange(4, ih, 8),
+                    np.arange(2, ih, 4), np.arange(1, ih, 2),
+                ])
+                de = np.empty_like(idx)
+                de[rows] = idx
+                idx = de
+            pal = np.frombuffer(ct, dtype=np.uint8).reshape(-1, 3)
+            idx = np.minimum(idx, len(pal) - 1)  # clamp corrupt indices
+            # clip the frame rect against the screen (corrupt offsets)
+            y0, x0 = min(int(top), h_screen), min(int(left), w_screen)
+            y1 = min(int(top) + ih, h_screen)
+            x1 = min(int(left) + iw, w_screen)
+            sub = idx[: y1 - y0, : x1 - x0]
+            saved = canvas.copy() if disposal == 3 else None
+            region = canvas[y0:y1, x0:x1]
+            opaque = (
+                sub != transparent if transparent is not None
+                else np.ones(sub.shape, dtype=bool)
+            )
+            region[opaque, :3] = pal[sub][opaque]
+            region[opaque, 3] = 255
+            yield frame_no, w_screen, h_screen, 4, canvas.tobytes()
+            if disposal == 2:  # restore rect to background (transparent)
+                canvas[y0:y1, x0:x1] = 0
+            elif disposal == 3 and saved is not None:
+                canvas = saved
+            # a graphic control block scopes ONE following image
+            transparent = None
+            disposal = 0
+            frame_no += 1
+        else:
+            raise ValueError("GIF: unknown block")
+    if frame_no == 0:
+        raise ValueError("GIF: no image data")
+
+
+class _GifBitWriter:
+    """LSB-first variable-width code packer (GIF's bit order)."""
+
+    def __init__(self):
+        self.out = bytearray()
+        self.acc = 0
+        self.n = 0
+
+    def put(self, code: int, width: int) -> None:
+        self.acc |= code << self.n
+        self.n += width
+        while self.n >= 8:
+            self.out.append(self.acc & 0xFF)
+            self.acc >>= 8
+            self.n -= 8
+
+    def flush(self) -> bytes:
+        if self.n:
+            self.out.append(self.acc & 0xFF)
+        return bytes(self.out)
+
+
+def _gif_lzw_encode(indices: bytes, min_code: int) -> bytes:
+    """Real GIF LZW compression: leading CLEAR, dictionary growth with
+    variable 3-12 bit code widths (bump when the NEXT code would not
+    fit), re-CLEAR when the table hits 4096 — the stream shape every
+    conforming decoder (including ours) must handle."""
+    clear = 1 << min_code
+    eoi = clear + 1
+    bw = _GifBitWriter()
+
+    def fresh():
+        return {bytes([i]): i for i in range(clear)}, eoi + 1, min_code + 1
+
+    table, next_code, width = fresh()
+    bw.put(clear, width)
+    cur = b""
+    for ix in indices:
+        nxt = cur + bytes([ix])
+        if nxt in table:
+            cur = nxt
+            continue
+        bw.put(table[cur], width)
+        table[nxt] = next_code
+        next_code += 1
+        if next_code - 1 == (1 << width) and width < 12:
+            width += 1
+        if next_code == 4096:
+            bw.put(clear, width)
+            table, next_code, width = fresh()
+        cur = bytes([ix])
+    if cur:
+        bw.put(table[cur], width)
+    bw.put(eoi, width)
+    return bw.flush()
+
+
+def encode_gif(frames, palette, w: int, h: int, *, delay_cs: int = 4,
+               interlaced: bool = False) -> bytes:
+    """GIF89a writer with real LZW — the synthesis side of the animated
+    decode seam (``videocodec.encode_avi``'s GIF analog).
+
+    ``frames``: list of frame specs; each is either a bare (ih, iw)
+    uint8 index array (full-screen frame at (0, 0), disposal 1) or a
+    tuple ``(idx, left, top, disposal, transparent)`` for animation
+    compositing (disposal 0-3; transparent = palette index or None).
+    ``palette``: [(r, g, b), ...] up to 256 entries, shared (global).
+    A graphic-control block is written per frame (animation timing +
+    disposal + transparency), matching what real encoders emit."""
+    import numpy as np
+
+    n = max(2, (len(palette) - 1).bit_length())
+    size = 1 << n
+    pal = bytearray()
+    for r, g, b in palette:
+        pal += bytes([r, g, b])
+    pal += b"\x00" * (3 * size - len(pal))
+    min_code = max(2, n)
+    out = bytearray()
+    out += b"GIF89a" + struct.pack("<HHBBB", w, h, 0x80 | (n - 1), 0, 0)
+    out += bytes(pal)
+    for spec in frames:
+        if isinstance(spec, tuple):
+            idx, left, top, disposal, transparent = spec
+        else:
+            idx, left, top, disposal, transparent = spec, 0, 0, 1, None
+        arr = np.ascontiguousarray(np.asarray(idx, dtype=np.uint8))
+        ih, iw = arr.shape
+        gflags = (disposal & 7) << 2
+        tr = 0
+        if transparent is not None:
+            gflags |= 1
+            tr = int(transparent)
+        out += b"\x21\xf9\x04" + bytes([gflags]) + struct.pack("<H", delay_cs)
+        out += bytes([tr, 0])
+        ipacked = 0x40 if interlaced else 0
+        out += b"\x2c" + struct.pack("<HHHHB", left, top, iw, ih, ipacked)
+        flat = arr
+        if interlaced:
+            rows = np.concatenate([
+                np.arange(0, ih, 8), np.arange(4, ih, 8),
+                np.arange(2, ih, 4), np.arange(1, ih, 2),
+            ])
+            flat = arr[rows]
+        out += bytes([min_code])
+        lzw = _gif_lzw_encode(flat.reshape(-1).tobytes(), min_code)
+        for i in range(0, len(lzw), 255):
+            blk = lzw[i : i + 255]
+            out += bytes([len(blk)]) + blk
+        out += b"\x00"
+    out += b"\x3b"
+    return bytes(out)

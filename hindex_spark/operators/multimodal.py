@@ -404,14 +404,17 @@ def audio_stats(
         )
         return row
 
+    cols = ("doc_id", "n_bytes", "sample_rate", "channels", "bits",
+            "n_frames", "duration_ms", "rms", "peak")
+
     def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            yield pd.DataFrame(
-                [
-                    _one(int(d), bytes(b))
-                    for d, b in zip(pdf[id_col], pdf[blob_col])
-                ]
-            )
+            # dict-of-lists (audio_windows's shape) so an EMPTY Arrow
+            # batch still carries every column — a zero-column frame
+            # fails mapInPandas schema matching
+            rows = [_one(int(d), bytes(b))
+                    for d, b in zip(pdf[id_col], pdf[blob_col])]
+            yield pd.DataFrame({c: [r[c] for r in rows] for c in cols})
 
     return df.select(id_col, blob_col).mapInPandas(op, schema=AUDIO_STATS_SCHEMA)
 
@@ -607,15 +610,20 @@ def video_stats(
 
     def _one(doc_id, payload: bytes) -> dict:
         row = {"doc_id": doc_id, "n_bytes": len(payload)}
-        dec = videocodec.decode_avi(payload)
+        # total-function seam (decode_image's contract): a crafted or
+        # corrupt container must yield NULL fields, never a crash
         rasters = []
-        if dec is not None:
-            rasters = [
-                r for r in (
-                    videocodec.frame_raster(dec, i)
-                    for i in range(len(dec["frames"]))
-                ) if r is not None
-            ]
+        try:
+            dec = videocodec.decode_avi(payload)
+            if dec is not None:
+                rasters = [
+                    r for r in (
+                        videocodec.frame_raster(dec, i)
+                        for i in range(len(dec["frames"]))
+                    ) if r is not None
+                ]
+        except Exception:
+            dec = None
         if dec is None or not rasters or dec["rate"] <= 0:
             # rate <= 0 is a corrupt strh (fps/duration undefined):
             # total-function contract says NULL fields, never a crash
@@ -636,11 +644,17 @@ def video_stats(
         )
         return row
 
+    cols = ("doc_id", "n_bytes", "width", "height", "fps",
+            "n_frames", "duration_ms", "mean_px", "max_px")
+
     def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            yield pd.DataFrame(
-                [_one(int(d), bytes(b)) for d, b in zip(pdf[id_col], pdf[blob_col])]
-            )
+            # dict-of-lists (audio_windows's shape) so an EMPTY Arrow
+            # batch still carries every column — a zero-column frame
+            # fails mapInPandas schema matching
+            rows = [_one(int(d), bytes(b))
+                    for d, b in zip(pdf[id_col], pdf[blob_col])]
+            yield pd.DataFrame({c: [r[c] for r in rows] for c in cols})
 
     return df.select(id_col, blob_col).mapInPandas(op, schema=VIDEO_STATS_SCHEMA)
 
@@ -654,12 +668,17 @@ def video_frame_features(
     blob_col: str = "blob",
     every: int = 2,
 ) -> DataFrame:
-    """Sample every Nth frame and decode ONLY those — per-frame pixel
-    stats rows. This is the 100 TB shape: frame decode cost scales with
-    frames SAMPLED (the codec keeps frame chunks as raw bytes until
-    ``frame_raster`` is called), and payloads never leave the Arrow
-    batch. Undecodable videos emit no rows."""
-    from hindex_spark.operators import videocodec  # noqa: PLC0415
+    """Sample every Nth frame — per-frame pixel stats rows over AVI
+    *and animated GIF* blobs (dispatch by container magic). For AVI
+    this is the 100 TB shape: frame decode cost scales with frames
+    SAMPLED (the codec keeps frame chunks as raw bytes until
+    ``frame_raster`` is called). GIF frames are inherently sequential
+    (each canvas composites onto the last), so every frame is decoded
+    and only every Nth EMITTED — the cheapest sampling the format
+    allows; stats are over the composited RGB canvas (alpha excluded).
+    Payloads never leave the Arrow batch; undecodable blobs emit no
+    rows."""
+    from hindex_spark.operators import imagecodec, videocodec  # noqa: PLC0415
 
     import numpy as np  # noqa: PLC0415
 
@@ -669,11 +688,36 @@ def video_frame_features(
         for pdf in batches:
             out = {"doc_id": [], "frame_no": [], "mean_px": [], "max_px": []}
             for d, b in zip(pdf[id_col], pdf[blob_col]):
-                dec = videocodec.decode_avi(bytes(b))
+                bb = bytes(b)
+                if imagecodec.sniff(bb) == "gif":
+                    try:  # total-function seam: corrupt blobs -> no rows
+                        for fno, _w, _h, _ch, raster in imagecodec.gif_frames(bb):
+                            if fno % every:
+                                continue
+                            px = (
+                                np.frombuffer(raster, dtype=np.uint8)
+                                .reshape(-1, 4)[:, :3]
+                                .reshape(-1)
+                                .astype(np.float64)
+                            )
+                            out["doc_id"].append(int(d))
+                            out["frame_no"].append(fno)
+                            out["mean_px"].append(float(px.mean()))
+                            out["max_px"].append(int(px.max()))
+                    except Exception:
+                        pass
+                    continue
+                try:
+                    dec = videocodec.decode_avi(bb)
+                except Exception:
+                    dec = None
                 if dec is None:
                     continue
                 for i in range(0, len(dec["frames"]), every):
-                    r = videocodec.frame_raster(dec, i)
+                    try:
+                        r = videocodec.frame_raster(dec, i)
+                    except Exception:
+                        r = None
                     if r is None:
                         continue
                     px = np.frombuffer(r[3], dtype=np.uint8).astype(np.float64)
@@ -684,3 +728,61 @@ def video_frame_features(
             yield pd.DataFrame(out)
 
     return df.select(id_col, blob_col).mapInPandas(op, schema=VIDEO_FRAME_SCHEMA)
+
+
+# ---------------------------------------------------------------------------
+# animated GIF: real multi-frame decode with disposal compositing
+# (operators/imagecodec.py gif_frames) through the same frame-features
+# seam as AVI — a crawl corpus's animations are GIFs, not AVIs
+# ---------------------------------------------------------------------------
+
+#: Deterministic animated-GIF generator shared with the DuckDB GIF
+#: oracles: doc ``d`` carries ``3 + d % 4`` full-screen frames of
+#: GIF_W x GIF_H with grayscale palette index (= pixel byte on every
+#: RGB channel) ``(d*7919 + f*991 + y*173 + x*31) % 256``.
+GIF_W, GIF_H = 4, 3
+
+#: 256-entry grayscale palette: index i -> (i, i, i), so composited RGB
+#: bytes ARE the formula values and the closed-form oracle needs no
+#: palette arithmetic
+_GIF_GRAY_PAL = [(i, i, i) for i in range(256)]
+
+
+def _gif_formula_frames(doc_id: int):
+    import numpy as np  # noqa: PLC0415 - worker-side
+
+    n = 3 + doc_id % 4
+    f, y, x = np.meshgrid(
+        np.arange(n, dtype=np.int64),
+        np.arange(GIF_H, dtype=np.int64),
+        np.arange(GIF_W, dtype=np.int64),
+        indexing="ij",
+    )
+    px = (doc_id * 7919 + f * 991 + y * 173 + x * 31) % 256
+    return [px[i].astype(np.uint8) for i in range(n)]
+
+
+def attach_gif_blob(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Synthesize a deterministic ANIMATED GIF89a per row (real LZW,
+    per-frame graphic-control blocks) — ``attach_video_blob``'s GIF
+    analog: closed-form pixels let the DuckDB oracles verify the real
+    multi-frame decode without parsing GIF bytes."""
+    from hindex_spark.operators import imagecodec  # noqa: PLC0415
+
+    def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids = pdf[id_col].astype("int64")
+            yield pd.DataFrame(
+                {
+                    "doc_id": ids,
+                    "blob": [
+                        imagecodec.encode_gif(
+                            _gif_formula_frames(int(d)),
+                            _GIF_GRAY_PAL, GIF_W, GIF_H,
+                        )
+                        for d in ids
+                    ],
+                }
+            )
+
+    return df.select(id_col).mapInPandas(op, schema="doc_id long, blob binary")

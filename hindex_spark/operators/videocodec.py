@@ -54,12 +54,29 @@ def decode_avi(payload: bytes):
     n_streams = 0
     movi_chunks = []  # (chunk_id_prefix, payload slice), filtered after headers
 
-    def scan_list(start, end, outer):
+    # Iterative LIST walk with an explicit generator stack: document
+    # order is preserved (a LIST's children are visited before its
+    # following siblings — the strh/strf pairing depends on it), and a
+    # crafted/corrupt file that is nothing but nested LIST headers
+    # (~12 bytes each) can't blow the Python recursion limit. Sane AVIs
+    # nest ~3 deep (AVI > strl / movi > rec ); lists beyond the depth
+    # cap are skipped, not descended.
+    _MAX_LIST_DEPTH = 64
+
+    def scan_list(start, end, outer0):
         nonlocal strh, strf, stream_no, n_streams
-        for cid, body, size in _walk(payload, start, end):
+        stack = [(_walk(payload, start, end), outer0)]
+        while stack:
+            it, outer = stack[-1]
+            nxt = next(it, None)
+            if nxt is None:
+                stack.pop()
+                continue
+            cid, body, size = nxt
             if cid == b"LIST":
-                sub = payload[body : body + 4]
-                scan_list(body + 4, body + size, sub)
+                if len(stack) < _MAX_LIST_DEPTH:
+                    sub = payload[body : body + 4]
+                    stack.append((_walk(payload, body + 4, body + size), sub))
             elif cid == b"strh" and outer == b"strl":
                 if (
                     payload[body : body + 4] == b"vids"

@@ -1509,6 +1509,46 @@ def q_mm_video_frames(spark, sf_dir):
     )
 
 
+# pixels of the deterministic ANIMATED GIF corpus (multimodal.py
+# _gif_formula_frames): doc d -> 3 + d % 4 full-screen 4x3 frames,
+# grayscale palette (index i -> (i,i,i)), so the composited RGB bytes
+# equal the index formula on every channel and per-frame stats reduce
+# to stats over the 12 index values. 12 = GIF_W * GIF_H.
+_GIF_PX_CTE = """
+    gbase AS (SELECT doc_id, 3 + doc_id % 4 AS n FROM documents),
+    gpx AS (SELECT b.doc_id, b.n, t.t // 12 AS f, (t.t % 12) // 4 AS y,
+                   (t.t % 12) % 4 AS x,
+                   (b.doc_id * 7919 + (t.t // 12) * 991
+                    + ((t.t % 12) // 4) * 173 + ((t.t % 12) % 4) * 31) % 256 AS px
+            FROM gbase b, LATERAL (SELECT unnest(range(0, b.n * 12)) AS t) t)
+"""
+
+MM_GIF_FRAMES_ORACLE = f"""
+    WITH {_GIF_PX_CTE}
+    SELECT doc_id, CAST(f AS INT) AS frame_no,
+           ROUND(AVG(CAST(px AS DOUBLE)), 6) AS mean_px,
+           CAST(MAX(px) AS INT) AS max_px
+    FROM gpx WHERE f % 2 = 0 GROUP BY doc_id, f
+"""
+
+
+@query("multimodal_gif_frames", MM_GIF_FRAMES_ORACLE)
+def q_mm_gif_frames(spark, sf_dir):
+    """Animated-GIF gate: synthesize a real multi-frame GIF89a per doc
+    (real LZW, per-frame graphic-control blocks), decode EVERY frame
+    through the compositing iterator (imagecodec.gif_frames — GIF
+    canvases are sequential, unlike AVI's random frame access), emit
+    every 2nd frame's pixel stats, and check them against the
+    closed-form formula. Same frame-features operator and schema as
+    the AVI gate — one seam, two containers."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    feats = mm.video_frame_features(mm.attach_gif_blob(docs), every=2)
+    return feats.select(
+        "doc_id", "frame_no",
+        F.round("mean_px", 6).alias("mean_px"), "max_px",
+    )
+
+
 # ---------------------------------------------------------------------------
 # domain-level corpus curation (CCNet/RefinedWeb/Dolma-style)
 # ---------------------------------------------------------------------------

@@ -14,7 +14,8 @@ wider default margin (2x), which is exactly the manual rule earlier
 rounds applied by hand.
 
 Usage:
-    python tools/bench_diff.py OLD.json NEW.json [--margin 1.25]
+    python tools/bench_diff.py OLD.json NEW.json \
+        [OLD_detail.json NEW_detail.json] [--margin 1.25]
 
 Prints one JSON line: flagged regressions, improvements (same test,
 mirrored), added/removed lines, and the loadavg fingerprints.
@@ -78,14 +79,20 @@ def main():
         if a.startswith("--margin"):
             margin = float(a.split("=", 1)[1] if "=" in a
                            else sys.argv[sys.argv.index(a) + 1])
-    def _load(p):
+    def _load(p, detail_path=None):
         d = json.load(open(p))
         # driver BENCH_r{N}.json artifacts wrap bench.py's line under
         # "parsed"; raw bench.py output is already the line itself
-        return d.get("parsed", d) if "queries" not in d else d
+        d = d.get("parsed", d) if "queries" not in d else d
+        # Since round 12 run_samples live in a BENCH_detail.json
+        # sidecar (the stdout line must stay under the driver's tail
+        # cap); merge one in when given.
+        if detail_path and "run_samples" not in d:
+            d = dict(d, **json.load(open(detail_path)))
+        return d
 
-    old = _load(args[0])
-    new = _load(args[1])
+    old = _load(args[0], args[2] if len(args) > 2 else None)
+    new = _load(args[1], args[3] if len(args) > 3 else None)
     out = diff(old, new, margin)
     print(json.dumps(out, indent=2))
     sys.exit(1 if out["regressions"] else 0)

@@ -43,6 +43,7 @@ ARROW_ALLOWED = {
     "multimodal_audio_resample",
     "multimodal_video_stats",
     "multimodal_video_frames",
+    "multimodal_gif_frames",
     "coproc_row_count",
 }
 
