@@ -1450,9 +1450,15 @@ _PRIORITY = [
     # the query stays oracle-checked in the local gate).
     "tpch_q1", "agg_summary",
     "join_revenue_topk",
-    # index planner: semi-joins, set ops, hints, value partitions
+    # index planner: semi-joins, set ops, hints, value partitions.
+    # Round-12 rotation: index_and_intersection ceded its slot to
+    # profile_correlations below (AND-intersection planning stays
+    # driver-visible via idxtab_and_setcover — the same
+    # IndexRegionScannerForAND set-cover machinery — plus
+    # index_multicol_range; the query stays oracle-checked in the
+    # local gate).
     "index_semijoin_eq", "index_hint_forced", "index_maintained_scan",
-    "index_multicol_range", "index_and_intersection", "index_value_partition",
+    "index_multicol_range", "index_value_partition",
     "coproc_bulk_delete",
     # idxtab fixtures asserting the CHOSEN index (TestMultipleIndicesInScan,
     # incl. the round-4 combination ports: and/or combos, equal+range,
@@ -1533,7 +1539,13 @@ _PRIORITY = [
     # driver-visible via cells_or_dependent + idxtab_or_union +
     # idxtab_and_with_poisoned_or; PageFilter-under-OR stays
     # oracle-checked in the local gate).
-    "point_get", "scan_range", "scan_reversed_range", "filter_scvf",
+    # Round-12 rotation: scan_range ceded its slot to
+    # multimodal_audio_stats below (forward range scanning stays
+    # driver-visible via scan_reversed_range — the same start/stop-row
+    # range machinery under the reference's high-to-low convention —
+    # plus the range reads inside index_multicol_range; the query
+    # stays oracle-checked in the local gate).
+    "point_get", "scan_reversed_range", "filter_scvf",
     "cells_or_dependent",
     # LLM-pipeline operators: dedup family, corpus cleaning, ANN, text.
     # Round-10 rotation: dedup_simhash ceded its slot to
@@ -1618,7 +1630,13 @@ _PRIORITY = [
     # aggregate, operators/rollup.py — the gate exercises the full
     # artifact lifecycle: build + append-update + exchange-free merge)
     # takes idxtab_range_not_last's slot.
-    "events_asof_join", "events_rollup_hourly",
+    # Round-12 rotation: events_rollup_hourly ceded its slot to
+    # multimodal_video_frames below (the RollupStore lifecycle stays
+    # driver-visible in TWO independent rows — events_rollup_upsert,
+    # which by its own charter exercises the same store-read path PLUS
+    # the tombstone cut, and events_rollup_timetravel; the hourly gate
+    # stays oracle-checked in the local gate).
+    "events_asof_join",
     # Round-9 rotation: events_rollup_upsert (rollup CORRECTION parity —
     # a misreported batch superseded via generation tombstones must
     # hash-match the true-events oracle) takes
@@ -1675,6 +1693,24 @@ _PRIORITY = [
     # over the inner-maintained view (anti-join of the two bucketed
     # side stores), tracking retractions in both directions.
     "joinview_left_outer",
+    # Round-12 rotations (the r11 verdict's prescribed swaps, now that
+    # their conditions are met; ceded slots annotated at their
+    # families above):
+    # profile_correlations — pairwise Pearson over the numeric profile
+    # (operators/profile.py): held out of the prefix by the r10
+    # verdict until the decimal-surface fix landed a green round;
+    # the surface is round-6dp-then-DOUBLE since round 11.
+    "profile_correlations",
+    # multimodal_audio_stats — the flagship r11 audio work's first
+    # driver row: real WAV decode (pure-stdlib codec) with every
+    # decoded stat recomputed by the oracle from a closed-form sample
+    # formula via generate_series.
+    "multimodal_audio_stats",
+    # multimodal_video_frames — the flagship r11 video work's first
+    # driver row: real AVI container walk + lazy every-Nth DIB frame
+    # decode (and, since r12, the same seam serves animated GIF) vs
+    # the closed-form pixel formula.
+    "multimodal_video_frames",
 ]
 
 
