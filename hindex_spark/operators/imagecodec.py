@@ -3,9 +3,12 @@ multimodal decode seam (operators/multimodal.py ``_decode_auto``).
 
 Decodes the formats a pure-Python implementation can do exactly:
 
-- **PNG** (RFC 2083 via stdlib ``zlib``): 8-bit depth, color types
-  0 (grayscale), 2 (RGB), 3 (palette), 4 (gray+alpha), 6 (RGBA),
-  non-interlaced; all five row filters (None/Sub/Up/Average/Paeth).
+- **PNG** (RFC 2083 via stdlib ``zlib``): depths 1/2/4/8/16, color
+  types 0 (grayscale), 2 (RGB), 3 (palette, incl. tRNS transparency
+  -> RGBA), 4 (gray+alpha), 6 (RGBA), non-interlaced AND Adam7; all
+  five row filters (None/Sub/Up/Average/Paeth). 16-bit samples emit
+  their high byte (8-bit raster contract); validated against JVM
+  ImageIO per variant.
 - **BMP**: uncompressed (BI_RGB) 24/32-bit BITMAPINFOHEADER files,
   bottom-up or top-down rows, 4-byte row padding.
 - **JPEG** (ITU-T T.81): BASELINE (SOF0/SOF1) and PROGRESSIVE (SOF2)
@@ -84,7 +87,16 @@ def _paeth(a: int, b: int, c: int) -> int:
 def _unfilter(raw: bytes, width: int, height: int, bpp: int) -> bytearray:
     """Undo PNG row filters. ``raw`` is height rows of
     (1 filter byte + width*bpp data bytes)."""
-    stride = width * bpp
+    return _unfilter_stride(raw, width * bpp, height, bpp)
+
+
+def _unfilter_stride(raw: bytes, stride: int, height: int, bpp: int) -> bytearray:
+    """Undo PNG row filters over an arbitrary BYTE stride — the general
+    form every (depth, channels, interlace-pass) combination reduces
+    to: ``raw`` is height rows of (1 filter byte + stride data bytes),
+    and filters correlate bytes ``bpp`` apart (bpp = the filter unit,
+    max(1, channels*depth/8) per the spec — sub-byte depths filter at
+    whole-byte distance)."""
     out = bytearray(height * stride)
     pos = 0
     for y in range(height):
@@ -122,11 +134,55 @@ def _unfilter(raw: bytes, width: int, height: int, bpp: int) -> bytearray:
     return out
 
 
+#: Adam7 interlace passes: (x0, y0, dx, dy). Each pass is an
+#: independently filtered sub-image; the IDAT stream concatenates them.
+_ADAM7 = [
+    (0, 0, 8, 8), (4, 0, 8, 8), (0, 4, 4, 8), (2, 0, 4, 4),
+    (0, 2, 2, 4), (1, 0, 2, 2), (0, 1, 1, 2),
+]
+
+#: depth -> allowed color types (PNG spec 11.2.2): sub-byte depths only
+#: for grayscale/palette; 16-bit for everything except palette
+_PNG_DEPTH_COLORS = {
+    1: (0, 3), 2: (0, 3), 4: (0, 3),
+    8: (0, 2, 3, 4, 6), 16: (0, 2, 4, 6),
+}
+
+
+def _png_pass_samples(np, un: bytearray, pw: int, ph: int,
+                      channels: int, depth: int):
+    """Unfiltered pass bytes -> (ph, pw, channels) uint8 samples.
+    16-bit samples reduce to their HIGH byte (floor(v/256) — the PNG
+    spec's sample-depth rescale by right shift; ImageIO parity is
+    checked to within the 1-count rounding spread in tests); sub-byte
+    grayscale expands by the spec's left-bit-replication factor
+    (255/(2^d - 1)); sub-byte PALETTE indices are NOT scaled."""
+    stride = (pw * channels * depth + 7) // 8
+    a = np.frombuffer(bytes(un), dtype=np.uint8).reshape(ph, stride)
+    if depth == 8:
+        return a[:, : pw * channels].reshape(ph, pw, channels)
+    if depth == 16:
+        return a[:, : pw * channels * 2 : 2].reshape(ph, pw, channels)
+    # depth 1/2/4, channels == 1 (gray or palette indices)
+    bits = np.unpackbits(a, axis=1)[:, : pw * depth].reshape(ph, pw, depth)
+    weights = (1 << np.arange(depth - 1, -1, -1)).astype(np.uint8)
+    return (bits * weights).sum(axis=2, dtype=np.uint16).astype(
+        np.uint8
+    ).reshape(ph, pw, 1)
+
+
 def _decode_png(payload: bytes) -> Decoded:
+    """Full static-PNG coverage: depths 1/2/4/8/16, all five color
+    types, Adam7 interlace, palette tRNS (expands to RGBA, matching
+    Pillow's P+transparency canonicalization). 16-bit samples emit
+    their high byte (8-bit raster contract)."""
+    import numpy as np  # bit unpacking / pass scatter only
+
     pos = 8
     ihdr = None
     idat = bytearray()
     palette = None
+    trns = None
     while pos + 8 <= len(payload):
         (length,) = struct.unpack(">I", payload[pos:pos + 4])
         ctype = payload[pos + 4:pos + 8]
@@ -136,6 +192,8 @@ def _decode_png(payload: bytes) -> Decoded:
             ihdr = struct.unpack(">IIBBBBB", data)
         elif ctype == b"PLTE":
             palette = data
+        elif ctype == b"tRNS":
+            trns = data
         elif ctype == b"IDAT":
             idat.extend(data)
         elif ctype == b"IEND":
@@ -143,22 +201,52 @@ def _decode_png(payload: bytes) -> Decoded:
     if ihdr is None:
         raise ValueError("PNG: missing IHDR")
     w, h, depth, color, comp, filt, interlace = ihdr
-    if depth != 8 or comp != 0 or filt != 0 or interlace != 0:
+    if comp != 0 or filt != 0 or interlace not in (0, 1):
         raise ValueError(
-            f"PNG: unsupported (depth={depth}, interlace={interlace})"
+            f"PNG: unsupported (comp={comp}, filt={filt}, interlace={interlace})"
         )
-    if color not in _PNG_CHANNELS:
-        raise ValueError(f"PNG: unsupported color type {color}")
-    bpp = _PNG_CHANNELS[color]
-    raster = _unfilter(zlib.decompress(bytes(idat)), w, h, bpp)
-    if color == 3:  # palette -> RGB
+    if color not in _PNG_CHANNELS or color not in _PNG_DEPTH_COLORS.get(depth, ()):
+        raise ValueError(f"PNG: unsupported color {color} at depth {depth}")
+    if w == 0 or h == 0:
+        raise ValueError("PNG: empty image")
+    channels = _PNG_CHANNELS[color]
+    data = zlib.decompress(bytes(idat))
+    passes = _ADAM7 if interlace == 1 else [(0, 0, 1, 1)]
+    out = np.zeros((h, w, channels), dtype=np.uint8)
+    dpos = 0
+    for x0, y0, dx, dy in passes:
+        pw = (w - x0 + dx - 1) // dx
+        ph = (h - y0 + dy - 1) // dy
+        if pw <= 0 or ph <= 0:
+            continue
+        stride = (pw * channels * depth + 7) // 8
+        need = ph * (stride + 1)
+        raw = data[dpos : dpos + need]
+        if len(raw) < need:
+            raise ValueError("PNG: truncated image data")
+        dpos += need
+        bpp = max(1, channels * depth // 8)
+        un = _unfilter_stride(raw, stride, ph, bpp)
+        out[y0::dy, x0::dx] = _png_pass_samples(np, un, pw, ph, channels, depth)
+    if depth < 8 and color == 0:  # sub-byte gray: left-bit replication
+        out = (out.astype(np.uint16) * (255 // ((1 << depth) - 1))).astype(np.uint8)
+    if color == 3:  # palette -> RGB (RGBA when tRNS present)
         if palette is None:
             raise ValueError("PNG: palette image without PLTE")
-        rgb = bytearray(w * h * 3)
-        for i, ix in enumerate(raster):
-            rgb[i * 3:i * 3 + 3] = palette[ix * 3:ix * 3 + 3]
-        return w, h, 3, bytes(rgb)
-    return w, h, bpp, bytes(raster)
+        pal = np.frombuffer(palette, dtype=np.uint8)
+        pal = pal[: (len(pal) // 3) * 3].reshape(-1, 3)
+        if len(pal) == 0:
+            raise ValueError("PNG: empty PLTE")
+        idx = np.minimum(out[:, :, 0], len(pal) - 1)
+        rgb = pal[idx]
+        if trns is not None:
+            alpha = np.full(len(pal), 255, dtype=np.uint8)
+            alpha[: min(len(trns), len(pal))] = np.frombuffer(
+                trns[: len(pal)], dtype=np.uint8
+            )
+            return w, h, 4, np.dstack([rgb, alpha[idx]]).tobytes()
+        return w, h, 3, np.ascontiguousarray(rgb).tobytes()
+    return w, h, channels, out.tobytes()
 
 
 def _decode_bmp(payload: bytes) -> Decoded:
