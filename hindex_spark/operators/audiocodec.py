@@ -8,11 +8,14 @@ spec, 1991; the same layout `wave` in the CPython stdlib reads), so a
 complete decoder is small and exact — no approximation anywhere.
 
 Supported: PCM (format 1) at 8/16/24/32 bits, IEEE float (format 3) at
-32/64 bits, WAVE_FORMAT_EXTENSIBLE (0xFFFE) wrapping either, any
-channel count, unknown chunks skipped per spec (word-aligned), data
-chunks truncated mid-frame clamped to whole frames. Compressed formats
-(ADPCM, MP3-in-WAV, ...) return ``None`` — callers fall through to the
-deterministic byte-stub path exactly like undecodable images do.
+32/64 bits, G.711 telephony companding — A-law (format 6) and mu-law
+(format 7) expanded through the vectorized ITU tables, cross-validated
+byte-for-byte against javax.sound — WAVE_FORMAT_EXTENSIBLE (0xFFFE)
+wrapping any of them, any channel count, unknown chunks skipped per
+spec (word-aligned), data chunks truncated mid-frame clamped to whole
+frames. Compressed formats (ADPCM, MP3-in-WAV, ...) return ``None`` —
+callers fall through to the deterministic byte-stub path exactly like
+undecodable images do.
 
 Everything sample-level is numpy over the raw buffer (one frombuffer +
 reshape per payload, no per-sample Python), so decode cost is O(bytes)
@@ -32,6 +35,8 @@ import numpy as np
 
 WAVE_FORMAT_PCM = 1
 WAVE_FORMAT_IEEE_FLOAT = 3
+WAVE_FORMAT_ALAW = 6
+WAVE_FORMAT_MULAW = 7
 WAVE_FORMAT_EXTENSIBLE = 0xFFFE
 
 #: Scale that maps each integer PCM width onto [-1, 1): divisor 2^(bits-1).
@@ -82,6 +87,74 @@ def _parse_fmt(body: bytes):
     return fmt, channels, rate, bits
 
 
+def ulaw_to_linear(b: "np.ndarray") -> "np.ndarray":
+    """ITU-T G.711 mu-law expansion, vectorized: byte -> int16 linear
+    (bias 0x84, 3-bit exponent, 4-bit mantissa; max magnitude 32124;
+    bytes 0xFF and 0x7F are the +0/-0 pair, both decoding to 0)."""
+    u = (~b.astype(np.int32)) & 0xFF
+    t = ((u & 0x0F) << 3) + 0x84
+    t = t << ((u >> 4) & 7)
+    return np.where(u & 0x80, 0x84 - t, t - 0x84).astype(np.int16)
+
+
+def linear_to_ulaw(x: "np.ndarray") -> "np.ndarray":
+    """G.711 mu-law compression (the expansion's inverse on the level
+    set: every decoded level re-encodes to its byte, with linear 0
+    canonically +0 = 0xFF)."""
+    x = np.clip(x.astype(np.int32), -32635, 32635)
+    sign = np.where(x < 0, 0x80, 0)
+    mag = np.abs(x) + 0x84
+    exp = (np.floor(np.log2(np.maximum(mag, 1))).astype(np.int32) - 7).clip(0, 7)
+    mant = (mag >> (exp + 3)) & 0x0F
+    return (~(sign | (exp << 4) | mant) & 0xFF).astype(np.uint8)
+
+
+def alaw_to_linear(b: "np.ndarray") -> "np.ndarray":
+    """ITU-T G.711 A-law expansion, vectorized: byte -> int16 linear
+    (0x55 toggle, segments 0-7, max magnitude 32256, no exact zero —
+    minimum magnitude 8)."""
+    a = b.astype(np.int32) ^ 0x55
+    mant = (a & 0x0F) << 4
+    seg = (a >> 4) & 7
+    t = np.where(
+        seg == 0, mant + 8,
+        np.where(seg == 1, mant + 0x108,
+                 (mant + 0x108) << np.maximum(seg - 1, 0)),
+    )
+    return np.where(a & 0x80, t, -t).astype(np.int16)
+
+
+def linear_to_alaw(x: "np.ndarray") -> "np.ndarray":
+    """G.711 A-law compression (exact inverse of the expansion on the
+    level set: all 256 bytes roundtrip)."""
+    x = np.clip(x.astype(np.int32), -32767, 32767)
+    sign = np.where(x >= 0, 0x80, 0)
+    mag = np.where(x >= 0, x, -x)
+    seg = (np.floor(np.log2(np.maximum(mag, 1))).astype(np.int32) - 7).clip(0, 7)
+    mant = np.where(seg == 0, mag >> 4, (mag >> (seg + 3)) & 0x0F)
+    return ((sign | (seg << 4) | mant) ^ 0x55).astype(np.uint8)
+
+
+def encode_wav_raw(raw: bytes, sample_rate: int, fmt: int,
+                   channels: int = 1, bits: int = 8) -> bytes:
+    """Minimal RIFF/WAVE container around an ALREADY-ENCODED data
+    chunk — the writer the G.711 paths and tests use (``encode_wav``
+    stays the PCM sample writer)."""
+    block = max(1, channels * max(bits, 8) // 8)
+    hdr = struct.pack(
+        "<HHIIHH", fmt, channels, sample_rate,
+        sample_rate * block, block, bits,
+    )
+    body = (
+        b"WAVE"
+        + b"fmt " + struct.pack("<I", len(hdr)) + hdr
+        + b"data" + struct.pack("<I", len(raw)) + raw
+    )
+    if len(raw) % 2:
+        body += b"\x00"  # RIFF word alignment pad
+    return b"RIFF" + struct.pack("<I", len(body)) + body
+
+
 def _decode_frames(data: bytes, fmt: int, channels: int, bits: int):
     """Raw sample bytes -> (native ndarray, normalized float64 ndarray),
     both shaped (n_frames, channels); None for unsupported layouts.
@@ -126,6 +199,20 @@ def _decode_frames(data: bytes, fmt: int, channels: int, bits: int):
         else:
             return None
         norm = native.copy()
+    elif fmt in (WAVE_FORMAT_MULAW, WAVE_FORMAT_ALAW):
+        # G.711 companded telephony audio: 8-bit log-coded bytes
+        # expanding to 13/14-bit linear magnitudes on the 16-bit scale.
+        # Cross-validated against the JVM's javax.sound converter (an
+        # independent implementation) in tests.
+        if bits not in (0, 8):
+            return None
+        b = np.frombuffer(data, dtype=np.uint8)
+        if fmt == WAVE_FORMAT_MULAW:
+            native = ulaw_to_linear(b)
+        else:
+            native = alaw_to_linear(b)
+        native = native.astype(np.int32)
+        norm = native.astype(np.float64) / 32768.0
     else:
         return None
     n_frames = native.shape[0] // channels

@@ -360,6 +360,34 @@ def attach_audio_blob(
     return df.select(id_col).mapInPandas(op, schema="doc_id long, blob binary")
 
 
+def attach_audio_blob_g711(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Synthesize deterministic G.711 telephony WAVs: doc ``d`` carries
+    ``256 + 2*(d % 64)`` companded bytes ``(d*31 + i*7) % 256`` at
+    8 kHz mono — mu-law (format 7) on even ids, A-law (format 6) on
+    odd — so one gate drives BOTH expansion tables through the real
+    container walk while the DuckDB oracle recomputes the G.711
+    expansion formulas from ``generate_series``."""
+    import numpy as np  # noqa: PLC0415 - worker-side
+
+    from hindex_spark.operators import audiocodec  # noqa: PLC0415
+
+    def _blob(d: int) -> bytes:
+        n = 256 + 2 * (d % 64)
+        b = ((d * 31 + np.arange(n, dtype=np.int64) * 7) % 256).astype(np.uint8)
+        fmt = (audiocodec.WAVE_FORMAT_MULAW if d % 2 == 0
+               else audiocodec.WAVE_FORMAT_ALAW)
+        return audiocodec.encode_wav_raw(b.tobytes(), 8000, fmt)
+
+    def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids = pdf[id_col].astype("int64")
+            yield pd.DataFrame(
+                {"doc_id": ids, "blob": [_blob(int(d)) for d in ids]}
+            )
+
+    return df.select(id_col).mapInPandas(op, schema="doc_id long, blob binary")
+
+
 AUDIO_STATS_SCHEMA = (
     "doc_id long, n_bytes long, sample_rate int, channels int, bits int, "
     "n_frames long, duration_ms long, rms double, peak double"

@@ -1532,6 +1532,63 @@ MM_GIF_FRAMES_ORACLE = f"""
 """
 
 
+# G.711 expansion recomputed in SQL: byte stream (doc*31 + i*7) % 256,
+# even docs mu-law (u = 255 - byte; t = ((u%16)*8 + 132) << ((u//16)%8);
+# val = 132 - t when the sign bit is set else t - 132), odd docs A-law
+# (a = byte XOR 85; segment/mantissa expansion; positive when bit 7 set).
+_G711_CTE = """
+    gb AS (SELECT doc_id, 256 + 2 * (doc_id % 64) AS n FROM documents),
+    gby AS (SELECT b.doc_id, b.n, t.t AS i,
+                   (b.doc_id * 31 + t.t * 7) % 256 AS byte
+            FROM gb b, LATERAL (SELECT unnest(range(0, b.n)) AS t) t),
+    gdec AS (SELECT doc_id, n, i,
+             CASE WHEN doc_id % 2 = 0 THEN
+               CASE WHEN (255 - byte) >= 128
+                 THEN 132 - (((255 - byte) % 16) * 8 + 132)
+                      * (1 << (((255 - byte) // 16) % 8))
+                 ELSE (((255 - byte) % 16) * 8 + 132)
+                      * (1 << (((255 - byte) // 16) % 8)) - 132 END
+             ELSE
+               (CASE WHEN xor(byte, 85) >= 128 THEN 1 ELSE -1 END) *
+               CASE (xor(byte, 85) // 16) % 8
+                 WHEN 0 THEN (xor(byte, 85) % 16) * 16 + 8
+                 WHEN 1 THEN (xor(byte, 85) % 16) * 16 + 264
+                 ELSE ((xor(byte, 85) % 16) * 16 + 264)
+                      * (1 << ((xor(byte, 85) // 16) % 8 - 1)) END
+             END AS val
+             FROM gby)
+"""
+
+MM_AUDIO_G711_ORACLE = f"""
+    WITH {_G711_CTE}
+    SELECT doc_id,
+           CAST(44 + max(n) AS BIGINT) AS n_bytes,
+           8000 AS sample_rate, 1 AS channels, 8 AS bits,
+           CAST(max(n) AS BIGINT) AS n_frames,
+           CAST((max(n) * 1000) // 8000 AS BIGINT) AS duration_ms,
+           ROUND(SQRT(AVG(CAST(val AS DOUBLE) * val)), 6) AS rms,
+           CAST(MAX(ABS(val)) AS DOUBLE) AS peak
+    FROM gdec GROUP BY doc_id
+"""
+
+
+@query("multimodal_audio_g711", MM_AUDIO_G711_ORACLE)
+def q_mm_audio_g711(spark, sf_dir):
+    """G.711 decode gate: real mu-law AND A-law WAV containers (even /
+    odd docs) expanded through the vectorized ITU tables, stats checked
+    against the expansion formulas evaluated in DuckDB — which never
+    sees a WAV byte. Sums of squares stay integer-exact below 2^53, so
+    both engines' float64 RMS agree before the shared 6-decimal
+    round."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    stats = mm.audio_stats(mm.attach_audio_blob_g711(docs))
+    return stats.select(
+        "doc_id", "n_bytes", "sample_rate", "channels", "bits",
+        "n_frames", "duration_ms",
+        F.round("rms", 6).alias("rms"), "peak",
+    )
+
+
 @query("multimodal_gif_frames", MM_GIF_FRAMES_ORACLE)
 def q_mm_gif_frames(spark, sf_dir):
     """Animated-GIF gate: synthesize a real multi-frame GIF89a per doc
