@@ -1126,3 +1126,63 @@ def encode_gif(frames, palette, w: int, h: int, *, delay_cs: int = 4,
         out += b"\x00"
     out += b"\x3b"
     return bytes(out)
+
+
+def gif_info(payload: bytes):
+    """Light GIF header walk (no LZW decode): screen geometry, frame
+    count, and per-frame graphic-control delays in centiseconds.
+    Returns ``{"width", "height", "n_frames", "delays_cs"}`` or raises
+    ValueError — the metadata pass a stats operator runs before (or
+    without) paying for pixel decode."""
+    if payload[:6] not in (b"GIF87a", b"GIF89a"):
+        raise ValueError("not a GIF")
+    w_screen, h_screen, packed, _bg, _ar = struct.unpack_from("<HHBBB", payload, 6)
+    pos = 13
+    if packed & 0x80:
+        pos += 3 * (2 ** ((packed & 7) + 1))
+    delays = []
+    pending_delay = 0
+    n_frames = 0
+    while pos < len(payload):
+        b = payload[pos]
+        if b == 0x3B:
+            break
+        if b == 0x21:
+            label = payload[pos + 1]
+            pos += 2
+            first = True
+            while pos < len(payload):
+                sz = payload[pos]
+                if first and label == 0xF9 and sz >= 4:
+                    (pending_delay,) = struct.unpack_from("<H", payload, pos + 2)
+                first = False
+                pos += 1 + sz
+                if sz == 0:
+                    break
+        elif b == 0x2C:
+            _left, _top, iw, ih, ipacked = struct.unpack_from(
+                "<HHHHB", payload, pos + 1
+            )
+            pos += 10
+            if ipacked & 0x80:
+                pos += 3 * (2 ** ((ipacked & 7) + 1))
+            pos += 1  # LZW min code size
+            while pos < len(payload):  # skip data sub-blocks
+                sz = payload[pos]
+                pos += 1
+                if sz == 0:
+                    break
+                pos += sz
+            delays.append(pending_delay)
+            pending_delay = 0
+            n_frames += 1
+        else:
+            raise ValueError("GIF: unknown block")
+    if n_frames == 0:
+        raise ValueError("GIF: no image data")
+    return {
+        "width": int(w_screen),
+        "height": int(h_screen),
+        "n_frames": n_frames,
+        "delays_cs": delays,
+    }

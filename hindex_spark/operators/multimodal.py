@@ -625,19 +625,50 @@ VIDEO_STATS_SCHEMA = (
 def video_stats(
     df: DataFrame, id_col: str = "doc_id", blob_col: str = "blob"
 ) -> DataFrame:
-    """Per-blob video facts through the real AVI parser: geometry, frame
-    rate, frame count, duration, plus mean/max over every decoded RGB
-    raster byte. Undecodable payloads (not AVI, unsupported codec) keep
+    """Per-blob video facts through the real container parsers — AVI
+    and, since round 12, animated GIF (geometry from the logical
+    screen, duration/fps from the graphic-control delays, pixel stats
+    over the composited RGB canvases): geometry, frame rate, frame
+    count, duration, plus mean/max over every decoded RGB raster byte.
+    Undecodable payloads (unsupported codec, corrupt container) keep
     the row with NULL video fields — the codec-seam contract shared by
     the image and audio operators. Pixel sums stay integer-exact in
     float64 for any real corpus (8-bit values), so the DuckDB formula
     oracle matches before the gate's shared 6-decimal round."""
-    from hindex_spark.operators import videocodec  # noqa: PLC0415
+    from hindex_spark.operators import imagecodec, videocodec  # noqa: PLC0415
 
     import numpy as np  # noqa: PLC0415
 
+    def _one_gif(row: dict, payload: bytes) -> dict:
+        try:
+            info = imagecodec.gif_info(payload)
+            pxsum = 0.0
+            pxmax = 0
+            count = 0
+            for _fno, _w, _h, _ch, raster in imagecodec.gif_frames(payload):
+                px = np.frombuffer(raster, dtype=np.uint8).reshape(-1, 4)[:, :3]
+                pxsum += float(px.sum(dtype=np.int64))
+                pxmax = max(pxmax, int(px.max()))
+                count += px.size
+            total_cs = sum(info["delays_cs"])
+            row.update(
+                width=info["width"], height=info["height"],
+                fps=(100.0 * info["n_frames"] / total_cs)
+                if total_cs > 0 else None,
+                n_frames=info["n_frames"],
+                duration_ms=total_cs * 10,
+                mean_px=pxsum / count,
+                max_px=pxmax,
+            )
+        except Exception:  # total-function seam: NULL fields, no crash
+            row.update(width=None, height=None, fps=None, n_frames=None,
+                       duration_ms=None, mean_px=None, max_px=None)
+        return row
+
     def _one(doc_id, payload: bytes) -> dict:
         row = {"doc_id": doc_id, "n_bytes": len(payload)}
+        if imagecodec.sniff(payload) == "gif":
+            return _one_gif(row, payload)
         # total-function seam (decode_image's contract): a crafted or
         # corrupt container must yield NULL fields, never a crash
         rasters = []

@@ -1589,6 +1589,33 @@ def q_mm_audio_g711(spark, sf_dir):
     )
 
 
+MM_GIF_STATS_ORACLE = f"""
+    WITH {_GIF_PX_CTE}
+    SELECT doc_id, 4 AS width, 3 AS height, CAST(25.0 AS DOUBLE) AS fps,
+           CAST(max(n) AS BIGINT) AS n_frames,
+           CAST(max(n) * 40 AS BIGINT) AS duration_ms,
+           ROUND(AVG(CAST(px AS DOUBLE)), 6) AS mean_px,
+           CAST(MAX(px) AS INT) AS max_px
+    FROM gpx GROUP BY doc_id
+"""
+
+
+@query("multimodal_gif_stats", MM_GIF_STATS_ORACLE)
+def q_mm_gif_stats(spark, sf_dir):
+    """Animated-GIF stats gate: geometry from the logical screen,
+    fps/duration from the per-frame graphic-control delays (4 cs ->
+    25 fps, 40 ms per frame), pixel stats over every composited frame
+    — video_stats' GIF branch end to end. n_bytes is excluded: GIF's
+    LZW payload length is data-dependent, unlike AVI's closed-form
+    container size."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    stats = mm.video_stats(mm.attach_gif_blob(docs))
+    return stats.select(
+        "doc_id", "width", "height", "fps", "n_frames", "duration_ms",
+        F.round("mean_px", 6).alias("mean_px"), "max_px",
+    )
+
+
 @query("multimodal_gif_frames", MM_GIF_FRAMES_ORACLE)
 def q_mm_gif_frames(spark, sf_dir):
     """Animated-GIF gate: synthesize a real multi-frame GIF89a per doc

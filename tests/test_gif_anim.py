@@ -239,3 +239,25 @@ def test_gif_anim_sequential_decode_cost_note():
     fno, w, h, ch, raster = next(it)
     assert fno == 0 and (w, h) == (40, 30)
     it.close()
+
+
+def test_video_stats_gif_branch(spark):
+    """video_stats on an animated GIF: geometry from the screen,
+    fps/duration from GCE delays, pixel stats over composited frames;
+    corrupt GIFs keep the NULL-fields contract."""
+    from hindex_spark.operators import multimodal as mm
+
+    frames = [np.full((2, 3), v, dtype=np.uint8) for v in (10, 20, 60)]
+    gif = ic.encode_gif(frames, [(i, i, i) for i in range(256)], 3, 2,
+                        delay_cs=5)
+    df = spark.createDataFrame(
+        [(1, bytearray(gif)), (2, bytearray(b"GIF89a" + b"\x00" * 20))],
+        "doc_id long, blob binary",
+    )
+    rows = {r["doc_id"]: r for r in mm.video_stats(df).collect()}
+    r = rows[1]
+    assert (r["width"], r["height"]) == (3, 2)
+    assert r["n_frames"] == 3 and r["duration_ms"] == 150
+    assert r["fps"] == 20.0
+    assert r["mean_px"] == 30.0 and r["max_px"] == 60
+    assert rows[2]["width"] is None and rows[2]["n_frames"] is None

@@ -44,6 +44,7 @@ ARROW_ALLOWED = {
     "multimodal_video_stats",
     "multimodal_video_frames",
     "multimodal_gif_frames",
+    "multimodal_gif_stats",
     "multimodal_audio_g711",
     "coproc_row_count",
 }
