@@ -224,3 +224,21 @@ def test_bucket_sidecar_rejects_nonpositive(tmp_path):
     assert Catalog._sidecar_buckets(str(d)) == 8
     (d / "_buckets").write_text("garbage")
     assert Catalog._sidecar_buckets(str(d)) is None
+
+
+def test_default_valve_counts_real_drops(spark):
+    """When the valve actually fires (explicit small cap, boilerplate
+    bucket), last_valve_drops() reports nonzero accounting and the
+    dropped docs still appear through their other bands or not at all —
+    never a crash, never phantom pairs."""
+    bp = "terms of service apply to all content on this site " * 4
+    docs = spark.createDataFrame(
+        [(i, bp + w) for i, w in enumerate(["alpha", "beta", "gamma"])],
+        "doc_id long, text string",
+    )
+    pairs = dd.minhash_dedup_pairs(docs, "doc_id", "text", 0.7,
+                                   hash_fn="xxhash64", max_bucket=1)
+    assert pairs.count() == 0  # every >=2 bucket dropped
+    got = dd.last_valve_drops()
+    assert got is not None and got["dropped_buckets"] > 0
+    assert got["dropped_docs"] >= 2 * got["dropped_buckets"]
