@@ -9,7 +9,9 @@ Decodes the formats a pure-Python implementation can do exactly:
   five row filters (None/Sub/Up/Average/Paeth). 16-bit samples emit
   their high byte (8-bit raster contract); validated against JVM
   ImageIO per variant.
-- **BMP**: uncompressed (BI_RGB) 24/32-bit BITMAPINFOHEADER files,
+- **BMP**: BITMAPINFOHEADER files — uncompressed (BI_RGB) 24/32-bit,
+  palette 1/4/8-bit (BGRX color table, biClrUsed), and RLE8/RLE4
+  compression (encoded + absolute runs, EOL/EOB/delta escapes);
   bottom-up or top-down rows, 4-byte row padding.
 - **JPEG** (ITU-T T.81): BASELINE (SOF0/SOF1) and PROGRESSIVE (SOF2)
   Huffman DCT, 8-bit, grayscale or YCbCr with any integer sampling
@@ -249,7 +251,64 @@ def _decode_png(payload: bytes) -> Decoded:
     return w, h, channels, out.tobytes()
 
 
+def _bmp_rle_indices(np, data: bytes, w: int, h: int, bits: int):
+    """RLE8/RLE4 (BI_RLE8=1 on 8-bit, BI_RLE4=2 on 4-bit) to a (h, w)
+    index array in BOTTOM-UP row order (RLE bitmaps are always stored
+    bottom-up). Escapes: 0,0 end-of-line; 0,1 end-of-bitmap; 0,2 delta;
+    0,n absolute run (word-aligned). Cost is O(runs), untouched pixels
+    stay index 0 (the spec's 'skipped pixels are left as-is' on a fresh
+    canvas)."""
+    idx = np.zeros((h, w), dtype=np.uint8)
+    x = y = 0  # y counts bottom-up storage rows
+    pos = 0
+    n = len(data)
+    while pos + 1 < n and y < h:
+        cnt, val = data[pos], data[pos + 1]
+        pos += 2
+        if cnt > 0:  # encoded run
+            if bits == 8:
+                run = [val] * cnt
+            else:
+                run = [(val >> 4) if i % 2 == 0 else (val & 0x0F)
+                       for i in range(cnt)]
+            take = min(cnt, w - x)
+            if take > 0:
+                idx[y, x : x + take] = run[:take]
+            x += cnt
+        elif val == 0:  # end of line
+            x, y = 0, y + 1
+        elif val == 1:  # end of bitmap
+            break
+        elif val == 2:  # delta
+            if pos + 1 >= n:
+                break
+            x += data[pos]
+            y += data[pos + 1]
+            pos += 2
+        else:  # absolute run of `val` pixels
+            if bits == 8:
+                need = (val + 1) & ~1  # word-aligned
+                px = list(data[pos : pos + val])
+                pos += need
+            else:
+                nbytes = (val + 1) // 2
+                need = (nbytes + 1) & ~1
+                raw = data[pos : pos + nbytes]
+                px = []
+                for i in range(val):
+                    b = raw[i // 2] if i // 2 < len(raw) else 0
+                    px.append((b >> 4) if i % 2 == 0 else (b & 0x0F))
+                pos += need
+            take = min(len(px), max(w - x, 0))
+            if take > 0 and y < h:
+                idx[y, x : x + take] = px[:take]
+            x += val
+    return idx[::-1]  # storage bottom-up -> top-down raster
+
+
 def _decode_bmp(payload: bytes) -> Decoded:
+    import numpy as np  # palette expansion / bit unpack only
+
     if payload[:2] != b"BM":
         raise ValueError("BMP: bad magic")
     (data_off,) = struct.unpack("<I", payload[10:14])
@@ -259,6 +318,46 @@ def _decode_bmp(payload: bytes) -> Decoded:
     w, h = struct.unpack("<ii", payload[18:26])
     (bits,) = struct.unpack("<H", payload[28:30])
     (compression,) = struct.unpack("<I", payload[30:34])
+    (clr_used,) = struct.unpack("<I", payload[46:50])
+    if bits in (1, 4, 8):
+        # palette BMP: color table of BGRX quads right after the header
+        top_down = h < 0
+        h = abs(h)
+        if w <= 0 or h <= 0:
+            raise ValueError("BMP: empty image")
+        n_colors = clr_used if 0 < clr_used <= (1 << bits) else (1 << bits)
+        pal_off = 14 + hdr_size
+        quads = payload[pal_off : pal_off + 4 * n_colors]
+        if len(quads) < 4 * n_colors:
+            raise ValueError("BMP: truncated color table")
+        q = np.frombuffer(quads, dtype=np.uint8).reshape(-1, 4)
+        pal = q[:, [2, 1, 0]]  # BGRX -> RGB
+        if compression == 0:
+            stride = ((w * bits + 31) // 32) * 4
+            raw = payload[data_off : data_off + stride * h]
+            if len(raw) < stride * h:
+                raise ValueError("BMP: truncated pixel data")
+            rows = np.frombuffer(raw, dtype=np.uint8).reshape(h, stride)
+            if bits == 8:
+                idx = rows[:, :w]
+            else:
+                bits_arr = np.unpackbits(rows, axis=1)[:, : w * bits]
+                idx = (
+                    bits_arr.reshape(h, w, bits)
+                    * (1 << np.arange(bits - 1, -1, -1)).astype(np.uint8)
+                ).sum(axis=2, dtype=np.uint16).astype(np.uint8)
+            if not top_down:
+                idx = idx[::-1]
+        elif (compression, bits) in ((1, 8), (2, 4)):
+            if top_down:
+                raise ValueError("BMP: RLE bitmaps cannot be top-down")
+            idx = _bmp_rle_indices(np, payload[data_off:], w, h, bits)
+        else:
+            raise ValueError(
+                f"BMP: unsupported (bits={bits}, comp={compression})"
+            )
+        idx = np.minimum(idx, n_colors - 1)
+        return w, h, 3, np.ascontiguousarray(pal[idx]).tobytes()
     if compression != 0 or bits not in (24, 32):
         raise ValueError(f"BMP: unsupported (bits={bits}, comp={compression})")
     top_down = h < 0
