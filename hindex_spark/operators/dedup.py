@@ -317,13 +317,24 @@ def jaccard_pairs(
 ) -> DataFrame:
     """Exact token/shingle-set Jaccard >= threshold via inverted-index
     join. Output: (id_a, id_b, jaccard) with id_a < id_b."""
-    tok = doc_units(df, id_col, text_col, ngram)
+    from pyspark import StorageLevel  # noqa: PLC0415
+
+    # ONE tokenize/shingle pass: the unit arrays are persisted and all
+    # three consumers (both sides of the inverted-index join, the
+    # per-doc set sizes) derive from the cache — unpersisted, the scan
+    # + tokenize + array_distinct ran three times (guide §2.4).
+    # doc_units ≡ explode(doc_unit_arrays): both emit the distinct
+    # per-doc unit set (doc_tokens explodes distinct_tokens; the
+    # shingle path explodes shingle_expr — the same expressions).
+    ua = doc_unit_arrays(df, id_col, text_col, ngram).persist(
+        StorageLevel.MEMORY_AND_DISK
+    )
+    _register_aux_cache(ua)
+    tok = ua.select(F.col(id_col), F.explode("units").alias("token"))
     # |unit set| per doc as a narrow array-size scan — doc_units emits
     # distinct units, so size(units) == count(*) per id without the
     # explode + groupBy shuffle
-    sizes = doc_unit_arrays(df, id_col, text_col, ngram).select(
-        F.col(id_col), F.size("units").alias("n")
-    )
+    sizes = ua.select(F.col(id_col), F.size("units").alias("n"))
     a = tok.select(F.col(id_col).alias("id_a"), "token")
     b = tok.select(F.col(id_col).alias("id_b"), "token")
     common = (
@@ -698,6 +709,20 @@ def minhash_join(
     ).select(F.col(id_col).alias("id_b"), "band", "bucket")
     extra_caches: list = []
     if max_bucket is not None:
+        # The valve needs a bucket-size pass over the SAME band rows the
+        # candidate join consumes, and each side's band rows sit on top
+        # of the shingle + minhash fold — the most expensive map in the
+        # whole pipeline. Unpersisted, that fold ran TWICE per side
+        # (once under ``sizes``, once under the join); persist the
+        # narrow (id, band, bucket) frames so it runs once (§2.4 of the
+        # optimization guide: duplicated subtrees are hidden re-scans).
+        # At extreme scale the durable answer is precomputed signatures
+        # (DedupState); MEMORY_AND_DISK is the single-job equivalent.
+        from pyspark import StorageLevel  # noqa: PLC0415
+
+        bl = bl.persist(StorageLevel.MEMORY_AND_DISK)
+        br = br.persist(StorageLevel.MEMORY_AND_DISK)
+        extra_caches += [bl, br]
         sizes = (
             bl.groupBy("band", "bucket").agg(F.count("*").alias("__n"))
             .withColumn("__side", F.lit("L"))
@@ -851,6 +876,15 @@ def incremental_dedup(
     Observation) reports over-cap buckets when the valve fires."""
     nf = new.withColumn("__fp", fingerprint(F.col(text_col)))
     cf = corpus.select(fingerprint(F.col(text_col)).alias("__fp")).distinct()
+    # ``fresh`` feeds three consumers and its lineage embeds the
+    # full-corpus fingerprint distinct — an apparent §2.4 duplicated
+    # subtree. Measured (r12): truncating it with a lazy
+    # localCheckpoint was a 3x REGRESSION at sf0.1 — ReuseExchange
+    # already shares the corpus distinct across consumers in one job,
+    # and the checkpoint forced an extra materialization barrier that
+    # broke AQE's runtime join planning downstream. Left lazy on
+    # purpose; the persisted-store path (DedupState) remains the
+    # durable answer when the corpus side must not be recomputed.
     fresh = nf.join(cf, "__fp", "left_anti").drop("__fp")
     near = minhash_join(
         fresh, corpus, id_col, text_col, threshold, ngram, max_bucket,
@@ -890,6 +924,25 @@ def doc_lines(
     )
 
 
+def _line_arrays(
+    df: DataFrame, id_col: str, text_col: str, words_per_line: int = 10
+) -> DataFrame:
+    """(id, __lines: array<string>) — the same fixed word-window lines
+    as ``doc_lines`` kept as ONE array row per doc (no explode, no
+    shuffle): the narrow reassembly input for the line-dedup operators,
+    the ``doc_unit_arrays`` analog at line granularity."""
+    w = words_per_line
+    toked = df.filter(F.col(text_col).isNotNull()).select(
+        F.col(id_col), tokens(F.col(text_col)).alias("__toks")
+    )
+    n_lines = F.floor((F.size("__toks") - F.lit(1)) / F.lit(w)).cast("int") + F.lit(1)
+    lines = F.transform(
+        F.sequence(F.lit(0), n_lines - F.lit(1)),
+        lambda i: F.concat_ws(" ", F.slice(F.col("__toks"), i * w + 1, w)),
+    )
+    return toked.select(F.col(id_col), lines.alias("__lines"))
+
+
 def dedup_lines(
     df: DataFrame, id_col: str, text_col: str, words_per_line: int = 10
 ) -> DataFrame:
@@ -899,11 +952,16 @@ def dedup_lines(
     whose every line occurred earlier elsewhere vanish from the output
     (C4 drops now-empty docs).
 
-    Scale shape: one row_number window keyed by the line text (the dedup
-    shuffle) and one groupBy(doc) to reassemble — two exchanges total, no
-    joins, no driver loop. At 100 TB the window key is the line text
-    itself; skew = boilerplate lines, which is precisely the content
-    being removed, and each group resolves to its first row.
+    Scale shape: one row_number window keyed by the line text (the
+    dedup shuffle — fundamental, the global first-occurrence decision)
+    plus a DROPPED-LINE-sized reassembly: duplicate line_nos aggregate
+    to one array row per affected doc and documents are rebuilt by a
+    zero-shuffle array gather over ``_line_arrays`` (guide §2.3 —
+    shuffle keys/metadata, not payloads; the previous shape re-shuffled
+    every SURVIVING line's text through a groupBy(doc) collect_list,
+    i.e. nearly the whole corpus a second time). At 100 TB the window
+    key is the line text itself; skew = boilerplate lines, which is
+    precisely the content being removed.
 
     Output: (id, text [deduped], n_lines_kept).
     """
@@ -911,16 +969,32 @@ def dedup_lines(
 
     lines = doc_lines(df, id_col, text_col, words_per_line)
     w = Window.partitionBy("line").orderBy(id_col, "line_no")
-    kept = lines.withColumn("__rn", F.row_number().over(w)).filter(F.col("__rn") == 1)
-    return kept.groupBy(id_col).agg(
-        F.array_join(
-            F.transform(
-                F.array_sort(F.collect_list(F.struct("line_no", "line"))),
-                lambda s: s["line"],
-            ),
-            " ",
-        ).alias("text"),
-        F.count("*").alias("n_lines_kept"),
+    dropped = (
+        lines.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") > 1)
+        .groupBy(id_col)
+        .agg(F.collect_set("line_no").alias("__dl"))
+    )
+    kept_idx = F.array_except(
+        F.sequence(F.lit(0), F.size("__lines") - 1),
+        F.coalesce(F.col("__dl"), F.array().cast("array<int>")),
+    )
+    return (
+        _line_arrays(df, id_col, text_col, words_per_line)
+        .join(dropped, id_col, "left")
+        .select(F.col(id_col), F.col("__lines"), kept_idx.alias("__ki"))
+        # docs whose every line occurred earlier elsewhere vanish
+        .filter(F.size("__ki") > 0)
+        .select(
+            F.col(id_col),
+            F.array_join(
+                F.transform(
+                    F.col("__ki"), lambda i: F.element_at(F.col("__lines"), i + 1)
+                ),
+                " ",
+            ).alias("text"),
+            F.size("__ki").cast("long").alias("n_lines_kept"),
+        )
     )
 
 
@@ -968,10 +1042,6 @@ def remove_duplicate_spans(
     toked = df.filter(F.col(text_col).isNotNull()).select(
         F.col(id_col), tokens(F.col(text_col)).alias("__toks")
     )
-    # token rows (1-based pos, matching SQL array indexing)
-    tok = toked.select(
-        F.col(id_col), F.posexplode("__toks").alias("__p0", "__tok")
-    ).select(F.col(id_col), (F.col("__p0") + 1).alias("pos"), F.col("__tok"))
     # overlapping k-gram rows at positions 1..n-k+1 (sequence(1,0) would
     # DESCEND, so short docs get an explicit empty gram list)
     grams = toked.select(
@@ -1007,37 +1077,50 @@ def remove_duplicate_spans(
         .filter(F.col("__rn") > 1)
         .select(id_col, "pos")
     )
-    covered = dup.select(
-        F.col(id_col).alias("__cid"),
+    # Reassembly ships COVERED POSITIONS, not tokens (guide §2.3:
+    # shuffle keys and metadata instead of payloads): duplicate-gram
+    # positions aggregate to ONE array row per affected doc — bounded
+    # by the duplicated content, not the corpus — and documents are
+    # rebuilt by a zero-shuffle array pass over the token arrays
+    # (array_except of the position range, element_at gather). The
+    # previous shape exploded every token into a row, outer-joined it
+    # against covered positions and re-collected per doc: two extra
+    # corpus-token-sized exchanges (join + collect_list) that carried
+    # every token string through the shuffle. Only docs that actually
+    # contain duplicates appear in ``cov``; everyone else joins NULL
+    # and keeps their text by a cheap projection.
+    cov = dup.select(
+        F.col(id_col),
         F.explode(F.sequence(F.col("pos"), F.col("pos") + F.lit(k - 1))).alias(
             "cpos"
         ),
-    ).distinct()
-    joined = tok.join(
-        covered,
-        (F.col(id_col) == F.col("__cid")) & (F.col("pos") == F.col("cpos")),
-        "left",
-    ).select(id_col, "pos", "__tok", "cpos")
-    return joined.groupBy(id_col).agg(
-        F.array_join(
-            F.transform(
-                F.array_sort(
-                    F.collect_list(
-                        F.when(
-                            F.col("cpos").isNull(), F.struct("pos", "__tok")
-                        )
-                    )
+    ).groupBy(id_col).agg(F.collect_set("cpos").alias("__cps"))
+    # tokens() always returns >= 1 element for non-null text (split of
+    # the trimmed string), so sequence(1, n) never descends
+    kept = F.array_except(
+        F.sequence(F.lit(1), F.size("__toks")),
+        F.coalesce(F.col("__cps"), F.array().cast("array<int>")),
+    )
+    return (
+        toked.join(cov, id_col, "left")
+        .select(
+            F.col(id_col),
+            F.col("__toks"),
+            kept.alias("__keep"),
+        )
+        .select(
+            F.col(id_col),
+            F.array_join(
+                F.transform(
+                    F.col("__keep"), lambda p: F.element_at(F.col("__toks"), p)
                 ),
-                lambda s: s["__tok"],
-            ),
-            " ",
-        ).alias("text"),
-        F.sum(F.when(F.col("cpos").isNull(), 1).otherwise(0))
-        .cast("long")
-        .alias("n_tokens_kept"),
-        F.sum(F.when(F.col("cpos").isNotNull(), 1).otherwise(0))
-        .cast("long")
-        .alias("n_tokens_removed"),
+                " ",
+            ).alias("text"),
+            F.size("__keep").cast("long").alias("n_tokens_kept"),
+            (F.size("__toks") - F.size("__keep"))
+            .cast("long")
+            .alias("n_tokens_removed"),
+        )
     )
 
 
@@ -1052,28 +1135,43 @@ def trim_repeated_lines(
 
     Scale shape: the window key is (doc, line) so state per group is one
     doc's copies of one line — narrower than ``dedup_lines``'s global
-    key; the same two exchanges, no joins.
+    key — and reassembly is the same dropped-line-sized gather as
+    ``dedup_lines`` (§2.3): only repeated line_nos ride the post-window
+    aggregation, the text is rebuilt from ``_line_arrays`` with zero
+    extra shuffle on the corpus side.
 
     Output: (id, text [repaired], n_lines_kept, n_lines_dropped)."""
     from pyspark.sql import Window
 
     lines = doc_lines(df, id_col, text_col, words_per_line)
     w = Window.partitionBy(id_col, "line").orderBy("line_no")
-    kept = lines.withColumn("__rn", F.row_number().over(w))
-    return kept.groupBy(id_col).agg(
-        F.array_join(
-            F.transform(
-                F.array_sort(
-                    F.collect_list(
-                        F.when(F.col("__rn") == 1, F.struct("line_no", "line"))
-                    )
+    dropped = (
+        lines.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") > 1)
+        .groupBy(id_col)
+        .agg(F.collect_set("line_no").alias("__dl"))
+    )
+    kept_idx = F.array_except(
+        F.sequence(F.lit(0), F.size("__lines") - 1),
+        F.coalesce(F.col("__dl"), F.array().cast("array<int>")),
+    )
+    return (
+        _line_arrays(df, id_col, text_col, words_per_line)
+        .join(dropped, id_col, "left")
+        .select(F.col(id_col), F.col("__lines"), kept_idx.alias("__ki"))
+        .select(
+            F.col(id_col),
+            F.array_join(
+                F.transform(
+                    F.col("__ki"), lambda i: F.element_at(F.col("__lines"), i + 1)
                 ),
-                lambda s: s["line"],
-            ),
-            " ",
-        ).alias("text"),
-        F.sum(F.when(F.col("__rn") == 1, 1).otherwise(0)).alias("n_lines_kept"),
-        F.sum(F.when(F.col("__rn") > 1, 1).otherwise(0)).alias("n_lines_dropped"),
+                " ",
+            ).alias("text"),
+            F.size("__ki").cast("long").alias("n_lines_kept"),
+            (F.size("__lines") - F.size("__ki"))
+            .cast("long")
+            .alias("n_lines_dropped"),
+        )
     )
 
 

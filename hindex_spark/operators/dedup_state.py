@@ -414,7 +414,19 @@ class DedupState:
         ).select(F.col(id_col).alias("id_b"), "band", "bucket")
         if max_bucket is not None:
             # corpus-side valve (the batch side is bounded by the batch):
-            # over-cap (band, bucket) keys are boilerplate, not near-dups
+            # over-cap (band, bucket) keys are boilerplate, not near-dups.
+            # ``cb`` feeds BOTH the size pass and the candidate join —
+            # persist the narrow (id, band, bucket) frame so the state
+            # scan + band explode runs once, not twice (guide §2.4; the
+            # cache is adopted by this call's _rotate_caches).
+            from pyspark import StorageLevel as _SL  # noqa: PLC0415
+
+            from hindex_spark.operators.dedup import (  # noqa: PLC0415
+                _register_aux_cache as _reg_aux,
+            )
+
+            cb = cb.persist(_SL.MEMORY_AND_DISK)
+            _reg_aux(cb)
             sizes = cb.groupBy("band", "bucket").agg(F.count("*").alias("__n"))
             if max_bucket == "auto":
                 # corpus-adaptive cap, same formula as lsh_candidate_pairs;

@@ -243,11 +243,18 @@ def with_importance_weight(
     weight_col: str = "weight",
     n_buckets: int = N_BUCKETS,
     hash_fn: str = "md5",
+    buckets: Optional[Column] = None,
 ) -> DataFrame:
     """``df`` with a ``weight_col`` double column appended — the
     composition form of ``importance_weights`` (all original columns
     survive, so a pipeline can filter/score mid-chain without a
-    corpus-wide join back on id). Same scan-shaped fold."""
+    corpus-wide join back on id). Same scan-shaped fold.
+
+    ``buckets``: optional PRECOMPUTED bucket-array column (the
+    ``hashed_buckets`` output) to fold over instead of re-deriving it
+    from ``text_col`` — the fit/score sharing hook ``dsir_select`` uses
+    so the tokenize + hash featurization runs once, not once per
+    consumer (guide §2.4); ``text_col`` is ignored when given."""
     # The bounded fit collapses to ONE broadcast row holding a DENSE
     # array of n_buckets ratios (absent buckets filled with r_default),
     # so the per-gram lookup is an O(1) array index. The map shape this
@@ -271,7 +278,8 @@ def with_importance_weight(
         ).alias("__arr")
     )
     zero = F.lit(0).cast(f"decimal(18,{RATIO_SCALE})")
-    buckets = hashed_buckets(F.col(text_col), n_buckets, hash_fn)
+    if buckets is None:
+        buckets = hashed_buckets(F.col(text_col), n_buckets, hash_fn)
     fold = F.aggregate(
         buckets,
         zero,
@@ -302,11 +310,40 @@ def dsir_select(
     selected docs. Pass ``weights`` to skip the fit+score (e.g. scored
     once, selected at several k)."""
     if weights is None:
-        # one corpus pass fits BOTH distributions (target is a predicate
-        # over df, so raw ⊇ target): same values as the two-pass form
-        pair = bucket_counts_pair(df, text_col, target, n_buckets, hash_fn)
+        # One corpus pass fits BOTH distributions (target is a predicate
+        # over df, so raw ⊇ target) — and the featurization (tokenize ->
+        # bigrams -> hash) is SHARED between the fit and the scoring
+        # fold via a persisted (id, bucket-array, target) frame: without
+        # it the fit action and the score action each re-tokenized and
+        # re-hashed the whole corpus (two full text passes; guide §2.4).
+        # The cache is batch-narrow (8-byte bucket ids, no text),
+        # spills instead of OOMing, and is adopted by the dedup-family
+        # cache rotation so repeated calls don't accumulate residue. At
+        # 100 TB the durable form of this frame is a persisted feature
+        # table (the DedupState pattern); this is its single-job twin.
+        from pyspark import StorageLevel  # noqa: PLC0415
+
+        from hindex_spark.operators.dedup import _register_aux_cache
+
+        feat = df.select(
+            F.col(id_col),
+            hashed_buckets(F.col(text_col), n_buckets, hash_fn).alias("__bk"),
+            target.alias("__t"),
+        ).persist(StorageLevel.MEMORY_AND_DISK)
+        _register_aux_cache(feat)
+        pair = (
+            feat.select(F.explode("__bk").alias("bucket"), "__t")
+            .groupBy("bucket")
+            .agg(
+                F.sum(F.when(F.col("__t"), 1).otherwise(0)).alias("tc"),
+                F.count("*").alias("rc"),
+            )
+        )
         ratios = log_ratio_table_from_pair(pair, n_buckets)
-        weights = importance_weights(df, id_col, text_col, ratios, n_buckets, hash_fn)
+        weights = with_importance_weight(
+            feat, text_col, ratios, n_buckets=n_buckets, hash_fn=hash_fn,
+            buckets=F.col("__bk"),
+        ).select(F.col(id_col), F.col("weight"))
     # orderBy + limit = TakeOrderedAndProject: per-partition top-k heaps,
     # driver merges k rows — no global sort at any corpus size
     return weights.orderBy(F.col("weight").desc(), F.col(id_col)).limit(k)

@@ -149,11 +149,25 @@ def edit_distance_pairs(
     shuffle, a thresholded verify over distinct-string pairs, two
     group-expansion joins — the ``minhash_dedup_pairs`` cost shape
     with exactness instead of recall."""
+    from pyspark import StorageLevel
+
+    from hindex_spark.operators.dedup import _rotate_caches
+
+    # ``groups`` feeds FOUR consumers (variant signatures, both sides
+    # of the group expansion, and the intra-group pair pass): left
+    # lazy, the scan + text-keyed collect_set aggregation executed four
+    # times — the captured before-plan shows 4 parquet scans + 4
+    # ObjectHashAggregate/Exchange towers for one call (guide §2.4:
+    # duplicated subtrees). Persist the bounded (distinct-text, ids)
+    # frame so the corpus is scanned and grouped ONCE; the cache
+    # rotates out on the next pair-search call like the LSH caches.
     groups = (
         df.filter(F.col(text_col).isNotNull())
         .groupBy(text_col)
         .agg(F.array_sort(F.collect_set(F.col(id_col))).alias("__ids"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
     )
+    _rotate_caches(groups)
     reps = groups.select(F.col(text_col).alias("__t"))
     rows = _variant_rows(reps, "__t", "__t", max_dist)
     buckets = (

@@ -34,12 +34,21 @@ def _ensure_session_confs(spark: SparkSession) -> None:
         oracle regardless of host timezone;
       - AQE: the index semi-join relies on runtime broadcast conversion.
     """
+    # shuffle.partitions scales with the session's actual parallelism
+    # (defaultParallelism = N on local[N]; executor cores on a cluster)
+    # instead of a constant tuned for local[32] — the driver also runs
+    # queries at lower core counts to measure scaling, and AQE
+    # coalescing trims the excess either way (guide §2.2/§9).
+    try:
+        n_par = max(int(spark.sparkContext.defaultParallelism), 1)
+    except Exception:
+        n_par = 32
     for k, v in [
         ("spark.sql.legacy.parquet.nanosAsLong", "true"),
         ("spark.sql.session.timeZone", "UTC"),
         ("spark.sql.adaptive.enabled", "true"),
         ("spark.sql.adaptive.coalescePartitions.enabled", "true"),
-        ("spark.sql.shuffle.partitions", "32"),
+        ("spark.sql.shuffle.partitions", str(n_par)),
     ]:
         try:
             spark.conf.set(k, v)

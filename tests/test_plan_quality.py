@@ -146,15 +146,22 @@ def test_pack_sequences_single_exchange(spark, sf_dir):
     assert p.count("Exchange") == 1  # only the per-shard window shuffle
 
 
-def test_dedup_lines_two_exchanges_no_join(spark, sf_dir):
-    # dedup shuffle (window on line) + reassembly (groupBy doc): any
-    # Join or third Exchange is a regression that scales with the corpus
-    from hindex_spark.operators.dedup import dedup_lines
+def test_dedup_lines_reassembly_ships_dropped_lines_only(spark, sf_dir):
+    # r12 shape: the dedup window (on line text) stays the one
+    # corpus-sized shuffle; reassembly aggregates DROPPED line_nos only
+    # and gathers from the per-doc line arrays — the old
+    # groupBy(doc).collect_list reassembly re-shuffled every surviving
+    # line's text (a second corpus-sized exchange). Pin: no corpus
+    # line collect (collect_list) anywhere — only the dropped-side
+    # collect_set — and never a cartesian.
+    from hindex_spark.operators.dedup import dedup_lines, trim_repeated_lines
 
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
-    p = _plan(dedup_lines(docs, "doc_id", "text"))
-    assert p.count("Exchange") <= 2
-    assert "Join" not in p and "CartesianProduct" not in p
+    for op in (dedup_lines, trim_repeated_lines):
+        p = _plan(op(docs, "doc_id", "text"))
+        assert "collect_list" not in p, op.__name__
+        assert "collect_set" in p, op.__name__      # the dropped-line agg
+        assert "CartesianProduct" not in p, op.__name__
 
 
 def test_minhash_join_no_cartesian(spark, sf_dir):
