@@ -359,34 +359,52 @@ def jaccard_pairs(
 # ---------------------------------------------------------------------------
 
 
-def _signature_struct(
-    units: Column, hash_fn: str = "md5", n_hashes: int = N_HASHES
-) -> Column:
-    """struct(mh0..mh{n-1}) computed in ONE fold over the unit array:
-    each element is hashed exactly once and fed to all n affine minima
-    via ``least``. (Separate array_min(transform(...)) expressions look
-    equivalent but collapse into one projection where lambdas defeat
-    subexpression elimination — unit hash xN per unit.) Empty array keeps
-    the MERSENNE31 init sentinels; such docs can only band-match other
-    empty docs and verification then drops the pair (jaccard = 0/0 ->
-    NULL)."""
-    coeff_a, coeff_b = _minhash_coeffs(n_hashes)
-    init = F.struct(
-        *[F.lit(MERSENNE31).cast("long").alias(f"mh{i}") for i in range(n_hashes)]
-    )
+def _signature_lane_cols(
+    hashed: Column, n_hashes: int = N_HASHES
+) -> List[Column]:
+    """The minhash lane columns ``mh0..mh{n-1}`` from a PRE-HASHED unit
+    array (the ``_hashed_units`` output staged as a real column by the
+    caller — staging matters: referenced from n lanes inside one
+    projection, an inline ``transform(units, hash)`` defeats
+    subexpression elimination and re-hashes every unit n times). Each
+    lane is an ``array_min`` over its affine image of the cheap long
+    array, emitted as a TOP-LEVEL column — never bundled into one
+    struct and re-extracted: GetStructField over a WHEN-wrapped struct
+    does not simplify, so flattening duplicated the whole n-lane
+    expression per output column (measured: the struct+flatten shape
+    ran ~2x the fold it replaced; this shape runs 10-25% UNDER the
+    fold, which re-allocated the n-field struct accumulator per
+    element — higher-order lambdas evaluate interpreted, so
+    per-element work is what counts).
 
-    def step(acc: Column, h: Column) -> Column:
-        return F.struct(
-            *[
-                F.least(
-                    acc[f"mh{i}"],
-                    (F.lit(coeff_a[i]) * h + F.lit(coeff_b[i])) % MERSENNE31,
-                ).alias(f"mh{i}")
-                for i in range(n_hashes)
-            ]
+    Result-identical to the historical fold by construction: min over
+    units of (a_i*h + b_i) mod M either way. A NULL hashed array (NULL
+    text on the unigram path) keeps NULL lanes; an EMPTY unit array
+    keeps the MERSENNE31 init sentinels (array_min of an empty array is
+    NULL -> coalesce) — such docs can only band-match other empty docs
+    and verification then drops the pair (jaccard = 0/0 -> NULL)."""
+    coeff_a, coeff_b = _minhash_coeffs(n_hashes)
+
+    def lane(i: int) -> Column:
+        a, b = coeff_a[i], coeff_b[i]
+        return F.coalesce(
+            F.array_min(
+                F.transform(hashed, lambda h: (F.lit(a) * h + F.lit(b)) % MERSENNE31)
+            ),
+            F.lit(MERSENNE31).cast("long"),
         )
 
-    return F.aggregate(F.transform(units, _unit_hash(hash_fn)), init, step)
+    return [
+        F.when(hashed.isNotNull(), lane(i)).alias(f"mh{i}")
+        for i in range(n_hashes)
+    ]
+
+
+def _hashed_units(units: Column, hash_fn: str = "md5") -> Column:
+    """The unit array mapped through the 31-bit unit hash — ONE
+    md5/xxhash evaluation per unit however many minhash lanes consume
+    it. Stage this as a real column before ``_signature_lane_cols``."""
+    return F.transform(units, _unit_hash(hash_fn))
 
 
 def minhash_signatures(
@@ -409,11 +427,15 @@ def minhash_signatures(
     cheaper per unit; see ``token_hash_xx``). ``n_hashes`` widens the
     family for tighter banding (see ``lsh_candidate_pairs``)."""
     ua = doc_unit_arrays(df, id_col, text_col, ngram)
-    sig = ua.select(
-        F.col(id_col), _signature_struct(F.col("units"), hash_fn, n_hashes).alias("s")
+    # stage the hashed array as a real column: the n per-lane minima in
+    # the next projection reference it without re-hashing (see
+    # _signature_lane_cols); CollapseProject keeps the boundary because
+    # the alias is referenced n times and is non-cheap
+    hs = ua.select(
+        F.col(id_col), _hashed_units(F.col("units"), hash_fn).alias("__hs")
     )
-    return sig.select(
-        F.col(id_col), *[F.col(f"s.mh{i}").alias(f"mh{i}") for i in range(n_hashes)]
+    return hs.select(
+        F.col(id_col), *_signature_lane_cols(F.col("__hs"), n_hashes)
     )
 
 

@@ -41,7 +41,8 @@ from hindex_spark.operators.dedup import (
     _band_rows,
     _resolve_valve,
     _rotate_caches,
-    _signature_struct,
+    _hashed_units,
+    _signature_lane_cols,
     doc_unit_arrays,
     shingle_expr,
 )
@@ -70,13 +71,15 @@ def state_rows(
             F.col(id_col), "__fp",
             shingle_expr(F.col("__toks"), ngram).alias("__units"),
         )
-    sig = base.select(
+    # hashed array staged as a real column so the n per-lane minima in
+    # the next projection never re-hash a unit (see _signature_lane_cols)
+    hs = base.select(
         F.col(id_col), "__fp",
-        _signature_struct(F.col("__units"), hash_fn, n_hashes).alias("s"),
+        _hashed_units(F.col("__units"), hash_fn).alias("__hs"),
     )
-    return sig.select(
+    return hs.select(
         F.col(id_col), "__fp",
-        *[F.col(f"s.mh{i}").alias(f"mh{i}") for i in range(n_hashes)],
+        *_signature_lane_cols(F.col("__hs"), n_hashes),
     )
 
 
@@ -425,6 +428,23 @@ class DedupState:
                 _register_aux_cache as _reg_aux,
             )
 
+            if isinstance(max_bucket, int) and dropped is None:
+                # TOUCHED-BUCKET narrowing (constant cap, no caller
+                # accounting): only buckets the BATCH bands touch can
+                # produce candidates, and a broadcast semi-join on the
+                # batch-bounded (band, bucket) keys filters the state
+                # bands map-side BEFORE the persist + size pass — the
+                # per-bucket counts of surviving buckets are unchanged
+                # (the semi-join keeps every state row of a touched
+                # bucket), so exactly the same buckets are dropped and
+                # the result is identical. Skipped under ``"auto"``
+                # (the cap derives from the FULL store's bucket-size
+                # distribution) and under a ``dropped`` Observation
+                # (which reports store-wide over-cap keys).
+                cb = cb.join(
+                    F.broadcast(bb.select("band", "bucket").distinct()),
+                    ["band", "bucket"], "left_semi",
+                )
             cb = cb.persist(_SL.MEMORY_AND_DISK)
             _reg_aux(cb)
             sizes = cb.groupBy("band", "bucket").agg(F.count("*").alias("__n"))

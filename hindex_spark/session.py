@@ -36,6 +36,15 @@ def get_spark(app_name: str = "hindex_spark", cpus: int | None = None) -> SparkS
         .config("spark.sql.shuffle.partitions", str(n))
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        # coalescePartitions.parallelismFirst stays at its DEFAULT
+        # (true) on purpose — measured both ways (r12, full-bench
+        # interleaved A/B): `false` (respect the 64 MB advisory size)
+        # tightened KB-sized probe lines by ~0.1 s but SERIALIZED every
+        # compute-dense small-byte stage — byte-based coalescing cannot
+        # see explode/levenshtein amplification downstream of a small
+        # exchange, and edit_distance_pairs ran 4.6 s vs 1.9 s. Totals:
+        # 37.1 s (false) vs 33.3 s (true) with every other line
+        # noise-equal.
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
         .config("spark.sql.files.maxPartitionBytes", str(128 * 1024 * 1024))
