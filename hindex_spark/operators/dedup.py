@@ -563,19 +563,27 @@ def lsh_candidate_pairs(
                 ).alias("dropped_docs"),
             )
         buckets = buckets.filter(F.size("ids") <= max_bucket)
-    ids = F.col("ids")
-    pairs = F.flatten(
-        F.transform(
-            ids,
-            lambda x, i: F.transform(
-                F.slice(ids, i + 2, F.greatest(F.size(ids) - i - 1, F.lit(0))),
-                lambda y: F.struct(x.alias("id_a"), y.alias("id_b")),
-            ),
-        )
-    )
+    # Pair expansion as TWO codegen'd Generate operators (posexplode of
+    # the bucket + explode of each element's tail slice) instead of one
+    # interpreted nested-``transform``: higher-order lambdas evaluate
+    # interpreted per element (guide §1.2) and the flattened
+    # array-of-structs materialized every bucket's full pair list
+    # before the explode — pure allocation, and the measured source of
+    # multi-second GC outliers on hot buckets. Same pair set (0-based
+    # element i pairs with every later element via the 1-based
+    # slice(i+2..) window), streamed through whole-stage codegen.
     return (
-        buckets.select(F.explode(pairs).alias("p"))
-        .select(F.col("p.id_a").alias("id_a"), F.col("p.id_b").alias("id_b"))
+        buckets.select(F.col("ids"), F.posexplode("ids").alias("__i", "id_a"))
+        .select(
+            "id_a",
+            F.explode(
+                F.slice(
+                    F.col("ids"),
+                    F.col("__i") + 2,
+                    F.greatest(F.size("ids") - F.col("__i") - 1, F.lit(0)),
+                )
+            ).alias("id_b"),
+        )
         .distinct()
     )
 
@@ -936,13 +944,24 @@ def doc_lines(
     toked = df.filter(F.col(text_col).isNotNull()).select(
         F.col(id_col), tokens(F.col(text_col)).alias("__toks")
     )
+    # explode(line-number sequence) + top-level slice/concat_ws instead
+    # of posexplode over a transform-built line array: Generate +
+    # Project fuse in codegen so each line string is assembled in
+    # place, where the lambda ran interpreted per line and materialized
+    # every doc's full line array first (same rewrite as the k-gram
+    # builder in remove_duplicate_spans; line_no = the 0-based sequence
+    # value, exactly posexplode's index)
     n_lines = F.floor((F.size("__toks") - F.lit(1)) / F.lit(w)).cast("int") + F.lit(1)
-    lines = F.transform(
-        F.sequence(F.lit(0), n_lines - F.lit(1)),
-        lambda i: F.concat_ws(" ", F.slice(F.col("__toks"), i * w + 1, w)),
-    )
     return toked.select(
-        F.col(id_col), F.posexplode(lines).alias("line_no", "line")
+        F.col(id_col),
+        F.col("__toks"),
+        F.explode(F.sequence(F.lit(0), n_lines - F.lit(1))).alias("line_no"),
+    ).select(
+        F.col(id_col),
+        F.col("line_no"),
+        F.concat_ws(
+            " ", F.slice(F.col("__toks"), F.col("line_no") * w + 1, w)
+        ).alias("line"),
     )
 
 
@@ -1065,24 +1084,29 @@ def remove_duplicate_spans(
         F.col(id_col), tokens(F.col(text_col)).alias("__toks")
     )
     # overlapping k-gram rows at positions 1..n-k+1 (sequence(1,0) would
-    # DESCEND, so short docs get an explicit empty gram list)
+    # DESCEND, so short docs get an explicit empty position list).
+    # Built as explode(position sequence) + a top-level slice/concat_ws
+    # projection — Generate and Project fuse in whole-stage codegen, so
+    # the gram string is assembled in place; the previous
+    # transform-lambda shape ran INTERPRETED per position (guide §1.2)
+    # and materialized every doc's full (pos, gram) struct array before
+    # the explode.
     grams = toked.select(
         F.col(id_col),
+        F.col("__toks"),
         F.explode(
             F.when(
                 F.size("__toks") >= k,
-                F.transform(
-                    F.sequence(F.lit(1), F.size("__toks") - F.lit(k) + 1),
-                    lambda i: F.struct(
-                        i.alias("pos"),
-                        F.concat_ws(" ", F.slice(F.col("__toks"), i, k)).alias(
-                            "gram"
-                        ),
-                    ),
-                ),
-            ).otherwise(F.array().cast("array<struct<pos:int,gram:string>>"))
-        ).alias("g"),
-    ).select(F.col(id_col), F.col("g.pos").alias("pos"), F.col("g.gram"))
+                F.sequence(F.lit(1), F.size("__toks") - F.lit(k) + 1),
+            ).otherwise(F.array().cast("array<int>"))
+        ).alias("pos"),
+    ).select(
+        F.col(id_col),
+        F.col("pos"),
+        F.concat_ws(" ", F.slice(F.col("__toks"), F.col("pos"), k)).alias(
+            "gram"
+        ),
+    )
     if hash_unit == "xx":
         # project the 8-byte key and DROP the gram string BEFORE the
         # window — otherwise the exchange carries every k-word string
@@ -1123,21 +1147,38 @@ def remove_duplicate_spans(
         F.sequence(F.lit(1), F.size("__toks")),
         F.coalesce(F.col("__cps"), F.array().cast("array<int>")),
     )
+    # Fast path for the (typical) docs with NO covered positions: their
+    # rebuilt text is just array_join(__toks) — native, no array_except
+    # and no interpreted per-token element_at gather (CASE WHEN branches
+    # evaluate lazily, so unaffected docs skip both entirely; on a
+    # low-duplication corpus the gather was the dominant per-token cost
+    # of the whole reassembly). Identical output: kept == the full
+    # position sequence when __cps is NULL, so the gather would emit
+    # every token in order — exactly the single-space join of __toks.
+    clean = F.col("__cps").isNull()
     return (
         toked.join(cov, id_col, "left")
         .select(
             F.col(id_col),
             F.col("__toks"),
-            kept.alias("__keep"),
+            F.col("__cps"),
+            F.when(clean, F.sequence(F.lit(1), F.size("__toks")))
+            .otherwise(kept)
+            .alias("__keep"),
         )
         .select(
             F.col(id_col),
-            F.array_join(
-                F.transform(
-                    F.col("__keep"), lambda p: F.element_at(F.col("__toks"), p)
-                ),
-                " ",
-            ).alias("text"),
+            F.when(clean, F.array_join(F.col("__toks"), " "))
+            .otherwise(
+                F.array_join(
+                    F.transform(
+                        F.col("__keep"),
+                        lambda p: F.element_at(F.col("__toks"), p),
+                    ),
+                    " ",
+                )
+            )
+            .alias("text"),
             F.size("__keep").cast("long").alias("n_tokens_kept"),
             (F.size("__toks") - F.size("__keep"))
             .cast("long")
@@ -1401,26 +1442,28 @@ def simhash_pairs(
                 ).alias("dropped_docs"),
             )
         buckets = buckets.filter(F.size("ms") <= max_bucket)
-    ms = F.col("ms")
-    pairs = F.flatten(
-        F.transform(
-            ms,
-            lambda x, i: F.transform(
-                F.slice(ms, i + 2, F.greatest(F.size(ms) - i - 1, F.lit(0))),
-                lambda y: F.struct(
-                    x["id"].alias("id_a"),
-                    y["id"].alias("id_b"),
-                    F.bit_count(x["sh"].bitwiseXOR(y["sh"])).alias("hamming"),
-                ),
-            ),
-        )
-    )
+    # same double-Generate expansion as lsh_candidate_pairs (see the
+    # comment there): posexplode + explode(tail slice) streams the
+    # pairs through codegen; the hamming distance moves to a top-level
+    # projection over the two struct refs — identical pair set/values
     return (
-        buckets.select(F.explode(pairs).alias("p"))
+        buckets.select(F.col("ms"), F.posexplode("ms").alias("__i", "__x"))
         .select(
-            F.col("p.id_a").alias("id_a"),
-            F.col("p.id_b").alias("id_b"),
-            F.col("p.hamming").alias("hamming"),
+            F.col("__x"),
+            F.explode(
+                F.slice(
+                    F.col("ms"),
+                    F.col("__i") + 2,
+                    F.greatest(F.size("ms") - F.col("__i") - 1, F.lit(0)),
+                )
+            ).alias("__y"),
+        )
+        .select(
+            F.col("__x")["id"].alias("id_a"),
+            F.col("__y")["id"].alias("id_b"),
+            F.bit_count(
+                F.col("__x")["sh"].bitwiseXOR(F.col("__y")["sh"])
+            ).alias("hamming"),
         )
         .filter(F.col("hamming") <= max_hamming)
         .distinct()

@@ -262,6 +262,17 @@ def with_importance_weight(
     # of up to n_buckets keys per lookup in Spark — measured 1.8x slower
     # end-to-end at sf0.1. Densifying costs one O(B^2) pass on a single
     # 8k-entry row at broadcast time — microseconds, paid once.
+    #
+    # The array stores each ratio as a LONG count of 10^-RATIO_SCALE
+    # units ("micros"): r is DECIMAL(18,6), so r * 10^6 is an exact
+    # integer, the per-doc fold is plain long addition (the aggregate
+    # lambda runs INTERPRETED per gram — a long add is several times
+    # cheaper per step than the decimal add + overflow-checked cast it
+    # replaces, guide §1.2), and the exact decimal value is recovered
+    # ONCE per doc by an exact decimal division before the final double
+    # cast — bit-identical weights by construction. Long overflow needs
+    # |sum| >= 2^63 micros ~ 9.2e12 in ratio units, far beyond any doc
+    # (the old DECIMAL(18,6) accumulator overflowed at 1e12 first).
     ratio_arr = ratios.agg(
         F.map_from_entries(
             F.collect_list(F.struct(F.col("bucket"), F.col("r")))
@@ -270,26 +281,29 @@ def with_importance_weight(
     ).select(
         F.transform(
             F.sequence(F.lit(0), F.lit(n_buckets - 1)),
-            lambda i: F.coalesce(
-                F.col("__m")[i.cast("long")],
-                F.col("__rd"),
-                F.lit(0).cast(f"decimal(18,{RATIO_SCALE})"),
-            ),
+            lambda i: (
+                F.coalesce(
+                    F.col("__m")[i.cast("long")],
+                    F.col("__rd"),
+                    F.lit(0).cast(f"decimal(18,{RATIO_SCALE})"),
+                )
+                * F.lit(10 ** RATIO_SCALE)
+            ).cast("long"),
         ).alias("__arr")
     )
-    zero = F.lit(0).cast(f"decimal(18,{RATIO_SCALE})")
     if buckets is None:
         buckets = hashed_buckets(F.col(text_col), n_buckets, hash_fn)
     fold = F.aggregate(
         buckets,
-        zero,
-        lambda acc, b: (
-            acc + F.element_at(F.col("__arr"), (b + 1).cast("int"))
-        ).cast(f"decimal(18,{RATIO_SCALE})"),
+        F.lit(0).cast("long"),
+        lambda acc, b: acc + F.element_at(F.col("__arr"), (b + 1).cast("int")),
     )
+    weight = (
+        fold.cast("decimal(26,0)") / F.lit(10 ** RATIO_SCALE)
+    ).cast("double")
     return (
         df.crossJoin(F.broadcast(ratio_arr))
-        .withColumn(weight_col, F.coalesce(fold.cast("double"), F.lit(0.0)))
+        .withColumn(weight_col, F.coalesce(weight, F.lit(0.0)))
         .drop("__arr")
     )
 
@@ -397,27 +411,32 @@ def lm_cross_entropy(
     ).select(
         F.transform(
             F.sequence(F.lit(0), F.lit(n_buckets - 1)),
-            lambda i: F.coalesce(
-                F.col("m")[i.cast("long")],
-                F.col("lpd"),
-                F.lit(0).cast(f"decimal(18,{RATIO_SCALE})"),
-            ),
+            lambda i: (
+                F.coalesce(
+                    F.col("m")[i.cast("long")],
+                    F.col("lpd"),
+                    F.lit(0).cast(f"decimal(18,{RATIO_SCALE})"),
+                )
+                * F.lit(10 ** RATIO_SCALE)
+            ).cast("long"),
         ).alias("__lparr")
     )
-    zero = F.lit(0).cast(f"decimal(18,{RATIO_SCALE})")
+    # long-micros fold + one exact decimal division per doc — same
+    # bit-identical-by-construction shape as with_importance_weight
     buckets = hashed_buckets(F.col(text_col), n_buckets, hash_fn)
-    s = F.aggregate(
+    s_micro = F.aggregate(
         buckets,
-        zero,
-        lambda acc, bk: (
-            acc + F.element_at(F.col("__lparr"), (bk + 1).cast("int"))
-        ).cast(f"decimal(18,{RATIO_SCALE})"),
+        F.lit(0).cast("long"),
+        lambda acc, bk: acc + F.element_at(F.col("__lparr"), (bk + 1).cast("int")),
     )
+    s = (
+        s_micro.cast("decimal(26,0)") / F.lit(10 ** RATIO_SCALE)
+    ).cast("double")
     n = F.size(buckets)
     return df.crossJoin(F.broadcast(lp_arr)).select(
         F.col(id_col),
         F.round(
-            F.when(n > 0, -s.cast("double") / n).otherwise(0.0), 6
+            F.when(n > 0, -s / n).otherwise(0.0), 6
         ).alias("h"),
     )
 

@@ -186,14 +186,25 @@ def edit_distance_pairs(
     )
     if max_bucket is not None:
         buckets = buckets.filter(F.size("ts") <= max_bucket)
-    ts = F.col("ts")
-    tpairs = F.flatten(
-        F.transform(
-            ts,
-            lambda x, i: F.transform(
-                F.slice(ts, i + 2, F.greatest(F.size(ts) - i - 1, F.lit(0))),
-                lambda y: F.struct(x.alias("t_a"), y.alias("t_b")),
-            ),
+    # Pair expansion as TWO codegen'd Generate operators (posexplode of
+    # the bucket + explode of each element's tail slice) instead of one
+    # interpreted nested-``transform`` that materialized every bucket's
+    # full pair array before exploding it: higher-order lambdas run
+    # interpreted per element (guide §1.2), and the array-of-structs
+    # intermediate was pure allocation — same pair set (x at 0-based
+    # position i pairs with every later element, exactly the old
+    # slice(i+2..) window), streamed row-at-a-time through codegen.
+    cand = (
+        buckets.select(F.col("ts"), F.posexplode("ts").alias("__i", "t_a"))
+        .select(
+            "t_a",
+            F.explode(
+                F.slice(
+                    F.col("ts"),
+                    F.col("__i") + 2,
+                    F.greatest(F.size("ts") - F.col("__i") - 1, F.lit(0)),
+                )
+            ).alias("t_b"),
         )
     )
     # verify BEFORE dedup: a pair appears once per distinct shared
@@ -202,8 +213,7 @@ def edit_distance_pairs(
     # post-verify distinct does (262.5k survive the distance bound);
     # the few duplicate levenshtein calls are O(d*len) early-exit each
     cand = (
-        buckets.select(F.explode(tpairs).alias("p"))
-        .select(F.col("p.t_a").alias("t_a"), F.col("p.t_b").alias("t_b"))
+        cand
         .withColumn("dist", F.expr(f"levenshtein(t_a, t_b, {int(max_dist)})"))
         .filter(F.col("dist") >= 0)
         .distinct()
@@ -226,22 +236,25 @@ def edit_distance_pairs(
             "dist",
         )
     )
-    # intra-group pairs: identical strings, distance 0 by identity
-    ids = F.col("__ids")
-    ipairs = F.flatten(
-        F.transform(
-            ids,
-            lambda x, i: F.transform(
-                F.slice(ids, i + 2, F.greatest(F.size(ids) - i - 1, F.lit(0))),
-                lambda y: F.struct(x.alias("id_a"), y.alias("id_b")),
-            ),
-        )
-    )
+    # intra-group pairs: identical strings, distance 0 by identity —
+    # same double-Generate expansion as the candidate stage above (on a
+    # heavily-duplicated corpus these pairs DOMINATE the output: the
+    # 10x-duplicated sf1 table's ~27M pairs are mostly intra-group, so
+    # the interpreted array-of-structs shape was hottest exactly here)
     intra = (
         groups.filter(F.size("__ids") >= 2)
-        .select(F.explode(ipairs).alias("p"))
-        .select(F.col("p.id_a").alias("id_a"), F.col("p.id_b").alias("id_b"),
-                F.lit(0).cast("int").alias("dist"))
+        .select(F.col("__ids"), F.posexplode("__ids").alias("__i", "id_a"))
+        .select(
+            "id_a",
+            F.explode(
+                F.slice(
+                    F.col("__ids"),
+                    F.col("__i") + 2,
+                    F.greatest(F.size("__ids") - F.col("__i") - 1, F.lit(0)),
+                )
+            ).alias("id_b"),
+        )
+        .select("id_a", "id_b", F.lit(0).cast("int").alias("dist"))
     )
     return cross.unionByName(intra)
 
