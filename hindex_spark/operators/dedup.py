@@ -965,23 +965,73 @@ def doc_lines(
     )
 
 
-def _line_arrays(
-    df: DataFrame, id_col: str, text_col: str, words_per_line: int = 10
+def _reassemble_lines(
+    df: DataFrame, dropped: DataFrame, id_col: str, text_col: str,
+    words_per_line: int = 10,
 ) -> DataFrame:
-    """(id, __lines: array<string>) — the same fixed word-window lines
-    as ``doc_lines`` kept as ONE array row per doc (no explode, no
-    shuffle): the narrow reassembly input for the line-dedup operators,
-    the ``doc_unit_arrays`` analog at line granularity."""
+    """(id, text, __nk, __nl) — each doc rebuilt from its surviving
+    fixed word-window lines, given ``dropped`` = (id, ``__dl``: dropped
+    line_nos) holding ONLY affected docs. The shared reassembly tail of
+    ``dedup_lines`` / ``trim_repeated_lines``.
+
+    Fast path: docs absent from ``dropped`` (the typical case) rebuild
+    as a native ``array_join(__toks)`` — the w-token lines joined by a
+    space ARE the single-space token join — and never materialize the
+    per-doc line array or run the interpreted per-line gather at all
+    (the line array and kept-index columns are staged behind
+    ``__dl IS NULL`` CASE guards, which evaluate lazily per row). The
+    line count ``__nl`` comes from arithmetic over size(__toks), so no
+    branch needs the array for sizing. Affected docs build the line
+    array once (staged as a real column — referenced from the gather
+    lambda, where an inline expression would re-evaluate per element)
+    and gather exactly as before."""
     w = words_per_line
     toked = df.filter(F.col(text_col).isNotNull()).select(
         F.col(id_col), tokens(F.col(text_col)).alias("__toks")
     )
-    n_lines = F.floor((F.size("__toks") - F.lit(1)) / F.lit(w)).cast("int") + F.lit(1)
+    n_lines = (
+        F.floor((F.size("__toks") - F.lit(1)) / F.lit(w)).cast("int") + F.lit(1)
+    )
+    clean = F.col("__dl").isNull()
     lines = F.transform(
-        F.sequence(F.lit(0), n_lines - F.lit(1)),
+        F.sequence(F.lit(0), F.col("__nl") - F.lit(1)),
         lambda i: F.concat_ws(" ", F.slice(F.col("__toks"), i * w + 1, w)),
     )
-    return toked.select(F.col(id_col), lines.alias("__lines"))
+    kept_idx = F.array_except(
+        F.sequence(F.lit(0), F.col("__nl") - 1), F.col("__dl")
+    )
+    staged = (
+        toked.join(dropped, id_col, "left")
+        .select(F.col(id_col), F.col("__toks"), F.col("__dl"),
+                n_lines.alias("__nl"))
+        .select(
+            F.col(id_col),
+            F.col("__toks"),
+            F.col("__nl"),
+            F.when(~clean, kept_idx).alias("__ki"),
+            F.when(~clean, lines).alias("__lines"),
+        )
+    )
+    fast = F.col("__ki").isNull()
+    return staged.select(
+        F.col(id_col),
+        F.when(fast, F.array_join(F.col("__toks"), " "))
+        .otherwise(
+            F.array_join(
+                F.transform(
+                    F.col("__ki"),
+                    lambda i: F.element_at(F.col("__lines"), i + 1),
+                ),
+                " ",
+            )
+        )
+        .alias("text"),
+        F.when(fast, F.col("__nl"))
+        .otherwise(F.size("__ki"))
+        .cast("long")
+        .alias("__nk"),
+        F.col("__nl").cast("long").alias("__nl"),
+    )
 
 
 def dedup_lines(
@@ -1016,25 +1066,14 @@ def dedup_lines(
         .groupBy(id_col)
         .agg(F.collect_set("line_no").alias("__dl"))
     )
-    kept_idx = F.array_except(
-        F.sequence(F.lit(0), F.size("__lines") - 1),
-        F.coalesce(F.col("__dl"), F.array().cast("array<int>")),
-    )
     return (
-        _line_arrays(df, id_col, text_col, words_per_line)
-        .join(dropped, id_col, "left")
-        .select(F.col(id_col), F.col("__lines"), kept_idx.alias("__ki"))
+        _reassemble_lines(df, dropped, id_col, text_col, words_per_line)
         # docs whose every line occurred earlier elsewhere vanish
-        .filter(F.size("__ki") > 0)
+        .filter(F.col("__nk") > 0)
         .select(
             F.col(id_col),
-            F.array_join(
-                F.transform(
-                    F.col("__ki"), lambda i: F.element_at(F.col("__lines"), i + 1)
-                ),
-                " ",
-            ).alias("text"),
-            F.size("__ki").cast("long").alias("n_lines_kept"),
+            F.col("text"),
+            F.col("__nk").alias("n_lines_kept"),
         )
     )
 
@@ -1214,26 +1253,13 @@ def trim_repeated_lines(
         .groupBy(id_col)
         .agg(F.collect_set("line_no").alias("__dl"))
     )
-    kept_idx = F.array_except(
-        F.sequence(F.lit(0), F.size("__lines") - 1),
-        F.coalesce(F.col("__dl"), F.array().cast("array<int>")),
-    )
     return (
-        _line_arrays(df, id_col, text_col, words_per_line)
-        .join(dropped, id_col, "left")
-        .select(F.col(id_col), F.col("__lines"), kept_idx.alias("__ki"))
+        _reassemble_lines(df, dropped, id_col, text_col, words_per_line)
         .select(
             F.col(id_col),
-            F.array_join(
-                F.transform(
-                    F.col("__ki"), lambda i: F.element_at(F.col("__lines"), i + 1)
-                ),
-                " ",
-            ).alias("text"),
-            F.size("__ki").cast("long").alias("n_lines_kept"),
-            (F.size("__lines") - F.size("__ki"))
-            .cast("long")
-            .alias("n_lines_dropped"),
+            F.col("text"),
+            F.col("__nk").alias("n_lines_kept"),
+            (F.col("__nl") - F.col("__nk")).alias("n_lines_dropped"),
         )
     )
 

@@ -68,7 +68,12 @@ def stopword_ratio(col: Column) -> Column:
 
 def mean_token_len(col: Column) -> Column:
     toks = tokens(col)
-    total = F.aggregate(toks, F.lit(0), lambda acc, x: acc + F.length(x))
+    # sum of token lengths == length of the separator-less join — ONE
+    # native expression instead of an aggregate lambda that evaluates
+    # interpreted per token (guide §1.2); identical value (elements are
+    # non-null, so array_join drops nothing), identical NULL/empty
+    # behavior (null text -> null either way, empty array -> 0)
+    total = F.length(F.array_join(toks, ""))
     return total / F.greatest(F.size(toks), F.lit(1))
 
 
@@ -204,20 +209,28 @@ def top_ngrams(
     TakeOrderedAndProject — never a full sort of the vocabulary)."""
     if n < 1 or k < 1:
         raise ValueError(f"n and k must be >= 1 (got n={n}, k={k})")
-    toks = tokens(F.col(text_col))
     # guard short docs: sequence(1, 0) steps BACKWARDS in Spark, so an
-    # under-n token list must short-circuit to an empty gram array
-    grams = F.when(
-        F.size(toks) < n, F.array().cast("array<string>")
-    ).otherwise(
-        F.transform(
-            F.sequence(F.lit(1), F.size(toks) - (n - 1)),
-            lambda i: F.concat_ws(" ", F.slice(toks, i, n)),
-        )
+    # under-n token list must short-circuit to an empty position array.
+    # Gram strings are assembled by a top-level slice/concat_ws AFTER
+    # the position explode (Generate + Project fuse in codegen) instead
+    # of a transform lambda that ran interpreted per position and
+    # materialized each doc's full gram array first — the same rewrite
+    # as remove_duplicate_spans' k-gram builder. __toks is materialized
+    # before the explode so tokenization runs once per doc, not once
+    # per gram.
+    toked = df.filter(F.col(text_col).isNotNull()).select(
+        tokens(F.col(text_col)).alias("__toks")
     )
+    positions = F.when(
+        F.size("__toks") < n, F.array().cast("array<int>")
+    ).otherwise(F.sequence(F.lit(1), F.size("__toks") - (n - 1)))
     return (
-        df.filter(F.col(text_col).isNotNull())
-        .select(F.explode(grams).alias("gram"))
+        toked.select(F.col("__toks"), F.explode(positions).alias("__p"))
+        .select(
+            F.concat_ws(
+                " ", F.slice(F.col("__toks"), F.col("__p"), n)
+            ).alias("gram")
+        )
         .groupBy("gram")
         .agg(F.count("*").alias("cnt"))
         .orderBy(F.col("cnt").desc(), F.col("gram"))
