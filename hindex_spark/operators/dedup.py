@@ -950,7 +950,10 @@ def doc_lines(
     # place, where the lambda ran interpreted per line and materialized
     # every doc's full line array first (same rewrite as the k-gram
     # builder in remove_duplicate_spans; line_no = the 0-based sequence
-    # value, exactly posexplode's index)
+    # value, exactly posexplode's index — equal BECAUSE tokens() of
+    # non-null text is always non-empty (split of the trimmed string
+    # yields >= 1 element), so n_lines >= 1 and sequence(0, n_lines-1)
+    # never descends)
     n_lines = F.floor((F.size("__toks") - F.lit(1)) / F.lit(w)).cast("int") + F.lit(1)
     return toked.select(
         F.col(id_col),
@@ -1201,9 +1204,12 @@ def remove_duplicate_spans(
             F.col(id_col),
             F.col("__toks"),
             F.col("__cps"),
-            F.when(clean, F.sequence(F.lit(1), F.size("__toks")))
-            .otherwise(kept)
-            .alias("__keep"),
+            # DIRTY docs only: clean docs never materialize a position
+            # array at all — their kept count IS size(__toks), so the
+            # counts below branch on __cps instead of sizing a per-doc
+            # sequence(1, n) allocated just to be counted (matching
+            # _reassemble_lines' __nk count projection).
+            F.when(~clean, kept).alias("__keep"),
         )
         .select(
             F.col(id_col),
@@ -1218,8 +1224,12 @@ def remove_duplicate_spans(
                 )
             )
             .alias("text"),
-            F.size("__keep").cast("long").alias("n_tokens_kept"),
-            (F.size("__toks") - F.size("__keep"))
+            F.when(clean, F.size("__toks"))
+            .otherwise(F.size("__keep"))
+            .cast("long")
+            .alias("n_tokens_kept"),
+            F.when(clean, F.lit(0))
+            .otherwise(F.size("__toks") - F.size("__keep"))
             .cast("long")
             .alias("n_tokens_removed"),
         )

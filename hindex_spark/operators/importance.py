@@ -273,6 +273,12 @@ def with_importance_weight(
     # cast — bit-identical weights by construction. Long overflow needs
     # |sum| >= 2^63 micros ~ 9.2e12 in ratio units, far beyond any doc
     # (the old DECIMAL(18,6) accumulator overflowed at 1e12 first).
+    # FAILURE-MODE note: the decimal accumulator overflowed to NULL
+    # (weight coalesced to 0.0, visible); a long accumulator under
+    # non-ANSI mode WRAPS silently instead. Reaching it needs a doc
+    # whose n_grams x max|r| exceeds 9.2e12 ratio-units (e.g. 10^12
+    # grams at |r| <= 9) — revisit with a per-doc cap if doc sizes or
+    # ratio magnitudes could ever approach that.
     ratio_arr = ratios.agg(
         F.map_from_entries(
             F.collect_list(F.struct(F.col("bucket"), F.col("r")))

@@ -197,6 +197,155 @@ def _bucket_col(df: DataFrame, col: str, bits: int, quantize: str) -> F.Column:
     )
 
 
+def _murmur3_hash_long(value: int, seed: int = 42) -> int:
+    """Spark's ``Murmur3Hash`` of one LongType column (Murmur3_x86_32
+    ``hashLong``, seed 42) — the exact function behind
+    ``repartition(n, col)``'s HashPartitioning, reproduced driver-side
+    so ``_hash_partition_reps`` can pick representative values that
+    route bin i to partition i. Pinned against ``F.hash`` by
+    tests/test_layout.py::test_murmur3_long_matches_spark_hash."""
+    m = 0xFFFFFFFF
+
+    def rotl(x: int, r: int) -> int:
+        return ((x << r) | (x >> (32 - r))) & m
+
+    def mixk1(k1: int) -> int:
+        k1 = (k1 * 0xCC9E2D51) & m
+        k1 = rotl(k1, 15)
+        return (k1 * 0x1B873593) & m
+
+    def mixh1(h1: int, k1: int) -> int:
+        h1 = (h1 ^ k1) & m
+        h1 = rotl(h1, 13)
+        return (h1 * 5 + 0xE6546B64) & m
+
+    v = value & 0xFFFFFFFFFFFFFFFF
+    h1 = mixh1(seed & m, mixk1(v & m))
+    h1 = mixh1(h1, mixk1((v >> 32) & m))
+    h1 ^= 8  # fmix(h1, len=8 bytes)
+    h1 ^= h1 >> 16
+    h1 = (h1 * 0x85EBCA6B) & m
+    h1 ^= h1 >> 13
+    h1 = (h1 * 0xC2B2AE35) & m
+    h1 ^= h1 >> 16
+    return h1 - (1 << 32) if h1 >= (1 << 31) else h1
+
+
+def _hash_partition_reps(n: int) -> List[int]:
+    """``reps[i]`` = smallest non-negative long whose Spark hash lands
+    in partition ``i`` of ``n`` — the identity-routing table that lets
+    a plain hash exchange place Morton bin i in partition i (python %
+    on a positive modulus is already Spark's pmod)."""
+    found: dict = {}
+    v = 0
+    while len(found) < n:
+        p = _murmur3_hash_long(v) % n
+        if p not in found:
+            found[p] = v
+        v += 1
+    return [found[i] for i in range(n)]
+
+
+def _sample_views(df: DataFrame, cols: Sequence[str]):
+    """The quantize stats sample as one bounded driver-side matrix:
+    the same deterministic ``xxhash64 % mod == 0`` row sample the
+    approxQuantile pass used (never ``rand()`` — task-retry hazard,
+    guide §2.5 / SPARK-38388), but COLLECTED (<= ~2x
+    QUANTILE_SAMPLE_ROWS rows x ndims doubles, a few MB at worst) so
+    per-dimension cuts AND Morton-key partition bounds both come out of
+    ONE job — where the old shape paid approxQuantile here and then a
+    second full execution of the keyed projection inside
+    ``repartitionByRange``'s range-sampling job. Returns a list of
+    per-dimension float lists (None for null)."""
+    views = [_numeric_view(df, c).alias(f"__q{i}")
+             for i, c in enumerate(cols)]
+    proj = df.select(*views)
+    from hindex_spark.operators.similarity import _estimate_rows
+
+    est = _estimate_rows(df)
+    if est > QUANTILE_SAMPLE_ROWS:
+        mod = max(1, est // QUANTILE_SAMPLE_ROWS)
+        proj = proj.filter(
+            F.pmod(
+                F.xxhash64(*[f"__q{i}" for i in range(len(cols))]),
+                F.lit(mod),
+            )
+            == 0
+        )
+    rows = proj.collect()
+    return [[r[i] for r in rows] for i in range(len(cols))]
+
+
+def _sample_quantile_cuts(vals, bits: int) -> List[float]:
+    """Strictly-increasing equi-depth cuts of one dimension's sample —
+    nearest-rank ('lower') quantiles at i/2^bits, i.e. the same
+    bucket(v) = #{cuts <= v} contract ``approxQuantile`` fed before.
+    Nulls carry no rank signal and are dropped (they land in bucket 0
+    via the CASE tree's fall-through, as before)."""
+    xs = sorted(v for v in vals if v is not None)
+    if not xs:
+        return []
+    n = 1 << bits
+    cuts: List[float] = []
+    m = len(xs)
+    for i in range(1, n):
+        # nearest-rank: the ceil(i*m/n)-th smallest (1-based)
+        c = float(xs[(i * m - 1) // n])
+        if not cuts or c > cuts[-1]:
+            cuts.append(c)
+    return cuts
+
+
+def _sample_zkey_bounds(sample, all_stats, bits: int,
+                        n_parts: int) -> List[int]:
+    """Equi-depth Morton-key partition bounds from the SAME sample the
+    cuts came from: quantize each sample row with the exact bucket rule
+    the SQL tree applies (#{cuts <= v}, null -> 0), interleave
+    driver-side, and take nearest-rank quantiles at i/n_parts. Strictly
+    increasing (duplicates merge — skewed keys then share a partition,
+    exactly the range partitioner's behavior)."""
+    from bisect import bisect_right
+
+    if n_parts <= 1 or not sample or not sample[0]:
+        return []
+    nd = len(sample)
+    zkeys = []
+    for j in range(len(sample[0])):
+        z = 0
+        for d in range(nd):
+            v = sample[d][j]
+            b = 0 if v is None or not all_stats[d] else bisect_right(
+                all_stats[d], v
+            )
+            for i in range(bits):
+                z |= ((b >> i) & 1) << (i * nd + d)
+        zkeys.append(z)
+    zkeys.sort()
+    m = len(zkeys)
+    bounds: List[int] = []
+    for i in range(1, n_parts):
+        c = zkeys[(i * m - 1) // n_parts]
+        if not bounds or c > bounds[-1]:
+            bounds.append(c)
+    return bounds
+
+
+def _int_searchsorted_sql(v_sql: str, bounds: List[int]) -> str:
+    """Balanced CASE tree computing #{bounds <= v} over INT bounds —
+    ``_bucket_sql``'s tree with integer literals (the Morton key can
+    exceed 2^53, so float literals would mis-compare)."""
+    def tree(lo: int, hi: int) -> str:
+        if lo == hi:
+            return f"CAST({lo} AS INT)"
+        mid = (lo + hi) // 2
+        return (
+            f"(CASE WHEN {v_sql} >= {int(bounds[mid])}L "
+            f"THEN {tree(mid + 1, hi)} ELSE {tree(lo, mid)} END)"
+        )
+
+    return tree(0, len(bounds))
+
+
 def _validate(cols: Sequence[str], bits: int) -> None:
     if not cols:
         raise ValueError("zorder_key needs at least one column")
@@ -258,9 +407,32 @@ def zorder_frame(
 
     The per-dimension bucket expressions are staged as real columns
     BEFORE the interleave, so each quantize search tree appears once
-    in the plan however many bits ride on it."""
+    in the plan however many bits ride on it.
+
+    Quantile mode (the default) runs the WHOLE layout as one bounded
+    stats job + one hash exchange: the deterministic row sample is
+    collected once and yields both the per-dimension cuts and the
+    Morton-key partition bounds driver-side, each row's partition is
+    ``#{bounds <= zkey}`` remapped through a hash-representative value
+    that routes bin i to partition i — so partitions cover contiguous,
+    globally ordered Morton ranges exactly like ``repartitionByRange``,
+    WITHOUT the range partitioner's sampling pass (which re-executed
+    the keyed projection — scan, quantize trees, interleave — over the
+    full table a second time; at 100 TB that second pass is a full
+    corpus read). Linear mode keeps the range exchange (its stats pass
+    has no sample to reuse)."""
     _validate(cols, bits)
-    all_stats = _quantize_stats(df, cols, bits, quantize)
+    sample = None
+    if quantize == "quantile":
+        if bits > MAX_QUANTILE_BITS:
+            raise ValueError(
+                f"quantile mode supports bits <= {MAX_QUANTILE_BITS} "
+                f"(got {bits}); use quantize='linear' for finer grids"
+            )
+        sample = _sample_views(df, cols)
+        all_stats = [_sample_quantile_cuts(v, bits) for v in sample]
+    else:
+        all_stats = _quantize_stats(df, cols, bits, quantize)
     # stage the numeric views as real columns first, so each quantize
     # tree's hundreds of CASE nodes reference a 6-char attribute (and
     # the view conversion runs once per row, not once per node)
@@ -281,7 +453,33 @@ def zorder_frame(
         "__zkey", _interleave([F.col(n) for n in names], bits)
     )
     names += [f"__zv{i}" for i in range(len(cols))]
-    if num_partitions is not None:
+    if sample is not None:
+        if num_partitions is not None:
+            n_parts = int(num_partitions)
+        else:
+            try:
+                n_parts = int(
+                    df.sparkSession.conf.get("spark.sql.shuffle.partitions")
+                )
+            except (TypeError, ValueError):
+                n_parts = df.sparkSession.sparkContext.defaultParallelism
+        bounds = _sample_zkey_bounds(sample, all_stats, bits, n_parts)
+        if n_parts > 1 and bounds:
+            reps = _hash_partition_reps(n_parts)
+            keyed = keyed.withColumn(
+                "__zpid", F.expr(_int_searchsorted_sql("`__zkey`", bounds))
+            ).withColumn(
+                "__zrep",
+                F.element_at(
+                    F.array(*[F.lit(r).cast("long") for r in reps]),
+                    F.col("__zpid") + 1,
+                ),
+            )
+            keyed = keyed.repartition(n_parts, "__zrep")
+            names += ["__zpid", "__zrep"]
+        else:
+            keyed = keyed.repartition(1)
+    elif num_partitions is not None:
         keyed = keyed.repartitionByRange(num_partitions, "__zkey")
     else:
         keyed = keyed.repartitionByRange("__zkey")

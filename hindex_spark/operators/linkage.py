@@ -175,7 +175,14 @@ def edit_distance_pairs(
     # collision only MERGES two buckets, which can add candidate pairs
     # but never lose one (every true pair still shares its genuine
     # variant's bucket); added pairs are killed by the exact
-    # levenshtein verify, so the result is identical.
+    # levenshtein verify, so the result is identical. CAVEAT (capped
+    # path only): with ``max_bucket`` set, a collision-MERGED bucket is
+    # sized (and possibly dropped) as one unit, so a pair the unhashed
+    # key would have kept can be lost if every one of its variants'
+    # buckets collides into an over-cap merge — probability ~|variants|
+    # * |buckets| / 2^64 per variant, astronomically small, and the
+    # capped path is already lossy by design; the UNCAPPED default
+    # stays exact unconditionally.
     rows = _variant_rows(reps, "__t", "__t", max_dist).select(
         F.xxhash64("variant").alias("__vk"), "__t"
     )
@@ -278,7 +285,12 @@ def edit_distance_join(
     # variant-keyed shuffle carries xxhash64(variant), not the string —
     # same rationale and result-identity argument as edit_distance_pairs
     # (a collision merges buckets, never loses a pair; extras die in the
-    # exact levenshtein verify)
+    # exact levenshtein verify). Same CAVEAT as edit_distance_pairs when
+    # ``max_bucket`` is set: the left x right product is counted per
+    # HASHED key, so a collision-merged key is capped as one unit and
+    # can drop pairs the unhashed key would keep — vanishingly unlikely
+    # (64-bit keys) and the capped path is lossy by design; uncapped
+    # (the default) the result stays exact unconditionally.
     lv = _variant_rows(left, left_id, left_text, max_dist).select(
         F.col(left_id).alias("id_a"), F.xxhash64("variant").alias("variant")
     )

@@ -75,3 +75,53 @@ def test_zorder_constant_and_null_columns(spark):
     ).select("x", F.col("y").cast("long").alias("y"))
     # constant/null dimensions quantize to bucket 0 instead of failing
     assert zorder_frame(df, ["x", "y"], num_partitions=1).count() == 3
+
+
+def test_murmur3_long_matches_spark_hash(spark):
+    # _hash_partition_reps' identity routing relies on reproducing
+    # Spark's Murmur3 long hash exactly — pin the emulation to F.hash
+    from hindex_spark.operators.layout import _murmur3_hash_long
+
+    vals = list(range(40)) + [2**40 + 7, -5, 123456789012345, -(2**62)]
+    rows = (
+        spark.createDataFrame([(v,) for v in vals], "v long")
+        .select("v", F.hash("v").alias("h"))
+        .collect()
+    )
+    for r in rows:
+        assert _murmur3_hash_long(r["v"]) == r["h"], r["v"]
+
+
+def test_zorder_partitions_cover_disjoint_ordered_ranges(spark, tmp_path):
+    # quantile mode's hash-representative exchange must place Morton
+    # bin i in partition i: every output file then covers a contiguous
+    # zkey range disjoint from (and ordered against) every other file —
+    # the repartitionByRange guarantee, without its sampling pass
+    from hindex_spark.operators.layout import (
+        _hash_partition_reps,
+        _murmur3_hash_long,
+    )
+
+    n = 16
+    reps = _hash_partition_reps(n)
+    assert len(set(reps)) == n
+    for i, v in enumerate(reps):
+        assert _murmur3_hash_long(v) % n == i
+
+    # one dimension: the Morton key IS the bucket id, monotone in k
+    # whatever the cuts are — so identity routing implies per-file
+    # [min(k), max(k)] spans that are strictly disjoint and ordered
+    rows = [(i, (i * 37) % 1000) for i in range(4000)]
+    df = spark.createDataFrame(rows, "id long, k long")
+    out = str(tmp_path / "zr")
+    zorder_frame(df, ["k"], num_partitions=n).write.parquet(out)
+    back = spark.read.parquet(out)
+    per_file = (
+        back.groupBy(F.input_file_name().alias("f"))
+        .agg(F.min("k").alias("lo"), F.max("k").alias("hi"))
+        .collect()
+    )
+    spans = sorted((r["lo"], r["hi"]) for r in per_file)
+    assert len(spans) >= 4
+    for (_lo1, hi1), (lo2, _hi2) in zip(spans, spans[1:]):
+        assert hi1 < lo2, spans
