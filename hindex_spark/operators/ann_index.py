@@ -286,10 +286,39 @@ class AnnIndex:
             self._tombstone_path(),
         )
 
+    def _centroid_fingerprint(self):
+        """Driver-side stat fingerprint of the centroid directory —
+        invalidates the LocalRelation cache whenever ANY process
+        rewrites the centroids (build/retrain overwrite the parquet),
+        so the cache can never serve stale centroids cross-process."""
+        p = self._centroid_path()
+        return tuple(
+            (n, s.st_mtime_ns, s.st_size)
+            for n in sorted(os.listdir(p))
+            for s in (os.stat(os.path.join(p, n)),)
+        )
+
     @property
     def centroids(self) -> DataFrame:
-        """The persisted (cluster, centroid) table — n_clusters rows."""
-        return self.catalog.spark.read.parquet(self._centroid_path())
+        """The persisted (cluster, centroid) table — n_clusters rows,
+        served as a cached LocalRelation: collected ONCE per store
+        generation (bounded by construction — ivf_build already
+        iterates the centroid set driver-side) and re-used by every
+        probe, so a query batch pays zero centroid scan jobs instead of
+        two parquet reads + broadcast builds per call. Keyed on the
+        centroid files' stat fingerprint, never on in-memory state, so
+        a retrain in ANY process invalidates it."""
+        try:
+            fp = self._centroid_fingerprint()
+        except OSError:
+            return self.catalog.spark.read.parquet(self._centroid_path())
+        cached = getattr(self, "_cent_cache", None)
+        if cached is not None and cached[0] == fp:
+            return cached[1]
+        df = self.catalog.spark.read.parquet(self._centroid_path())
+        local = self.catalog.spark.createDataFrame(df.collect(), df.schema)
+        self._cent_cache = (fp, local)
+        return local
 
     def _reload_meta(self) -> None:
         """Re-read the persisted meta (cur_gen, num_buckets) — MUST run
@@ -534,12 +563,18 @@ class AnnIndex:
         ``n_clusters`` however many queries there are, so collecting it
         is always driver-material: the ONE bounded collect a query
         batch pays, feeding the scan's ``cluster IN (...)`` bucket
-        pruning. One queries-sized job, no index access."""
-        rows = (
+        pruning. One queries-sized job, no index access. The dedup is a
+        global ``collect_set`` aggregate, not ``distinct()``: partial
+        aggregation still bounds the exchange to <= n_clusters ids per
+        map task, but the final stage is ONE task instead of a full
+        shuffle-partition wave (the probe frame is KB-sized, where AQE's
+        parallelism-first coalescing keeps the wave wide — measured in
+        round 12's config experiment)."""
+        row = (
             self._probe_frame(queries, nprobe, q_id_col, q_vec_col)
-            .select("cluster").distinct().collect()
+            .agg(F.collect_set("cluster").alias("cs")).first()
         )
-        return sorted(r["cluster"] for r in rows)
+        return sorted(row["cs"] or [])
 
     def topk(self, queries: DataFrame, k: int, nprobe: int = 2,
              q_id_col: str = "q_id", q_vec_col: str = "q_vec",

@@ -22,7 +22,7 @@ MERSENNE31; minhash_i = min((A[i]*h + B[i]) mod MERSENNE31).
 from __future__ import annotations
 
 import os
-from typing import List, Optional, Union
+from typing import List, Optional, Sequence, Union
 
 from pyspark.sql import Column, DataFrame, Observation
 from pyspark.sql import functions as F
@@ -448,16 +448,20 @@ def _sig_width(signatures: DataFrame) -> int:
 
 
 def _band_rows(
-    signatures: DataFrame, id_col: str, band_size: int = BAND_SIZE
+    signatures: DataFrame, id_col: str, band_size: int = BAND_SIZE,
+    extra_cols: Sequence[str] = (),
 ) -> DataFrame:
-    """(id, band, bucket): one row per (doc, band), bucket = the band's
-    minhash rows joined into a string key. A narrow explode (x n_bands),
-    no shuffle — the banding layer shared by self-dedup and the
-    cross-corpus join. Band count = signature width // band_size; a
-    trailing remainder of mh columns is ignored (standard banding)."""
+    """(id, [extra_cols,] band, bucket): one row per (doc, band), bucket
+    = the band's minhash rows joined into a string key. A narrow explode
+    (x n_bands), no shuffle — the banding layer shared by self-dedup and
+    the cross-corpus join. Band count = signature width // band_size; a
+    trailing remainder of mh columns is ignored (standard banding).
+    ``extra_cols`` names columns of ``signatures`` carried through
+    verbatim (DedupState's band side table rides its ``gen`` here)."""
     n_bands = _sig_width(signatures) // band_size
     return signatures.select(
         F.col(id_col),
+        *[F.col(c) for c in extra_cols],
         F.explode(
             F.array(
                 *[
@@ -472,7 +476,8 @@ def _band_rows(
                 ]
             )
         ).alias("bb"),
-    ).select(id_col, F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket"))
+    ).select(id_col, *extra_cols,
+             F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket"))
 
 
 def lsh_candidate_pairs(

@@ -98,7 +98,8 @@ class DedupState:
     def __init__(self, catalog, name: str, id_col: str, text_col: str,
                  ngram: int = 3, hash_fn: str = "md5",
                  n_hashes: int = N_HASHES, band_size: int = 2,
-                 num_buckets: int = 32, cur_gen: int = 0):
+                 num_buckets: int = 32, cur_gen: int = 0,
+                 band_mod: Optional[int] = None):
         self.num_buckets = num_buckets
         self.cur_gen = cur_gen
         self.catalog = catalog
@@ -113,6 +114,18 @@ class DedupState:
         self.n_hashes = n_hashes
         self.band_size = band_size
         self.table_name = f"{name}_dedupstate_bucketed"
+        # ``band_mod`` present <=> the store carries the BAND SIDE TABLE
+        # (bk, band, bucket, id, gen), bucketed on bk =
+        # pmod(xxhash64(band, bucket), band_mod): the inverted layout
+        # that lets a batch's near-dup pass read only the state buckets
+        # it touches (bucket pruning on a bk IN (...) literal list —
+        # bounded by band_mod values however large the batch) instead of
+        # re-deriving every band row from a full state scan per batch
+        # (guide §6: at 100 TB the full state read per daily batch is
+        # the dominant store-side cost). None = a pre-band store; every
+        # consumer falls back to the explode-from-state path.
+        self.band_mod = band_mod
+        self.band_table_name = f"{name}_dedupstate_bands_bucketed"
 
     @property
     def sql_name(self) -> str:
@@ -120,6 +133,25 @@ class DedupState:
         catalog-root-relative directory; session SQL names are global —
         Catalog.bucketed_sql_name)."""
         return self.catalog.bucketed_sql_name(self.table_name)
+
+    @property
+    def band_sql_name(self) -> str:
+        return self.catalog.bucketed_sql_name(self.band_table_name)
+
+    def _band_side_rows(self, sig_rows: DataFrame) -> DataFrame:
+        """(bk, band, bucket, id, gen) band-side rows derived from a
+        gen-carrying state-rows frame — the SAME banding explode
+        ``dedup_batch`` would run, materialized once at write time with
+        the pruning key attached. Column order is the side table's
+        positional INSERT contract."""
+        b = _band_rows(sig_rows, self.id_col, self.band_size,
+                       extra_cols=("gen",))
+        return b.select(
+            F.pmod(F.xxhash64("band", "bucket"), F.lit(self.band_mod))
+            .cast("int").alias("bk"),
+            F.col("band"), F.col("bucket"), F.col(self.id_col),
+            F.col("gen"),
+        )
 
     # -- storage ------------------------------------------------------------
 
@@ -138,12 +170,22 @@ class DedupState:
         from hindex_spark.table import Table
 
         st = cls(catalog, name, id_col, text_col, ngram, hash_fn,
-                 n_hashes, band_size, num_buckets=num_buckets)
+                 n_hashes, band_size, num_buckets=num_buckets,
+                 band_mod=num_buckets)
         rows = state_rows(
             corpus, id_col, text_col, ngram, hash_fn, n_hashes
         ).withColumn("gen", F.lit(0).cast("long"))
         catalog.save_bucketed(
             Table(rows, id_col, f"{name}_dedupstate"), num_buckets=num_buckets
+        )
+        # the band side table derives from the JUST-SAVED state (one
+        # narrow state-sized pass — never a second corpus re-shingle);
+        # build cost is one-time setup, every batch then reads a
+        # bucket-pruned slice instead of exploding the full state
+        bands = st._band_side_rows(catalog.spark.table(st.sql_name))
+        catalog.save_bucketed(
+            Table(bands, "bk", f"{name}_dedupstate_bands"),
+            num_buckets=num_buckets,
         )
         # a REBUILD starts at gen 0: clear the previous incarnation's
         # tombstones or they'd kill every fresh row
@@ -155,7 +197,7 @@ class DedupState:
                 {"id_col": id_col, "text_col": text_col, "ngram": ngram,
                  "hash_fn": hash_fn, "n_hashes": n_hashes,
                  "band_size": band_size, "num_buckets": num_buckets,
-                 "cur_gen": 0}, f,
+                 "cur_gen": 0, "band_mod": num_buckets}, f,
             )
         return st
 
@@ -168,7 +210,8 @@ class DedupState:
                    m["ngram"], m["hash_fn"],
                    m.get("n_hashes", N_HASHES), m.get("band_size", 2),
                    num_buckets=m.get("num_buckets", 32),
-                   cur_gen=m.get("cur_gen", 0))
+                   cur_gen=m.get("cur_gen", 0),
+                   band_mod=m.get("band_mod"))
 
     def _ensure_registered(self) -> None:
         """Re-attach the session-scoped bucketed registration from the
@@ -209,6 +252,30 @@ class DedupState:
             self._tombstone_path(),
         )
 
+    def _ensure_bands_registered(self) -> None:
+        if not self.catalog.spark.catalog.tableExists(self.band_sql_name):
+            self.catalog._attach_bucketed(
+                self.band_sql_name,
+                os.path.join(self.catalog.root, self.band_table_name, "data"),
+                "bk", ["bk"], self.num_buckets,
+            )
+
+    @property
+    def bands(self) -> DataFrame:
+        """LIVE (bk, band, bucket, id, gen) rows of the band side table.
+        The STATE's tombstone path applies verbatim: band rows carry
+        exactly their state row's (id, gen), so one tombstone file cuts
+        both tables — ``delete``/``upsert`` never write the side table's
+        history twice."""
+        from hindex_spark.operators.artifact import live_view
+
+        self._ensure_bands_registered()
+        self.catalog.spark.catalog.refreshTable(self.band_sql_name)
+        return live_view(
+            self.catalog.spark.table(self.band_sql_name), self.id_col,
+            self.catalog.spark, self._tombstone_path(),
+        )
+
     def _reload_meta(self) -> None:
         """Re-read the persisted meta (cur_gen, num_buckets) into this
         handle — MUST run at the top of every locked mutation: another
@@ -220,6 +287,50 @@ class DedupState:
                 m = json.load(f)
             self.num_buckets = m.get("num_buckets", self.num_buckets)
             self.cur_gen = m.get("cur_gen", 0)
+            # absent key = a pre-band-table store: fall back everywhere
+            self.band_mod = m.get("band_mod")
+
+    def _insert_one(self, sess, sql_name: str, rows: DataFrame,
+                    view: str) -> None:
+        rows.createOrReplaceTempView(view)
+        sess.sql(f"INSERT INTO {sql_name} SELECT * FROM {view}")
+        sess.catalog.dropTempView(view)
+
+    def _append_rows(self, sess, rows: DataFrame, view: str) -> None:
+        """Append a batch's state rows and (when the store carries the
+        band side table) its band rows. The batch frame is persisted so
+        the signature fold runs ONCE for both appends, and the two
+        delta-sized INSERTs run as concurrent jobs (guide §2.6 — same
+        overlap as JoinView._append_pair; different tables, no shared
+        input, still under the caller's write lock). A crash between
+        the two appends can leave the pair torn; ``compact()`` rebuilds
+        the band table FROM the state, so the next maintenance pass
+        converges them."""
+        self._ensure_registered()
+        if self.band_mod is None:
+            self._insert_one(sess, self.sql_name, rows, view)
+            self.catalog.spark.catalog.refreshTable(self.sql_name)
+            return
+        from concurrent.futures import ThreadPoolExecutor  # noqa: PLC0415
+
+        from pyspark import StorageLevel  # noqa: PLC0415
+
+        self._ensure_bands_registered()
+        rows = rows.persist(StorageLevel.MEMORY_AND_DISK)
+        try:
+            bands = self._band_side_rows(rows)
+            with ThreadPoolExecutor(max_workers=2) as pool:
+                fa = pool.submit(self._insert_one, sess, self.sql_name,
+                                 rows, view)
+                fb = pool.submit(self._insert_one, sess,
+                                 self.band_sql_name, bands,
+                                 f"{view}_bands")
+                fa.result()
+                fb.result()
+        finally:
+            rows.unpersist()
+        self.catalog.spark.catalog.refreshTable(self.sql_name)
+        self.catalog.spark.catalog.refreshTable(self.band_sql_name)
 
     def update(self, accepted: DataFrame) -> None:
         """Append the accepted batch's state rows — the per-batch
@@ -236,11 +347,7 @@ class DedupState:
                 accepted, self.id_col, self.text_col, self.ngram, self.hash_fn,
                 self.n_hashes,
             ).withColumn("gen", F.lit(self.cur_gen).cast("long"))
-            self._ensure_registered()
-            rows.createOrReplaceTempView(view)
-            sess.sql(f"INSERT INTO {self.sql_name} SELECT * FROM {view}")
-            sess.catalog.dropTempView(view)
-            self.catalog.spark.catalog.refreshTable(self.sql_name)
+            self._append_rows(sess, rows, view)
 
     def _bump_gen(self, new_gen: int) -> None:
         self.cur_gen = new_gen
@@ -289,11 +396,7 @@ class DedupState:
                 self.n_hashes,
             ).withColumn("gen", F.lit(new_gen).cast("long"))
             view = f"__dedupstate_upsert_{self.name}"
-            sess = rows.sparkSession
-            rows.createOrReplaceTempView(view)
-            sess.sql(f"INSERT INTO {self.sql_name} SELECT * FROM {view}")
-            sess.catalog.dropTempView(view)
-            self.catalog.spark.catalog.refreshTable(self.sql_name)
+            self._append_rows(rows.sparkSession, rows, view)
             self._bump_gen(new_gen)
 
     def delete(self, ids: DataFrame) -> None:
@@ -341,6 +444,18 @@ class DedupState:
                 Table(rows, self.id_col, f"{self.name}_dedupstate"),
                 num_buckets=num_buckets,
             )
+            if self.band_mod is not None:
+                # rebuild the band side table FROM the compacted state
+                # (never from its own history): purges its tombstoned
+                # generations AND heals any torn state/band append pair
+                # left by a crash between _append_rows' two INSERTs
+                bands = self._band_side_rows(
+                    self.catalog.spark.table(self.sql_name)
+                )
+                self.catalog.save_bucketed(
+                    Table(bands, "bk", f"{self.name}_dedupstate_bands"),
+                    num_buckets=num_buckets,
+                )
             clear_tombstones(self._tombstone_path())
             self.num_buckets = num_buckets
             m = json.load(open(self._meta_path()))
@@ -412,9 +527,18 @@ class DedupState:
         bb = _band_rows(
             batch_sigs.drop("__fp"), id_col, self.band_size
         ).select(F.col(id_col).alias("id_a"), "band", "bucket")
-        cb = _band_rows(
-            state.drop("__fp"), id_col, self.band_size
-        ).select(F.col(id_col).alias("id_b"), "band", "bucket")
+        if self.band_mod is not None:
+            # the banding explode was materialized at write time into
+            # the bk-bucketed side table — read it (pruned below when
+            # the batch's touched bk set is collectable) instead of
+            # re-deriving every band row from a full state scan
+            cb = self.bands.select(
+                F.col(id_col).alias("id_b"), "band", "bucket", "bk"
+            )
+        else:
+            cb = _band_rows(
+                state.drop("__fp"), id_col, self.band_size
+            ).select(F.col(id_col).alias("id_b"), "band", "bucket")
         if max_bucket is not None:
             # corpus-side valve (the batch side is bounded by the batch):
             # over-cap (band, bucket) keys are boilerplate, not near-dups.
@@ -441,11 +565,34 @@ class DedupState:
                 # (the cap derives from the FULL store's bucket-size
                 # distribution) and under a ``dropped`` Observation
                 # (which reports store-wide over-cap keys).
+                if "bk" in cb.columns:
+                    # BUCKET-PRUNED state read: the batch's touched bk
+                    # set is bounded by band_mod values however large
+                    # the batch is, so collecting it is always
+                    # driver-material, and the IN literal list makes
+                    # the bk-bucketed scan read only the touched
+                    # buckets' files (the AnnIndex cluster-pruning
+                    # shape). ``bb`` is persisted so the batch
+                    # signature fold runs once for the collect, the
+                    # semi-join broadcast and the candidate join —
+                    # previously it ran once per broadcast build.
+                    bb = bb.persist(_SL.MEMORY_AND_DISK)
+                    _reg_aux(bb)
+                    touched = sorted({
+                        r["bk"]
+                        for r in bb.select(
+                            F.pmod(
+                                F.xxhash64("band", "bucket"),
+                                F.lit(self.band_mod),
+                            ).cast("int").alias("bk")
+                        ).distinct().collect()
+                    })
+                    cb = cb.filter(F.col("bk").isin(touched))
                 cb = cb.join(
                     F.broadcast(bb.select("band", "bucket").distinct()),
                     ["band", "bucket"], "left_semi",
                 )
-            cb = cb.persist(_SL.MEMORY_AND_DISK)
+            cb = cb.drop("bk").persist(_SL.MEMORY_AND_DISK)
             _reg_aux(cb)
             sizes = cb.groupBy("band", "bucket").agg(F.count("*").alias("__n"))
             if max_bucket == "auto":

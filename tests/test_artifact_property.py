@@ -15,6 +15,10 @@ from pyspark.sql import functions as F
 from hindex_spark.catalog import Catalog
 from hindex_spark.operators.search import SearchIndex
 
+import pytest
+
+pytestmark = pytest.mark.slow  # property/fuzz/chaos tier: run explicitly with -m slow (see pytest.ini)
+
 #: tiny id universe so ops collide a lot (that's where the bugs live)
 IDS = list(range(6))
 

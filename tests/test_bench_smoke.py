@@ -7,8 +7,10 @@ import json
 import os
 import subprocess
 import sys
+import pytest
 
 
+@pytest.mark.slow
 def test_bench_cli_contract_sf0001():
     env = dict(os.environ, SPARK_GRAFT_SF_DIR="/root/testdata/sf0.001")
     # The cap exists to catch hangs, not to grade performance: the full

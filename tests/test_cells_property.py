@@ -7,6 +7,8 @@ from hypothesis import HealthCheck, given, settings, strategies as st
 
 from hindex_spark import cells as cm
 
+pytestmark = pytest.mark.slow  # property/fuzz/chaos tier: run explicitly with -m slow (see pytest.ini)
+
 ROWS = ["r1", "r2"]
 CFS = ["cf1"]
 QUALS = ["qa", "qb"]

@@ -17,6 +17,10 @@ from hypothesis import HealthCheck, given, settings, strategies as st
 from hindex_spark.streaming.ingest import compact_changelog, replay_changelog
 from hindex_spark.table import Table
 
+import pytest
+
+pytestmark = pytest.mark.slow  # property/fuzz/chaos tier: run explicitly with -m slow (see pytest.ini)
+
 KEYS = ["r1", "r2", "r3", "r4"]
 
 put_st = st.tuples(

@@ -15,6 +15,10 @@ from hypothesis import HealthCheck, given, settings, strategies as st
 
 from hindex_spark.operators import dedup as dd
 
+import pytest
+
+pytestmark = pytest.mark.slow  # property/fuzz/chaos tier: run explicitly with -m slow (see pytest.ini)
+
 WORDS = ["alpha", "beta", "gamma", "delta", "epsilon", "zeta", "eta", "theta"]
 
 doc_st = st.lists(st.sampled_from(WORDS), min_size=1, max_size=12).map(" ".join)

@@ -11,6 +11,10 @@ from hypothesis import HealthCheck, given, settings, strategies as st
 from hindex_spark import filters as fl
 from hindex_spark.table import CellTable
 
+import pytest
+
+pytestmark = pytest.mark.slow  # property/fuzz/chaos tier: run explicitly with -m slow (see pytest.ini)
+
 ROWS = ["r1", "r2", "r3"]
 CFS = ["cf1", "cf2"]
 QUALS = ["qa", "qb", "qc"]

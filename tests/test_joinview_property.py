@@ -16,6 +16,8 @@ from hypothesis import strategies as st
 from hindex_spark.catalog import Catalog
 from hindex_spark.operators.joinview import JoinView
 
+pytestmark = pytest.mark.slow  # property/fuzz/chaos tier: run explicitly with -m slow (see pytest.ini)
+
 KEYS = [1, 2, 3]
 
 row_st = st.tuples(

@@ -15,6 +15,10 @@ from hindex_spark.operators.linkage import (
     edit_distance_pairs,
 )
 
+import pytest
+
+pytestmark = pytest.mark.slow  # property/fuzz/chaos tier: run explicitly with -m slow (see pytest.ini)
+
 
 def _lev(a, b):
     dp = list(range(len(b) + 1))

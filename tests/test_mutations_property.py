@@ -11,6 +11,10 @@ from pyspark.sql import functions as F
 from hindex_spark import filters as fl
 from hindex_spark.table import Table
 
+import pytest
+
+pytestmark = pytest.mark.slow  # property/fuzz/chaos tier: run explicitly with -m slow (see pytest.ini)
+
 KEYS = ["r1", "r2", "r3", "r4"]
 
 put_st = st.tuples(

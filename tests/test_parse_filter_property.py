@@ -11,6 +11,10 @@ from hindex_spark import filters as fl
 from hindex_spark.parse_filter import parse_filter
 from hindex_spark.table import Scan, Table
 
+import pytest
+
+pytestmark = pytest.mark.slow  # property/fuzz/chaos tier: run explicitly with -m slow (see pytest.ini)
+
 _OPS = {
     fl.EQUAL: "=",
     fl.NOT_EQUAL: "!=",

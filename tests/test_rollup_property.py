@@ -18,6 +18,8 @@ from pyspark.sql import functions as F
 from hindex_spark.catalog import Catalog
 from hindex_spark.operators.rollup import HOUR_US, RollupStore
 
+pytestmark = pytest.mark.slow  # property/fuzz/chaos tier: run explicitly with -m slow (see pytest.ini)
+
 #: tiny universes so ops collide a lot
 BUCKETS = [0, HOUR_US, 2 * HOUR_US]
 KEYS = ["a", "b"]
