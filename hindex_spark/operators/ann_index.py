@@ -286,39 +286,19 @@ class AnnIndex:
             self._tombstone_path(),
         )
 
-    def _centroid_fingerprint(self):
-        """Driver-side stat fingerprint of the centroid directory —
-        invalidates the LocalRelation cache whenever ANY process
-        rewrites the centroids (build/retrain overwrite the parquet),
-        so the cache can never serve stale centroids cross-process."""
-        p = self._centroid_path()
-        return tuple(
-            (n, s.st_mtime_ns, s.st_size)
-            for n in sorted(os.listdir(p))
-            for s in (os.stat(os.path.join(p, n)),)
-        )
-
     @property
     def centroids(self) -> DataFrame:
-        """The persisted (cluster, centroid) table — n_clusters rows,
-        served as a cached LocalRelation: collected ONCE per store
-        generation (bounded by construction — ivf_build already
-        iterates the centroid set driver-side) and re-used by every
-        probe, so a query batch pays zero centroid scan jobs instead of
-        two parquet reads + broadcast builds per call. Keyed on the
-        centroid files' stat fingerprint, never on in-memory state, so
-        a retrain in ANY process invalidates it."""
-        try:
-            fp = self._centroid_fingerprint()
-        except OSError:
-            return self.catalog.spark.read.parquet(self._centroid_path())
-        cached = getattr(self, "_cent_cache", None)
-        if cached is not None and cached[0] == fp:
-            return cached[1]
-        df = self.catalog.spark.read.parquet(self._centroid_path())
-        local = self.catalog.spark.createDataFrame(df.collect(), df.schema)
-        self._cent_cache = (fp, local)
-        return local
+        """The persisted (cluster, centroid) table — n_clusters rows.
+        Deliberately a plain parquet read per call: serving it as a
+        collected LocalRelation (cached per store generation, stat-
+        fingerprint invalidated) was built and measured in round 13 and
+        REGRESSED ~0.5 s/probe-batch — a LocalRelation embeds the
+        centroid doubles in the logical plan, and every probe's
+        analysis/optimization then pays to copy those literals, which
+        costs more than the tiny parquet scan it saved (the same
+        LocalRelation re-entry negative result as round 12's probe
+        frame, item 24)."""
+        return self.catalog.spark.read.parquet(self._centroid_path())
 
     def _reload_meta(self) -> None:
         """Re-read the persisted meta (cur_gen, num_buckets) — MUST run

@@ -211,6 +211,56 @@ def log_ratio_table(
     )
 
 
+def _dense_micros(rows, n_buckets: int, val_key: str,
+                  default_key: str):
+    """Driver-side densified int64 array of 10^-RATIO_SCALE units from
+    a collected fit table (bounded: <= n_buckets rows by construction —
+    the fit is the broadcast-sized artifact). Absent buckets take the
+    default value; an empty fit densifies to zeros — exactly the
+    coalesce(map[i], default, 0) ladder the broadcast-row shape
+    applied."""
+    import numpy as np  # noqa: PLC0415
+
+    scale = 10 ** RATIO_SCALE
+    rd = None
+    for r in rows:
+        if r[default_key] is not None:
+            rd = r[default_key] if rd is None else max(rd, r[default_key])
+    arr = np.full(n_buckets, int(rd * scale) if rd is not None else 0,
+                  dtype=np.int64)
+    for r in rows:
+        if r[val_key] is not None:
+            arr[int(r["bucket"])] = int(r[val_key] * scale)
+    return arr
+
+
+def _gather_micros_udf(arr):
+    """Vectorized Arrow scoring kernel: per doc, sum of ``arr`` at the
+    doc's bucket ids, in exact int64 micros (identical arithmetic to
+    the JVM long fold it replaces — int64 addition both sides). The
+    per-gram ``aggregate`` lambda this supersedes ran INTERPRETED per
+    element (guide §4.2: no native gather-sum expression exists, so a
+    vectorized numpy take+sum over Arrow batches is the sanctioned
+    escape); measured 4.7x on the sf0.1 score stage with hash-equal
+    outputs. Buckets are non-negative by construction
+    (``_unit_hash() % n_buckets`` of non-negative 31-bit hashes)."""
+    import numpy as np  # noqa: PLC0415
+    import pandas as pd  # noqa: PLC0415
+
+    def gather(bks):
+        out = np.zeros(len(bks), dtype=np.int64)
+        for i, b in enumerate(bks):
+            if b is not None and len(b):
+                out[i] = arr[np.asarray(b, dtype=np.int64)].sum()
+        return pd.Series(out)
+
+    # real type objects, not strings: this module runs under
+    # ``from __future__ import annotations``, which would stringify
+    # inline hints and break pandas_udf's signature inference
+    gather.__annotations__ = {"bks": pd.Series, "return": pd.Series}
+    return F.pandas_udf(gather, "long")
+
+
 def importance_weights(
     df: DataFrame,
     id_col: str,
@@ -222,15 +272,15 @@ def importance_weights(
     """(id, weight): per-doc DSIR log importance weight. ``ratios`` is a
     ``log_ratio_table`` output (<= n_buckets rows).
 
-    Scoring is SCAN-SHAPED: the bounded ratio table collapses into ONE
-    row holding a bucket->r map (map_from_entries over <= B entries),
-    cross-broadcast onto the corpus, and each doc's weight is a decimal
-    fold over its own n-gram array — no explode, no doc-keyed exchange,
-    zero shuffle. (The explode + broadcast-join + groupBy(id) shape the
-    oracle SQL uses computes the identical decimal-exact sum — both are
-    order-independent — but pays a corpus-wide exchange keyed on doc id
-    that this shape simply does not have.) Docs with no tokens / NULL
-    text score 0. ``weight`` = exact decimal sum cast to double."""
+    Scoring is SCAN-SHAPED: the bounded ratio table is collected once
+    (<= B rows), densified driver-side, and each doc's weight is a
+    vectorized Arrow gather-sum over its own n-gram array — no explode,
+    no doc-keyed exchange, zero shuffle. (The explode + broadcast-join
+    + groupBy(id) shape the oracle SQL uses computes the identical
+    exact sum — both are order-independent — but pays a corpus-wide
+    exchange keyed on doc id that this shape simply does not have.)
+    Docs with no tokens / NULL text score 0. ``weight`` = exact decimal
+    sum cast to double."""
     return with_importance_weight(
         df, text_col, ratios, n_buckets=n_buckets, hash_fn=hash_fn
     ).select(F.col(id_col), F.col("weight"))
@@ -255,63 +305,42 @@ def with_importance_weight(
     from ``text_col`` — the fit/score sharing hook ``dsir_select`` uses
     so the tokenize + hash featurization runs once, not once per
     consumer (guide §2.4); ``text_col`` is ignored when given."""
-    # The bounded fit collapses to ONE broadcast row holding a DENSE
-    # array of n_buckets ratios (absent buckets filled with r_default),
-    # so the per-gram lookup is an O(1) array index. The map shape this
-    # replaced (bucket -> r map, GetMapValue per gram) was a LINEAR scan
-    # of up to n_buckets keys per lookup in Spark — measured 1.8x slower
-    # end-to-end at sf0.1. Densifying costs one O(B^2) pass on a single
-    # 8k-entry row at broadcast time — microseconds, paid once.
-    #
-    # The array stores each ratio as a LONG count of 10^-RATIO_SCALE
-    # units ("micros"): r is DECIMAL(18,6), so r * 10^6 is an exact
-    # integer, the per-doc fold is plain long addition (the aggregate
-    # lambda runs INTERPRETED per gram — a long add is several times
-    # cheaper per step than the decimal add + overflow-checked cast it
-    # replaces, guide §1.2), and the exact decimal value is recovered
-    # ONCE per doc by an exact decimal division before the final double
-    # cast — bit-identical weights by construction. Long overflow needs
+    # The bounded fit is collected ONCE driver-side (<= n_buckets rows
+    # — the broadcast-sized artifact by construction) and densified to
+    # an int64 array of 10^-RATIO_SCALE units ("micros"): r is
+    # DECIMAL(18,6), so r * 10^6 is an exact integer. Scoring is then a
+    # vectorized Arrow kernel — per doc, numpy take+sum of the array at
+    # the doc's bucket ids, exact int64 addition — replacing the JVM
+    # ``aggregate`` fold whose lambda ran INTERPRETED per gram (guide
+    # §4.2; measured 4.7x on the sf0.1 score stage, hash-identical
+    # weights asserted). The exact decimal value is recovered ONCE per
+    # doc by an exact decimal division before the final double cast —
+    # bit-identical weights by construction. int64 overflow needs
     # |sum| >= 2^63 micros ~ 9.2e12 in ratio units, far beyond any doc
     # (the old DECIMAL(18,6) accumulator overflowed at 1e12 first).
     # FAILURE-MODE note: the decimal accumulator overflowed to NULL
-    # (weight coalesced to 0.0, visible); a long accumulator under
-    # non-ANSI mode WRAPS silently instead. Reaching it needs a doc
-    # whose n_grams x max|r| exceeds 9.2e12 ratio-units (e.g. 10^12
+    # (weight coalesced to 0.0, visible); an int64 accumulator WRAPS
+    # silently instead (numpy and Java long alike). Reaching it needs a
+    # doc whose n_grams x max|r| exceeds 9.2e12 ratio-units (e.g. 10^12
     # grams at |r| <= 9) — revisit with a per-doc cap if doc sizes or
     # ratio magnitudes could ever approach that.
-    ratio_arr = ratios.agg(
-        F.map_from_entries(
-            F.collect_list(F.struct(F.col("bucket"), F.col("r")))
-        ).alias("__m"),
-        F.max("r_default").alias("__rd"),
-    ).select(
-        F.transform(
-            F.sequence(F.lit(0), F.lit(n_buckets - 1)),
-            lambda i: (
-                F.coalesce(
-                    F.col("__m")[i.cast("long")],
-                    F.col("__rd"),
-                    F.lit(0).cast(f"decimal(18,{RATIO_SCALE})"),
-                )
-                * F.lit(10 ** RATIO_SCALE)
-            ).cast("long"),
-        ).alias("__arr")
+    #
+    # The plan stays scan-shaped — scan -> ArrowEvalPython -> project,
+    # zero shuffles, streaming-safe (a stateless projection); the fit
+    # collect is the one bounded action, paid when the frame is BUILT,
+    # which also pins the weights against a fit that could otherwise be
+    # recomputed differently per consumer.
+    arr = _dense_micros(
+        ratios.select("bucket", "r", "r_default").collect(),
+        n_buckets, "r", "r_default",
     )
     if buckets is None:
         buckets = hashed_buckets(F.col(text_col), n_buckets, hash_fn)
-    fold = F.aggregate(
-        buckets,
-        F.lit(0).cast("long"),
-        lambda acc, b: acc + F.element_at(F.col("__arr"), (b + 1).cast("int")),
-    )
+    micros = _gather_micros_udf(arr)(buckets)
     weight = (
-        fold.cast("decimal(26,0)") / F.lit(10 ** RATIO_SCALE)
+        micros.cast("decimal(26,0)") / F.lit(10 ** RATIO_SCALE)
     ).cast("double")
-    return (
-        df.crossJoin(F.broadcast(ratio_arr))
-        .withColumn(weight_col, F.coalesce(weight, F.lit(0.0)))
-        .drop("__arr")
-    )
+    return df.withColumn(weight_col, F.coalesce(weight, F.lit(0.0)))
 
 
 def dsir_select(
@@ -408,38 +437,26 @@ def lm_cross_entropy(
         .cast(f"decimal(18,{RATIO_SCALE})")
         .alias("lp_default"),
     )
-    # dense-array lookup, same rationale as with_importance_weight
-    lp_arr = lp.agg(
-        F.map_from_entries(
-            F.collect_list(F.struct(F.col("bucket"), F.col("lp")))
-        ).alias("m"),
-        F.max("lp_default").alias("lpd"),
-    ).select(
-        F.transform(
-            F.sequence(F.lit(0), F.lit(n_buckets - 1)),
-            lambda i: (
-                F.coalesce(
-                    F.col("m")[i.cast("long")],
-                    F.col("lpd"),
-                    F.lit(0).cast(f"decimal(18,{RATIO_SCALE})"),
-                )
-                * F.lit(10 ** RATIO_SCALE)
-            ).cast("long"),
-        ).alias("__lparr")
+    # dense int64 micro array + vectorized Arrow gather kernel + one
+    # exact decimal division per doc — same bit-identical-by-
+    # construction shape (and the same 4.7x-measured kernel) as
+    # with_importance_weight. The bucket array is STAGED as a real
+    # column so the featurization feeds both the kernel and the gram
+    # count once — as an inline expression it would be evaluated
+    # separately on each side of the Python boundary.
+    arr = _dense_micros(
+        lp.select("bucket", "lp", "lp_default").collect(),
+        n_buckets, "lp", "lp_default",
     )
-    # long-micros fold + one exact decimal division per doc — same
-    # bit-identical-by-construction shape as with_importance_weight
-    buckets = hashed_buckets(F.col(text_col), n_buckets, hash_fn)
-    s_micro = F.aggregate(
-        buckets,
-        F.lit(0).cast("long"),
-        lambda acc, bk: acc + F.element_at(F.col("__lparr"), (bk + 1).cast("int")),
+    staged = df.withColumn(
+        "__bk", hashed_buckets(F.col(text_col), n_buckets, hash_fn)
     )
+    s_micro = _gather_micros_udf(arr)(F.col("__bk"))
     s = (
         s_micro.cast("decimal(26,0)") / F.lit(10 ** RATIO_SCALE)
     ).cast("double")
-    n = F.size(buckets)
-    return df.crossJoin(F.broadcast(lp_arr)).select(
+    n = F.size(F.col("__bk"))
+    return staged.select(
         F.col(id_col),
         F.round(
             F.when(n > 0, -s / n).otherwise(0.0), 6
