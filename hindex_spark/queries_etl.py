@@ -205,7 +205,11 @@ def q_streaming_windowed_agg(spark, sf_dir):
     trigger: deterministic, equal to the batch aggregation."""
     import uuid
 
-    from hindex_spark.streaming.ingest import windowed_event_counts
+    from hindex_spark.streaming.ingest import (
+        dir_bytes,
+        state_scaled_partitions,
+        windowed_event_counts,
+    )
 
     src = tempfile.mkdtemp(prefix="hindex_winagg_") + "/events"
     spark.read.parquet(f"{sf_dir}/events.parquet").write.parquet(src)
@@ -216,14 +220,16 @@ def q_streaming_windowed_agg(spark, sf_dir):
     stream = stream.withColumn("ts", ts_timestamp(stream))
     agg = windowed_event_counts(stream, window="1 hour", watermark="2 hours")
     qname = f"win_out_{uuid.uuid4().hex[:8]}"
-    q = (
-        agg.writeStream.outputMode("complete")
-        .format("memory")
-        .queryName(qname)
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
+    # state partitions sized to the stream's volume (state_scaled_partitions)
+    with state_scaled_partitions(spark, dir_bytes(src)):
+        q = (
+            agg.writeStream.outputMode("complete")
+            .format("memory")
+            .queryName(qname)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
     return spark.sql(f"SELECT * FROM {qname}").select(
         F.unix_micros("win_start").alias("win_start_us"),
         "event_type",
@@ -666,7 +672,11 @@ def q_streaming_interval_join(spark, sf_dir):
     equals the batch join (the oracle)."""
     import uuid
 
-    from hindex_spark.streaming.ingest import stream_interval_join
+    from hindex_spark.streaming.ingest import (
+        dir_bytes,
+        state_scaled_partitions,
+        stream_interval_join,
+    )
     from hindex_spark.timeutil import ts_timestamp
 
     src = tempfile.mkdtemp(prefix="hindex_ssjoin_") + "/events"
@@ -692,14 +702,18 @@ def q_streaming_interval_join(spark, sf_dir):
         watermark="2 hours",
     )
     qname = f"ssj_out_{uuid.uuid4().hex[:8]}"
-    q = (
-        joined.writeStream.outputMode("append")
-        .format("memory")
-        .queryName(qname)
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
+    # state partitions sized to the stream's volume, not the session's
+    # shuffle width (a stream-stream join commits FOUR state stores per
+    # partition per batch — see state_scaled_partitions)
+    with state_scaled_partitions(spark, dir_bytes(src)):
+        q = (
+            joined.writeStream.outputMode("append")
+            .format("memory")
+            .queryName(qname)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
     return (
         spark.sql(f"SELECT * FROM {qname}")
         .groupBy(F.col("c_user").alias("user_id"))
@@ -735,7 +749,11 @@ def q_streaming_session_window(spark, sf_dir):
     Complete-mode memory sink with availableNow: deterministic."""
     import uuid
 
-    from hindex_spark.streaming.ingest import session_window_counts
+    from hindex_spark.streaming.ingest import (
+        dir_bytes,
+        session_window_counts,
+        state_scaled_partitions,
+    )
     from hindex_spark.timeutil import ts_timestamp
 
     src = tempfile.mkdtemp(prefix="hindex_sesswin_") + "/events"
@@ -745,14 +763,16 @@ def q_streaming_session_window(spark, sf_dir):
     stream = stream.withColumn("ts", ts_timestamp(stream))
     agg = session_window_counts(stream, gap="30 minutes")
     qname = f"sess_out_{uuid.uuid4().hex[:8]}"
-    q = (
-        agg.writeStream.outputMode("complete")
-        .format("memory")
-        .queryName(qname)
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
+    # state partitions sized to the stream's volume (state_scaled_partitions)
+    with state_scaled_partitions(spark, dir_bytes(src)):
+        q = (
+            agg.writeStream.outputMode("complete")
+            .format("memory")
+            .queryName(qname)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
     return spark.sql(f"SELECT * FROM {qname}").select(
         F.unix_micros("sess_start").alias("sess_start_us"),
         F.unix_micros("sess_end").alias("sess_end_us"),

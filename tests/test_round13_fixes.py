@@ -79,3 +79,31 @@ def test_dedup_batch_band_pruning_and_identity(spark, docs, tmp_path):
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "_dedupstate_bands_bucketed" in plan
     assert "In(bk, [" in plan or "EqualTo(bk," in plan
+
+def test_state_scaled_partitions_derivation_and_restore(spark):
+    """state_scaled_partitions sizes streaming state partitions from
+    input volume (floor 4, one per 32 MB, cap 4x parallelism) and
+    restores the session conf on exit — including on error."""
+    from hindex_spark.streaming.ingest import state_scaled_partitions
+
+    key = "spark.sql.shuffle.partitions"
+    before = spark.conf.get(key)
+    par = spark.sparkContext.defaultParallelism
+    floor = max(1, min(4, par))
+    with state_scaled_partitions(spark, 10) as n:
+        assert n == floor
+        assert spark.conf.get(key) == str(floor)
+    assert spark.conf.get(key) == before
+    with state_scaled_partitions(spark, 20 * 32 * 1024 * 1024) as n:
+        assert n == max(floor, min(20, 4 * par))
+    assert spark.conf.get(key) == before
+    # cap: an enormous stream is bounded by 4x parallelism
+    with state_scaled_partitions(spark, 10**15) as n:
+        assert n == 4 * par
+    # restore survives an exception inside the context
+    try:
+        with state_scaled_partitions(spark, 10):
+            raise RuntimeError("boom")
+    except RuntimeError:
+        pass
+    assert spark.conf.get(key) == before

@@ -29,9 +29,13 @@ import re
 import sys
 
 # Arrow-batched Python edges that are the POINT of the operator, not an
-# accident: multimodal decode (no media libs JVM-side) and the
+# accident: multimodal decode (no media libs JVM-side), the
 # coprocessor-endpoint surface (SURVEY §2.11 maps Endpoint -> mapInPandas
-# by design — arbitrary distributed computation is its contract).
+# by design — arbitrary distributed computation is its contract), and
+# the round-13 DSIR/LM scoring kernel (guide §4.2: no native gather-sum
+# expression exists; the vectorized numpy gather over the collected
+# bounded fit table replaced an interpreted per-gram aggregate fold,
+# measured 4.7x on the score stage with bit-identical weights).
 # Everything else must stay in codegen.
 ARROW_ALLOWED = {
     "multimodal_features",
@@ -47,6 +51,13 @@ ARROW_ALLOWED = {
     "multimodal_gif_stats",
     "multimodal_audio_g711",
     "coproc_row_count",
+    # DSIR importance / LM cross-entropy scoring (ArrowEvalPython
+    # projection; operators/importance.py)
+    "corpus_dsir_weights",
+    "corpus_dsir_select",
+    "corpus_perplexity",
+    "corpus_perplexity_split",
+    "corpus_pipeline_dsir",
 }
 
 FORBIDDEN = ("CartesianProduct", "BatchEvalPython")
